@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Mirrors the reference's benchmark.sh shape (warmup pass, then measured
+pass — reference benchmark.sh:30,36) without the dtype sweep, which is a
+model concern, not an engine concern.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from video_streamer_spark.queries import QUERIES  # noqa: E402
+from video_streamer_spark.session import get_spark  # noqa: E402
+
+# Headline set: every capability family, weighted toward what's expensive
+# at scale (joins, windows, dedup self-joins, similarity).
+HEADLINE = [
+    "q01_scan_filter",
+    "q02_agg_pricing_summary",
+    "q03_multijoin_region_counts",
+    "q04_topk_customers",
+    "q06_window_rank_top3",
+    "q07_window_running_total",
+    "q08_rollup_region_nation",
+    "q12_json_extract_sum",
+    "q13_distinct_users_per_type",
+    "q14_tumbling_hourly",
+    "q15_sessionization",
+    "q16_exact_dedup_stats",
+    "q17_top_tokens",
+    "q18_cosine_topk",
+    "q19a_detections_per_label",
+    "q20_theta_self_join",
+    "x02_dedup_minhash_pairs",
+    "x03_dedup_simhash_pairs",
+    "x05_embedding_near_pairs",
+    "x06_ann_topk_multi",
+    "x10_quality_scores",
+    "x12_payload_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark(app_name="vss-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch every table + spin up codegen/arrow paths
+    QUERIES["q01_scan_filter"](spark, sf_dir).count()
+    QUERIES["q18_cosine_topk"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        # full materialization of the result set, like a client would
+        n = len(QUERIES[name](spark, sf_dir).collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Table catalog: loads the driver parquet tables and derived dimensions.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet each under an ``sf_dir``.
+
+Loading goes through ``spark.read.parquet`` so Catalyst gets pushdown and
+pruning for free; nothing is cached here (at 100 TB you never cache a fact
+table — let the scan prune).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions that should always end up on the broadcast side of a
+# join (the reference's only "join" is an 80-row label-dict lookup,
+# gst-detection-tf.py:114-121,396 — same shape).
+BROADCAST_DIMS = frozenset({"region", "nation", "labels"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark refuses to read
+    natively. Read nanos as long and truncate to microseconds — exactly
+    what DuckDB does on the same file (verified: trunc, not round) — so
+    both engines see identical timestamps.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all driver tables as temp views so ``spark.sql`` works."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

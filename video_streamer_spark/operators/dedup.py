@@ -1,0 +1,332 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+All four are pure DataFrame compositions (no Python UDFs) so they run
+entirely inside whole-stage codegen and scale by shuffle:
+
+- **exact**: hash-groupBy on the normalized text — one shuffle on the
+  group key; at 100 TB group on md5(text) instead of the full text so the
+  shuffle carries 32-byte keys, not document bodies.
+- **minhash-lsh**: shingle → per-seed min-hash → band → bucket self-join.
+  The only shuffles are the signature groupBy (by doc) and the band
+  bucket join (by band value). Candidate pairs are generated per bucket,
+  never all-pairs — the classic Broder scheme, linear in corpus size for
+  bounded bucket width.
+- **simhash**: token-hash bit voting → 32-bit fingerprint; near-dup pairs
+  via hamming distance on the fingerprint. Fingerprinting is a per-doc
+  aggregation (one shuffle); pairing here is a small self-join — at 100 TB
+  you'd block on a fingerprint prefix first (prefix join ≈ LSH band).
+- **ngram-jaccard**: distinct shingles as an inverted index, pair counts
+  by shingle co-occurrence (shuffle on shingle), Jaccard from per-doc set
+  sizes. Document-frequency cutoff drops stop-shingles, which is both a
+  quality and a skew guard (a shingle in k docs emits k² pair rows).
+
+Hashes are md5 (hex string) rather than Spark's xxhash64 so the DuckDB
+oracle can reproduce them exactly; min() over the hex strings is a valid
+uniform min-hash because md5 is uniform on the hex alphabet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_MINHASH = 8          # permutations (seeded md5 salts)
+MINHASH_BAND_ROWS = 2    # rows per LSH band → 4 bands
+SIMHASH_BITS = 32        # 8 hex chars of md5
+DEFAULT_SHINGLE = 3      # tokens per shingle
+
+
+def tokens_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+def shingles_col(text: Column | str, k: int = DEFAULT_SHINGLE) -> Column:
+    """k-token shingles as space-joined strings (empty array if < k tokens)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Per-language doc/distinct/duplicate counts (declared Q16)."""
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("text").alias("n_distinct"),
+            (F.count("*") - F.countDistinct("text")).alias("n_dupes"),
+        )
+        .orderBy("lang")
+    )
+
+
+def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
+    """Canonical survivor per duplicate group: min(doc_id) per text hash.
+
+    Grouping on md5(text) keeps the shuffle key fixed-width; the text
+    itself never moves (only doc_id + hash), which is what makes this
+    viable when documents are MBs.
+    """
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_MINHASH,
+    shingle_k: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """One row per doc with columns mh_0..mh_{n-1} (hex-string min-hashes).
+
+    Each "permutation" is min over shingles of md5(seed || shingle); the
+    explode→groupBy is one shuffle keyed by doc id, with map-side partial
+    min aggregation shrinking the exchange to one row per (doc, seed).
+    """
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(text_col, shingle_k)).alias("shingle"),
+    ).distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_bands(sigs: DataFrame, band_rows: int = MINHASH_BAND_ROWS) -> DataFrame:
+    """Signature → (doc_id, band_idx, band_val) rows for bucket joining."""
+    mh_cols = sorted(
+        (c for c in sigs.columns if c.startswith("mh_")),
+        key=lambda c: int(c.split("_")[1]),
+    )
+    n_bands = len(mh_cols) // band_rows
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|", *[F.col(mh_cols[b * band_rows + r]) for r in range(band_rows)]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "band_val")
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    num_hashes: int = NUM_MINHASH,
+    band_rows: int = MINHASH_BAND_ROWS,
+    shingle_k: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (doc_a < doc_b) with band-hit count.
+
+    The bucket self-join shuffles on (band_idx, band_val) — at scale a
+    hot bucket (boilerplate docs) is the skew risk; AQE skew-join splits
+    it, and a bucket-width cap would bound the worst case.
+    """
+    bands = minhash_bands(
+        minhash_signatures(docs, num_hashes=num_hashes, shingle_k=shingle_k),
+        band_rows=band_rows,
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash per doc as BIGINT (bit b set iff Σ_token ±1 ≥ 0).
+
+    Bits come from the first 8 hex chars of md5(token): hex char p
+    contributes bits 4p..4p+3. Token multiplicity is the vote weight.
+    The whole thing is explode → explode → groupBy-sum → bit-assemble,
+    all built-ins; one shuffle keyed by (doc, bit).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(text_col)).alias("token"),
+    )
+    hashed = tok.select("doc_id", F.substring(F.md5("token"), 1, 8).alias("h8"))
+    # hex char index p (0..7) and bit-in-char b (0..3) → bit position 4p+b
+    per_bit = (
+        hashed.select(
+            "doc_id",
+            "h8",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.expr(f"instr('{_HEX}', substring(h8, p + 1, 1)) - 1").alias("digit"),
+        )
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+            F.col("p"),
+            F.col("digit"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p") * 4 + F.col("b")).alias("bitpos"),
+            F.expr("(shiftright(digit, b) & 1) * 2 - 1").alias("vote"),
+        )
+    )
+    votes = per_bit.groupBy("doc_id", "bitpos").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), bitpos)"))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs (doc_a < doc_b) whose SimHash hamming distance ≤ max_hamming.
+
+    Small-corpus path is an all-pairs join on fingerprints (tiny rows);
+    the 100 TB path blocks on fingerprint bytes first (each near pair
+    within hamming k shares at least one of k+1 fingerprint chunks —
+    pigeonhole), which this function applies via a 4-chunk prefix join.
+    """
+    fp = simhash_fingerprints(docs)
+    # pigeonhole blocking: hamming ≤ 3 ⇒ at least one of the 4 bytes equal
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright(F.col("simhash"), i * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    pairs = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(sh_a ^ sh_b)").cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    shingle_k: int = DEFAULT_SHINGLE,
+    threshold: float = 0.6,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Pairs with shingle-set Jaccard ≥ threshold, via inverted index.
+
+    ``max_doc_freq`` drops shingles present in more than that many docs
+    (stop-shingles): a shingle shared by k docs emits k(k-1)/2 pair rows,
+    so the cutoff is the skew guard at scale.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col("text", shingle_k)).alias("shingle")
+    ).distinct()
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard_raw"),
+        )
+    )
+    return jac.where(F.col("jaccard_raw") >= threshold)

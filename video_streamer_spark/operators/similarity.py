@@ -1,0 +1,280 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_topk``: exact cosine top-k — query set broadcast against the
+  corpus, per-query rank window. The dot products run as codegen'd array
+  folds (functions/arrays.py), so a full corpus pass is scan-bound. This
+  is the baseline and the oracle-checkable path.
+- ``lsh_topk``: random-hyperplane LSH — corpus bucketed by sign bits,
+  probes only matching buckets. Cuts the candidate set by ~2^bits at the
+  cost of recall; the scale path when the corpus no longer fits a pass.
+- ``embedding_near_pairs``: near-duplicate pairs by cosine ≥ threshold;
+  small-n all-pairs here, LSH-blocked at scale (same bucketing).
+
+Partitioning story at 100 TB: corpus embeddings live pre-partitioned by
+bucket id; a query batch broadcasts (queries are always the small side),
+so no corpus shuffle ever happens — only a final top-k merge of
+per-partition heaps (rank window after local limit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from video_streamer_spark.functions.arrays import cosine_similarity
+from video_streamer_spark.functions.parity import round4
+
+LSH_PLANES_SEED = 42
+
+
+def _prepped(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    """Project (id, double-cast vector, L2 norm) ONCE per row, before any
+    join — so per-pair work is a single dot-product fold, not repeated
+    cast/normalize trees duplicated across filter and project."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"), v.alias(f"{prefix}_vec")
+    ).withColumn(
+        f"{prefix}_norm",
+        F.sqrt(
+            F.aggregate(
+                F.col(f"{prefix}_vec"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ),
+    )
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def brute_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k per query. Returns (query_id, vec_id, sim, rank)."""
+    q = _prepped(queries, id_col, vec_col, "q").withColumnsRenamed(
+        {"q_id": "query_id"}
+    )
+    c = _prepped(corpus, id_col, vec_col, "c").withColumnsRenamed(
+        {"c_id": "vec_id"}
+    )
+    scored = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.where(F.col("vec_id") != F.col("query_id"))
+    # rank on the ROUNDED similarity: near-ties collapse to equal and
+    # break on vec_id, so top-k selection is engine-independent
+    scored = scored.select(
+        "query_id",
+        "vec_id",
+        round4(_dot("c_vec", "q_vec") / (F.col("c_norm") * F.col("q_norm"))).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _random_planes(dim: int, n_planes: int, seed: int = LSH_PLANES_SEED) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def add_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    seed: int = LSH_PLANES_SEED,
+) -> DataFrame:
+    """Append an int ``bucket`` column = sign bits against fixed planes.
+
+    Planes are generated driver-side from a fixed seed and folded into
+    the plan as array literals — they reach executors inside the codegen'd
+    expression, no broadcast variable or UDF needed.
+    """
+    planes = _random_planes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                plane_col,
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    Equi-join on bucket id replaces the cross join — the candidate count
+    drops by ~2^n_planes. Recall is property-tested (tests/test_similarity)
+    rather than oracle-exact, as approximate results should be.
+    """
+    cb = add_lsh_bucket(corpus, dim, n_planes, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    qb = add_lsh_bucket(queries, dim, n_planes, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            round4(cosine_similarity("c_vec", "q_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_near_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs (a < b) with cosine ≥ threshold — embedding-space near-dup.
+
+    Arrow-vectorized: each corpus partition scores against the (small)
+    corpus matrix with numpy, emitting only above-threshold pairs. The
+    accumulation is column-by-column (rank-1 updates), which reproduces
+    the sequential fold order of both the JVM fold and DuckDB's
+    list_dot_product BIT-EXACTLY — BLAS matmul's pairwise summation
+    would not. ~50× faster than the interpreted JVM fold.
+
+    The corpus matrix rides in the task closure (fine to ~100k vectors);
+    beyond that, ``add_lsh_bucket`` both sides + equi-join on bucket
+    replaces the all-pairs, same scoring. See embedding_near_pairs_sql
+    for the pure-DataFrame form of the same math.
+    """
+    import sys
+
+    import numpy as np
+    import pandas as pd
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+
+    rows = embeddings.select(id_col, vec_col).collect()
+    ids_all = np.array([r[0] for r in rows], dtype=np.int64)
+    mat_all = np.array([r[1] for r in rows], dtype=np.float64)
+    dim = mat_all.shape[1]
+
+    def seq_norms(m: np.ndarray) -> np.ndarray:
+        acc = np.zeros(m.shape[0])
+        for j in range(m.shape[1]):
+            acc += m[:, j] * m[:, j]
+        return np.sqrt(acc)
+
+    norms_all = seq_norms(mat_all)
+
+    def score(batches):
+        for pdf in batches:
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if a_mat.size == 0:
+                continue
+            acc = np.zeros((len(a_ids), len(ids_all)))
+            for j in range(dim):  # sequential-order dot, vectorized
+                acc += np.outer(a_mat[:, j], mat_all[:, j])
+            sim = acc / np.outer(seq_norms(a_mat), norms_all)
+            keep_a, keep_b = np.nonzero(
+                (sim >= threshold) & (ids_all[None, :] > a_ids[:, None])
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[keep_a],
+                    "vec_b": ids_all[keep_b],
+                    "sim_raw": sim[keep_a, keep_b],
+                }
+            )
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_a", LongType()),
+            StructField("vec_b", LongType()),
+            StructField("sim_raw", DoubleType()),
+        ]
+    )
+    pairs = embeddings.select(id_col, vec_col).mapInPandas(score, out_schema)
+    return pairs.select(
+        "vec_a", "vec_b", round4("sim_raw").alias("sim")
+    ).orderBy("vec_a", "vec_b")
+
+
+def embedding_near_pairs_sql(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pure-DataFrame all-pairs variant (JVM fold) — same math and same
+    results as embedding_near_pairs; kept as the no-Python-workers path.
+    """
+    a = _prepped(embeddings, id_col, vec_col, "a")
+    b = _prepped(embeddings, id_col, vec_col, "b")
+    # dot/(na*nb), NOT pre-normalized vectors: keeps the float op
+    # sequence identical to the DuckDB oracle so the >= threshold cut
+    # can't flip on rounding differences
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("a_id").alias("vec_a"),
+            F.col("b_id").alias("vec_b"),
+            (_dot("a_vec", "b_vec") / (F.col("a_norm") * F.col("b_norm"))).alias(
+                "sim_raw"
+            ),
+        )
+        .where(F.col("sim_raw") >= threshold)
+        .select("vec_a", "vec_b", round4("sim_raw").alias("sim"))
+        .orderBy("vec_a", "vec_b")
+    )

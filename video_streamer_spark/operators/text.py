@@ -1,0 +1,138 @@
+"""Text analysis operators: tokenization, language ID, quality scoring,
+content fingerprinting. All built-in expressions (codegen'd, no UDFs) —
+at 100 TB these run at parquet scan speed with a single shuffle for the
+aggregating variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from video_streamer_spark.functions.parity import round2, round4
+from video_streamer_spark.operators.dedup import tokens_col
+
+# tiny English stopword list used by the n-gram-heuristic language ID;
+# must stay in sync with the oracle SQL (queries/curation.py)
+EN_STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
+)
+LANG_ID_THRESHOLD = 0.03  # stopword ratio above which we call it English
+
+
+def token_explode(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col("text")).alias("token"),
+    )
+
+
+def top_tokens(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Declared Q17: global top-k tokens by count (ties → token asc)."""
+    return (
+        token_explode(docs)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def token_stats_per_lang(docs: DataFrame) -> DataFrame:
+    """Per-language token statistics (total/distinct/avg-per-doc)."""
+    per_doc = docs.select(
+        "doc_id", "lang", F.size(tokens_col("text")).alias("n_tokens")
+    )
+    distinct_tokens = (
+        docs.select("lang", F.explode(tokens_col("text")).alias("token"))
+        .groupBy("lang")
+        .agg(F.countDistinct("token").alias("n_distinct_tokens"))
+    )
+    totals = per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        round2(F.avg(F.col("n_tokens").cast("double"))).alias("avg_tokens"),
+    )
+    return totals.join(distinct_tokens, "lang").orderBy("lang")
+
+
+def _stopword_ratio() -> F.Column:
+    toks = tokens_col("text")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return F.when(
+        F.size(toks) > 0, n_stop.cast("double") / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: stopword-ratio thresholding.
+
+    Returns confusion counts of (actual lang, predicted lang) so accuracy
+    is inspectable; the predicted column is what a pipeline would filter
+    on. N-gram-frequency models plug in the same shape.
+    """
+    pred = docs.select(
+        "lang",
+        F.when(_stopword_ratio() > LANG_ID_THRESHOLD, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("pred_lang"),
+    )
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-document quality features + a composite score.
+
+    Features mirror standard LLM-corpus filters: length, mean token
+    length, stopword ratio. Composite = capped-length * 0.5 +
+    stopword-signal * 0.5, all in double with parity rounding at the end.
+    """
+    toks = tokens_col("text")
+    n_tokens = F.size(toks).cast("double")
+    avg_tok_len = F.when(
+        F.size(toks) > 0,
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = _stopword_ratio()
+    score = (
+        F.least(n_tokens, F.lit(200.0)) / F.lit(200.0) * F.lit(0.5)
+        + F.least(stop_ratio * F.lit(10.0), F.lit(1.0)) * F.lit(0.5)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        round2(avg_tok_len).alias("avg_token_len"),
+        round4(stop_ratio).alias("stopword_ratio"),
+        round4(score).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Content fingerprint (md5 of normalized text) + duplicate groups.
+
+    The normalization (trim + lowercase + whitespace collapse) makes the
+    fingerprint robust to trivial formatting variance — the cheap first
+    pass before MinHash in a dedup cascade.
+    """
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+        ).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )

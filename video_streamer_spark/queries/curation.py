@@ -1,0 +1,392 @@
+"""Curation queries: declared Q16–Q18 plus the LLM-data-pipeline
+extension suite (dedup / similarity / text-analysis / multimodal), every
+SQL-expressible one with a DuckDB oracle.
+
+Oracle-parity notes:
+- hashes are md5 hex strings (identical in both engines);
+- token/shingle construction uses the same split-filter-slice recipe on
+  both sides (operators/dedup.py ↔ the _TOKS/_SH CTE fragments here);
+- similarity ranks on ROUNDED cosine (ties broken by id) so top-k
+  selection can't flip on 1e-16 float noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from video_streamer_spark.catalog import table
+from video_streamer_spark.operators import dedup, multimodal, similarity, text
+from video_streamer_spark.queries import query
+
+# ---- shared DuckDB CTE fragments (keep in lockstep with operators/) ------
+
+_TOKS_CTE = """
+  toks AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents)
+"""
+
+_SH_CTE = (
+    _TOKS_CTE
+    + """,
+  sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+        unnest(list_transform(
+          range(1, greatest(len(toks) - 1, 1)),
+          i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+      FROM toks WHERE len(toks) >= 3))
+"""
+)
+
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in text.EN_STOPWORDS) + "]"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    """Cosine over DOUBLE[] casts — mirrors functions/arrays.py exactly."""
+    return (
+        f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+        f"(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+        f"sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+    )
+
+
+_R4 = "CAST(ROUND(CAST(({}) AS DECIMAL(38,12)), 4) AS DOUBLE)"
+_R2 = "CAST(ROUND(CAST(({}) AS DECIMAL(38,9)), 2) AS DOUBLE)"
+
+
+# ==========================================================================
+# Declared queries
+# ==========================================================================
+
+
+@query(
+    "q16_exact_dedup_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+      COUNT(DISTINCT text) AS n_distinct,
+      COUNT(*) - COUNT(DISTINCT text) AS n_dupes
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q16_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_stats(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q17_top_tokens",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tok AS (SELECT unnest(toks) AS token FROM toks)
+    SELECT token, COUNT(*) AS cnt FROM tok
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 10
+    """,
+)
+def q17_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.top_tokens(table(spark, sf_dir, "documents"), k=10)
+
+
+@query(
+    "q18_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, {_R4.format(_sql_cos('e.embedding', 'q.embedding'))} AS sim
+      FROM embeddings e, q),
+    ranked AS (
+      SELECT vec_id, sim,
+        CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT vec_id, sim, rank FROM ranked WHERE rank <= 5 ORDER BY rank
+    """,
+)
+def q18_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.brute_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=5, exclude_self=False
+    ).select("vec_id", "sim", "rank")
+
+
+# ==========================================================================
+# Extension suite: deduplication
+# ==========================================================================
+
+
+@query(
+    "x01_dedup_keep_first",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+      COUNT(*) AS group_size
+    FROM documents GROUP BY md5(text) ORDER BY text_hash
+    """,
+)
+def x01_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_keep_first(
+        table(spark, sf_dir, "documents")
+    ).orderBy("text_hash")
+
+
+def _minhash_oracle() -> str:
+    n, rows = dedup.NUM_MINHASH, dedup.MINHASH_BAND_ROWS
+    mins = ",\n      ".join(
+        f"MIN(md5('{s}:' || shingle)) AS mh_{s}" for s in range(n)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        + " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + " AS band_val FROM sigs"
+        for b in range(n // rows)
+    )
+    return f"""
+    WITH {_SH_CTE},
+    sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({band_selects})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("x02_dedup_minhash_pairs", oracle=_minhash_oracle())
+def x02_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_candidate_pairs(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x03_dedup_simhash_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM toks),
+    hashed AS (SELECT doc_id, substr(md5(token), 1, 8) AS h8 FROM tok),
+    perchar AS (
+      SELECT doc_id, p,
+        strpos('0123456789abcdef', substr(h8, p + 1, 1)) - 1 AS digit
+      FROM hashed, (SELECT unnest([0,1,2,3,4,5,6,7]) AS p) pp),
+    perbit AS (
+      SELECT doc_id, p * 4 + b AS bitpos, ((digit >> b) & 1) * 2 - 1 AS vote
+      FROM perchar, (SELECT unnest([0,1,2,3]) AS b) bb),
+    votes AS (SELECT doc_id, bitpos, SUM(vote) AS v FROM perbit GROUP BY 1, 2),
+    fp AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << bitpos)
+                      ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def x03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(
+        table(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+@query(
+    "x04_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SH_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+      {_R4.format("CAST(n_inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE)")} AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.6
+    ORDER BY doc_a, doc_b
+    """,
+)
+def x04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+
+    return (
+        dedup.ngram_jaccard_pairs(
+            table(spark, sf_dir, "documents"), threshold=0.6
+        )
+        .select("doc_a", "doc_b", round4("jaccard_raw").alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# threshold 0.35: the driver corpus has no planted near-identical
+# embeddings (max pairwise cosine ≈ 0.51), so a production-style 0.95
+# cut would make this a 0-row no-op; 0.35 keeps the semantics and
+# produces a verifiable result set
+@query(
+    "x05_embedding_near_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      {_R4.format(_sql_cos('a.embedding', 'b.embedding'))} AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+)
+def x05_embed_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+# ==========================================================================
+# Extension suite: similarity search
+# ==========================================================================
+
+
+@query(
+    "x06_ann_topk_multi",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+        {_R4.format(_sql_cos('e.embedding', 'q.q_emb'))} AS sim
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, sim,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, sim, rank FROM ranked
+    WHERE rank <= 3 ORDER BY query_id, rank
+    """,
+)
+def x06_ann_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.brute_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=3, exclude_self=True
+    )
+
+
+# approximate path: recall is property-tested, not oracle-matched → no SQL
+@query("x07_ann_lsh_topk")
+def x07_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb, emb.where(F.col("vec_id") < 10), dim=64, k=3, n_planes=4
+    )
+
+
+# ==========================================================================
+# Extension suite: text analysis
+# ==========================================================================
+
+
+@query(
+    "x08_token_stats",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    per_doc AS (SELECT doc_id, lang, len(toks) AS n_tokens FROM toks),
+    tok AS (SELECT lang, unnest(toks) AS token FROM toks),
+    dt AS (SELECT lang, COUNT(DISTINCT token) AS n_distinct_tokens
+           FROM tok GROUP BY lang)
+    SELECT p.lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      {_R2.format('AVG(CAST(n_tokens AS DOUBLE))')} AS avg_tokens,
+      MIN(dt.n_distinct_tokens) AS n_distinct_tokens
+    FROM per_doc p JOIN dt ON p.lang = dt.lang
+    GROUP BY p.lang ORDER BY p.lang
+    """,
+)
+def x08_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats_per_lang(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x09_lang_id",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    scored AS (
+      SELECT lang,
+        CASE WHEN len(toks) > 0 AND
+          CAST(len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE) > {text.LANG_ID_THRESHOLD}
+          THEN 'en' ELSE 'other' END AS pred_lang
+      FROM toks)
+    SELECT lang, pred_lang, COUNT(*) AS n_docs
+    FROM scored GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """,
+)
+def x09_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x10_quality_scores",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    feats AS (
+      SELECT doc_id,
+        CAST(len(toks) AS INT) AS n_tokens,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(list_sum(list_transform(toks, t -> strlen(t))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS avg_tok_len_raw,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stop_ratio_raw
+      FROM toks)
+    SELECT doc_id, n_tokens,
+      {_R2.format('avg_tok_len_raw')} AS avg_token_len,
+      {_R4.format('stop_ratio_raw')} AS stopword_ratio,
+      {_R4.format(
+          'least(CAST(n_tokens AS DOUBLE), 200.0) / 200.0 * 0.5'
+          ' + least(stop_ratio_raw * 10.0, 1.0) * 0.5'
+      )} AS quality_score
+    FROM feats ORDER BY doc_id
+    """,
+)
+def x10_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_scores(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x11_fingerprint_dupes",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+        md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint
+      FROM documents)
+    SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
+    FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+    ORDER BY fingerprint
+    """,
+)
+def x11_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(table(spark, sf_dir, "documents"))
+
+
+# ==========================================================================
+# Extension suite: multimodal binary columns
+# ==========================================================================
+
+
+@query(
+    "x12_payload_stats",
+    oracle="""
+    SELECT doc_id,
+      CAST(strlen(text) AS BIGINT) AS n_bytes,
+      CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS BIGINT)
+        AS byte_sum,
+      CAST(strlen(text) % 640 AS INT) AS width,
+      CAST(strlen(text) // 640 AS INT) AS height
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x12_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    payloads = multimodal.documents_as_payloads(docs)
+    return multimodal.payload_stats(payloads).orderBy("doc_id")

@@ -1,0 +1,128 @@
+"""Temporal queries Q14 (tumbling window) and Q15 (sessionization).
+
+These are the batch forms; streaming/pipeline.py re-runs the SAME logic
+through Structured Streaming (Trigger.AvailableNow) and the test suite
+asserts byte-identical results — the streaming↔batch equivalence oracle
+from SURVEY.md §5.2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from video_streamer_spark.catalog import table
+from video_streamer_spark.functions.parity import dec, round2, ts_str
+from video_streamer_spark.queries import query
+
+SESSION_GAP_SECONDS = 30 * 60
+
+
+# --------------------------------------------------------------------------
+# Q14: tumbling hourly window per event type. In batch this is just a
+# date_trunc groupBy; the streaming twin uses window(ts, '1 hour') — both
+# produce one row per (hour, type). Sums in DECIMAL for parity.
+@query(
+    "q14_tumbling_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      event_type, COUNT(*) AS n_events,
+      CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,9)), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_start, event_type
+    """,
+)
+def q14_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            ts_str(F.date_trunc("hour", F.col("ts"))).alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            round2(F.sum(dec("value"))).alias("sum_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """Streaming-compatible form of Q14: window() instead of date_trunc.
+
+    Shared by the batch query above (equivalent result) and the streaming
+    pipeline; kept separate so the streaming path can add a watermark.
+    """
+    return events.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        round2(F.sum(dec("value"))).alias("sum_value"),
+    ).select(
+        ts_str(F.col("w.start")).alias("hour_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15: sessionization via analytic windows — a new session starts when the
+# gap to the previous event of the same user exceeds 30 minutes. The
+# timestamp delta is computed on fractional epoch seconds (exact to the
+# microsecond in double) so Spark and DuckDB agree on boundary gaps.
+@query(
+    "q15_sessionization",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT user_id, ts, event_id,
+        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN prev_ts IS NULL
+                  OR (epoch(ts) - epoch(prev_ts)) > {SESSION_GAP_SECONDS}
+             THEN 1 ELSE 0 END AS is_new
+      FROM lagged),
+    sessions AS (
+      SELECT user_id,
+        CAST(SUM(is_new) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q15_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w_lag).isNull()
+            | (
+                (F.col("ts").cast("double") - F.lag("ts").over(w_lag).cast("double"))
+                > SESSION_GAP_SECONDS
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        F.sum("is_new").over(w_run).cast("bigint").alias("session_id"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
