@@ -1,0 +1,150 @@
+"""Streaming ↔ batch equivalence (SURVEY.md §5.2 strategy 2) and the
+end-to-end streaming detection pipeline with the idempotent sink.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from video_streamer_spark.operators import detections as D
+from video_streamer_spark.operators.inference import infer_detections
+from video_streamer_spark.operators.multimodal import documents_as_payloads
+from video_streamer_spark.catalog import table
+from video_streamer_spark.queries import QUERIES
+from video_streamer_spark.streaming.metrics import PipelineMetricsListener
+from video_streamer_spark.streaming import pipeline as sp
+
+
+def rows_set(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark):
+    """Q14 through Structured Streaming (AvailableNow) must produce the
+    byte-identical result of the batch query."""
+    stream = sp.tumbling_stream(sp.events_stream(spark, SF_ORACLE))
+    name = sp.run_available_now(stream, "tumbling_sink", "complete")
+    got = spark.sql(
+        f"SELECT hour_start, event_type, n_events, sum_value FROM {name}"
+    )
+    want = QUERIES["q14_tumbling_hourly"](spark, SF_ORACLE)
+    assert rows_set(got) == rows_set(want)
+
+
+def test_session_stream_matches_lag_sessionization(spark):
+    """Native session_window sessions must equal the LAG-based batch
+    sessionization (Q15): same per-user session-size multisets."""
+    stream = sp.session_stream(sp.events_stream(spark, SF_ORACLE))
+    name = sp.run_available_now(stream, "session_sink", "complete")
+    got = spark.sql(f"SELECT user_id, n_events FROM {name}")
+    want = QUERIES["q15_sessionization"](spark, SF_ORACLE).select(
+        "user_id", "n_events"
+    )
+    assert rows_set(got) == rows_set(want)
+
+
+def test_streaming_dedup_equals_batch_distinct(spark):
+    stream = sp.events_stream(spark, SF_ORACLE).select("user_id").dropDuplicates()
+    name = sp.run_available_now(stream, "dedup_sink", "append")
+    got = spark.sql(f"SELECT user_id FROM {name}")
+    want = table(spark, SF_ORACLE, "events").select("user_id").distinct()
+    assert rows_set(got) == rows_set(want)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Two files arriving strictly in order (file mtimes control the
+    FileStreamSource ordering): batch 1 is on-time data, batch 2 carries
+    rows 60 days older — far behind the watermark. Those late rows must
+    be dropped: no stale window may appear, and emitted window counts
+    must equal the on-time-only aggregation."""
+    import os
+    import time
+
+    base = table(spark, SF_ORACLE, "events")
+    # watermark note: Spark applies the late-data filter with the
+    # watermark of the PREVIOUS trigger, so the late file must arrive at
+    # batch >= 2 for the on-time files to have established the horizon
+    on_time = base.where(F.col("event_id") % 3 < 2)
+    parts = [
+        on_time.where(F.col("event_id") % 3 == 0),
+        on_time.where(F.col("event_id") % 3 == 1),
+        base.where(F.col("event_id") % 3 == 2).withColumn(
+            "ts", F.col("ts") - F.expr("INTERVAL 60 DAYS")
+        ),
+    ]
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    now = time.time()
+    for i, df in enumerate(parts):
+        d = str(tmp_path / f"f{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        os.rename(os.path.join(d, part), dst)
+        os.utime(dst, (now - 1000 + i * 300, now - 1000 + i * 300))
+
+    stream = sp.stream_dir(spark, src, base.schema, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.sql("SELECT w.start AS start, n FROM late_sink").collect()
+    assert emitted, "no windows finalized"
+    on_time_counts = {
+        r["w"]["start"]: r["n"]
+        for r in on_time.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    min_on_time = min(on_time_counts)
+    for r in emitted:
+        # no window from the 60-day-late half may surface
+        assert r["start"] >= min_on_time, f"stale window {r['start']} emitted"
+        # and on-time windows are unpolluted by late rows
+        assert on_time_counts[r["start"]] == r["n"]
+
+
+def test_streaming_inference_pipeline_idempotent_sink(spark, tmp_path):
+    """The reference's whole pipeline as a stream: payload files →
+    mapInPandas inference → threshold → scale → label join → idempotent
+    foreachBatch sink; result must equal the batch run of the same ops.
+    """
+    from video_streamer_spark.sources.labels import labels
+
+    docs = table(spark, SF_SMOKE, "documents")
+    frames = documents_as_payloads(docs).withColumnRenamed("doc_id", "frame_id")
+    src = str(tmp_path / "frames_src")
+    frames.coalesce(2).write.mode("overwrite").parquet(src)
+
+    listener = PipelineMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = sp.stream_dir(spark, src, frames.schema)
+        det = D.scale_boxes(D.threshold_filter(infer_detections(stream)))
+        out = str(tmp_path / "det_sink")
+        sp.run_foreach_batch_sink(det, out, ["frame_id", "box_idx"])
+    finally:
+        spark.streams.removeListener(listener)
+
+    got = spark.read.parquet(f"{out}/batch-*")
+    want = D.scale_boxes(D.threshold_filter(infer_detections(frames)))
+    assert rows_set(got) == rows_set(want)
+    # sink rows keep real (frame_id, box_idx) lineage — unique keys
+    assert got.groupBy("frame_id", "box_idx").count().where("count > 1").count() == 0
+    # label join on the sink output (reference O16→O18 tail)
+    labeled = D.with_labels(got, labels(spark))
+    assert labeled.count() == got.count()
+    # metrics listener saw the work (reference metrics dict analog)
+    s = listener.summary()
+    assert s["frames"] > 0 and s["total"] > 0

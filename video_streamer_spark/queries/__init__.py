@@ -35,6 +35,7 @@ def _load_all() -> None:
     from video_streamer_spark.queries import temporal  # noqa: F401
     from video_streamer_spark.queries import curation  # noqa: F401
     from video_streamer_spark.queries import pipeline  # noqa: F401
+    from video_streamer_spark.queries import streaming_queries  # noqa: F401
 
 
 _load_all()

@@ -68,6 +68,57 @@ def q19a_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.per_label_counts(_pipeline(spark, sf_dir))
 
 
+# Full O10→O18 replay INCLUDING the mapInPandas inference operator: binary
+# payloads → stub model → threshold → scale → label join → counts. The
+# stub model is integer-modular over the payload byte-sum, so the oracle
+# reproduces the entire inference path in SQL.
+@query(
+    "x13_inference_replay",
+    oracle=f"""
+    WITH pay AS (
+      SELECT doc_id AS frame_id,
+        CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS BIGINT) AS s
+      FROM documents),
+    boxes AS (
+      SELECT frame_id, CAST(i AS INT) AS box_idx,
+        ((s*7 + i*13) % 70) / 100.0 AS ymin,
+        ((s*11 + i*17) % 70) / 100.0 AS xmin,
+        ((s*7 + i*13) % 70) / 100.0 + ((s*3 + i*5) % 25 + 5) / 100.0 AS ymax,
+        ((s*11 + i*17) % 70) / 100.0 + ((s*5 + i*7) % 25 + 5) / 100.0 AS xmax,
+        CAST(1 + ((s + i*31) % 80) AS INT) AS label_id,
+        ((s*13 + i*41) % 100) / 100.0 AS score
+      FROM pay, (SELECT unnest([0,1,2]) AS i) ii
+      WHERE i < (s % 3) + 1),
+    filtered AS (SELECT * FROM boxes WHERE score > {D.DEFAULT_THRESHOLD}),
+    scaled AS (
+      SELECT frame_id, box_idx,
+        CAST(FLOOR(xmin * {D.FRAME_WIDTH}) AS INT) AS x_min,
+        CAST(FLOOR(ymin * {D.FRAME_HEIGHT}) AS INT) AS y_min,
+        CAST(FLOOR(xmax * {D.FRAME_WIDTH}) AS INT) AS x_max,
+        CAST(FLOOR(ymax * {D.FRAME_HEIGHT}) AS INT) AS y_max,
+        label_id, score
+      FROM filtered),
+    labels AS (
+      SELECT CAST(range AS INT) AS label_id,
+             'label_' || CAST(range AS VARCHAR) AS label_name
+      FROM range(1, 81))
+    SELECT s.label_id, l.label_name, COUNT(*) AS n_detections
+    FROM scaled s JOIN labels l ON s.label_id = l.label_id
+    GROUP BY s.label_id, l.label_name
+    ORDER BY s.label_id
+    """,
+)
+def x13_inference_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.inference import infer_detections
+    from video_streamer_spark.operators.multimodal import documents_as_payloads
+
+    docs = table(spark, sf_dir, "documents")
+    frames = documents_as_payloads(docs).withColumnRenamed("doc_id", "frame_id")
+    det = infer_detections(frames)
+    det = D.scale_boxes(D.threshold_filter(det))
+    return D.per_label_counts(D.with_labels(det, labels(spark)))
+
+
 @query(
     "q19b_detections_per_frame",
     oracle=f"""
