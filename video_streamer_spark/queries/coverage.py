@@ -1,0 +1,312 @@
+"""Operator-coverage queries: the §2.2 capability-matrix rows not already
+exercised by Q1–Q20 — cube/grouping sets, the window-function family,
+string/date/array scalar functions, JSON struct parsing, union variants,
+approximate distinct. Each oracle-checked except where the semantics are
+approximate by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from video_streamer_spark.catalog import table
+from video_streamer_spark.functions.parity import round2
+from video_streamer_spark.queries import query
+
+
+# --------------------------------------------------------------------------
+# CUBE: all 4 grouping combinations of (year, priority)
+@query(
+    "x16_cube_year_priority",
+    oracle="""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS order_year,
+      o_orderpriority, COUNT(*) AS n_orders,
+      CAST(GROUPING(CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)) AS INT) AS g_year,
+      CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+    FROM orders
+    GROUP BY CUBE(1, 2)
+    ORDER BY g_year, g_prio, order_year NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def x16_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("order_year"), "o_orderpriority"
+    )
+    return (
+        o.cube("order_year", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.grouping("order_year").cast("int").alias("g_year"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        )
+        .orderBy(
+            "g_year",
+            "g_prio",
+            F.col("order_year").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS: explicit set list (status totals, priority totals, grand)
+@query(
+    "x17_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY g_status, g_prio,
+      o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def x17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        )
+        .orderBy(
+            "g_status",
+            "g_prio",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# window-function family: lag/lead/rank/dense_rank/ntile/first/last + a
+# range-frame average, one pass over customer
+@query(
+    "x18_window_family",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+      LAG(c_custkey) OVER w AS prev_key,
+      LEAD(c_custkey) OVER w AS next_key,
+      CAST(RANK() OVER w AS INT) AS rnk,
+      CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+      CAST(NTILE(4) OVER w AS INT) AS quartile,
+      FIRST_VALUE(c_custkey) OVER w AS seg_top_key,
+      CAST(ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) OVER (
+          PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,9)), 2) AS DOUBLE)
+        AS sum3
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_mktsegment, rnk
+    """,
+)
+def x18_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import dec
+
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lag("c_custkey").over(w).alias("prev_key"),
+        F.lead("c_custkey").over(w).alias("next_key"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.first("c_custkey").over(w).alias("seg_top_key"),
+        round2(F.sum(dec("c_acctbal")).over(w3)).alias("sum3"),
+    ).orderBy("c_mktsegment", "rnk")
+
+
+# --------------------------------------------------------------------------
+# string-function sampler (shared spellings only, parity-safe)
+@query(
+    "x19_string_functions",
+    oracle="""
+    SELECT p_partkey,
+      reverse(p_brand) AS brand_rev,
+      lpad(p_brand, 12, '_') AS brand_pad,
+      replace(p_type, ' ', '-') AS type_dashed,
+      split_part(p_type, ' ', 1) AS type_head,
+      CAST(levenshtein(p_brand, p_type) AS INT) AS brand_type_dist,
+      concat_ws('|', p_brand, p_type) AS brand_type,
+      CAST(starts_with(p_name, 'a') AS BOOLEAN) AS starts_a,
+      CAST(strpos(p_name, 'o') AS INT) AS first_o,
+      upper(substring(p_name, 1, 3)) AS name3
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def x19_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.reverse("p_brand").alias("brand_rev"),
+        F.lpad("p_brand", 12, "_").alias("brand_pad"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("-")).alias("type_dashed"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.levenshtein("p_brand", "p_type").cast("int").alias("brand_type_dist"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").startswith("a").alias("starts_a"),
+        F.instr("p_name", "o").cast("int").alias("first_o"),
+        F.upper(F.substring("p_name", 1, 3)).alias("name3"),
+    ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# date/time sampler: trunc/extract/arith/diff with engine-mapped spellings
+@query(
+    "x20_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+      strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+      CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS q,
+      CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m,
+      CAST(isodow(o_orderdate) AS INT) AS dow_iso,
+      strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m,
+      strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+      CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+        AS days_since_95,
+      CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def x20_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import date_str
+
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        date_str("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("dow_iso"),
+        date_str(F.add_months("o_orderdate", 3)).alias("plus3m"),
+        date_str(F.last_day("o_orderdate")).alias("month_end"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_95"),
+        # NTZ → timestamp (session tz is UTC, matching DuckDB's naive
+        # epoch()) → fractional seconds → floor
+        F.floor(F.col("o_orderdate").cast("timestamp").cast("double"))
+        .cast("bigint")
+        .alias("epoch_s"),
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# JSON struct parsing (from_json with explicit schema vs path extraction)
+@query(
+    "x21_json_struct",
+    oracle="""
+    SELECT event_id,
+      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+      CAST(json_extract_string(props, '$.k') IS NOT NULL AS BOOLEAN) AS has_k,
+      CAST(json_extract_string(props, '$.missing') IS NOT NULL AS BOOLEAN) AS has_missing
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def x21_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id",
+        F.from_json("props", "k INT, missing STRING").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_val"),
+        F.col("p.k").isNotNull().alias("has_k"),
+        F.col("p.missing").isNotNull().alias("has_missing"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# union variants: UNION ALL BY NAME with differing column orders
+@query(
+    "x22_union_by_name",
+    oracle="""
+    SELECT k, src FROM (
+      SELECT c_custkey AS k, 'c' AS src FROM customer WHERE c_custkey <= 50
+      UNION ALL BY NAME
+      SELECT 's' AS src, s_suppkey AS k FROM supplier WHERE s_suppkey <= 50)
+    ORDER BY k, src
+    """,
+)
+def x22_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 50)
+        .select(F.col("c_custkey").alias("k"), F.lit("c").alias("src"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 50)
+        .select(F.lit("s").alias("src"), F.col("s_suppkey").alias("k"))
+    )
+    return c.unionByName(s).orderBy("k", "src")
+
+
+# --------------------------------------------------------------------------
+# array-function sampler over tokenized documents (scalar outputs only)
+@query(
+    "x23_array_functions",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(t) AS INT) AS n_tokens,
+      CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+      CAST(list_contains(t, 'spark') AS BOOLEAN) AS has_spark,
+      array_to_string(list_sort(list_distinct(t))[1:3], ',') AS first3_sorted,
+      CAST(list_sum(list_transform(t, x -> strlen(x))) AS BIGINT) AS total_chars
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def x23_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.dedup import tokens_col
+
+    d = table(spark, sf_dir, "documents")
+    t = tokens_col("text")
+    dedup_sorted = F.array_sort(F.array_distinct(t))
+    return d.select(
+        "doc_id",
+        F.size(t).cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("int").alias("n_distinct"),
+        F.array_contains(t, "spark").alias("has_spark"),
+        F.concat_ws(",", F.slice(dedup_sorted, 1, 3)).alias("first3_sorted"),
+        F.aggregate(
+            t, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x).cast("bigint")
+        ).alias("total_chars"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# approximate distinct: engines use different sketches, so no value oracle;
+# the pytest property test bounds the error against the exact count
+@query("x24_approx_distinct")
+def x24_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
