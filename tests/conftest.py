@@ -37,7 +37,8 @@ def normalize(rows):
             return round(v, 9)
         return v
 
-    return sorted(tuple(norm_val(v) for v in r) for r in rows)
+    # key=repr: rows with NULLs aren't orderable as raw tuples
+    return sorted((tuple(norm_val(v) for v in r) for r in rows), key=repr)
 
 
 def spark_rows(df, columns):

@@ -132,3 +132,38 @@ def test_dedup_keep_first_survivors_consistent(spark):
         F.min("doc_id").alias("true_min")
     ).where(F.col("keep_doc_id") != F.col("true_min"))
     assert bad.count() == 0
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row at-or-before left ts, same-ts rows
+    match, tolerance nulls stale matches, unmatched lefts survive with
+    nulls, equal-ts right rows resolve to the greatest payload."""
+    from video_streamer_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100.0), (2, "u", 205.0), (3, "v", 50.0), (4, "w", 10.0)],
+        "id int, k string, t double",
+    ).select("id", "k", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        [("u", 90.0, 10), ("u", 100.0, 11), ("u", 100.0, 12), ("u", 201.0, 13),
+         ("v", 49.0, 20)],
+        "k string, t double, val int",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "val")
+
+    out = {
+        r["id"]: r["val_asof"]
+        for r in asof_join(left, right, on=["k"], right_cols=["val"]).collect()
+    }
+    # id=1: ties at ts=100 → equal-ts match allowed, greatest payload (12)
+    # id=2: latest at-or-before 205 is 201 → 13
+    # id=3: 49 <= 50 → 20;  id=4: key w has no right rows → null
+    assert out == {1: 12, 2: 13, 3: 20, 4: None}
+
+    tol = {
+        r["id"]: r["val_asof"]
+        for r in asof_join(
+            left, right, on=["k"], right_cols=["val"], tolerance_seconds=0.5
+        ).collect()
+    }
+    # only the exact-ts match at id=1 survives a 0.5 s tolerance
+    assert tol == {1: 12, 2: None, 3: None, 4: None}

@@ -1,0 +1,114 @@
+"""Temporal join operators: as-of join (point-in-time lookup).
+
+The reference has no temporal joins (its only join is the label-dict
+lookup, gst-detection-tf.py:396); an as-of join is the canonical
+time-series operation a metadata store serving the reference's detection
+stream would need ("state of X as of frame time t").
+
+Scale design — Spark has no ASOF JOIN primitive, and the naive
+formulations both collapse at 100 TB:
+
+- theta join ``l.ts >= r.ts`` explodes to O(|L|·|R|) per key before the
+  "latest" filter;
+- per-row correlated top-1 subquery isn't expressible as one shuffle.
+
+The scalable plan is the *union merge*: tag both sides, union them,
+shuffle ONCE by key, sort each key group by time, and carry the most
+recent right-side values forward with ``last(ignorenulls=True)`` over a
+running window. Cost = one shuffle of |L|+|R| rows + a per-key sort —
+the same cost as a sort-merge join, with no row explosion. Skewed keys
+are handled by AQE the same way any windowed agg is.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    tolerance_seconds: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row with
+    the greatest ``right_ts <= left_ts`` within the same ``on`` keys
+    (pandas ``merge_asof`` semantics, direction='backward').
+
+    ``right_cols`` are the right-side payload columns to carry; each is
+    emitted as ``<name><suffix>``. Ties on ``right_ts`` resolve to the
+    row latest in ``(right_ts, right_cols order)`` deterministically via
+    a struct max. ``tolerance_seconds`` nulls out matches older than the
+    tolerance (pandas ``tolerance=``).
+
+    Left rows with no match keep nulls — the join is left-outer.
+    """
+    keys = list(on)
+    payload = list(right_cols)
+
+    # Right rows: keys + event time + payload struct. Packing the payload
+    # into ONE struct makes the carry-forward a single last() and gives a
+    # total, deterministic tiebreak (struct ordering) for equal timestamps.
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(F.col(right_ts).alias("__rt"), *payload).alias("__r"),
+    )
+    l = left.select(
+        *left.columns,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+    )
+    merged = r.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns
+          if c not in keys],
+        *keys,
+        "__t",
+        "__side",
+        "__r",
+    ).unionByName(l.select(
+        *[F.col(c) for c in left.columns if c not in keys],
+        *keys,
+        "__t",
+        "__side",
+        "__r",
+    ))
+
+    # One shuffle: partition by key, order by (t, side) so that at equal
+    # timestamps right rows (side=0) sort before the left row and are
+    # visible to it. max() over the running frame picks the latest right
+    # struct (ordered by __rt first), ignoring nulls by max semantics.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn("__match", F.max("__r").over(w)).where(
+        F.col("__side") == 1
+    )
+
+    if tolerance_seconds is not None:
+        carried = carried.withColumn(
+            "__match",
+            F.when(
+                F.col("__t").cast("double")
+                - F.col("__match.__rt").cast("double")
+                <= float(tolerance_seconds),
+                F.col("__match"),
+            ),
+        )
+
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col("__match.__rt").alias(f"{right_ts}{suffix}"))
+    out_cols.extend(F.col(f"__match.{p}").alias(f"{p}{suffix}") for p in payload)
+    return carried.select(*out_cols)

@@ -37,6 +37,7 @@ def _load_all() -> None:
     from video_streamer_spark.queries import pipeline  # noqa: F401
     from video_streamer_spark.queries import streaming_queries  # noqa: F401
     from video_streamer_spark.queries import coverage  # noqa: F401
+    from video_streamer_spark.queries import joins  # noqa: F401
 
 
 _load_all()
