@@ -57,9 +57,16 @@ def main() -> None:
     spark = get_spark(app_name="vss-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: touch every table + spin up codegen/arrow paths
-    QUERIES["q01_scan_filter"](spark, sf_dir).count()
-    QUERIES["q18_cosine_topk"](spark, sf_dir).count()
+    # Warmup pass (reference benchmark.sh:30 does a full unmeasured run
+    # before the measured one): run every headline plan at the smallest SF
+    # so codegen classes compile and the Python worker pool spins up, then
+    # drop any persisted data so the measured pass does all real compute.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        QUERIES[name](spark, warm_dir).count()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

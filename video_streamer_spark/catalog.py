@@ -59,3 +59,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all driver tables as temp views so ``spark.sql`` works."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def scatter(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Fan a narrow scan out to cluster parallelism before CPU-heavy
+    per-row work (explode/hash/UDF chains).
+
+    A table small enough to arrive as fewer input splits than cores
+    (one parquet file < maxPartitionBytes → ONE task) serializes all
+    downstream compute onto one core. Conditional on the actual split
+    count so that at 100 TB — where scans already carry thousands of
+    splits — this is a no-op and no shuffle is added.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

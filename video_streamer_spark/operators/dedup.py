@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from video_streamer_spark.catalog import scatter
+
 NUM_MINHASH = 8          # permutations (seeded md5 salts)
 MINHASH_BAND_ROWS = 2    # rows per LSH band → 4 bands
 SIMHASH_BITS = 32        # 8 hex chars of md5
@@ -104,11 +106,13 @@ def minhash_signatures(
     Each "permutation" is min over shingles of md5(seed || shingle); the
     explode→groupBy is one shuffle keyed by doc id, with map-side partial
     min aggregation shrinking the exchange to one row per (doc, seed).
+    No distinct on (doc, shingle): min() is duplicate-insensitive, and a
+    pre-dedup would cost a second full shuffle for nothing.
     """
-    exploded = docs.select(
+    exploded = scatter(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(text_col, shingle_k)).alias("shingle"),
-    ).distinct()
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh_{s}")
         for s in range(num_hashes)
@@ -148,10 +152,14 @@ def minhash_candidate_pairs(
     hot bucket (boilerplate docs) is the skew risk; AQE skew-join splits
     it, and a bucket-width cap would bound the worst case.
     """
+    # persist: bands feeds BOTH sides of the self-join; without it Spark
+    # recomputes the whole shingle→signature subtree twice (no cross-join
+    # common-subexpression reuse). The band table is tiny (n_docs ×
+    # n_bands short rows) at any corpus scale.
     bands = minhash_bands(
         minhash_signatures(docs, num_hashes=num_hashes, shingle_k=shingle_k),
         band_rows=band_rows,
-    )
+    ).persist()
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_val"
     )
@@ -179,48 +187,43 @@ def simhash_fingerprints(
     """32-bit SimHash per doc as BIGINT (bit b set iff Σ_token ±1 ≥ 0).
 
     Bits come from the first 8 hex chars of md5(token): hex char p
-    contributes bits 4p..4p+3. Token multiplicity is the vote weight.
-    The whole thing is explode → explode → groupBy-sum → bit-assemble,
-    all built-ins; one shuffle keyed by (doc, bit).
+    contributes bits 4p..4p+3 (b-th bit of the digit → bitpos 4p+b).
+    Token multiplicity is the vote weight.
+
+    Shape at scale: ONE shuffle keyed by doc_id, with all 32 bit votes as
+    parallel conditional aggregates over the integer hash value — the
+    per-row stream stays at |tokens| (no ×32 bit explode) and the partial
+    aggs combine map-side. The naive explode(bitpos) form carries 32× the
+    rows through an extra (doc, bit) shuffle for identical output.
     """
-    tok = docs.select(
+    tok = scatter(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_col(text_col)).alias("token"),
     )
-    hashed = tok.select("doc_id", F.substring(F.md5("token"), 1, 8).alias("h8"))
-    # hex char index p (0..7) and bit-in-char b (0..3) → bit position 4p+b
-    per_bit = (
-        hashed.select(
-            "doc_id",
-            "h8",
-            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("p"),
-        )
-        .select(
-            "doc_id",
-            "p",
-            F.expr(f"instr('{_HEX}', substring(h8, p + 1, 1)) - 1").alias("digit"),
-        )
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
-            F.col("p"),
-            F.col("digit"),
-        )
-        .select(
-            "doc_id",
-            (F.col("p") * 4 + F.col("b")).alias("bitpos"),
-            F.expr("(shiftright(digit, b) & 1) * 2 - 1").alias("vote"),
-        )
-    )
-    votes = per_bit.groupBy("doc_id", "bitpos").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), bitpos)"))
-            .otherwise(F.lit(0))
-        )
+    # h8 as a 32-bit integer: hex char p is the (7-p)-th nibble of v, so
+    # bitpos k = 4p+b  ↔  integer bit j = 4*(7-p)+b = k - 8*(k//4) + 28
+    hashed = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
         .cast("bigint")
-        .alias("simhash")
+        .alias("v"),
     )
+    vote_aggs = []
+    for p in range(8):
+        for b in range(4):
+            k = 4 * p + b          # simhash bit position
+            j = 4 * (7 - p) + b    # bit position within integer v
+            vote_aggs.append(
+                F.sum(
+                    F.shiftright(F.col("v"), j).bitwiseAND(F.lit(1)) * 2 - 1
+                ).alias(f"v_{k}")
+            )
+    votes = hashed.groupBy("doc_id").agg(*vote_aggs)
+    fingerprint = None
+    for k in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v_{k}") >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return votes.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -249,7 +252,9 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val").persist()
+    # persist: both join sides read chunks; unpersisted, the fingerprint
+    # aggregation would run twice. 4 short rows per doc — tiny.
     a = chunks.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("sh_a"),
@@ -295,9 +300,14 @@ def ngram_jaccard_pairs(
     (stop-shingles): a shingle shared by k docs emits k(k-1)/2 pair rows,
     so the cutoff is the skew guard at scale.
     """
-    sh = docs.select(
+    sh = scatter(docs).select(
         "doc_id", F.explode(shingles_col("text", shingle_k)).alias("shingle")
     ).distinct()
+    # persist: the inverted index feeds sizes + both self-join sides (3
+    # consumers); recomputing the explode+distinct per consumer triples
+    # the heaviest stage. At 100 TB this is the operator's working set —
+    # a real deployment would materialize it as a bucketed table anyway.
+    sh = sh.persist()
     if max_doc_freq is not None:
         keep = (
             sh.groupBy("shingle")

@@ -212,12 +212,16 @@ def embedding_near_pairs(
 ) -> DataFrame:
     """Pairs (a < b) with cosine ≥ threshold — embedding-space near-dup.
 
-    Arrow-vectorized: each corpus partition scores against the (small)
-    corpus matrix with numpy, emitting only above-threshold pairs. The
-    accumulation is column-by-column (rank-1 updates), which reproduces
-    the sequential fold order of both the JVM fold and DuckDB's
-    list_dot_product BIT-EXACTLY — BLAS matmul's pairwise summation
-    would not. ~50× faster than the interpreted JVM fold.
+    Arrow-vectorized two-phase scoring per partition:
+    1. BLAS matmul against the corpus matrix finds CANDIDATES with a
+       safety margin below the threshold (matmul's pairwise summation
+       differs from a sequential fold by ≲ dim·ε — the margin covers it).
+    2. Candidates are re-scored with a sequential-order fold (vectorized
+       across pairs, looped over dims), which reproduces the JVM fold /
+       DuckDB list_dot_product summation order BIT-EXACTLY; the final
+       threshold cut and rounding use only these exact values.
+    Near-dup pairs are sparse, so phase 2 touches a tiny fraction of the
+    n² matrix and the heavy work runs at full BLAS speed.
 
     The corpus matrix rides in the task closure (fine to ~100k vectors);
     beyond that, ``add_lsh_bucket`` both sides + equi-join on bucket
@@ -246,24 +250,36 @@ def embedding_near_pairs(
 
     norms_all = seq_norms(mat_all)
 
+    # margin ≫ matmul-vs-sequential summation error (≲ dim·ε ≈ 1e-14)
+    margin = 1e-9
+
     def score(batches):
         for pdf in batches:
             a_ids = pdf[id_col].to_numpy(dtype=np.int64)
             a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             if a_mat.size == 0:
                 continue
-            acc = np.zeros((len(a_ids), len(ids_all)))
-            for j in range(dim):  # sequential-order dot, vectorized
-                acc += np.outer(a_mat[:, j], mat_all[:, j])
-            sim = acc / np.outer(seq_norms(a_mat), norms_all)
-            keep_a, keep_b = np.nonzero(
-                (sim >= threshold) & (ids_all[None, :] > a_ids[:, None])
+            # phase 1: BLAS candidate generation (approximate, margined)
+            sim_fast = (a_mat @ mat_all.T) / np.outer(seq_norms(a_mat), norms_all)
+            cand_a, cand_b = np.nonzero(
+                (sim_fast >= threshold - margin)
+                & (ids_all[None, :] > a_ids[:, None])
             )
+            if len(cand_a) == 0:
+                continue
+            # phase 2: exact sequential-order fold, vectorized over the
+            # candidate pairs only
+            A, B = a_mat[cand_a], mat_all[cand_b]
+            acc = np.zeros(len(cand_a))
+            for j in range(dim):
+                acc += A[:, j] * B[:, j]
+            sim = acc / (seq_norms(A) * seq_norms(B))
+            keep = sim >= threshold
             yield pd.DataFrame(
                 {
-                    "vec_a": a_ids[keep_a],
-                    "vec_b": ids_all[keep_b],
-                    "sim_raw": sim[keep_a, keep_b],
+                    "vec_a": a_ids[cand_a[keep]],
+                    "vec_b": ids_all[cand_b[keep]],
+                    "sim_raw": sim[keep],
                 }
             )
 
