@@ -148,3 +148,73 @@ def test_streaming_inference_pipeline_idempotent_sink(spark, tmp_path):
     # metrics listener saw the work (reference metrics dict analog)
     s = listener.summary()
     assert s["frames"] > 0 and s["total"] > 0
+
+
+def test_stateful_sessions_match_batch(spark):
+    """applyInPandasWithState sessionizer: closed sessions from the
+    stream is sandwiched by batch sessionization: every session closed
+    in-batch (a newer event followed it) MUST be emitted; sessions only
+    closable by the event-time timeout MAY be emitted (AvailableNow's
+    final empty batch advances the watermark and fires timeouts for
+    sessions ending before watermark − gap); each user's true final
+    session within the watermark horizon must NOT be emitted; and every
+    emitted session must be a real batch session, values identical."""
+    from video_streamer_spark.streaming.stateful import stateful_sessions
+    from video_streamer_spark.queries.temporal import SESSION_GAP_SECONDS
+
+    stream = stateful_sessions(
+        sp.events_stream(spark, SF_ORACLE), gap_seconds=SESSION_GAP_SECONDS
+    )
+    name = sp.run_available_now(stream, "stateful_sessions_sink", "append")
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+
+    # batch expectation: Q15's per-event session ids → session bounds,
+    # dropping the last session of each user
+    from pyspark.sql.window import Window
+
+    e = table(spark, SF_ORACLE, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w_lag).isNull()
+            | (
+                (F.col("ts").cast("double") - F.lag("ts").over(w_lag).cast("double"))
+                > SESSION_GAP_SECONDS
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = flagged.select(
+        "user_id", "ts", F.sum("is_new").over(w_run).alias("session_id")
+    )
+    bounds = sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+    last = bounds.groupBy("user_id").agg(F.max("session_id").alias("last_id"))
+    as_tuple = lambda r: (  # noqa: E731
+        r["user_id"], r["session_start"], r["session_end"], r["n_events"]
+    )
+    all_sessions = {as_tuple(r) for r in bounds.collect()}
+    required = {
+        as_tuple(r)
+        for r in bounds.join(
+            last,
+            (bounds.user_id == last.user_id)
+            & (bounds.session_id == last.last_id),
+            "left_anti",
+        ).collect()
+    }
+    got_set = set(got)
+    assert len(got) == len(got_set) > 0
+    assert required <= got_set <= all_sessions
