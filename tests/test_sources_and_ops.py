@@ -167,3 +167,55 @@ def test_asof_join_semantics(spark):
     }
     # only the exact-ts match at id=1 survives a 0.5 s tolerance
     assert tol == {1: 12, 2: None, 3: None, 4: None}
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF coarse quantizer: probing 6/16 cells must recall most of the
+    exact top-k (random corpus, so neighbors spread across cells)."""
+    from video_streamer_spark.operators.similarity import brute_topk, ivf_topk
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_topk(emb, q, k=3).collect()}
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, q, k=3, n_cells=16, n_probe=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall collapsed: {recall}"
+
+
+def test_byte_histogram_features(spark):
+    """Feature extraction: histogram is normalized, 16-dim, and matches
+    a direct numpy computation for a known payload."""
+    import numpy as np
+
+    from video_streamer_spark.operators.multimodal import (
+        byte_histogram_features,
+        documents_as_payloads,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents")
+    payloads = documents_as_payloads(docs)
+    feats = byte_histogram_features(payloads)
+    row = feats.orderBy("doc_id").first()
+    text = docs.orderBy("doc_id").first()["text"]
+    a = np.frombuffer(text.encode(), dtype=np.uint8)
+    want = np.bincount(a >> 4, minlength=16) / len(a)
+    assert len(row["embedding"]) == 16
+    assert np.allclose(row["embedding"], want)
+    assert abs(sum(row["embedding"]) - 1.0) < 1e-9
+
+
+def test_resize_payloads_shape(spark):
+    """Resize: every output payload is exactly width*height bytes,
+    truncated or zero-padded."""
+    from video_streamer_spark.operators.multimodal import (
+        documents_as_payloads,
+        resize_payloads,
+    )
+
+    docs = table(spark, SF_SMOKE, "documents")
+    out = resize_payloads(documents_as_payloads(docs), width=8, height=4)
+    lens = out.select(F.length("payload").alias("n")).distinct().collect()
+    assert [r["n"] for r in lens] == [32]

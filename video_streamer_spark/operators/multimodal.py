@@ -94,3 +94,78 @@ def documents_as_payloads(docs: DataFrame) -> DataFrame:
     end-to-end on driver-provided data only.
     """
     return docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+
+def sample_every_n(
+    frames: DataFrame, n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame sampling: keep every n-th record by id (the reference
+    processes every frame; a training-data pipeline subsamples). Pure
+    predicate — pushes down to the scan, no UDF, no shuffle."""
+    return frames.where(F.pmod(F.col(id_col), F.lit(n)) == 0)
+
+
+def resize_payloads(
+    frames: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Deterministic "resize" to a fixed width×height byte buffer:
+    truncate or zero-pad (real deployments call cv2.resize here —
+    reference gst-detection-tf.py:356). Runs as codegen'd binary
+    built-ins (substring/rpad), no Python; the fixed output size is what
+    matters for downstream batch shape."""
+    target = width * height
+    resized = F.rpad(
+        F.substring(F.col(bin_col), 1, target).cast("binary"),
+        target,
+        bytes([0]),
+    )
+    return frames.select(
+        F.col(id_col),
+        resized.alias(bin_col),
+        F.lit(width).cast("int").alias("width"),
+        F.lit(height).cast("int").alias("height"),
+    )
+
+
+N_HIST_BINS = 16
+
+
+def byte_histogram_features(
+    frames: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """Feature extraction stub with real plumbing: 16-bin normalized
+    byte-value histogram per payload as array<double> — a drop-in for a
+    CNN embedding head. Arrow-batched mapInPandas; numpy bincount per
+    record; output feeds the similarity operators unchanged."""
+    import sys
+
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[bin_col]:
+                a = decode_frame(b)
+                h = np.bincount(a >> 4, minlength=N_HIST_BINS).astype(np.float64)
+                total = h.sum()
+                feats.append((h / total if total else h).tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "embedding": feats}
+            )
+
+    return frames.select(id_col, bin_col).mapInPandas(compute, out_schema)

@@ -19,6 +19,7 @@ per-partition heaps (rank window after local limit).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -329,4 +330,81 @@ def embedding_near_pairs_sql(
         .where(F.col("sim_raw") >= threshold)
         .select("vec_a", "vec_b", round4("sim_raw").alias("sim"))
         .orderBy("vec_a", "vec_b")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = LSH_PLANES_SEED,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the coarse-quantizer scale
+    path next to ``lsh_topk``.
+
+    Build: KMeans (fixed seed) partitions the corpus into ``n_cells``
+    Voronoi cells; each vector is stored under its cell id — at 100 TB
+    the corpus lives parquet-partitioned by cell, so a probe reads only
+    n_probe/n_cells of the data (partition pruning does the work).
+    Search: each query routes to its ``n_probe`` nearest centroids
+    (centroids are tiny — they ride driver-side into a vectorized pandas
+    UDF), then scores exactly within those cells via the same rounded
+    cosine as ``brute_topk``. Recall is property-tested, not
+    oracle-exact, like every approximate operator here.
+    """
+    import sys
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+
+    vecs = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c_vec"),
+    )
+    km = KMeans(k=n_cells, seed=seed, maxIter=10, featuresCol="__feat",
+                predictionCol="cell")
+    model = km.fit(vecs.withColumn("__feat", array_to_vector("c_vec")))
+    assigned = (
+        model.transform(vecs.withColumn("__feat", array_to_vector("c_vec")))
+        .select("vec_id", "c_vec", F.col("cell").cast("int").alias("cell"))
+    )
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            d = ((centers - np.asarray(v, dtype=np.float64)) ** 2).sum(axis=1)
+            out.append(np.argsort(d, kind="stable")[:n_probe].astype("int32").tolist())
+        return pd.Series(out)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("q_vec"),
+    ).withColumn("cell", F.explode(probe_cells(F.col("q_vec"))))
+
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            round4(cosine_similarity("c_vec", "q_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+        .orderBy("query_id", "rank")
     )

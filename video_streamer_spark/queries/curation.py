@@ -390,3 +390,47 @@ def x12_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     payloads = multimodal.documents_as_payloads(docs)
     return multimodal.payload_stats(payloads).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x31: frame-sampling + resize + payload stats — the multimodal
+# preprocessing chain (reference O8 resize, gst-detection-tf.py:356) on
+# every 5th payload; sampling is a pushed-down predicate, resize is
+# codegen'd binary built-ins, stats run in mapInPandas.
+@query(
+    "x31_sampled_resize_stats",
+    oracle="""
+    SELECT doc_id,
+      CAST(768 AS BIGINT) AS n_bytes,
+      CAST(list_sum(list_transform(
+        string_split(substr(text, 1, 768), ''), c -> ascii(c))) AS BIGINT)
+        AS byte_sum,
+      CAST(32 AS INT) AS width,
+      CAST(24 AS INT) AS height
+    FROM documents
+    WHERE doc_id % 5 = 0
+    ORDER BY doc_id
+    """,
+)
+def x31_sampled_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    payloads = multimodal.documents_as_payloads(docs)
+    sampled = multimodal.sample_every_n(payloads, 5)
+    resized = multimodal.resize_payloads(sampled, width=32, height=24)
+    return (
+        multimodal.payload_stats(resized)
+        .withColumn("width", F.lit(32).cast("int"))
+        .withColumn("height", F.lit(24).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x32: IVF approximate top-k (coarse-quantizer ANN) — approximate by
+# design, so no value oracle; recall is property-tested against
+# brute_topk in tests/test_sources_and_ops.py
+@query("x32_ivf_topk")
+def x32_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, q, k=5, n_cells=16, n_probe=4)
