@@ -310,3 +310,41 @@ def x24_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# grouped-map applyInPandas: per-type min-max scaling (exact ops only, so
+# the pandas path and the SQL window formulation agree bit-for-bit)
+@query(
+    "x33_grouped_minmax_scale",
+    oracle="""
+    SELECT event_id, event_type, value,
+      CASE WHEN MAX(value) OVER w = MIN(value) OVER w THEN 0.0
+           ELSE (value - MIN(value) OVER w)
+                / (MAX(value) OVER w - MIN(value) OVER w) END AS scaled
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    ORDER BY event_id
+    """,
+)
+def x33_grouped_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.grouped import minmax_scale_per_group
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return minmax_scale_per_group(e).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# GROUPED_AGG pandas UDAF: per-type median (summation-free, oracle-exact)
+@query(
+    "x34_grouped_median_udaf",
+    oracle="""
+    SELECT event_type, CAST(median(value) AS DOUBLE) AS median_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x34_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.grouped import median_per_group
+
+    e = table(spark, sf_dir, "events")
+    return median_per_group(e).orderBy("event_type")
