@@ -62,3 +62,39 @@ def test_q20_theta_join_is_equi_on_user(spark):
     a nested-loop cross product."""
     r = plan_report(QUERIES["q20_theta_self_join"](spark, SF_ORACLE))
     assert r.n_bnl_joins == 0, r.text
+
+
+def test_x28_asof_join_single_shuffle_per_side(spark):
+    """The as-of union-merge must not explode: no nested-loop join, no
+    sort-merge join — one Exchange for the union'd window, plus the final
+    ordering. A theta-join formulation would show a BNL join here."""
+    r = plan_report(QUERIES["x28_asof_purchase_click"](spark, SF_ORACLE))
+    assert r.n_bnl_joins == 0, r.text
+    assert r.n_sortmerge_joins == 0, r.text
+    assert r.n_exchanges <= 3, r.text
+
+
+def test_x25_aggregates_orders_before_left_join(spark):
+    """Left join must probe the pre-aggregated orders (1 row per
+    custkey), not raw orders — agg sits below the join."""
+    r = plan_report(QUERIES["x25_left_outer_customer_orders"](spark, SF_ORACLE))
+    join_pos = r.text.find("Join")
+    agg_pos = r.text.find("HashAggregate")
+    assert join_pos != -1 and agg_pos != -1
+    assert any("o_custkey" in s or "o_totalprice" in s for s in r.read_schemas)
+
+
+def test_x30_pivot_single_aggregation_pass(spark):
+    """Explicit pivot values: one scan, aggregation, no extra job for
+    distinct-value discovery (that pass happens at planning time only
+    when values are omitted)."""
+    r = plan_report(QUERIES["x30_pivot_status_by_year"](spark, SF_ORACLE))
+    assert r.scans_only_columns("o_orderdate", "o_orderstatus"), r.read_schemas
+
+
+def test_x02_minhash_no_extra_distinct_shuffle(spark):
+    """Minhash signature stage: explode feeds the doc-keyed aggregation
+    directly; shuffles = scatter fan-out + signature agg + band join +
+    pair agg + order (≤ 6), not the +2 a (doc,shingle) distinct adds."""
+    r = plan_report(QUERIES["x02_dedup_minhash_pairs"](spark, SF_ORACLE))
+    assert r.n_exchanges <= 6, r.text
