@@ -47,6 +47,9 @@ HEADLINE = [
     "x06_ann_topk_multi",
     "x10_quality_scores",
     "x12_payload_stats",
+    "x28_asof_purchase_click",
+    "x31_sampled_resize_stats",
+    "x33_grouped_minmax_scale",
 ]
 
 
@@ -71,8 +74,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        # full materialization of the result set, like a client would
-        n = len(QUERIES[name](spark, sf_dir).collect())
+        # full materialization of the result set, like a client would —
+        # over Arrow (toPandas): row-wise collect() spends multiples of
+        # the query's own runtime deserializing Row objects
+        n = len(QUERIES[name](spark, sf_dir).toPandas())
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

@@ -219,3 +219,24 @@ def test_resize_payloads_shape(spark):
     out = resize_payloads(documents_as_payloads(docs), width=8, height=4)
     lens = out.select(F.length("payload").alias("n")).distinct().collect()
     assert [r["n"] for r in lens] == [32]
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-located join: both sides bucketed on the key → the join plans
+    with ZERO shuffles (the scale property bucketing exists for)."""
+    from video_streamer_spark.plans import plan_report
+    from video_streamer_spark.sources.bucketing import read_table, write_bucketed
+
+    c = table(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment")
+    o = table(spark, SF_SMOKE, "orders").select("o_custkey", "o_totalprice")
+    write_bucketed(c, "bt_customer", ["c_custkey"], n_buckets=8,
+                   sort_cols=["c_custkey"])
+    write_bucketed(o, "bt_orders", ["o_custkey"], n_buckets=8,
+                   sort_cols=["o_custkey"])
+    joined = read_table(spark, "bt_customer").join(
+        read_table(spark, "bt_orders"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    )
+    r = plan_report(joined)
+    assert r.n_exchanges == 0, r.text
+    assert joined.count() > 0

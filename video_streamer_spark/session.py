@@ -79,6 +79,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # catalog tables (bucketed writes) land in /tmp, not the cwd
+        .config("spark.sql.warehouse.dir", "/tmp/vss-warehouse")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
