@@ -218,3 +218,37 @@ def test_stateful_sessions_match_batch(spark):
     got_set = set(got)
     assert len(got) == len(got_set) > 0
     assert required <= got_set <= all_sessions
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Stream-stream windowed join (AvailableNow) must equal the batch
+    theta-join over the same window."""
+    stream = sp.purchase_click_stream_join(spark, SF_ORACLE)
+    name = sp.run_available_now(stream, "ssjoin_sink", "append")
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+
+    e = table(spark, SF_ORACLE, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    expected = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7200 SECONDS")),
+        ).collect()
+    )
+    assert len(got) > 0
+    assert got == expected

@@ -348,3 +348,74 @@ def x34_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     return median_per_group(e).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# null semantics: NULLIF/COALESCE, null-safe equality, null-last ordering
+# (the testdata has no physical NULLs, so NULLIF manufactures them)
+@query(
+    "x35_null_semantics",
+    oracle="""
+    SELECT p_partkey,
+      NULLIF(p_size % 7, 0) AS s7,
+      NULLIF(p_size % 5, 0) AS s5,
+      COALESCE(NULLIF(p_size % 7, 0), -1) AS s7_filled,
+      CAST(NULLIF(p_size % 7, 0) IS NOT DISTINCT FROM NULLIF(p_size % 5, 0)
+           AS BOOLEAN) AS null_safe_eq,
+      CAST(NULLIF(p_size % 7, 0) IS NULL AS BOOLEAN) AS is_div7
+    FROM part
+    ORDER BY s7 NULLS LAST, p_partkey
+    """,
+)
+def x35_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    s7 = F.nullif(F.pmod("p_size", F.lit(7)), F.lit(0))
+    s5 = F.nullif(F.pmod("p_size", F.lit(5)), F.lit(0))
+    return (
+        p.select(
+            "p_partkey",
+            s7.alias("s7"),
+            s5.alias("s5"),
+            F.coalesce(s7, F.lit(-1)).alias("s7_filled"),
+            s7.eqNullSafe(s5).alias("null_safe_eq"),
+            s7.isNull().alias("is_div7"),
+        )
+        .orderBy(F.col("s7").asc_nulls_last(), "p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# correlated scalar subquery — Catalyst decorrelates it into an
+# aggregate + join (no per-row re-execution); expressed through
+# spark.sql since subqueries ARE the SQL surface
+@query(
+    "x36_correlated_subquery",
+    oracle="""
+    SELECT p_partkey, p_type,
+      CAST(ROUND(CAST(p_retailprice AS DECIMAL(38,9)), 2) AS DOUBLE) AS price,
+      CAST((SELECT COUNT(*) FROM part p2
+            WHERE p2.p_type = p1.p_type
+              AND p2.p_retailprice > p1.p_retailprice) AS BIGINT)
+        AS n_pricier_same_type
+    FROM part p1
+    ORDER BY p_partkey
+    """,
+)
+def x36_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.catalog import register_views
+    from video_streamer_spark.functions.parity import round2
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_type,
+          CAST(ROUND(CAST(p_retailprice AS DECIMAL(38,9)), 2) AS DOUBLE)
+            AS price,
+          CAST((SELECT COUNT(*) FROM part p2
+                WHERE p2.p_type = p1.p_type
+                  AND p2.p_retailprice > p1.p_retailprice) AS BIGINT)
+            AS n_pricier_same_type
+        FROM part p1
+        ORDER BY p_partkey
+        """
+    )

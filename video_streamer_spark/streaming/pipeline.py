@@ -145,3 +145,48 @@ def run_foreach_batch_sink(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def purchase_click_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    window_seconds: int = 7200,
+    watermark: str = "3 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to same-user clicks
+    in the preceding ``window_seconds`` (the streaming twin of the as-of
+    candidate set, before top-1 selection).
+
+    Both sides carry watermarks and the join has a two-sided time bound,
+    so state is provably evictable: a buffered click can be dropped once
+    the purchase watermark passes click_ts + window. Without the bound
+    (or the watermarks) state grows forever — the same unbounded-buffer
+    mistake the reference makes with its EOS flush
+    (gst-detection-tf.py:322).
+    """
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS")),
+        "inner",
+    ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts")
