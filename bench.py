@@ -64,6 +64,9 @@ def main() -> None:
     # before the measured one): run every headline plan at the smallest SF
     # so codegen classes compile and the Python worker pool spins up, then
     # drop any persisted data so the measured pass does all real compute.
+    # (A per-query warm-at-target-SF variant was measured and rejected:
+    # the extra materializations raise JVM/worker memory pressure and the
+    # heavy Python-path queries come out slower.)
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir

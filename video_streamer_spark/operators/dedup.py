@@ -267,19 +267,19 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         "chunk_idx",
         "chunk_val",
     )
-    pairs = (
+    # hamming filter BEFORE the pair dedup: bit_count is a codegen'd
+    # scalar on the join output, so the distinct shuffle only carries
+    # surviving pairs (≤ (k+1)× the result) instead of every chunk hit
+    return (
         a.join(b, ["chunk_idx", "chunk_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
-    )
-    return (
-        pairs.select(
+        .select(
             "doc_a",
             "doc_b",
             F.expr("bit_count(sh_a ^ sh_b)").cast("int").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
 

@@ -29,7 +29,18 @@ def write_bucketed(
 
     ``sort_cols`` additionally sorts within buckets, letting the
     sort-merge join skip its sort phase entirely.
+
+    Overwrite is made session-independent: a managed-table LOCATION left
+    by an earlier session (whose metastore entry is gone) would otherwise
+    fail the write with LOCATION_ALREADY_EXISTS.
     """
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    loc = f"{warehouse.removeprefix('file:')}/{table_name.lower()}"
+    shutil.rmtree(loc, ignore_errors=True)
     w = (
         df.write.mode("overwrite")
         .format("parquet")
