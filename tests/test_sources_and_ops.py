@@ -240,3 +240,66 @@ def test_bucketed_join_has_no_exchange(spark):
     r = plan_report(joined)
     assert r.n_exchanges == 0, r.text
     assert joined.count() > 0
+
+
+def test_salted_agg_equals_direct(spark):
+    """Salted two-phase aggregation must equal the direct groupBy on a
+    low-cardinality key (events: 5 types), and its partial stage must
+    fan out to n_salts x |keys| groups."""
+    from video_streamer_spark.operators.skew import salted_sum_count
+
+    e = table(spark, SF_ORACLE, "events")
+    got = {
+        r["event_type"]: (round(r["sum_value"], 6), r["n_rows"])
+        for r in salted_sum_count(e, ["event_type"], "value").collect()
+    }
+    want = {
+        r["event_type"]: (round(r["s"], 6), r["n"])
+        for r in e.groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert abs(got[k][0] - want[k][0]) < 1e-6  # double sum, order differs
+
+
+def test_salted_join_equals_direct(spark):
+    """Salted join (left salted, right replicated) must produce exactly
+    the rows of the direct equi-join."""
+    from video_streamer_spark.operators.skew import salted_join
+
+    o = table(spark, SF_ORACLE, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, SF_ORACLE, "customer").select("c_custkey", "c_nationkey")
+    direct = sorted(
+        tuple(r)
+        for r in o.join(c, o.o_custkey == c.c_custkey).select(
+            "o_orderkey", "c_nationkey"
+        ).collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(
+            o.withColumnRenamed("o_custkey", "k"),
+            c.withColumnRenamed("c_custkey", "k"),
+            ["k"],
+            n_salts=8,
+        ).select("o_orderkey", "c_nationkey").collect()
+    )
+    assert salted == direct
+
+
+def test_observed_metrics_free_with_action(spark):
+    """df.observe: metrics ride the action (no second job), matching the
+    reference's in-band accumulator pattern."""
+    from video_streamer_spark.streaming.metrics import observed
+
+    docs = table(spark, SF_SMOKE, "documents")
+    df, obs = observed(
+        docs, rows=F.count(F.lit(1)), max_id=F.max("doc_id")
+    )
+    df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["rows"] == docs.count()
+    assert got["max_id"] == docs.agg(F.max("doc_id")).first()[0]
