@@ -303,3 +303,68 @@ def test_observed_metrics_free_with_action(spark):
     got = obs.get
     assert got["rows"] == docs.count()
     assert got["max_id"] == docs.agg(F.max("doc_id")).first()[0]
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property test: asof_join ≡ pandas merge_asof(direction='backward')
+    on randomized key/timestamp layouts, including duplicate left
+    timestamps and unmatched keys. Right-side ts are unique per key (the
+    operator's documented tiebreak is max-payload; merge_asof takes the
+    last row, so uniqueness makes both well-defined)."""
+    import numpy as np
+    import pandas as pd
+
+    from video_streamer_spark.operators.temporal import asof_join
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n_l, n_r = 40, 30
+        lpdf = pd.DataFrame(
+            {
+                "id": np.arange(n_l),
+                "k": rng.integers(0, 4, n_l).astype("int64"),
+                "t": rng.integers(0, 500, n_l).astype("int64"),
+            }
+        )
+        rpdf = (
+            pd.DataFrame(
+                {
+                    "k": rng.integers(0, 5, n_r).astype("int64"),
+                    "t": rng.integers(0, 500, n_r).astype("int64"),
+                    "val": np.arange(n_r).astype("int64"),
+                }
+            )
+            .drop_duplicates(["k", "t"])
+            .reset_index(drop=True)
+        )
+        expect = pd.merge_asof(
+            lpdf.assign(ts=pd.to_datetime(lpdf["t"], unit="s")).sort_values(
+                ["t", "id"]
+            ),
+            rpdf.assign(ts=pd.to_datetime(rpdf["t"], unit="s")).sort_values("t")[
+                ["k", "ts", "val"]
+            ],
+            on="ts",
+            by="k",
+            direction="backward",
+        )
+        want = {
+            int(r.id): (None if pd.isna(r.val) else int(r.val))
+            for r in expect.itertuples()
+        }
+
+        left = spark.createDataFrame(
+            lpdf.assign(ts=pd.to_datetime(lpdf["t"], unit="s"))[
+                ["id", "k", "ts"]
+            ]
+        )
+        right = spark.createDataFrame(
+            rpdf.assign(ts=pd.to_datetime(rpdf["t"], unit="s"))[
+                ["k", "ts", "val"]
+            ]
+        )
+        got = {
+            r["id"]: r["val_asof"]
+            for r in asof_join(left, right, on=["k"], right_cols=["val"]).collect()
+        }
+        assert got == want, f"trial {trial}"

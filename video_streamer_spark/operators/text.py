@@ -136,3 +136,40 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         .where(F.col("n_docs") > 1)
         .orderBy("fingerprint")
     )
+
+
+def tf_idf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-(doc, token) TF-IDF via joins and aggregates — no ML-lib
+    hashing trick, so scores are exact and oracle-checkable.
+
+    tf = n_token_in_doc / n_tokens_in_doc; idf = ln(N / doc_freq).
+    Shuffle budget: token counts (doc-keyed), doc lengths (doc-keyed,
+    same shuffle), doc-freq (token-keyed), then two joins where the
+    doc-freq side aggregates to |vocab| rows — at 100 TB the vocab join
+    is the broadcast candidate.
+    """
+    tok = token_explode(docs, id_col)
+    tf_counts = tok.groupBy("doc_id", "token").agg(
+        F.count("*").alias("n_tok")
+    )
+    doc_len = tf_counts.groupBy("doc_id").agg(
+        F.sum("n_tok").alias("doc_tokens")
+    )
+    doc_freq = tf_counts.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.select(F.countDistinct(id_col).alias("n")).crossJoin(
+        doc_freq.select("token", "df")
+    )
+    return (
+        tf_counts.join(doc_len, "doc_id")
+        .join(n_docs, "token")
+        .select(
+            "doc_id",
+            "token",
+            (
+                (F.col("n_tok").cast("double") / F.col("doc_tokens").cast("double"))
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+            ).alias("tfidf_raw"),
+        )
+    )

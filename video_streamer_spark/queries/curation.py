@@ -434,3 +434,40 @@ def x32_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
     return similarity.ivf_topk(emb, q, k=5, n_cells=16, n_probe=4)
+
+
+# --------------------------------------------------------------------------
+# x37: TF-IDF — the capability-matrix "tf-idf via joins/aggs" row. Output
+# ordered by (doc_id, token), NOT by score: 1-ulp ln() differences
+# between engines must not be able to flip result order.
+@query(
+    "x37_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    tf AS (SELECT doc_id, token, COUNT(*) AS n_tok FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(n_tok) AS doc_tokens FROM tf GROUP BY 1),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+    SELECT tf.doc_id, tf.token,
+      CAST(ROUND(CAST(
+        (CAST(n_tok AS DOUBLE) / CAST(doc_tokens AS DOUBLE))
+        * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE))
+      AS DECIMAL(38,12)), 4) AS DOUBLE) AS tfidf
+    FROM tf JOIN dl USING (doc_id) JOIN df USING (token) CROSS JOIN n
+    WHERE tf.doc_id < 20
+    ORDER BY tf.doc_id, tf.token
+    """,
+)
+def x37_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        text.tf_idf(d)
+        .where(F.col("doc_id") < 20)
+        .select("doc_id", "token", round4("tfidf_raw").alias("tfidf"))
+        .orderBy("doc_id", "token")
+    )
