@@ -178,9 +178,6 @@ def minhash_candidate_pairs(
 # --------------------------------------------------------------------------
 # SimHash
 
-_HEX = "0123456789abcdef"
-
-
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
