@@ -368,3 +368,28 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             for r in asof_join(left, right, on=["k"], right_cols=["val"]).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_minhash_catches_planted_duplicates(spark):
+    """Recall floor (SURVEY §5.2 property check): plant exact copies of
+    50 docs under new ids — each planted pair has an identical signature
+    and MUST surface as a candidate with ALL bands shared."""
+    from video_streamer_spark.operators.dedup import (
+        MINHASH_BAND_ROWS,
+        NUM_MINHASH,
+        minhash_candidate_pairs,
+    )
+
+    docs = table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    offset = 1_000_000
+    copies = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + offset).alias("doc_id"), "text"
+    )
+    planted = docs.unionByName(copies)
+    n_bands = NUM_MINHASH // MINHASH_BAND_ROWS
+    cands = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in minhash_candidate_pairs(planted).collect()
+    }
+    for i in range(50):
+        assert cands.get((i, i + offset)) == n_bands, f"planted dup {i} missed"

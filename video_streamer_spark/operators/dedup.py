@@ -101,20 +101,34 @@ def minhash_signatures(
     num_hashes: int = NUM_MINHASH,
     shingle_k: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
-    """One row per doc with columns mh_0..mh_{n-1} (hex-string min-hashes).
+    """One row per doc with columns mh_0..mh_{n-1} (BIGINT min-hashes).
 
-    Each "permutation" is min over shingles of md5(seed || shingle); the
-    explode→groupBy is one shuffle keyed by doc id, with map-side partial
-    min aggregation shrinking the exchange to one row per (doc, seed).
-    No distinct on (doc, shingle): min() is duplicate-insensitive, and a
-    pre-dedup would cost a second full shuffle for nothing.
+    Each "permutation" is min over shingles of a 56-bit integer prefix of
+    md5(seed || shingle) — per-seed md5s stay mutually INDEPENDENT, which
+    LSH banding requires. (A Kirsch–Mitzenmacher double-hashing variant —
+    one md5, g_i = h1 + i·h2 — was tried and rejected: the per-permutation
+    mins correlate through their shared argmin shingle, so one hot shingle
+    wins every band and candidate pairs blow up ~16×.) Integer mins beat
+    32-char string mins in both agg CPU and band-key width.
+
+    The explode→groupBy is one shuffle keyed by doc id, with map-side
+    partial min aggregation shrinking the exchange to one row per
+    (doc, seed). No distinct on (doc, shingle): min() is
+    duplicate-insensitive, and a pre-dedup would cost a second full
+    shuffle for nothing.
     """
     exploded = scatter(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(text_col, shingle_k)).alias("shingle"),
     )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh_{s}")
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))), 1, 14),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias(f"mh_{s}")
         for s in range(num_hashes)
     ]
     return exploded.groupBy("doc_id").agg(*aggs)

@@ -129,13 +129,19 @@ def x01_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    # lockstep with operators/dedup.minhash_signatures: independent
+    # per-seed md5s, 56-bit integer prefix mins
     n, rows = dedup.NUM_MINHASH, dedup.MINHASH_BAND_ROWS
     mins = ",\n      ".join(
-        f"MIN(md5('{s}:' || shingle)) AS mh_{s}" for s in range(n)
+        f"MIN(CAST(('0x' || substr(md5('{s}:' || shingle), 1, 14)) AS BIGINT))"
+        f" AS mh_{s}"
+        for s in range(n)
     )
     band_selects = "\n      UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, "
-        + " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + " || '|' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
         + " AS band_val FROM sigs"
         for b in range(n // rows)
     )
