@@ -103,13 +103,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """One row per doc with columns mh_0..mh_{n-1} (BIGINT min-hashes).
 
-    Each "permutation" is min over shingles of a 56-bit integer prefix of
-    md5(seed || shingle) — per-seed md5s stay mutually INDEPENDENT, which
-    LSH banding requires. (A Kirsch–Mitzenmacher double-hashing variant —
-    one md5, g_i = h1 + i·h2 — was tried and rejected: the per-permutation
-    mins correlate through their shared argmin shingle, so one hot shingle
-    wins every band and candidate pairs blow up ~16×.) Integer mins beat
-    32-char string mins in both agg CPU and band-key width.
+    Permutation i is min over shingles of a 56-bit integer slice of
+    sha256(seed || shingle): one sha256 yields FOUR independent 14-hex
+    slices, so 8 permutations cost 2 hash calls per shingle instead of 8.
+    Disjoint bit ranges of a cryptographic hash are independent, which is
+    what LSH banding needs — unlike a Kirsch–Mitzenmacher double-hash
+    (g_i = h1 + i·h2), which was tried and rejected: the per-permutation
+    mins correlate through their shared argmin shingle, one hot shingle
+    wins every band, and candidate pairs blow up ~16×. Integer mins beat
+    hex-string mins in both agg CPU and band-key width.
 
     The explode→groupBy is one shuffle keyed by doc id, with map-side
     partial min aggregation shrinking the exchange to one row per
@@ -121,17 +123,17 @@ def minhash_signatures(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(text_col, shingle_k)).alias("shingle"),
     )
-    aggs = [
-        F.min(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))), 1, 14),
-                16,
-                10,
-            ).cast("bigint")
-        ).alias(f"mh_{s}")
-        for s in range(num_hashes)
-    ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    slices_per_hash = 4  # 64 hex chars → 4 × 14-hex (56-bit) slices
+    cols = {}
+    for s in range(num_hashes):
+        seed, piece = divmod(s, slices_per_hash)
+        h = F.sha2(F.concat(F.lit(f"{seed}:"), F.col("shingle")), 256)
+        cols[f"g_{s}"] = F.conv(
+            F.substring(h, 1 + piece * 14, 14), 16, 10
+        ).cast("bigint")
+    hashed = exploded.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+    aggs = [F.min(f"g_{s}").alias(f"mh_{s}") for s in range(num_hashes)]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_bands(sigs: DataFrame, band_rows: int = MINHASH_BAND_ROWS) -> DataFrame:

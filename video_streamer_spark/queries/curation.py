@@ -129,12 +129,12 @@ def x01_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
-    # lockstep with operators/dedup.minhash_signatures: independent
-    # per-seed md5s, 56-bit integer prefix mins
+    # lockstep with operators/dedup.minhash_signatures: 56-bit integer
+    # slices of sha256(seed || shingle), 4 independent slices per hash
     n, rows = dedup.NUM_MINHASH, dedup.MINHASH_BAND_ROWS
     mins = ",\n      ".join(
-        f"MIN(CAST(('0x' || substr(md5('{s}:' || shingle), 1, 14)) AS BIGINT))"
-        f" AS mh_{s}"
+        f"MIN(CAST(('0x' || substr(sha256('{s // 4}:' || shingle),"
+        f" {1 + (s % 4) * 14}, 14)) AS BIGINT)) AS mh_{s}"
         for s in range(n)
     )
     band_selects = "\n      UNION ALL ".join(
