@@ -47,9 +47,14 @@ def test_parquet_sink_partitioning(spark, tmp_path):
     sinks.write_parquet(docs, out, mode="overwrite", partition_by=["lang"])
     back = spark.read.parquet(out)
     assert back.count() == docs.count()
-    # partition pruning: a lang filter must prune to one directory
+    # partition pruning: the lang predicate must become a PartitionFilter
+    # on the scan (directory-level pruning), not a post-scan Filter
     one = back.where(F.col("lang") == "en")
-    assert "PartitionFilters: [isnotnull(lang" in _explain(one) or one.count() > 0
+    plan = _explain(one)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "= en" in m.group(1), plan
 
 
 def _explain(df):
@@ -393,3 +398,40 @@ def test_minhash_catches_planted_duplicates(spark):
     }
     for i in range(50):
         assert cands.get((i, i + offset)) == n_bands, f"planted dup {i} missed"
+
+
+def test_range_partitioned_sorted_write_clusters_files(spark, tmp_path):
+    """Clustered layout: repartitionByRange + sort_by gives each output
+    file a narrow key span (pyarrow file-level min/max), so point/range
+    predicates on the key skip whole files/row groups at read time. A
+    hash-partitioned write would give every file the full domain."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "clustered")
+    e = table(spark, SF_ORACLE, "events").select("event_id", "user_id")
+    sinks.write_parquet(
+        e.repartitionByRange(4, "user_id"),
+        out,
+        mode="overwrite",
+        sort_by=["user_id"],
+    )
+    lo = e.agg(F.min("user_id")).first()[0]
+    hi = e.agg(F.max("user_id")).first()[0]
+    spans = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        for g in range(md.num_row_groups):
+            s = md.row_group(g).column(1).statistics  # user_id
+            spans.append((s.min, s.max))
+    assert len(spans) >= 2
+    # every span must be a strict sub-range, and spans must not overlap
+    # (ranges sorted by min are disjoint when each max < next min + 1)
+    assert all((a, b) != (lo, hi) for a, b in spans), spans
+    ordered = sorted(spans)
+    assert all(
+        ordered[i][1] <= ordered[i + 1][0] for i in range(len(ordered) - 1)
+    ), ordered

@@ -14,10 +14,16 @@ def write_parquet(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
 ) -> None:
     """Queryable-store sink (the VDMS role). ``partition_by`` should be a
     low-cardinality pruning key (e.g. date, label_id) — at 100 TB the
-    partition layout IS the index."""
+    partition layout IS the index. ``sort_by`` sorts rows within each
+    output task: clustered values tighten parquet row-group min/max
+    stats, so point/range predicates on those columns skip row groups
+    at read time (the poor man's z-order)."""
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
