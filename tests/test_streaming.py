@@ -252,3 +252,48 @@ def test_stream_stream_join_equals_batch(spark):
     )
     assert len(got) > 0
     assert got == expected
+
+
+def test_synthetic_rate_stream_drives_inference(spark, tmp_path):
+    """Load-generator path: rate source → deterministic payloads →
+    mapInPandas inference → idempotent sink. Runs for a few seconds of
+    wall clock and must produce unique (frame_id, box_idx) detections."""
+    from video_streamer_spark.streaming.pipeline import synthetic_frame_stream
+
+    stream = synthetic_frame_stream(spark, rows_per_second=500, n_partitions=2)
+    det = D.scale_boxes(D.threshold_filter(infer_detections(stream)))
+    out = str(tmp_path / "load_sink")
+
+    def write_batch(batch_df, epoch_id):
+        batch_df.dropDuplicates(["frame_id", "box_idx"]).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/batch-{epoch_id}")
+
+    q = (
+        det.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 20
+    rows = 0
+    try:
+        while time.time() < deadline:
+            time.sleep(2)
+            try:
+                got = spark.read.parquet(f"{out}/batch-*")
+                rows = got.count()
+                if rows > 0:
+                    break
+            except Exception:
+                continue
+    finally:
+        q.stop()
+    assert rows > 0, "no detections produced under synthetic load"
+    got = spark.read.parquet(f"{out}/batch-*")
+    dupes = (
+        got.groupBy("frame_id", "box_idx").count().where("count > 1").count()
+    )
+    assert dupes == 0

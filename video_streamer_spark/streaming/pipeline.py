@@ -190,3 +190,37 @@ def purchase_click_stream_join(
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS")),
         "inner",
     ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts")
+
+
+def synthetic_frame_stream(
+    spark: SparkSession,
+    rows_per_second: int = 1000,
+    payload_bytes: int = 256,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic frame source for load testing — the reference's
+    benchmark mode replays one video file under load (benchmark.sh:15);
+    the Spark-native analog is the rate source: unbounded
+    (timestamp, value) rows at a controlled rate, mapped to deterministic
+    binary payloads keyed by frame_id.
+
+    Payload = the frame_id rendered and repeated to ``payload_bytes`` —
+    cheap, deterministic, and unique per frame, so downstream inference
+    (stub model) produces verifiable detections under load.
+    """
+    reader = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    )
+    if n_partitions is not None:
+        reader = reader.option("numPartitions", n_partitions)
+    rate = reader.load()
+    payload = F.encode(
+        F.rpad(F.concat(F.col("value").cast("string"), F.lit(":")),
+               payload_bytes, "x"),
+        "UTF-8",
+    )
+    return rate.select(
+        F.col("value").alias("frame_id"),
+        F.col("timestamp").alias("ts"),
+        payload.alias("payload"),
+    )
