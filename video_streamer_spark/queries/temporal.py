@@ -126,3 +126,54 @@ def q15_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .orderBy("user_id", "session_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x38: hypertable-style multi-granularity rollup — minute/hour/day
+# aggregates in ONE pass: explode the granularity list per row, then a
+# single groupBy(granularity, bucket, type) shuffle. The serial
+# alternative (three separate aggregations) scans and shuffles the fact
+# table three times for identical output.
+@query(
+    "x38_multi_granularity_rollup",
+    oracle="""
+    WITH g AS (SELECT unnest(['minute', 'hour', 'day']) AS gran)
+    SELECT g.gran,
+      strftime(date_trunc(CASE g.gran WHEN 'minute' THEN 'minute'
+                          WHEN 'hour' THEN 'hour' ELSE 'day' END, e.ts),
+               '%Y-%m-%d %H:%M:%S') AS bucket_start,
+      e.event_type,
+      COUNT(*) AS n_events,
+      CAST(ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(38,9)), 2)
+           AS DOUBLE) AS sum_value
+    FROM events e CROSS JOIN g
+    WHERE e.user_id < 20
+    GROUP BY 1, 2, 3
+    ORDER BY gran, bucket_start, event_type
+    """,
+)
+def x38_multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    exploded = e.select(
+        "event_type",
+        "value",
+        "ts",
+        F.explode(F.array(F.lit("minute"), F.lit("hour"), F.lit("day"))).alias(
+            "gran"
+        ),
+    )
+    bucket = F.when(
+        F.col("gran") == "minute", F.date_trunc("minute", F.col("ts"))
+    ).when(
+        F.col("gran") == "hour", F.date_trunc("hour", F.col("ts"))
+    ).otherwise(F.date_trunc("day", F.col("ts")))
+    return (
+        exploded.groupBy(
+            "gran", ts_str(bucket).alias("bucket_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            round2(F.sum(dec("value"))).alias("sum_value"),
+        )
+        .orderBy("gran", "bucket_start", "event_type")
+    )
