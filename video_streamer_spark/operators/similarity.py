@@ -141,17 +141,39 @@ def add_lsh_tables(
     Single-table recall for a neighbor at angle θ is (1-θ/π)^planes —
     poor once neighbors aren't near-identical. L independent tables lift
     it to 1-(1-p)^L at L× candidate cost, the standard recall/cost dial.
+
+    Buckets for ALL tables come from one Arrow-batched pandas UDF (a
+    single (L·planes, dim) matmul + sign-bit packing per batch) over ONE
+    scan, then posexplode. Two prior formulations lost to this: a
+    union-of-L-scans (reads the corpus L times) and a codegen'd
+    fold-per-plane expression (L·planes·dim literal leaves — thousands —
+    whose analysis/codegen cost dominated the tiny actual math).
     """
-    tagged = []
-    for t in range(n_tables):
-        tagged.append(
-            add_lsh_bucket(df, dim, n_planes, vec_col, seed + 1000 * t)
-            .withColumn("table_id", F.lit(t))
-        )
-    out = tagged[0]
-    for more in tagged[1:]:
-        out = out.unionByName(more)
-    return out
+    import sys
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+
+    all_planes = np.vstack(
+        [_random_planes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    )  # (n_tables*n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def all_buckets(vs: pd.Series) -> pd.Series:
+        mat = np.array(list(vs), dtype=np.float64)  # (n, dim)
+        signs = (mat @ all_planes.T) >= 0  # (n, n_tables*n_planes)
+        per_table = signs.reshape(len(mat), n_tables, n_planes)
+        codes = (per_table * weights).sum(axis=2).astype("int32")  # (n, L)
+        return pd.Series(list(codes))
+
+    return df.select(
+        *df.columns,
+        F.posexplode(all_buckets(F.col(vec_col))).alias("table_id", "bucket"),
+    )
 
 
 def lsh_topk(
