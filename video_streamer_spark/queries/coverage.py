@@ -419,3 +419,31 @@ def x36_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p_partkey
         """
     )
+
+
+# --------------------------------------------------------------------------
+# regex functions: extract / replace / match / LIKE. Patterns stay in the
+# RE2 ∩ Java-regex common subset so both engines agree.
+@query(
+    "x39_regex_functions",
+    oracle="""
+    SELECT p_partkey,
+      regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+      regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled,
+      CAST(regexp_matches(p_type, 'BRUSHED|POLISHED') AS BOOLEAN) AS is_finished,
+      CAST(p_name LIKE '%ol%' AS BOOLEAN) AS has_ol,
+      CAST(p_brand SIMILAR TO 'Brand#[0-9]+' AS BOOLEAN) AS brand_shape
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def x39_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("BRUSHED|POLISHED").alias("is_finished"),
+        F.col("p_name").like("%ol%").alias("has_ol"),
+        F.col("p_brand").rlike("^Brand#[0-9]+$").alias("brand_shape"),
+    ).orderBy("p_partkey")
