@@ -435,3 +435,47 @@ def test_range_partitioned_sorted_write_clusters_files(spark, tmp_path):
     assert all(
         ordered[i][1] <= ordered[i + 1][0] for i in range(len(ordered) - 1)
     ), ordered
+
+
+def test_framedir_custom_datasource_batch_and_stream(spark, tmp_path):
+    """Python DataSource (format 'framedir'): batch read returns every
+    frame file with correct ids/payloads across partitions; the simple
+    stream reader delivers files incrementally (AvailableNow drain sees
+    all files present at start)."""
+    from video_streamer_spark.sources.frame_source import register_frame_source
+
+    src = tmp_path / "frames"
+    src.mkdir()
+    want = {}
+    for i in range(17):
+        payload = bytes([i]) * (i + 1)
+        (src / f"cam1-{i}.bin").write_bytes(payload)
+        want[("cam1", i)] = payload
+
+    register_frame_source(spark)
+    df = (
+        spark.read.format("framedir")
+        .option("path", str(src))
+        .option("numPartitions", 4)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 17
+    got = {(r["stream_id"], r["frame_id"]): bytes(r["payload"]) for r in rows}
+    assert got == want
+    assert all(r["n_bytes"] == r["frame_id"] + 1 for r in rows)
+
+    stream = spark.readStream.format("framedir").option("path", str(src)).load()
+    assert stream.isStreaming
+    q = (
+        stream.groupBy("stream_id")
+        .count()
+        .writeStream.format("memory")
+        .queryName("framedir_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_n = spark.sql("SELECT count FROM framedir_sink").collect()
+    assert [r["count"] for r in got_n] == [17]
