@@ -479,3 +479,18 @@ def test_framedir_custom_datasource_batch_and_stream(spark, tmp_path):
     q.awaitTermination(120)
     got_n = spark.sql("SELECT count FROM framedir_sink").collect()
     assert [r["count"] for r in got_n] == [17]
+
+
+def test_payload_stats_arrow_matches_pandas_path(spark):
+    """mapInArrow and mapInPandas implementations must agree row-for-row
+    (same stats, same schema)."""
+    from video_streamer_spark.operators.multimodal import (
+        documents_as_payloads,
+        payload_stats,
+        payload_stats_arrow,
+    )
+
+    payloads = documents_as_payloads(table(spark, SF_SMOKE, "documents"))
+    a = sorted(tuple(r) for r in payload_stats(payloads).collect())
+    b = sorted(tuple(r) for r in payload_stats_arrow(payloads).collect())
+    assert a == b and len(a) > 0

@@ -297,3 +297,44 @@ def test_synthetic_rate_stream_drives_inference(spark, tmp_path):
         got.groupBy("frame_id", "box_idx").count().where("count > 1").count()
     )
     assert dupes == 0
+
+
+def test_stream_stream_left_outer_join(spark):
+    """Left-outer stream-stream join: matched rows equal the inner
+    batch join; unmatched purchases surface with null click_id once the
+    watermark passes (AvailableNow's final batch), and every emitted
+    null-row is a purchase the batch join really leaves unmatched."""
+    stream = sp.purchase_click_stream_join(spark, SF_ORACLE, how="left_outer")
+    name = sp.run_available_now(stream, "ssjoin_outer_sink", "append")
+    got = spark.sql(f"SELECT purchase_id, click_id FROM {name}").collect()
+    got_matched = sorted(
+        (r["purchase_id"], r["click_id"]) for r in got if r["click_id"] is not None
+    )
+    got_null = {r["purchase_id"] for r in got if r["click_id"] is None}
+
+    e = table(spark, SF_ORACLE, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7200 SECONDS"))
+    )
+    want_matched = sorted(
+        (r["purchase_id"], r["click_id"]) for r in p.join(c, cond).collect()
+    )
+    batch_unmatched = {
+        r["purchase_id"]
+        for r in p.join(c, cond, "left_anti").collect()
+    }
+    assert got_matched == want_matched
+    assert got_null, "no unmatched purchases emitted"
+    assert got_null <= batch_unmatched

@@ -152,6 +152,7 @@ def purchase_click_stream_join(
     sf_dir: str,
     window_seconds: int = 7200,
     watermark: str = "3 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: each purchase joined to same-user clicks
     in the preceding ``window_seconds`` (the streaming twin of the as-of
@@ -183,12 +184,15 @@ def purchase_click_stream_join(
         )
         .withWatermark("c_ts", watermark)
     )
+    # outer variants hold unmatched rows in state until the watermark
+    # proves no match can still arrive, then emit them with nulls —
+    # exactly the late-data discipline the reference lacks
     return purchases.join(
         clicks,
         (F.col("p_user") == F.col("c_user"))
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS")),
-        "inner",
+        how,
     ).select("purchase_id", "click_id", "p_user", "p_ts", "c_ts")
 
 
