@@ -494,3 +494,73 @@ def test_payload_stats_arrow_matches_pandas_path(spark):
     a = sorted(tuple(r) for r in payload_stats(payloads).collect())
     b = sorted(tuple(r) for r in payload_stats_arrow(payloads).collect())
     assert a == b and len(a) > 0
+
+
+def test_nms_suppresses_overlaps_matches_reference_impl(spark):
+    """Greedy NMS: (a) survivors never overlap above the IoU threshold
+    within a class; (b) the distributed result equals a sequential
+    single-process reference implementation on the same frames."""
+    import numpy as np
+
+    from video_streamer_spark.catalog import table as t
+    from video_streamer_spark.operators import detections as D
+
+    det = D.scale_boxes(
+        D.synthetic_detections(
+            t(spark, SF_ORACLE, "events").where(F.col("event_id") < 2000)
+        )
+    )
+    # synthetic frames have 10 distinct labels per frame, so suppression
+    # only bites class-agnostically
+    got = D.nms(det, iou_threshold=0.5, class_aware=False)
+    rows = got.collect()
+    assert 0 < len(rows) <= det.count()
+
+    def iou(a, b):
+        ix = max(0, min(a["x_max"], b["x_max"]) - max(a["x_min"], b["x_min"]))
+        iy = max(0, min(a["y_max"], b["y_max"]) - max(a["y_min"], b["y_min"]))
+        inter = ix * iy
+        ar = lambda r: max(0, r["x_max"] - r["x_min"]) * max(0, r["y_max"] - r["y_min"])  # noqa: E731
+        u = ar(a) + ar(b) - inter
+        return inter / u if u else 0.0
+
+    by_frame = {}
+    for r in rows:
+        by_frame.setdefault(r["frame_id"], []).append(r)
+    for frame_rows in by_frame.values():
+        for i, a in enumerate(frame_rows):
+            for b in frame_rows[i + 1:]:
+                assert iou(a, b) <= 0.5 + 1e-9
+
+    # reference implementation: same greedy order, plain python
+    def ref_nms(frame_rows):
+        order = sorted(frame_rows, key=lambda r: (-r["score"], r["box_idx"]))
+        keep = []
+        for c in order:
+            if all(iou(k, c) <= 0.5 for k in keep):
+                keep.append(c)
+        return {(r["frame_id"], r["box_idx"]) for r in keep}
+
+    all_det = {}
+    for r in det.collect():
+        all_det.setdefault(r["frame_id"], []).append(r)
+    want = set().union(*(ref_nms(v) for v in all_det.values()))
+    assert {(r["frame_id"], r["box_idx"]) for r in rows} == want
+
+    # crafted frame with certain overlaps: three stacked boxes, the
+    # top-score one must suppress its >0.5-IoU twin but not the far box
+    crafted = spark.createDataFrame(
+        [
+            (1, 0, 100, 100, 200, 200, 1, 0.9),   # keeper
+            (1, 1, 105, 105, 205, 205, 1, 0.8),   # IoU ~0.81 -> suppressed
+            (1, 2, 500, 500, 600, 600, 1, 0.7),   # disjoint -> kept
+            (2, 0, 0, 0, 50, 50, 2, 0.6),          # other frame untouched
+        ],
+        "frame_id bigint, box_idx int, x_min int, y_min int, "
+        "x_max int, y_max int, label_id int, score double",
+    )
+    kept = {
+        (r["frame_id"], r["box_idx"])
+        for r in D.nms(crafted, iou_threshold=0.5).collect()
+    }
+    assert kept == {(1, 0), (1, 2), (2, 0)}
