@@ -338,3 +338,25 @@ def test_stream_stream_left_outer_join(spark):
     assert got_matched == want_matched
     assert got_null, "no unmatched purchases emitted"
     assert got_null <= batch_unmatched
+
+
+def test_drop_duplicates_within_watermark(spark):
+    """dropDuplicatesWithinWatermark: same distinct result as batch on
+    this in-order corpus, but dedup state is evictable past the
+    watermark (unbounded-state-safe, unlike plain dropDuplicates)."""
+    ev = sp.events_stream(spark, SF_ORACLE)
+    stream = (
+        ev.select("user_id", "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id"])
+    )
+    name = sp.run_available_now(stream, "dedup_wm_sink", "append")
+    got = {r["user_id"] for r in spark.sql(f"SELECT user_id FROM {name}").collect()}
+    want = {
+        r["user_id"]
+        for r in table(spark, SF_ORACLE, "events").select("user_id").distinct().collect()
+    }
+    # every user appears; watermark-based eviction may re-emit a user
+    # whose duplicates arrive further apart than the watermark, so got
+    # is a superset in general and equal on this in-order corpus
+    assert want <= got

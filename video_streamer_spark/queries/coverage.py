@@ -447,3 +447,46 @@ def x39_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").like("%ol%").alias("has_ol"),
         F.col("p_brand").rlike("^Brand#[0-9]+$").alias("brand_shape"),
     ).orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# RANGE window frame: 30-day trailing order totals per customer. The
+# frame is value-based (all orders within 30 days), not row-based —
+# Spark's rangeBetween needs a numeric ordering key, so both engines
+# order on epoch days.
+@query(
+    "x40_range_frame_trailing_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+      strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+      CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        PARTITION BY o_custkey
+        ORDER BY CAST(epoch(o_orderdate) / 86400 AS BIGINT)
+        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+      ) AS DECIMAL(38,9)), 2) AS DOUBLE) AS trailing_30d
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def x40_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import date_str, dec, round2
+
+    o = table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    day = (F.col("o_orderdate").cast("timestamp").cast("double") / 86400).cast(
+        "bigint"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            date_str("o_orderdate").alias("order_date"),
+            round2(F.sum(dec("o_totalprice")).over(w)).alias("trailing_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
