@@ -564,3 +564,28 @@ def test_nms_suppresses_overlaps_matches_reference_impl(spark):
         for r in D.nms(crafted, iou_threshold=0.5).collect()
     }
     assert kept == {(1, 0), (1, 2), (2, 0)}
+
+
+def test_embedding_near_pairs_lsh_recall(spark):
+    """LSH-blocked near-pair mining: precision must be exact (every
+    emitted pair really clears the threshold per the exact operator) and
+    recall against the exact all-pairs result must stay useful."""
+    from video_streamer_spark.operators.similarity import (
+        embedding_near_pairs,
+        embedding_near_pairs_lsh,
+    )
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in embedding_near_pairs(emb, threshold=0.35).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in embedding_near_pairs_lsh(emb, dim=64, threshold=0.35).collect()
+    }
+    assert set(approx) <= set(exact), "false positives: precision broken"
+    for p, s in approx.items():
+        assert abs(s - exact[p]) < 1e-6
+    recall = len(approx) / len(exact)
+    assert recall >= 0.4, f"LSH near-pair recall collapsed: {recall}"

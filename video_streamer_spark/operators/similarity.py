@@ -430,3 +430,52 @@ def ivf_topk(
         .select("query_id", "vec_id", "sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def embedding_near_pairs_lsh(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-blocked near-pair mining — the 100 TB path next to the exact
+    ``embedding_near_pairs`` (which carries the corpus matrix in each
+    task closure and stops scaling around ~100k vectors).
+
+    Candidates are pairs sharing any (table_id, bucket); each candidate
+    is re-scored exactly with the codegen'd cosine and cut at the
+    threshold, so precision is 1.0 and only recall is approximate
+    (property-tested). The self-join shuffles the bucket table — fixed
+    at rows × n_tables, independent of pair count.
+    """
+    tagged = add_lsh_tables(
+        embeddings.select(id_col, vec_col), dim, n_planes, n_tables, vec_col
+    ).persist()  # both join sides read it; avoid recomputing the buckets
+    a = tagged.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("a_vec"),
+        "table_id",
+        "bucket",
+    )
+    b = tagged.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("b_vec"),
+        "table_id",
+        "bucket",
+    )
+    return (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "a_vec", "b_vec")
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select(
+            "vec_a",
+            "vec_b",
+            round4(cosine_similarity("a_vec", "b_vec")).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
