@@ -589,3 +589,36 @@ def test_embedding_near_pairs_lsh_recall(spark):
         assert abs(s - exact[p]) < 1e-6
     recall = len(approx) / len(exact)
     assert recall >= 0.4, f"LSH near-pair recall collapsed: {recall}"
+
+
+def test_bench_headline_names_are_registered():
+    """Driver contract guard: every bench.py HEADLINE name must exist in
+    the query registry (a rename would make the recorded BENCH fail)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, missing
+
+
+def test_entry_contract_shape():
+    """__spark_entry__ exposes exactly the driver's three callables and
+    every oracle key is a registered query."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry",
+        os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs, os_ = mod.queries(), mod.oracle_sql()
+    assert callable(mod.entry)
+    assert set(os_) <= set(qs)
+    assert all(isinstance(v, str) and v.strip() for v in os_.values())
