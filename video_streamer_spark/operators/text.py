@@ -173,3 +173,54 @@ def tf_idf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ).alias("tfidf_raw"),
         )
     )
+
+
+# GPT-2-style pretokenizer pattern, restricted to the RE2 ∩ Java-regex
+# subset (no lookahead): contraction suffixes, letter runs, digit runs,
+# punctuation runs — each optionally preceded by one space.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens_col(text: Column | str) -> Column:
+    """BPE-ish subword pretokens via regexp_extract_all — the tokenizer
+    shape LLM data pipelines count with, next to the whitespace
+    ``tokens_col``. Leading spaces are part of the token (GPT-2
+    convention), so counts reflect byte-pair segmentation boundaries."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0)
+
+
+ROLLING_BASE = 131
+ROLLING_WINDOW = 8
+
+
+def rolling_hash_fingerprints(
+    docs: DataFrame, window: int = ROLLING_WINDOW
+) -> DataFrame:
+    """Rabin–Karp rolling-hash fingerprint per document.
+
+    Every ``window``-char substring hashes to Σ ascii(c_j)·B^(w-1-j);
+    the doc fingerprint is the MIN window hash (winnowing-style: stable
+    under edits that don't touch the minimizing window) plus the
+    distinct-window-hash count as a length-insensitive content size.
+    All codegen'd array expressions, exactly reproducible in SQL —
+    values stay < 2^63 for window ≤ 8, base 131.
+    """
+    n = F.length("text")
+    starts = F.sequence(F.lit(1), n - (window - 1))
+    weights = [ROLLING_BASE ** (window - 1 - j) for j in range(window)]
+    # every term computed in BIGINT: small weights would otherwise land
+    # as IntegerType literals and ascii*int overflows under ANSI mode
+    hashes = F.transform(
+        starts,
+        lambda i: sum(
+            F.ascii(F.col("text").substr(i + F.lit(j), F.lit(1))).cast("bigint")
+            * F.lit(w).cast("bigint")
+            for j, w in enumerate(weights)
+        ),
+    )
+    return docs.where(n >= window).select(
+        "doc_id",
+        F.array_min(hashes).alias("min_hash"),
+        F.size(F.array_distinct(hashes)).cast("int").alias("n_distinct_windows"),
+    )

@@ -477,3 +477,66 @@ def x37_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", round4("tfidf_raw").alias("tfidf"))
         .orderBy("doc_id", "token")
     )
+
+
+# --------------------------------------------------------------------------
+# x41: BPE-ish regex token counts — the subword-pretoken counting an LLM
+# data pipeline uses (GPT-2 split pattern, RE2∩Java subset)
+@query(
+    "x41_bpe_token_counts",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+        regexp_extract_all(text,
+          '{text.BPE_SPLIT_PATTERN.replace("'", "''")}') AS t
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(t) AS INT) AS n_bpe_tokens,
+      CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+      CAST(list_sum(list_transform(t, x -> strlen(x))) AS BIGINT) AS total_chars
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def x41_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = text.bpe_tokens_col("text")
+    return d.select(
+        "doc_id",
+        F.size(t).cast("int").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(t)).cast("int").alias("n_distinct"),
+        F.aggregate(
+            t, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x).cast("bigint")
+        ).alias("total_chars"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x42: rolling-hash (Rabin–Karp) fingerprint — min window hash +
+# distinct-window count, byte-identical integer arithmetic both engines
+@query(
+    "x42_rolling_hash_fingerprint",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+        list_transform(
+          range(1, strlen(text) - {text.ROLLING_WINDOW} + 2),
+          i -> {' + '.join(
+            f"CAST(ascii(substr(text, i + {j}, 1)) AS BIGINT)"
+            f" * CAST({text.ROLLING_BASE ** (text.ROLLING_WINDOW - 1 - j)} AS BIGINT)"
+            for j in range(text.ROLLING_WINDOW)
+          )}
+        ) AS hashes
+      FROM documents
+      WHERE strlen(text) >= {text.ROLLING_WINDOW})
+    SELECT doc_id,
+      CAST(list_min(hashes) AS BIGINT) AS min_hash,
+      CAST(len(list_distinct(hashes)) AS INT) AS n_distinct_windows
+    FROM h
+    ORDER BY doc_id
+    """,
+)
+def x42_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.rolling_hash_fingerprints(
+        table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
