@@ -360,3 +360,37 @@ def test_drop_duplicates_within_watermark(spark):
     # whose duplicates arrive further apart than the watermark, so got
     # is a superset in general and equal on this in-order corpus
     assert want <= got
+
+
+def test_bucketed_table_streaming_sink(spark, tmp_path):
+    """Streamed events land in a bucketed catalog table; row set equals
+    the batch input, and a join on the bucket key against a co-bucketed
+    table plans with zero Exchanges."""
+    from video_streamer_spark.plans import plan_report
+    from video_streamer_spark.sources.bucketing import write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS stream_events_bucketed")
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    shutil.rmtree(f"{wh}/stream_events_bucketed", ignore_errors=True)
+
+    stream = sp.events_stream(spark, SF_ORACLE, max_files_per_trigger=1).select(
+        "event_id", "user_id", "value"
+    )
+    sp.run_bucketed_table_sink(
+        stream, "stream_events_bucketed", ["user_id"], n_buckets=8
+    )
+    got = spark.table("stream_events_bucketed")
+    want = table(spark, SF_ORACLE, "events").select("event_id", "user_id", "value")
+    assert got.count() == want.count()
+    assert sorted(r["event_id"] for r in got.select("event_id").collect()) == sorted(
+        r["event_id"] for r in want.select("event_id").collect()
+    )
+
+    dim = want.groupBy("user_id").count()
+    write_bucketed(dim, "bt_user_dim", ["user_id"], n_buckets=8,
+                   sort_cols=["user_id"])
+    joined = got.join(spark.table("bt_user_dim"), "user_id")
+    r = plan_report(joined)
+    assert r.n_exchanges == 0, r.text

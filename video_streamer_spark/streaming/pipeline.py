@@ -228,3 +228,50 @@ def synthetic_frame_stream(
         F.col("timestamp").alias("ts"),
         payload.alias("payload"),
     )
+
+
+def run_bucketed_table_sink(
+    stream_df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    timeout_sec: int = 300,
+):
+    """Stream into a BUCKETED catalog table — the queryable-store sink
+    (VDMS role) with a join-optimized layout: downstream joins on the
+    bucket key read the table with zero Exchanges.
+
+    Idempotence: rows land in an ``epoch=<id>`` partition and each epoch
+    OVERWRITES only its own partition (dynamic partitionOverwriteMode),
+    so a retried epoch replaces itself — the same exactly-once-end-state
+    contract as run_foreach_batch_sink, but into a catalog table that
+    keeps bucket metadata.
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out = batch_df.withColumn("epoch", F.lit(int(epoch_id)))
+        if not spark.catalog.tableExists(table_name):
+            (
+                out.write.mode("overwrite")
+                .format("parquet")
+                .partitionBy("epoch")
+                .bucketBy(n_buckets, *bucket_cols)
+                .sortBy(*bucket_cols)
+                .saveAsTable(table_name)
+            )
+        else:
+            (
+                out.write.mode("overwrite")
+                .format("parquet")
+                .insertInto(table_name)
+            )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
