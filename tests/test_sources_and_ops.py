@@ -622,3 +622,19 @@ def test_entry_contract_shape():
     assert callable(mod.entry)
     assert set(os_) <= set(qs)
     assert all(isinstance(v, str) and v.strip() for v in os_.values())
+
+
+def test_documents_corpus_is_ascii():
+    """The x12/x31/x42 oracles equate DuckDB strlen()/ascii() (chars /
+    codepoints) with Spark byte-wise ops over encode(text) — valid only
+    while the documents corpus is pure ASCII (1 char == 1 byte). Enforce
+    that assumption here so a future non-ASCII corpus fails loudly in
+    pytest instead of as a silent driver hash mismatch."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM '/root/testdata/{sf}/documents.parquet' "
+            "WHERE octet_length(encode(text)) <> strlen(text)"
+        ).fetchone()[0]
+        assert n == 0, f"{n} non-ASCII documents at {sf}"

@@ -20,9 +20,15 @@ entirely inside whole-stage codegen and scale by shuffle:
   sizes. Document-frequency cutoff drops stop-shingles, which is both a
   quality and a skew guard (a shingle in k docs emits k² pair rows).
 
-Hashes are md5 (hex string) rather than Spark's xxhash64 so the DuckDB
-oracle can reproduce them exactly; min() over the hex strings is a valid
-uniform min-hash because md5 is uniform on the hex alphabet.
+Hash choices are dictated by DuckDB-oracle reproducibility, not speed:
+exact-dedup, simhash, and fingerprints use md5 hex strings (identical
+text → identical hex in both engines). Min-hashes are NOT md5 strings:
+``minhash_signatures`` slices each salted sha256 digest into four
+independent 56-bit integers (14 hex chars apiece, cast to BIGINT) and
+takes min() over the integers — 4 hash functions per digest at one
+hash cost, with none of the correlated-min pathology of the
+Kirsch–Mitzenmacher double-hash scheme (measured: correlated mins
+inflated the candidate set ~16× on the test corpus).
 """
 
 from __future__ import annotations
@@ -142,6 +148,12 @@ def minhash_bands(sigs: DataFrame, band_rows: int = MINHASH_BAND_ROWS) -> DataFr
         (c for c in sigs.columns if c.startswith("mh_")),
         key=lambda c: int(c.split("_")[1]),
     )
+    if len(mh_cols) % band_rows != 0:
+        raise ValueError(
+            f"band_rows={band_rows} must divide num_hashes={len(mh_cols)}; "
+            "a remainder would silently drop trailing signature columns "
+            "and quietly degrade candidate recall"
+        )
     n_bands = len(mh_cols) // band_rows
     bands = F.array(
         *[

@@ -250,7 +250,6 @@ def run_bucketed_table_sink(
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         out = batch_df.withColumn("epoch", F.lit(int(epoch_id)))
         if not spark.catalog.tableExists(table_name):
             (
@@ -262,8 +261,13 @@ def run_bucketed_table_sink(
                 .saveAsTable(table_name)
             )
         else:
+            # per-write dynamic overwrite: only this epoch's partition is
+            # replaced, WITHOUT mutating the shared session conf (a session-
+            # level partitionOverwriteMode=dynamic would silently change the
+            # semantics of later unrelated partitioned overwrite writes)
             (
                 out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .format("parquet")
                 .insertInto(table_name)
             )
