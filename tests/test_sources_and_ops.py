@@ -190,6 +190,42 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"IVF recall collapsed: {recall}"
 
 
+def test_ivf_topk_pivots_recall_vs_brute_force(spark):
+    """The deterministic pivot quantizer (x32's oracle-checked path) must
+    keep useful recall too — sampled pivots are coarser than KMeans
+    centroids but the cells still cover the space."""
+    from video_streamer_spark.operators.similarity import brute_topk, ivf_topk_pivots
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_topk(emb, q, k=3).collect()}
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk_pivots(emb, q, k=3, n_cells=16, n_probe=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"pivot-IVF recall collapsed: {recall}"
+
+
+def test_embedding_near_pairs_block_invariance(spark):
+    """The blocked all-pairs result must be identical for any block size
+    (1 block vs many) — partitioning is a physical choice, not a
+    semantic one."""
+    from video_streamer_spark.operators.similarity import embedding_near_pairs
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    one = [
+        tuple(r)
+        for r in embedding_near_pairs(emb, threshold=0.35, block_rows=4096).collect()
+    ]
+    many = [
+        tuple(r)
+        for r in embedding_near_pairs(emb, threshold=0.35, block_rows=100).collect()
+    ]
+    assert one == many
+    assert len(one) > 0
+
+
 def test_byte_histogram_features(spark):
     """Feature extraction: histogram is normalized, 16-dim, and matches
     a direct numpy computation for a known payload."""

@@ -98,6 +98,19 @@ def _random_planes(dim: int, n_planes: int, seed: int = LSH_PLANES_SEED) -> list
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def lsh_plane_rows(
+    dim: int, n_planes: int, n_tables: int, seed: int = LSH_PLANES_SEED
+) -> list[tuple[int, int, list[float]]]:
+    """The exact (table_id, plane_idx, plane) triples ``add_lsh_tables``
+    hashes with — exposed so an oracle can re-derive bucket assignment
+    from the same literals (repr() of each float round-trips exactly)."""
+    return [
+        (t, i, plane)
+        for t in range(n_tables)
+        for i, plane in enumerate(_random_planes(dim, n_planes, seed + 1000 * t))
+    ]
+
+
 def add_lsh_bucket(
     df: DataFrame,
     dim: int,
@@ -135,6 +148,7 @@ def add_lsh_tables(
     n_tables: int,
     vec_col: str = "embedding",
     seed: int = LSH_PLANES_SEED,
+    fold_exact: bool = False,
 ) -> DataFrame:
     """Multi-table LSH: one (table_id, bucket) row per table per vector.
 
@@ -148,6 +162,15 @@ def add_lsh_tables(
     union-of-L-scans (reads the corpus L times) and a codegen'd
     fold-per-plane expression (L·planes·dim literal leaves — thousands —
     whose analysis/codegen cost dominated the tiny actual math).
+
+    ``fold_exact=True`` accumulates each plane dot in sequential
+    dimension order (one fused outer-product per dim) instead of one
+    BLAS matmul. The two differ only by summation order (≲ dim·ε), but
+    sequential order is BIT-IDENTICAL to a left fold — i.e. to DuckDB's
+    list_dot_product — so a sign test near 0 can never disagree with an
+    oracle that recomputes the same dots in SQL. Use it on
+    oracle-checked queries; the default matmul is fine for recall-
+    property paths.
     """
     import sys
 
@@ -157,15 +180,21 @@ def add_lsh_tables(
 
     ship_module(sys.modules[__name__])
 
-    all_planes = np.vstack(
-        [_random_planes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    all_planes = np.array(
+        [p for _, _, p in lsh_plane_rows(dim, n_planes, n_tables, seed)]
     )  # (n_tables*n_planes, dim)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def all_buckets(vs: pd.Series) -> pd.Series:
         mat = np.array(list(vs), dtype=np.float64)  # (n, dim)
-        signs = (mat @ all_planes.T) >= 0  # (n, n_tables*n_planes)
+        if fold_exact:
+            acc = np.zeros((mat.shape[0], all_planes.shape[0]))
+            for j in range(mat.shape[1]):
+                acc += np.outer(mat[:, j], all_planes[:, j])
+            signs = acc >= 0
+        else:
+            signs = (mat @ all_planes.T) >= 0  # (n, n_tables*n_planes)
         per_table = signs.reshape(len(mat), n_tables, n_planes)
         codes = (per_table * weights).sum(axis=2).astype("int32")  # (n, L)
         return pd.Series(list(codes))
@@ -185,21 +214,29 @@ def lsh_topk(
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fold_exact: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     buckets across ``n_tables`` independent tables.
 
     Equi-join on (table_id, bucket) replaces the cross join — candidate
-    count drops ~2^n_planes per table. Recall is property-tested rather
-    than oracle-exact, as approximate results should be.
+    count drops ~2^n_planes per table. The result is approximate w.r.t.
+    a full scan, but it is a DETERMINISTIC function of (data, seed):
+    with ``fold_exact=True`` the bucket assignment is bit-reproducible
+    from the seeded plane literals (see lsh_plane_rows), so a SQL oracle
+    can re-derive the exact same candidate set and ranking.
     """
-    cb = add_lsh_tables(corpus, dim, n_planes, n_tables, vec_col).select(
+    cb = add_lsh_tables(
+        corpus, dim, n_planes, n_tables, vec_col, fold_exact=fold_exact
+    ).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("c_vec"),
         "table_id",
         "bucket",
     )
-    qb = add_lsh_tables(queries, dim, n_planes, n_tables, vec_col).select(
+    qb = add_lsh_tables(
+        queries, dim, n_planes, n_tables, vec_col, fold_exact=fold_exact
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         "table_id",
@@ -232,38 +269,79 @@ def embedding_near_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 2048,
 ) -> DataFrame:
     """Pairs (a < b) with cosine ≥ threshold — embedding-space near-dup.
 
-    Arrow-vectorized two-phase scoring per partition:
-    1. BLAS matmul against the corpus matrix finds CANDIDATES with a
-       safety margin below the threshold (matmul's pairwise summation
-       differs from a sequential fold by ≲ dim·ε — the margin covers it).
-    2. Candidates are re-scored with a sequential-order fold (vectorized
-       across pairs, looped over dims), which reproduces the JVM fold /
-       DuckDB list_dot_product summation order BIT-EXACTLY; the final
-       threshold cut and rounding use only these exact values.
-    Near-dup pairs are sparse, so phase 2 touches a tiny fraction of the
-    n² matrix and the heavy work runs at full BLAS speed.
+    Distributed blocked all-pairs, nothing ever materializes on the
+    driver: rows hash into B = ⌈n/block_rows⌉ blocks and each of the
+    B(B+1)/2 block pairs becomes one cogrouped Arrow task that
 
-    The corpus matrix rides in the task closure (fine to ~100k vectors);
-    beyond that, ``add_lsh_bucket`` both sides + equi-join on bucket
-    replaces the all-pairs, same scoring. See embedding_near_pairs_sql
-    for the pure-DataFrame form of the same math.
+    1. BLAS-matmuls its two (≤block_rows × dim) tiles to find CANDIDATE
+       pairs with a safety margin below the threshold (matmul's pairwise
+       summation differs from a sequential fold by ≲ dim·ε — the margin
+       covers it), then
+    2. re-scores only the candidates with a sequential-order fold
+       (vectorized across pairs, looped over dims), which reproduces the
+       JVM fold / DuckDB list_dot_product summation order BIT-EXACTLY;
+       the final threshold cut and rounding use only the exact values.
+
+    Scale shape: each row is shuffled to the ~B/2 block-pair tasks it
+    participates in, so shuffle volume is n·(B+1)/2 vectors and per-task
+    memory is two tiles plus a block_rows² float mask — block_rows dials
+    the replication/memory trade. Exact all-pairs is inherently O(n²)
+    compare work however it's partitioned; when n² stops being payable,
+    ``embedding_near_pairs_lsh`` is the sub-quadratic path (same exact
+    re-score, recall property-tested). ``embedding_near_pairs_sql`` is
+    the pure-DataFrame form of the same math for the no-Python-workers
+    case.
     """
     import sys
 
     import numpy as np
     import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     from video_streamer_spark.functions.shipping import ship_module
 
     ship_module(sys.modules[__name__])
 
-    rows = embeddings.select(id_col, vec_col).collect()
-    ids_all = np.array([r[0] for r in rows], dtype=np.int64)
-    mat_all = np.array([r[1] for r in rows], dtype=np.float64)
-    dim = mat_all.shape[1]
+    spark = embeddings.sparkSession
+    src = embeddings.select(
+        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec")
+    )
+    n = src.count()
+    n_blocks = max(1, -(-n // block_rows))
+    pairs_idx = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "blk_a: int, blk_b: int",
+    )
+    blocked = src.withColumn(
+        "blk", F.pmod(F.xxhash64("vid"), F.lit(n_blocks)).cast("int")
+    )
+    left = blocked.join(
+        F.broadcast(pairs_idx), F.col("blk") == F.col("blk_a")
+    ).select("blk_a", "blk_b", "vid", "vec")
+    # fresh aliases on the right side: both cogroup sides descend from the
+    # same `blocked` subtree, and identical attribute ids would trip
+    # Spark's ambiguous-self-join detection
+    right = (
+        blocked.join(F.broadcast(pairs_idx), F.col("blk") == F.col("blk_b"))
+        .select(
+            F.col("blk_a").alias("rblk_a"),
+            F.col("blk_b").alias("rblk_b"),
+            F.col("vid").alias("rvid"),
+            F.col("vec").alias("rvec"),
+        )
+    )
+
+    # margin ≫ matmul-vs-sequential summation error (≲ dim·ε ≈ 1e-14)
+    margin = 1e-9
 
     def seq_norms(m: np.ndarray) -> np.ndarray:
         acc = np.zeros(m.shape[0])
@@ -271,47 +349,46 @@ def embedding_near_pairs(
             acc += m[:, j] * m[:, j]
         return np.sqrt(acc)
 
-    norms_all = seq_norms(mat_all)
-
-    # margin ≫ matmul-vs-sequential summation error (≲ dim·ε ≈ 1e-14)
-    margin = 1e-9
-
-    def score(batches):
-        for pdf in batches:
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            if a_mat.size == 0:
-                continue
-            # phase 1: BLAS candidate generation (approximate, margined)
-            sim_fast = (a_mat @ mat_all.T) / np.outer(seq_norms(a_mat), norms_all)
-            cand_a, cand_b = np.nonzero(
-                (sim_fast >= threshold - margin)
-                & (ids_all[None, :] > a_ids[:, None])
-            )
-            if len(cand_a) == 0:
-                continue
-            # phase 2: exact sequential-order fold, vectorized over the
-            # candidate pairs only
-            A, B = a_mat[cand_a], mat_all[cand_b]
-            acc = np.zeros(len(cand_a))
-            for j in range(dim):
-                acc += A[:, j] * B[:, j]
-            sim = acc / (seq_norms(A) * seq_norms(B))
-            keep = sim >= threshold
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[cand_a[keep]],
-                    "vec_b": ids_all[cand_b[keep]],
-                    "sim_raw": sim[keep],
-                }
-            )
-
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
+    empty = pd.DataFrame(
+        {
+            "vec_a": np.array([], dtype=np.int64),
+            "vec_b": np.array([], dtype=np.int64),
+            "sim_raw": np.array([], dtype=np.float64),
+        }
     )
+
+    def score(key, l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = key
+        if len(l_pdf) == 0 or len(r_pdf) == 0:
+            return empty
+        a_ids = l_pdf["vid"].to_numpy(dtype=np.int64)
+        b_ids = r_pdf["rvid"].to_numpy(dtype=np.int64)
+        a_mat = np.array(list(l_pdf["vec"]), dtype=np.float64)
+        b_mat = np.array(list(r_pdf["rvec"]), dtype=np.float64)
+        # phase 1: BLAS candidate generation (approximate, margined)
+        sim_fast = (a_mat @ b_mat.T) / np.outer(seq_norms(a_mat), seq_norms(b_mat))
+        mask = sim_fast >= threshold - margin
+        if i == j:
+            # same tile on both sides: keep each unordered pair once
+            mask &= b_ids[None, :] > a_ids[:, None]
+        cand_a, cand_b = np.nonzero(mask)
+        if len(cand_a) == 0:
+            return empty
+        # phase 2: exact sequential-order fold over candidates only
+        A, B = a_mat[cand_a], b_mat[cand_b]
+        acc = np.zeros(len(cand_a))
+        for d in range(A.shape[1]):
+            acc += A[:, d] * B[:, d]
+        sim = acc / (seq_norms(A) * seq_norms(B))
+        keep = sim >= threshold
+        ia, ib = a_ids[cand_a[keep]], b_ids[cand_b[keep]]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ia, ib),
+                "vec_b": np.maximum(ia, ib),
+                "sim_raw": sim[keep],
+            }
+        )
 
     out_schema = StructType(
         [
@@ -320,7 +397,11 @@ def embedding_near_pairs(
             StructField("sim_raw", DoubleType()),
         ]
     )
-    pairs = embeddings.select(id_col, vec_col).mapInPandas(score, out_schema)
+    pairs = (
+        left.groupBy("blk_a", "blk_b")
+        .cogroup(right.groupBy("rblk_a", "rblk_b"))
+        .applyInPandas(score, out_schema)
+    )
     return pairs.select(
         "vec_a", "vec_b", round4("sim_raw").alias("sim")
     ).orderBy("vec_a", "vec_b")
@@ -412,6 +493,111 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("q_vec"),
+    ).withColumn("cell", F.explode(probe_cells(F.col("q_vec"))))
+
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            round4(cosine_similarity("c_vec", "q_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_topk_pivots(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k with a hash-sampled PIVOT coarse quantizer —
+    the deterministic, oracle-checkable sibling of ``ivf_topk`` (KMeans).
+
+    Build: centroids are the embeddings of the ``n_cells`` corpus rows
+    with the smallest (md5(id), id) — a uniform hash-sample of the
+    corpus, the same random-init family IVF accepts (KMeans refinement
+    improves cell balance but is NOT required for IVF semantics). Zero
+    Lloyd iterations keeps the quantizer a pure function of the data:
+    both engines can recompute it exactly.
+
+    Assignment: each vector routes to argmin_c ||e-c||², computed as the
+    monotone-equivalent routing score <c,c> - 2<e,c> where every dot is
+    a sequential-order float64 fold — bit-identical to DuckDB's
+    list_dot_product — and ties break on centroid id. Search: queries
+    route to their ``n_probe`` best cells the same way, then score
+    exactly (rounded cosine, ties on id) within those cells.
+
+    Scale: the quantizer is n_cells rows collected to the driver (a
+    model parameter, same as KMeans clusterCenters); assignment is one
+    corpus scan against the in-closure (n_cells×dim) matrix; at 100 TB
+    the corpus lives parquet-partitioned by cell so a probe reads
+    n_probe/n_cells of the data via partition pruning.
+    """
+    import sys
+
+    from pyspark.sql.types import ArrayType, LongType
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+
+    piv_rows = (
+        corpus.select(
+            F.col(id_col).alias("cent_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "cent_id")
+        .limit(n_cells)
+        .collect()
+    )
+    piv_rows = sorted(piv_rows, key=lambda r: r["cent_id"])
+    cent_ids = np.array([r["cent_id"] for r in piv_rows], dtype=np.int64)
+    cents = np.array([r["cvec"] for r in piv_rows], dtype=np.float64)  # (C, dim)
+    # <c,c> with sequential fold order (matches list_dot_product(c, c))
+    c2 = np.zeros(len(cents))
+    for j in range(cents.shape[1]):
+        c2 += cents[:, j] * cents[:, j]
+
+    def routing_scores(mat: np.ndarray) -> np.ndarray:
+        """(n, C) scores <c,c> - 2<e,c>; dots accumulate in dimension
+        order so each score is bit-exact vs the SQL fold."""
+        dots = np.zeros((mat.shape[0], len(cents)))
+        for j in range(mat.shape[1]):
+            dots += np.outer(mat[:, j], cents[:, j])
+        return c2[None, :] - 2.0 * dots
+
+    @F.pandas_udf(LongType())
+    def assign_cell(vs: pd.Series) -> pd.Series:
+        mat = np.array(list(vs), dtype=np.float64)
+        # argmin returns the FIRST min; cents are cent_id-sorted, so ties
+        # break on the smaller centroid id — same as ORDER BY score, id
+        return pd.Series(cent_ids[np.argmin(routing_scores(mat), axis=1)])
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        mat = np.array(list(vs), dtype=np.float64)
+        scores = routing_scores(mat)
+        order = np.argsort(scores, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(cent_ids[order]))
+
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("cell", assign_cell(F.col("c_vec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("cell", F.explode(probe_cells(F.col("q_vec"))))
 
     scored = (

@@ -278,12 +278,55 @@ def x06_ann_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# approximate path: recall is property-tested, not oracle-matched → no SQL
-@query("x07_ann_lsh_topk")
+# x07 is approximate w.r.t. a full scan but DETERMINISTIC in (data, seed):
+# the oracle re-derives the bucket assignment from the same seeded plane
+# literals (similarity.lsh_plane_rows), re-scores candidates with the same
+# rounded cosine, and must therefore reproduce the result bit-for-bit.
+# fold_exact=True pins the Spark-side bucket dots to sequential fold order
+# (= DuckDB list_dot_product), so a sign test near 0 cannot disagree.
+def _lsh_planes_values(dim: int, n_planes: int, n_tables: int) -> str:
+    return ",\n      ".join(
+        f"({t}, {i}, CAST([{', '.join(repr(float(x)) for x in plane)}] AS DOUBLE[]))"
+        for t, i, plane in similarity.lsh_plane_rows(dim, n_planes, n_tables)
+    )
+
+
+@query(
+    "x07_ann_lsh_topk",
+    oracle=f"""
+    WITH planes(table_id, plane_idx, plane) AS (VALUES
+      {_lsh_planes_values(64, 4, 8)}),
+    buckets AS (
+      SELECT e.vec_id, p.table_id,
+        CAST(SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.plane) >= 0
+                 THEN 1 << p.plane_idx ELSE 0 END) AS INT) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.table_id),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+      FROM buckets q JOIN buckets c
+        ON q.table_id = c.table_id AND q.bucket = c.bucket
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+        {_R4.format(_sql_cos('ce.embedding', 'qe.embedding'))} AS sim
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, sim,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, sim, rank FROM ranked
+    WHERE rank <= 3 ORDER BY query_id, rank
+    """,
+)
 def x07_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(
-        emb, emb.where(F.col("vec_id") < 10), dim=64, k=3, n_planes=4
+        emb, emb.where(F.col("vec_id") < 10), dim=64, k=3, n_planes=4,
+        fold_exact=True,
     )
 
 
@@ -432,14 +475,59 @@ def x31_sampled_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x32: IVF approximate top-k (coarse-quantizer ANN) — approximate by
-# design, so no value oracle; recall is property-tested against
-# brute_topk in tests/test_sources_and_ops.py
-@query("x32_ivf_topk")
+# x32: IVF approximate top-k (coarse-quantizer ANN). The registered query
+# uses the hash-sampled PIVOT quantizer (similarity.ivf_topk_pivots):
+# centroids are the n_cells rows with smallest (md5(id), id), assignment
+# is argmin of the routing score <c,c> - 2<e,c> with sequential-fold dots,
+# so the oracle below re-derives the identical cells, probes, and ranking.
+# The KMeans quantizer (similarity.ivf_topk) remains recall-property-
+# tested in tests/test_sources_and_ops.py — KMeans itself is not
+# cross-engine reproducible, which is an oracle limitation, not a gap.
+_IVF_ROUTE = (
+    "list_dot_product(p.cvec, p.cvec)"
+    " - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), p.cvec)"
+)
+
+
+@query(
+    "x32_ivf_topk",
+    oracle=f"""
+    WITH piv AS (
+      SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, p.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY {_IVF_ROUTE}, p.cent_id) AS rn
+        FROM embeddings e CROSS JOIN piv p) WHERE rn = 1),
+    probe AS (
+      SELECT query_id, cent_id FROM (
+        SELECT e.vec_id AS query_id, p.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY {_IVF_ROUTE}, p.cent_id) AS rn
+        FROM embeddings e CROSS JOIN piv p WHERE e.vec_id < 10) WHERE rn <= 4),
+    scored AS (
+      SELECT pr.query_id, a.vec_id,
+        {_R4.format(_sql_cos('ce.embedding', 'qe.embedding'))} AS sim
+      FROM probe pr
+      JOIN assign a ON a.cent_id = pr.cent_id AND a.vec_id <> pr.query_id
+      JOIN embeddings qe ON qe.vec_id = pr.query_id
+      JOIN embeddings ce ON ce.vec_id = a.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, sim,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, sim, rank FROM ranked
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
 def x32_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
-    return similarity.ivf_topk(emb, q, k=5, n_cells=16, n_probe=4)
+    return similarity.ivf_topk_pivots(emb, q, k=5, n_cells=16, n_probe=4)
 
 
 # --------------------------------------------------------------------------
