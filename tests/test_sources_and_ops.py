@@ -674,3 +674,43 @@ def test_documents_corpus_is_ascii():
             "WHERE octet_length(encode(text)) <> strlen(text)"
         ).fetchone()[0]
         assert n == 0, f"{n} non-ASCII documents at {sf}"
+
+
+def test_decode_ppm_real_parser():
+    """O2 decode is real for uncompressed frames: a crafted P6 PPM with a
+    header comment round-trips to the exact (h, w, 3) tensor; compressed
+    magics refuse loudly; opaque bytes fall back to the raw view."""
+    import numpy as np
+    import pytest as _pytest
+
+    from video_streamer_spark.operators.multimodal import decode_frame
+
+    rng = np.random.default_rng(7)
+    pixels = rng.integers(0, 256, size=(4, 8, 3), dtype=np.uint8)
+    payload = b"P6\n# a comment\n8 4\n255\n" + pixels.tobytes()
+    out = decode_frame(payload)
+    assert out.shape == (4, 8, 3)
+    assert np.array_equal(out, pixels)
+
+    with _pytest.raises(NotImplementedError):
+        decode_frame(b"\xff\xd8\xff\xe0 jpeg-ish")
+    raw = decode_frame(b"opaque bytes")
+    assert raw.ndim == 1 and raw.size == len(b"opaque bytes")
+
+
+def test_x43_decode_pipeline_runs(spark):
+    """The decode→infer→rollup replay produces rows at smoke scale and the
+    decoded dimensions come from the container header."""
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.operators import multimodal
+
+    docs = table(spark, SF_SMOKE, "documents").limit(20)
+    decoded = multimodal.decode_ppm_frames(
+        multimodal.encode_ppm_payloads(docs, width=8, height=4)
+    )
+    rows = decoded.collect()
+    assert len(rows) == 20
+    assert all(r["width"] == 8 and r["height"] == 4 for r in rows)
+    assert all(
+        r["byte_sum"] == r["r_sum"] + r["g_sum"] + r["b_sum"] for r in rows
+    )

@@ -62,6 +62,7 @@ _SAMPLE_FIRST = [
     "x40_range_frame_trailing_sum",
     "x07_ann_lsh_topk",
     "x32_ivf_topk",
+    "x43_decode_infer_replay",
 ]
 
 

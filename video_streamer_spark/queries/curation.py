@@ -531,6 +531,64 @@ def x32_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x43: the reference pipeline replayed over REAL container decode —
+# filesrc→decodebin→infer→rollup (reference run.sh:43-55) becomes
+# encode-P6→decode_frame (pure-numpy PPM header parse + tensor view,
+# operators/multimodal.py)→deterministic per-frame label/score→broadcast
+# label join→rollup. Width/height come from the container header, not
+# metadata; no NotImplementedError branch is reachable on this path.
+# The oracle recomputes everything downstream of the decode from the text
+# column (frames are '.'-padded first-96-char rasters, ASCII corpus).
+@query(
+    "x43_decode_infer_replay",
+    oracle=f"""
+    WITH body AS (
+      SELECT doc_id, rpad(substr(text, 1, 96), 96, '.') AS s FROM documents),
+    det AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(string_split(s, ''), c -> ascii(c)))
+             AS BIGINT) AS byte_sum
+      FROM body),
+    lab AS (
+      SELECT doc_id, byte_sum,
+        CAST(byte_sum % 80 + 1 AS INT) AS label_id
+      FROM det
+      WHERE CAST(byte_sum AS DOUBLE) / 24480.0 >= 0.35)
+    SELECT label_id,
+      'label_' || CAST(label_id AS VARCHAR) AS label_name,
+      CAST(COUNT(*) AS BIGINT) AS n_frames,
+      CAST(SUM(byte_sum) AS BIGINT) AS sum_bytes,
+      {_R4.format('CAST(SUM(byte_sum) AS DOUBLE) / (COUNT(*) * 24480.0)')}
+        AS avg_score
+    FROM lab GROUP BY label_id ORDER BY label_id
+    """,
+)
+def x43_decode_infer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.sources.labels import labels
+
+    docs = table(spark, sf_dir, "documents")
+    frames = multimodal.encode_ppm_payloads(docs, width=8, height=4)
+    decoded = multimodal.decode_ppm_frames(frames)
+    det = decoded.withColumn(
+        "label_id", (F.pmod(F.col("byte_sum"), F.lit(80)) + 1).cast("int")
+    ).where(F.col("byte_sum") / F.lit(24480.0) >= 0.35)
+    return (
+        det.join(F.broadcast(labels(spark)), "label_id")
+        .groupBy("label_id", "label_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_frames"),
+            F.sum("byte_sum").cast("bigint").alias("sum_bytes"),
+        )
+        .withColumn(
+            "avg_score",
+            round4(F.col("sum_bytes") / (F.col("n_frames") * F.lit(24480.0))),
+        )
+        .orderBy("label_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # x37: TF-IDF — the capability-matrix "tf-idf via joins/aggs" row. Output
 # ordered by (doc_id, token), NOT by score: 1-ulp ln() differences
 # between engines must not be able to flip result order.
