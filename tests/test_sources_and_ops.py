@@ -714,3 +714,113 @@ def test_x43_decode_pipeline_runs(spark):
     assert all(
         r["byte_sum"] == r["r_sum"] + r["g_sum"] + r["b_sum"] for r in rows
     )
+
+
+def test_q20_bucketed_join_bounds_hot_user_and_matches_plain(spark):
+    """Skew guard for the range self-join: with one user owning most
+    events, the (user, 5-min bucket) key must (a) produce exactly the
+    same pairs as the plain user-keyed theta join and (b) cap the
+    largest join-key group at the events-per-bucket level instead of the
+    user's full history — the property that keeps one hot user from
+    pinning a single shuffle partition at 100 TB."""
+    rows = []
+    # hot user: 4000 events, one every 30 s (≈ 33 h span)
+    for i in range(4000):
+        rows.append((i, "hot", float(30 * i), "view"))
+    # background users
+    for i in range(200):
+        rows.append((10_000 + i, f"u{i % 20}", float(97 * i), "click"))
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id string, t double, event_type string"
+    ).select(
+        "event_id", "user_id", F.timestamp_seconds("t").alias("ts"), "event_type"
+    )
+
+    plain = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
+            & (F.col("a.event_id") != F.col("b.event_id")),
+        )
+        .count()
+    )
+
+    bucket_us = 300 * 1_000_000
+    e1 = e.select(
+        F.col("event_id").alias("id1"), F.col("user_id").alias("u1"),
+        F.col("ts").alias("ts1"),
+    ).withColumn(
+        "jb1",
+        F.explode(F.array(
+            F.expr(f"unix_micros(ts1) div {bucket_us}"),
+            F.expr(f"unix_micros(ts1) div {bucket_us}") + 1,
+        )),
+    )
+    e2 = e.select(
+        F.col("event_id").alias("id2"), F.col("user_id").alias("u2"),
+        F.col("ts").alias("ts2"),
+    ).withColumn("jb2", F.expr(f"unix_micros(ts2) div {bucket_us}"))
+    bucketed = e1.join(
+        e2,
+        (F.col("u1") == F.col("u2"))
+        & (F.col("jb1") == F.col("jb2"))
+        & (F.col("ts2") >= F.col("ts1"))
+        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("id1") != F.col("id2")),
+    ).count()
+
+    assert bucketed == plain
+
+    per_user = e.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    per_key = (
+        e2.groupBy("u2", "jb2").count().agg(F.max("count")).first()[0]
+    )
+    assert per_user == 4000
+    # 5-min bucket at 30 s cadence = 10 events; the hot key shrinks 400x
+    assert per_key <= 12, per_key
+
+
+def test_annotate_frames_pixel_exact(spark):
+    """O20 render: the drawn perimeter is pixel-exact on a crafted frame —
+    border cells take the label color, interior and exterior untouched,
+    boxes clamp at frame edges."""
+    import numpy as np
+
+    from video_streamer_spark.operators.detections import annotate_frames
+
+    w, h = 8, 6
+    frames = spark.createDataFrame(
+        [(1, bytes(w * h * 3)), (2, bytes(w * h * 3))],
+        "frame_id long, payload binary",
+    )
+    det = spark.createDataFrame(
+        # frame 1: interior box; frame 2: box overflowing the right edge
+        [(1, 2, 1, 5, 4, 3), (2, 6, 0, 99, 2, 1)],
+        "frame_id long, x_min int, y_min int, x_max int, y_max int, label_id int",
+    )
+    out = {
+        r["frame_id"]: r
+        for r in annotate_frames(frames, det, width=w, height=h).collect()
+    }
+
+    a = np.frombuffer(bytes(out[1]["payload"]), dtype=np.uint8).reshape(h, w, 3)
+    color = np.array([(3 * 37) % 256, (3 * 59) % 256, (3 * 83) % 256], np.uint8)
+    expect = np.zeros((h, w, 3), np.uint8)
+    expect[1, 2:6] = color
+    expect[4, 2:6] = color
+    expect[1:5, 2] = color
+    expect[1:5, 5] = color
+    assert np.array_equal(a, expect)
+    assert out[1]["out_byte_sum"] == int(expect.sum(dtype=np.int64))
+
+    b = np.frombuffer(bytes(out[2]["payload"]), dtype=np.uint8).reshape(h, w, 3)
+    c2 = np.array([(1 * 37) % 256, (1 * 59) % 256, (1 * 83) % 256], np.uint8)
+    exp2 = np.zeros((h, w, 3), np.uint8)
+    exp2[0, 6:8] = c2
+    exp2[2, 6:8] = c2
+    exp2[0:3, 6] = c2
+    exp2[0:3, 7] = c2  # clamped right edge
+    assert np.array_equal(b, exp2)

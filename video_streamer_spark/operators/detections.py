@@ -159,3 +159,92 @@ def nms(
         return order.iloc[keep][[f.name for f in out_schema.fields]]
 
     return det.groupBy(frame_col).applyInPandas(suppress, out_schema)
+
+
+def box_color(label_id: "F.Column | int"):
+    """Deterministic label→RGB mapping (reference O19 int_to_rgb,
+    gst-detection-tf.py: label-indexed color table): three coprime
+    multipliers mod 256, identically computable in SQL."""
+    lab = F.lit(label_id) if isinstance(label_id, int) else label_id
+    return ((lab * 37) % 256, (lab * 59) % 256, (lab * 83) % 256)
+
+
+def annotate_frames(
+    frames: DataFrame,
+    det: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "frame_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """O20 annotate/render (reference gst-detection-tf.py:331-337): burn
+    1-px box outlines into the RGB raster, colored by label.
+
+    Boxes collect per frame (collect_list after the detections shuffle),
+    join the frame payloads, and an Arrow-batched mapInPandas draws the
+    perimeters with numpy slice assignment — the Spark shape of the
+    reference's per-frame overlay loop. Emits the annotated raw RGB
+    raster plus the bytes drawn, so the render is value-checkable.
+    """
+    import sys
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from video_streamer_spark.functions.shipping import ship_module
+    from video_streamer_spark.operators.multimodal import decode_frame
+
+    ship_module(sys.modules[__name__])
+
+    boxes = det.groupBy(F.col(id_col)).agg(
+        F.collect_list(
+            F.struct("x_min", "y_min", "x_max", "y_max", "label_id")
+        ).alias("boxes")
+    )
+    joined = frames.join(boxes, id_col, "left").select(id_col, bin_col, "boxes")
+
+    out_schema = StructType(
+        [
+            StructField("frame_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("n_boxes", IntegerType()),
+            StructField("out_byte_sum", LongType()),
+        ]
+    )
+
+    def draw(batches):
+        for pdf in batches:
+            out = {"frame_id": [], "payload": [], "n_boxes": [], "out_byte_sum": []}
+            for fid, payload, bxs in zip(pdf[id_col], pdf[bin_col], pdf["boxes"]):
+                a = decode_frame(bytes(payload))
+                if a.ndim == 1:
+                    a = a.reshape(height, width, 3)
+                a = a.copy()
+                bxs = bxs if bxs is not None else []
+                for b in bxs:
+                    x0 = max(0, int(b["x_min"]))
+                    y0 = max(0, int(b["y_min"]))
+                    x1 = min(a.shape[1] - 1, int(b["x_max"]))
+                    y1 = min(a.shape[0] - 1, int(b["y_max"]))
+                    if x1 < x0 or y1 < y0:
+                        continue
+                    lab = int(b["label_id"])
+                    color = ((lab * 37) % 256, (lab * 59) % 256, (lab * 83) % 256)
+                    a[y0, x0 : x1 + 1] = color
+                    a[y1, x0 : x1 + 1] = color
+                    a[y0 : y1 + 1, x0] = color
+                    a[y0 : y1 + 1, x1] = color
+                out["frame_id"].append(int(fid))
+                out["payload"].append(a.tobytes())
+                out["n_boxes"].append(len(bxs))
+                out["out_byte_sum"].append(int(a.sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(draw, out_schema)

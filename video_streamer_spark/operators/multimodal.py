@@ -87,7 +87,14 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 # magic-number prefixes of compressed formats we refuse (no codec libs in
 # this container — a real deployment swaps cv2/PyAV in here)
-_COMPRESSED_MAGICS = (b"\xff\xd8", b"\x89PNG", b"RIFF", b"\x00\x00\x00")
+_COMPRESSED_MAGICS = (b"\xff\xd8", b"\x89PNG", b"RIFF")
+
+
+def _looks_compressed(buf: bytes) -> bool:
+    # MP4/QuickTime put 'ftyp' at offset 4 (after the box size), so a
+    # prefix test on leading zeros would misfire on legitimate raw
+    # rasters that start with black pixels
+    return any(buf.startswith(m) for m in _COMPRESSED_MAGICS) or buf[4:8] == b"ftyp"
 
 
 def decode_frame(payload: bytes) -> np.ndarray:
@@ -100,7 +107,7 @@ def decode_frame(payload: bytes) -> np.ndarray:
     buf = bytes(payload)
     if buf[:2] == b"P6":
         return decode_ppm(buf)
-    if any(buf.startswith(m) for m in _COMPRESSED_MAGICS):
+    if _looks_compressed(buf):
         raise NotImplementedError(
             "compressed codec (JPEG/PNG/RIFF/MP4) — codec libraries not "
             "available in this environment"

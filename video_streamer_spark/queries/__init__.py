@@ -63,6 +63,7 @@ _SAMPLE_FIRST = [
     "x07_ann_lsh_topk",
     "x32_ivf_topk",
     "x43_decode_infer_replay",
+    "x44_annotate_render",
 ]
 
 

@@ -589,6 +589,49 @@ def x43_decode_infer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x44: O20 annotate/render, value-checked. One deterministic box per
+# frame over a zeroed 16×12 RGB raster, so the annotated byte sum is a
+# closed-form function of the box perimeter and the label color — the
+# oracle recomputes it without pixel access; the pixel-exact drawing
+# itself is asserted in tests/test_sources_and_ops.py on a crafted frame.
+@query(
+    "x44_annotate_render",
+    oracle="""
+    SELECT doc_id AS frame_id,
+      CAST(1 AS INT) AS n_boxes,
+      CAST((2 * (4 + doc_id % 4) + 2 * (3 + doc_id % 3) - 4) *
+           ((((doc_id % 80 + 1) * 37) % 256)
+          + (((doc_id % 80 + 1) * 59) % 256)
+          + (((doc_id % 80 + 1) * 83) % 256)) AS BIGINT) AS out_byte_sum
+    FROM documents ORDER BY frame_id
+    """,
+)
+def x44_annotate_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators import detections
+
+    width, height = 16, 12
+    docs = table(spark, sf_dir, "documents")
+    frames = docs.select(
+        F.col("doc_id").alias("frame_id"),
+        F.lit(bytes(width * height * 3)).alias("payload"),
+    )
+    d = F.col("frame_id")
+    det = frames.select(
+        "frame_id",
+        (d % 5).cast("int").alias("x_min"),
+        (d % 3).cast("int").alias("y_min"),
+        (d % 5 + 3 + d % 4).cast("int").alias("x_max"),
+        (d % 3 + 2 + d % 3).cast("int").alias("y_max"),
+        (d % 80 + 1).cast("int").alias("label_id"),
+    )
+    return (
+        detections.annotate_frames(frames, det, width=width, height=height)
+        .select("frame_id", "n_boxes", "out_byte_sum")
+        .orderBy("frame_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # x37: TF-IDF — the capability-matrix "tf-idf via joins/aggs" row. Output
 # ordered by (doc_id, token), NOT by score: 1-ulp ln() differences
 # between engines must not be able to flip result order.

@@ -432,21 +432,42 @@ def q13_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q20_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join with a SKEW-BOUNDED key: the equi-key is
+    (user, 5-minute time bucket), not user alone. A pair with
+    ts2 ∈ [ts1, ts1+5min] always lands in bucket1 or bucket1+1, so the
+    probe side emits both keys and every qualifying pair matches on
+    EXACTLY one of them (bucket2 is single-valued per row — no dedup
+    step). At 100 TB a single hot user no longer concentrates one
+    shuffle key: per-key cardinality is bounded by the user's events in
+    a 10-minute span, which is also the true pair neighborhood — any
+    remaining quadratic blowup is output-inherent, not partitioning
+    skew. Costs one extra copy of the probe side in the shuffle (2×
+    rows), the classic interval-bucket trade."""
     e = table(spark, sf_dir, "events")
+    bucket_us = 300 * 1_000_000  # 5 minutes in unix_micros units
     e1 = e.select(
         F.col("event_id").alias("id1"),
         F.col("user_id").alias("u1"),
         F.col("ts").alias("ts1"),
         F.col("event_type").alias("event_type"),
+    ).withColumn(
+        "jb1",
+        F.explode(
+            F.array(
+                F.expr(f"unix_micros(ts1) div {bucket_us}"),
+                F.expr(f"unix_micros(ts1) div {bucket_us}") + 1,
+            )
+        ),
     )
     e2 = e.select(
         F.col("event_id").alias("id2"),
         F.col("user_id").alias("u2"),
         F.col("ts").alias("ts2"),
-    )
+    ).withColumn("jb2", F.expr(f"unix_micros(ts2) div {bucket_us}"))
     joined = e1.join(
         e2,
         (F.col("u1") == F.col("u2"))
+        & (F.col("jb1") == F.col("jb2"))
         & (F.col("ts2") >= F.col("ts1"))
         & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 5 MINUTES"))
         & (F.col("id1") != F.col("id2")),
