@@ -394,3 +394,43 @@ def test_bucketed_table_streaming_sink(spark, tmp_path):
     joined = got.join(spark.table("bt_user_dim"), "user_id")
     r = plan_report(joined)
     assert r.n_exchanges == 0, r.text
+
+
+def test_kafka_shaped_source_round_trips_events(spark):
+    """The Kafka-wire stand-in (§1.4 ingest): streaming the events table
+    through the wire encode (key/value bytes, topic, partition, offset,
+    timestamp) and the REAL consumer-side parse must reproduce the batch
+    events table exactly, and the wire schema must be byte-for-byte the
+    spark-sql-kafka source shape."""
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.streaming import kafka_shim
+
+    wire = kafka_shim.kafka_shaped_events(spark, SF_ORACLE)
+    # names+types must match the spark-sql-kafka shape (nullability is
+    # tighter here: literal-derived columns are provably non-null)
+    assert [(f.name, f.dataType) for f in wire.schema.fields] == [
+        (f.name, f.dataType) for f in kafka_shim.KAFKA_WIRE_SCHEMA.fields
+    ]
+    parsed = kafka_shim.parse_events_from_kafka(wire)
+    name = sp.run_available_now(parsed, "kafka_shim_sink", "append")
+    got = spark.sql(f"SELECT * FROM {name}")
+    want = table(spark, SF_ORACLE, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value", "props"
+    )
+    assert rows_set(got) == rows_set(want)
+
+    # partition derivation: bounded range, stable per key
+    batch_wire = kafka_shim.to_kafka_wire(
+        table(spark, SF_ORACLE, "events"), n_partitions=8
+    )
+    parts = batch_wire.select("partition").distinct().collect()
+    assert all(0 <= r["partition"] < 8 for r in parts)
+    per_key = (
+        batch_wire.select(F.decode("key", "UTF-8").alias("k"), "partition")
+        .distinct()
+        .groupBy("k")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert per_key == 1, "a key landed in two partitions"
