@@ -824,3 +824,49 @@ def test_annotate_frames_pixel_exact(spark):
     exp2[0:3, 6] = c2
     exp2[0:3, 7] = c2  # clamped right edge
     assert np.array_equal(b, exp2)
+
+
+def test_connected_components_crafted_graph(spark):
+    """Min-label propagation on a known graph: a 4-chain, a triangle, and
+    an isolated pair must resolve to their min-id components, and the
+    fixpoint must be independent of edge orientation."""
+    from video_streamer_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (mixed orientation), triangle 10-11-12, pair 20-21
+        [(2, 1), (2, 3), (4, 3), (10, 11), (12, 10), (11, 12), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["comp"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_hash_sampling_properties(spark):
+    """hash_sample: deterministic across calls, monotone in rate, and
+    within a loose binomial band; stratified_cap: exact quota per group,
+    selection stable."""
+    from video_streamer_spark.operators import sampling
+
+    docs = table(spark, SF_ORACLE, "documents")
+    n = docs.count()
+    s15 = sampling.hash_sample(docs, 0.15)
+    ids_a = sorted(r["doc_id"] for r in s15.select("doc_id").collect())
+    ids_b = sorted(r["doc_id"] for r in sampling.hash_sample(docs, 0.15).select("doc_id").collect())
+    assert ids_a == ids_b, "sampling must be deterministic"
+    assert 0.10 * n <= len(ids_a) <= 0.20 * n, (len(ids_a), n)
+    ids_30 = {r["doc_id"] for r in sampling.hash_sample(docs, 0.30).select("doc_id").collect()}
+    assert set(ids_a) <= ids_30, "rate increase must only add rows"
+
+    capped = sampling.stratified_cap(docs, ["lang"], n_per_group=25)
+    per_group = {
+        r["lang"]: r["cnt"]
+        for r in capped.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    full = {
+        r["lang"]: r["cnt"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    for lang, cnt in per_group.items():
+        assert cnt == min(25, full[lang]), (lang, cnt, full[lang])

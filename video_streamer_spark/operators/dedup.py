@@ -365,3 +365,73 @@ def ngram_jaccard_pairs(
         )
     )
     return jac.where(F.col("jaccard_raw") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components)
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph → the
+    cluster-resolution step every dedup pipeline ends with (pick one
+    survivor per component, drop the rest).
+
+    Iterative min-label propagation, pure DataFrame ops: every node
+    starts labeled with its own id; each round joins labels onto the
+    (symmetrized) edge list and takes the min label seen across self and
+    neighbors; fixpoint = component id is the min node id of the
+    component. Deterministic — no randomness, min is order-insensitive.
+
+    Scale shape: each round is one join + one min-agg (two shuffles on
+    node id), and rounds needed = graph DIAMETER, not size. Near-dup
+    components are star/clique-like (diameter 2-4), so this settles in a
+    handful of rounds; a long-chain adversarial graph would want
+    large-star/small-star contraction instead (same primitives, O(log n)
+    rounds). Raises if the cap is hit without convergence rather than
+    returning a half-propagated labeling.
+
+    Returns (node, comp) for every node that appears in ``pairs``;
+    singletons don't appear (callers left-join + coalesce to own id).
+    """
+    sym = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("comp")
+    )
+    prev_persisted = None
+    for _ in range(max_iter):
+        prop = edges.join(labels, F.col("src") == F.col("node")).select(
+            F.col("dst").alias("node"), F.col("comp")
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .persist()
+        )
+        changed = (
+            new_labels.withColumnRenamed("comp", "comp_new")
+            .join(labels, "node")
+            .where(F.col("comp_new") != F.col("comp"))
+            .count()
+        )
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = new_labels
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "component diameter exceeds the cap; raise max_iter or switch to "
+        "star-contraction for chain-shaped graphs"
+    )

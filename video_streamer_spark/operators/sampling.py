@@ -1,0 +1,64 @@
+"""Deterministic sampling operators for training-data curation.
+
+Random sampling is useless in a reproducible data pipeline (reruns must
+produce the same corpus, and an oracle must be able to recompute the
+selection), so both operators here sample by HASH of a stable id — the
+standard trick for resumable, engine-independent sampling:
+
+- ``hash_sample``: Bernoulli-style rate sampling — keep rows whose
+  md5-derived bucket falls under the rate. Pure predicate: pushes into
+  the scan, no shuffle, no state, identical selection at any
+  parallelism or scale.
+- ``stratified_cap``: per-group quota — keep the ``n_per_group``
+  hash-smallest rows of each group (e.g. cap documents per language so
+  a dominant language can't swamp a training mix). One window shuffle
+  on the group key; for a pathologically hot group the rank work for
+  that key lands on few tasks — at extreme scale pre-cap each partition
+  first (any row outside a partition-local top-n is outside the global
+  top-n a fortiori), which bounds the shuffle to n_per_group rows per
+  partition per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SAMPLE_BUCKETS = 10_000
+
+
+def _hash_bucket(id_col: str) -> F.Column:
+    """Stable bucket in [0, SAMPLE_BUCKETS): first 8 md5 hex chars of the
+    id's decimal string, as an integer, mod the bucket count. DuckDB
+    computes the identical value from the identical expression."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(SAMPLE_BUCKETS),
+    )
+
+
+def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame:
+    """Keep ≈rate of rows, deterministically, by id hash."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.where(_hash_bucket(id_col) < int(rate * SAMPLE_BUCKETS))
+
+
+def stratified_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    n_per_group: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the n_per_group hash-smallest rows per group — a uniform
+    random-without-replacement quota that any engine can reproduce.
+    Ties (same md5 prefix) break on the id itself."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("sample_rank") <= n_per_group)
+    )

@@ -316,7 +316,12 @@ def embedding_near_pairs(
         F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec")
     )
     n = src.count()
-    n_blocks = max(1, -(-n // block_rows))
+    # block count: bounded per-task memory (n/block_rows) but never fewer
+    # blocks than what keeps the cluster busy — a small corpus must not
+    # collapse to one cogroup task while cores sit idle. 64 rows/block
+    # floor keeps the BLAS tiles from degenerating.
+    par = spark.sparkContext.defaultParallelism
+    n_blocks = max(1, -(-n // block_rows), min(par, n // 64))
     pairs_idx = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "blk_a: int, blk_b: int",

@@ -64,6 +64,9 @@ _SAMPLE_FIRST = [
     "x32_ivf_topk",
     "x43_decode_infer_replay",
     "x44_annotate_render",
+    "x45_dedup_components",
+    "x46_hash_sample",
+    "x47_stratified_language_cap",
 ]
 
 

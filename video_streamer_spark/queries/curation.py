@@ -128,9 +128,10 @@ def x01_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("text_hash")
 
 
-def _minhash_oracle() -> str:
+def _minhash_cte() -> str:
     # lockstep with operators/dedup.minhash_signatures: 56-bit integer
-    # slices of sha256(seed || shingle), 4 independent slices per hash
+    # slices of sha256(seed || shingle), 4 independent slices per hash.
+    # Ends with the mh_pairs CTE so both x02 and x45 build on it.
     n, rows = dedup.NUM_MINHASH, dedup.MINHASH_BAND_ROWS
     mins = ",\n      ".join(
         f"MIN(CAST(('0x' || substr(sha256('{s // 4}:' || shingle),"
@@ -145,23 +146,72 @@ def _minhash_oracle() -> str:
         + " AS band_val FROM sigs"
         for b in range(n // rows)
     )
-    return f"""
-    WITH {_SH_CTE},
+    return f"""{_SH_CTE},
     sigs AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-    bands AS ({band_selects})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      CAST(COUNT(*) AS BIGINT) AS n_shared_bands
-    FROM bands a
-    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-     AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
+    bands AS ({band_selects}),
+    mh_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)"""
+
+
+@query(
+    "x02_dedup_minhash_pairs",
+    oracle=f"""
+    WITH {_minhash_cte()}
+    SELECT doc_a, doc_b, n_shared_bands FROM mh_pairs
     ORDER BY doc_a, doc_b
-    """
-
-
-@query("x02_dedup_minhash_pairs", oracle=_minhash_oracle())
+    """,
+)
 def x02_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidate_pairs(table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# x45: duplicate-CLUSTER resolution — connected components over the
+# minhash candidate graph, the step that turns pairs into "keep one per
+# cluster" decisions. Spark side is iterative min-label propagation
+# (operators/dedup.connected_components); the oracle computes the same
+# fixpoint via a recursive transitive-closure CTE, so the component ids
+# (min doc id per component) must agree exactly.
+@query(
+    "x45_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM mh_pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS min_reach FROM reach GROUP BY src)
+    SELECT d.doc_id,
+      CAST(COALESCE(LEAST(c.doc_id, c.min_reach), d.doc_id) AS BIGINT)
+        AS component_id
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def x45_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs)
+    comps = dedup.connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comps, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id"))
+            .cast("bigint")
+            .alias("component_id"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -628,6 +678,55 @@ def x44_annotate_render(spark: SparkSession, sf_dir: str) -> DataFrame:
         detections.annotate_frames(frames, det, width=width, height=height)
         .select("frame_id", "n_boxes", "out_byte_sum")
         .orderBy("frame_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x46/x47: deterministic sampling — rate sampling as a pushed-down
+# predicate and per-group quotas via hash-ranked windows. Both selections
+# are pure functions of the ids, so the oracles recompute them exactly.
+@query(
+    "x46_hash_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000 < 1500
+    ORDER BY doc_id
+    """,
+)
+def x46_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators import sampling
+
+    return (
+        sampling.hash_sample(table(spark, sf_dir, "documents"), rate=0.15)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "x47_stratified_language_cap",
+    oracle="""
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY lang
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= 25
+    ORDER BY lang, sample_rank
+    """,
+)
+def x47_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators import sampling
+
+    return (
+        sampling.stratified_cap(
+            table(spark, sf_dir, "documents"), ["lang"], n_per_group=25
+        )
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("lang", "sample_rank")
     )
 
 
