@@ -98,3 +98,22 @@ def test_x02_minhash_no_extra_distinct_shuffle(spark):
     pair agg + order (≤ 6), not the +2 a (doc,shingle) distinct adds."""
     r = plan_report(QUERIES["x02_dedup_minhash_pairs"](spark, SF_ORACLE))
     assert r.n_exchanges <= 6, r.text
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The capability matrix promises joins 'broadcast vs sort-merge vs
+    shuffled-hash via hints' — assert each hint actually flips the
+    physical join operator on the same equi-join."""
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.plans import plan_report
+
+    c = table(spark, SF_ORACLE, "customer")
+    o = table(spark, SF_ORACLE, "orders")
+    cond = c["c_custkey"] == o["o_custkey"]
+    assert "SortMergeJoin" in plan_report(c.hint("merge").join(o, cond)).text
+    assert "ShuffledHashJoin" in plan_report(
+        c.hint("shuffle_hash").join(o, cond)
+    ).text
+    assert "BroadcastHashJoin" in plan_report(
+        c.hint("broadcast").join(o, cond)
+    ).text

@@ -434,3 +434,20 @@ def test_kafka_shaped_source_round_trips_events(spark):
         .first()[0]
     )
     assert per_key == 1, "a key landed in two partitions"
+
+
+def test_sliding_stream_equals_batch(spark):
+    """x48 sliding windows through Structured Streaming (AvailableNow)
+    must match the batch result — overlapping windows exercise
+    multi-assignment state the tumbling test can't."""
+    from video_streamer_spark.queries.temporal import sliding_agg
+
+    stream = sliding_agg(
+        sp.events_stream(spark, SF_ORACLE).withWatermark("ts", "1 hour")
+    )
+    name = sp.run_available_now(stream, "sliding_sink", "complete")
+    got = spark.sql(
+        f"SELECT window_start, event_type, n_events, sum_value FROM {name}"
+    )
+    want = QUERIES["x48_sliding_window_agg"](spark, SF_ORACLE)
+    assert rows_set(got) == rows_set(want)

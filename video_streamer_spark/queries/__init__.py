@@ -67,6 +67,7 @@ _SAMPLE_FIRST = [
     "x45_dedup_components",
     "x46_hash_sample",
     "x47_stratified_language_cap",
+    "x48_sliding_window_agg",
 ]
 
 

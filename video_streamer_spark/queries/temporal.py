@@ -177,3 +177,54 @@ def x38_multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gran", "bucket_start", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x48: SLIDING window (1 hour size, 30 min slide) — the overlapping-window
+# row of the capability matrix (tumbling and session are covered by
+# q14/q15). Each event belongs to exactly size/slide = 2 windows; Spark's
+# window() assigns epoch-aligned starts, which the oracle reproduces by
+# emitting both floor-aligned starts per event.
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """Shared by the batch query and the streaming twin (the streaming
+    path adds a watermark before calling this)."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            round2(F.sum(dec("value"))).alias("sum_value"),
+        )
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "x48_sliding_window_agg",
+    oracle="""
+    WITH wins AS (
+      SELECT event_type, value,
+        unnest([
+          make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800)
+                         * 1000000),
+          make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 - 1800)
+                         * 1000000)
+        ]) AS ws
+      FROM events)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+      COUNT(*) AS n_events,
+      CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,9)), 2)
+           AS DOUBLE) AS sum_value
+    FROM wins GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def x48_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return sliding_agg(e).orderBy("window_start", "event_type")
