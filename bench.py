@@ -105,7 +105,8 @@ def main() -> None:
             n = len(QUERIES[name](spark, sf_dir).toPandas())
             reps.append(time.perf_counter() - t0)
         timings[name] = round(min(reps), 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        rep_s = "/".join(f"{r:.2f}" for r in sorted(reps))
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows; reps {rep_s})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -117,3 +117,32 @@ def test_join_strategy_hints_are_honored(spark):
     assert "BroadcastHashJoin" in plan_report(
         c.hint("broadcast").join(o, cond)
     ).text
+
+
+def test_hash_sample_is_pure_predicate(spark):
+    """x46's selection must compile to scan+filter with NO Exchange — a
+    sampling operator that shuffles would be wrong at any scale."""
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.operators import sampling
+
+    df = sampling.hash_sample(table(spark, SF_ORACLE, "documents"), 0.15)
+    text = plan_report(df).text
+    assert "Exchange" not in text, text
+
+
+def test_stratified_cap_single_shuffle(spark):
+    """x47's quota needs exactly one Exchange (the window partitioning
+    on the group key) — no extra sort-merge or re-shuffle stages."""
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.operators import sampling
+
+    import re
+
+    df = sampling.stratified_cap(
+        table(spark, SF_ORACLE, "documents"), ["lang"], 25
+    )
+    text = plan_report(df).text
+    # formatted plans print each node in the tree AND the detail section:
+    # count distinct operator ids, not raw substring occurrences
+    exchanges = set(re.findall(r"\((\d+)\) Exchange", text))
+    assert len(exchanges) == 1, text
