@@ -870,3 +870,28 @@ def test_hash_sampling_properties(spark):
     }
     for lang, cnt in per_group.items():
         assert cnt == min(25, full[lang]), (lang, cnt, full[lang])
+
+
+def test_x49_matches_native_stat_functions(spark):
+    """The decimal-moment formulation in x49 must agree with Spark's
+    native stddev_samp/corr to float precision — proving it computes the
+    standard statistics, with the decimal path used only for
+    cross-engine hash determinism."""
+    li = table(spark, SF_ORACLE, "lineitem")
+    native = {
+        r["l_returnflag"]: (r["sd"], r["c"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.stddev_samp("l_quantity").alias("sd"),
+            F.corr("l_quantity", "l_extendedprice").alias("c"),
+        )
+        .collect()
+    }
+    ours = {
+        r["l_returnflag"]: (r["stddev_qty"], r["corr_qty_price"])
+        for r in QUERIES["x49_stat_aggregates"](spark, SF_ORACLE).collect()
+    }
+    assert set(native) == set(ours)
+    for k in native:
+        assert abs(native[k][0] - ours[k][0]) < 1e-4
+        assert abs(native[k][1] - ours[k][1]) < 1e-4

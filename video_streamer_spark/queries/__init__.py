@@ -68,6 +68,8 @@ _SAMPLE_FIRST = [
     "x46_hash_sample",
     "x47_stratified_language_cap",
     "x48_sliding_window_agg",
+    "x49_stat_aggregates",
+    "x50_arrays_zip_positions",
 ]
 
 

@@ -490,3 +490,102 @@ def x40_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# x49: statistical aggregates (stddev / variance / correlation / median).
+# Engine-native stddev/corr stream doubles in engine-specific orders, so
+# a naive oracle would hash-mismatch on 1e-15 noise. Both sides instead
+# aggregate EXACT decimal moments (sum, sum of squares, cross products —
+# order-independent) and apply an IDENTICAL double-arithmetic tail, so
+# the results are bit-equal. tests/test_sources_and_ops.py separately
+# asserts this formulation agrees with F.stddev_samp / F.corr to 1e-9,
+# proving it IS the standard statistic, not a lookalike.
+@query(
+    "x49_stat_aggregates",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+        COUNT(*) AS n,
+        SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+        SUM(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS sxx,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+        SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS syy,
+        SUM(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS sxy,
+        quantile_cont(l_quantity, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      CAST(ROUND(CAST((sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) AS DECIMAL(38,12)), 4) AS DOUBLE) AS stddev_qty,
+      CAST(ROUND(CAST(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS DECIMAL(38,12)), 4) AS DOUBLE) AS corr_qty_price,
+      CAST(ROUND(CAST(med AS DECIMAL(38,12)), 4) AS DOUBLE) AS median_qty
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def x49_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import dec, round4
+
+    li = table(spark, sf_dir, "lineitem")
+    q, p = dec("l_quantity"), dec("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("sx"),
+        F.sum(q * q).alias("sxx"),
+        F.sum(p).alias("sy"),
+        F.sum(p * p).alias("syy"),
+        F.sum(q * p).alias("sxy"),
+        F.expr("percentile(l_quantity, 0.5)").alias("med"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        round4(F.sqrt((nd * sxx - sx * sx) / (nd * (nd - F.lit(1.0))))).alias(
+            "stddev_qty"
+        ),
+        round4(
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy))
+        ).alias("corr_qty_price"),
+        round4(F.col("med")).alias("median_qty"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# x50: arrays_zip — pair each doc's first tokens with their 1-based
+# positions through a zipped struct array, then explode. The oracle
+# reproduces the pairs by position indexing (semantics, not spelling).
+@query(
+    "x50_arrays_zip_positions",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    e AS (
+      SELECT doc_id, t,
+        unnest(generate_series(1, least(len(t), 3))) AS pos
+      FROM toks WHERE len(t) > 0)
+    SELECT doc_id, CAST(pos AS INT) AS pos, t[pos] AS token
+    FROM e ORDER BY doc_id, pos
+    """,
+)
+def x50_arrays_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    zipped = (
+        d.select("doc_id", toks.alias("t"))
+        .where(F.size("t") > 0)
+        .withColumn("tk3", F.slice("t", 1, 3))
+        .withColumn("pos3", F.sequence(F.lit(1), F.least(F.size("t"), F.lit(3))))
+        .select("doc_id", F.explode(F.arrays_zip("tk3", "pos3")).alias("z"))
+    )
+    return zipped.select(
+        "doc_id",
+        F.col("z.pos3").cast("int").alias("pos"),
+        F.col("z.tk3").alias("token"),
+    ).orderBy("doc_id", "pos")
