@@ -895,3 +895,38 @@ def test_x49_matches_native_stat_functions(spark):
     for k in native:
         assert abs(native[k][0] - ours[k][0]) < 1e-4
         assert abs(native[k][1] - ours[k][1]) < 1e-4
+
+
+def test_sql_string_surface_matches_dataframe_api(spark):
+    """A reference user could switch and keep writing ANSI SQL: after
+    register_views, spark.sql must produce the same results as the
+    DataFrame-API queries (same engine, two front doors)."""
+    from video_streamer_spark.catalog import register_views
+
+    register_views(spark, SF_ORACLE)
+    got = spark.sql(
+        """
+        SELECT r.r_name, COUNT(*) AS n_customers
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+        """
+    )
+    want = QUERIES["q03_multijoin_region_counts"](spark, SF_ORACLE)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC is the second columnar format Spark ships natively — the
+    sources row should not be parquet-only."""
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "n_chars")
+    out = str(tmp_path / "orc")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+    # predicate pushdown reaches the ORC scan too
+    from video_streamer_spark.plans import plan_report
+
+    text = plan_report(back.where(F.col("doc_id") > 100)).text
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]" in text, text
