@@ -513,3 +513,88 @@ def test_stateful_sessions_v2_transform_with_state(spark):
     got_set = set(got)
     assert len(got) == len(got_set) > 0
     assert required <= got_set <= all_sessions
+
+
+def test_rowwise_signatures_equal_batch_signatures(spark):
+    """The shuffle-free (streaming-shape) minhash signatures must be
+    bit-identical to the exploded+partial-agg batch form."""
+    from video_streamer_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_rowwise,
+    )
+
+    docs = table(spark, SF_ORACLE, "documents")
+    a = sorted(map(tuple, minhash_signatures(docs).collect()))
+    b = sorted(map(tuple, minhash_signatures_rowwise(docs).collect()))
+    assert a == b
+
+
+def test_streaming_near_dup_marks_match_sequential_reference(spark, tmp_path):
+    """Streaming MinHash-LSH dedup: feed the corpus as two ordered files
+    (one per micro-batch) and check every emitted (band, doc, keeper)
+    mark against a sequential reference that replays the same batch
+    order over the batch band table — keeper = min doc of the first
+    batch touching the band."""
+    import os
+    import time
+
+    from video_streamer_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signatures,
+    )
+    from video_streamer_spark.streaming.dedup_stream import streaming_band_marks
+
+    docs = table(spark, SF_SMOKE, "documents")
+    batches = [
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    ]
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    now = time.time()
+    for i, df in enumerate(batches):
+        d = str(tmp_path / f"b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        os.rename(os.path.join(d, part), dst)
+        os.utime(dst, (now - 1000 + i * 300, now - 1000 + i * 300))
+
+    stream = sp.stream_dir(spark, src, docs.schema, max_files_per_trigger=1)
+    marks = streaming_band_marks(stream)
+    name = sp.run_available_now(marks, "dedup_marks_sink", "append")
+    got = {
+        (r["band_idx"], r["band_val"], r["doc_id"]): r["keeper_doc_id"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    # sequential reference over the batch band table
+    band_rows = [
+        (r["band_idx"], r["band_val"], r["doc_id"])
+        for r in minhash_bands(minhash_signatures(docs)).collect()
+    ]
+    batch_of = {}  # doc -> batch index
+    for r in docs.select("doc_id").collect():
+        batch_of[r["doc_id"]] = r["doc_id"] % 2
+    expected = {}
+    keepers = {}
+    for b in (0, 1):
+        batch_docs = {
+            (bi, bv): [] for (bi, bv, d) in band_rows if batch_of[d] == b
+        }
+        for bi, bv, d in band_rows:
+            if batch_of[d] == b:
+                batch_docs[(bi, bv)].append(d)
+        for (bi, bv), ds in batch_docs.items():
+            if (bi, bv) not in keepers:
+                keepers[(bi, bv)] = min(ds)
+            for d in ds:
+                expected[(bi, bv, d)] = keepers[(bi, bv)]
+
+    assert got == expected
+    # and at least one cross-batch near-dup candidate was caught
+    # (a doc marked against a keeper from the earlier batch)
+    cross = [
+        k for k, keeper in got.items() if batch_of[k[2]] == 1 and batch_of[keeper] == 0
+    ]
+    assert cross, "no cross-batch candidates — planted dupes missed"

@@ -80,6 +80,10 @@ def scatter(df: DataFrame, multiplier: int = 1) -> DataFrame:
     count so that at 100 TB — where scans already carry thousands of
     splits — this is a no-op and no shuffle is added.
     """
+    if df.isStreaming:
+        # no RDD probe on streams; micro-batch parallelism comes from the
+        # source (maxFilesPerTrigger / kafka partitions), not a reshuffle
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism * multiplier
     key = (df.semanticHash(), target)
     need = _SCATTER_CACHE.get(key)
