@@ -72,11 +72,22 @@ def test_labels_from_file_matches_reference_format(spark, tmp_path):
 
 
 def test_approx_count_distinct_error_bound(spark):
-    rows = QUERIES["x24_approx_distinct"](spark, SF_ORACLE).collect()
+    e = table(spark, SF_ORACLE, "events")
+    rows = (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .collect()
+    )
     assert rows
     for r in rows:
         rel_err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
         assert rel_err < 0.05, (r["event_type"], r["approx_users"], r["exact_users"])
+    # and the registered query's bound flag is all-true (the hashed contract)
+    q = QUERIES["x24_approx_distinct"](spark, SF_ORACLE).collect()
+    assert all(r["within_bound"] for r in q)
 
 
 def test_lsh_topk_recall_vs_brute_force(spark):

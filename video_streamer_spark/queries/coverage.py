@@ -299,14 +299,36 @@ def x23_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # approximate distinct: engines use different sketches, so no value oracle;
 # the pytest property test bounds the error against the exact count
-@query("x24_approx_distinct")
+# HLL sketches are engine-specific, so the ESTIMATE itself can't be
+# oracle-hashed — but the accuracy CONTRACT can: emit the exact count
+# plus a boolean asserting the estimate lands within the rsd bound. The
+# oracle states the same contract (exact count, bound-met = true), so a
+# drifting sketch flips the hash. The raw estimate stays property-tested
+# in tests/test_sources_and_ops.py.
+@query(
+    "x24_approx_distinct",
+    oracle="""
+    SELECT event_type,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      TRUE AS within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def x24_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
+            F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_bound"),
         )
         .orderBy("event_type")
     )
