@@ -400,13 +400,22 @@ def connected_components(
     sym = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
+    # localCheckpoint (not persist): each round's plan references the
+    # previous round's labels TWICE (union + propagation join), so with
+    # plain caching the LOGICAL plan doubles per round and analysis time
+    # grows exponentially (measured: 2.0s → 27.6s by round 4 at sf0.1).
+    # Checkpointing truncates the lineage to a materialized RDD, keeping
+    # per-round planning cost constant. On a cluster with failure
+    # recovery requirements, swap for reliable checkpoint(dir).
     edges = sym.union(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels = edges.select("src").distinct().select(
-        F.col("src").alias("node"), F.col("src").alias("comp")
+    ).localCheckpoint()
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("comp"))
+        .localCheckpoint()
     )
-    prev_persisted = None
     for _ in range(max_iter):
         prop = edges.join(labels, F.col("src") == F.col("node")).select(
             F.col("dst").alias("node"), F.col("comp")
@@ -415,7 +424,7 @@ def connected_components(
             labels.union(prop)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.withColumnRenamed("comp", "comp_new")
@@ -423,12 +432,8 @@ def connected_components(
             .where(F.col("comp_new") != F.col("comp"))
             .count()
         )
-        if prev_persisted is not None:
-            prev_persisted.unpersist()
-        prev_persisted = new_labels
         labels = new_labels
         if changed == 0:
-            edges.unpersist()
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
