@@ -70,6 +70,7 @@ _SAMPLE_FIRST = [
     "x48_sliding_window_agg",
     "x49_stat_aggregates",
     "x50_arrays_zip_positions",
+    "x51_curation_pipeline",
 ]
 
 

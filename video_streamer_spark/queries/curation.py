@@ -731,6 +731,68 @@ def x47_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x51: the END-TO-END curation pass a training-data pipeline actually
+# ships, as ONE Catalyst plan: exact-dedup survivors → quality scoring →
+# threshold filter → deterministic hash sample. Composition is the
+# point — each stage is an already-verified operator, and fusing them
+# lets Catalyst prune columns across stages and run the sample predicate
+# before anything downstream of it.
+@query(
+    "x51_curation_pipeline",
+    oracle=f"""
+    WITH keep AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS keep_doc_id
+      FROM documents GROUP BY 1),
+    surv AS (
+      SELECT d.doc_id, d.lang, d.text FROM documents d
+      JOIN keep k ON md5(d.text) = k.h AND d.doc_id = k.keep_doc_id),
+    toks AS (
+      SELECT doc_id, lang,
+        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM surv),
+    feats AS (
+      SELECT doc_id, lang, len(toks) AS n_tokens,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t)))
+               AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        ELSE 0.0 END AS stop_ratio
+      FROM toks),
+    scored AS (
+      SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+        {_R4.format(
+            'least(CAST(n_tokens AS DOUBLE), 200.0) / 200.0 * 0.5'
+            ' + least(stop_ratio * 10.0, 1.0) * 0.5'
+        )} AS quality_score
+      FROM feats)
+    SELECT doc_id, lang, n_tokens, quality_score FROM scored
+    WHERE quality_score >= 0.5
+      AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000 < 5000
+    ORDER BY doc_id
+    """,
+)
+def x51_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    keep = dedup.exact_dedup_keep_first(docs)
+    surv = docs.join(
+        keep,
+        (F.md5("text") == F.col("text_hash"))
+        & (F.col("doc_id") == F.col("keep_doc_id")),
+    ).select("doc_id", "lang", "text")
+    scored = text.quality_scores(surv).join(
+        surv.select("doc_id", "lang"), "doc_id"
+    )
+    kept = sampling.hash_sample(
+        scored.where(F.col("quality_score") >= 0.5), rate=0.5
+    )
+    return kept.select(
+        "doc_id", "lang", "n_tokens", "quality_score"
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # x37: TF-IDF — the capability-matrix "tf-idf via joins/aggs" row. Output
 # ordered by (doc_id, token), NOT by score: 1-ulp ln() differences
 # between engines must not be able to flip result order.
