@@ -13,9 +13,13 @@ import numpy as np
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# derandomize: the example corpus must be IDENTICAL on every run — a
+# fresh random draw finding a novel edge case should happen in
+# development, not as a surprise failure in the driver's verify run
 PROFILE = settings(
     max_examples=25,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
@@ -72,6 +76,7 @@ def test_rolling_hash_matches_direct_computation(text):
 @settings(
     max_examples=8,  # each example runs a full iterative Spark job
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
