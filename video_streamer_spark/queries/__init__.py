@@ -71,6 +71,8 @@ _SAMPLE_FIRST = [
     "x49_stat_aggregates",
     "x50_arrays_zip_positions",
     "x51_curation_pipeline",
+    "x52_approx_percentile_contract",
+    "x53_hll_sketch_rollup",
 ]
 
 

@@ -611,3 +611,84 @@ def x50_arrays_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.pos3").cast("int").alias("pos"),
         F.col("z.tk3").alias("token"),
     ).orderBy("doc_id", "pos")
+
+
+# --------------------------------------------------------------------------
+# x52: approximate percentile with an accuracy CONTRACT (same pattern as
+# x24): the sketch value is engine-specific, so the hashed result is the
+# exact median (cross-engine-stable) plus a boolean asserting the
+# approximation lands inside a generous quantile band. At 100 TB the
+# approx path is the only affordable one — exact percentile needs a full
+# per-group sort — so the contract is what a user actually relies on.
+@query(
+    "x52_approx_percentile_contract",
+    oracle="""
+    SELECT event_type,
+      CAST(ROUND(CAST(quantile_cont(value, 0.5) AS DECIMAL(38,12)), 4) AS DOUBLE)
+        AS exact_median,
+      TRUE AS within_band
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x52_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 1000).alias("approx_median"),
+            F.expr("percentile(value, 0.5)").alias("exact_raw"),
+            F.expr("percentile(value, 0.45)").alias("lo"),
+            F.expr("percentile(value, 0.55)").alias("hi"),
+        )
+        .select(
+            "event_type",
+            round4(F.col("exact_raw")).alias("exact_median"),
+            (
+                (F.col("approx_median") >= F.col("lo"))
+                & (F.col("approx_median") <= F.col("hi"))
+            ).alias("within_band"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# x53: MERGEABLE sketch rollup — the incremental-aggregation pattern that
+# makes distinct counting affordable at 100 TB: build one HLL sketch per
+# (day, type) partition (each a parallel partial), then answer the
+# all-time question by UNIONING sketches, never re-scanning raw events.
+# Contract oracle as in x24/x52: exact distinct plus a 5%-accuracy flag.
+@query(
+    "x53_hll_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      TRUE AS within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x53_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
