@@ -73,6 +73,7 @@ _SAMPLE_FIRST = [
     "x51_curation_pipeline",
     "x52_approx_percentile_contract",
     "x53_hll_sketch_rollup",
+    "x54_date_spine_moving_avg",
 ]
 
 

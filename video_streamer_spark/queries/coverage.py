@@ -692,3 +692,69 @@ def x53_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x54: date spine + gap fill + moving average — the time-series idiom a
+# hypertable user expects: generate the COMPLETE calendar between the
+# first and last order date (sequence + explode — a generated dimension,
+# no source table), left-join daily order counts so empty days exist as
+# zeros, then a 7-day ROWS window over the gap-free spine. Without the
+# spine, a moving average silently skips missing days — the classic
+# time-series bug this operator exists to prevent.
+@query(
+    "x54_date_spine_moving_avg",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+             MAX(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+      FROM orders GROUP BY 1),
+    filled AS (
+      SELECT spine.d, COALESCE(daily.n, 0) AS n_orders
+      FROM spine LEFT JOIN daily ON spine.d = daily.d)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+      CAST(n_orders AS BIGINT) AS n_orders,
+      CAST(ROUND(CAST(
+        CAST(SUM(n_orders) OVER (ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / CAST(COUNT(*) OVER (ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS DECIMAL(38,9)), 2) AS DOUBLE) AS ma7
+    FROM filled ORDER BY day
+    """,
+)
+def x54_date_spine_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round2
+
+    o = table(spark, sf_dir, "orders")
+    bounds = o.select(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    filled = spine.join(daily, "d", "left").select(
+        "d", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    return (
+        filled.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_orders",
+            round2(
+                F.sum("n_orders").over(w).cast("double")
+                / F.count("*").over(w).cast("double")
+            ).alias("ma7"),
+        )
+        .orderBy("day")
+    )
