@@ -56,17 +56,29 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark refuses to read
-    natively. Read nanos as long and truncate to microseconds — exactly
-    what DuckDB does on the same file (verified: trunc, not round) — so
-    both engines see identical timestamps.
+    """Normalize events.ts to a session-zoned TIMESTAMP regardless of how
+    the parquet stores it. Two layouts exist across testdata generations:
+
+    - TIMESTAMP(NANOS): Spark refuses to read natively → read nanos as
+      long and truncate to microseconds (exactly what DuckDB does on the
+      same file — verified: trunc, not round).
+    - timestamp[us] with no timezone → Spark reads TIMESTAMP_NTZ. The
+      session timezone is pinned to UTC (session.py), so casting NTZ→LTZ
+      re-interprets the naive value as UTC — the same instant DuckDB's
+      naive ``epoch()`` computes.
+
+    Downstream queries can then rely on plain TIMESTAMP semantics
+    (unix_micros, cast-to-double, window()) for either layout.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

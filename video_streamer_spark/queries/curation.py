@@ -293,8 +293,13 @@ def x04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x05_embed_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # row count from the parquet footer (pure metadata, zero Spark jobs)
+    # stands in for the table statistics a 100 TB catalog would supply
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
     return similarity.embedding_near_pairs(
-        table(spark, sf_dir, "embeddings"), threshold=0.35
+        table(spark, sf_dir, "embeddings"), threshold=0.35, n_rows=n_rows
     )
 
 

@@ -454,8 +454,8 @@ def q20_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jb1",
         F.explode(
             F.array(
-                F.expr(f"unix_micros(ts1) div {bucket_us}"),
-                F.expr(f"unix_micros(ts1) div {bucket_us}") + 1,
+                F.expr(f"unix_micros(cast(ts1 as timestamp)) div {bucket_us}"),
+                F.expr(f"unix_micros(cast(ts1 as timestamp)) div {bucket_us}") + 1,
             )
         ),
     )
@@ -463,7 +463,9 @@ def q20_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("id2"),
         F.col("user_id").alias("u2"),
         F.col("ts").alias("ts2"),
-    ).withColumn("jb2", F.expr(f"unix_micros(ts2) div {bucket_us}"))
+    ).withColumn(
+        "jb2", F.expr(f"unix_micros(cast(ts2 as timestamp)) div {bucket_us}")
+    )
     joined = e1.join(
         e2,
         (F.col("u1") == F.col("u2"))

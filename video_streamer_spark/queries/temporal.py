@@ -109,7 +109,12 @@ def q15_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w_lag).isNull()
             | (
-                (F.col("ts").cast("double") - F.lag("ts").over(w_lag).cast("double"))
+                # double-cast via TIMESTAMP: legal for both LTZ and NTZ
+                # inputs (NTZ→double is not directly castable)
+                (
+                    F.col("ts").cast("timestamp").cast("double")
+                    - F.lag("ts").over(w_lag).cast("timestamp").cast("double")
+                )
                 > SESSION_GAP_SECONDS
             ),
             1,

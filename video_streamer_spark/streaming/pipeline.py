@@ -60,8 +60,13 @@ def events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(src_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # session tz is UTC, so NTZ→LTZ preserves the instant; keeps the
+        # streaming twin's ts dtype identical to catalog._events
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
