@@ -709,6 +709,54 @@ def test_decode_ppm_real_parser():
     assert raw.ndim == 1 and raw.size == len(b"opaque bytes")
 
 
+def test_decode_bmp_real_parser():
+    """O2 decode, second container: a crafted bottom-up 24-bpp BMP with
+    row padding round-trips to the exact RGB tensor (flip + BGR swap +
+    pad strip all exercised); a top-down (negative-height) DIB decodes
+    without the flip; non-24-bpp refuses loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from video_streamer_spark.operators.multimodal import (
+        decode_bmp,
+        decode_frame,
+    )
+
+    rng = np.random.default_rng(11)
+    w, h = 3, 2  # stride 9 → pads to 12: exercises the pad-strip path
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    stride = (w * 3 + 3) // 4 * 4
+
+    def build(height_field: int, rows_top_down: np.ndarray) -> bytes:
+        raster = b""
+        for row in rows_top_down:
+            bgr = row[:, ::-1].tobytes()
+            raster += bgr + bytes(stride - len(bgr))
+        header = (
+            b"BM" + (54 + len(raster)).to_bytes(4, "little")
+            + bytes(4) + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + height_field.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + bytes(4) + len(raster).to_bytes(4, "little")
+            + bytes(16)
+        )
+        return header + raster
+
+    # bottom-up: file stores rows last-first
+    assert np.array_equal(decode_bmp(build(h, rgb[::-1])), rgb)
+    # top-down (negative height): file stores rows first-first
+    assert np.array_equal(decode_bmp(build(-h, rgb)), rgb)
+    # dispatch reaches the BMP branch
+    assert np.array_equal(decode_frame(build(h, rgb[::-1])), rgb)
+    # 32-bpp refuses
+    bad = bytearray(build(h, rgb[::-1]))
+    bad[28:30] = (32).to_bytes(2, "little")
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(bytes(bad))
+
+
 def test_x43_decode_pipeline_runs(spark):
     """The decode→infer→rollup replay produces rows at smoke scale and the
     decoded dimensions come from the container header."""

@@ -85,6 +85,84 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return plane.reshape(height, width, 3)
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL decoder for uncompressed 24-bpp BMP (Windows DIB) — the second
+    container format on the true decode path next to P6 PPM (reference O2,
+    run.sh:53: decodebin negotiates arbitrary containers). Pure numpy:
+
+    - BITMAPFILEHEADER: 'BM' magic, pixel-array offset at bytes 10-13
+      (uint32 LE) — the raster is located via the HEADER, never assumed.
+    - BITMAPINFOHEADER: width (int32 LE @18), height (int32 LE @22 —
+      positive means BOTTOM-UP row order, negative top-down), bpp
+      (uint16 @28, must be 24), compression (uint32 @30, must be 0/BI_RGB).
+    - Rows are padded to 4-byte boundaries and pixels stored BGR; the
+      decoder strips padding, flips bottom-up rasters, and swaps to RGB,
+      returning the same (h, w, 3) uint8 tensor shape as ``decode_ppm``.
+    """
+    buf = bytes(payload)
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+
+    def _u32(off: int) -> int:
+        return int.from_bytes(buf[off : off + 4], "little")
+
+    pix_offset = _u32(10)
+    width = int.from_bytes(buf[18:22], "little", signed=True)
+    height = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    compression = _u32(30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bpp BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    raster = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * height, offset=pix_offset
+    ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        raster = raster[::-1]
+    return raster[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp_payloads(
+    docs: DataFrame, width: int = 8, height: int = 4
+) -> DataFrame:
+    """Documents → REAL binary BMP frames: a valid 54-byte
+    FILEHEADER+INFOHEADER for a bottom-up 24-bpp DIB, followed by a
+    width×height×3 raster whose bytes are the document's first 3wh
+    characters ('.'-padded). Pure codegen'd binary built-ins. The row
+    width must keep stride = 3·width a multiple of 4 so the raster is
+    pad-free and a SQL oracle can recompute everything downstream of the
+    decode from the text column (the decoder still flips rows and swaps
+    BGR→RGB — per-channel and per-row values differ from the PPM path)."""
+    if (width * 3) % 4 != 0:
+        raise ValueError("choose width with 3*width % 4 == 0 (pad-free)")
+    n = width * height * 3
+    header = (
+        b"BM"
+        + (54 + n).to_bytes(4, "little")  # file size
+        + b"\x00\x00\x00\x00"             # reserved
+        + (54).to_bytes(4, "little")      # pixel-array offset
+        + (40).to_bytes(4, "little")      # BITMAPINFOHEADER size
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)  # positive: bottom-up
+        + (1).to_bytes(2, "little")       # planes
+        + (24).to_bytes(2, "little")      # bpp
+        + (0).to_bytes(4, "little")       # BI_RGB
+        + n.to_bytes(4, "little")         # image size
+        + (2835).to_bytes(4, "little") * 2  # 72 dpi x/y
+        + (0).to_bytes(4, "little") * 2   # palette counts
+    )
+    raster = F.encode(F.rpad(F.substring(F.col("text"), 1, n), n, "."), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit(header), raster).alias("payload"),
+    )
+
+
 # magic-number prefixes of compressed formats we refuse (no codec libs in
 # this container — a real deployment swaps cv2/PyAV in here)
 _COMPRESSED_MAGICS = (b"\xff\xd8", b"\x89PNG", b"RIFF")
@@ -107,6 +185,8 @@ def decode_frame(payload: bytes) -> np.ndarray:
     buf = bytes(payload)
     if buf[:2] == b"P6":
         return decode_ppm(buf)
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
     if _looks_compressed(buf):
         raise NotImplementedError(
             "compressed codec (JPEG/PNG/RIFF/MP4) — codec libraries not "
@@ -259,6 +339,60 @@ def decode_ppm_frames(
             yield pd.DataFrame(rows)
 
     return frames.select(id_col, bin_col).mapInPandas(compute, DECODED_SCHEMA)
+
+
+DECODED_DETAIL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("r_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("b_sum", LongType()),
+        StructField("top_row_sum", LongType()),
+        StructField("top_left_r", IntegerType()),
+    ]
+)
+
+
+def decode_frames_detail(
+    frames: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """Like ``decode_ppm_frames`` but with ROW-POSITION-SENSITIVE outputs
+    (first-row sum, top-left R value) on top of the per-channel sums.
+    Channel sums prove the BGR→RGB swap; the positional values prove the
+    bottom-up row flip — together they pin the full BMP decode semantics
+    against a SQL oracle that recomputes them from the source text."""
+    import sys
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "r_sum", "g_sum", "b_sum",
+                "top_row_sum", "top_left_r",
+            )}
+            for doc_id, b in zip(pdf[id_col], pdf[bin_col]):
+                a = decode_frame(b)
+                if a.ndim != 3:
+                    raise ValueError(f"expected HxWx3 frame, got {a.shape}")
+                sums = a.sum(axis=(0, 1), dtype=np.int64)
+                rows["doc_id"].append(int(doc_id))
+                rows["height"].append(a.shape[0])
+                rows["width"].append(a.shape[1])
+                rows["r_sum"].append(int(sums[0]))
+                rows["g_sum"].append(int(sums[1]))
+                rows["b_sum"].append(int(sums[2]))
+                rows["top_row_sum"].append(int(a[0].sum(dtype=np.int64)))
+                rows["top_left_r"].append(int(a[0, 0, 0]))
+            yield pd.DataFrame(rows)
+
+    return frames.select(id_col, bin_col).mapInPandas(
+        compute, DECODED_DETAIL_SCHEMA
+    )
 
 
 N_HIST_BINS = 16

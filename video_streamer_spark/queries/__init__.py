@@ -40,44 +40,55 @@ def _load_all() -> None:
     from video_streamer_spark.queries import joins  # noqa: F401
 
 
-# The driver hash-checks the FIRST 50 registered queries per round. Round-3
-# ordering rule (VERDICT r2, item 1): lead with queries whose IMPLEMENTATION
-# (or a shared operator) was rebuilt AFTER their last driver-green row, so
-# every green row describes the code as currently written —
-#   x05: r1 row tested the deleted collect-based impl; now blocked cogroup
-#   q19a/q19b, x12, x13, x31, x02, x03: share detections/inference/
-#     multimodal/dedup code that moved in round 2 after their r1 rows
-# — then round-3-new queries, then the r2-green tail as filler.
+# The driver hash-checks the FIRST 50 registered queries per round. Round-4
+# ordering rule (same principle as r3: every green row should describe the
+# code as currently written, and no query's evidence should go stale):
+#   1. q15/q20 errored in r3 (TIMESTAMP_NTZ testdata regeneration) and are
+#      fixed this round — they need fresh green rows most.
+#   2. x05's plan construction changed this round (n_rows hint).
+#   3. round-4-new queries (x55+) as they land.
+#   4. the 26 queries r3's sample did not cover (last green row r1/r2).
+# Everything else keeps its r3 green row and fills the tail.
 _SAMPLE_FIRST = [
-    # rebuilt since last green driver row
+    # fixed this round after r3 errors
+    "q15_sessionization",
+    "q20_theta_self_join",
+    # plan construction changed this round
     "x05_embedding_near_pairs",
-    "q19a_detections_per_label",
-    "q19b_detections_per_frame",
-    "x12_payload_stats",
-    "x13_inference_replay",
-    "x31_sampled_resize_stats",
-    "x02_dedup_minhash_pairs",
-    "x03_dedup_simhash_pairs",
-    # round-3 new queries (appended below as they land)
+    # round-4 new queries (appended as they land; missing names are skipped)
     "x55_decode_bmp_infer",
     "x56_merge_upsert_result",
     "x57_quantile_bucket_join",
-    "x58_sessionize_events",
+    "x58_streaming_rate_rollup",
     "x59_topk_per_group",
     "x60_weighted_sample",
-    # r2-green rows whose code also saw round-2/3 touches (cheap re-evidence)
-    "x43_decode_infer_replay",
-    "x44_annotate_render",
-    "x45_dedup_components",
-    "x51_curation_pipeline",
-    "x24_approx_distinct",
-    "x52_approx_percentile_contract",
-    "x53_hll_sketch_rollup",
-    "x07_ann_lsh_topk",
-    "x32_ivf_topk",
-    "x46_hash_sample",
-    "x47_stratified_language_cap",
-    "x54_date_spine_moving_avg",
+    # not covered by r3's 50-slot sample — refresh their evidence
+    "x41_bpe_token_counts",
+    "x42_rolling_hash_fingerprint",
+    "x14_stream_tumbling",
+    "x15_stream_sessions",
+    "x16_cube_year_priority",
+    "x17_grouping_sets",
+    "x18_window_family",
+    "x19_string_functions",
+    "x20_date_functions",
+    "x21_json_struct",
+    "x22_union_by_name",
+    "x23_array_functions",
+    "x33_grouped_minmax_scale",
+    "x34_grouped_median_udaf",
+    "x35_null_semantics",
+    "x36_correlated_subquery",
+    "x39_regex_functions",
+    "x40_range_frame_trailing_sum",
+    "x49_stat_aggregates",
+    "x50_arrays_zip_positions",
+    "x25_left_outer_customer_orders",
+    "x26_full_outer_nation_counts",
+    "x27_cross_join_grid",
+    "x28_asof_purchase_click",
+    "x29_setops_all_multiplicity",
+    "x30_pivot_status_by_year",
 ]
 
 

@@ -644,6 +644,40 @@ def x43_decode_infer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x55: second REAL container format through the O2 decode path — encode
+# documents as genuine 24-bpp bottom-up BMPs (valid FILEHEADER+INFOHEADER,
+# raster = first-96-char '.'-padded text), decode via the BMP parser
+# (pixel offset/dims/bpp read from the HEADER; rows flipped; BGR→RGB
+# swapped). The oracle recomputes every output from the text column:
+# channel sums pin the BGR swap (stored byte k of each pixel maps to
+# channel 2-k), top_row_sum/top_left_r pin the bottom-up flip (decoded
+# row 0 = stored LAST row = chars 73..96 at 8×4). Reference anchor:
+# run.sh:53 (decodebin handles arbitrary containers).
+@query(
+    "x55_decode_bmp_infer",
+    oracle="""
+    WITH body AS (
+      SELECT doc_id, rpad(substr(text, 1, 96), 96, '.') AS s FROM documents)
+    SELECT doc_id, CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+      CAST(list_sum(list_transform(range(32), i -> ascii(substr(s, 3*i+3, 1))))
+           AS BIGINT) AS r_sum,
+      CAST(list_sum(list_transform(range(32), i -> ascii(substr(s, 3*i+2, 1))))
+           AS BIGINT) AS g_sum,
+      CAST(list_sum(list_transform(range(32), i -> ascii(substr(s, 3*i+1, 1))))
+           AS BIGINT) AS b_sum,
+      CAST(list_sum(list_transform(range(24), i -> ascii(substr(s, 73+i, 1))))
+           AS BIGINT) AS top_row_sum,
+      CAST(ascii(substr(s, 75, 1)) AS INT) AS top_left_r
+    FROM body ORDER BY doc_id
+    """,
+)
+def x55_decode_bmp_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    frames = multimodal.encode_bmp_payloads(docs, width=8, height=4)
+    return multimodal.decode_frames_detail(frames).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # x44: O20 annotate/render, value-checked. One deterministic box per
 # frame over a zeroed 16×12 RGB raster, so the annotated byte sum is a
 # closed-form function of the box perimeter and the label color — the
