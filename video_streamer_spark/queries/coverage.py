@@ -758,3 +758,81 @@ def x54_date_spine_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# x56: MERGE / upsert (the ACID-table-format capability, operators/merge.py
+# — apply_changeset is the logical plan Delta's MERGE INTO compiles to:
+# changeset anti-joined against base on the key, surviving changes
+# unioned back). The changeset exercises all three arms — WHEN MATCHED
+# UPDATE (keys %10==0, price × 1.1 in exact decimal), WHEN NOT MATCHED
+# INSERT (fresh keys at +100M), WHEN MATCHED DELETE (keys %13==0) — and
+# the result is rolled up per status so the driver row stays compact.
+# The physical touched-bucket parquet rewrite is tested in
+# tests/test_sources_and_ops.py (idempotence + partition pruning).
+@query(
+    "x56_merge_upsert_result",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS key, o_orderstatus AS status,
+        CAST(o_totalprice AS DECIMAL(18,6)) AS price
+      FROM orders),
+    changes AS (
+      SELECT key, 'U' AS op, 'R' AS status,
+        CAST(price * CAST(1.1 AS DECIMAL(3,2)) AS DECIMAL(18,6)) AS price
+      FROM base WHERE key % 10 = 0 AND key % 13 <> 0
+      UNION ALL
+      SELECT key + 100000000, 'I', 'N', CAST(555.55 AS DECIMAL(18,6))
+      FROM base WHERE key % 97 = 0
+      UNION ALL
+      SELECT key, 'D', NULL, NULL FROM base WHERE key % 13 = 0),
+    merged AS (
+      SELECT key, status, price FROM changes WHERE op <> 'D'
+      UNION ALL
+      SELECT b.key, b.status, b.price FROM base b
+      LEFT JOIN changes c ON b.key = c.key WHERE c.key IS NULL)
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(ROUND(CAST(SUM(price) AS DECIMAL(38,9)), 2) AS DOUBLE) AS sum_price
+    FROM merged GROUP BY status ORDER BY status
+    """,
+)
+def x56_merge_upsert_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import dec
+    from video_streamer_spark.operators.merge import apply_changeset
+
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        dec("o_totalprice").alias("price"),
+    )
+    k = F.col("key")
+    updates = base.where((k % 10 == 0) & (k % 13 != 0)).select(
+        "key",
+        F.lit("U").alias("__op"),
+        F.lit("R").alias("status"),
+        (F.col("price") * F.expr("CAST(1.1 AS DECIMAL(3,2))"))
+        .cast("decimal(18,6)")
+        .alias("price"),
+    )
+    inserts = base.where(k % 97 == 0).select(
+        (k + 100_000_000).alias("key"),
+        F.lit("I").alias("__op"),
+        F.lit("N").alias("status"),
+        F.expr("CAST(555.55 AS DECIMAL(18,6))").alias("price"),
+    )
+    deletes = base.where(k % 13 == 0).select(
+        "key",
+        F.lit("D").alias("__op"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("decimal(18,6)").alias("price"),
+    )
+    changes = updates.unionByName(inserts).unionByName(deletes)
+    merged = apply_changeset(base, changes, ["key"])
+    return (
+        merged.groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            round2(F.sum("price")).alias("sum_price"),
+        )
+        .orderBy("status")
+    )
