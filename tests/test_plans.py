@@ -4,6 +4,8 @@ broadcast, bounded shuffles, codegen) asserted on the physical plans.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from tests.conftest import SF_ORACLE
 from video_streamer_spark.plans import plan_report
 from video_streamer_spark.queries import QUERIES
@@ -146,3 +148,49 @@ def test_stratified_cap_single_shuffle(spark):
     # count distinct operator ids, not raw substring occurrences
     exchanges = set(re.findall(r"\((\d+)\) Exchange", text))
     assert len(exchanges) == 1, text
+
+
+def test_x58_funnel_windows_share_one_shuffle(spark):
+    """All three stacked running-max windows AND the per-user aggregate
+    must ride the same user_id partitioning: exactly one hash Exchange
+    in the whole plan (plus at most the final single-partition agg).
+    A formulation that re-shuffles per window stage dies at 100 TB."""
+    import re
+
+    r = plan_report(QUERIES["x58_event_funnel"](spark, SF_ORACLE))
+    hash_ex = set(re.findall(r"\((\d+)\) Exchange hashpartitioning", r.text))
+    assert len(hash_ex) <= 1, r.text
+    assert r.n_bnl_joins == 0 and r.n_sortmerge_joins == 0
+
+
+def test_x57_band_join_broadcasts_tiny_dim(spark):
+    """The computed 4-row band dimension must be the broadcast side of a
+    nested-loop join (range predicates can't hash) — never a shuffle of
+    the fact side against it."""
+    r = plan_report(QUERIES["x57_quantile_bucket_join"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in r.text, r.text
+    assert r.n_sortmerge_joins == 0, r.text
+
+
+def test_x59_part_dim_broadcasts(spark):
+    """part is the small side → broadcast hash join; the revenue agg and
+    the per-brand window are the only hash shuffles."""
+    import re
+
+    r = plan_report(QUERIES["x59_topk_per_group"](spark, SF_ORACLE))
+    assert r.n_broadcast_joins >= 1, r.text
+    assert r.n_sortmerge_joins == 0, r.text
+    hash_ex = set(re.findall(r"\((\d+)\) Exchange hashpartitioning", r.text))
+    assert len(hash_ex) <= 2, r.text
+
+
+def test_x60_weighted_sample_is_pure_predicate(spark):
+    """Weighted sampling must stay a scan-side predicate: no Exchange."""
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.operators import sampling
+
+    docs = table(spark, SF_ORACLE, "documents")
+    df = sampling.weighted_hash_sample(
+        docs, F.least(F.col("n_chars"), F.lit(2000)) / F.lit(2000.0)
+    )
+    assert "Exchange" not in plan_report(df).text

@@ -46,6 +46,25 @@ def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id") -> DataFrame
     return df.where(_hash_bucket(id_col) < int(rate * SAMPLE_BUCKETS))
 
 
+def weighted_hash_sample(
+    df: DataFrame, weight: F.Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-row inclusion with probability = ``weight`` (a Column in
+    [0, 1], clamped) — importance sampling for training-data mixes
+    (e.g. keep long documents with higher probability). Still a pure
+    row-local predicate: the hash bucket is compared against a per-row
+    cutoff, so it pushes to the scan, shuffles nothing, and reruns
+    reproduce the identical corpus at any parallelism.
+
+    Cross-engine note: the cutoff is floor(weight × SAMPLE_BUCKETS) in
+    IEEE doubles — an oracle recomputing it must use the SAME arithmetic
+    expression shape so the rounding is bit-identical.
+    """
+    clamped = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    cutoff = F.floor(clamped * F.lit(float(SAMPLE_BUCKETS))).cast("bigint")
+    return df.where(_hash_bucket(id_col) < cutoff)
+
+
 def stratified_cap(
     df: DataFrame,
     group_cols: list[str],

@@ -59,7 +59,7 @@ _SAMPLE_FIRST = [
     "x55_decode_bmp_infer",
     "x56_merge_upsert_result",
     "x57_quantile_bucket_join",
-    "x58_streaming_rate_rollup",
+    "x58_event_funnel",
     "x59_topk_per_group",
     "x60_weighted_sample",
     # not covered by r3's 50-slot sample — refresh their evidence

@@ -836,3 +836,132 @@ def x56_merge_upsert_result(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --------------------------------------------------------------------------
+# x57: join against a COMPUTED quantile dimension — exact quartile
+# boundaries of the order price (integer cents, so the R-7 linear
+# interpolation is dyadic-exact and bit-identical across engines), turned
+# into a 4-row band dimension, broadcast-joined back with range
+# predicates, then rolled up per band. The pattern behind histogram
+# equi-depth bucketing and percentile-banded reporting: the boundary
+# aggregate is one reduction, the dimension never leaves the plan (no
+# driver collect), and the band join is a 4-row broadcast nested loop —
+# constant-size build side at any corpus scale.
+@query(
+    "x57_quantile_bucket_join",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        CAST(o_totalprice AS DECIMAL(18,6)) AS price
+      FROM orders),
+    q AS (SELECT quantile_cont(cents, [0.25, 0.5, 0.75]) AS qs FROM o),
+    bands AS (
+      SELECT 0 AS band_id, CAST(NULL AS DOUBLE) AS lo, CAST(qs[1] AS DOUBLE) AS hi FROM q
+      UNION ALL SELECT 1, CAST(qs[1] AS DOUBLE), CAST(qs[2] AS DOUBLE) FROM q
+      UNION ALL SELECT 2, CAST(qs[2] AS DOUBLE), CAST(qs[3] AS DOUBLE) FROM q
+      UNION ALL SELECT 3, CAST(qs[3] AS DOUBLE), CAST(NULL AS DOUBLE) FROM q)
+    SELECT CAST(band_id AS INT) AS band_id, lo, hi,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(ROUND(CAST(SUM(price) AS DECIMAL(38,9)), 2) AS DOUBLE) AS sum_price
+    FROM o JOIN bands
+      ON (lo IS NULL OR cents >= lo) AND (hi IS NULL OR cents < hi)
+    GROUP BY band_id, lo, hi ORDER BY band_id
+    """,
+)
+def x57_quantile_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import dec
+
+    o = table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        dec("o_totalprice").alias("price"),
+    )
+    qs = o.agg(
+        F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").alias("qs")
+    )
+    null_d = F.lit(None).cast("double")
+    bands = qs.select(
+        F.posexplode(
+            F.array(
+                F.struct(null_d.alias("lo"), F.col("qs")[0].alias("hi")),
+                F.struct(F.col("qs")[0].alias("lo"), F.col("qs")[1].alias("hi")),
+                F.struct(F.col("qs")[1].alias("lo"), F.col("qs")[2].alias("hi")),
+                F.struct(F.col("qs")[2].alias("lo"), null_d.alias("hi")),
+            )
+        )
+    ).select(
+        F.col("pos").cast("int").alias("band_id"),
+        F.col("col.lo").alias("lo"),
+        F.col("col.hi").alias("hi"),
+    )
+    joined = o.join(
+        F.broadcast(bands),
+        (F.col("lo").isNull() | (F.col("cents") >= F.col("lo")))
+        & (F.col("hi").isNull() | (F.col("cents") < F.col("hi"))),
+    )
+    return (
+        joined.groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            round2(F.sum("price")).alias("sum_price"),
+        )
+        .orderBy("band_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x59: top-k per group AFTER a join+aggregate — top-3 parts by revenue
+# within each brand. Classic two-shuffle shape: partial+final agg on the
+# composite key (p_brand, p_partkey), then one window shuffle on the
+# group key for the rank; the filter on rank caps the output at
+# k × n_groups. Revenue in exact decimal so the per-group ordering (and
+# the hash) cannot drift between engines.
+@query(
+    "x59_topk_per_group",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, l.l_partkey,
+        SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+            * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6))))
+          AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_partkey),
+    ranked AS (
+      SELECT p_brand, l_partkey, revenue,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY p_brand ORDER BY revenue DESC, l_partkey) AS INT) AS rnk
+      FROM rev)
+    SELECT p_brand, l_partkey AS p_partkey,
+      CAST(ROUND(CAST(revenue AS DECIMAL(38,9)), 2) AS DOUBLE) AS revenue, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY p_brand, rnk
+    """,
+)
+def x59_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import dec
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice") * (dec(F.lit(1)) - dec("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("l_partkey")
+    )
+    return (
+        rev.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "p_brand",
+            F.col("l_partkey").alias("p_partkey"),
+            round2("revenue").alias("revenue"),
+            "rnk",
+        )
+        .orderBy("p_brand", "rnk")
+    )

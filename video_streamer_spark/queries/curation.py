@@ -770,6 +770,36 @@ def x47_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x60: WEIGHTED deterministic sampling — inclusion probability scales
+# with document length (longer documents kept more often, the standard
+# importance-weighting move in a training mix). Weight = min(n_chars,
+# 2000)/2000; still a pure pushed-down predicate (per-row cutoff vs the
+# id-hash bucket), zero shuffles. The oracle mirrors the exact double
+# arithmetic (same expression shape → same IEEE rounding).
+@query(
+    "x60_weighted_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000
+        < CAST(floor((least(n_chars, 2000) / 2000.0) * 10000.0) AS BIGINT)
+    ORDER BY doc_id
+    """,
+)
+def x60_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars"), F.lit(2000)) / F.lit(2000.0)
+    return (
+        sampling.weighted_hash_sample(docs, weight)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # x51: the END-TO-END curation pass a training-data pipeline actually
 # ships, as ONE Catalyst plan: exact-dedup survivors → quality scoring →
 # threshold filter → deterministic hash sample. Composition is the

@@ -233,3 +233,92 @@ def sliding_agg(events: DataFrame) -> DataFrame:
 def x48_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     return sliding_agg(e).orderBy("window_start", "event_type")
+
+
+# --------------------------------------------------------------------------
+# x58: event-sequence FUNNEL — users who did view → click → purchase in
+# temporal order (MATCH_RECOGNIZE-lite). Three stacked running-max
+# windows over the SAME (user, ts, event_id) ordering — Catalyst plans
+# them behind a single shuffle — turn sequence detection into flags:
+# view_seen, click-after-view, purchase-after-that; then one group-by
+# per user and a global roll-up. The self-join formulation (e1⋈e2⋈e3)
+# would be quadratic per hot user; this is O(n log n) per user and
+# shuffle-bounded by the events table — the form that survives 100 TB.
+@query(
+    "x58_event_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, ts, event_id, event_type,
+        MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+          OVER w AS view_seen
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s2 AS (
+      SELECT user_id, ts, event_id, event_type, view_seen,
+        MAX(CASE WHEN event_type = 'click' AND view_seen = 1
+                 THEN 1 ELSE 0 END) OVER w AS click_after
+      FROM s1
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s3 AS (
+      SELECT user_id, view_seen, click_after,
+        MAX(CASE WHEN event_type = 'purchase' AND click_after = 1
+                 THEN 1 ELSE 0 END) OVER w AS purchase_after
+      FROM s2
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    per_user AS (
+      SELECT user_id, MAX(view_seen) AS v, MAX(click_after) AS c,
+        MAX(purchase_after) AS p
+      FROM s3 GROUP BY user_id)
+    SELECT CAST(SUM(v) AS BIGINT) AS n_view,
+      CAST(SUM(c) AS BIGINT) AS n_view_click,
+      CAST(SUM(p) AS BIGINT) AS n_view_click_purchase
+    FROM per_user
+    """,
+)
+def x58_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s1 = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).over(w).alias("view_seen"),
+    )
+    s2 = s1.withColumn(
+        "click_after",
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("view_seen") == 1), 1
+            ).otherwise(0)
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "purchase_after",
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("click_after") == 1),
+                1,
+            ).otherwise(0)
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("view_seen").alias("v"),
+        F.max("click_after").alias("c"),
+        F.max("purchase_after").alias("p"),
+    )
+    return per_user.agg(
+        F.sum("v").cast("bigint").alias("n_view"),
+        F.sum("c").cast("bigint").alias("n_view_click"),
+        F.sum("p").cast("bigint").alias("n_view_click_purchase"),
+    )
