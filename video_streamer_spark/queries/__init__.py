@@ -62,6 +62,9 @@ _SAMPLE_FIRST = [
     "x58_event_funnel",
     "x59_topk_per_group",
     "x60_weighted_sample",
+    "x61_embedding_centroids",
+    "x62_unigram_logprob",
+    "x63_chunk_documents",
     # not covered by r3's 50-slot sample — refresh their evidence
     "x41_bpe_token_counts",
     "x42_rolling_hash_fingerprint",

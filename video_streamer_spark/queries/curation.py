@@ -959,3 +959,169 @@ def x42_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rolling_hash_fingerprints(
         table(spark, sf_dir, "documents")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x61: embedding CENTROIDS per label — the vector-aggregation primitive
+# behind k-means E-steps, class prototypes, and dedup-cluster medoids.
+# posexplode → groupBy(label, dim): Spark's partial aggregation means the
+# shuffle carries only n_partitions × n_labels × dim partial rows, never
+# the exploded fact volume — the right shape at 100 TB. Cross-row float
+# sums are order-dependent in double, so each element is first quantized
+# to an exact 1e-6 integer grid with floor() (no tie semantics to
+# disagree on), summed exactly as BIGINT, and divided back out — both
+# engines compute bit-identical centroids with zero decimal-cast risk.
+@query(
+    "x61_embedding_centroids",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label,
+        unnest(range(len(embedding))) AS pos,
+        unnest(embedding) AS val
+      FROM embeddings)
+    SELECT label, CAST(pos AS INT) AS pos,
+      CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      {_R4.format(
+          "CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000.0) AS BIGINT))"
+          " AS DOUBLE) / 1000000.0 / COUNT(*)"
+      )} AS centroid
+    FROM ex GROUP BY label, pos ORDER BY label, pos
+    """,
+)
+def x61_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    q = F.floor(F.col("val").cast("double") * 1_000_000.0).cast("bigint")
+    return (
+        ex.groupBy("label", F.col("pos").cast("int").alias("pos"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(q).alias("s"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n_vecs",
+            round4(
+                F.col("s").cast("double") / 1_000_000.0 / F.col("n_vecs")
+            ).alias("centroid"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# x62: corpus-LM quality scoring — mean unigram log-probability per
+# document, the classic cheap fluency/quality signal in training-data
+# filtering. Two aggregations over one token explode (vocab counts,
+# then per-doc mean surprisal via a vocab join); the vocab relation is
+# tiny relative to the corpus, so at scale the join broadcasts and the
+# only heavy shuffle is the vocab count itself. Each token's log-prob is
+# quantized to DECIMAL(18,6) before the cross-row sum (the repo-standard
+# exact-sum discipline), so per-doc means are engine-stable.
+@query(
+    "x62_unigram_logprob",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM toks
+            WHERE len(toks) > 0),
+    vocab AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+    tot AS (SELECT SUM(freq) AS total FROM vocab),
+    scored AS (
+      SELECT t.doc_id,
+        CAST(ln(CAST(v.freq AS DOUBLE) / CAST(tot.total AS DOUBLE))
+             AS DECIMAL(18,6)) AS lp
+      FROM tok t JOIN vocab v ON t.token = v.token CROSS JOIN tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      {_R4.format("CAST(SUM(lp) AS DOUBLE) / COUNT(*)")} AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x62_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators.text import token_explode
+
+    docs = table(spark, sf_dir, "documents")
+    tok = token_explode(docs)
+    vocab = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    total = vocab.agg(F.sum("freq").alias("total"))
+    scored = (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(
+                F.col("freq").cast("double") / F.col("total").cast("double")
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            round4(F.sum("lp").cast("double") / F.count("*")).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x63: document CHUNKING — fixed-size token windows with overlap
+# (size 50, stride 40), the unit-of-training-example splitter every LLM
+# data pipeline runs before tokenizer packing. Pure codegen: token
+# split → sequence of chunk starts → posexplode → slice + array_join.
+# No UDF, no shuffle except the final ordering; at 100 TB this runs at
+# scan speed and the output is ~n_tokens/stride rows per doc.
+@query(
+    "x63_chunk_documents",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    c AS (
+      SELECT doc_id, toks,
+        unnest(range(CAST((len(toks) - 1) // 40 AS BIGINT) + 1)) AS chunk_id
+      FROM toks WHERE len(toks) > 0)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      CAST(len(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50))
+           AS INT) AS n_tokens,
+      array_to_string(
+        list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50), ' ')
+        AS chunk_text
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+)
+def x63_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.dedup import tokens_col
+
+    size, stride = 50, 40
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n = F.size(toks)
+    with_chunks = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.posexplode(
+            F.sequence(
+                F.lit(0), F.floor((n - 1) / F.lit(stride)).cast("int")
+            )
+        ).alias("chunk_id", "_start_idx"),
+    ).where(F.size(F.col("toks")) > 0)
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_id") * stride + 1, size
+    )
+    return (
+        with_chunks.select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.size(chunk).cast("int").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
