@@ -194,3 +194,11 @@ def test_x60_weighted_sample_is_pure_predicate(spark):
         docs, F.least(F.col("n_chars"), F.lit(2000)) / F.lit(2000.0)
     )
     assert "Exchange" not in plan_report(df).text
+
+
+def test_x65_fuzzy_dedup_is_equi_join(spark):
+    """The levenshtein blocking must ride an equi join on
+    (lang, length-bucket) — a BNL here means the blocking fell out of
+    the join condition and the compare went all-pairs."""
+    r = plan_report(QUERIES["x65_fuzzy_dedup_levenshtein"](spark, SF_ORACLE))
+    assert r.n_bnl_joins == 0, r.text

@@ -1092,3 +1092,29 @@ def test_run_merge_upsert_sink_streaming(spark, tmp_path):
     # lexicographic so f1 precedes f2
     assert 42 not in got
     assert len(got) == 10
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    """Small-file compaction: 16 single-row-ish files merge to the
+    byte-targeted count, data survives byte-identically, a second run is
+    a no-op, and the original directory never disappears mid-rewrite
+    (swap via sibling temp dir)."""
+    from video_streamer_spark.operators.maintenance import (
+        compact_parquet_dir,
+        _dir_stats,
+    )
+
+    path = str(tmp_path / "t")
+    # 16 tiny files: one write per repartition slice
+    spark.range(1600).repartition(16).write.parquet(path)
+    n0, total = _dir_stats(path)
+    assert n0 == 16
+    res = compact_parquet_dir(spark, path, target_bytes=total)
+    assert res["compacted"] and res["files_after"] < n0
+    back = spark.read.parquet(path)
+    assert back.count() == 1600
+    assert back.agg(F.sum("id")).first()[0] == 1600 * 1599 // 2
+    # idempotent on schedule: second run is a no-op
+    res2 = compact_parquet_dir(spark, path, target_bytes=total)
+    assert not res2["compacted"]
+    assert res2["files_after"] == res["files_after"]

@@ -489,3 +489,62 @@ def minhash_signatures_rowwise(
         for s in range(num_hashes)
     ]
     return d.select("doc_id", *cols)
+
+
+def fuzzy_pairs_levenshtein(
+    docs: DataFrame,
+    prefix_len: int = 64,
+    max_dist: int = 8,
+    len_bucket: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Edit-distance near-dup pairs, BLOCKED so no all-pairs compare ever
+    runs: candidates must share language and sit in the same or an
+    adjacent ``len_bucket``-char length bucket (a true edit-distance
+    neighbor has a similar length, so adjacency covers the boundary
+    straddle); within a block, pairs are scored by levenshtein on the
+    first ``prefix_len`` chars — the standard cheap surrogate that keeps
+    per-pair cost O(prefix²) instead of O(len²).
+
+    Skew/scale shape (same interval-bucket trick as the q20 range join):
+    the probe side explodes to buckets {b-1, b, b+1} and joins the build
+    side's TRUE bucket, so every qualifying pair matches exactly once and
+    per-key shuffle groups are bounded by block population, not corpus
+    size. Levenshtein runs codegen'd (built-in), zero Python.
+    """
+    base = docs.select(
+        F.col(id_col).alias("fid"),
+        F.col(lang_col).alias("flang"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("fprefix"),
+        (F.length(text_col) / F.lit(len_bucket)).cast("bigint").alias("fb"),
+    )
+    left = base.select(
+        F.col("fid").alias("doc_a"),
+        F.col("flang").alias("lang_a"),
+        F.col("fprefix").alias("prefix_a"),
+        F.explode(
+            F.array(F.col("fb") - 1, F.col("fb"), F.col("fb") + 1)
+        ).alias("jb"),
+    )
+    right = base.select(
+        F.col("fid").alias("doc_b"),
+        F.col("flang").alias("lang_b"),
+        F.col("fprefix").alias("prefix_b"),
+        F.col("fb").alias("jb2"),
+    )
+    return (
+        left.join(
+            right,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("jb") == F.col("jb2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .withColumn(
+            "prefix_dist",
+            F.levenshtein("prefix_a", "prefix_b").cast("int"),
+        )
+        .where(F.col("prefix_dist") <= max_dist)
+        .select("doc_a", "doc_b", F.col("lang_a").alias("lang"), "prefix_dist")
+    )

@@ -65,6 +65,9 @@ _SAMPLE_FIRST = [
     "x61_embedding_centroids",
     "x62_unigram_logprob",
     "x63_chunk_documents",
+    "x64_unpivot_part_metrics",
+    "x65_fuzzy_dedup_levenshtein",
+    "x66_profile_orders",
     # not covered by r3's 50-slot sample — refresh their evidence
     "x41_bpe_token_counts",
     "x42_rolling_hash_fingerprint",

@@ -965,3 +965,129 @@ def x59_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# x64: UNPIVOT / melt — the inverse of x30's pivot, completing the
+# reshape pair. Wide numeric columns of part melt into (id, metric,
+# value) long form via the native DataFrame.unpivot (Spark's Expand
+# node: one scan, rows × n_metrics output, no shuffle until the final
+# sort). The oracle spells it as the equivalent UNION ALL.
+@query(
+    "x64_unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, metric, val FROM (
+      SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+      FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+      FROM part)
+    WHERE p_partkey <= 200
+    ORDER BY p_partkey, metric
+    """,
+)
+def x64_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        )
+        .unpivot(
+            ids=["p_partkey"],
+            values=["p_size", "p_retailprice"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .orderBy("p_partkey", "metric")
+    )
+
+
+# --------------------------------------------------------------------------
+# x66: single-pass TABLE PROFILING — null counts, exact distinct counts,
+# and min/max per column in ONE aggregation over one scan (Spark plans
+# the multi-distinct via Expand; no per-column re-scans — the property
+# that matters when the table is 100 TB). Output melts to one row per
+# column. min/max render through the repo's parity formats (decimal /
+# date-string) so the hash is engine-stable.
+@query(
+    "x66_profile_orders",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n_rows,
+        COUNT(*) - COUNT(o_custkey) AS nn_custkey,
+        COUNT(DISTINCT o_custkey) AS nd_custkey,
+        CAST(MIN(o_custkey) AS VARCHAR) AS mn_custkey,
+        CAST(MAX(o_custkey) AS VARCHAR) AS mx_custkey,
+        COUNT(*) - COUNT(o_orderstatus) AS nn_status,
+        COUNT(DISTINCT o_orderstatus) AS nd_status,
+        MIN(o_orderstatus) AS mn_status, MAX(o_orderstatus) AS mx_status,
+        COUNT(*) - COUNT(o_totalprice) AS nn_price,
+        COUNT(DISTINCT o_totalprice) AS nd_price,
+        CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn_price,
+        CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx_price,
+        COUNT(*) - COUNT(o_orderdate) AS nn_date,
+        COUNT(DISTINCT o_orderdate) AS nd_date,
+        strftime(MIN(o_orderdate), '%Y-%m-%d') AS mn_date,
+        strftime(MAX(o_orderdate), '%Y-%m-%d') AS mx_date
+      FROM orders)
+    SELECT col, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
+      SELECT 'o_custkey' AS col, n_rows, nn_custkey AS n_nulls,
+        nd_custkey AS n_distinct, mn_custkey AS min_val, mx_custkey AS max_val
+      FROM s
+      UNION ALL
+      SELECT 'o_orderstatus', n_rows, nn_status, nd_status, mn_status,
+        mx_status FROM s
+      UNION ALL
+      SELECT 'o_totalprice', n_rows, nn_price, nd_price, mn_price, mx_price
+      FROM s
+      UNION ALL
+      SELECT 'o_orderdate', n_rows, nn_date, nd_date, mn_date, mx_date FROM s)
+    ORDER BY col
+    """,
+)
+def x66_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import date_str
+
+    o = table(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("o_custkey")).alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("string").alias("mn_custkey"),
+        F.max("o_custkey").cast("string").alias("mx_custkey"),
+        (F.count("*") - F.count("o_orderstatus")).alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").alias("mn_status"),
+        F.max("o_orderstatus").alias("mx_status"),
+        (F.count("*") - F.count("o_totalprice")).alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.min("o_totalprice").cast("decimal(18,2)").cast("string").alias("mn_price"),
+        F.max("o_totalprice").cast("decimal(18,2)").cast("string").alias("mx_price"),
+        (F.count("*") - F.count("o_orderdate")).alias("nn_date"),
+        F.countDistinct("o_orderdate").alias("nd_date"),
+        date_str(F.min("o_orderdate")).alias("mn_date"),
+        date_str(F.max("o_orderdate")).alias("mx_date"),
+    )
+    rows = []
+    for col, nn, nd, mn, mx in (
+        ("o_custkey", "nn_custkey", "nd_custkey", "mn_custkey", "mx_custkey"),
+        ("o_orderstatus", "nn_status", "nd_status", "mn_status", "mx_status"),
+        ("o_totalprice", "nn_price", "nd_price", "mn_price", "mx_price"),
+        ("o_orderdate", "nn_date", "nd_date", "mn_date", "mx_date"),
+    ):
+        rows.append(
+            s.select(
+                F.lit(col).alias("col"),
+                F.col("n_rows"),
+                F.col(nn).cast("bigint").alias("n_nulls"),
+                F.col(nd).cast("bigint").alias("n_distinct"),
+                F.col(mn).alias("min_val"),
+                F.col(mx).alias("max_val"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("col")

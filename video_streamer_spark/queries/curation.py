@@ -1125,3 +1125,32 @@ def x63_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x65: FUZZY dedup by edit distance — the fourth near-dup family member
+# next to minhash/simhash/jaccard: levenshtein ≤ 8 on 64-char prefixes,
+# blocked by (lang, 32-char length bucket) with the q20-style adjacent-
+# bucket probe so no all-pairs compare exists and per-key shuffle groups
+# stay block-bounded at any corpus size. Pure codegen (built-in
+# levenshtein), oracle mirrors the block + threshold exactly.
+@query(
+    "x65_fuzzy_dedup_levenshtein",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, substr(text, 1, 64) AS pfx,
+        CAST(length(text) // 32 AS BIGINT) AS fb
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+      CAST(levenshtein(a.pfx, b.pfx) AS INT) AS prefix_dist
+    FROM base a JOIN base b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND b.fb BETWEEN a.fb - 1 AND a.fb + 1
+    WHERE levenshtein(a.pfx, b.pfx) <= 8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def x65_fuzzy_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.fuzzy_pairs_levenshtein(
+        table(spark, sf_dir, "documents")
+    ).orderBy("doc_a", "doc_b")
