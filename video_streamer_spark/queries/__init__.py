@@ -68,6 +68,8 @@ _SAMPLE_FIRST = [
     "x64_unpivot_part_metrics",
     "x65_fuzzy_dedup_levenshtein",
     "x66_profile_orders",
+    "x67_count_min_sketch_topk",
+    "x68_pack_chunks",
     # not covered by r3's 50-slot sample — refresh their evidence
     "x41_bpe_token_counts",
     "x42_rolling_hash_fingerprint",

@@ -1154,3 +1154,162 @@ def x65_fuzzy_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fuzzy_pairs_levenshtein(
         table(spark, sf_dir, "documents")
     ).orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# x67: COUNT-MIN SKETCH over the token stream — the mergeable
+# frequency-sketch companion to x53's HLL rollup. The sketch is built
+# declaratively (d=4 hash rows × w=256 buckets; bucket = md5-derived,
+# so BOTH engines reproduce it bit-exactly and even the ESTIMATES
+# hash-match — stronger than the x24-style contract flag): one shuffle
+# with map-side partials reduces the corpus to d×w cells, which is the
+# whole point at 100 TB — cells merge across partitions/days by
+# addition, and a frequency probe joins d rows instead of re-scanning
+# the corpus. CMS guarantee (est ≥ exact) emitted as a checked column.
+@query(
+    "x67_count_min_sketch_topk",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    tok AS (SELECT unnest(toks) AS token FROM toks),
+    exact AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tok
+      GROUP BY token ORDER BY exact_cnt DESC, token LIMIT 10),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS ri),
+    cells AS (
+      SELECT ri,
+        CAST(('0x' || substr(md5(CAST(ri AS VARCHAR) || ':' || token), 1, 8))
+             AS BIGINT) % 256 AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS cell_cnt
+      FROM tok CROSS JOIN rows_ GROUP BY 1, 2),
+    probes AS (
+      SELECT e.token, e.exact_cnt, r.ri,
+        CAST(('0x' || substr(md5(CAST(r.ri AS VARCHAR) || ':' || e.token),
+                             1, 8)) AS BIGINT) % 256 AS bucket
+      FROM exact e CROSS JOIN rows_ r),
+    est AS (
+      SELECT p.token, p.exact_cnt, MIN(c.cell_cnt) AS est_cnt
+      FROM probes p JOIN cells c ON p.ri = c.ri AND p.bucket = c.bucket
+      GROUP BY p.token, p.exact_cnt)
+    SELECT token, exact_cnt, est_cnt, est_cnt >= exact_cnt AS sound
+    FROM est ORDER BY exact_cnt DESC, token
+    """,
+)
+def x67_count_min_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.text import token_explode
+
+    d_rows, width = 4, 256
+    docs = table(spark, sf_dir, "documents")
+    tok = token_explode(docs).select("token")
+
+    def bucket(ri_col: F.Column, token_col: F.Column) -> F.Column:
+        h = F.md5(F.concat(ri_col.cast("string"), F.lit(":"), token_col))
+        return F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(width)
+        )
+
+    ri = F.explode(F.array(*[F.lit(i) for i in range(d_rows)])).alias("ri")
+    cells = (
+        tok.select("token", ri)
+        .select("ri", bucket(F.col("ri"), F.col("token")).alias("bucket"))
+        .groupBy("ri", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cell_cnt"))
+    )
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("token"))
+        .limit(10)
+    )
+    probes = exact.select(
+        "token", "exact_cnt", ri
+    ).withColumn("bucket", bucket(F.col("ri"), F.col("token")))
+    return (
+        probes.join(F.broadcast(cells), ["ri", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cell_cnt").alias("est_cnt"))
+        .select(
+            "token",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("sound"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )
+
+
+# --------------------------------------------------------------------------
+# x68: SEQUENCE PACKING — assign x63's chunks to fixed token-budget bins
+# (2048 tokens) in deterministic (doc_id, chunk_id) order: bin id =
+# floor(exclusive-running-token-sum / budget), the standard contiguous
+# greedy packer that turns variable-length chunks into near-full
+# training sequences. One global ordering window (at 100 TB you pack
+# per-shard instead — partitionBy(shard) on the same expression — so
+# the window never needs a global sort; the semantics per shard are
+# identical). Output: per-bin chunk count and fill level.
+@query(
+    "x68_pack_chunks",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    c AS (
+      SELECT doc_id, toks,
+        unnest(range(CAST((len(toks) - 1) // 40 AS BIGINT) + 1)) AS chunk_id
+      FROM toks WHERE len(toks) > 0),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+        CAST(len(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50))
+             AS BIGINT) AS n_tokens
+      FROM c),
+    packed AS (
+      SELECT doc_id, chunk_id, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (
+          ORDER BY doc_id, chunk_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+          AS BIGINT) AS bin_id
+      FROM chunks)
+    SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY bin_id ORDER BY bin_id
+    """,
+)
+def x68_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from video_streamer_spark.operators.dedup import tokens_col
+
+    size, stride, budget = 50, 40, 2048
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col("text")
+    n = F.size(toks)
+    chunks = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.posexplode(
+            F.sequence(
+                F.lit(0), F.floor((n - 1) / F.lit(stride)).cast("int")
+            )
+        ).alias("chunk_id", "_i"),
+    ).where(F.size(F.col("toks")) > 0).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(
+            F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, size)
+        ).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = chunks.withColumn(
+        "bin_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(budget)
+        ).cast("bigint"),
+    )
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("bin_id")
+    )
