@@ -202,3 +202,34 @@ def test_x65_fuzzy_dedup_is_equi_join(spark):
     the join condition and the compare went all-pairs."""
     r = plan_report(QUERIES["x65_fuzzy_dedup_levenshtein"](spark, SF_ORACLE))
     assert r.n_bnl_joins == 0, r.text
+
+
+def test_dynamic_partition_pruning_on_partitioned_table(spark, tmp_path):
+    """Scan-side DPP: joining a lang-partitioned fact against a filtered
+    dim must inject a dynamic pruning subquery into the fact scan's
+    partition filters — at 100 TB this is the difference between reading
+    one partition and reading the table."""
+    from video_streamer_spark.catalog import table
+
+    fact_dir = str(tmp_path / "fact_by_lang")
+    docs = table(spark, SF_ORACLE, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    # (a) literal dim predicate: Catalyst propagates the constraint
+    # STATICALLY through the join into the fact's PartitionFilters
+    dim = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("lang") == "en")
+    )
+    text = plan_report(fact.join(dim, "lang")).text
+    assert "= en" in text.split("PartitionFilters", 1)[1].split("]", 1)[0], text
+    # (b) non-propagatable dim predicate (on the aggregate): only DPP can
+    # prune — the fact scan must carry a dynamicpruning subquery
+    dim2 = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 40)
+    )
+    text2 = plan_report(fact.join(dim2, "lang")).text
+    assert "dynamicpruning" in text2.lower(), text2
