@@ -1118,3 +1118,42 @@ def test_compact_parquet_dir(spark, tmp_path):
     res2 = compact_parquet_dir(spark, path, target_bytes=total)
     assert not res2["compacted"]
     assert res2["files_after"] == res["files_after"]
+
+
+def test_decode_bmp_property_round_trip():
+    """Hypothesis property: ANY uncompressed 24-bpp BMP (random dims,
+    random pixels, both row orders, pad or pad-free strides) round-trips
+    through decode_bmp to the exact RGB tensor."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from video_streamer_spark.operators.multimodal import decode_bmp
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 6),
+        bottom_up=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, bottom_up, seed):
+        rng = np.random.default_rng(seed)
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        stride = (w * 3 + 3) // 4 * 4
+        rows = rgb[::-1] if bottom_up else rgb
+        raster = b"".join(
+            r[:, ::-1].tobytes() + bytes(stride - w * 3) for r in rows
+        )
+        header = (
+            b"BM" + (54 + len(raster)).to_bytes(4, "little")
+            + bytes(4) + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + (h if bottom_up else -h).to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + bytes(4) + len(raster).to_bytes(4, "little") + bytes(16)
+        )
+        assert np.array_equal(decode_bmp(header + raster), rgb)
+
+    check()

@@ -598,3 +598,25 @@ def test_streaming_near_dup_marks_match_sequential_reference(spark, tmp_path):
         k for k, keeper in got.items() if batch_of[k[2]] == 1 and batch_of[keeper] == 0
     ]
     assert cross, "no cross-batch candidates — planted dupes missed"
+
+
+def test_streaming_chunking_matches_batch(spark):
+    """x63's chunker is stateless codegen, so the IDENTICAL operator must
+    produce the identical chunk set when documents arrive as a stream —
+    the stream↔batch equivalence contract extended to the curation ops."""
+    from video_streamer_spark.operators.text import chunk_documents
+    from video_streamer_spark.streaming.pipeline import (
+        _as_stream_dir,
+        stream_dir,
+    )
+
+    docs = table(spark, SF_ORACLE, "documents")
+    batch = rows_set(chunk_documents(docs))
+
+    src = _as_stream_dir(SF_ORACLE, "documents")
+    stream = stream_dir(spark, src, docs.schema)
+    name = sp.run_available_now(
+        chunk_documents(stream), "chunk_sink", "append"
+    )
+    got = rows_set(spark.sql(f"SELECT * FROM {name}"))
+    assert got == batch and len(got) > 0

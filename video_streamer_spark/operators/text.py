@@ -224,3 +224,28 @@ def rolling_hash_fingerprints(
         F.array_min(hashes).alias("min_hash"),
         F.size(F.array_distinct(hashes)).cast("int").alias("n_distinct_windows"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = 50, stride: int = 40, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixed-size token windows with overlap (x63): split → sequence of
+    chunk starts → posexplode → slice + array_join, all codegen'd. Sort-
+    free and stateless, so the same plan runs unchanged under Structured
+    Streaming (asserted by the stream↔batch equivalence test)."""
+    toks = tokens_col("text")
+    n = F.size(toks)
+    with_chunks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.posexplode(
+            F.sequence(F.lit(0), F.floor((n - 1) / F.lit(stride)).cast("int"))
+        ).alias("chunk_id", "_start_idx"),
+    ).where(F.size(F.col("toks")) > 0)
+    chunk = F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, size)
+    return with_chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -1098,33 +1098,9 @@ def x62_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x63_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from video_streamer_spark.operators.dedup import tokens_col
-
-    size, stride = 50, 40
-    docs = table(spark, sf_dir, "documents")
-    toks = tokens_col("text")
-    n = F.size(toks)
-    with_chunks = docs.select(
-        "doc_id",
-        toks.alias("toks"),
-        F.posexplode(
-            F.sequence(
-                F.lit(0), F.floor((n - 1) / F.lit(stride)).cast("int")
-            )
-        ).alias("chunk_id", "_start_idx"),
-    ).where(F.size(F.col("toks")) > 0)
-    chunk = F.slice(
-        F.col("toks"), F.col("chunk_id") * stride + 1, size
-    )
-    return (
-        with_chunks.select(
-            "doc_id",
-            F.col("chunk_id").cast("int").alias("chunk_id"),
-            F.size(chunk).cast("int").alias("n_tokens"),
-            F.array_join(chunk, " ").alias("chunk_text"),
-        )
-        .orderBy("doc_id", "chunk_id")
-    )
+    return text.chunk_documents(
+        table(spark, sf_dir, "documents"), size=50, stride=40
+    ).orderBy("doc_id", "chunk_id")
 
 
 # --------------------------------------------------------------------------
