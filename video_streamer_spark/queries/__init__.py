@@ -70,6 +70,8 @@ _SAMPLE_FIRST = [
     "x66_profile_orders",
     "x67_count_min_sketch_topk",
     "x68_pack_chunks",
+    "x69_cohort_retention",
+    "x70_decayed_engagement",
     # not covered by r3's 50-slot sample — refresh their evidence
     "x41_bpe_token_counts",
     "x42_rolling_hash_fingerprint",

@@ -322,3 +322,103 @@ def x58_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("n_view_click"),
         F.sum("p").cast("bigint").alias("n_view_click_purchase"),
     )
+
+
+# --------------------------------------------------------------------------
+# x69: COHORT RETENTION — users grouped by first-activity week, counted
+# by distinct activity in each subsequent week offset (the standard
+# product-analytics retention matrix). Per-user first-event reduction
+# (one shuffle with map-side partial MIN), join back on user_id, then
+# the (cohort, offset) distinct-count aggregation. Week offsets are
+# day-difference // 7 against the user's own first day — no engine
+# week-truncation semantics in the hash path; the cohort label uses
+# date_trunc('week') (ISO Monday in both engines) only as a display key.
+@query(
+    "x69_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS d0 FROM events
+      GROUP BY user_id),
+    acts AS (
+      SELECT e.user_id,
+        strftime(date_trunc('week', f.d0), '%Y-%m-%d') AS cohort_week,
+        CAST(date_diff('day', f.d0, CAST(e.ts AS DATE)) // 7 AS INT)
+          AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_week, week_offset,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM acts GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def x69_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("d0")
+    )
+    acts = e.join(firsts, "user_id").select(
+        "user_id",
+        F.date_format(F.date_trunc("week", F.col("d0")), "yyyy-MM-dd").alias(
+            "cohort_week"
+        ),
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.col("d0")) / F.lit(7)
+        ).cast("int").alias("week_offset"),
+    )
+    return (
+        acts.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --------------------------------------------------------------------------
+# x70: TIME-DECAYED engagement score — sum(value · e^(-Δt/τ)) per user
+# with τ = 7 days against the corpus max timestamp (recency-weighted
+# activity, the scoring behind "trending" rankings and freshness-aware
+# sampling). Δt is computed on exact unix_micros integers; each decayed
+# term is quantized to DECIMAL(18,6) before the cross-row sum (x62's
+# discipline), so the aggregate is order-independent and engine-stable.
+# The 1-row max-ts reduction broadcasts; one user-keyed shuffle total.
+@query(
+    "x70_decayed_engagement",
+    oracle="""
+    WITH ref AS (SELECT MAX(epoch_us(ts)) AS t_ref FROM events),
+    terms AS (
+      SELECT e.user_id,
+        CAST(e.value * exp(-(CAST(ref.t_ref - epoch_us(e.ts) AS DOUBLE)
+                             / 86400000000.0) / 7.0)
+             AS DECIMAL(18,6)) AS term
+      FROM events e CROSS JOIN ref)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(ROUND(CAST(SUM(term) AS DECIMAL(38,9)), 2) AS DOUBLE)
+        AS decayed_score
+    FROM terms GROUP BY user_id ORDER BY user_id
+    """,
+)
+def x70_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    ref = e.agg(F.expr("max(unix_micros(ts))").alias("t_ref"))
+    terms = e.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        (
+            F.col("value")
+            * F.exp(
+                -(
+                    (F.col("t_ref") - F.expr("unix_micros(ts)")).cast("double")
+                    / F.lit(86400000000.0)
+                )
+                / F.lit(7.0)
+            )
+        )
+        .cast("decimal(18,6)")
+        .alias("term"),
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            round2(F.sum("term")).alias("decayed_score"),
+        )
+        .orderBy("user_id")
+    )
