@@ -1157,3 +1157,45 @@ def test_decode_bmp_property_round_trip():
         assert np.array_equal(decode_bmp(header + raster), rgb)
 
     check()
+
+
+def test_events_ts_normalization_all_parquet_flavors(spark, tmp_path):
+    """Round-3 regression guard: catalog._events must yield a session-
+    zoned TIMESTAMP for EVERY layout the testdata generator has shipped —
+    TIMESTAMP(NANOS) stored as int64, timestamp[us] with no timezone
+    (read as TIMESTAMP_NTZ), and tz-aware timestamp[us] — with identical
+    instants (truncation, not rounding, for nanos)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from video_streamer_spark.catalog import _events
+
+    base_us = 1_600_000_000_123_456  # 2020-09-13 12:26:40.123456 UTC
+    variants = {
+        "nanos": pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([base_us * 1000 + 789], pa.timestamp("ns")),
+            }
+        ),
+        "ntz_us": pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([base_us], pa.timestamp("us")),
+            }
+        ),
+        "ltz_us": pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([base_us], pa.timestamp("us", tz="UTC")),
+            }
+        ),
+    }
+    for name, t in variants.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(t, str(d / "events.parquet"))
+        df = _events(spark, str(d))
+        assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
+        got = df.select(F.expr("unix_micros(ts)").alias("us")).first()["us"]
+        assert got == base_us, (name, got)  # nanos truncate to micros

@@ -72,6 +72,7 @@ _SAMPLE_FIRST = [
     "x68_pack_chunks",
     "x69_cohort_retention",
     "x70_decayed_engagement",
+    "x71_minhash_jaccard_estimate",
     # not covered by r3's 50-slot sample — refresh their evidence
     "x41_bpe_token_counts",
     "x42_rolling_hash_fingerprint",

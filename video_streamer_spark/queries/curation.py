@@ -1289,3 +1289,100 @@ def x68_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x71: MinHash Jaccard ESTIMATION vs exact — for every LSH candidate
+# pair, the matching-minhash fraction (the unbiased Jaccard estimator
+# the sketch exists to provide) next to the true shingle-set Jaccard.
+# The exact side is CANDIDATE-BOUNDED: the small pair list drives the
+# shingle joins (pairs → doc_a shingles → doc_b match), so the exact
+# verification cost scales with candidates, never with corpus².
+# n_eq/8 is dyadic-exact; exact Jaccard follows x04's recipe.
+@query(
+    "x71_minhash_jaccard_estimate",
+    oracle=f"""
+    WITH {_minhash_cte()},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      FROM mh_pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY p.doc_a, p.doc_b),
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+        ({" + ".join(f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"
+                     for i in range(8))}) AS n_eq
+      FROM mh_pairs p
+      JOIN sigs a ON a.doc_id = p.doc_a
+      JOIN sigs b ON b.doc_id = p.doc_b)
+    SELECT e.doc_a AS doc_a, e.doc_b AS doc_b, CAST(e.n_eq AS INT) AS n_eq,
+      CAST(e.n_eq AS DOUBLE) / 8.0 AS est_jaccard,
+      {_R4.format(
+        "CAST(i.n_inter AS DOUBLE) / "
+        "CAST(sa.set_size + sb.set_size - i.n_inter AS DOUBLE)")}
+        AS exact_jaccard
+    FROM est e
+    JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+    ORDER BY e.doc_a, e.doc_b
+    """,
+)
+def x71_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    sigs = dedup.minhash_signatures(docs)
+    n_eq = sum(
+        F.when(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    est = (
+        pairs.join(sigs.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(sigs.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", n_eq.cast("int").alias("n_eq"))
+    )
+    sh = docs.select(
+        "doc_id", F.explode(dedup.shingles_col("text")).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    inter = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"])
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("set_size").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"),
+                         F.col("set_size").alias("size_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_eq",
+            (F.col("n_eq").cast("double") / F.lit(8.0)).alias("est_jaccard"),
+            round4(
+                F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("exact_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
