@@ -81,3 +81,34 @@ def stratified_cap(
         df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .where(F.col("sample_rank") <= n_per_group)
     )
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the id-hash bucket falls
+    into contiguous fraction ranges (e.g. {'train': .8, 'val': .1,
+    'test': .1}). Same predicate machinery as ``hash_sample`` — a pure
+    row-local expression, no shuffle, stable across reruns, engines, and
+    cluster sizes, and every row lands in exactly one split (fractions
+    must sum to 1 within float tolerance)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = _hash_bucket(id_col)
+    expr = None
+    cum = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        cond = bucket < int(cum * SAMPLE_BUCKETS)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    expr = expr.otherwise(F.lit(items[-1][0]))
+    return df.withColumn(split_col, expr)

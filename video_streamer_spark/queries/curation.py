@@ -1386,3 +1386,80 @@ def x71_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# x72: deterministic TRAIN/VAL/TEST split — contiguous id-hash bucket
+# ranges (80/10/10) so every row lands in exactly one split, assignment
+# is identical at any parallelism/scale, and reruns reproduce the same
+# corpus (sampling.hash_split; pure predicate, no shuffle). Rolled up
+# per (split, lang) so the driver row also witnesses that the split is
+# roughly stratified without a stratification pass.
+@query(
+    "x72_train_val_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000 AS bucket
+      FROM documents),
+    s AS (
+      SELECT lang,
+        CASE WHEN bucket < 8000 THEN 'train'
+             WHEN bucket < 9000 THEN 'val'
+             ELSE 'test' END AS split
+      FROM b)
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def x72_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    split = sampling.hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        split.groupBy("split", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# x73: benchmark DECONTAMINATION — flag corpus documents containing any
+# phrase from a (small, broadcast) benchmark-phrase dimension via exact
+# substring match. The phrase dim derives deterministically from the
+# corpus itself (30-char excerpts of every 100th document) so the query
+# runs on driver data alone; in production the dim is the eval-set
+# n-gram list and the same broadcast-scan shape holds: one corpus pass,
+# phrases on the broadcast side, no shuffle before the rollup.
+@query(
+    "x73_decontaminate_phrases",
+    oracle="""
+    WITH phrases AS (
+      SELECT doc_id AS phrase_src, substr(text, 11, 30) AS phrase
+      FROM documents WHERE doc_id % 100 = 7 AND length(text) >= 40)
+    SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM documents d JOIN phrases p
+      ON instr(d.text, p.phrase) > 0
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def x73_decontaminate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    phrases = docs.where(
+        (F.col("doc_id") % 100 == 7) & (F.length("text") >= 40)
+    ).select(
+        F.col("doc_id").alias("phrase_src"),
+        F.substring("text", 11, 30).alias("phrase"),
+    )
+    return (
+        docs.join(
+            F.broadcast(phrases), F.instr(F.col("text"), F.col("phrase")) > 0
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+        .orderBy("doc_id")
+    )
