@@ -1199,3 +1199,43 @@ def test_events_ts_normalization_all_parquet_flavors(spark, tmp_path):
         assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
         got = df.select(F.expr("unix_micros(ts)").alias("us")).first()["us"]
         assert got == base_us, (name, got)  # nanos truncate to micros
+
+
+def test_decode_wav_real_parser():
+    """WAV decode walks chunks: a crafted stereo 16-bit PCM file with a
+    LIST chunk before data round-trips to the exact sample tensor;
+    non-PCM format codes refuse; decode_frame names the audio path."""
+    import numpy as np
+    import pytest as _pytest
+
+    from video_streamer_spark.operators.multimodal import (
+        decode_frame,
+        decode_wav,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(-32768, 32767, size=(10, 2), dtype=np.int16)
+    data = frames.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (44100).to_bytes(4, "little") + (44100 * 4).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    odd_chunk = b"junk" + (3).to_bytes(4, "little") + b"abc\x00"  # padded
+    payload = (
+        b"RIFF" + (0).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + odd_chunk
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    w = decode_wav(payload)
+    assert w["sample_rate"] == 44100 and w["n_channels"] == 2
+    assert np.array_equal(w["samples"], frames)
+
+    bad = bytearray(payload)
+    i = payload.index(b"fmt ") + 8
+    bad[i : i + 2] = (3).to_bytes(2, "little")  # IEEE float format
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))
+    with _pytest.raises(NotImplementedError, match="decode_wav"):
+        decode_frame(payload)

@@ -187,6 +187,10 @@ def decode_frame(payload: bytes) -> np.ndarray:
         return decode_ppm(buf)
     if buf[:2] == b"BM":
         return decode_bmp(buf)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        raise NotImplementedError(
+            "RIFF/WAVE is audio — use decode_wav / decode_wav_stats"
+        )
     if _looks_compressed(buf):
         raise NotImplementedError(
             "compressed codec (JPEG/PNG/RIFF/MP4) — codec libraries not "
@@ -469,3 +473,126 @@ def payload_stats_arrow(
             )
 
     return frames.select(id_col, bin_col).mapInArrow(compute, PAYLOAD_SCHEMA)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL decoder for RIFF/WAVE PCM — the AUDIO modality on the true
+    decode path (third container format after PPM and BMP). Pure-python
+    chunk walk: RIFF header → iterate chunks → parse fmt (PCM only) →
+    locate data by CHUNK WALK, never by fixed offset (WAVs legally carry
+    LIST/fact chunks before data). Returns header facts plus the sample
+    tensor: (n_frames, n_channels) int16/uint8 ndarray."""
+    buf = bytes(payload)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+
+    def _u(b: bytes) -> int:
+        return int.from_bytes(b, "little")
+
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = buf[pos : pos + 4], _u(buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even byte boundaries
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format = _u(fmt[0:2])
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"only PCM (format 1) supported, got {audio_format}"
+        )
+    n_channels = _u(fmt[2:4])
+    sample_rate = _u(fmt[4:8])
+    bits = _u(fmt[14:16])
+    if bits not in (8, 16):
+        raise NotImplementedError(f"only 8/16-bit PCM, got {bits}")
+    dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+    frame_bytes = n_channels * bits // 8
+    n_frames = len(data) // frame_bytes
+    samples = np.frombuffer(
+        data, dtype=dtype, count=n_frames * n_channels
+    ).reshape(n_frames, n_channels)
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits": bits,
+        "samples": samples,
+    }
+
+
+def encode_wav_payloads(
+    docs: DataFrame, n_bytes: int = 128, sample_rate: int = 8000
+) -> DataFrame:
+    """Documents → REAL mono 16-bit PCM WAV files: valid RIFF/fmt/data
+    chunk layout (plus a LIST chunk BEFORE data so decoders that assume
+    a fixed 44-byte offset break — ours walks chunks); PCM bytes are the
+    document's first ``n_bytes`` chars ('.'-padded) interpreted as
+    little-endian int16 pairs. Pure codegen binary built-ins."""
+    if n_bytes % 2:
+        raise ValueError("n_bytes must be even (16-bit frames)")
+    list_chunk = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    pre_data = (
+        b"WAVEfmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")      # PCM
+        + (1).to_bytes(2, "little")      # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")      # block align
+        + (16).to_bytes(2, "little")     # bits
+        + list_chunk
+        + b"data" + n_bytes.to_bytes(4, "little")
+    )
+    riff_size = 4 + len(pre_data) - 4 + 8 + n_bytes  # from 'WAVE' onward
+    header = b"RIFF" + riff_size.to_bytes(4, "little") + pre_data
+    pcm = F.encode(F.rpad(F.substring(F.col("text"), 1, n_bytes), n_bytes, "."), "UTF-8")
+    return docs.select(
+        "doc_id", F.concat(F.lit(header), pcm).alias("payload")
+    )
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("sample_sum", LongType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def decode_wav_stats(
+    frames: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched WAV decode + per-clip reductions (frame count,
+    sample sum, peak amplitude) — the audio twin of decode_ppm_frames;
+    header facts come from the chunk walk, not from metadata columns."""
+    import sys
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "sample_rate", "n_channels", "n_frames",
+                "sample_sum", "peak",
+            )}
+            for doc_id, b in zip(pdf[id_col], pdf[bin_col]):
+                w = decode_wav(b)
+                s = w["samples"].astype(np.int64)
+                rows["doc_id"].append(int(doc_id))
+                rows["sample_rate"].append(int(w["sample_rate"]))
+                rows["n_channels"].append(int(w["n_channels"]))
+                rows["n_frames"].append(int(s.shape[0]))
+                rows["sample_sum"].append(int(s.sum()))
+                rows["peak"].append(int(np.abs(s).max()) if s.size else 0)
+            yield pd.DataFrame(rows)
+
+    return frames.select(id_col, bin_col).mapInPandas(compute, WAV_STATS_SCHEMA)

@@ -75,6 +75,7 @@ _SAMPLE_FIRST = [
     "x71_minhash_jaccard_estimate",
     "x72_train_val_test_split",
     "x73_decontaminate_phrases",
+    "x74_decode_wav_stats",
     # not covered by r3's 50-slot sample — refresh their evidence
     "x41_bpe_token_counts",
     "x42_rolling_hash_fingerprint",

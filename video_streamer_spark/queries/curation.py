@@ -1463,3 +1463,38 @@ def x73_decontaminate_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_hits"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x74: AUDIO decode — documents encoded as REAL mono 16-bit PCM WAV
+# files (valid RIFF chunk layout including a LIST chunk before data, so
+# fixed-offset readers would fail; ours walks chunks), decoded by the
+# pure-python WAV parser and reduced per clip. PCM bytes are the first
+# 128 chars as little-endian int16 pairs: sample i = c(2i+1) + 256·
+# c(2i+2), always positive for ASCII — the oracle recomputes frame
+# count, sample sum, and peak from the text column. Third modality
+# (image PPM/BMP → audio WAV) through the same binary-column plumbing.
+@query(
+    "x74_decode_wav_stats",
+    oracle="""
+    WITH body AS (
+      SELECT doc_id, rpad(substr(text, 1, 128), 128, '.') AS s
+      FROM documents),
+    samp AS (
+      SELECT doc_id,
+        list_transform(range(64),
+          i -> ascii(substr(s, 2*i + 1, 1))
+               + 256 * ascii(substr(s, 2*i + 2, 1))) AS samples
+      FROM body)
+    SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+      CAST(1 AS INT) AS n_channels,
+      CAST(64 AS BIGINT) AS n_frames,
+      CAST(list_sum(samples) AS BIGINT) AS sample_sum,
+      CAST(list_max(samples) AS INT) AS peak
+    FROM samp ORDER BY doc_id
+    """,
+)
+def x74_decode_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    wavs = multimodal.encode_wav_payloads(docs, n_bytes=128, sample_rate=8000)
+    return multimodal.decode_wav_stats(wavs).orderBy("doc_id")
