@@ -548,3 +548,57 @@ def fuzzy_pairs_levenshtein(
         .where(F.col("prefix_dist") <= max_dist)
         .select("doc_a", "doc_b", F.col("lang_a").alias("lang"), "prefix_dist")
     )
+
+
+def pagerank_iterations(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank (power iteration, simplified dangling
+    handling: mass from sink nodes is dropped, as in the classic
+    sparse formulation). Each round is one join + one aggregation —
+    the same shuffle-bounded shape as ``connected_components`` — and
+    ``n_iter`` is a constant, so the whole computation is ONE Catalyst
+    plan the oracle can replay as unrolled CTEs.
+
+    Cross-engine determinism: per-edge contributions rank/out_degree are
+    computed in IEEE double (identical both engines), quantized to
+    DECIMAL(18,9) BEFORE the per-target sum (exact, order-independent),
+    and the damped update stays in exact decimal arithmetic.
+    """
+    deg = edges.groupBy(src_col).agg(F.count("*").alias("out_deg"))
+    ranks = nodes.select(
+        F.col(node_col).alias("node"),
+        F.lit(1.0).cast("decimal(18,9)").alias("rank"),
+    )
+    base = F.lit(1.0 - damping).cast("decimal(6,4)")
+    damp = F.lit(damping).cast("decimal(6,4)")
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(ranks, edges[src_col] == ranks["node"])
+            .join(deg, src_col)
+            .select(
+                F.col(dst_col).alias("node"),
+                (F.col("rank").cast("double") / F.col("out_deg"))
+                .cast("decimal(18,9)")
+                .alias("term"),
+            )
+            .groupBy("node")
+            .agg(F.sum("term").alias("s"))
+        )
+        ranks = (
+            nodes.select(F.col(node_col).alias("node"))
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (base + damp * F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,9)")))
+                .cast("decimal(18,9)")
+                .alias("rank"),
+            )
+        )
+    return ranks

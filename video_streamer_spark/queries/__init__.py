@@ -76,6 +76,7 @@ _SAMPLE_FIRST = [
     "x72_train_val_test_split",
     "x73_decontaminate_phrases",
     "x74_decode_wav_stats",
+    "x75_pagerank_dedup_graph",
     # not covered by r3's 50-slot sample — refresh their evidence
     "x41_bpe_token_counts",
     "x42_rolling_hash_fingerprint",

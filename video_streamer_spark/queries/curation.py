@@ -1498,3 +1498,60 @@ def x74_decode_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     wavs = multimodal.encode_wav_payloads(docs, n_bytes=128, sample_rate=8000)
     return multimodal.decode_wav_stats(wavs).orderBy("doc_id")
+
+
+def _pagerank_oracle(n_iter: int = 5) -> str:
+    """Unrolled power-iteration CTEs mirroring dedup.pagerank_iterations
+    exactly (double division → DECIMAL(18,9) terms → exact decimal sum
+    and damped update, per iteration)."""
+    parts = [f"WITH {_minhash_cte()}",
+             """edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+      UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+    allnodes AS (SELECT doc_id AS node FROM documents),
+    r0 AS (SELECT node, CAST(1.0 AS DECIMAL(18,9)) AS rank FROM allnodes)"""]
+    for k in range(n_iter):
+        parts.append(f"""g{k} AS (
+      SELECT e.dst AS node,
+        SUM(CAST(CAST(r.rank AS DOUBLE) / d.out_deg AS DECIMAL(18,9))) AS s
+      FROM edges e
+      JOIN r{k} r ON e.src = r.node
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst),
+    r{k + 1} AS (
+      SELECT n.node,
+        CAST(CAST(0.15 AS DECIMAL(6,4))
+             + CAST(0.85 AS DECIMAL(6,4))
+               * COALESCE(g.s, CAST(0 AS DECIMAL(18,9)))
+             AS DECIMAL(18,9)) AS rank
+      FROM allnodes n LEFT JOIN g{k} g ON g.node = n.node)""")
+    body = ",\n    ".join(parts)
+    return f"""{body}
+    SELECT node AS doc_id, CAST(rank AS DOUBLE) AS rank
+    FROM r{n_iter} ORDER BY doc_id"""
+
+
+# --------------------------------------------------------------------------
+# x75: PAGERANK over the duplicate-candidate graph — 5 power iterations
+# ranking documents by centrality in the near-dup neighborhood (the
+# "which copy is canonical" signal next to x45's components). Iterative-
+# algorithm coverage beyond label propagation: each round is one
+# join+agg, the constant iteration count keeps it a single Catalyst
+# plan, and the oracle replays the identical arithmetic as unrolled
+# CTEs — full value oracle, not a rows-only check.
+@query("x75_pagerank_dedup_graph", oracle=_pagerank_oracle(5))
+def x75_pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    ranks = dedup.pagerank_iterations(nodes, edges, n_iter=5)
+    return ranks.select(
+        F.col("node").alias("doc_id"),
+        F.col("rank").cast("double").alias("rank"),
+    ).orderBy("doc_id")
