@@ -1239,3 +1239,31 @@ def test_decode_wav_real_parser():
         decode_wav(bytes(bad))
     with _pytest.raises(NotImplementedError, match="decode_wav"):
         decode_frame(payload)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Ingestion robustness: parquet files written at different schema
+    generations (a column added later) read back as one relation with
+    mergeSchema — old rows surface NULL for the new column, and the scan
+    still prunes to requested columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "t"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64())}), str(d / "old.parquet")
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([3], pa.int64()),
+                "lang": pa.array(["en"], pa.string()),
+            }
+        ),
+        str(d / "new.parquet"),
+    )
+    df = spark.read.option("mergeSchema", "true").parquet(str(d))
+    assert set(df.columns) == {"id", "lang"}
+    rows = {r["id"]: r["lang"] for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: "en"}
