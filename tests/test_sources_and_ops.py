@@ -1267,3 +1267,51 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(df.columns) == {"id", "lang"}
     rows = {r["id"]: r["lang"] for r in df.collect()}
     assert rows == {1: None, 2: None, 3: "en"}
+
+
+def test_incremental_rollup_maintenance_via_merge(spark, tmp_path):
+    """Materialized-rollup refresh without a full recompute: a daily
+    aggregate table is maintained by recomputing ONLY the days a late
+    batch touches and MERGEing those rows back (operators/merge.py) —
+    the end state must equal a from-scratch rollup over base ∪ late.
+    At 100 TB this is the difference between re-aggregating the fact
+    table and re-aggregating two days of it."""
+    from video_streamer_spark.operators import merge as M
+
+    path = str(tmp_path / "rollup")
+    base = spark.createDataFrame(
+        [("2024-01-01", 10.0), ("2024-01-01", 5.0), ("2024-01-02", 7.0),
+         ("2024-01-03", 1.0)],
+        "day string, v double",
+    )
+    rollup = base.groupBy("day").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    M.init_merge_table(rollup, path, ["day"], n_buckets=4)
+
+    late = spark.createDataFrame(
+        [("2024-01-02", 3.0), ("2024-01-04", 9.0)], "day string, v double"
+    )
+    # recompute only the touched days from base ∪ late, ship as upserts
+    touched = [r["day"] for r in late.select("day").distinct().collect()]
+    fresh = (
+        base.unionByName(late)
+        .where(F.col("day").isin(touched))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .withColumn("__op", F.lit("U"))
+    )
+    M.merge_parquet_table(spark, path, fresh, ["day"], n_buckets=4)
+
+    got = {
+        r["day"]: (r["n"], r["s"])
+        for r in M.read_merge_table(spark, path).collect()
+    }
+    want = {
+        r["day"]: (r["n"], r["s"])
+        for r in base.unionByName(late)
+        .groupBy("day")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want

@@ -77,6 +77,8 @@ _SAMPLE_FIRST = [
     "x73_decontaminate_phrases",
     "x74_decode_wav_stats",
     "x75_pagerank_dedup_graph",
+    "x76_percent_rank_cume_dist",
+    "x77_array_set_algebra",
     # not covered by r3's 50-slot sample — refresh their evidence
     "x41_bpe_token_counts",
     "x42_rolling_hash_fingerprint",

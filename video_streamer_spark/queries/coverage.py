@@ -1091,3 +1091,86 @@ def x66_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("col")
+
+
+# --------------------------------------------------------------------------
+# x76: relative-position window functions — PERCENT_RANK and CUME_DIST
+# per market segment (the remaining members of the ranking family next
+# to x18's row_number/rank/dense_rank/ntile). Both are rational values
+# of small-integer counts, so round4 renders them engine-identically.
+@query(
+    "x76_percent_rank_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+      CAST(ROUND(CAST(PERCENT_RANK() OVER w AS DECIMAL(38,12)), 4)
+           AS DOUBLE) AS pct_rank,
+      CAST(ROUND(CAST(CUME_DIST() OVER w AS DECIMAL(38,12)), 4)
+           AS DOUBLE) AS cume
+    FROM customer
+    WHERE c_custkey <= 300
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_mktsegment, c_custkey
+    """,
+)
+def x76_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+
+    c = table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            round4(F.percent_rank().over(w)).alias("pct_rank"),
+            round4(F.cume_dist().over(w)).alias("cume"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# x77: ARRAY SET ALGEBRA — intersect/union/except between each document's
+# token set and the stopword list, emitted as SIZES (distinct-element
+# counts), which pins the set semantics without hashing engine-specific
+# array orderings. Spark's array_intersect/union/except dedup their
+# result; the oracle states the same counts via list_distinct +
+# list_contains filters.
+@query(
+    "x77_array_set_algebra",
+    oracle="""
+    WITH stop AS (
+      SELECT ['the','a','of','and','to','in','is','on','for','with'] AS sw),
+    t AS (
+      SELECT doc_id,
+        list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS toks
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(list_filter(toks, x -> list_contains(sw, x))) AS INT)
+        AS n_intersect,
+      CAST(len(toks) + 10 - len(list_filter(toks, x -> list_contains(sw, x)))
+        AS INT) AS n_union,
+      CAST(len(list_filter(toks, x -> NOT list_contains(sw, x))) AS INT)
+        AS n_except
+    FROM t CROSS JOIN stop
+    ORDER BY doc_id
+    """,
+)
+def x77_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.dedup import tokens_col
+    from video_streamer_spark.operators.text import EN_STOPWORDS
+
+    docs = table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    toks = tokens_col("text")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.array_intersect(toks, stop)).cast("int").alias(
+                "n_intersect"
+            ),
+            F.size(F.array_union(toks, stop)).cast("int").alias("n_union"),
+            F.size(F.array_except(toks, stop)).cast("int").alias("n_except"),
+        )
+        .orderBy("doc_id")
+    )
