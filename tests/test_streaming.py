@@ -666,3 +666,30 @@ def test_checkpointed_incremental_processing(spark, tmp_path):
     # each row exactly once: no re-processing of a.parquet on restart
     assert back.count() == 150
     assert back.agg(F.count_distinct("v")).first()[0] == 150
+
+
+def test_stream_static_join_enrichment(spark):
+    """Stream-STATIC join: a streaming fact enriched against a static
+    dimension (the labels dim — reference O16) must produce exactly the
+    batch join's rows. The static side needs no watermark and Spark
+    plans it as a per-micro-batch broadcast — the standard dimension-
+    enrichment shape for a streaming curation pipeline."""
+    from video_streamer_spark.sources.labels import labels
+
+    dim = labels(spark).withColumnRenamed("label_id", "lid")
+    ev = sp.events_stream(spark, SF_ORACLE)
+    enriched = (
+        ev.withColumn("lid", (F.col("event_id") % 80 + 1).cast("int"))
+        .join(dim, "lid")
+        .select("event_id", "lid", "label_name")
+    )
+    name = sp.run_available_now(enriched, "enrich_sink", "append")
+    got = rows_set(spark.sql(f"SELECT * FROM {name}"))
+
+    batch = (
+        table(spark, SF_ORACLE, "events")
+        .withColumn("lid", (F.col("event_id") % 80 + 1).cast("int"))
+        .join(dim, "lid")
+        .select("event_id", "lid", "label_name")
+    )
+    assert got == rows_set(batch) and len(got) > 0
