@@ -7,9 +7,12 @@ buffer, decoded zero-copy into ndarrays at the Python boundary
 ``mapInPandas`` UDFs — rows in the plan, columnar ndarray batches in
 Python, exactly the reference's layout.
 
-``decode_frame`` dispatches on the payload's magic bytes: uncompressed
-P6 PPM frames (the reference's negotiated raw-RGB caps) decode FOR REAL
-via a pure-numpy parser; compressed codecs (JPEG/PNG/RIFF) raise
+THREE container formats decode FOR REAL via pure-numpy/pure-python
+parsers — P6 PPM (the reference's negotiated raw-RGB caps), 24-bpp BMP
+(bottom-up DIB with BGR order and row padding), and RIFF/WAVE PCM audio
+(chunk-walking parser) — all reading geometry/layout from the container
+HEADER. ``decode_frame`` dispatches images on magic bytes and points
+WAVE payloads at ``decode_wav``; compressed codecs (JPEG/PNG/MP4) raise
 NotImplementedError because no codec library ships in this container —
 swapping cv2/PyAV in is a one-function change; opaque payloads fall back
 to a raw uint8 view, which is also the semantics the byte-stats and
