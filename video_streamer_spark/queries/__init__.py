@@ -79,6 +79,7 @@ _SAMPLE_FIRST = [
     "x75_pagerank_dedup_graph",
     "x76_percent_rank_cume_dist",
     "x77_array_set_algebra",
+    "x78_curation_pipeline_v2",
     # not covered by r3's 50-slot sample — refresh their evidence
     "x41_bpe_token_counts",
     "x42_rolling_hash_fingerprint",

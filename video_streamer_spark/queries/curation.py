@@ -1555,3 +1555,107 @@ def x75_pagerank_dedup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("rank").cast("double").alias("rank"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x78: FULL curation pipeline v2 — the complete LLM training-data pass
+# as ONE Catalyst plan: exact-dedup survivors → quality threshold →
+# benchmark DECONTAMINATION (anti-join on the broadcast phrase dim) →
+# deterministic train/val/test SPLIT → CHUNKING → per-(split, lang)
+# rollup. Every stage is an independently-oracle-verified operator
+# (x01/x10/x73/x72/x63); fusing them lets Catalyst prune columns across
+# stages and keeps zero materialization boundaries between them — the
+# plan a 100 TB curation job would actually submit.
+@query(
+    "x78_curation_pipeline_v2",
+    oracle=f"""
+    WITH keep AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS keep_doc_id
+      FROM documents GROUP BY 1),
+    surv AS (
+      SELECT d.doc_id, d.lang, d.text FROM documents d
+      JOIN keep k ON md5(d.text) = k.h AND d.doc_id = k.keep_doc_id),
+    toks0 AS (
+      SELECT doc_id, lang, text,
+        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM surv),
+    feats AS (
+      SELECT doc_id, lang, text, toks, len(toks) AS n_tokens,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(len(list_filter(toks, t -> list_contains({_STOPWORDS_SQL}, t)))
+               AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        ELSE 0.0 END AS stop_ratio
+      FROM toks0),
+    qual AS (
+      SELECT doc_id, lang, text, toks FROM feats
+      WHERE {_R4.format(
+          'least(CAST(n_tokens AS DOUBLE), 200.0) / 200.0 * 0.5'
+          ' + least(stop_ratio * 10.0, 1.0) * 0.5'
+      )} >= 0.5),
+    phrases AS (
+      SELECT substr(text, 11, 30) AS phrase
+      FROM documents WHERE doc_id % 100 = 7 AND length(text) >= 40),
+    clean AS (
+      SELECT q.* FROM qual q
+      WHERE NOT EXISTS (
+        SELECT 1 FROM phrases p WHERE instr(q.text, p.phrase) > 0)),
+    split AS (
+      SELECT doc_id, lang, toks,
+        CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10000 < 8000 THEN 'train'
+             WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10000 < 9000 THEN 'val'
+             ELSE 'test' END AS split
+      FROM clean),
+    chunks AS (
+      SELECT doc_id, lang, split,
+        unnest(range(CAST((len(toks) - 1) // 40 AS BIGINT) + 1)) AS chunk_id,
+        toks
+      FROM split WHERE len(toks) > 0)
+    SELECT split, lang,
+      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(SUM(len(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50)))
+           AS BIGINT) AS sum_chunk_tokens
+    FROM chunks GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def x78_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    keep = dedup.exact_dedup_keep_first(docs)
+    surv = docs.join(
+        keep,
+        (F.md5("text") == F.col("text_hash"))
+        & (F.col("doc_id") == F.col("keep_doc_id")),
+    ).select("doc_id", "lang", "text")
+    qual = (
+        text.quality_scores(surv)
+        .where(F.col("quality_score") >= 0.5)
+        .join(surv, "doc_id")
+        .select("doc_id", "lang", "text")
+    )
+    phrases = docs.where(
+        (F.col("doc_id") % 100 == 7) & (F.length("text") >= 40)
+    ).select(F.substring("text", 11, 30).alias("phrase"))
+    clean = qual.join(
+        F.broadcast(phrases),
+        F.instr(F.col("text"), F.col("phrase")) > 0,
+        "left_anti",
+    )
+    split = sampling.hash_split(
+        clean, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    chunks = text.chunk_documents(split.select("doc_id", "text")).join(
+        split.select("doc_id", "lang", "split"), "doc_id"
+    )
+    return (
+        chunks.groupBy("split", "lang")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("n_tokens").cast("bigint").alias("sum_chunk_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
