@@ -80,6 +80,7 @@ _SAMPLE_FIRST = [
     "x76_percent_rank_cume_dist",
     "x77_array_set_algebra",
     "x78_curation_pipeline_v2",
+    "x79_hierarchy_depth_pointer_jump",
     # not covered by r3's 50-slot sample — refresh their evidence
     "x41_bpe_token_counts",
     "x42_rolling_hash_fingerprint",

@@ -1659,3 +1659,53 @@ def x78_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# x79: HIERARCHY TRAVERSAL by POINTER JUMPING — depth of every node in a
+# synthetic binary hierarchy (node i's parent is i//2, root 1). The
+# Spark side runs ancestor DOUBLING: each round joins the pointer table
+# to itself so the known-ancestor distance doubles — O(log depth)
+# rounds, the distributed substitute for per-row recursion (a recursive
+# CTE walks one edge per round; at 100 TB the log-round form is the
+# difference between 4 shuffles and 40). The root's self-loop with
+# distance 0 absorbs overshoot. The ORACLE is the closed form — depth =
+# len(bin(i)) - 1 — a fully independent derivation, so agreement checks
+# the algorithm, not a re-implementation of it.
+@query(
+    "x79_hierarchy_depth_pointer_jump",
+    oracle="""
+    SELECT doc_id AS node,
+      CAST(length(bin(doc_id)) - 1 AS INT) AS depth
+    FROM documents WHERE doc_id >= 1
+    ORDER BY node
+    """,
+)
+def x79_hierarchy_depth_pointer_jump(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") >= 1)
+    ptr = docs.select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("doc_id") == 1, F.lit(1))
+        .otherwise((F.col("doc_id") / 2).cast("bigint"))
+        .cast("bigint")
+        .alias("anc"),
+        F.when(F.col("doc_id") == 1, F.lit(0)).otherwise(F.lit(1)).alias("d"),
+    )
+    # 5 doubling rounds reach depth 2^5 = 32, i.e. any doc_id < 2^32 —
+    # far beyond every SF; rounds = ceil(log2(max_depth)) in general
+    for _ in range(5):
+        other = ptr.select(
+            F.col("node").alias("j_node"),
+            F.col("anc").alias("j_anc"),
+            F.col("d").alias("j_d"),
+        )
+        ptr = ptr.join(other, ptr["anc"] == other["j_node"]).select(
+            "node",
+            F.col("j_anc").alias("anc"),
+            (F.col("d") + F.col("j_d")).alias("d"),
+        )
+    return ptr.select(
+        "node", F.col("d").cast("int").alias("depth")
+    ).orderBy("node")
