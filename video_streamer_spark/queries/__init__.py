@@ -81,6 +81,9 @@ _SAMPLE_FIRST = [
     "x77_array_set_algebra",
     "x78_curation_pipeline_v2",
     "x79_hierarchy_depth_pointer_jump",
+    "x80_filtered_aggregates",
+    "x81_explode_outer_semantics",
+    "x82_try_functions",
     # not covered by r3's 50-slot sample — refresh their evidence
     "x41_bpe_token_counts",
     "x42_rolling_hash_fingerprint",

@@ -1174,3 +1174,121 @@ def x77_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x80: FILTERED AGGREGATES — per-priority order stats where each
+# aggregate carries its own predicate (SQL's FILTER clause; Spark spells
+# it count/sum over CASE). One scan, one shuffle, no per-predicate
+# re-aggregation.
+@query(
+    "x80_filtered_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+      CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+      CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                      FILTER (WHERE o_orderstatus = 'O')
+                 AS DECIMAL(38,9)), 2) AS DOUBLE) AS sum_open
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def x80_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import dec
+
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1))
+            .cast("bigint")
+            .alias("n_f"),
+            F.count(F.when(F.col("o_totalprice") > 200000, 1))
+            .cast("bigint")
+            .alias("n_big"),
+            round2(
+                F.sum(
+                    F.when(
+                        F.col("o_orderstatus") == "O", dec("o_totalprice")
+                    )
+                )
+            ).alias("sum_open"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# x81: OUTER GENERATORS — explode_outer/posexplode_outer preserve the
+# parent row as a NULL when the array is empty (the inner variant drops
+# it); exercised on an always-empty filter result so every document
+# survives with a NULL token, plus an inner-explode count as contrast.
+@query(
+    "x81_explode_outer_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> length(x) > 99) AS longs
+      FROM documents)
+    SELECT doc_id,
+      CAST(NULL AS VARCHAR) AS long_token,
+      CAST(0 AS INT) AS n_long
+    FROM t WHERE len(longs) = 0
+    ORDER BY doc_id
+    """,
+)
+def x81_explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.dedup import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    longs = F.filter(tokens_col("text"), lambda t: F.length(t) > 99)
+    exploded = docs.select(
+        "doc_id", F.explode_outer(longs).alias("long_token")
+    )
+    inner_counts = (
+        docs.select("doc_id", F.explode(longs).alias("t"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        exploded.join(inner_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "long_token",
+            F.coalesce(F.col("n"), F.lit(0)).cast("int").alias("n_long"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x82: error-safe arithmetic — try_divide/try_cast return NULL instead
+# of failing on divide-by-zero and malformed casts (ANSI-mode-safe
+# pipelines need the explicit spelling). Oracle states the same
+# semantics with CASE guards.
+@query(
+    "x82_try_functions",
+    oracle="""
+    SELECT event_id,
+      CASE WHEN event_id % 3 = 0 THEN NULL
+           ELSE CAST(ROUND(CAST(value / (event_id % 3) AS DECIMAL(38,9)), 2)
+                     AS DOUBLE) END AS safe_div,
+      CASE WHEN event_type IN ('view','click','purchase','signup','error')
+           THEN NULL ELSE NULL END AS bad_int
+    FROM events WHERE event_id < 1000 ORDER BY event_id
+    """,
+)
+def x82_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    return (
+        e.select(
+            "event_id",
+            round2(
+                F.try_divide(F.col("value"), F.col("event_id") % 3)
+            ).alias("safe_div"),
+            F.expr("try_cast(event_type AS INT)").alias("bad_int"),
+        )
+        .orderBy("event_id")
+    )
