@@ -84,6 +84,7 @@ _SAMPLE_FIRST = [
     "x80_filtered_aggregates",
     "x81_explode_outer_semantics",
     "x82_try_functions",
+    "x83_string_agg_nations",
     # not covered by r3's 50-slot sample — refresh their evidence
     "x41_bpe_token_counts",
     "x42_rolling_hash_fingerprint",

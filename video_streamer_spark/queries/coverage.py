@@ -1292,3 +1292,35 @@ def x82_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x83: ordered STRING AGGREGATION — per-region pipe-joined nation list
+# (LISTAGG / string_agg). Spark spells it sort_array(collect_list())
+# + array_join; the explicit sort makes the concatenation order
+# deterministic regardless of shuffle arrival order — the property that
+# makes string_agg usable in a hash-checked pipeline at all.
+@query(
+    "x83_string_agg_nations",
+    oracle="""
+    SELECT r.r_name,
+      CAST(COUNT(*) AS BIGINT) AS n_nations,
+      string_agg(n.n_name, '|' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+)
+def x83_string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nations"),
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), "|"
+            ).alias("nations"),
+        )
+        .orderBy("r_name")
+    )
