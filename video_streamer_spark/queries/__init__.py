@@ -85,6 +85,7 @@ _SAMPLE_FIRST = [
     "x81_explode_outer_semantics",
     "x82_try_functions",
     "x83_string_agg_nations",
+    "x84_equiwidth_histogram",
     # not covered by r3's 50-slot sample — refresh their evidence
     "x41_bpe_token_counts",
     "x42_rolling_hash_fingerprint",

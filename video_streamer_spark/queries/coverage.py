@@ -1324,3 +1324,45 @@ def x83_string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+# --------------------------------------------------------------------------
+# x84: equi-WIDTH histogram — 10 fixed-width bins over the order price
+# domain (the fixed-bin counterpart of x57's equi-depth quantile bands).
+# Bin edges derive from a 1-row min/max reduction that broadcasts back;
+# all bin arithmetic runs on integer cents with integer division, so
+# there is no floating-point edge case for engines to disagree on.
+@query(
+    "x84_equiwidth_histogram",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    b AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM o),
+    binned AS (
+      SELECT LEAST(((cents - lo) * 10) // GREATEST(hi - lo + 1, 1), 9)
+        AS bin_id
+      FROM o CROSS JOIN b)
+    SELECT CAST(bin_id AS INT) AS bin_id,
+      CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM binned GROUP BY bin_id ORDER BY bin_id
+    """,
+)
+def x84_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    b = o.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = o.crossJoin(F.broadcast(b)).select(
+        F.least(
+            (
+                ((F.col("cents") - F.col("lo")) * 10)
+                / F.greatest(F.col("hi") - F.col("lo") + 1, F.lit(1))
+            ).cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("bin_id")
+    )
+    return (
+        binned.groupBy(F.col("bin_id").cast("int").alias("bin_id"))
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy("bin_id")
+    )
