@@ -1315,3 +1315,175 @@ def test_incremental_rollup_maintenance_via_merge(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_compact_changeset_seq_lww_and_no_seq_assert(spark):
+    """CDC in-batch compaction (ADVICE r4): with a sequence column the
+    per-key winner is the HIGHEST seq (deterministic last-write-wins);
+    without one, a batch carrying multiple ops for a key must raise
+    instead of silently keeping an arbitrary row."""
+    from video_streamer_spark.operators import merge as M
+
+    batch = spark.createDataFrame(
+        [
+            (1, "U", "first", 10),
+            (1, "D", None, 20),
+            (1, "U", "last", 30),
+            (2, "U", "only", 5),
+        ],
+        "key long, __op string, val string, seq long",
+    )
+    got = {
+        r["key"]: (r["__op"], r["val"])
+        for r in M.compact_changeset(batch, ["key"], "seq").collect()
+    }
+    assert got == {1: ("U", "last"), 2: ("U", "only")}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple ops"):
+        M.compact_changeset(batch.drop("seq"), ["key"], None)
+    # single-op-per-key batches pass through untouched
+    clean = batch.where(F.col("seq").isin(30, 5)).drop("seq")
+    assert M.compact_changeset(clean, ["key"], None).count() == 2
+
+
+def test_merge_partial_commit_replay(spark, tmp_path):
+    """Crash contract of merge_parquet_table: the per-partition commit
+    can leave a strict subset of touched buckets merged. Simulate by
+    snapshotting one touched bucket pre-merge, merging, then restoring
+    that bucket (as if its commit never landed) — replaying the SAME
+    changeset must converge the table to the full post-merge state."""
+    import shutil
+
+    from video_streamer_spark.operators import merge as M
+
+    path = str(tmp_path / "t")
+    base = spark.range(60).select(
+        F.col("id").alias("key"), (F.col("id") * 10).alias("val")
+    )
+    M.init_merge_table(base, path, ["key"], n_buckets=4)
+
+    changes = spark.createDataFrame(
+        [(5, "U", 999), (1000, "I", 1), (7, "D", None), (23, "U", 777)],
+        "key long, __op string, val long",
+    )
+    touched = sorted(
+        r["pb"]
+        for r in M._bucketed(changes, ["key"], 4).select("pb").distinct().collect()
+    )
+    assert len(touched) >= 2, "need ≥2 touched buckets to simulate a partial commit"
+    victim = f"pb={touched[0]}"
+    backup = str(tmp_path / "victim-backup")
+    shutil.copytree(f"{path}/{victim}", backup)
+
+    M.merge_parquet_table(spark, path, changes, ["key"], n_buckets=4)
+    want = {r["key"]: r["val"] for r in M.read_merge_table(spark, path).collect()}
+
+    # crash simulation: victim bucket's commit is rolled back
+    shutil.rmtree(f"{path}/{victim}")
+    shutil.copytree(backup, f"{path}/{victim}")
+    partial = {r["key"]: r["val"] for r in M.read_merge_table(spark, path).collect()}
+    assert partial != want  # genuinely partial
+
+    # recovery = idempotent replay of the same changeset
+    M.merge_parquet_table(spark, path, changes, ["key"], n_buckets=4)
+    got = {r["key"]: r["val"] for r in M.read_merge_table(spark, path).collect()}
+    assert got == want
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """ADVICE r4: a crash between the two swap renames strands the table
+    at <path>.compact-old with the live path missing; the next run must
+    self-heal (restore, then compact) instead of failing."""
+    import os
+
+    from video_streamer_spark.operators.maintenance import (
+        _dir_stats,
+        compact_parquet_dir,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(400).repartition(8).write.parquet(path)
+    _, total = _dir_stats(path)
+
+    # simulate the crash window: path renamed away, half-written tmp left
+    os.rename(path, path + ".compact-old")
+    os.makedirs(path + ".compact-tmp")
+    with open(path + ".compact-tmp/garbage", "w") as f:
+        f.write("half-written")
+
+    res = compact_parquet_dir(spark, path, target_bytes=total)
+    assert res["compacted"]
+    assert not os.path.exists(path + ".compact-old")
+    assert not os.path.exists(path + ".compact-tmp")
+    back = spark.read.parquet(path)
+    assert back.count() == 400
+    assert back.agg(F.sum("id")).first()[0] == 400 * 399 // 2
+
+
+def test_wav_riff_size_exact(spark):
+    """ADVICE r4: the RIFF size field must equal len(file) - 8 exactly —
+    strict consumers reject an overstated size."""
+    from video_streamer_spark.operators.multimodal import encode_wav_payloads
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    payload = bytes(encode_wav_payloads(docs, n_bytes=176).first()["payload"])
+    declared = int.from_bytes(payload[4:8], "little")
+    assert declared == len(payload) - 8
+
+
+def test_encode_payload_sizes_survive_non_ascii(spark):
+    """ADVICE r4: payload slicing happens on BYTES post-UTF-8-encode, so
+    multi-byte characters can't inflate the payload past the size the
+    container header declares."""
+    from video_streamer_spark.operators.multimodal import (
+        decode_frame,
+        decode_wav,
+        encode_bmp_payloads,
+        encode_ppm_payloads,
+        encode_wav_payloads,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "héllo wörld ünïcode " * 20), (2, "日本語テキスト" * 10)],
+        "doc_id long, text string",
+    )
+    w, h = 8, 4
+    for p in encode_ppm_payloads(docs, w, h).collect():
+        a = decode_frame(bytes(p["payload"]))
+        assert a.shape == (h, w, 3)
+    for p in encode_bmp_payloads(docs, w, h).collect():
+        buf = bytes(p["payload"])
+        assert len(buf) == 54 + w * h * 3
+        assert int.from_bytes(buf[2:6], "little") == len(buf)
+        assert decode_frame(buf).shape == (h, w, 3)
+    for p in encode_wav_payloads(docs, n_bytes=64).collect():
+        buf = bytes(p["payload"])
+        assert int.from_bytes(buf[4:8], "little") == len(buf) - 8
+        assert decode_wav(buf)["samples"].shape[0] == 32
+
+
+def test_hash_split_awkward_fractions(spark):
+    """ADVICE r4: fraction sets whose cumulative boundaries don't round
+    cleanly in float (0.3 → 2999.999…) must still cut at the exact
+    bucket (3000), matching an integer-boundary recomputation."""
+    import hashlib
+
+    from video_streamer_spark.operators.sampling import SAMPLE_BUCKETS, hash_split
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    got = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            df, {"a": 0.3, "b": 0.3, "c": 0.4}, id_col="doc_id"
+        ).collect()
+    }
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % SAMPLE_BUCKETS
+
+    for i in range(2000):
+        b = bucket(i)
+        want = "a" if b < 3000 else ("b" if b < 6000 else "c")
+        assert got[i] == want, (i, b, got[i], want)

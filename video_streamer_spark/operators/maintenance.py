@@ -42,14 +42,30 @@ def compact_parquet_dir(
       fewer than ``min_files`` files or one file would not shrink it —
       compaction must be safe to run on a schedule.
     - The rewrite goes through a sibling temp directory and a directory
-      swap, so a reader never sees a half-written table and a crashed
-      compaction leaves the original intact (the poor-man's version of a
-      table format's atomic commit; on a real object store this is the
-      manifest swap).
+      swap, so a reader never sees a half-written table (the poor-man's
+      version of a table format's atomic commit; on a real object store
+      this is the manifest swap). The swap itself is two renames, so a
+      crash BETWEEN them can leave the table path missing with the data
+      stranded at ``<path>.compact-old``; every call therefore starts
+      with a self-healing pass that restores a stranded ``-old`` dir and
+      clears a leftover ``-tmp``, so a rerun recovers instead of failing
+      on the missing path.
     - ``coalesce`` (not ``repartition``): compaction must not add a
       shuffle — it only merges input splits, which is exactly the
       narrow-dependency case coalesce exists for.
     """
+    tmp = path.rstrip("/") + ".compact-tmp"
+    old = path.rstrip("/") + ".compact-old"
+    # self-heal a previous crash: a stranded -old with no live table means
+    # we died between the two swap renames — restore it; a leftover -tmp
+    # is a half-written rewrite — discard it (source of truth is path/old)
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)
+        else:
+            shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     n_before, total = _dir_stats(path)
     n_target = max(1, -(-total // target_bytes))
     if n_before < min_files or n_target >= n_before:
@@ -58,8 +74,6 @@ def compact_parquet_dir(
             "files_before": n_before,
             "files_after": n_before,
         }
-    tmp = path.rstrip("/") + ".compact-tmp"
-    old = path.rstrip("/") + ".compact-old"
     df = spark.read.parquet(path)
     df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
     # swap: path -> old, tmp -> path, drop old (two renames, not copies)

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 OP_COL = "__op"
 BUCKET_COL = "pb"
@@ -100,6 +101,18 @@ def merge_parquet_table(
     logical merge, and dynamically overwrites exactly those partitions.
     The touched-bucket list is the one small driver-side value (≤
     n_buckets ints — a plan parameter, like a partition list).
+
+    Crash contract (explicit — this is the one gap vs a real table
+    format's manifest commit): the dynamic overwrite commits PER
+    PARTITION, so a crash mid-merge can leave some touched ``pb=``
+    buckets merged and others at their pre-merge state. Recovery is
+    idempotent replay: re-applying the SAME changeset converges every
+    bucket to the post-merge state regardless of which subset committed
+    (upserts replace by key, deletes anti-join away whether or not the
+    key is still present, inserts re-land in their own bucket's
+    rewrite). A caller that persists changesets until the merge returns
+    therefore gets effective at-least-once → exactly-state semantics;
+    tests/test_merge.py simulates a partial commit and replays.
     """
     bucketed_changes = _bucketed(changes, key_cols, n_buckets)
     touched = [
@@ -132,23 +145,60 @@ def read_merge_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop(BUCKET_COL)
 
 
+def compact_changeset(
+    changes: DataFrame, key_cols: list[str], seq_col: str | None
+) -> DataFrame:
+    """Per-key last-write-wins compaction of a CDC batch.
+
+    With ``seq_col`` (the feed's monotone sequence — Kafka offset, LSN,
+    event ts): keep the row with the highest sequence per key
+    (row_number over the key ordered by seq desc — one shuffle on the
+    key, same key the merge itself shuffles on). Without one there is NO
+    well-defined winner — ``dropDuplicates`` would keep an ARBITRARY row
+    — so the caller must guarantee at-most-one op per key per batch;
+    that contract is asserted cheaply inside the merge's own pass rather
+    than silently picking a row.
+    """
+    if seq_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        return (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", seq_col)
+        )
+    # no sequence: enforce the pre-compacted contract instead of guessing
+    dup = (
+        changes.groupBy(*key_cols).count().where(F.col("count") > 1).limit(1)
+    )
+    if dup.take(1):
+        raise ValueError(
+            "changeset batch carries multiple ops for one key and no "
+            "seq_col was given — last-write-wins is undefined; pass "
+            "seq_col or pre-compact the feed"
+        )
+    return changes
+
+
 def run_merge_upsert_sink(
     stream_df: DataFrame,
     path: str,
     key_cols: list[str],
     n_buckets: int = 16,
     op_col: str = OP_COL,
+    seq_col: str | None = None,
     timeout_sec: int = 300,
 ) -> None:
     """Streaming CDC-apply: each micro-batch MERGEs into the keyed table.
 
     In-batch per-key compaction keeps last-write-wins before the merge
-    (foreachBatch batches preserve source order only per partition, so
-    the compaction orders on the batch's own sequence if present).
+    when ``seq_col`` names the feed's ordering column; without one the
+    batch must already be at-most-one-op-per-key (asserted — see
+    ``compact_changeset``), because foreachBatch preserves source order
+    only per partition and an unordered pick would be nondeterministic.
     """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        compacted = batch_df.dropDuplicates(key_cols)
+        compacted = compact_changeset(batch_df, key_cols, seq_col)
         merge_parquet_table(
             batch_df.sparkSession,
             path,

@@ -130,6 +130,20 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return raster[:, :, ::-1].copy()  # BGR → RGB
 
 
+def _text_bytes(n: int) -> F.Column:
+    """First ``n`` BYTES of the document text, '.'-padded — sliced AFTER
+    UTF-8 encoding so multi-byte characters can't inflate the payload
+    past the size the container header declares (char-level slicing
+    would: len(encode(substr(s,1,n))) > n for non-ASCII). Oracles that
+    recompute the raster with ascii(substr(text,...)) agree whenever the
+    text is ASCII; for non-ASCII input the payload stays well-formed."""
+    return F.rpad(
+        F.substring(F.encode(F.col("text"), "UTF-8"), 1, n).cast("binary"),
+        n,
+        b".",
+    )
+
+
 def encode_bmp_payloads(
     docs: DataFrame, width: int = 8, height: int = 4
 ) -> DataFrame:
@@ -159,7 +173,7 @@ def encode_bmp_payloads(
         + (2835).to_bytes(4, "little") * 2  # 72 dpi x/y
         + (0).to_bytes(4, "little") * 2   # palette counts
     )
-    raster = F.encode(F.rpad(F.substring(F.col("text"), 1, n), n, "."), "UTF-8")
+    raster = _text_bytes(n)
     return docs.select(
         "doc_id",
         F.concat(F.lit(header), raster).alias("payload"),
@@ -293,7 +307,7 @@ def encode_ppm_payloads(
     downstream of the decode from the text column."""
     n = width * height * 3
     header = f"P6\n{width} {height}\n255\n".encode()
-    raster = F.encode(F.rpad(F.substring(F.col("text"), 1, n), n, "."), "UTF-8")
+    raster = _text_bytes(n)
     return docs.select(
         "doc_id",
         F.concat(F.lit(header), raster).alias("payload"),
@@ -549,9 +563,11 @@ def encode_wav_payloads(
         + list_chunk
         + b"data" + n_bytes.to_bytes(4, "little")
     )
-    riff_size = 4 + len(pre_data) - 4 + 8 + n_bytes  # from 'WAVE' onward
+    # RIFF size counts everything after the 8-byte RIFF header: pre_data
+    # (which already includes the 8-byte data-chunk header) + PCM bytes
+    riff_size = len(pre_data) + n_bytes
     header = b"RIFF" + riff_size.to_bytes(4, "little") + pre_data
-    pcm = F.encode(F.rpad(F.substring(F.col("text"), 1, n_bytes), n_bytes, "."), "UTF-8")
+    pcm = _text_bytes(n_bytes)
     return docs.select(
         "doc_id", F.concat(F.lit(header), pcm).alias("payload")
     )

@@ -104,7 +104,10 @@ def hash_split(
     items = list(fractions.items())
     for name, frac in items[:-1]:
         cum += frac
-        cond = bucket < int(cum * SAMPLE_BUCKETS)
+        # round, not int(): float accumulation can land infinitesimally
+        # below the exact boundary (0.3 -> 2999.999... -> 2999 under
+        # truncation), silently shifting one bucket between splits
+        cond = bucket < round(cum * SAMPLE_BUCKETS)
         expr = (
             F.when(cond, F.lit(name))
             if expr is None
