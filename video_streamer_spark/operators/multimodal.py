@@ -7,12 +7,14 @@ buffer, decoded zero-copy into ndarrays at the Python boundary
 ``mapInPandas`` UDFs — rows in the plan, columnar ndarray batches in
 Python, exactly the reference's layout.
 
-THREE container formats decode FOR REAL via pure-numpy/pure-python
-parsers — P6 PPM (the reference's negotiated raw-RGB caps), 24-bpp BMP
-(bottom-up DIB with BGR order and row padding), and RIFF/WAVE PCM audio
-(chunk-walking parser) — all reading geometry/layout from the container
-HEADER. ``decode_frame`` dispatches images on magic bytes and points
-WAVE payloads at ``decode_wav``; compressed codecs (JPEG/PNG/MP4) raise
+FOUR container formats decode FOR REAL via pure-numpy/stdlib parsers —
+P6 PPM (the reference's negotiated raw-RGB caps), 24-bpp BMP (bottom-up
+DIB with BGR order and row padding), PNG (CRC-checked chunk walk, zlib
+IDAT inflate, all five scanline unfilters — the first genuinely
+COMPRESSED format), and RIFF/WAVE PCM audio (chunk-walking parser) —
+all reading geometry/layout from the container HEADER. ``decode_frame``
+dispatches images on magic bytes and points WAVE payloads at
+``decode_wav``; codec-library formats (JPEG/AVI/MP4) raise
 NotImplementedError because no codec library ships in this container —
 swapping cv2/PyAV in is a one-function change; opaque payloads fall back
 to a raw uint8 view, which is also the semantics the byte-stats and
@@ -180,9 +182,187 @@ def encode_bmp_payloads(
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL decoder for PNG — the first COMPRESSED format in the decode
+    dispatcher (reference O2, decodebin at run.sh:53), built entirely on
+    stdlib ``zlib`` + numpy: chunk walk with CRC32 verification, IDAT
+    inflate, then per-scanline unfiltering of all five PNG filter types
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6). Supports non-interlaced
+    8-bit color types 0 (grayscale, broadcast to RGB), 2 (truecolor)
+    and 6 (RGBA, alpha dropped) — palette/16-bit/interlaced raise
+    NotImplementedError honestly. Returns the same (h, w, 3) uint8
+    tensor as the PPM/BMP decoders.
+
+    Filters Up(2) and None(0) unfilter fully vectorized; Sub/Average/
+    Paeth carry a true sequential dependency along the scanline, so
+    those rows fall back to a per-byte loop — fine for metadata-scale
+    frames; a 4K-video deployment swaps a codec lib into this one
+    function and keeps the identical Spark plumbing.
+    """
+    import zlib
+
+    buf = bytes(payload)
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(buf):
+        length = int.from_bytes(buf[pos : pos + 4], "big")
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        crc = int.from_bytes(buf[pos + 8 + length : pos + 12 + length], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or color_type not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit gray/RGB/RGBA PNG supported "
+            f"(depth={bit_depth}, color={color_type}, interlace={interlace})"
+        )
+    n_ch = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * n_ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters, lines = raw[:, 0], raw[:, 1:].astype(np.int64)
+    out = np.zeros_like(lines)
+    bpp = n_ch  # bytes per pixel at depth 8
+    for y in range(height):
+        f, cur = int(filters[y]), lines[y]
+        prior = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:  # None
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = (cur + prior) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            row = out[y]
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+    pix = out.astype(np.uint8).reshape(height, width, n_ch)
+    if color_type == 0:
+        return np.repeat(pix, 3, axis=2)
+    if color_type == 6:
+        return pix[:, :, :3].copy()
+    return pix
+
+
+def encode_png_payloads(
+    docs: DataFrame, width: int = 8, height: int = 4
+) -> DataFrame:
+    """Documents → REAL PNG files: 8-bit truecolor, CRC-correct chunks,
+    zlib-compressed scanlines whose FILTER TYPE CYCLES 0→4 by row so the
+    decoder's whole unfilter matrix is exercised on every frame. The
+    raster bytes are the document's first 3wh BYTES ('.'-padded, same
+    byte-slice contract as the other encoders), so the round trip is
+    lossless and a SQL oracle can recompute everything downstream of
+    the decode from the text column. Compression forces this encoder
+    into Python (unlike the codegen'd PPM/BMP paths) — an Arrow-batched
+    pandas UDF, never per-row Python."""
+    import sys
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+
+    n = width * height * 3
+    stride = width * 3
+
+    def _filter_rows(raster: bytes) -> bytes:
+        a = np.frombuffer(raster, dtype=np.uint8).reshape(height, stride)
+        lines = []
+        prior = np.zeros(stride, dtype=np.int64)
+        for y in range(height):
+            cur = a[y].astype(np.int64)
+            f = y % 5
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                left = np.concatenate([np.zeros(3, np.int64), cur[:-3]])
+                enc = (cur - left) & 0xFF
+            elif f == 2:
+                enc = (cur - prior) & 0xFF
+            elif f == 3:
+                left = np.concatenate([np.zeros(3, np.int64), cur[:-3]])
+                enc = (cur - (left + prior) // 2) & 0xFF
+            else:
+                left = np.concatenate([np.zeros(3, np.int64), cur[:-3]])
+                pleft = np.concatenate([np.zeros(3, np.int64), prior[:-3]])
+                p = left + prior - pleft
+                pa, pb, pc = (
+                    np.abs(p - left), np.abs(p - prior), np.abs(p - pleft)
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, pleft)
+                )
+                enc = (cur - pred) & 0xFF
+            lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+            prior = cur
+        return b"".join(lines)
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor, deflate, std, none
+    )
+
+    @pandas_udf("binary")
+    def to_png(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            raster = (t or "").encode("utf-8")[:n].ljust(n, b".")
+            out.append(
+                _PNG_SIG
+                + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(_filter_rows(raster), 6))
+                + _chunk(b"IEND", b"")
+            )
+        return pd.Series(out)
+
+    return docs.select("doc_id", to_png(F.col("text")).alias("payload"))
+
+
 # magic-number prefixes of compressed formats we refuse (no codec libs in
-# this container — a real deployment swaps cv2/PyAV in here)
-_COMPRESSED_MAGICS = (b"\xff\xd8", b"\x89PNG", b"RIFF")
+# this container — a real deployment swaps cv2/PyAV in here). RIFF stays:
+# WAVE is routed to decode_wav before this check fires, so a RIFF hit
+# here is AVI or another non-audio RIFF container.
+_COMPRESSED_MAGICS = (b"\xff\xd8", b"RIFF")
 
 
 def _looks_compressed(buf: bytes) -> bool:
@@ -204,13 +384,15 @@ def decode_frame(payload: bytes) -> np.ndarray:
         return decode_ppm(buf)
     if buf[:2] == b"BM":
         return decode_bmp(buf)
+    if buf[:8] == _PNG_SIG:
+        return decode_png(buf)
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         raise NotImplementedError(
             "RIFF/WAVE is audio — use decode_wav / decode_wav_stats"
         )
     if _looks_compressed(buf):
         raise NotImplementedError(
-            "compressed codec (JPEG/PNG/RIFF/MP4) — codec libraries not "
+            "compressed codec (JPEG/AVI/MP4) — codec libraries not "
             "available in this environment"
         )
     return decode_raw(buf)

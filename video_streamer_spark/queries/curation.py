@@ -644,6 +644,42 @@ def x43_decode_infer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# x85: the first COMPRESSED container format through the O2 decode path —
+# encode documents as genuine zlib-deflated PNGs (CRC-correct chunks,
+# filter type cycling 0→4 by row so every unfilter branch runs on every
+# frame), then decode via the real PNG parser (dimensions from IHDR,
+# IDAT inflate, per-scanline unfilter). PNG rasters are top-down RGB, so
+# unlike x55/BMP the oracle maps channel k to byte k and decoded row 0
+# to the FIRST stored row — the two queries together pin that the
+# format-specific layout handling lives in the decoders, not the stats.
+# Compression is bit-exactly lossless, which is why a SQL oracle can
+# recompute decoded-pixel stats from the text column at all.
+# Reference anchor: run.sh:53 (decodebin handles compressed containers).
+@query(
+    "x85_decode_png_infer",
+    oracle="""
+    WITH body AS (
+      SELECT doc_id, rpad(substr(text, 1, 96), 96, '.') AS s FROM documents)
+    SELECT doc_id, CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+      CAST(list_sum(list_transform(range(32), i -> ascii(substr(s, 3*i+1, 1))))
+           AS BIGINT) AS r_sum,
+      CAST(list_sum(list_transform(range(32), i -> ascii(substr(s, 3*i+2, 1))))
+           AS BIGINT) AS g_sum,
+      CAST(list_sum(list_transform(range(32), i -> ascii(substr(s, 3*i+3, 1))))
+           AS BIGINT) AS b_sum,
+      CAST(list_sum(list_transform(range(24), i -> ascii(substr(s, 1+i, 1))))
+           AS BIGINT) AS top_row_sum,
+      CAST(ascii(substr(s, 1, 1)) AS INT) AS top_left_r
+    FROM body ORDER BY doc_id
+    """,
+)
+def x85_decode_png_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    frames = multimodal.encode_png_payloads(docs, width=8, height=4)
+    return multimodal.decode_frames_detail(frames).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # x55: second REAL container format through the O2 decode path — encode
 # documents as genuine 24-bpp bottom-up BMPs (valid FILEHEADER+INFOHEADER,
 # raster = first-96-char '.'-padded text), decode via the BMP parser
