@@ -109,6 +109,7 @@ def main() -> None:
     # must not degrade into cache reads).
     N_RUNS = 3
     timings: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     for name in headline:
         reps = []
         for _ in range(N_RUNS):
@@ -120,10 +121,16 @@ def main() -> None:
             n = len(QUERIES[name](spark, sf_dir).toPandas())
             reps.append(time.perf_counter() - t0)
         timings[name] = round(min(reps), 3)
+        all_reps[name] = [round(r, 3) for r in reps]
         rep_s = "/".join(f"{r:.2f}" for r in sorted(reps))
         print(f"# {name}: {timings[name]:.3f}s ({n} rows; reps {rep_s})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # "queries" stays name->best (the shape earlier rounds recorded);
+    # "reps" carries every rep for every query so a regression in the
+    # artifact is separable from box noise without rerunning (round-4
+    # postmortem: the tail of the stderr log was the only rep record and
+    # it had scrolled off for most queries).
     print(
         json.dumps(
             {
@@ -131,6 +138,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": all_reps,
                 "sf": sf,
             }
         )
