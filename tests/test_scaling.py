@@ -98,3 +98,55 @@ def test_dedup_similarity_scaling_curve(spark):
             f"{name}: sf0.01={small:.2f}s sf0.1={big:.2f}s "
             f"ratio={ratio:.1f} exceeds {max_ratio}"
         )
+
+
+def test_round4_heavy_ops_scaling_curve(spark):
+    """Same 10x envelope for the round-4 heavy operators (VERDICT r4
+    item 6): x65 is blocked levenshtein (lang + adjacent length bucket —
+    linear-ish candidate volume), x75 is fixed-iteration PageRank (one
+    join+agg per round), x78 fuses the five curation stages into one
+    plan, x79 is O(log depth) pointer jumping. A lost blocking predicate
+    or an accidental quadratic candidate explosion trips the bound."""
+    bounds = {
+        "x65_fuzzy_dedup_levenshtein": 40.0,
+        "x75_pagerank_dedup_graph": 40.0,
+        "x78_curation_pipeline_v2": 40.0,
+        "x79_hierarchy_depth_pointer_jump": 40.0,
+    }
+    for name, max_ratio in bounds.items():
+        q = QUERIES[name]
+        small = min(_timed(q, spark, SF_ORACLE) for _ in range(2))
+        big = min(_timed(q, spark, SF_BIG) for _ in range(2))
+        ratio = big / max(small, 1e-3)
+        assert ratio < max_ratio, (
+            f"{name}: sf0.01={small:.2f}s sf0.1={big:.2f}s "
+            f"ratio={ratio:.1f} exceeds {max_ratio}"
+        )
+
+
+def test_x65_fuzzy_dedup_plan_is_blocked(spark):
+    """x65's candidate join must ride the lang+length-bucket equi-keys:
+    no cartesian product and no broadcast nested loop join anywhere in
+    the physical plan — losing the blocking keys would silently turn
+    this into all-pairs levenshtein."""
+    plan = (
+        QUERIES["x65_fuzzy_dedup_levenshtein"](spark, SF_ORACLE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_x78_pipeline_is_one_plan_with_bounded_bnl(spark):
+    """x78 fuses dedup→quality→decontaminate→split→chunk into ONE
+    Catalyst plan. The ONLY nested-loop joins allowed are the LeftAnti
+    instr() decontamination probes against the tiny broadcast phrase
+    list (deliberate, audited in VERDICT r4); any additional BNL means a
+    join lost its equi-keys."""
+    plan = (
+        QUERIES["x78_curation_pipeline_v2"](spark, SF_ORACLE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    n_bnl = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnl <= 2, f"{n_bnl} BroadcastNestedLoopJoins (expected <=2):\n{plan}"

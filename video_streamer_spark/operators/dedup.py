@@ -512,8 +512,20 @@ def fuzzy_pairs_levenshtein(
     the probe side explodes to buckets {b-1, b, b+1} and joins the build
     side's TRUE bucket, so every qualifying pair matches exactly once and
     per-key shuffle groups are bounded by block population, not corpus
-    size. Levenshtein runs codegen'd (built-in), zero Python.
+    size. Levenshtein runs codegen'd (built-in), zero Python, BANDED at
+    ``max_dist`` (the threshold form computes an O(k·n) diagonal band
+    and bails at k+1 instead of filling the O(n²) DP table — surviving
+    pairs and their distances are identical).
+
+    The probe side is explicitly round-robin repartitioned before the
+    join: when the corpus arrives as few files (or one), a broadcast
+    join would otherwise inherit the scan's partitioning and run EVERY
+    pair compare on a handful of cores — the r5 scaling envelope caught
+    exactly that (one task, 43 s at sf0.1; ~1.5 s repartitioned). The
+    shuffle moved is the exploded probe rows (3n), trivial next to the
+    pair-compare work it parallelizes.
     """
+    par = docs.sparkSession.sparkContext.defaultParallelism
     base = docs.select(
         F.col(id_col).alias("fid"),
         F.col(lang_col).alias("flang"),
@@ -527,7 +539,7 @@ def fuzzy_pairs_levenshtein(
         F.explode(
             F.array(F.col("fb") - 1, F.col("fb"), F.col("fb") + 1)
         ).alias("jb"),
-    )
+    ).repartition(par)
     right = base.select(
         F.col("fid").alias("doc_b"),
         F.col("flang").alias("lang_b"),
@@ -543,9 +555,9 @@ def fuzzy_pairs_levenshtein(
         )
         .withColumn(
             "prefix_dist",
-            F.levenshtein("prefix_a", "prefix_b").cast("int"),
+            F.levenshtein("prefix_a", "prefix_b", max_dist).cast("int"),
         )
-        .where(F.col("prefix_dist") <= max_dist)
+        .where(F.col("prefix_dist") >= 0)
         .select("doc_a", "doc_b", F.col("lang_a").alias("lang"), "prefix_dist")
     )
 
