@@ -1625,3 +1625,24 @@ def test_encode_png_payloads_real_files(spark):
     text = "The quick brown fox jumps over the lazy dog. " * 4
     want = text.encode()[: w * h * 3].ljust(w * h * 3, b".")
     assert decode_frame(bytes(one["payload"])).tobytes() == want
+
+
+def test_bloom_filter_prunes_without_false_negatives(spark):
+    """x86's bloom must admit EVERY true key (no false negatives — that
+    would silently drop join rows) while pruning most non-matching fact
+    rows (otherwise it's dead weight)."""
+    from video_streamer_spark.queries.analytics import bloom_build, bloom_prune
+
+    keys = spark.range(0, 2000, 40).select(F.col("id").alias("k"))  # 50 keys
+    facts = spark.range(20000).select((F.col("id") % 2000).alias("fk"))
+    bloom = bloom_build(keys, "k")
+    pruned = bloom_prune(facts, bloom, "fk")
+    true_rows = facts.join(keys, facts["fk"] == keys["k"], "left_semi")
+    n_true, n_pruned, n_all = true_rows.count(), pruned.count(), facts.count()
+    # every true match survives the bloom
+    assert true_rows.join(pruned, "fk", "left_anti").count() == 0
+    assert n_pruned >= n_true
+    # 50/1024-bit bloom with k=3: false-positive rate ~0.3%; be generous
+    assert n_pruned < n_true + 0.2 * (n_all - n_true), (
+        f"bloom barely prunes: {n_pruned}/{n_all} survived, {n_true} true"
+    )

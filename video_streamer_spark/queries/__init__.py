@@ -38,6 +38,7 @@ def _load_all() -> None:
     from video_streamer_spark.queries import streaming_queries  # noqa: F401
     from video_streamer_spark.queries import coverage  # noqa: F401
     from video_streamer_spark.queries import joins  # noqa: F401
+    from video_streamer_spark.queries import analytics  # noqa: F401
 
 
 # The driver hash-checks the FIRST 50 registered queries per round. Round-5
@@ -65,10 +66,10 @@ _SAMPLE_FIRST = [
     "x87_group_quantiles_exact",
     "x88_skyline_pareto",
     "x89_triangle_count",
-    "x90_recursive_bom",
-    "x91_sessionize_gap_keyed",
-    "x92_topn_rollup_union",
-    "x93_jaccard_similarity_join",
+    "x90_gaps_islands",
+    "x91_interval_overlap_join",
+    "x92_collocation_pmi",
+    "x93_jaccard_prefix_join",
     "x94_windowed_dedup_stream",
     # 3. events family, last green pre-NTZ-fix
     "x28_asof_purchase_click",

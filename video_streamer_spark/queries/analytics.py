@@ -1,0 +1,614 @@
+"""Round-5 analytics queries (x86+): scale-pattern operators a 100 TB
+curation/warehouse pipeline leans on — runtime join pruning (bloom),
+exact distributed quantiles, skyline/Pareto selection, graph triangle
+counting, gaps-and-islands, interval overlap joins, collocation mining,
+and prefix-filtered set-similarity joins.
+
+Every query keeps the repo's contract: declarative DataFrame plans that
+Catalyst can push down / broadcast / reorder, a DuckDB oracle string
+with bit-identical output (helpers from functions/parity.py), and an
+explicit note on why the plan survives 1000 executors.
+
+Reference anchor: these extend the metadata-curation side of the
+reference pipeline (the role VDMS queries play — reference README.md:2,
+gst-detection-tf.py:308-344) far past what the reference itself ships,
+per the engine brief.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from video_streamer_spark.catalog import table
+from video_streamer_spark.functions.parity import round2, round4
+from video_streamer_spark.queries import query
+
+_R2 = "CAST(ROUND(CAST(({}) AS DECIMAL(38,9)), 2) AS DOUBLE)"
+_R4 = "CAST(ROUND(CAST(({}) AS DECIMAL(38,12)), 4) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+# x86: BLOOM-FILTER JOIN PRUNING — the runtime-filter pattern every
+# warehouse engine applies to selective star joins (Spark's own
+# spark.sql.optimizer.runtime.bloomFilter does this invisibly; here it
+# is an explicit, testable operator). Build a 1024-bit bloom over the
+# filtered dim keys as SIXTEEN bit_or AGGREGATES of per-row hash words
+# (k=3 xxhash64 probes per key), broadcast the single 16-long row, and
+# prune the fact scan with pure codegen'd bit tests BEFORE the join.
+# False positives are removed by the real join, so the bloom is
+# semantics-free — which is exactly why the oracle is the PLAIN join:
+# hash parity proves the filter admitted every true match.
+# At 100 TB: the bloom is ~128 bytes regardless of fact size, the probe
+# is per-row bit math in whole-stage codegen, and the pruned fact side
+# shuffles a fraction of its rows into the join.
+_BLOOM_BITS = 1024
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 3
+
+
+def _bloom_positions(key: F.Column) -> list[tuple[F.Column, F.Column]]:
+    """k (word_index, bit_mask) pairs for a key — identical expressions
+    on build and probe sides."""
+    out = []
+    for i in range(_BLOOM_K):
+        h = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(_BLOOM_BITS))
+        # F.shiftleft only takes a literal shift amount; call the SQL
+        # function directly for a column-valued shift
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (h % F.lit(64)).cast("int")
+        )
+        out.append(((h / F.lit(64)).cast("int"), mask))
+    return out
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """One-row DataFrame with a 16×bigint bloom over ``key_col``."""
+    pos = _bloom_positions(F.col(key_col))
+    words = [
+        reduce(
+            lambda acc, wb: acc.bitwiseOR(
+                F.when(wb[0] == j, wb[1]).otherwise(F.lit(0).cast("bigint"))
+            ),
+            pos,
+            F.lit(0).cast("bigint"),
+        ).alias(f"w{j}")
+        for j in range(_BLOOM_WORDS)
+    ]
+    row_words = keys.select(*words)
+    return row_words.agg(
+        *[F.bit_or(F.col(f"w{j}")).alias(f"w{j}") for j in range(_BLOOM_WORDS)]
+    ).select(
+        F.array(*[F.col(f"w{j}") for j in range(_BLOOM_WORDS)]).alias("bloom")
+    )
+
+
+def bloom_prune(facts: DataFrame, bloom: DataFrame, key_col: str) -> DataFrame:
+    """Keep fact rows whose key passes every bloom probe (no false
+    negatives by construction; false positives fall to the later join).
+    The crossJoin broadcasts ONE row — a plan parameter, not data."""
+    probed = facts.crossJoin(F.broadcast(bloom))
+    cond = reduce(
+        lambda acc, wb: acc
+        & (
+            F.element_at(F.col("bloom"), wb[0] + F.lit(1)).bitwiseAND(wb[1])
+            != F.lit(0)
+        ),
+        _bloom_positions(F.col(key_col)),
+        F.lit(True),
+    )
+    return probed.where(cond).drop("bloom")
+
+
+@query(
+    "x86_bloom_filter_join",
+    oracle=f"""
+    SELECT p.p_brand,
+      CAST(COUNT(*) AS BIGINT) AS n_items,
+      {_R2.format("SUM(CAST(l.l_quantity AS DECIMAL(18,6)))")} AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 40
+    GROUP BY p.p_brand ORDER BY p.p_brand
+    """,
+)
+def x86_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(F.col("p_size") >= 40)
+    bloom = bloom_build(part.select("p_partkey"), "p_partkey")
+    pruned = bloom_prune(li, bloom, "l_partkey")
+    return (
+        pruned.join(F.broadcast(part), pruned["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            round2(
+                F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            ).alias("sum_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# x87: EXACT grouped quantiles — the contract x52 deliberately does NOT
+# make (approx_percentile there). Spark's percentile() sorts within the
+# aggregation buffer; DuckDB's quantile_cont applies the same
+# (n-1)*q linear interpolation, so after the round4 quantization the
+# values are bit-identical. At 100 TB the partial aggregation still
+# map-side-combines; exact quantiles are the right tool per GROUP (each
+# group's values fit an executor), approx (x52) when a single group is
+# itself terabytes.
+@query(
+    "x87_group_quantiles_exact",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      {_R4.format("quantile_cont(l_quantity, 0.25)")} AS q25,
+      {_R4.format("quantile_cont(l_quantity, 0.5)")} AS q50,
+      {_R4.format("quantile_cont(l_quantity, 0.75)")} AS q75,
+      {_R4.format("quantile_cont(l_extendedprice, 0.9)")} AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def x87_group_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    qs = F.percentile(
+        "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            qs.alias("qs"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_rows",
+            round4(F.col("qs")[0]).alias("q25"),
+            round4(F.col("qs")[1]).alias("q50"),
+            round4(F.col("qs")[2]).alias("q75"),
+            round4(F.col("p90")).alias("price_p90"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# x88: SKYLINE / Pareto frontier — parts where no other part is both
+# cheaper-or-equal AND larger-or-equal (strict somewhere): the
+# multi-objective "best tradeoffs" selection. The naive formulation is
+# a quadratic NOT EXISTS self-join (that's the oracle); the engine
+# computes it with ONE SORT and two window maxes over cents-quantized
+# price (lossless for 2-decimal prices, and it gives the RANGE frame an
+# integer key): dominated ⇔ max(size | price strictly lower) >= size
+# OR max(size | price equal) > size. O(n log n), no join — at 100 TB
+# this is a sort-based single pass, vs the join's n² explosion.
+@query(
+    "x88_skyline_pareto",
+    oracle=f"""
+    WITH q AS (
+      SELECT p_partkey, p_retailprice, p_size,
+        CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part)
+    SELECT p_partkey, {_R2.format("a.p_retailprice")} AS price, p_size
+    FROM q a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM q b
+      WHERE b.cents <= a.cents AND b.p_size >= a.p_size
+        AND (b.cents < a.cents OR b.p_size > a.p_size))
+    ORDER BY cents, p_size DESC, p_partkey
+    """,
+)
+def x88_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w_strict = (
+        Window.orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_equal = Window.partitionBy("cents")
+    dominated = (
+        F.coalesce(
+            F.max("p_size").over(w_strict), F.lit(-(2**31))
+        )
+        >= F.col("p_size")
+    ) | (F.max("p_size").over(w_equal) > F.col("p_size"))
+    return (
+        p.withColumn("dom", dominated)
+        .where(~F.col("dom"))
+        .select(
+            "p_partkey",
+            round2("p_retailprice").alias("price"),
+            "p_size",
+            "cents",
+        )
+        .orderBy("cents", F.col("p_size").desc(), "p_partkey")
+        .drop("cents")
+    )
+
+
+# --------------------------------------------------------------------------
+# x89: TRIANGLE COUNT on a deterministic co-occurrence graph (nodes =
+# part/supplier residues, edges = lineitem links). The classic two-join
+# wedge closure with ID-ORDERED orientation (u<v<w): every triangle is
+# counted exactly once and each join is an equi-join whose fan-out is
+# bounded by forward-degree — the standard trick that keeps the wedge
+# volume skew-bounded at scale (a hub contributes deg²/2 wedges only on
+# its ORIENTED edges). No cartesian anywhere.
+@query(
+    "x89_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT least(l_partkey % 200, l_suppkey % 200) AS u,
+             greatest(l_partkey % 200, l_suppkey % 200) AS v
+      FROM lineitem
+      WHERE l_partkey % 200 <> l_suppkey % 200),
+    tri AS (
+      SELECT COUNT(*) AS n FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles
+    """,
+)
+def x89_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        F.pmod(F.col("l_partkey"), F.lit(200)).alias("pk"),
+        F.pmod(F.col("l_suppkey"), F.lit(200)).alias("sk"),
+    )
+    e = (
+        li.where(F.col("pk") != F.col("sk"))
+        .select(
+            F.least("pk", "sk").alias("u"), F.greatest("pk", "sk").alias("v")
+        )
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    wedges = e1.join(e2, e1["b"] == e2["b2"]).select("a", "b", "c")
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = wedges.join(
+        e3, (wedges["a"] == e3["a3"]) & (wedges["c"] == e3["c3"])
+    ).agg(F.count("*").cast("bigint").alias("n_triangles"))
+    return e.agg(F.count("*").cast("bigint").alias("n_edges")).crossJoin(
+        F.broadcast(tri)
+    )
+
+
+# --------------------------------------------------------------------------
+# x90: GAPS AND ISLANDS — per-user runs of CONSECUTIVE active days (the
+# canonical streak/retention shape). The whole computation is the
+# row_number-difference trick: day_number − row_number is constant
+# within a consecutive run, so one window plus two aggregations — no
+# self-join, no iteration. Scale: both windows/aggs partition on
+# user_id; a 100 TB events table shuffles once on the user key.
+@query(
+    "x90_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    grp AS (
+      SELECT user_id, day,
+        date_diff('day', DATE '1970-01-01', day)
+          - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS g
+      FROM days),
+    islands AS (
+      SELECT user_id, g, COUNT(*) AS len
+      FROM grp GROUP BY user_id, g)
+    SELECT user_id,
+      CAST(SUM(len) AS BIGINT) AS n_active_days,
+      CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM islands GROUP BY user_id
+    HAVING SUM(len) >= 5
+    ORDER BY user_id
+    """,
+)
+def x90_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("g"),
+    )
+    islands = grp.groupBy("user_id", "g").agg(F.count("*").alias("len"))
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("n_active_days"),
+            F.count("*").cast("bigint").alias("n_streaks"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+        )
+        .where(F.col("n_active_days") >= 5)
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x91: INTERVAL OVERLAP SELF-JOIN — concurrent activity detection:
+# events become intervals [ts, ts + min(value,30)·1min] and we count,
+# per user, the pairs of genuinely overlapping intervals. The engine
+# never writes the quadratic predicate join: each interval EXPLODES to
+# the hour buckets it covers (≤2 — durations are capped below one
+# bucket), pairs equi-join on (user, bucket), a distinct collapses the
+# ≤2-bucket double-match, and the exact overlap predicate filters last.
+# Every overlapping pair shares the bucket of any point in their
+# intersection, so the bucket cover is complete — same decomposition as
+# the q20 theta join and x65 length buckets. The oracle IS the naive
+# quadratic predicate join: hash parity proves the bucketed plan
+# loses and invents nothing. Micros arithmetic keeps both engines
+# integer-exact.
+@query(
+    "x91_interval_overlap_join",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+        epoch_us(ts) + CAST(floor(least(value, 30.0) * 60000000.0) AS BIGINT) AS e
+      FROM events)
+    SELECT a.user_id,
+      CAST(COUNT(*) AS BIGINT) AS n_overlapping_pairs
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+      AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.user_id
+    ORDER BY a.user_id
+    """,
+)
+def x91_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    bucket_us = 3_600_000_000  # 1 hour; durations capped at 30 min
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.least(F.col("value"), F.lit(30.0)) * 60000000.0).cast(
+                "bigint"
+            )
+        ).alias("e"),
+    )
+    exploded = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                (F.col("s") / bucket_us).cast("bigint"),
+                (F.col("e") / bucket_us).cast("bigint"),
+            )
+        ).alias("bk"),
+    )
+    a = exploded.select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("ia"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+        "bk",
+    )
+    b = exploded.select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("ib"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+        "bk",
+    )
+    pairs = (
+        a.join(b, ["u", "bk"])
+        .where(
+            (F.col("ia") < F.col("ib"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+        )
+        .select("u", "ia", "ib")
+        .distinct()
+    )
+    return (
+        pairs.groupBy(F.col("u").alias("user_id"))
+        .agg(F.count("*").cast("bigint").alias("n_overlapping_pairs"))
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x92: COLLOCATION MINING (PMI) — statistically-bound word pairs, the
+# classic corpus-analysis signal (phrase detection for tokenizer vocab
+# building). Adjacent-token bigrams and unigrams are counted with plain
+# aggregations; PMI = ln(P(ab) / (P(a)·P(b))) quantized to
+# DECIMAL(18,6) per the x62 ln-parity recipe. Scale: two groupBy counts
+# + two broadcastable joins of the (small) vocab onto the bigram
+# relation; nothing quadratic, no UDF.
+@query(
+    "x92_collocation_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks),
+    ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    utot AS (SELECT SUM(c) AS n FROM ucnt),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+      FROM toks WHERE len(t) >= 2),
+    bcnt AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c FROM bi
+             GROUP BY p.w1, p.w2),
+    btot AS (SELECT SUM(c) AS n FROM bcnt)
+    SELECT w1, w2, CAST(b.c AS BIGINT) AS n_pair,
+      CAST(ln((CAST(b.c AS DOUBLE) / btot.n) /
+              ((CAST(u1.c AS DOUBLE) / utot.n) *
+               (CAST(u2.c AS DOUBLE) / utot.n))) AS DECIMAL(18,6)) AS pmi
+    FROM bcnt b
+    JOIN ucnt u1 ON b.w1 = u1.w
+    JOIN ucnt u2 ON b.w2 = u2.w
+    CROSS JOIN utot CROSS JOIN btot
+    WHERE b.c >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def x92_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.text import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(tokens_col("text").alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count("*").alias("c"))
+    utot = ucnt.agg(F.sum("c").alias("n_uni"))
+    bi = toks.where(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                "             element_at(t, i + 1) AS w2))"
+            )
+        ).alias("p")
+    )
+    bcnt = bi.groupBy(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    ).agg(F.count("*").alias("c"))
+    btot = bcnt.agg(F.sum("c").alias("n_bi"))
+    u1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bcnt.where(F.col("c") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("n_pair"),
+            F.log(
+                (F.col("c").cast("double") / F.col("n_bi"))
+                / (
+                    (F.col("c1").cast("double") / F.col("n_uni"))
+                    * (F.col("c2").cast("double") / F.col("n_uni"))
+                )
+            )
+            .cast("decimal(18,6)")
+            .alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# x93: PREFIX-FILTERED SET-SIMILARITY JOIN — word-set Jaccard ≥ t
+# pairs via the PPJoin-family prefix filter, a genuinely different
+# candidate scheme from x04's df-cutoff inverted index: order every
+# doc's distinct tokens by GLOBAL rarity (freq asc, token asc); if
+# jaccard(A,B) ≥ t the two prefixes of length |S| − ⌈t·|S|⌉ + 1 must
+# share a token, so ONLY prefix tokens enter the inverted index —
+# candidate volume shrinks by ~(1−t) per side while recall stays exact.
+# Verification joins each candidate pair's full sorted-token relation
+# and counts intersections. Oracle: the prefix-free formulation
+# (any-shared-token candidates + exact jaccard) — hash parity proves
+# the prefix filter dropped no qualifying pair.
+@query(
+    "x93_jaccard_prefix_join",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS w
+      FROM documents),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM dt a JOIN dt b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT da AS doc_a, db AS doc_b,
+      {_R4.format(
+          "CAST(i AS DOUBLE) / (sa.n + sb.n - i)"
+      )} AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = da
+    JOIN sz sb ON sb.doc_id = db
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def x93_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.text import tokens_col
+
+    t = 0.5
+    docs = table(spark, sf_dir, "documents")
+    dt = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+        .distinct()
+    )
+    freq = dt.groupBy("w").agg(F.count("*").alias("df"))
+    ranked = dt.join(F.broadcast(freq), "w").select(
+        "doc_id",
+        "w",
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("df").asc(), F.col("w").asc()
+            )
+        )
+        .alias("pos"),
+    )
+    sz = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # prefix length |S| - ceil(t*|S|) + 1
+    pref = (
+        ranked.join(F.broadcast(sz), "doc_id")
+        .where(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + F.lit(1)
+        )
+        .select("doc_id", "w")
+    )
+    cand = (
+        pref.alias("pa")
+        .join(pref.alias("pb"), "w")
+        .where(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ta = dt.select(F.col("doc_id").alias("doc_a"), "w")
+    tb = dt.select(F.col("doc_id").alias("doc_b"), "w")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("i")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= t)
+        .select("doc_a", "doc_b", round4(jac).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -64,3 +64,41 @@ def x15_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT user_id, n_events FROM {name} ORDER BY user_id, n_events"
     )
+
+
+# x94: STREAMING DEDUPLICATION with state eviction —
+# dropDuplicatesWithinWatermark, the streaming twin of q16/x01 exact
+# dedup: the input stream is deliberately DOUBLED (the same events
+# directory unioned with itself, the at-least-once delivery every real
+# ingest pipeline must survive), the operator keeps the first arrival
+# per event_id, and the watermark bounds how long each key lives in
+# state — the property that makes streaming dedup viable at 100 TB
+# (state is a sliding window of keys, not the full history; an exact
+# global dedup would grow state forever). The sink holds deduped ROWS
+# (append mode); the count-per-type aggregation runs batch-side on the
+# sink, so the hash comparison pins exactly the operator's output.
+# Oracle: the batch relation itself — dedup of (events ∪ events) must
+# be indistinguishable from events.
+_X94_ORACLE = """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("x94_windowed_dedup_stream", oracle=_X94_ORACLE)
+def x94_windowed_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sp.events_stream(spark, sf_dir)
+    doubled = src.unionByName(sp.events_stream(spark, sf_dir))
+    deduped = (
+        doubled.select("event_id", "event_type", "ts")
+        # delay far beyond the dataset's time span: every duplicate is
+        # still in state when its twin arrives, so the dedup is exact
+        # (a production pipeline sets this to its real delivery skew)
+        .withWatermark("ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = _drain(deduped, "x94_sink", "append")
+    return spark.sql(
+        f"SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events "
+        f"FROM {name} GROUP BY event_type ORDER BY event_type"
+    )
