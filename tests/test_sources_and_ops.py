@@ -1646,3 +1646,75 @@ def test_bloom_filter_prunes_without_false_negatives(spark):
     assert n_pruned < n_true + 0.2 * (n_all - n_true), (
         f"bloom barely prunes: {n_pruned}/{n_all} survived, {n_true} true"
     )
+
+
+def test_diff_snapshots_round_trip(spark):
+    """diff_snapshots is apply_changeset's exact inverse: applying the
+    computed changeset to the old snapshot reproduces the new one, and
+    the changeset is minimal (identical rows emit nothing)."""
+    from video_streamer_spark.operators import merge as M
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 41), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    diff = M.diff_snapshots(old, new, ["k"])
+    got = {r["k"]: r["__op"] for r in diff.collect()}
+    assert got == {2: "U", 3: "D", 4: "U", 5: "I"}  # 1 unchanged -> absent
+    applied = M.apply_changeset(old, diff, ["k"])
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+    # diff of identical snapshots is empty
+    assert M.diff_snapshots(new, new, ["k"]).count() == 0
+
+
+def test_zorder_layout_prunes_both_dims(spark, tmp_path):
+    """The physical claim behind x100: a z-ordered layout gives every
+    file a tight min/max bounding box in BOTH dimensions, so filters on
+    EITHER column can skip most files — while a single-column sort only
+    prunes its own column."""
+    import pyarrow.parquet as pq
+
+    from video_streamer_spark.operators.layout import zorder_write
+
+    n, files = 4096, 16
+    df = spark.range(n).select(
+        ((F.col("id") % 64 * 16 + F.col("id") % 16) % 1024)
+        .cast("bigint")
+        .alias("x"),
+        ((F.col("id") * 37) % 1024).cast("bigint").alias("y"),
+    )
+
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    zorder_write(df, zpath, "x", "y", n_files=files)
+    # comparison layout: sorted by x only
+    df.repartitionByRange(files, "x").sortWithinPartitions("x").write.parquet(
+        spath
+    )
+
+    def spans(path):
+        import os
+
+        sx, sy = [], []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(path, f))
+            xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+            if xs:
+                sx.append(max(xs) - min(xs))
+                sy.append(max(ys) - min(ys))
+        return sum(sx) / len(sx) / 1024.0, sum(sy) / len(sy) / 1024.0
+
+    zx, zy = spans(zpath)
+    px, py = spans(spath)
+    # z-order: BOTH dims tight (16 files over a 2-D curve -> ~1/4 span each)
+    assert zx < 0.6 and zy < 0.6, (zx, zy)
+    # x-sort: x tight but y spans nearly everything
+    assert px < 0.3 and py > 0.8, (px, py)

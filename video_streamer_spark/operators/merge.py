@@ -112,7 +112,8 @@ def merge_parquet_table(
     key is still present, inserts re-land in their own bucket's
     rewrite). A caller that persists changesets until the merge returns
     therefore gets effective at-least-once → exactly-state semantics;
-    tests/test_merge.py simulates a partial commit and replays.
+    tests/test_sources_and_ops.py::test_merge_partial_commit_replay
+    simulates a partial commit and replays.
     """
     bucketed_changes = _bucketed(changes, key_cols, n_buckets)
     touched = [
@@ -215,3 +216,53 @@ def run_merge_upsert_sink(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """INVERSE of ``apply_changeset``: the minimal changeset that
+    transforms ``old`` into ``new`` — the snapshot-diff every
+    incremental-materialization / CDC-backfill pipeline needs when only
+    table states (not a change log) exist.
+
+    Classification is one full outer join on the key: key only in new →
+    'I'; only in old → 'D'; in both with any payload column differing →
+    'U'; identical rows are dropped (minimality). Round-trip law, pinned
+    by test: ``apply_changeset(old, diff_snapshots(old, new)) ≡ new``.
+
+    Plan shape: ONE shuffle of each side on the key (the same key a
+    downstream merge shuffles on), payload comparison as a codegen'd
+    struct equality — no driver involvement, safe at any scale.
+    """
+    payload_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *key_cols,
+        F.struct(*payload_cols).alias("__old_payload"),
+    )
+    n = new.select(
+        *key_cols,
+        F.struct(*payload_cols).alias("__new_payload"),
+    )
+    joined = o.join(n, on=key_cols, how="full_outer")
+    op = (
+        F.when(F.col("__old_payload").isNull(), F.lit("I"))
+        .when(F.col("__new_payload").isNull(), F.lit("D"))
+        .when(
+            F.col("__new_payload") != F.col("__old_payload"), F.lit("U")
+        )
+        .otherwise(F.lit(None))
+    )
+    payload = F.coalesce(F.col("__new_payload"), F.col("__old_payload"))
+    return (
+        joined.withColumn(op_col, op)
+        .where(F.col(op_col).isNotNull())
+        .select(
+            *key_cols,
+            *[payload[c].alias(c) for c in payload_cols],
+            op_col,
+        )
+    )

@@ -71,6 +71,12 @@ _SAMPLE_FIRST = [
     "x92_collocation_pmi",
     "x93_jaccard_prefix_join",
     "x94_windowed_dedup_stream",
+    "x95_embedding_dispersion",
+    "x96_equidepth_histogram",
+    "x97_chi_square_independence",
+    "x98_snapshot_diff",
+    "x99_stream_stream_join",
+    "x100_zorder_clustering",
     # 3. events family, last green pre-NTZ-fix
     "x28_asof_purchase_click",
     "q12_json_extract_sum",

@@ -612,3 +612,302 @@ def x93_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", round4(jac).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# x95: EMBEDDING CLUSTER DISPERSION — per-label variance trace (the
+# within-cluster scatter every embedding-quality / clustering-drift
+# monitor tracks). posexplode puts (label, dim) on the shuffle key so
+# the reduction is a plain two-level aggregation; all sums ride the
+# integer-quantization parity recipe (floor(x·1e6) / floor(x²·1e12) —
+# exact, order-independent, identical in both engines), per-dim
+# contributions quantize to DECIMAL(18,6) before the cross-dim sum so
+# no double addition order ever reaches the hash. Scale: one shuffle on
+# (label, dim) — 64·n_labels keys — then a tiny label-level agg.
+@query(
+    "x95_embedding_dispersion",
+    oracle="""
+    WITH dims AS (
+      SELECT label, i AS dim,
+        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq,
+        CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                   * 1000000000000.0) AS DECIMAL(38,0)) AS xxq
+      FROM embeddings, range(1, 65) t(i)),
+    per_dim AS (
+      SELECT label, dim, COUNT(*) AS n,
+        SUM(xq) AS sx, SUM(xxq) AS sxx
+      FROM dims GROUP BY label, dim),
+    contrib AS (
+      SELECT label, n,
+        CAST(CAST(sxx AS DOUBLE) / 1000000000000.0 / n
+             - (CAST(sx AS DOUBLE) / 1000000.0 / n)
+               * (CAST(sx AS DOUBLE) / 1000000.0 / n)
+          AS DECIMAL(18,6)) AS v
+      FROM per_dim)
+    SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
+      CAST(CAST(SUM(v) AS DOUBLE) AS DECIMAL(18,6)) AS variance_trace
+    FROM contrib GROUP BY label ORDER BY label
+    """,
+)
+def x95_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "x"
+        ),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x") * 1000000.0).cast("bigint").alias("xq"),
+        F.floor(F.col("x") * F.col("x") * 1000000000000.0)
+        .cast("decimal(38,0)")
+        .alias("xxq"),
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.count("*").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("xxq").alias("sxx"),
+    )
+    contrib = per_dim.select(
+        "label",
+        "n",
+        (
+            F.col("sxx").cast("double") / 1e12 / F.col("n")
+            - (F.col("sx").cast("double") / 1e6 / F.col("n"))
+            * (F.col("sx").cast("double") / 1e6 / F.col("n"))
+        )
+        .cast("decimal(18,6)")
+        .alias("v"),
+    )
+    return (
+        contrib.groupBy("label")
+        .agg(
+            F.max("n").cast("bigint").alias("n_vectors"),
+            F.sum("v").cast("double").cast("decimal(18,6)").alias(
+                "variance_trace"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# x96: EQUI-DEPTH HISTOGRAM — x84's twin with equal POPULATION per
+# bucket instead of equal width: ntile over a TOTAL order (price, then
+# orderkey so ties are deterministic) → per-bucket count/min/max — the
+# quantile-sketch shape optimizers build for selectivity estimation.
+# Scale: ntile is one global sort — at 100 TB swap in percentile-based
+# boundaries (x87) and a broadcast range join; the ntile form is exact.
+@query(
+    "x96_equidepth_histogram",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_totalprice,
+        NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      {_R2.format("MIN(o_totalprice)")} AS lo,
+      {_R2.format("MAX(o_totalprice)")} AS hi
+    FROM ranked GROUP BY bucket ORDER BY bucket
+    """,
+)
+def x96_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    ranked = o.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bucket"),
+    )
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            round2(F.min("o_totalprice")).alias("lo"),
+            round2(F.max("o_totalprice")).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# x97: CHI-SQUARE INDEPENDENCE TEST — is document language independent
+# of source? The full contingency pipeline (cell counts, margins,
+# expected counts, Σ(o−e)²/e) as plain aggregations + broadcast joins.
+# Per-cell contributions quantize to DECIMAL(18,6) before the final sum
+# (the x62/x95 recipe) so the statistic is bit-identical cross-engine.
+# Scale: one groupBy over (lang, source) — the contingency table is
+# tiny regardless of corpus size; margins broadcast back onto it.
+@query(
+    "x97_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
+    rowm AS (SELECT lang, SUM(o) AS rt FROM cells GROUP BY lang),
+    colm AS (SELECT source, SUM(o) AS ct FROM cells GROUP BY source),
+    tot AS (SELECT SUM(o) AS n FROM cells),
+    contrib AS (
+      SELECT c.lang, c.source,
+        CAST(power(CAST(c.o AS DOUBLE)
+                   - CAST(r.rt AS DOUBLE) * ct.ct / t.n, 2)
+             / (CAST(r.rt AS DOUBLE) * ct.ct / t.n)
+          AS DECIMAL(18,6)) AS x2
+      FROM cells c JOIN rowm r USING (lang) JOIN colm ct USING (source)
+      CROSS JOIN tot t)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+      CAST((SELECT COUNT(*) FROM rowm) - 1 AS BIGINT)
+        * CAST((SELECT COUNT(*) FROM colm) - 1 AS BIGINT) AS dof,
+      CAST(CAST(SUM(x2) AS DOUBLE) AS DECIMAL(18,6)) AS chi2
+    FROM contrib
+    """,
+)
+def x97_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rowm = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
+    colm = cells.groupBy("source").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    contrib = (
+        cells.join(F.broadcast(rowm), "lang")
+        .join(F.broadcast(colm), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.pow(F.col("o").cast("double") - e, F.lit(2.0))
+            .__truediv__(e)
+            .cast("decimal(18,6)")
+            .alias("x2"),
+        )
+    )
+    n_rows = rowm.agg(
+        (F.count("*") - 1).cast("bigint").alias("r1")
+    )
+    n_cols = colm.agg(
+        (F.count("*") - 1).cast("bigint").alias("c1")
+    )
+    return (
+        contrib.agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum("x2").cast("double").cast("decimal(18,6)").alias("chi2"),
+        )
+        .crossJoin(F.broadcast(n_rows))
+        .crossJoin(F.broadcast(n_cols))
+        .select(
+            "n_cells",
+            (F.col("r1") * F.col("c1")).alias("dof"),
+            "chi2",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x98: SNAPSHOT DIFF — diff_snapshots (operators/merge.py), the inverse
+# of MERGE: given only two table STATES, emit the minimal I/U/D
+# changeset that transforms one into the other (CDC backfill when no
+# change log exists). The "new" state is derived deterministically from
+# orders (delete keys ≡0 mod 97, bump price on ≡1 mod 13, insert
+# shifted copies of keys ≡0 mod 101) so the oracle can rebuild both
+# states and classify with the same full-outer-join logic. One shuffle
+# per side on the key; struct-equality payload compare in codegen.
+# apply(diff) ≡ new is pinned by test_diff_snapshots_round_trip.
+@query(
+    "x98_snapshot_diff",
+    oracle="""
+    WITH old_t AS (
+      SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+    new_t AS (
+      SELECT k, CASE WHEN k % 13 = 1 THEN price + 10.0 ELSE price END AS price
+      FROM old_t WHERE k % 97 <> 0
+      UNION ALL
+      SELECT k + 10000000, price FROM old_t WHERE k % 101 = 0),
+    diff AS (
+      SELECT COALESCE(n.k, o.k) AS k,
+        CASE WHEN o.k IS NULL THEN 'I'
+             WHEN n.k IS NULL THEN 'D'
+             WHEN n.price <> o.price THEN 'U' END AS op
+      FROM old_t o FULL OUTER JOIN new_t n ON o.k = n.k)
+    SELECT op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM diff WHERE op IS NOT NULL
+    GROUP BY op ORDER BY op
+    """,
+)
+def x98_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.merge import diff_snapshots
+
+    old = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
+    )
+    new = (
+        old.where(F.col("k") % 97 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 13 == 1, F.col("price") + 10.0)
+            .otherwise(F.col("price"))
+            .alias("price"),
+        )
+        .unionByName(
+            old.where(F.col("k") % 101 == 0).select(
+                (F.col("k") + 10000000).alias("k"), "price"
+            )
+        )
+    )
+    diff = diff_snapshots(old, new, ["k"])
+    return (
+        diff.groupBy(F.col("__op").alias("op"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("op")
+    )
+
+
+# --------------------------------------------------------------------------
+# x100: Z-ORDER CLUSTERING KEY — the Morton interleave behind
+# multi-dimensional data skipping (operators/layout.py; Delta OPTIMIZE
+# ZORDER's math). The query pins the bit-exact curve: z-values over
+# (n_chars mod 1024, doc_id mod 1024), aggregated per curve tile with
+# the min/max extents of BOTH dimensions — tight per-tile boxes are
+# precisely the property file skipping exploits (asserted physically in
+# test_zorder_layout_prunes_both_dims). Pure bit arithmetic, no UDF;
+# the oracle recomputes the interleave with the same shifts.
+@query(
+    "x100_zorder_clustering",
+    oracle="""
+    WITH z AS (
+      SELECT doc_id, n_chars,
+        (n_chars % 1024) AS a, (doc_id % 1024) AS b,
+        list_sum(list_transform(range(0, 10),
+          i -> ((((n_chars % 1024) >> i) & 1) << (2*i))
+             + ((((doc_id % 1024) >> i) & 1) << (2*i + 1)))) AS zval
+      FROM documents)
+    SELECT CAST(zval // 65536 AS BIGINT) AS tile,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(MIN(a) AS BIGINT) AS a_lo, CAST(MAX(a) AS BIGINT) AS a_hi,
+      CAST(MIN(b) AS BIGINT) AS b_lo, CAST(MAX(b) AS BIGINT) AS b_hi
+    FROM z GROUP BY tile ORDER BY tile
+    """,
+)
+def x100_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.layout import zorder_value
+
+    docs = table(spark, sf_dir, "documents").select(
+        (F.col("n_chars") % 1024).alias("a"),
+        (F.col("doc_id") % 1024).alias("b"),
+    )
+    z = docs.withColumn(
+        "zval", zorder_value(F.col("a"), F.col("b"), bits=10)
+    )
+    return (
+        z.groupBy((F.col("zval") / 65536).cast("bigint").alias("tile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("a").cast("bigint").alias("a_lo"),
+            F.max("a").cast("bigint").alias("a_hi"),
+            F.min("b").cast("bigint").alias("b_lo"),
+            F.max("b").cast("bigint").alias("b_hi"),
+        )
+        .orderBy("tile")
+    )

@@ -102,3 +102,67 @@ def x94_windowed_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events "
         f"FROM {name} GROUP BY event_type ORDER BY event_type"
     )
+
+
+# x99: STREAM-STREAM JOIN — the one Structured Streaming join shape not
+# yet in the suite (stream-static is; this is two UNBOUNDED sides):
+# clicks ⋈ purchases per user within a 30-minute window. Both sides
+# carry watermarks and the join condition carries the time bound, so
+# Spark can evict click state once no qualifying purchase can still
+# arrive — the property that makes stream-stream joins viable at
+# 100 TB/day (state is a rolling window, not the full history). The
+# sink holds the joined PAIRS (append mode — the only mode stream-
+# stream inner joins support); the per-user count runs batch-side on
+# the sink. Oracle: the identical join as batch SQL over events.
+_X99_ORACLE = """
+    WITH c AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id,
+      CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM c JOIN p ON c.user_id = p.user_id
+      AND p.ts >= c.ts
+      AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000
+    GROUP BY c.user_id ORDER BY c.user_id
+"""
+
+
+@query("x99_stream_stream_join", oracle=_X99_ORACLE)
+def x99_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    clicks = (
+        sp.events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("c_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        sp.events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (
+            F.unix_micros("p_ts")
+            <= F.unix_micros("c_ts") + F.lit(1_800_000_000)
+        ),
+    ).select("c_user", "c_id", "p_id")
+    name = _drain(joined, "x99_sink", "append")
+    return spark.sql(
+        f"SELECT c_user AS user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        f"FROM {name} GROUP BY c_user ORDER BY user_id"
+    )
