@@ -112,6 +112,10 @@ def test_round4_heavy_ops_scaling_curve(spark):
         "x75_pagerank_dedup_graph": 40.0,
         "x78_curation_pipeline_v2": 40.0,
         "x79_hierarchy_depth_pointer_jump": 40.0,
+        # candidate volume is quadratic in near-dup cluster size and this
+        # testdata is one giant planted cluster; the top-1 output keeps
+        # the result linear but the envelope stays wider than the others
+        "x93_jaccard_prefix_join": 60.0,
     }
     for name, max_ratio in bounds.items():
         q = QUERIES[name]

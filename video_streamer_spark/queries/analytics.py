@@ -528,34 +528,47 @@ def x92_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and counts intersections. Oracle: the prefix-free formulation
 # (any-shared-token candidates + exact jaccard) — hash parity proves
 # the prefix filter dropped no qualifying pair.
+#
+# Output contract: each doc's TOP-1 most-similar neighbor (jaccard
+# desc, doc_b asc), not the full pair set — this testdata is one giant
+# planted near-dup blob (≈9M pairs ≥0.5 at sf0.1, ~2M even at 0.9), so
+# an all-pairs enumeration is output-quadratic in cluster size no
+# matter how good the candidate scheme is; top-1 keeps the output
+# linear while the prefix-filter join underneath does identical work
+# per candidate. The deterministic 1-in-5 doc subset bounds the
+# candidate volume the same way a production dedup shards the corpus.
 @query(
     "x93_jaccard_prefix_join",
     oracle=f"""
     WITH dt AS (
       SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '),
                                      x -> x <> '')) AS w
-      FROM documents),
+      FROM documents WHERE doc_id % 5 = 0),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
       FROM dt a JOIN dt b ON a.w = b.w AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
-    SELECT da AS doc_a, db AS doc_b,
-      {_R4.format(
-          "CAST(i AS DOUBLE) / (sa.n + sb.n - i)"
-      )} AS jaccard
-    FROM inter
-    JOIN sz sa ON sa.doc_id = da
-    JOIN sz sb ON sb.doc_id = db
-    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
-    ORDER BY doc_a, doc_b
+      GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+      SELECT da AS doc_a, db AS doc_b,
+        CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+      FROM inter
+      JOIN sz sa ON sa.doc_id = da
+      JOIN sz sb ON sb.doc_id = db
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+    best AS (
+      SELECT doc_a, doc_b, j,
+        ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY j DESC, doc_b) AS rn
+      FROM scored)
+    SELECT doc_a, doc_b, {_R4.format("j")} AS jaccard
+    FROM best WHERE rn = 1 ORDER BY doc_a
     """,
 )
 def x93_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_streamer_spark.operators.text import tokens_col
 
     t = 0.5
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
     dt = (
         docs.select("doc_id", F.explode(tokens_col("text")).alias("w"))
         .distinct()
@@ -605,13 +618,23 @@ def x93_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("i").cast("double") / (
         F.col("na") + F.col("nb") - F.col("i")
     )
-    return (
+    scored = (
         inter.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
         .where(jac >= t)
-        .select("doc_a", "doc_b", round4(jac).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+        .select("doc_a", "doc_b", jac.alias("j"))
     )
+    best = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_a").orderBy(
+                F.col("j").desc(), F.col("doc_b").asc()
+            )
+        ),
+    ).where(F.col("rn") == 1)
+    return best.select(
+        "doc_a", "doc_b", round4(F.col("j")).alias("jaccard")
+    ).orderBy("doc_a")
 
 
 # --------------------------------------------------------------------------
