@@ -77,6 +77,9 @@ _SAMPLE_FIRST = [
     "x98_snapshot_diff",
     "x99_stream_stream_join",
     "x100_zorder_clustering",
+    "x101_variant_json",
+    "x102_lateral_topk",
+    "x103_python_udtf_chunks",
     # 3. events family, last green pre-NTZ-fix
     "x28_asof_purchase_click",
     "q12_json_extract_sum",

@@ -934,3 +934,130 @@ def x100_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tile")
     )
+
+
+# --------------------------------------------------------------------------
+# x101: VARIANT JSON — Spark 4's binary semi-structured type (the
+# open-format answer to schema-on-read JSON columns): try_parse_json
+# over a feed where every 10th payload is deliberately truncated
+# (at-least-once pipelines see malformed records; they must count, not
+# crash), typed extraction via variant_get, per-type aggregation.
+# Variant parses once into a binary tree — repeated path extraction
+# doesn't re-parse the string, which is the 100 TB difference vs
+# get_json_object (q12). Oracle: DuckDB json_valid + json_extract on
+# the identically corrupted string.
+@query(
+    "x101_variant_json",
+    oracle="""
+    WITH feed AS (
+      SELECT event_type,
+        CASE WHEN event_id % 10 = 0
+             THEN substr(props, 1, length(props) - 1)
+             ELSE props END AS s
+      FROM events)
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CASE WHEN json_valid(s) THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_valid,
+      CAST(SUM(CASE WHEN json_valid(s)
+               THEN CAST(json_extract_string(s, '$.k') AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS sum_k
+    FROM feed GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x101_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    s = F.when(
+        F.col("event_id") % 10 == 0,
+        F.substring(F.col("props"), 1, F.length("props") - 1),
+    ).otherwise(F.col("props"))
+    v = e.select("event_type", F.try_parse_json(s).alias("v"))
+    k = F.variant_get("v", "$.k", "bigint")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.col("v").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_valid"),
+            F.sum(F.coalesce(k, F.lit(0))).cast("bigint").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# x102: LATERAL JOIN — the correlated table subquery (top-2 customers
+# per nation) in its native SQL form. Catalyst rewrites the correlated
+# LIMIT into a ranked window under the hood, so this is semantically
+# q06's window-rank but exercises the LATERAL resolution path — both
+# engines run the textually identical query.
+_X102_SQL = """
+    SELECT n.n_name, t.c_custkey,
+      CAST(ROUND(CAST(t.c_acctbal AS DECIMAL(38,9)), 2) AS DOUBLE)
+        AS acctbal
+    FROM nation n,
+    LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey
+"""
+
+
+@query("x102_lateral_topk", oracle=_X102_SQL)
+def x102_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_X102_SQL)
+
+
+# --------------------------------------------------------------------------
+# x103: PYTHON UDTF — Spark 4's user-defined TABLE function surface
+# (@udtf + LATERAL), the official API for one-row-to-many-rows Python
+# operators (the ad-hoc alternative to mapInPandas when the expansion
+# is per-row). The chunker splits text into fixed 64-char windows; the
+# oracle never runs Python — every output is a closed-form function of
+# length(text) (n chunks = ceil(len/64), Σ chunk_id = n(n−1)/2), so the
+# hash check pins the UDTF's row expansion exactly. Scale note: UDTFs
+# run row-at-a-time; the production chunker stays the codegen'd
+# posexplode pipeline (x63) — this query covers the API surface.
+@query(
+    "x103_python_udtf_chunks",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+        CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_chunks
+      FROM documents WHERE length(text) > 0)
+    SELECT lang,
+      CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+      CAST(SUM(n_chunks * (n_chunks - 1) / 2) AS BIGINT) AS chunk_id_sum
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def x103_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id: int, chunk: string")
+    class Chunker:
+        def eval(self, text, size):
+            t = text or ""
+            for i in range(0, len(t), size):
+                yield i // size, t[i : i + size]
+
+    spark.udtf.register("vss_chunker", Chunker)
+    from video_streamer_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT lang,
+          CAST(COUNT(*) AS BIGINT) AS total_chunks,
+          CAST(SUM(c.chunk_id) AS BIGINT) AS chunk_id_sum
+        FROM documents, LATERAL vss_chunker(text, 64) c
+        WHERE length(text) > 0
+        GROUP BY lang ORDER BY lang
+        """
+    )
