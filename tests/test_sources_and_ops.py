@@ -1718,3 +1718,89 @@ def test_zorder_layout_prunes_both_dims(spark, tmp_path):
     assert zx < 0.6 and zy < 0.6, (zx, zy)
     # x-sort: x tight but y spans nearly everything
     assert px < 0.3 and py > 0.8, (px, py)
+
+
+def test_versioned_snapshots_time_travel(spark, tmp_path):
+    """Snapshot versioning (operators/maintenance.py): pointer-last
+    commit gives time travel, orphaned crashed writes are never served,
+    and vacuum keeps the newest committed versions."""
+    import os
+
+    from video_streamer_spark.operators.maintenance import (
+        latest_table_version,
+        read_table_version,
+        vacuum_table_versions,
+        versioned_write,
+    )
+
+    path = str(tmp_path / "t")
+    v1 = versioned_write(spark.range(10), path)
+    v2 = versioned_write(spark.range(20), path)
+    assert (v1, v2) == (1, 2)
+    assert latest_table_version(path) == 2
+    assert read_table_version(spark, path).count() == 20
+    assert read_table_version(spark, path, 1).count() == 10
+
+    # crashed write: data dir exists but the commit log never named it
+    spark.range(99).write.parquet(os.path.join(path, "v=3"))
+    assert latest_table_version(path) == 2  # orphan invisible
+    assert read_table_version(spark, path).count() == 20
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not committed"):
+        read_table_version(spark, path, 3)
+
+    v4 = versioned_write(spark.range(40), path)
+    assert v4 == 4  # never reuses the orphan's number
+    # even with a LATER commit over it, the orphan stays unreadable —
+    # the log, not the pointer, decides what exists
+    with _pytest.raises(ValueError, match="not committed"):
+        read_table_version(spark, path, 3)
+    removed = vacuum_table_versions(path, keep_last=2)
+    assert sorted(removed) == [1, 3]  # old committed + orphan; 2 and 4 stay
+    assert read_table_version(spark, path, 2).count() == 20
+    assert read_table_version(spark, path).count() == 40
+    with _pytest.raises(ValueError, match="not committed"):
+        read_table_version(spark, path, 1)  # vacuumed
+
+
+def test_run_merge_upsert_sink_with_seq(spark, tmp_path):
+    """Streaming CDC-apply with per-key HISTORY in one batch: the
+    seq-ordered compaction must apply the highest-sequence op per key,
+    deterministically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from video_streamer_spark.operators import merge as M
+
+    path = str(tmp_path / "t")
+    src = tmp_path / "changes"
+    src.mkdir()
+    M.init_merge_table(
+        spark.range(5).select(
+            F.col("id").alias("key"), F.lit("base").alias("val")
+        ),
+        path,
+        ["key"],
+        n_buckets=4,
+    )
+    # one batch, key 1 has three ops: U(seq1) -> D(seq2) -> U(seq3 wins)
+    pq.write_table(
+        pa.table(
+            {
+                "key": pa.array([1, 1, 1, 2], pa.int64()),
+                "__op": pa.array(["U", "D", "U", "D"], pa.string()),
+                "val": pa.array(["first", None, "final", None], pa.string()),
+                "seq": pa.array([1, 2, 3, 1], pa.int64()),
+            }
+        ),
+        str(src / "f1.parquet"),
+    )
+    stream = spark.readStream.schema(
+        "key long, __op string, val string, seq long"
+    ).parquet(str(src))
+    M.run_merge_upsert_sink(stream, path, ["key"], n_buckets=4, seq_col="seq")
+    got = {r["key"]: r["val"] for r in M.read_merge_table(spark, path).collect()}
+    assert got[1] == "final"  # highest seq won, not an arbitrary row
+    assert 2 not in got
+    assert len(got) == 4

@@ -88,3 +88,102 @@ def compact_parquet_dir(
         "files_before": n_before,
         "files_after": n_after,
     }
+
+
+# -- versioned snapshots / time travel ---------------------------------------
+#
+# The time-travel half of a table format (Delta VERSION AS OF, Iceberg
+# snapshot ids), over plain parquet: each write lands a complete
+# snapshot under ``v=N``; the ``_COMMITS`` log file (one committed
+# version per line, rewritten atomically via os.replace on every
+# commit) IS the table — a version exists iff it is in the log, so a
+# crash between the data write and the log swap leaves an orphan v-dir
+# that NO reader ever resolves, even after later versions commit over
+# it (the failure a bare latest-pointer can't distinguish; vacuum reaps
+# orphans). Readers either see the previous log or the new one, never a
+# torn state. Old versions stay readable until vacuumed — snapshot
+# isolation for free, at the cost of full-copy snapshots (the honest
+# tradeoff vs a manifest format's shared data files; incremental state
+# lives in operators/merge.py).
+
+_COMMITS = "_COMMITS"
+
+
+def _version_dirs(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for d in os.listdir(path):
+        if d.startswith("v="):
+            try:
+                out.append(int(d[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def committed_versions(path: str) -> list[int]:
+    """Versions in the commit log — the only ones that exist to readers."""
+    try:
+        with open(os.path.join(path, _COMMITS)) as f:
+            return [int(line) for line in f.read().split() if line]
+    except FileNotFoundError:
+        return []
+
+
+def versioned_write(df, path: str) -> int:
+    """Commit ``df`` as the next snapshot version; returns the version.
+
+    Write order is data-first, log-last: the snapshot parquet must be
+    fully on disk before the log names it. The next version number
+    skips over orphan dirs so a crashed write is never overwritten."""
+    os.makedirs(path, exist_ok=True)
+    dirs = _version_dirs(path)
+    n = (dirs[-1] + 1) if dirs else 1
+    df.write.mode("errorifexists").parquet(os.path.join(path, f"v={n}"))
+    log = committed_versions(path) + [n]
+    tmp = os.path.join(path, _COMMITS + ".tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(str(v) for v in log))
+    os.replace(tmp, os.path.join(path, _COMMITS))  # atomic commit
+    return n
+
+
+def latest_table_version(path: str) -> int:
+    committed = committed_versions(path)
+    if not committed:
+        raise FileNotFoundError(f"no committed versions at {path}")
+    return committed[-1]
+
+
+def read_table_version(spark: SparkSession, path: str, version: int | None = None):
+    """Time travel: ``version=None`` reads the committed latest; a
+    version absent from the commit log (orphan or vacuumed) refuses."""
+    committed = committed_versions(path)
+    n = committed[-1] if version is None else version
+    if n not in committed:
+        raise ValueError(
+            f"version {n} is not committed (log: {committed})"
+        )
+    return spark.read.parquet(os.path.join(path, f"v={n}"))
+
+
+def vacuum_table_versions(path: str, keep_last: int = 2) -> list[int]:
+    """Drop every v-dir except the newest ``keep_last`` COMMITTED
+    versions — older committed snapshots and orphan dirs from crashed
+    writes alike. Rewrites the log first (so a reader never resolves a
+    version whose data is mid-delete), then removes the dirs. Returns
+    the versions removed."""
+    committed = committed_versions(path)
+    keep = set(committed[-keep_last:])
+    survivors = [v for v in committed if v in keep]
+    tmp = os.path.join(path, _COMMITS + ".tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(str(v) for v in survivors))
+    os.replace(tmp, os.path.join(path, _COMMITS))
+    removed = []
+    for v in _version_dirs(path):
+        if v not in keep:
+            shutil.rmtree(os.path.join(path, f"v={v}"))
+            removed.append(v)
+    return removed

@@ -30,6 +30,9 @@ foreachBatch — the streaming CDC-apply pattern.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -133,13 +136,29 @@ def merge_parquet_table(
     # streaming/pipeline.run_bucketed_table_sink for why): only the
     # touched pb partitions are replaced, the rest of the table is
     # untouched on disk
+    merged_bucketed = _bucketed(merged, key_cols, n_buckets)
+    # dynamic overwrite only rewrites partitions PRESENT in the output:
+    # a changeset that deletes EVERY row of a touched bucket produces no
+    # rows for it, so its stale directory must be dropped explicitly
+    # (found by test_run_merge_upsert_sink_with_seq — a lone key deleted
+    # from its own bucket survived the merge). ≤ n_buckets ints collect,
+    # evaluated BEFORE the write (the lineage reads the pre-merge base;
+    # after the overwrite those files are gone).
+    non_empty = {
+        r[BUCKET_COL]
+        for r in merged_bucketed.select(BUCKET_COL).distinct().collect()
+    }
     (
-        _bucketed(merged, key_cols, n_buckets)
+        merged_bucketed
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(BUCKET_COL)
         .parquet(path)
     )
+    for b in set(touched) - non_empty:
+        bucket_dir = os.path.join(path, f"{BUCKET_COL}={b}")
+        if os.path.exists(bucket_dir):
+            shutil.rmtree(bucket_dir)
 
 
 def read_merge_table(spark: SparkSession, path: str) -> DataFrame:
