@@ -703,8 +703,13 @@ def test_decode_ppm_real_parser():
     assert out.shape == (4, 8, 3)
     assert np.array_equal(out, pixels)
 
-    with _pytest.raises(NotImplementedError):
+    # JPEG magic now routes to the REAL decoder (round 5), which rejects
+    # a garbage body as malformed rather than refusing the format
+    with _pytest.raises(ValueError):
         decode_frame(b"\xff\xd8\xff\xe0 jpeg-ish")
+    # video containers still refuse honestly
+    with _pytest.raises(NotImplementedError):
+        decode_frame(b"RIFF\x00\x00\x00\x00AVI LIST")
     raw = decode_frame(b"opaque bytes")
     assert raw.ndim == 1 and raw.size == len(b"opaque bytes")
 
@@ -1804,3 +1809,129 @@ def test_run_merge_upsert_sink_with_seq(spark, tmp_path):
     assert got[1] == "final"  # highest seq won, not an arbitrary row
     assert 2 not in got
     assert len(got) == 4
+
+
+def test_jpeg_flat_blocks_bit_exact():
+    """x104's exactness contract: flat 8x8 blocks under unit quant
+    tables survive DCT -> quant -> Huffman -> decode bit for bit."""
+    import numpy as np
+
+    from video_streamer_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(11)
+    blocks = rng.randint(0, 256, (4, 8)).astype(np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    out = decode_jpeg(encode_jpeg_gray(img, quant=1))
+    assert out.shape == (32, 64, 3)
+    assert (out[:, :, 0] == img).all()
+    assert (out[:, :, 0] == out[:, :, 1]).all()
+    assert (out[:, :, 0] == out[:, :, 2]).all()
+
+
+def test_jpeg_round_trip_within_quant_bound():
+    """Hypothesis property: ANY grayscale image (random dims including
+    non-multiples of 8, random pixels) round-trips within a small bound
+    at quant=1 and within the quantization error envelope at quant=8.
+    This drives the full general path: AC coefficients, zigzag, ZRL/EOB
+    runs, byte stuffing, edge-replicate padding."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from video_streamer_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 32),
+        quant=st.sampled_from([1, 4, 8]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, quant, seed):
+        img = np.random.RandomState(seed).randint(0, 256, (h, w)).astype(
+            np.uint8
+        )
+        dec = decode_jpeg(encode_jpeg_gray(img, quant=quant))
+        assert dec.shape == (h, w, 3)
+        err = np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max()
+        # worst-case IDCT error ~ quant * 8/2 + rounding slack
+        assert err <= quant * 5 + 1, (w, h, quant, err)
+
+    check()
+
+
+def test_jpeg_color_444_mcu():
+    """3-component 4:4:4 path: a hand-built one-MCU color JPEG with
+    flat Y/Cb/Cr planes decodes to exactly the BT.601 conversion of
+    those values (flat blocks stay exact per component; the RGB mapping
+    is the decoder's own formula, recomputed here independently)."""
+    import numpy as np
+
+    from video_streamer_spark.operators import jpeg as J
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    y_v, cb_v, cr_v = 120, 90, 180
+    q = np.ones(64, dtype=np.uint8)
+    dqt = seg(0xDB, bytes([0x00]) + q.tobytes())
+    sof = seg(
+        0xC0,
+        bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(J._STD_DC_LUM[0][1:]) + bytes(J._STD_DC_LUM[1])
+        + bytes([0x10]) + bytes(J._STD_AC_LUM[0][1:]) + bytes(J._STD_AC_LUM[1]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    w = J._BitWriter()
+    dc_enc = J._huffman_encoder(*J._STD_DC_LUM)
+    ac_enc = J._huffman_encoder(*J._STD_AC_LUM)
+    for val in (y_v, cb_v, cr_v):
+        dc = (val - 128) * 8  # flat block DC under orthonormal DCT
+        # DC prediction is PER COMPONENT (T.81 F.1.1.5.1): first block
+        # of each component predicts from 0, so diff == dc here
+        size, code = J._magnitude(dc)
+        length, hcode = dc_enc[size]
+        w.write(hcode, length)
+        w.write(code, size)
+        length, hcode = ac_enc[0x00]  # EOB
+        w.write(hcode, length)
+    w.flush()
+    jp = b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out) + b"\xff\xd9"
+    out = J.decode_jpeg(jp)
+    assert out.shape == (8, 8, 3)
+    r = np.clip(round(y_v + 1.402 * (cr_v - 128)), 0, 255)
+    g = np.clip(round(y_v - 0.344136 * (cb_v - 128) - 0.714136 * (cr_v - 128)), 0, 255)
+    b = np.clip(round(y_v + 1.772 * (cb_v - 128)), 0, 255)
+    assert (out == np.array([r, g, b], dtype=np.uint8)).all(), (
+        out[0, 0], (r, g, b)
+    )
+
+
+def test_jpeg_refuses_unsupported_variants():
+    import numpy as np
+    import pytest as _pytest
+
+    from video_streamer_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    jp = bytearray(encode_jpeg_gray(img, quant=1))
+    # flip SOF0 -> SOF2 (progressive)
+    i = jp.index(b"\xff\xc0")
+    jp[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(jp))
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")

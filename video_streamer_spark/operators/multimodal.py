@@ -7,14 +7,15 @@ buffer, decoded zero-copy into ndarrays at the Python boundary
 ``mapInPandas`` UDFs — rows in the plan, columnar ndarray batches in
 Python, exactly the reference's layout.
 
-FOUR container formats decode FOR REAL via pure-numpy/stdlib parsers —
+FIVE container formats decode FOR REAL via pure-numpy/stdlib parsers —
 P6 PPM (the reference's negotiated raw-RGB caps), 24-bpp BMP (bottom-up
 DIB with BGR order and row padding), PNG (CRC-checked chunk walk, zlib
-IDAT inflate, all five scanline unfilters — the first genuinely
-COMPRESSED format), and RIFF/WAVE PCM audio (chunk-walking parser) —
-all reading geometry/layout from the container HEADER. ``decode_frame``
-dispatches images on magic bytes and points WAVE payloads at
-``decode_wav``; codec-library formats (JPEG/AVI/MP4) raise
+IDAT inflate, all five scanline unfilters), baseline JPEG (marker
+parse, Huffman entropy decode, dequant, matrix IDCT, YCbCr→RGB —
+``operators/jpeg.py``), and RIFF/WAVE PCM audio (chunk-walking parser)
+— all reading geometry/layout from the container HEADER.
+``decode_frame`` dispatches images on magic bytes and points WAVE
+payloads at ``decode_wav``; video containers (AVI/MP4) raise
 NotImplementedError because no codec library ships in this container —
 swapping cv2/PyAV in is a one-function change; opaque payloads fall back
 to a raw uint8 view, which is also the semantics the byte-stats and
@@ -35,6 +36,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from video_streamer_spark.operators import jpeg as _jpeg_dep
 
 PAYLOAD_SCHEMA = StructType(
     [
@@ -293,6 +296,7 @@ def encode_png_payloads(
     from video_streamer_spark.functions.shipping import ship_module
 
     ship_module(sys.modules[__name__])
+    ship_module(_jpeg_dep)
 
     n = width * height * 3
     stride = width * 3
@@ -358,11 +362,55 @@ def encode_png_payloads(
     return docs.select("doc_id", to_png(F.col("text")).alias("payload"))
 
 
+def encode_jpeg_payloads(
+    docs: DataFrame, blocks_w: int = 8, blocks_h: int = 4
+) -> DataFrame:
+    """Documents → REAL baseline JPEGs: each of the first
+    blocks_w·blocks_h text BYTES ('.'-padded) becomes one FLAT 8×8
+    grayscale block of that value, Huffman-entropy-coded with unit
+    quant tables. Flat blocks are DC-only and integer-exact through
+    DCT→quant→IDCT, so the decode reproduces every pixel bit-exactly
+    and a SQL oracle can recompute decoded statistics from the text
+    column — the same lossless-round-trip contract as the PNG path,
+    here riding EXACTNESS OF THE MATH rather than losslessness of the
+    codec. Arrow-batched pandas UDF (DCT/Huffman need Python, as with
+    PNG's deflate)."""
+    import sys
+
+    from pyspark.sql.functions import pandas_udf
+
+    from video_streamer_spark.functions.shipping import ship_module
+    from video_streamer_spark.operators import jpeg as _jpeg_mod
+
+    ship_module(sys.modules[__name__])
+    ship_module(_jpeg_dep)
+    ship_module(_jpeg_mod)
+    # captured by value (its module is registered above), so the UDF
+    # works on workers that cannot import video_streamer_spark
+    encode_gray = _jpeg_mod.encode_jpeg_gray
+
+    n = blocks_w * blocks_h
+
+    @pandas_udf("binary")
+    def to_jpeg(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            vals = (t or "").encode("utf-8")[:n].ljust(n, b".")
+            blocks = np.frombuffer(vals, dtype=np.uint8).reshape(
+                blocks_h, blocks_w
+            )
+            img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+            out.append(encode_gray(img, quant=1))
+        return pd.Series(out)
+
+    return docs.select("doc_id", to_jpeg(F.col("text")).alias("payload"))
+
+
 # magic-number prefixes of compressed formats we refuse (no codec libs in
 # this container — a real deployment swaps cv2/PyAV in here). RIFF stays:
 # WAVE is routed to decode_wav before this check fires, so a RIFF hit
 # here is AVI or another non-audio RIFF container.
-_COMPRESSED_MAGICS = (b"\xff\xd8", b"RIFF")
+_COMPRESSED_MAGICS = (b"RIFF",)
 
 
 def _looks_compressed(buf: bytes) -> bool:
@@ -386,14 +434,16 @@ def decode_frame(payload: bytes) -> np.ndarray:
         return decode_bmp(buf)
     if buf[:8] == _PNG_SIG:
         return decode_png(buf)
+    if buf[:2] == b"\xff\xd8":
+        return _jpeg_dep.decode_jpeg(buf)
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         raise NotImplementedError(
             "RIFF/WAVE is audio — use decode_wav / decode_wav_stats"
         )
     if _looks_compressed(buf):
         raise NotImplementedError(
-            "compressed codec (JPEG/AVI/MP4) — codec libraries not "
-            "available in this environment"
+            "compressed codec (AVI/MP4 video container) — codec libraries "
+            "not available in this environment"
         )
     return decode_raw(buf)
 
@@ -412,6 +462,7 @@ def payload_stats(frames: DataFrame, id_col: str = "doc_id", bin_col: str = "pay
     from video_streamer_spark.functions.shipping import ship_module
 
     ship_module(sys.modules[__name__])
+    ship_module(_jpeg_dep)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state: dict[str, bool] = {}
@@ -522,6 +573,7 @@ def decode_ppm_frames(
     from video_streamer_spark.functions.shipping import ship_module
 
     ship_module(sys.modules[__name__])
+    ship_module(_jpeg_dep)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -571,6 +623,7 @@ def decode_frames_detail(
     from video_streamer_spark.functions.shipping import ship_module
 
     ship_module(sys.modules[__name__])
+    ship_module(_jpeg_dep)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -615,6 +668,7 @@ def byte_histogram_features(
     from video_streamer_spark.functions.shipping import ship_module
 
     ship_module(sys.modules[__name__])
+    ship_module(_jpeg_dep)
 
     out_schema = StructType(
         [
@@ -654,6 +708,7 @@ def payload_stats_arrow(
     from video_streamer_spark.functions.shipping import ship_module
 
     ship_module(sys.modules[__name__])
+    ship_module(_jpeg_dep)
 
     def compute(batches):
         for batch in batches:
@@ -778,6 +833,7 @@ def decode_wav_stats(
     from video_streamer_spark.functions.shipping import ship_module
 
     ship_module(sys.modules[__name__])
+    ship_module(_jpeg_dep)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -80,6 +80,7 @@ _SAMPLE_FIRST = [
     "x101_variant_json",
     "x102_lateral_topk",
     "x103_python_udtf_chunks",
+    "x104_decode_jpeg_infer",
     # 3. events family, last green pre-NTZ-fix
     "x28_asof_purchase_click",
     "q12_json_extract_sum",

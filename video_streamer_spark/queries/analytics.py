@@ -1061,3 +1061,42 @@ def x103_python_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY lang ORDER BY lang
         """
     )
+
+
+# --------------------------------------------------------------------------
+# x104: BASELINE JPEG through the O2 decode path — the second REAL
+# compressed codec (operators/jpeg.py: marker parse, Huffman entropy
+# decode with byte-unstuffing, DC prediction, zigzag, dequant, matrix
+# IDCT, level shift). The encoder writes each of the first 32 text
+# bytes as one FLAT 8×8 grayscale block under unit quant tables —
+# flat blocks are DC-only and integer-exact through DCT→quant→IDCT, so
+# the decode is bit-exact and the oracle recomputes every statistic
+# from the text column (the PNG path rides codec losslessness; this
+# one rides exactness of the math — general content round-trips within
+# the quantization bound instead, property-tested). Grayscale
+# broadcasts to the uniform (h,w,3) tensor, so r=g=b and the channel
+# sums are 64× the byte sum (each block covers 64 pixels).
+@query(
+    "x104_decode_jpeg_infer",
+    oracle="""
+    WITH body AS (
+      SELECT doc_id, rpad(substr(text, 1, 32), 32, '.') AS s FROM documents)
+    SELECT doc_id, CAST(64 AS INT) AS width, CAST(32 AS INT) AS height,
+      CAST(64 * list_sum(list_transform(range(1, 33),
+           i -> ascii(substr(s, i, 1)))) AS BIGINT) AS r_sum,
+      CAST(64 * list_sum(list_transform(range(1, 33),
+           i -> ascii(substr(s, i, 1)))) AS BIGINT) AS g_sum,
+      CAST(64 * list_sum(list_transform(range(1, 33),
+           i -> ascii(substr(s, i, 1)))) AS BIGINT) AS b_sum,
+      CAST(24 * list_sum(list_transform(range(1, 9),
+           i -> ascii(substr(s, i, 1)))) AS BIGINT) AS top_row_sum,
+      CAST(ascii(substr(s, 1, 1)) AS INT) AS top_left_r
+    FROM body ORDER BY doc_id
+    """,
+)
+def x104_decode_jpeg_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators import multimodal
+
+    docs = table(spark, sf_dir, "documents")
+    frames = multimodal.encode_jpeg_payloads(docs, blocks_w=8, blocks_h=4)
+    return multimodal.decode_frames_detail(frames).orderBy("doc_id")
