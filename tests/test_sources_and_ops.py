@@ -1935,3 +1935,61 @@ def test_jpeg_refuses_unsupported_variants():
         decode_jpeg(bytes(jp))
     with _pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
+
+
+def test_avi_mux_demux_decode_round_trip():
+    """x105's container contract: mux -> demux is bit-exact on the
+    frame payloads, decode_video stacks the per-frame JPEG decodes, and
+    the demuxer is a real chunk walker (JUNK/idx1-tolerant, word
+    alignment honored), not a fixed-offset reader."""
+    import numpy as np
+
+    from video_streamer_spark.operators.jpeg import encode_jpeg_gray
+    from video_streamer_spark.operators.video import (
+        decode_video,
+        demux_avi_frames,
+        mux_mjpeg_avi,
+    )
+
+    rng = np.random.RandomState(9)
+    imgs, frames = [], []
+    for _ in range(4):
+        blocks = rng.randint(0, 256, (2, 3)).astype(np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        imgs.append(img)
+        frames.append(encode_jpeg_gray(img, quant=1))
+    avi = mux_mjpeg_avi(frames, 24, 16)
+    assert demux_avi_frames(avi) == frames
+    v = decode_video(avi)
+    assert v.shape == (4, 16, 24, 3)
+    for k in range(4):
+        assert (v[k, :, :, 0] == imgs[k]).all()
+
+    # odd-sized frame payloads force the RIFF word-alignment pad path
+    odd = [f + b"x" if len(f) % 2 == 0 else f for f in frames]
+    assert demux_avi_frames(mux_mjpeg_avi(odd, 24, 16)) == odd
+
+    # foreign chunks between frames must be skipped, not misread
+    import re
+
+    body_avi = bytearray(mux_mjpeg_avi(frames[:2], 24, 16))
+    junk = b"JUNK" + (4).to_bytes(4, "little") + b"pad!"
+    i = bytes(body_avi).index(b"movi") + 4
+    with_junk = bytes(body_avi[: i]) + junk + bytes(body_avi[i:])
+    # fix the RIFF and movi LIST sizes after the splice
+    with_junk = bytearray(with_junk)
+    riff_size = len(with_junk) - 8
+    with_junk[4:8] = riff_size.to_bytes(4, "little")
+    movi_list_at = bytes(with_junk).index(b"LIST" + b"\x00\x00\x00\x00"[:0])
+    # locate the movi LIST header (the LIST whose kind is movi)
+    m = re.search(rb"LIST....movi", bytes(with_junk), re.DOTALL)
+    sz = int.from_bytes(with_junk[m.start() + 4 : m.start() + 8], "little")
+    with_junk[m.start() + 4 : m.start() + 8] = (sz + len(junk)).to_bytes(
+        4, "little"
+    )
+    assert demux_avi_frames(bytes(with_junk)) == frames[:2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not an AVI"):
+        demux_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")

@@ -1,0 +1,227 @@
+"""VIDEO container handling: MJPEG-in-AVI demux + per-frame decode —
+the reference pipeline's actual shape (filesrc ! decodebin !
+per-frame inference, run.sh:53) executed end to end with ZERO codec
+libraries: AVI is a RIFF container (pure chunk walking) and Motion
+JPEG frames are baseline JPEGs (operators/jpeg.py decodes them for
+real). H.264/H.265-in-MP4 stays honestly NotImplemented — those need
+a codec library — but the CONTAINER path (demux, frame iteration,
+per-frame decode, per-video reduction) is the same machinery a cv2/
+PyAV swap-in would ride.
+
+Spark shape: one video file = one row (binary payload); demux+decode
+runs inside Arrow-batched mapInPandas, frames never leave the executor
+— at 100 TB the unit of parallelism is the video, and per-frame work
+scales out with partitions exactly like the reference scales with
+pipeline instances (benchmark.sh's STREAMS sweep).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from video_streamer_spark.operators import jpeg as _jpeg_dep
+
+
+def mux_mjpeg_avi(
+    frames: list[bytes], width: int, height: int, fps: int = 25
+) -> bytes:
+    """Build a minimal, spec-shaped MJPEG AVI: RIFF('AVI ') with a
+    LIST(hdrl) carrying avih + one video stream (strh 'vids'/'MJPG' +
+    strf BITMAPINFOHEADER), and a LIST(movi) of '00dc' chunks each
+    holding one complete baseline JPEG."""
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""  # RIFF word alignment
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    n = len(frames)
+    max_bytes = max((len(f) for f in frames), default=0)
+    avih = chunk(
+        b"avih",
+        (1_000_000 // fps).to_bytes(4, "little")  # microsec per frame
+        + (max_bytes * fps).to_bytes(4, "little")  # max bytes/sec
+        + (0).to_bytes(4, "little")
+        + (0x10).to_bytes(4, "little")  # AVIF_HASINDEX off: none written
+        + n.to_bytes(4, "little")       # total frames
+        + (0).to_bytes(4, "little")
+        + (1).to_bytes(4, "little")     # one stream
+        + max_bytes.to_bytes(4, "little")
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + bytes(16),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"MJPG"
+        + bytes(12)
+        + (1).to_bytes(4, "little")     # scale
+        + fps.to_bytes(4, "little")     # rate (fps = rate/scale)
+        + (0).to_bytes(4, "little")
+        + n.to_bytes(4, "little")       # length in frames
+        + max_bytes.to_bytes(4, "little")
+        + (0xFFFFFFFF).to_bytes(4, "little")  # quality: default
+        + (0).to_bytes(4, "little")
+        + bytes(8),
+    )
+    strf = chunk(
+        b"strf",
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"MJPG"
+        + (width * height * 3).to_bytes(4, "little")
+        + bytes(16),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+def demux_avi_frames(payload: bytes) -> list[bytes]:
+    """Walk the RIFF tree and return the video frame payloads (##dc /
+    ##db chunks inside LIST movi), in stream order. Tolerant of extra
+    chunks/JUNK/idx1 — everything is located via the chunk walk, no
+    fixed offsets."""
+    buf = bytes(payload)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body_start = pos + 8
+            if fourcc == b"LIST":
+                kind = buf[body_start : body_start + 4]
+                if kind in (b"movi", b"hdrl", b"strl", b"rec "):
+                    walk(body_start + 4, body_start + size)
+            elif len(fourcc) == 4 and fourcc[2:4] in (b"dc", b"db"):
+                frames.append(buf[body_start : body_start + size])
+            pos = body_start + size + (size % 2)  # word alignment
+
+    walk(12, 8 + int.from_bytes(buf[4:8], "little"))
+    return frames
+
+
+def decode_video(payload: bytes) -> np.ndarray:
+    """Full video decode: demux + per-frame JPEG decode to one
+    (n_frames, h, w, 3) uint8 tensor (all frames must share dims —
+    true for any single-stream AVI)."""
+    frames = [_jpeg_dep.decode_jpeg(f) for f in demux_avi_frames(payload)]
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    return np.stack(frames)
+
+
+VIDEO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("first_frame_sum", LongType()),
+        StructField("last_top_left", IntegerType()),
+    ]
+)
+
+
+def decode_video_stats(
+    videos: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched demux + per-frame decode + per-video reductions —
+    the engine's analog of the reference's whole pipeline (decode →
+    per-frame compute → aggregate at EOS, gst-detection-tf.py:442-453
+    + 427-433)."""
+    import sys
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+    ship_module(_jpeg_dep)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_frames", "width", "height", "pixel_sum",
+                "first_frame_sum", "last_top_left",
+            )}
+            for doc_id, b in zip(pdf[id_col], pdf[bin_col]):
+                v = decode_video(b)
+                rows["doc_id"].append(int(doc_id))
+                rows["n_frames"].append(int(v.shape[0]))
+                rows["height"].append(int(v.shape[1]))
+                rows["width"].append(int(v.shape[2]))
+                rows["pixel_sum"].append(int(v.sum(dtype=np.int64)))
+                rows["first_frame_sum"].append(
+                    int(v[0].sum(dtype=np.int64))
+                )
+                rows["last_top_left"].append(int(v[-1, 0, 0, 0]))
+            yield pd.DataFrame(rows)
+
+    return videos.select(id_col, bin_col).mapInPandas(
+        compute, VIDEO_STATS_SCHEMA
+    )
+
+
+def encode_mjpeg_payloads(
+    docs: DataFrame,
+    n_frames: int = 3,
+    blocks_w: int = 8,
+    blocks_h: int = 4,
+) -> DataFrame:
+    """Documents → REAL MJPEG AVI videos: frame k's raster is the flat
+    8×8-block JPEG of text bytes [k·n, (k+1)·n) ('.'-padded), so every
+    decoded pixel of every frame is a closed-form function of the text
+    column and the SQL oracle can recompute whole-VIDEO statistics.
+    Arrow-batched pandas UDF (DCT/Huffman/RIFF need Python)."""
+    import sys
+
+    from pyspark.sql.functions import pandas_udf
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+    ship_module(_jpeg_dep)
+    encode_gray = _jpeg_dep.encode_jpeg_gray
+
+    n = blocks_w * blocks_h
+    total = n * n_frames
+    w_px, h_px = blocks_w * 8, blocks_h * 8
+
+    @pandas_udf("binary")
+    def to_avi(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            vals = (t or "").encode("utf-8")[:total].ljust(total, b".")
+            frames = []
+            for k in range(n_frames):
+                blocks = np.frombuffer(
+                    vals[k * n : (k + 1) * n], dtype=np.uint8
+                ).reshape(blocks_h, blocks_w)
+                img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                frames.append(encode_gray(img, quant=1))
+            out.append(mux_mjpeg_avi(frames, w_px, h_px))
+        return pd.Series(out)
+
+    return docs.select("doc_id", to_avi(F.col("text")).alias("payload"))

@@ -81,6 +81,7 @@ _SAMPLE_FIRST = [
     "x102_lateral_topk",
     "x103_python_udtf_chunks",
     "x104_decode_jpeg_infer",
+    "x105_decode_video_stats",
     # 3. events family, last green pre-NTZ-fix
     "x28_asof_purchase_click",
     "q12_json_extract_sum",

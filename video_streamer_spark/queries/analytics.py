@@ -1100,3 +1100,37 @@ def x104_decode_jpeg_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     frames = multimodal.encode_jpeg_payloads(docs, blocks_w=8, blocks_h=4)
     return multimodal.decode_frames_detail(frames).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x105: VIDEO DECODE END TO END — the reference's actual workload shape
+# (filesrc ! decodebin ! per-frame compute, run.sh:53) with ZERO codec
+# libraries: documents become 3-frame MJPEG AVIs (RIFF mux of flat-
+# block baseline JPEGs — operators/video.py + operators/jpeg.py), the
+# engine demuxes the RIFF tree, decodes every frame through the real
+# JPEG path, and reduces per video. Flat-block exactness (x104) makes
+# every decoded pixel of every frame a closed-form function of the
+# text column, so the oracle recomputes whole-video statistics in SQL:
+# each byte paints 64 pixels × 3 channels. One video = one row; frames
+# never leave the executor.
+@query(
+    "x105_decode_video_stats",
+    oracle="""
+    WITH body AS (
+      SELECT doc_id, rpad(substr(text, 1, 96), 96, '.') AS s FROM documents)
+    SELECT doc_id, CAST(3 AS INT) AS n_frames,
+      CAST(64 AS INT) AS width, CAST(32 AS INT) AS height,
+      CAST(192 * list_sum(list_transform(range(1, 97),
+           i -> ascii(substr(s, i, 1)))) AS BIGINT) AS pixel_sum,
+      CAST(192 * list_sum(list_transform(range(1, 33),
+           i -> ascii(substr(s, i, 1)))) AS BIGINT) AS first_frame_sum,
+      CAST(ascii(substr(s, 65, 1)) AS INT) AS last_top_left
+    FROM body ORDER BY doc_id
+    """,
+)
+def x105_decode_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators import video
+
+    docs = table(spark, sf_dir, "documents")
+    avis = video.encode_mjpeg_payloads(docs, n_frames=3, blocks_w=8, blocks_h=4)
+    return video.decode_video_stats(avis).orderBy("doc_id")
