@@ -693,3 +693,89 @@ def test_stream_static_join_enrichment(spark):
         .select("event_id", "lid", "label_name")
     )
     assert got == rows_set(batch) and len(got) > 0
+
+
+def test_streaming_video_files_decode_pipeline(spark, tmp_path):
+    """The reference pipeline with REAL video input, as a stream: AVI
+    FILES arrive in a directory (binaryFile source — one row per
+    video), each micro-batch demuxes the RIFF container and decodes
+    every MJPEG frame through the baseline-JPEG path, per-video stats
+    land in the sink. The streaming result must equal the batch run of
+    the identical operators over the same files — and both match the
+    closed-form expectation from the frames' flat-block construction."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from video_streamer_spark.operators import video as V
+    from video_streamer_spark.operators.jpeg import encode_jpeg_gray
+
+    src = tmp_path / "videos"
+    src.mkdir()
+    rng = np.random.RandomState(21)
+    want_sums = {}
+    for vid in range(3):
+        frames = []
+        total = 0
+        for _ in range(4):
+            blocks = rng.randint(0, 256, (2, 2)).astype(np.uint8)
+            total += int(blocks.sum()) * 64 * 3
+            frames.append(
+                encode_jpeg_gray(
+                    np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1),
+                    quant=1,
+                )
+            )
+        (src / f"v{vid}.avi").write_bytes(V.mux_mjpeg_avi(frames, 16, 16))
+        want_sums[vid] = total
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .load(str(src))
+        .select(
+            F.regexp_extract("path", r"v(\d+)\.avi", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    stats = V.decode_video_stats(stream)
+    name = sp.run_available_now(stats, "video_sink", "append")
+    got = {
+        r["doc_id"]: r for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert set(got) == {0, 1, 2}
+    for vid, r in got.items():
+        assert r["n_frames"] == 4 and (r["width"], r["height"]) == (16, 16)
+        assert r["pixel_sum"] == want_sums[vid]
+
+    # streaming == batch over the same files (equivalence contract)
+    batch = (
+        spark.read.format("binaryFile")
+        .load(str(src))
+        .select(
+            F.regexp_extract("path", r"v(\d+)\.avi", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    want = {r["doc_id"]: r for r in V.decode_video_stats(batch).collect()}
+    for vid in got:
+        assert tuple(got[vid]) == tuple(want[vid])
