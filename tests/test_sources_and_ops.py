@@ -1993,3 +1993,71 @@ def test_avi_mux_demux_decode_round_trip():
 
     with _pytest.raises(ValueError, match="not an AVI"):
         demux_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_jpeg_420_subsampled_mcu():
+    """4:2:0 path: a hand-built one-MCU 16x16 JPEG (Y sampled 2x2 —
+    four luma blocks — plus one Cb and one Cr block) decodes with the
+    right MCU data-unit order, per-component DC prediction, and 2x2
+    chroma upsample: each 8x8 quadrant carries its own flat Y value
+    under constant chroma."""
+    import numpy as np
+
+    from video_streamer_spark.operators import jpeg as J
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    y_quads = [60, 100, 160, 220]  # (0,0) (0,1) (1,0) (1,1)
+    cb_v, cr_v = 110, 150
+    q = np.ones(64, dtype=np.uint8)
+    dqt = seg(0xDB, bytes([0x00]) + q.tobytes())
+    sof = seg(
+        0xC0,
+        bytes([8]) + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(J._STD_DC_LUM[0][1:]) + bytes(J._STD_DC_LUM[1])
+        + bytes([0x10]) + bytes(J._STD_AC_LUM[0][1:]) + bytes(J._STD_AC_LUM[1]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    w = J._BitWriter()
+    dc_enc = J._huffman_encoder(*J._STD_DC_LUM)
+    ac_enc = J._huffman_encoder(*J._STD_AC_LUM)
+
+    def put_block(val, pred):
+        dc = (val - 128) * 8
+        size, code = J._magnitude(dc - pred)
+        length, hcode = dc_enc[size]
+        w.write(hcode, length)
+        w.write(code, size)
+        length, hcode = ac_enc[0x00]
+        w.write(hcode, length)
+        return dc
+
+    pred_y = 0
+    for val in y_quads:  # four Y data units, chained DC prediction
+        pred_y = put_block(val, pred_y)
+    put_block(cb_v, 0)
+    put_block(cr_v, 0)
+    w.flush()
+    jp = b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out) + b"\xff\xd9"
+    out = J.decode_jpeg(jp)
+    assert out.shape == (16, 16, 3)
+
+    def rgb(y):
+        r = np.clip(round(y + 1.402 * (cr_v - 128)), 0, 255)
+        g = np.clip(
+            round(y - 0.344136 * (cb_v - 128) - 0.714136 * (cr_v - 128)),
+            0, 255,
+        )
+        b = np.clip(round(y + 1.772 * (cb_v - 128)), 0, 255)
+        return np.array([r, g, b], dtype=np.uint8)
+
+    quads = {(0, 0): y_quads[0], (0, 1): y_quads[1],
+             (1, 0): y_quads[2], (1, 1): y_quads[3]}
+    for (qy, qx), yv in quads.items():
+        block = out[qy * 8 : qy * 8 + 8, qx * 8 : qx * 8 + 8]
+        assert (block == rgb(yv)).all(), (qy, qx, block[0, 0], rgb(yv))

@@ -3,11 +3,11 @@ numpy + stdlib — the second genuinely COMPRESSED codec through the O2
 decode path (reference `decodebin`, run.sh:53), after PNG.
 
 Scope (honest): baseline sequential, 8-bit, Huffman entropy coding,
-grayscale (1 component) and YCbCr 4:4:4 (3 components, no chroma
-subsampling). Progressive, arithmetic coding, and subsampled chroma
-raise NotImplementedError — they are format variants, not different
-math, and a production deployment swaps a codec lib into the same
-dispatcher slot.
+grayscale and YCbCr with ARBITRARY sampling factors (4:4:4, 4:2:0,
+4:2:2, ... — full MCU interleave per T.81 A.2.3 with nearest-neighbor
+chroma upsample). Progressive, arithmetic coding, and restart markers
+raise NotImplementedError — format variants, not different math; a
+production deployment swaps a codec lib into the same dispatcher slot.
 
 The full pipeline is real: marker parse (DQT/SOF0/DHT/SOS), bitstream
 Huffman decode with 0xFF00 byte-unstuffing, DC prediction, zigzag
@@ -197,11 +197,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
                 hs, vs = samp >> 4, samp & 0x0F
-                if (hs, vs) != (1, 1):
-                    raise NotImplementedError(
-                        "chroma subsampling (only 4:4:4 supported)"
-                    )
-                comps.append({"id": cid, "tq": tq})
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"bad sampling factors {hs}x{vs}")
+                comps.append({"id": cid, "tq": tq, "hs": hs, "vs": vs})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -225,50 +223,69 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF0/SOS")
 
     h, w = frame["h"], frame["w"]
-    bh, bw = -(-h // 8), -(-w // 8)
+    # MCU geometry (T.81 A.2.3): hmax×vmax 8-pixel blocks per MCU;
+    # component i contributes hs_i×vs_i blocks per MCU into a plane
+    # subsampled by (hmax/hs_i, vmax/vs_i)
+    hmax = max(c["hs"] for c in frame["comps"])
+    vmax = max(c["vs"] for c in frame["comps"])
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
     reader = _BitReader(buf, pos)
     comp_by_id = {c["id"]: c for c in frame["comps"]}
     planes = {
-        c["id"]: np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        c["id"]: np.zeros(
+            (mcus_y * 8 * c["vs"], mcus_x * 8 * c["hs"]), dtype=np.float64
+        )
         for c in frame["comps"]
     }
     pred = {c["id"]: 0 for c in frame["comps"]}
-    for by in range(bh):
-        for bx in range(bw):
-            for sc in scan_comps:  # interleaved MCU = one block per comp
-                dc_tab = huff[(0, sc["dc"])]
-                ac_tab = huff[(1, sc["ac"])]
-                q = qt[comp_by_id[sc["id"]]["tq"]]
-                zz = np.zeros(64, dtype=np.int32)
-                size = reader.read_huffman(dc_tab)
-                diff = _extend(reader.read_bits(size), size)
-                pred[sc["id"]] += diff
-                zz[0] = pred[sc["id"]]
-                k = 1
-                while k < 64:
-                    rs = reader.read_huffman(ac_tab)
-                    run, size = rs >> 4, rs & 0x0F
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _extend(reader.read_bits(size), size)
-                    k += 1
-                block = np.zeros(64, dtype=np.float64)
-                block[_ZIGZAG] = zz
-                block = block.reshape(8, 8) * q
-                pix = _idct2(block) + 128.0
-                planes[sc["id"]][
-                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                ] = pix
-    out_planes = [
-        np.clip(np.round(planes[c["id"]][:h, :w]), 0, 255)
-        for c in frame["comps"]
-    ]
+
+    def _read_block(sc: dict) -> np.ndarray:
+        dc_tab = huff[(0, sc["dc"])]
+        ac_tab = huff[(1, sc["ac"])]
+        q = qt[comp_by_id[sc["id"]]["tq"]]
+        zz = np.zeros(64, dtype=np.int32)
+        size = reader.read_huffman(dc_tab)
+        diff = _extend(reader.read_bits(size), size)
+        pred[sc["id"]] += diff
+        zz[0] = pred[sc["id"]]
+        k = 1
+        while k < 64:
+            rs = reader.read_huffman(ac_tab)
+            run, size = rs >> 4, rs & 0x0F
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            zz[k] = _extend(reader.read_bits(size), size)
+            k += 1
+        block = np.zeros(64, dtype=np.float64)
+        block[_ZIGZAG] = zz
+        return _idct2(block.reshape(8, 8) * q) + 128.0
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for sc in scan_comps:  # data-unit order within the MCU
+                comp = comp_by_id[sc["id"]]
+                for v in range(comp["vs"]):
+                    for hh in range(comp["hs"]):
+                        pix = _read_block(sc)
+                        y0 = (my * comp["vs"] + v) * 8
+                        x0 = (mx * comp["hs"] + hh) * 8
+                        planes[sc["id"]][y0 : y0 + 8, x0 : x0 + 8] = pix
+    out_planes = []
+    for c in frame["comps"]:
+        p = planes[c["id"]]
+        # nearest-neighbor chroma upsample back to full resolution
+        if c["vs"] != vmax or c["hs"] != hmax:
+            p = np.repeat(
+                np.repeat(p, vmax // c["vs"], axis=0), hmax // c["hs"], axis=1
+            )
+        out_planes.append(np.clip(np.round(p[:h, :w]), 0, 255))
     if len(out_planes) == 1:
         g = out_planes[0].astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
