@@ -2061,3 +2061,52 @@ def test_jpeg_420_subsampled_mcu():
     for (qy, qx), yv in quads.items():
         block = out[qy * 8 : qy * 8 + 8, qx * 8 : qx * 8 + 8]
         assert (block == rgb(yv)).all(), (qy, qx, block[0, 0], rgb(yv))
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: a hand-built two-MCU grayscale JPEG with restart
+    interval 1 — pad bits to the byte boundary, RST0 between MCUs, DC
+    predictor reset — decodes both blocks exactly."""
+    import numpy as np
+
+    from video_streamer_spark.operators import jpeg as J
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    v1, v2 = 77, 200
+    q = np.ones(64, dtype=np.uint8)
+    dqt = seg(0xDB, bytes([0x00]) + q.tobytes())
+    sof = seg(
+        0xC0,
+        bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(J._STD_DC_LUM[0][1:]) + bytes(J._STD_DC_LUM[1])
+        + bytes([0x10]) + bytes(J._STD_AC_LUM[0][1:]) + bytes(J._STD_AC_LUM[1]),
+    )
+    dri = seg(0xDD, (1).to_bytes(2, "big"))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dc_enc = J._huffman_encoder(*J._STD_DC_LUM)
+    ac_enc = J._huffman_encoder(*J._STD_AC_LUM)
+
+    def block_bits(val):
+        w = J._BitWriter()
+        dc = (val - 128) * 8  # predictor is 0 at segment start
+        size, code = J._magnitude(dc)
+        length, hcode = dc_enc[size]
+        w.write(hcode, length)
+        w.write(code, size)
+        length, hcode = ac_enc[0x00]
+        w.write(hcode, length)
+        w.flush()
+        return bytes(w.out)
+
+    scan = block_bits(v1) + b"\xff\xd0" + block_bits(v2)
+    jp = b"\xff\xd8" + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
+    out = J.decode_jpeg(jp)
+    assert out.shape == (8, 16, 3)
+    assert (out[:, :8, 0] == v1).all()
+    assert (out[:, 8:, 0] == v2).all()

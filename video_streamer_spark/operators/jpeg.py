@@ -5,8 +5,9 @@ decode path (reference `decodebin`, run.sh:53), after PNG.
 Scope (honest): baseline sequential, 8-bit, Huffman entropy coding,
 grayscale and YCbCr with ARBITRARY sampling factors (4:4:4, 4:2:0,
 4:2:2, ... — full MCU interleave per T.81 A.2.3 with nearest-neighbor
-chroma upsample). Progressive, arithmetic coding, and restart markers
-raise NotImplementedError — format variants, not different math; a
+chroma upsample), and DRI/RSTn restart intervals (predictor reset +
+byte realign). Progressive and arithmetic coding raise
+NotImplementedError — format variants, not different math; a
 production deployment swaps a codec lib into the same dispatcher slot.
 
 The full pipeline is real: marker parse (DQT/SOF0/DHT/SOS), bitstream
@@ -135,6 +136,20 @@ class _BitReader:
                 return table[(length, code)]
         raise ValueError("invalid Huffman code in scan")
 
+    def skip_restart(self) -> None:
+        """Consume an RSTn marker: discard the pad bits to the byte
+        boundary, then the 0xFFD0-D7 pair (T.81 F.2.1.3.1)."""
+        self.bitbuf = 0
+        self.nbits = 0
+        while self.data[self.pos] == 0xFF and self.data[self.pos + 1] == 0xFF:
+            self.pos += 1  # optional fill bytes before the marker
+        m0, m1 = self.data[self.pos], self.data[self.pos + 1]
+        if m0 != 0xFF or not (0xD0 <= m1 <= 0xD7):
+            raise ValueError(
+                f"expected restart marker, found 0x{m0:02X}{m1:02X}"
+            )
+        self.pos += 2
+
 
 def _extend(value: int, size: int) -> int:
     """T.81 F.2.2.1 sign extension of a SIZE-bit magnitude."""
@@ -153,6 +168,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
+    dri = 0
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decoder map
     frame = None
@@ -206,8 +222,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
             )
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals (DRI)")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            dri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scan_comps = []
@@ -267,8 +283,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         block[_ZIGZAG] = zz
         return _idct2(block.reshape(8, 8) * q) + 128.0
 
+    mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if dri and mcu_count and mcu_count % dri == 0:
+                reader.skip_restart()
+                for cid in pred:
+                    pred[cid] = 0  # predictors reset at every restart
+            mcu_count += 1
             for sc in scan_comps:  # data-unit order within the MCU
                 comp = comp_by_id[sc["id"]]
                 for v in range(comp["vs"]):
