@@ -39,6 +39,7 @@ def _load_all() -> None:
     from video_streamer_spark.queries import coverage  # noqa: F401
     from video_streamer_spark.queries import joins  # noqa: F401
     from video_streamer_spark.queries import analytics  # noqa: F401
+    from video_streamer_spark.queries import advanced  # noqa: F401
 
 
 # The driver hash-checks the FIRST 50 registered queries per round. Round-5
@@ -82,6 +83,16 @@ _SAMPLE_FIRST = [
     "x103_python_udtf_chunks",
     "x104_decode_jpeg_infer",
     "x105_decode_video_stats",
+    "x106_recursive_chain_rollup",
+    "x107_regression_by_nation",
+    "x108_bm25_ranking",
+    "x109_tfidf_profile_drift",
+    "x110_markov_transitions",
+    "x111_basket_lift",
+    "x112_kmeans_assign",
+    "x113_outlier_mad",
+    "x114_bfs_hops",
+    "x115_event_trigrams",
     # 3. events family, last green pre-NTZ-fix
     "x28_asof_purchase_click",
     "q12_json_extract_sum",

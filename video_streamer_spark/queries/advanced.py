@@ -1,0 +1,716 @@
+"""Round-5 advanced queries (x106+): recursive/iterative graph and
+statistics operators a 100 TB curation warehouse leans on — recursive
+CTEs (new in Spark 4.1), closed-form linear regression from exact
+decimal sums, BM25 ranking, corpus-drift profiles, Markov transition
+matrices, market-basket lift, a k-means assignment step, robust
+MAD-based outlier detection, frontier BFS vs a recursive-SQL oracle,
+and event path mining.
+
+Contract identical to queries/analytics.py: declarative DataFrame
+plans, a DuckDB oracle with bit-identical output (decimal aggregation,
+quantized ln/ratios per functions/parity.py), and a scale note per
+query on why the plan survives 1000 executors.
+
+Reference anchor: extends the metadata/curation analytics surface of
+the reference pipeline (reference README.md:2, gst-detection-tf.py:
+308-344) per the engine brief, same as x86-x105.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from video_streamer_spark.catalog import register_views, table
+from video_streamer_spark.functions.arrays import cosine_similarity
+from video_streamer_spark.functions.parity import round4
+from video_streamer_spark.queries import query
+
+_R4 = "CAST(ROUND(CAST(({}) AS DECIMAL(38,12)), 4) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+# x106: RECURSIVE CTE — hierarchical rollup with WITH RECURSIVE, the
+# SQL:1999 iteration surface Spark gained in 4.x. Every supplier walks
+# the synthetic ownership chain parent(s) = floor(s/10) down to a
+# single-digit root, accumulating integer account-balance cents along
+# the path; the result groups suppliers by chain length. The SAME SQL
+# text runs on both engines (Spark executes the recursion as iterated
+# union steps — each round is one broadcastable join against the
+# supplier dim, so the 100 TB cost is rounds x one join, exactly the
+# frontier pattern x79/x114 hand-build). All arithmetic is BIGINT
+# cents — order-independent, so cross-engine hash parity is exact.
+_X106_SQL = """
+    WITH RECURSIVE chain AS (
+      SELECT s_suppkey AS node, s_suppkey AS cur, 0 AS depth,
+             CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS path_cents
+      FROM supplier
+      UNION ALL
+      SELECT c.node AS node, s.s_suppkey AS cur, c.depth + 1 AS depth,
+             c.path_cents + CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)
+               AS path_cents
+      FROM chain c
+      JOIN supplier s ON s.s_suppkey = CAST(floor(c.cur / 10.0) AS BIGINT)
+      WHERE c.cur >= 10
+    ),
+    per_node AS (
+      SELECT node, MAX(depth) AS chain_len,
+             max_by(path_cents, depth) AS chain_cents
+      FROM chain GROUP BY node
+    )
+    SELECT CAST(chain_len AS INT) AS chain_len,
+      CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      CAST(SUM(chain_cents) AS BIGINT) AS sum_chain_cents
+    FROM per_node GROUP BY chain_len ORDER BY chain_len
+"""
+
+
+@query("x106_recursive_chain_rollup", oracle=_X106_SQL)
+def x106_recursive_chain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_X106_SQL)
+
+
+# --------------------------------------------------------------------------
+# x107: LINEAR REGRESSION per group, closed-form from exact sums — the
+# distributed way to fit y = a·x + b: one pass of map-side-combinable
+# DECIMAL aggregates (n, Σx, Σy, Σxy, Σx², Σy² over integer cents), then
+# slope/intercept/r² as driver-free scalar math on the exact sums.
+# Both engines aggregate in DECIMAL(38,0) (order-independent, so the
+# sums are bit-identical) and evaluate the SAME double expression tree
+# on them; results are ROUND4-quantized. At 100 TB: a single partial
+# aggregation, no second pass, no UDF — the same shape regr_slope()
+# uses internally, made explicit and cross-engine exact.
+_REG_NUM = "CAST(n * sxy - sx * sy AS DOUBLE)"
+_REG_DXX = "CAST(n * sxx - sx * sx AS DOUBLE)"
+_REG_DYY = "CAST(n * syy - sy * sy AS DOUBLE)"
+
+
+@query(
+    "x107_regression_by_nation",
+    oracle=f"""
+    WITH pts AS (
+      SELECT n_name,
+        CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS x,
+        CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    sums AS (
+      SELECT n_name,
+        CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+        SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+        SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+      FROM pts GROUP BY n_name)
+    SELECT n_name, CAST(n AS BIGINT) AS n_points,
+      {_R4.format(f"({_REG_NUM}) / ({_REG_DXX})")} AS slope,
+      {_R4.format(
+          f"(CAST(sy AS DOUBLE) - (({_REG_NUM}) / ({_REG_DXX}))"
+          f" * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
+      )} AS intercept,
+      {_R4.format(
+          f"(({_REG_NUM}) / (sqrt({_REG_DXX}) * sqrt({_REG_DYY})))"
+          f" * (({_REG_NUM}) / (sqrt({_REG_DXX}) * sqrt({_REG_DYY})))"
+      )} AS r2
+    FROM sums ORDER BY n_name
+    """,
+)
+def x107_regression_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    cents = lambda c: F.floor(F.col(c) * 100 + 0.5).cast("bigint")  # noqa: E731
+    pts = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            "n_name",
+            cents("c_acctbal").cast("decimal(38,0)").alias("x"),
+            cents("o_totalprice").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    sums = pts.groupBy("n_name").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num, dxx, dyy = (F.expr(_REG_NUM), F.expr(_REG_DXX), F.expr(_REG_DYY))
+    slope = num / dxx
+    r = num / (F.sqrt(dxx) * F.sqrt(dyy))
+    return sums.select(
+        "n_name",
+        F.col("n").cast("bigint").alias("n_points"),
+        round4(slope).alias("slope"),
+        round4(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+        round4(r * r).alias("r2"),
+    ).orderBy("n_name")
+
+
+# --------------------------------------------------------------------------
+# x108: BM25 RANKING — the retrieval scoring function every corpus
+# search/curation stack uses. Term frequencies come from the shared
+# whitespace tokenizer (lockstep with operators/text.tokens_col), df
+# and avgdl from one corpus pass; idf = ln((N-df+0.5)/(df+0.5)+1) and
+# the k1/b saturation are evaluated as the SAME double expression on
+# both engines and the final score is ROUND4-quantized. Scale: tf is a
+# (doc,term) groupBy over an exploded scan filtered to the query terms
+# (pushdown keeps the explode narrow), df/avgdl are broadcastable
+# one-row/k-row aggregates — no joins bigger than the doc count.
+_BM25_TERMS = ("hash", "join", "vector", "scan")
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+
+
+@query(
+    "x108_bm25_ranking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+    tf AS (
+      SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+      WHERE w IN {_BM25_TERMS_SQL}
+      GROUP BY doc_id, w),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+        SUM(CAST(
+          CAST(ln((CAST(c.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)
+                  + 1.0) AS DECIMAL(18,6))
+          AS DOUBLE)
+          * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+          / (CAST(tf.tf AS DOUBLE) + {_BM25_K1}
+             * (1.0 - {_BM25_B} + {_BM25_B}
+                * (CAST(dl.dl AS DOUBLE)
+                   / (CAST(c.total_len AS DOUBLE)
+                      / CAST(c.n_docs AS DOUBLE)))))) AS score
+      FROM tf
+      JOIN df ON tf.term = df.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN corpus c
+      GROUP BY tf.doc_id)
+    SELECT doc_id, {_R4.format("score")} AS bm25
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT 15
+    """,
+)
+def x108_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.text import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    dl = toks.select("doc_id", F.size("t").cast("bigint").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    j = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf_q = (
+        F.log(
+            (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+            + 1.0
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+    tf_d = F.col("tf").cast("double")
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    term_score = (
+        idf_q
+        * (tf_d * (_BM25_K1 + 1.0))
+        / (
+            tf_d
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * (F.col("dl").cast("double") / avgdl))
+        )
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+        .select("doc_id", round4("score").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# x109: CORPUS DRIFT — TF-IDF profile cosine between language corpora.
+# Each lang's token-frequency profile is weighted by a quantized
+# global idf (ln(n_langs/df_langs) as DECIMAL(18,6)); profile pairs are
+# compared by cosine with DECIMAL numerators (weights are tf·idf_q =
+# integer × fixed-point — exact, order-independent) and double sqrt
+# norms evaluated identically on both engines. The drift matrix is the
+# standard monitor for "did this month's crawl change distribution".
+# Scale: profiles are |vocab|-row aggregates per lang — the pair join
+# is vocab-sized, never corpus-sized.
+@query(
+    "x109_tfidf_profile_drift",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS w
+      FROM documents),
+    tf AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY lang, w),
+    nl AS (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs FROM tf),
+    dfl AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS dfl FROM tf GROUP BY w),
+    wt AS (
+      SELECT tf.lang, tf.w,
+        CAST(tf.tf AS DECIMAL(18,6))
+          * CAST(ln(CAST(nl.n_langs AS DOUBLE) / dfl.dfl + 1.0)
+                 AS DECIMAL(18,6)) AS wgt
+      FROM tf JOIN dfl ON tf.w = dfl.w CROSS JOIN nl),
+    nrm AS (SELECT lang, SUM(wgt * wgt) AS n2 FROM wt GROUP BY lang),
+    num AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, SUM(a.wgt * b.wgt) AS dot
+      FROM wt a JOIN wt b ON a.w = b.w AND a.lang < b.lang
+      GROUP BY a.lang, b.lang)
+    SELECT lang_a, lang_b,
+      {_R4.format(
+          "CAST(num.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE))"
+          " * sqrt(CAST(nb.n2 AS DOUBLE)))"
+      )} AS cosine
+    FROM num
+    JOIN nrm na ON num.lang_a = na.lang
+    JOIN nrm nb ON num.lang_b = nb.lang
+    ORDER BY lang_a, lang_b
+    """,
+)
+def x109_tfidf_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.text import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(tokens_col("text")).alias("w"))
+    tf = tok.groupBy("lang", "w").agg(F.count("*").cast("bigint").alias("tf"))
+    nl = tf.agg(F.countDistinct("lang").cast("bigint").alias("n_langs"))
+    dfl = tf.groupBy("w").agg(F.count("*").cast("bigint").alias("dfl"))
+    idf_q = F.log(
+        F.col("n_langs").cast("double") / F.col("dfl") + 1.0
+    ).cast("decimal(18,6)")
+    wt = (
+        tf.join(F.broadcast(dfl), "w")
+        .crossJoin(F.broadcast(nl))
+        .select(
+            "lang", "w", (F.col("tf").cast("decimal(18,6)") * idf_q).alias("wgt")
+        )
+    )
+    nrm = wt.groupBy("lang").agg(F.sum(F.col("wgt") * F.col("wgt")).alias("n2"))
+    a = wt.select(
+        F.col("lang").alias("lang_a"), "w", F.col("wgt").alias("wa")
+    )
+    b = wt.select(
+        F.col("lang").alias("lang_b"), "w", F.col("wgt").alias("wb")
+    )
+    num = (
+        a.join(b, "w")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("lang").alias("lang_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("lang").alias("lang_b"), F.col("n2").alias("nb2"))
+    return (
+        num.join(F.broadcast(na), "lang_a")
+        .join(F.broadcast(nb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            round4(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# x110: MARKOV TRANSITION MATRIX over event streams — P(next event type
+# | current) per user journey, the standard input to funnel/abandonment
+# models. One window (lead over user, time-ordered — a single shuffle
+# on user_id), one groupBy for counts, probabilities as exact-count
+# ratios quantized ROUND4. Scale: state space is |event_types|² — the
+# output is tiny no matter the input size, and the window shuffle is
+# the only data-sized exchange.
+@query(
+    "x110_markov_transitions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+        lead(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS next_type
+      FROM events),
+    cnt AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type),
+    tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+      FROM cnt GROUP BY from_type)
+    SELECT c.from_type, c.to_type, c.n,
+      {_R4.format("CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE)")} AS p
+    FROM cnt c JOIN tot t ON c.from_type = t.from_type
+    ORDER BY c.from_type, c.to_type
+    """,
+)
+def x110_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = cnt.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("n_from"))
+    return (
+        cnt.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            round4(
+                F.col("n").cast("double") / F.col("n_from").cast("double")
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# x111: MARKET-BASKET LIFT — part co-occurrence within orders, the
+# association-rule screen (lift > 1 ⇔ parts bought together more than
+# chance). Distinct (order, part) pairs self-join on the order key with
+# a key-ordering predicate (each unordered pair once); support counts
+# are exact BIGINTs and lift is evaluated as the same double expression
+# both sides, ROUND4. Scale: the self-join key is the order key —
+# fan-out is items-per-order², bounded per order, never corpus-wide;
+# the support cutoff keeps the output to actually-frequent pairs.
+@query(
+    "x111_basket_lift",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_ord AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM lineitem),
+    supp AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM op
+      GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey)
+    SELECT part_a, part_b, c_ab,
+      {_R4.format(
+          "(CAST(c_ab AS DOUBLE) * CAST(n_ord.n AS DOUBLE))"
+          " / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE))"
+      )} AS lift
+    FROM pair
+    JOIN supp sa ON pair.part_a = sa.l_partkey
+    JOIN supp sb ON pair.part_b = sb.l_partkey
+    CROSS JOIN n_ord
+    WHERE c_ab >= 3
+    ORDER BY lift DESC, part_a, part_b LIMIT 25
+    """,
+)
+def x111_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_ord = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n"))
+    supp = op.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("c"))
+    a = op.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .where(F.col("c_ab") >= 3)
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        pair.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            round4(
+                (F.col("c_ab").cast("double") * F.col("n").cast("double"))
+                / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# x112: K-MEANS ASSIGNMENT STEP (spherical) — one Lloyd iteration's
+# assign phase: centroids are the k=8 lowest-id embeddings
+# (deterministic init), every vector joins the broadcast centroid set,
+# similarity is the ROUND4-quantized cosine (same fold order as DuckDB
+# list_dot_product — the q18 recipe), and argmax ties break on centroid
+# id. Output is per-cluster size + mean similarity from DECIMAL sums.
+# At 100 TB: the centroid side is k rows (broadcast — no shuffle of the
+# vector corpus), assignment is one codegen'd pass, and the per-cluster
+# stats are a map-side-combinable aggregate: exactly how distributed
+# k-means scales. Full iteration = re-derive centroids from the
+# cluster means (x61's centroid aggregate) and repeat.
+@query(
+    "x112_kmeans_assign",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+        {_R4.format(
+            "list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+            " CAST(c.cvec AS DOUBLE[]))"
+            " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+            " CAST(e.embedding AS DOUBLE[])))"
+            " * sqrt(list_dot_product(CAST(c.cvec AS DOUBLE[]),"
+            " CAST(c.cvec AS DOUBLE[]))))"
+        )} AS sim
+      FROM embeddings e CROSS JOIN cent c),
+    best AS (
+      SELECT vec_id, cid, sim,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, cid) AS rn
+      FROM scored)
+    SELECT cid AS cluster_id,
+      CAST(COUNT(*) AS BIGINT) AS n_members,
+      {_R4.format(
+          "CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+      )} AS mean_sim
+    FROM best WHERE rn = 1
+    GROUP BY cid ORDER BY cluster_id
+    """,
+)
+def x112_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        round4(cosine_similarity("embedding", "cvec")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "cid")
+    best = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return (
+        best.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            (
+                F.sum(F.col("sim").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("mean_sim_raw"),
+        )
+        .select(
+            "cluster_id", "n_members", round4("mean_sim_raw").alias("mean_sim")
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x113: ROBUST OUTLIER DETECTION (median/MAD) — the screen that
+# survives heavy tails where mean/stddev z-scores drown: robust z =
+# 0.6745·(x − median)/MAD. Median and MAD are exact percentiles over
+# integer cents (the x87 dyadic-exact recipe), broadcast as one-row
+# scalars; the flag pass is pure codegen. Two sequential exact
+# aggregations + one broadcast — at 100 TB the same shape, with
+# approx_percentile swapped in when a single group exceeds executor
+# memory (x52's contract). The 1.33 cut sits just inside this
+# corpus's uniform-tail maximum (|z|max = 0.6745*2 ~ 1.349 for a
+# uniform distribution) so the query provably selects a non-empty tail.
+@query(
+    "x113_outlier_mad",
+    oracle=f"""
+    WITH cents AS (
+      SELECT o_orderkey,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders),
+    med AS (SELECT quantile_cont(c, 0.5) AS m FROM cents),
+    mad AS (
+      SELECT quantile_cont(abs(c - med.m), 0.5) AS d
+      FROM cents, med)
+    SELECT o_orderkey,
+      {_R4.format("c / 100.0")} AS totalprice,
+      {_R4.format("0.6745 * (c - med.m) / mad.d")} AS robust_z
+    FROM cents, med, mad
+    WHERE abs(0.6745 * (c - med.m) / mad.d) > 1.33
+    ORDER BY robust_z DESC, o_orderkey LIMIT 20
+    """,
+)
+def x113_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+    med = cents.agg(F.percentile("c", F.lit(0.5)).alias("m"))
+    mad = cents.crossJoin(F.broadcast(med)).agg(
+        F.percentile(F.abs(F.col("c") - F.col("m")), F.lit(0.5)).alias("d")
+    )
+    z = 0.6745 * (F.col("c") - F.col("m")) / F.col("d")
+    return (
+        cents.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .where(F.abs(z) > 1.33)
+        .select(
+            "o_orderkey",
+            round4(F.col("c") / 100.0).alias("totalprice"),
+            round4(z).alias("robust_z"),
+        )
+        .orderBy(F.col("robust_z").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# x114: BFS OVER THE BASKET GRAPH — minimum hop counts from the lowest
+# part key through "bought in the same order" edges, bounded to 3 hops.
+# The Spark side is FRONTIER EXPANSION with per-round dedup (visited
+# anti-join): each round shuffles only the frontier×degree candidate
+# set, so the cost is O(edges touched), never O(paths) — the form that
+# survives 100 TB graphs (same family as x45's components and x79's
+# pointer jumping; BFS adds distance semantics). The ORACLE is a
+# recursive CTE that enumerates paths and minimizes afterwards — an
+# independent formulation whose agreement checks the frontier
+# algorithm, not a re-implementation.
+@query(
+    "x114_bfs_hops",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    walk AS (
+      SELECT (SELECT MIN(l_partkey) FROM lineitem) AS node, 0 AS dist
+      UNION ALL
+      SELECT p.dst AS node, w.dist + 1 AS dist
+      FROM walk w JOIN pairs p ON p.src = w.node
+      WHERE w.dist < 3),
+    best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+    SELECT CAST(dist AS INT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM best GROUP BY dist ORDER BY dist
+    """,
+)
+def x114_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    # source = global min part key: a 1-row action fixing a query
+    # parameter (like similarity.py's centroid fetch), not a data path
+    src = li.agg(F.min("l_partkey")).first()[0]
+    visited = li.sparkSession.createDataFrame(
+        [(int(src), 0)], "node bigint, dist int"
+    )
+    frontier = visited
+    for d in range(1, 4):
+        candidates = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = candidates.join(visited, "node", "left_anti").select(
+            "node", F.lit(d).alias("dist")
+        )
+        # cut lineage so round N+1's plan doesn't re-run rounds 1..N
+        new = new.localCheckpoint(eager=True)
+        visited = visited.union(new)
+        frontier = new
+    return (
+        visited.groupBy("dist")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .orderBy("dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# x115: EVENT PATH MINING — top event-type trigrams across user
+# journeys (the "what do users actually do" sequence report). Two leads
+# over one (user, time) window — a single shuffle — then a count. The
+# path space is |event_types|³ so the aggregate output is tiny at any
+# input scale.
+@query(
+    "x115_event_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS w1,
+        lead(event_type, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS w2,
+        lead(event_type, 2) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS w3
+      FROM events)
+    SELECT w1 || '>' || w2 || '>' || w3 AS path,
+      CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE w2 IS NOT NULL AND w3 IS NOT NULL
+    GROUP BY path ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def x115_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("w1"),
+        F.lead("event_type", 1).over(w).alias("w2"),
+        F.lead("event_type", 2).over(w).alias("w3"),
+    ).where(F.col("w2").isNotNull() & F.col("w3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "w1", "w2", "w3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
