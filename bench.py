@@ -57,7 +57,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
-    spark = get_spark(app_name="vss-bench")
+    # Initial shuffle-partition count sized to the DATA, not the core
+    # count: at sf0.1 the post-shuffle volume is tens of MB, so 32 map
+    # partitions are pure task-scheduling overhead (~0.15-0.2 s/query
+    # measured: 8-query floor set 3.89 s at 32 -> 2.4-2.7 s at 8/16;
+    # heavy set 10.96 -> 10.0-10.4). 16 keeps the Arrow-cogroup queries
+    # (x05) parallel while halving the floor. This mirrors the 100 TB
+    # rule — partitions scale with bytes shuffled (there you RAISE it,
+    # here AQE coalesces the remainder). Override: $SPARK_GRAFT_SHUFFLE.
+    shuf_env = os.environ.get("SPARK_GRAFT_SHUFFLE")
+    shuffle = int(shuf_env) if shuf_env else max(8, min(32, int(sf * 160)))
+    spark = get_spark(app_name="vss-bench", shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warmup pass (reference benchmark.sh:30 does a full unmeasured run
