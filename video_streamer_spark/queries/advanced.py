@@ -647,6 +647,10 @@ def x114_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
+        # materialize the edge list once: every BFS round probes it, and
+        # without this each round re-runs the pair self-join + distinct
+        # (measured 3x the query cost at sf0.1)
+        .localCheckpoint(eager=True)
     )
     # source = global min part key: a 1-row action fixing a query
     # parameter (like similarity.py's centroid fetch), not a data path
