@@ -93,6 +93,9 @@ _SAMPLE_FIRST = [
     "x113_outlier_mad",
     "x114_bfs_hops",
     "x115_event_trigrams",
+    "x116_scripted_threshold_search",
+    "x117_data_quality_audit",
+    "x118_linear_interpolation",
     # 3. events family, last green pre-NTZ-fix
     "x28_asof_purchase_click",
     "q12_json_extract_sum",

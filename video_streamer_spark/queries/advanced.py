@@ -718,3 +718,280 @@ def x115_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# x116: SQL SCRIPTING + SESSION VARIABLES (Spark 4.1 BEGIN/END,
+# DECLARE/SET, WHILE/IF) — procedural control flow INSIDE the engine,
+# no driver round-trips per step: a binary search over integer price
+# cents for the exact top-K admission threshold (min t with
+# count(cents > t) < K). Each probe is one scan-aggregate; 26
+# iterations pin the 2^26-cent range. The ORACLE is the closed form —
+# the K-th largest order statistic — an independent derivation, so the
+# hash check proves the control flow converged to the right answer.
+# Scale note: the script form is the API-coverage demo; the production
+# form IS the oracle's order statistic (one top-K pass, x59's shape).
+_X116_K = 1000
+
+
+@query(
+    "x116_scripted_threshold_search",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders),
+    kth AS (SELECT c FROM cents ORDER BY c DESC LIMIT 1 OFFSET {_X116_K - 1})
+    SELECT kth.c AS threshold_cents,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cents WHERE c > kth.c)
+        AS n_above
+    FROM kth
+    """,
+)
+def x116_scripted_threshold_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+    BEGIN
+      DECLARE lo BIGINT DEFAULT 0;
+      DECLARE hi BIGINT DEFAULT 67108864;
+      DECLARE mid BIGINT;
+      DECLARE cnt BIGINT;
+      WHILE lo < hi DO
+        SET mid = (lo + hi) DIV 2;
+        SET cnt = (SELECT COUNT(*) FROM orders
+                   WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         > mid);
+        IF cnt < {_X116_K} THEN
+          SET hi = mid;
+        ELSE
+          SET lo = mid + 1;
+        END IF;
+      END WHILE;
+      SELECT lo AS threshold_cents,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > lo)
+          AS n_above;
+    END
+    """)
+
+
+# --------------------------------------------------------------------------
+# x117: DATA-QUALITY AUDIT — the expectations pass every ingest runs
+# before data is trusted: referential integrity (anti-join), null/empty
+# checks, domain-range checks, duplicate-key checks, each as one
+# aggregate over its table, unioned into a single report. Checks that
+# pass with 0 violations are part of the contract (the audit proves
+# absence, not just presence). Scale: every check is a scan-local
+# aggregate or a broadcast/shuffle anti-join on a key — nothing
+# quadratic; at 100 TB the audits union into ONE multi-scan job.
+@query(
+    "x117_data_quality_audit",
+    oracle="""
+    SELECT 'customer_acctbal_negative' AS check_name,
+      CAST(COUNT(*) FILTER (WHERE c_acctbal < 0) AS BIGINT) AS n_violations,
+      CAST(COUNT(*) AS BIGINT) AS n_checked
+    FROM customer
+    UNION ALL
+    SELECT 'document_text_empty',
+      CAST(COUNT(*) FILTER (WHERE text IS NULL OR text = '') AS BIGINT),
+      CAST(COUNT(*) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+      CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+           AS BIGINT),
+      CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+      CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+      CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey)),
+      CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    ORDER BY check_name
+    """,
+)
+def x117_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    docs = table(spark, sf_dir, "documents")
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+
+    def check(df: DataFrame, name: str, cond) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count_if(cond).cast("bigint").alias("n_violations"),
+            F.count("*").cast("bigint").alias("n_checked"),
+        )
+
+    orphans = (
+        orders.join(
+            cust.select("c_custkey"),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("bigint").alias("n_violations"))
+        .crossJoin(
+            orders.agg(F.count("*").cast("bigint").alias("n_checked"))
+        )
+        .select(
+            F.lit("orders_orphan_custkey").alias("check_name"),
+            "n_violations",
+            "n_checked",
+        )
+    )
+    dup_pk = orders.agg(
+        F.lit("orders_duplicate_pk").alias("check_name"),
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("n_violations"),
+        F.count("*").cast("bigint").alias("n_checked"),
+    )
+    report = (
+        check(cust, "customer_acctbal_negative", F.col("c_acctbal") < 0)
+        .unionAll(
+            check(
+                docs,
+                "document_text_empty",
+                F.col("text").isNull() | (F.col("text") == ""),
+            )
+        )
+        .unionAll(
+            check(
+                li,
+                "lineitem_discount_range",
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+            )
+        )
+        .unionAll(dup_pk)
+        .unionAll(orphans)
+    )
+    return report.orderBy("check_name")
+
+
+# --------------------------------------------------------------------------
+# x118: LINEAR INTERPOLATION GAP FILL — reconstruct a daily series from
+# sparse observations (every 3rd day kept, deterministically), the
+# standard time-series repair before modeling. Bracketing observations
+# come from IGNORE NULLS window fills in BOTH directions (one sort per
+# direction over the per-type spine — tiny relative to the event scan);
+# the interpolation weight is exact integer day arithmetic and the
+# value math is the same double expression on both engines, ROUND4.
+# Edges clamp to the nearest observation. Scale: the spine is
+# |types|×|days| rows — window state per partition is one row; the
+# heavy side (raw events → daily sums) is a single map-side-combinable
+# aggregate in DECIMAL.
+@query(
+    "x118_linear_interpolation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+        SUM(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        AS d
+      FROM bounds),
+    grid AS (
+      SELECT t.event_type, s.d
+      FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM daily) t),
+    obs AS (
+      SELECT g.event_type, g.d,
+        CASE WHEN day(g.d) % 3 = 0 THEN dl.v END AS v_obs
+      FROM grid g LEFT JOIN daily dl
+        ON g.event_type = dl.event_type AND g.d = dl.d),
+    br AS (
+      SELECT event_type, d, v_obs,
+        last_value(v_obs IGNORE NULLS) OVER w_prev AS v_prev,
+        last_value(CASE WHEN v_obs IS NOT NULL THEN d END IGNORE NULLS)
+          OVER w_prev AS d_prev,
+        first_value(v_obs IGNORE NULLS) OVER w_next AS v_next,
+        first_value(CASE WHEN v_obs IS NOT NULL THEN d END IGNORE NULLS)
+          OVER w_next AS d_next
+      FROM obs
+      WINDOW w_prev AS (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_next AS (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, CAST(d AS VARCHAR) AS day,
+      {_R4.format(
+          "CASE"
+          " WHEN v_obs IS NOT NULL THEN CAST(v_obs AS DOUBLE)"
+          " WHEN v_prev IS NULL THEN CAST(v_next AS DOUBLE)"
+          " WHEN v_next IS NULL THEN CAST(v_prev AS DOUBLE)"
+          " ELSE CAST(v_prev AS DOUBLE)"
+          " + (CAST(v_next AS DOUBLE) - CAST(v_prev AS DOUBLE))"
+          " * (CAST(date_diff('day', d_prev, d) AS DOUBLE)"
+          "    / CAST(date_diff('day', d_prev, d_next) AS DOUBLE))"
+          " END"
+      )} AS value,
+      CAST(v_obs IS NULL AS BOOLEAN) AS interpolated
+    FROM br
+    ORDER BY event_type, day
+    """,
+)
+def x118_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import dec
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(dec("value")).alias("v"))
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    types = daily.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    obs = grid.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        "d",
+        F.when(F.dayofmonth("d") % 3 == 0, F.col("v")).alias("v_obs"),
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    d_obs = F.when(F.col("v_obs").isNotNull(), F.col("d"))
+    br = obs.select(
+        "event_type",
+        "d",
+        "v_obs",
+        F.last("v_obs", ignorenulls=True).over(w_prev).alias("v_prev"),
+        F.last(d_obs, ignorenulls=True).over(w_prev).alias("d_prev"),
+        F.first("v_obs", ignorenulls=True).over(w_next).alias("v_next"),
+        F.first(d_obs, ignorenulls=True).over(w_next).alias("d_next"),
+    )
+    frac = F.datediff("d", "d_prev").cast("double") / F.datediff(
+        "d_next", "d_prev"
+    ).cast("double")
+    value = (
+        F.when(F.col("v_obs").isNotNull(), F.col("v_obs").cast("double"))
+        .when(F.col("v_prev").isNull(), F.col("v_next").cast("double"))
+        .when(F.col("v_next").isNull(), F.col("v_prev").cast("double"))
+        .otherwise(
+            F.col("v_prev").cast("double")
+            + (F.col("v_next").cast("double") - F.col("v_prev").cast("double"))
+            * frac
+        )
+    )
+    return br.select(
+        "event_type",
+        F.col("d").cast("string").alias("day"),
+        round4(value).alias("value"),
+        F.col("v_obs").isNull().alias("interpolated"),
+    ).orderBy("event_type", "day")
