@@ -154,3 +154,44 @@ def test_x78_pipeline_is_one_plan_with_bounded_bnl(spark):
     assert "CartesianProduct" not in plan, plan
     n_bnl = plan.count("BroadcastNestedLoopJoin")
     assert n_bnl <= 2, f"{n_bnl} BroadcastNestedLoopJoins (expected <=2):\n{plan}"
+
+
+def test_round5_heavy_ops_scaling_curve(spark):
+    """Same 10x envelope for the round-5 heavy operators: x109's pair
+    join is vocab-sized (profiles, not docs), x111's self-join fan-out
+    is bounded per order key, x114's BFS shuffles frontier x degree per
+    round off a checkpointed edge list. Losing the bounding structure
+    (e.g. the profile aggregation, the order-key equi-join, or the edge
+    checkpoint) trips these immediately."""
+    bounds = {
+        "x109_tfidf_profile_drift": 40.0,
+        "x111_basket_lift": 40.0,
+        # edge count grows ~linearly with SF but BFS candidate volume is
+        # frontier x degree — superlinear on this densifying graph, so
+        # the envelope is wider
+        "x114_bfs_hops": 60.0,
+    }
+    for name, max_ratio in bounds.items():
+        q = QUERIES[name]
+        small = min(_timed(q, spark, SF_ORACLE) for _ in range(2))
+        big = min(_timed(q, spark, SF_BIG) for _ in range(2))
+        ratio = big / max(small, 1e-3)
+        assert ratio < max_ratio, (
+            f"{name}: sf0.01={small:.2f}s sf0.1={big:.2f}s "
+            f"ratio={ratio:.1f} exceeds {max_ratio}"
+        )
+
+
+def test_x112_centroids_broadcast_and_pushed(spark):
+    """x112's centroid side must reach the scan as a pushed filter and
+    broadcast (k rows) — the corpus must NOT shuffle for the assignment.
+    A hash-partitioned exchange of the embeddings before the score join
+    means the broadcast contract broke."""
+    plan = (
+        QUERIES["x112_kmeans_assign"](spark, SF_ORACLE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,8)]" in plan, plan
+    assert "BroadcastExchange IdentityBroadcastMode" in plan, plan
+    # WindowGroupLimit keeps per-vector top-1 before the window shuffle
+    assert "WindowGroupLimit" in plan, plan
