@@ -2110,3 +2110,121 @@ def test_jpeg_restart_markers():
     assert out.shape == (8, 16, 3)
     assert (out[:, :8, 0] == v1).all()
     assert (out[:, 8:, 0] == v2).all()
+
+
+def test_mp4_mux_demux_decode_round_trip():
+    """x119's container contract: the ISO BMFF mux -> demux walk is
+    bit-exact on sample payloads, the sample-table path (stsd/stsz/
+    stsc/stco) locates every frame, and the decoded tensor matches the
+    per-frame JPEG decode."""
+    import numpy as np
+
+    from video_streamer_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+    from video_streamer_spark.operators.mp4 import (
+        demux_mp4_frames,
+        mux_mjpeg_mp4,
+        probe_mp4,
+    )
+    from video_streamer_spark.operators.video import decode_video
+
+    rng = np.random.default_rng(7)
+    frames = [
+        encode_jpeg_gray(
+            np.repeat(
+                np.repeat(
+                    rng.integers(0, 255, (2, 3)).astype(np.uint8), 8, axis=0
+                ),
+                8,
+                axis=1,
+            ),
+            quant=1,
+        )
+        for _ in range(4)
+    ]
+    payload = mux_mjpeg_mp4(frames, 24, 16, fps=25)
+    assert demux_mp4_frames(payload) == frames
+    v = decode_video(payload)
+    assert v.shape == (4, 16, 24, 3)
+    for k, f in enumerate(frames):
+        assert (v[k] == decode_jpeg(f)).all()
+    meta = probe_mp4(payload)
+    assert meta == {
+        "codec": "jpeg", "width": 24, "height": 16,
+        "n_samples": 4, "duration_ms": 160,
+    }
+
+
+def test_mp4_demux_tolerates_extra_boxes_and_co64():
+    """The box walker must locate samples regardless of free/skip boxes
+    and must honor 64-bit co64 chunk offsets."""
+    import struct
+
+    import numpy as np
+
+    from video_streamer_spark.operators.jpeg import encode_jpeg_gray
+    from video_streamer_spark.operators.mp4 import (
+        demux_mp4_frames,
+        mux_mjpeg_mp4,
+    )
+
+    img = np.full((8, 8), 128, dtype=np.uint8)
+    frames = [encode_jpeg_gray(img, quant=1) for _ in range(2)]
+    payload = mux_mjpeg_mp4(frames, 8, 8)
+
+    # insert a free box between ftyp and mdat, fixing up stco offsets
+    ftyp_len = struct.unpack_from(">I", payload, 0)[0]
+    free = struct.pack(">I", 16) + b"free" + bytes(8)
+    shifted = bytearray(payload[:ftyp_len] + free + payload[ftyp_len:])
+    # patch stco entries (+16) — scan for the stco box
+    i = bytes(shifted).find(b"stco")
+    n = struct.unpack_from(">I", shifted, i + 8)[0]
+    for k in range(n):
+        off = struct.unpack_from(">I", shifted, i + 12 + 4 * k)[0]
+        struct.pack_into(">I", shifted, i + 12 + 4 * k, off + 16)
+    assert demux_mp4_frames(bytes(shifted)) == frames
+
+    # co64 variant: rewrite the stco box as co64 with 64-bit offsets
+    i = payload.find(b"stco")
+    box_start = i - 4
+    size = struct.unpack_from(">I", payload, box_start)[0]
+    n = struct.unpack_from(">I", payload, i + 8)[0]
+    offs = [
+        struct.unpack_from(">I", payload, i + 12 + 4 * k)[0]
+        for k in range(n)
+    ]
+    co64_body = struct.pack(">B3sI", 0, b"\x00\x00\x00", n) + b"".join(
+        struct.pack(">Q", o) for o in offs
+    )
+    co64 = struct.pack(">I", len(co64_body) + 8) + b"co64" + co64_body
+    grown = len(co64) - size
+    out = bytearray(payload[:box_start] + co64 + payload[box_start + size:])
+    # grow every enclosing container box (moov/trak/mdia/minf/stbl)
+    for fourcc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        j = bytes(out).find(fourcc)
+        struct.pack_into(
+            ">I", out, j - 4, struct.unpack_from(">I", out, j - 4)[0] + grown
+        )
+    assert demux_mp4_frames(bytes(out)) == frames
+
+
+def test_mp4_codec_formats_refuse_by_name():
+    """Inter-coded sample entries must refuse with the codec named —
+    the env boundary is the codec library, not the container."""
+    import numpy as np
+    import pytest
+
+    from video_streamer_spark.operators.jpeg import encode_jpeg_gray
+    from video_streamer_spark.operators.mp4 import (
+        demux_mp4_frames,
+        mux_mjpeg_mp4,
+    )
+
+    img = np.full((8, 8), 10, dtype=np.uint8)
+    payload = mux_mjpeg_mp4([encode_jpeg_gray(img, quant=1)], 8, 8)
+    for codec in (b"avc1", b"hev1"):
+        bad = payload.replace(b"jpeg", codec, 1)
+        with pytest.raises(NotImplementedError, match=codec.decode()):
+            demux_mp4_frames(bad)

@@ -1,12 +1,13 @@
-"""VIDEO container handling: MJPEG-in-AVI demux + per-frame decode —
-the reference pipeline's actual shape (filesrc ! decodebin !
-per-frame inference, run.sh:53) executed end to end with ZERO codec
-libraries: AVI is a RIFF container (pure chunk walking) and Motion
+"""VIDEO container handling: MJPEG demux + per-frame decode for BOTH
+mainstream containers — RIFF/AVI (this module) and ISO BMFF/MP4
+(operators/mp4.py) — the reference pipeline's actual shape (filesrc !
+decodebin ! per-frame inference, run.sh:53) executed end to end with
+ZERO codec libraries: containers are pure chunk/box walking and Motion
 JPEG frames are baseline JPEGs (operators/jpeg.py decodes them for
-real). H.264/H.265-in-MP4 stays honestly NotImplemented — those need
-a codec library — but the CONTAINER path (demux, frame iteration,
-per-frame decode, per-video reduction) is the same machinery a cv2/
-PyAV swap-in would ride.
+real). Inter-coded codecs (H.264/H.265) refuse honestly by fourcc —
+those need a codec library — but the CONTAINER path (demux, sample
+tables, frame iteration, per-frame decode, per-video reduction) is the
+same machinery a cv2/PyAV swap-in would ride.
 
 Spark shape: one video file = one row (binary payload); demux+decode
 runs inside Arrow-batched mapInPandas, frames never leave the executor
@@ -26,11 +27,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
 
 from video_streamer_spark.operators import jpeg as _jpeg_dep
+from video_streamer_spark.operators import mp4 as _mp4_dep
 
 
 def mux_mjpeg_avi(
@@ -123,13 +126,25 @@ def demux_avi_frames(payload: bytes) -> list[bytes]:
     return frames
 
 
+def demux_frames(payload: bytes) -> list[bytes]:
+    """Container dispatch on magic: RIFF/AVI (little-endian chunk walk)
+    or ISO BMFF/MP4 (big-endian box walk + sample tables) — the two
+    containers the reference's decodebin autoplugs for MJPEG content."""
+    buf = bytes(payload)
+    if buf[:4] == b"RIFF":
+        return demux_avi_frames(buf)
+    if len(buf) >= 12 and buf[4:8] == b"ftyp":
+        return _mp4_dep.demux_mp4_frames(buf)
+    raise ValueError("unknown video container (expected RIFF/AVI or MP4)")
+
+
 def decode_video(payload: bytes) -> np.ndarray:
-    """Full video decode: demux + per-frame JPEG decode to one
-    (n_frames, h, w, 3) uint8 tensor (all frames must share dims —
-    true for any single-stream AVI)."""
-    frames = [_jpeg_dep.decode_jpeg(f) for f in demux_avi_frames(payload)]
+    """Full video decode: demux (AVI or MP4) + per-frame JPEG decode to
+    one (n_frames, h, w, 3) uint8 tensor (all frames must share dims —
+    true for any single-video-stream container)."""
+    frames = [_jpeg_dep.decode_jpeg(f) for f in demux_frames(payload)]
     if not frames:
-        raise ValueError("AVI contains no video frames")
+        raise ValueError("video contains no frames")
     return np.stack(frames)
 
 
@@ -159,6 +174,7 @@ def decode_video_stats(
 
     ship_module(sys.modules[__name__])
     ship_module(_jpeg_dep)
+    ship_module(_mp4_dep)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -189,6 +205,7 @@ def encode_mjpeg_payloads(
     n_frames: int = 3,
     blocks_w: int = 8,
     blocks_h: int = 4,
+    container: str = "avi",
 ) -> DataFrame:
     """Documents → REAL MJPEG AVI videos: frame k's raster is the flat
     8×8-block JPEG of text bytes [k·n, (k+1)·n) ('.'-padded), so every
@@ -203,7 +220,9 @@ def encode_mjpeg_payloads(
 
     ship_module(sys.modules[__name__])
     ship_module(_jpeg_dep)
+    ship_module(_mp4_dep)
     encode_gray = _jpeg_dep.encode_jpeg_gray
+    mux = mux_mjpeg_avi if container == "avi" else _mp4_dep.mux_mjpeg_mp4
 
     n = blocks_w * blocks_h
     total = n * n_frames
@@ -221,7 +240,52 @@ def encode_mjpeg_payloads(
                 ).reshape(blocks_h, blocks_w)
                 img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
                 frames.append(encode_gray(img, quant=1))
-            out.append(mux_mjpeg_avi(frames, w_px, h_px))
+            out.append(mux(frames, w_px, h_px))
         return pd.Series(out)
 
     return docs.select("doc_id", to_avi(F.col("text")).alias("payload"))
+
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("codec", StringType()),
+        StructField("probe_width", IntegerType()),
+        StructField("probe_height", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+
+def probe_video_metadata(
+    videos: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """Container-metadata pass WITHOUT decoding (MP4 sample tables):
+    codec fourcc, dimensions, sample count, duration — the scan-time
+    inventory a 100 TB video lake runs before routing payloads to
+    decode, reading only box headers instead of sample bytes."""
+    import sys
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+    ship_module(_mp4_dep)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "codec", "probe_width", "probe_height",
+                "n_samples", "duration_ms",
+            )}
+            for doc_id, b in zip(pdf[id_col], pdf[bin_col]):
+                meta = _mp4_dep.probe_mp4(b)
+                rows["doc_id"].append(int(doc_id))
+                rows["codec"].append(meta["codec"])
+                rows["probe_width"].append(meta["width"])
+                rows["probe_height"].append(meta["height"])
+                rows["n_samples"].append(meta["n_samples"])
+                rows["duration_ms"].append(meta["duration_ms"])
+            yield pd.DataFrame(rows)
+
+    return videos.select(id_col, bin_col).mapInPandas(compute, PROBE_SCHEMA)

@@ -96,6 +96,7 @@ _SAMPLE_FIRST = [
     "x116_scripted_threshold_search",
     "x117_data_quality_audit",
     "x118_linear_interpolation",
+    "x119_decode_mp4_stats",
     # 3. events family, last green pre-NTZ-fix
     "x28_asof_purchase_click",
     "q12_json_extract_sum",

@@ -995,3 +995,46 @@ def x118_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(value).alias("value"),
         F.col("v_obs").isNull().alias("interpolated"),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------------------------------
+# x119: MP4 (ISO BMFF) DECODE END TO END — x105's workload through the
+# OTHER mainstream container: documents become 3-frame MJPEG MP4s
+# (operators/mp4.py muxes ftyp/mdat/moov with real stsd/stts/stsc/
+# stsz/stco sample tables), the engine probes the container metadata
+# WITHOUT decoding (the scan-time inventory pass a video lake runs to
+# route payloads), then demuxes via the full sample-table walk and
+# decodes every frame through the real JPEG path. Flat-block exactness
+# (x104) keeps every decoded pixel a closed-form function of the text
+# column, so whole-video statistics AND the probed metadata are
+# SQL-oracle-checkable. Inter-coded tracks (avc1/hev1) refuse by
+# fourcc — the codec boundary, not the container, is the env limit.
+@query(
+    "x119_decode_mp4_stats",
+    oracle="""
+    WITH body AS (
+      SELECT doc_id, rpad(substr(text, 1, 96), 96, '.') AS s FROM documents)
+    SELECT doc_id, 'jpeg' AS codec, CAST(3 AS INT) AS n_samples,
+      CAST(120 AS INT) AS duration_ms,
+      CAST(3 AS INT) AS n_frames,
+      CAST(64 AS INT) AS width, CAST(32 AS INT) AS height,
+      CAST(192 * list_sum(list_transform(range(1, 97),
+           i -> ascii(substr(s, i, 1)))) AS BIGINT) AS pixel_sum,
+      CAST(ascii(substr(s, 65, 1)) AS INT) AS last_top_left
+    FROM body ORDER BY doc_id
+    """,
+)
+def x119_decode_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators import video
+
+    docs = table(spark, sf_dir, "documents")
+    mp4s = video.encode_mjpeg_payloads(
+        docs, n_frames=3, blocks_w=8, blocks_h=4, container="mp4"
+    )
+    probe = video.probe_video_metadata(mp4s).select(
+        "doc_id", "codec", "n_samples", "duration_ms"
+    )
+    stats = video.decode_video_stats(mp4s).select(
+        "doc_id", "n_frames", "width", "height", "pixel_sum", "last_top_left"
+    )
+    return probe.join(stats, "doc_id").orderBy("doc_id")
