@@ -2228,3 +2228,42 @@ def test_mp4_codec_formats_refuse_by_name():
         bad = payload.replace(b"jpeg", codec, 1)
         with pytest.raises(NotImplementedError, match=codec.decode()):
             demux_mp4_frames(bad)
+
+
+def test_fmp4_fragmented_mux_demux_round_trip():
+    """Fragmented MP4 (the DASH/HLS segment shape): init segment with
+    EMPTY sample tables + per-fragment moof/mdat; the demuxer must
+    locate samples via tfhd (default-base-is-moof) + trun
+    (data_offset + per-sample sizes), and the probe must count samples
+    from the trun headers."""
+    import numpy as np
+
+    from video_streamer_spark.operators.jpeg import encode_jpeg_gray
+    from video_streamer_spark.operators.mp4 import (
+        demux_mp4_frames,
+        mux_mjpeg_fmp4,
+        probe_mp4,
+    )
+    from video_streamer_spark.operators.video import decode_video
+
+    rng = np.random.default_rng(11)
+    frames = [
+        encode_jpeg_gray(
+            np.repeat(
+                np.repeat(
+                    rng.integers(0, 255, (2, 2)).astype(np.uint8), 8, axis=0
+                ),
+                8,
+                axis=1,
+            ),
+            quant=1,
+        )
+        for _ in range(5)  # 3 fragments: 2 + 2 + 1 samples
+    ]
+    payload = mux_mjpeg_fmp4(frames, 16, 16, fps=25, frames_per_fragment=2)
+    assert demux_mp4_frames(payload) == frames
+    assert decode_video(payload).shape == (5, 16, 16, 3)
+    meta = probe_mp4(payload)
+    assert meta["n_samples"] == 5
+    assert meta["codec"] == "jpeg"
+    assert meta["duration_ms"] == 200

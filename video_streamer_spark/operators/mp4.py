@@ -192,6 +192,11 @@ def demux_mp4_frames(payload: bytes) -> list[bytes]:
     else:
         sizes = list(struct.unpack_from(f">{count}I", buf, s + 8))
 
+    if count == 0 and b"moof" in buf:
+        # fragmented file: the moov carries empty tables and every
+        # sample lives in a moof/mdat pair
+        return _demux_fragments(buf)
+
     # chunk offsets (stco 32-bit or co64 64-bit)
     if found[b"stco"] and len(found[b"stco"]) > track:
         s, e = full_body(found[b"stco"])
@@ -242,6 +247,18 @@ def probe_mp4(payload: bytes) -> dict:
     width, height = struct.unpack_from(">HH", buf, entry + 24)
     s, e = found[b"stsz"][0]
     _, count = struct.unpack_from(">II", buf, s + 4)
+    if count == 0 and b"moof" in buf:
+        # fragmented: sample count comes from the trun headers
+        count = 0
+        for fourcc, body, box_end in _walk_boxes(buf, 0, len(buf)):
+            if fourcc != b"moof":
+                continue
+            for f2, b2, e2 in _walk_boxes(buf, body, box_end):
+                if f2 != b"traf":
+                    continue
+                for f3, b3, e3 in _walk_boxes(buf, b2, e2):
+                    if f3 == b"trun":
+                        count += struct.unpack_from(">I", buf, b3 + 4)[0]
     s, e = found[b"mvhd"][0]
     timescale, duration = struct.unpack_from(">II", buf, s + 4 + 8)
     return {
@@ -251,3 +268,174 @@ def probe_mp4(payload: bytes) -> dict:
         "n_samples": int(count),
         "duration_ms": int(duration * 1000 // max(timescale, 1)),
     }
+
+
+# --------------------------------------------------------------------------
+# Fragmented MP4 (fMP4) — the streaming-media segment form (DASH/HLS
+# ship exactly this shape): an init segment (ftyp + moov whose sample
+# tables are EMPTY, plus mvex/trex defaults) followed by per-fragment
+# moof(mfhd + traf(tfhd/tfdt/trun)) + mdat pairs. Sample locations come
+# from each trun's data_offset relative to its moof (default-base-is-
+# moof), so segments are self-contained — which is what makes them
+# streamable and, in engine terms, SPLITTABLE: each fragment is an
+# independently decodable unit of parallelism.
+
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_SAMPLE_SIZE = 0x000200
+_TFHD_BASE_DATA_OFFSET = 0x000001
+_TFHD_DEFAULT_SIZE = 0x000010
+_TFHD_BASE_IS_MOOF = 0x020000
+
+
+def mux_mjpeg_fmp4(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 25,
+    frames_per_fragment: int = 2,
+) -> bytes:
+    """Mux frames as a fragmented MP4: init segment with empty sample
+    tables + one moof/mdat pair per ``frames_per_fragment`` samples."""
+    n = len(frames)
+    dur = n * _TIMESCALE // fps
+    delta = _TIMESCALE // fps
+
+    ftyp = _box(
+        b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2iso6mp41"
+    )
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, _TIMESCALE, dur)
+        + struct.pack(">iHHII", 0x10000, 0x100, 0, 0, 0)
+        + _matrix() + bytes(24) + struct.pack(">I", 2),
+    )
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, dur)
+        + bytes(8) + struct.pack(">hhhH", 0, 0, 0, 0)
+        + _matrix()
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIIIHH", 0, 0, _TIMESCALE, dur, 0x55C4, 0),
+    )
+    hdlr = _full(
+        b"hdlr", 0, 0,
+        struct.pack(">I4s", 0, b"vide") + bytes(12) + b"VideoHandler\x00",
+    )
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    sample_entry = _box(
+        b"jpeg",
+        bytes(6) + struct.pack(">H", 1) + bytes(16)
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000)
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + bytes(32) + struct.pack(">Hh", 24, -1),
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    # empty tables: all samples live in fragments
+    stts = _full(b"stts", 0, 0, struct.pack(">I", 0))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", 0))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+    stco = _full(b"stco", 0, 0, struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    mehd = _full(b"mehd", 0, 0, struct.pack(">I", dur))
+    trex = _full(
+        b"trex", 0, 0, struct.pack(">IIIII", 1, 1, delta, 0, 0x10000)
+    )
+    mvex = _box(b"mvex", mehd + trex)
+    moov = _box(b"moov", mvhd + trak + mvex)
+
+    out = [ftyp, moov]
+    seq = 1
+    t = 0
+    for i in range(0, n, frames_per_fragment):
+        batch = frames[i : i + frames_per_fragment]
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        tfhd = _full(
+            b"tfhd", 0, _TFHD_BASE_IS_MOOF, struct.pack(">I", 1)
+        )
+        tfdt = _full(b"tfdt", 1, 0, struct.pack(">Q", t))
+        trun_body = struct.pack(">I", len(batch))
+        # data_offset patched below once the moof size is known
+        trun_body += struct.pack(">i", 0)
+        trun_body += b"".join(struct.pack(">I", len(f)) for f in batch)
+        trun = _full(
+            b"trun", 0, _TRUN_DATA_OFFSET | _TRUN_SAMPLE_SIZE, trun_body
+        )
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = bytearray(_box(b"moof", mfhd + traf))
+        # patch trun.data_offset = moof size + mdat header (8)
+        di = bytes(moof).find(b"trun") + 4 + 4 + 4  # fourcc+verflags+count
+        struct.pack_into(">i", moof, di, len(moof) + 8)
+        mdat = _box(b"mdat", b"".join(batch))
+        out.append(bytes(moof) + mdat)
+        seq += 1
+        t += len(batch) * delta
+    return b"".join(out)
+
+
+def _demux_fragments(buf: bytes) -> list[bytes]:
+    """Sample extraction for fragmented files: every moof's trun names
+    its samples' sizes and the data offset relative to the moof start
+    (or an explicit base-data-offset)."""
+    frames: list[bytes] = []
+    for fourcc, body, box_end in _walk_boxes(buf, 0, len(buf)):
+        if fourcc != b"moof":
+            continue
+        moof_start = body - 8
+        # walk traf children directly (traf is not in _CONTAINERS)
+        trafs: dict[bytes, list] = {b"tfhd": [], b"trun": []}
+        for f2, b2, e2 in _walk_boxes(buf, body, box_end):
+            if f2 == b"traf":
+                for f3, b3, e3 in _walk_boxes(buf, b2, e2):
+                    if f3 in trafs:
+                        trafs[f3].append((b3, e3))
+        for (ts, te), (rs, re) in zip(trafs[b"tfhd"], trafs[b"trun"]):
+            tf_flags = int.from_bytes(buf[ts + 1 : ts + 4], "big")
+            pos = ts + 8  # skip verflags + track_id
+            base = moof_start
+            if tf_flags & _TFHD_BASE_DATA_OFFSET:
+                base = struct.unpack_from(">Q", buf, pos)[0]
+                pos += 8
+            default_size = None
+            if tf_flags & _TFHD_DEFAULT_SIZE:
+                # optional fields in order: sdi, duration, size
+                skip = 0
+                if tf_flags & 0x02:
+                    skip += 4
+                if tf_flags & 0x08:
+                    skip += 4
+                default_size = struct.unpack_from(">I", buf, pos + skip)[0]
+            tr_flags = int.from_bytes(buf[rs + 1 : rs + 4], "big")
+            count = struct.unpack_from(">I", buf, rs + 4)[0]
+            p = rs + 8
+            data_off = 0
+            if tr_flags & _TRUN_DATA_OFFSET:
+                data_off = struct.unpack_from(">i", buf, p)[0]
+                p += 4
+            if tr_flags & 0x04:  # first-sample-flags
+                p += 4
+            cursor = base + data_off
+            for _ in range(count):
+                size = default_size
+                if tr_flags & 0x100:  # sample-duration present
+                    p += 4
+                if tr_flags & _TRUN_SAMPLE_SIZE:
+                    size = struct.unpack_from(">I", buf, p)[0]
+                    p += 4
+                if tr_flags & 0x400:  # sample-flags present
+                    p += 4
+                if tr_flags & 0x800:  # composition offset present
+                    p += 4
+                if size is None:
+                    raise ValueError("trun sample without a size")
+                frames.append(buf[cursor : cursor + size])
+                cursor += size
+    return frames
