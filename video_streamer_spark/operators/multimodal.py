@@ -853,3 +853,58 @@ def decode_wav_stats(
             yield pd.DataFrame(rows)
 
     return frames.select(id_col, bin_col).mapInPandas(compute, WAV_STATS_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_idx", IntegerType()),
+        StructField("energy", LongType()),
+        StructField("crossings", IntegerType()),
+    ]
+)
+
+
+def audio_window_features(
+    frames: DataFrame,
+    win: int = 16,
+    threshold: int = 16384,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Windowed audio features over decoded PCM: per fixed-size sample
+    window, the energy (Σ sample², exact int64) and the count of
+    threshold crossings (sign changes around ``threshold`` — the
+    integer-exact stand-in for zero-crossing rate on unsigned-leaning
+    PCM). The framing step every audio featurizer (MFCC & co) starts
+    with, kept integer-exact so the SQL oracle can recompute it from
+    first principles. Arrow-batched; one clip's windows never leave the
+    executor."""
+    import sys
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+    ship_module(_jpeg_dep)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "win_idx", "energy", "crossings")}
+            for doc_id, b in zip(pdf[id_col], pdf[bin_col]):
+                w = decode_wav(b)
+                s = w["samples"].astype(np.int64).reshape(-1)
+                n_win = len(s) // win
+                for k in range(n_win):
+                    seg = s[k * win : (k + 1) * win]
+                    above = seg >= threshold
+                    rows["doc_id"].append(int(doc_id))
+                    rows["win_idx"].append(k)
+                    rows["energy"].append(int((seg * seg).sum()))
+                    rows["crossings"].append(
+                        int((above[1:] != above[:-1]).sum())
+                    )
+            yield pd.DataFrame(rows)
+
+    return frames.select(id_col, bin_col).mapInPandas(
+        compute, AUDIO_WINDOW_SCHEMA
+    )

@@ -97,6 +97,11 @@ _SAMPLE_FIRST = [
     "x117_data_quality_audit",
     "x118_linear_interpolation",
     "x119_decode_mp4_stats",
+    "x120_journey_pattern_count",
+    "x121_benford_digit_audit",
+    "x122_group_by_all",
+    "x123_null_safe_join",
+    "x124_audio_window_features",
     # 3. events family, last green pre-NTZ-fix
     "x28_asof_purchase_click",
     "q12_json_extract_sum",

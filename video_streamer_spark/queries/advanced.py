@@ -1038,3 +1038,241 @@ def x119_decode_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_frames", "width", "height", "pixel_sum", "last_top_left"
     )
     return probe.join(stats, "doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x120: SEQUENCE MINING over journey strings — each user's time-ordered
+# event types concatenate into one string (Spark: sort_array(collect_
+# list(struct)) so concatenation order is shuffle-independent; DuckDB:
+# string_agg ORDER BY), then funnel occurrences are counted with pure
+# substring arithmetic ((len - len(replace))/len(pattern)) — no regex
+# engine in the hot path, so both engines agree byte-for-byte. This is
+# the MATCH_RECOGNIZE-lite complement of x58's window-funnel: string-
+# encoded sequences support arbitrary contiguous patterns at the cost
+# of one groupBy. Scale: one shuffle to assemble journeys (bounded by
+# events-per-user), then scan-local string math.
+_X120_PAT = "view>click>purchase"
+
+
+@query(
+    "x120_journey_pattern_count",
+    oracle=f"""
+    WITH j AS (
+      SELECT user_id,
+        string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+      CAST((length(journey) - length(replace(journey, '{_X120_PAT}', '')))
+           / {len(_X120_PAT)} AS BIGINT) AS n_funnels
+    FROM j
+    WHERE length(journey) - length(replace(journey, '{_X120_PAT}', '')) > 0
+    ORDER BY n_funnels DESC, user_id LIMIT 15
+    """,
+)
+def x120_journey_pattern_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    j = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("journey")
+        )
+    )
+    occ = (
+        F.length("journey")
+        - F.length(F.replace(F.col("journey"), F.lit(_X120_PAT)))
+    ) / len(_X120_PAT)
+    return (
+        j.select("user_id", occ.cast("bigint").alias("n_funnels"))
+        .where(F.col("n_funnels") > 0)
+        .orderBy(F.col("n_funnels").desc(), "user_id")
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# x121: BENFORD'S LAW AUDIT — the classic forensic screen on financial
+# columns: the leading-digit distribution of order totals against the
+# ln(1+1/d)/ln(10) expectation, with per-digit chi-square
+# contributions. The leading digit comes from string math on the
+# integer part (engine-stable); expectations and contributions are the
+# same double expressions quantized to ROUND4 after a DECIMAL(18,6)
+# quantization of the Benford probability (the x62 ln recipe). One
+# scan, one 9-row aggregate — audit cost is scan-bound at any scale.
+@query(
+    "x121_benford_digit_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    cnt AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d
+      GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cnt)
+    SELECT digit, n_obs,
+      {_R4.format(
+          "CAST(CAST(ln(1.0 + 1.0 / digit) / ln(10.0) AS DECIMAL(18,6))"
+          " AS DOUBLE) * tot.n"
+      )} AS expected,
+      {_R4.format(
+          "(CAST(n_obs AS DOUBLE)"
+          " - CAST(CAST(ln(1.0 + 1.0 / digit) / ln(10.0) AS DECIMAL(18,6))"
+          "   AS DOUBLE) * tot.n)"
+          " * (CAST(n_obs AS DOUBLE)"
+          " - CAST(CAST(ln(1.0 + 1.0 / digit) / ln(10.0) AS DECIMAL(18,6))"
+          "   AS DOUBLE) * tot.n)"
+          " / (CAST(CAST(ln(1.0 + 1.0 / digit) / ln(10.0) AS DECIMAL(18,6))"
+          "    AS DOUBLE) * tot.n)"
+      )} AS chi2_term
+    FROM cnt CROSS JOIN tot
+    ORDER BY digit
+    """,
+)
+def x121_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    d = orders.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    cnt = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n_obs"))
+    tot = cnt.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    p_q = (
+        F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    ).cast("decimal(18,6)").cast("double")
+    expected = p_q * F.col("n")
+    dev = F.col("n_obs").cast("double") - expected
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            round4(expected).alias("expected"),
+            round4(dev * dev / expected).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# --------------------------------------------------------------------------
+# x122: GROUP BY ALL / ORDER BY ALL — the analyst-ergonomics syntax
+# both engines now share; the SAME SQL text runs on Spark and DuckDB,
+# pinning that Spark's inference of grouping columns (every non-
+# aggregate select item) matches the standard semantics. Decimal cents
+# keep the aggregate exact.
+_X122_SQL = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(COUNT(*) AS BIGINT) AS n_items,
+      CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS sum_cents
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@query("x122_group_by_all", oracle=_X122_SQL)
+def x122_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_X122_SQL)
+
+
+# --------------------------------------------------------------------------
+# x123: NULL-SAFE JOIN SEMANTICS — Spark's <=> against DuckDB's IS NOT
+# DISTINCT FROM: a nullable bucket key (NULLIF) joined null-safely to
+# its own distinct dim, so the NULL-key rows MATCH the NULL dim row
+# instead of silently dropping (the classic plain-equi-join bug this
+# operator exists to avoid). Output ordered NULLS FIRST — the ordering
+# semantics both engines must agree on for the hash check to pass.
+# Scale: the dim is ≤6 rows (broadcast); null-safe equality compiles
+# to the same hash-join path as = (null hashes to a bucket).
+@query(
+    "x123_null_safe_join",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS k,
+        CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer),
+    dim AS (SELECT DISTINCT k FROM c)
+    SELECT dim.k,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      CAST(SUM(c.cents) AS BIGINT) AS sum_cents
+    FROM c JOIN dim ON c.k IS NOT DISTINCT FROM dim.k
+    GROUP BY dim.k
+    ORDER BY dim.k NULLS FIRST
+    """,
+)
+def x123_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    c = cust.select(
+        "c_custkey",
+        F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("k"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    dim = c.select("k").distinct()
+    return (
+        c.join(F.broadcast(dim.withColumnRenamed("k", "dk")), F.col("k").eqNullSafe(F.col("dk")))
+        .groupBy(F.col("dk").alias("k"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# x124: AUDIO WINDOW FEATURES — the framing step every audio featurizer
+# starts with: decoded PCM split into fixed 16-sample windows, per
+# window the energy (Σ sample², exact int64) and threshold crossings
+# (sign changes around mid-scale). WAVs are the x74 text-byte clips, so
+# the oracle recomputes every window from first principles in SQL: the
+# k-th sample is ascii(c_{2k+1}) + 256·ascii(c_{2k+2}). Integer-exact
+# end to end; the per-clip windowing never leaves the executor.
+@query(
+    "x124_audio_window_features",
+    oracle="""
+    WITH body AS (
+      SELECT doc_id, rpad(substr(text, 1, 128), 128, '.') AS s
+      FROM documents),
+    samp AS (
+      SELECT doc_id,
+        list_transform(range(64),
+          i -> ascii(substr(s, 2*i + 1, 1))
+               + 256 * ascii(substr(s, 2*i + 2, 1))) AS v
+      FROM body),
+    win AS (
+      SELECT doc_id, CAST(w AS INT) AS win_idx, v
+      FROM samp, (SELECT unnest(range(4)) AS w))
+    SELECT doc_id, win_idx,
+      CAST(list_sum(list_transform(range(16),
+           i -> CAST(v[16*win_idx + i + 1] AS BIGINT)
+                * v[16*win_idx + i + 1])) AS BIGINT) AS energy,
+      CAST(list_sum(list_transform(range(15),
+           i -> CASE WHEN (v[16*win_idx + i + 1] >= 16384)
+                       <> (v[16*win_idx + i + 2] >= 16384)
+                     THEN 1 ELSE 0 END)) AS INT) AS crossings
+    FROM win
+    ORDER BY doc_id, win_idx
+    """,
+)
+def x124_audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators import multimodal
+
+    docs = table(spark, sf_dir, "documents")
+    wavs = multimodal.encode_wav_payloads(docs, n_bytes=128)
+    return multimodal.audio_window_features(wavs, win=16).orderBy(
+        "doc_id", "win_idx"
+    )
