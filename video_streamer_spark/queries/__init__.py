@@ -102,6 +102,8 @@ _SAMPLE_FIRST = [
     "x122_group_by_all",
     "x123_null_safe_join",
     "x124_audio_window_features",
+    "x125_session_window_native",
+    "x126_spatial_nearest_warehouse",
     # 3. events family, last green pre-NTZ-fix
     "x28_asof_purchase_click",
     "q12_json_extract_sum",

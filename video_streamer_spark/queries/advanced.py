@@ -1276,3 +1276,134 @@ def x124_audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_window_features(wavs, win=16).orderBy(
         "doc_id", "win_idx"
     )
+
+
+# --------------------------------------------------------------------------
+# x125: NATIVE SESSION WINDOWS in batch — F.session_window, the
+# gap-merge API Spark shares between batch and streaming (x15's
+# streaming twin), against an independent islands formulation in SQL
+# (lag → new-session flag at gap >= 30 min → running sum). Session
+# identity is pinned by exact epoch-microsecond integers, so the hash
+# check proves the native operator's merge semantics (new session iff
+# gap >= threshold) match the hand-built islands exactly. Scale: one
+# shuffle on user_id either way; session_window's merge is sort-local.
+_X125_GAP_US = 1_800_000_000
+
+
+@query(
+    "x125_session_window_native",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT user_id, ts,
+        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) >= {_X125_GAP_US}
+             THEN 1 ELSE 0 END AS is_new
+      FROM lagged),
+    sess AS (
+      SELECT user_id, ts,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS sid
+      FROM flagged)
+    SELECT user_id,
+      CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us,
+      CAST(MAX(epoch_us(ts)) AS BIGINT) AS end_us,
+      CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, start_us
+    """,
+)
+def x125_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "1800 seconds").alias("sw")
+        )
+        .agg(
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select("user_id", "start_us", "end_us", "n_events")
+        .orderBy("user_id", "start_us")
+    )
+
+
+# --------------------------------------------------------------------------
+# x126: SPATIAL NEAREST-NEIGHBOR ASSIGNMENT — every customer routes to
+# its nearest warehouse on a planar integer-centidegree grid
+# (coordinates derived deterministically from keys; squared euclidean
+# distance in exact BIGINT, so cross-engine parity is bit-level — the
+# metric is a pluggable expression, production swaps haversine into
+# the same plan). Broadcast the warehouse dim, codegen the distance,
+# WindowGroupLimit argmin per customer, aggregate per warehouse. At
+# 100 TB with a data-sized right side, the same query rides grid-cell
+# blocking (join on cell id + neighbor cells — the spatial analog of
+# the LSH bucket join) instead of the broadcast.
+@query(
+    "x126_spatial_nearest_warehouse",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey,
+        (c_custkey * 37) % 17000 - 8500 AS lat,
+        (c_custkey * 91) % 36000 - 18000 AS lon
+      FROM customer),
+    wh AS (
+      SELECT s_suppkey,
+        (s_suppkey * 53) % 17000 - 8500 AS lat,
+        (s_suppkey * 71) % 36000 - 18000 AS lon
+      FROM supplier),
+    scored AS (
+      SELECT c.c_custkey, w.s_suppkey,
+        (c.lat - w.lat) * (c.lat - w.lat)
+          + (c.lon - w.lon) * (c.lon - w.lon) AS dist2
+      FROM cust c CROSS JOIN wh w),
+    best AS (
+      SELECT c_custkey, s_suppkey, dist2,
+        ROW_NUMBER() OVER (PARTITION BY c_custkey
+                           ORDER BY dist2, s_suppkey) AS rn
+      FROM scored)
+    SELECT s_suppkey AS warehouse,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      CAST(MIN(dist2) AS BIGINT) AS min_dist2,
+      CAST(SUM(dist2) AS BIGINT) AS sum_dist2
+    FROM best WHERE rn = 1
+    GROUP BY s_suppkey ORDER BY warehouse
+    """,
+)
+def x126_spatial_nearest_warehouse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 17000 - 8500).alias("clat"),
+        ((F.col("c_custkey") * 91) % 36000 - 18000).alias("clon"),
+    )
+    wh = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 53) % 17000 - 8500).alias("wlat"),
+        ((F.col("s_suppkey") * 71) % 36000 - 18000).alias("wlon"),
+    )
+    dlat = F.col("clat") - F.col("wlat")
+    dlon = F.col("clon") - F.col("wlon")
+    scored = cust.crossJoin(F.broadcast(wh)).select(
+        "c_custkey", "s_suppkey", (dlat * dlat + dlon * dlon).alias("dist2")
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist2", "s_suppkey")
+    best = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return (
+        best.groupBy(F.col("s_suppkey").alias("warehouse"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.min("dist2").cast("bigint").alias("min_dist2"),
+            F.sum("dist2").cast("bigint").alias("sum_dist2"),
+        )
+        .orderBy("warehouse")
+    )
