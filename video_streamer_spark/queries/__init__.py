@@ -61,7 +61,22 @@ _SAMPLE_FIRST = [
     "x74_decode_wav_stats",
     "x72_train_val_test_split",
     "x56_merge_upsert_result",
-    # 2. round-5 new queries (appended as they land)
+    # 2. events family whose last green row predates the r4
+    #    TIMESTAMP_NTZ catalog rewrite (VERDICT r4 top item) — kept
+    #    inside the 50-query driver sample ahead of the newest x-names,
+    #    which carry fresh in-repo differential evidence instead
+    "x28_asof_purchase_click",
+    "q12_json_extract_sum",
+    "q13_distinct_users_per_type",
+    "q14_tumbling_hourly",
+    "x38_multi_granularity_rollup",
+    "x48_sliding_window_agg",
+    "x24_approx_distinct",
+    "x52_approx_percentile_contract",
+    "x53_hll_sketch_rollup",
+    # 3. round-5 new queries (appended as they land; the driver's
+    #    50-row sample reaches through x119 — the tail past it gets its
+    #    first driver row next round)
     "x85_decode_png_infer",
     "x86_bloom_filter_join",
     "x87_group_quantiles_exact",
@@ -104,17 +119,7 @@ _SAMPLE_FIRST = [
     "x124_audio_window_features",
     "x125_session_window_native",
     "x126_spatial_nearest_warehouse",
-    # 3. events family, last green pre-NTZ-fix
-    "x28_asof_purchase_click",
-    "q12_json_extract_sum",
-    "q13_distinct_users_per_type",
-    "q14_tumbling_hourly",
-    "x38_multi_granularity_rollup",
-    "x48_sliding_window_agg",
-    "x24_approx_distinct",
-    "x52_approx_percentile_contract",
-    "x53_hll_sketch_rollup",
-    # 4. no r4 row, oldest evidence first
+    # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",
     "x50_arrays_zip_positions",
