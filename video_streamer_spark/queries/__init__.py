@@ -119,6 +119,8 @@ _SAMPLE_FIRST = [
     "x124_audio_window_features",
     "x125_session_window_native",
     "x126_spatial_nearest_warehouse",
+    "x127_map_functions",
+    "x128_union_by_name",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -1407,3 +1407,101 @@ def x126_spatial_nearest_warehouse(
         )
         .orderBy("warehouse")
     )
+
+
+# --------------------------------------------------------------------------
+# x127: MAP HIGHER-ORDER FUNCTIONS — the map-typed column surface
+# (map_from_arrays, transform_values, map_filter, explode of a map):
+# per-doc token-count maps built as pure row-local expressions, values
+# reweighted by key length, low-weight entries filtered INSIDE the map,
+# then exploded back to rows. The ORACLE never builds a map — it
+# recomputes the surviving (doc, token, weight) rows from the token
+# relation directly, so agreement pins the map semantics (key
+# uniqueness, value transformation, entry filtering), not a
+# re-implementation. Scale: everything before the final sort is
+# row-local codegen — zero shuffles besides the output order.
+@query(
+    "x127_map_functions",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS token
+      FROM documents),
+    cnt AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, token)
+    SELECT doc_id, token,
+      CAST(c * length(token) AS BIGINT) AS weight
+    FROM cnt
+    WHERE c * length(token) >= 40
+    ORDER BY doc_id, token
+    """,
+)
+def x127_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.text import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    t = tokens_col("text")
+    uniq = F.array_distinct(t)
+    counts = F.transform(
+        uniq, lambda x: F.size(F.filter(t, lambda y: y == x)).cast("bigint")
+    )
+    m = F.map_from_arrays(uniq, counts)
+    weighted = F.map_filter(
+        F.transform_values(m, lambda k, v: v * F.length(k)),
+        lambda k, v: v >= 40,
+    )
+    return (
+        docs.select("doc_id", F.explode(weighted).alias("token", "weight"))
+        .orderBy("doc_id", "token")
+    )
+
+
+# --------------------------------------------------------------------------
+# x128: UNION BY NAME — schema-aligned set union (the schema-evolution
+# union: columns match by NAME, not position, and columns missing on
+# one side null-fill). Two differently-shaped projections of orders —
+# one keyed by priority, one by status with an extra column — combine
+# via unionByName(allowMissingColumns=True); DuckDB runs its native
+# UNION ALL BY NAME. Exact bigint cents; agreement pins the name
+# alignment + null-fill semantics. Scale: union is a zero-shuffle plan
+# node; only the final rollup exchanges.
+@query(
+    "x128_union_by_name",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderpriority AS grp,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL BY NAME
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        o_orderstatus AS grp, o_orderkey AS okey
+      FROM orders WHERE o_orderstatus <> 'F')
+    SELECT grp,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(okey) AS BIGINT) AS n_with_key,
+      CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM u GROUP BY grp ORDER BY grp
+    """,
+)
+def x128_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    a = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("grp"), cents.alias("cents")
+    )
+    b = orders.where(F.col("o_orderstatus") != "F").select(
+        cents.alias("cents"),
+        F.col("o_orderstatus").alias("grp"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return (
+        u.groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count("okey").cast("bigint").alias("n_with_key"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("grp")
+    )
