@@ -122,3 +122,41 @@ def test_connected_components_matches_union_find(spark, ids, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {v: find(v) for v in parent}
     assert got == want
+
+
+def test_container_roundtrip_property():
+    """Any list of byte blobs round-trips bit-exactly through all three
+    container muxers (AVI, MP4, fragmented MP4): demux is pure sample
+    location, so the payloads can be arbitrary — odd lengths, empty
+    frames, single-byte frames all exercise alignment/offset math."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from video_streamer_spark.operators.mp4 import (
+        demux_mp4_frames,
+        mux_mjpeg_fmp4,
+        mux_mjpeg_mp4,
+    )
+    from video_streamer_spark.operators.video import (
+        demux_avi_frames,
+        mux_mjpeg_avi,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        frames=st.lists(
+            st.binary(min_size=0, max_size=300), min_size=1, max_size=9
+        ),
+        fpf=st.integers(min_value=1, max_value=4),
+    )
+    def check(frames, fpf):
+        assert demux_avi_frames(mux_mjpeg_avi(frames, 8, 8)) == frames
+        assert demux_mp4_frames(mux_mjpeg_mp4(frames, 8, 8)) == frames
+        assert (
+            demux_mp4_frames(
+                mux_mjpeg_fmp4(frames, 8, 8, frames_per_fragment=fpf)
+            )
+            == frames
+        )
+
+    check()
