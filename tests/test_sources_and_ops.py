@@ -2267,3 +2267,46 @@ def test_fmp4_fragmented_mux_demux_round_trip():
     assert meta["n_samples"] == 5
     assert meta["codec"] == "jpeg"
     assert meta["duration_ms"] == 200
+
+
+def test_decode_video_stats_quarantines_corrupt_payloads(spark):
+    """skip_corrupt=True must isolate bad payloads per ROW: valid
+    videos decode normally, truncated/garbage/codec-only payloads land
+    in the error column with null stats, and the task never dies."""
+    import numpy as np
+
+    from video_streamer_spark.operators.jpeg import encode_jpeg_gray
+    from video_streamer_spark.operators.mp4 import mux_mjpeg_mp4
+    from video_streamer_spark.operators.video import (
+        decode_video_stats,
+        mux_mjpeg_avi,
+    )
+
+    img = np.full((8, 8), 100, dtype=np.uint8)
+    jpg = encode_jpeg_gray(img, quant=1)
+    good_avi = mux_mjpeg_avi([jpg], 8, 8)
+    good_mp4 = mux_mjpeg_mp4([jpg], 8, 8)
+    rows = [
+        (1, bytearray(good_avi)),
+        (2, bytearray(good_mp4)),
+        (3, bytearray(good_avi[: len(good_avi) // 2])),  # truncated
+        (4, bytearray(b"not a container at all")),
+        (5, bytearray(good_mp4.replace(b"jpeg", b"avc1", 1))),  # codec-only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r
+        for r in decode_video_stats(df, skip_corrupt=True).collect()
+    }
+    assert len(out) == 5
+    assert out[1]["error"] is None and out[1]["pixel_sum"] == 100 * 64 * 3
+    assert out[2]["error"] is None and out[2]["n_frames"] == 1
+    assert out[3]["error"] and out[3]["pixel_sum"] is None
+    assert "container" in out[4]["error"]
+    assert "avc1" in out[5]["error"] and "codec" in out[5]["error"]
+
+    # strict mode still fails loudly on the same input
+    import pytest
+
+    with pytest.raises(Exception):
+        decode_video_stats(df).collect()

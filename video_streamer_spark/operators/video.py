@@ -160,14 +160,30 @@ VIDEO_STATS_SCHEMA = StructType(
     ]
 )
 
+VIDEO_STATS_QUARANTINE_SCHEMA = StructType(
+    list(VIDEO_STATS_SCHEMA.fields) + [StructField("error", StringType())]
+)
+
 
 def decode_video_stats(
-    videos: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+    videos: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    skip_corrupt: bool = False,
 ) -> DataFrame:
     """Arrow-batched demux + per-frame decode + per-video reductions —
     the engine's analog of the reference's whole pipeline (decode →
     per-frame compute → aggregate at EOS, gst-detection-tf.py:442-453
-    + 427-433)."""
+    + 427-433).
+
+    ``skip_corrupt=True`` switches to QUARANTINE semantics: a payload
+    that fails to demux/decode yields one row with null stats and the
+    failure message in an ``error`` column instead of failing the task
+    — at 100 TB corrupt files are routine and must isolate per row,
+    never kill the stage (the same philosophy as try_parse_json /
+    PERMISSIVE-mode corrupt records, x101). Decode errors surface as
+    typed refusals (NotImplementedError for codec-library formats,
+    ValueError for malformed bytes), both quarantined."""
     import sys
 
     from video_streamer_spark.functions.shipping import ship_module
@@ -176,28 +192,44 @@ def decode_video_stats(
     ship_module(_jpeg_dep)
     ship_module(_mp4_dep)
 
+    stat_cols = (
+        "n_frames", "width", "height", "pixel_sum",
+        "first_frame_sum", "last_top_left",
+    )
+
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {k: [] for k in (
-                "doc_id", "n_frames", "width", "height", "pixel_sum",
-                "first_frame_sum", "last_top_left",
-            )}
+            rows = {k: [] for k in ("doc_id", *stat_cols)}
+            if skip_corrupt:
+                rows["error"] = []
             for doc_id, b in zip(pdf[id_col], pdf[bin_col]):
-                v = decode_video(b)
+                try:
+                    v = decode_video(b)
+                except Exception as exc:  # noqa: BLE001 - quarantine path
+                    if not skip_corrupt:
+                        raise
+                    rows["doc_id"].append(int(doc_id))
+                    for k in stat_cols:
+                        rows[k].append(None)
+                    rows["error"].append(
+                        f"{type(exc).__name__}: {exc}"[:500]
+                    )
+                    continue
                 rows["doc_id"].append(int(doc_id))
                 rows["n_frames"].append(int(v.shape[0]))
                 rows["height"].append(int(v.shape[1]))
                 rows["width"].append(int(v.shape[2]))
                 rows["pixel_sum"].append(int(v.sum(dtype=np.int64)))
-                rows["first_frame_sum"].append(
-                    int(v[0].sum(dtype=np.int64))
-                )
+                rows["first_frame_sum"].append(int(v[0].sum(dtype=np.int64)))
                 rows["last_top_left"].append(int(v[-1, 0, 0, 0]))
+                if skip_corrupt:
+                    rows["error"].append(None)
             yield pd.DataFrame(rows)
 
-    return videos.select(id_col, bin_col).mapInPandas(
-        compute, VIDEO_STATS_SCHEMA
+    schema = (
+        VIDEO_STATS_QUARANTINE_SCHEMA if skip_corrupt else VIDEO_STATS_SCHEMA
     )
+    return videos.select(id_col, bin_col).mapInPandas(compute, schema)
 
 
 def encode_mjpeg_payloads(

@@ -121,6 +121,7 @@ _SAMPLE_FIRST = [
     "x126_spatial_nearest_warehouse",
     "x127_map_functions",
     "x128_union_by_name",
+    "x129_decode_quarantine_report",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

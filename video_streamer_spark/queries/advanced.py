@@ -1505,3 +1505,66 @@ def x128_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# --------------------------------------------------------------------------
+# x129: DECODE QUARANTINE REPORT — the ingest-reliability loop: a feed
+# where every 10th video is deliberately truncated runs through
+# decode_video_stats(skip_corrupt=True), corrupt payloads isolate into
+# the error column instead of killing the stage, and the report rolls
+# up good/bad counts and the decoded pixel volume. The oracle knows
+# exactly which doc_ids were corrupted (closed form), so hash parity
+# proves per-row isolation — no healthy row lost, no corrupt row
+# silently decoded. Same philosophy as x101's try_parse_json, applied
+# to the binary decode path.
+@query(
+    "x129_decode_quarantine_report",
+    oracle="""
+    WITH body AS (
+      SELECT doc_id, rpad(substr(text, 1, 96), 96, '.') AS s
+      FROM documents),
+    per_doc AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 10 = 0 THEN NULL
+             ELSE 192 * list_sum(list_transform(range(1, 97),
+                  i -> ascii(substr(s, i, 1)))) END AS pixel_sum,
+        CAST(doc_id % 10 = 0 AS BOOLEAN) AS corrupt
+      FROM body)
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_videos,
+      CAST(COUNT(*) FILTER (WHERE NOT corrupt) AS BIGINT) AS n_decoded,
+      CAST(COUNT(*) FILTER (WHERE corrupt) AS BIGINT) AS n_quarantined,
+      CAST(SUM(pixel_sum) AS BIGINT) AS total_pixel_sum
+    FROM per_doc
+    """,
+)
+def x129_decode_quarantine_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from video_streamer_spark.operators import video
+
+    docs = table(spark, sf_dir, "documents")
+    vids = video.encode_mjpeg_payloads(
+        docs, n_frames=3, blocks_w=8, blocks_h=4
+    )
+    # deterministic corruption: every 10th payload truncated to 40
+    # bytes (a torn write — the RIFF header survives, the movi list
+    # does not)
+    feed = vids.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.substring(F.col("payload"), 1, 40),
+        )
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    stats = video.decode_video_stats(feed, skip_corrupt=True)
+    return stats.agg(
+        F.count("*").cast("bigint").alias("n_videos"),
+        F.count_if(F.col("error").isNull()).cast("bigint").alias("n_decoded"),
+        F.count_if(F.col("error").isNotNull())
+        .cast("bigint")
+        .alias("n_quarantined"),
+        F.sum("pixel_sum").cast("bigint").alias("total_pixel_sum"),
+    )
