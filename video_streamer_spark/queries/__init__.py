@@ -122,6 +122,9 @@ _SAMPLE_FIRST = [
     "x127_map_functions",
     "x128_union_by_name",
     "x129_decode_quarantine_report",
+    "x130_time_range_frame",
+    "x131_array_custom_sort",
+    "x132_pii_scrub",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

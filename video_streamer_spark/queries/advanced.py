@@ -1568,3 +1568,157 @@ def x129_decode_quarantine_report(
         .alias("n_quarantined"),
         F.sum("pixel_sum").cast("bigint").alias("total_pixel_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# x130: TIME-INTERVAL RANGE FRAMES — trailing one-hour sums per user
+# with RANGE BETWEEN INTERVAL ... PRECEDING (the event-time frame; x40
+# covers numeric RANGE). Peers (equal timestamps) share frames by
+# RANGE semantics on both engines; sums are DECIMAL-exact. One shuffle
+# on user_id; frame evaluation is sort-local with a sliding two-pointer
+# — linear per partition at any scale.
+@query(
+    "x130_time_range_frame",
+    oracle="""
+    SELECT event_id,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        AS DECIMAL(18,6)) AS hour_sum
+    FROM events WHERE user_id < 10
+    ORDER BY event_id
+    """,
+)
+def x130_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    ev.createOrReplaceTempView("x130_events")
+    return spark.sql("""
+    SELECT event_id,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        AS DECIMAL(18,6)) AS hour_sum
+    FROM x130_events
+    ORDER BY event_id
+    """)
+
+
+# --------------------------------------------------------------------------
+# x131: CUSTOM-COMPARATOR ARRAY SORT — array_sort with a lambda
+# comparator (length DESC, then lexicographic ASC), the Spark-side
+# spelling of "sort by computed key"; the ORACLE reaches the same
+# order through an independent mechanism — DuckDB sorts (-(length), w)
+# key structs and projects back — so agreement pins the comparator
+# semantics, not its implementation. Row-local codegen; no shuffle
+# except output order.
+@query(
+    "x131_array_custom_sort",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+        list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS t
+      FROM documents),
+    sorted_t AS (
+      SELECT doc_id,
+        list_transform(
+          list_sort(list_transform(t,
+            w -> struct_pack(neg_len := -length(w), w := w))),
+          s -> s.w) AS s
+      FROM toks)
+    SELECT doc_id,
+      array_to_string(s[1:5], '|') AS top5_longest
+    FROM sorted_t ORDER BY doc_id
+    """,
+)
+def x131_array_custom_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.text import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    cmp_sql = (
+        "array_sort(array_distinct({t}), (l, r) -> CASE"
+        " WHEN length(l) > length(r) THEN -1"
+        " WHEN length(l) < length(r) THEN 1"
+        " WHEN l < r THEN -1 WHEN l > r THEN 1 ELSE 0 END)"
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.slice(
+                F.expr(
+                    cmp_sql.format(t="filter(split(text, ' '), x -> x != '')")
+                ),
+                1,
+                5,
+            ),
+            "|",
+        ).alias("top5_longest"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x132: PII SCRUB PASS — the redaction step every public-corpus
+# curation pipeline runs before training. Synthetic emails are planted
+# deterministically (every 7th doc gets "contact-<id>@example.com"
+# appended), then scrubbed with a conservative character-class regex
+# (no alternation/lookaround, so Java regex and RE2 agree exactly);
+# the report counts redactions and byte deltas. The oracle plants the
+# same emails and computes the scrub in closed form. Scan-local string
+# work — scales with bytes, no shuffle besides the 1-row report.
+@query(
+    "x132_pii_scrub",
+    oracle="""
+    WITH feed AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0
+             THEN text || ' contact-' || CAST(doc_id AS VARCHAR)
+                  || '@example.com'
+             ELSE text END AS t,
+        CAST(doc_id % 7 = 0 AS BOOLEAN) AS planted
+      FROM documents)
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) FILTER (WHERE planted) AS BIGINT) AS n_redacted,
+      CAST(SUM(CASE WHEN planted
+           THEN length(t) - length('contact-')
+                - length(CAST(doc_id AS VARCHAR)) - length('@example.com')
+                + length('[EMAIL]')
+           ELSE length(t) END) AS BIGINT) AS total_scrubbed_chars
+    FROM feed
+    """,
+)
+def x132_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    feed = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact-"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    scrubbed = feed.select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("t"), r"[a-z0-9.\-]+@[a-z0-9.\-]+", "[EMAIL]"
+        ).alias("clean"),
+        (
+            F.length("t")
+            - F.length(
+                F.regexp_replace(F.col("t"), r"[a-z0-9.\-]+@[a-z0-9.\-]+", "")
+            )
+        ).alias("removed_chars"),
+    )
+    return scrubbed.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_if(F.col("removed_chars") > 0)
+        .cast("bigint")
+        .alias("n_redacted"),
+        F.sum(F.length("clean")).cast("bigint").alias("total_scrubbed_chars"),
+    )
