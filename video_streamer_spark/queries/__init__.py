@@ -125,6 +125,8 @@ _SAMPLE_FIRST = [
     "x130_time_range_frame",
     "x131_array_custom_sort",
     "x132_pii_scrub",
+    "x133_rfm_segmentation",
+    "x134_conversion_latency",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -1722,3 +1722,129 @@ def x132_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_redacted"),
         F.sum(F.length("clean")).cast("bigint").alias("total_scrubbed_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# x133: RFM SEGMENTATION — the classic customer scoring: recency
+# (latest order date), frequency (order count), monetary (cents sum)
+# per customer, each quartiled with ntile(4) under a DETERMINISTIC
+# total order (metric, then custkey — ties cannot flip buckets), then
+# a 3-digit segment code rolled up to segment sizes. Three window
+# passes over customer-grain rows (tiny relative to the order scan)
+# + one aggregate. The one data-sized operation is the per-customer
+# rollup — map-side combinable.
+@query(
+    "x133_rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS c,
+        MAX(o_orderdate) AS last_order,
+        CAST(COUNT(*) AS BIGINT) AS freq,
+        CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT c,
+        ntile(4) OVER (ORDER BY last_order, c) AS r,
+        ntile(4) OVER (ORDER BY freq, c) AS f,
+        ntile(4) OVER (ORDER BY cents, c) AS m
+      FROM per_cust)
+    SELECT CAST(r * 100 + f * 10 + m AS INT) AS segment,
+      CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY segment ORDER BY segment
+    """,
+)
+def x133_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    scored = per_cust.select(
+        F.ntile(4).over(Window.orderBy("last_order", "c")).alias("r"),
+        F.ntile(4).over(Window.orderBy("freq", "c")).alias("f"),
+        F.ntile(4).over(Window.orderBy("cents", "c")).alias("m"),
+    )
+    return (
+        scored.select(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+            .cast("int")
+            .alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# x134: CONVERSION LATENCY — for every purchase, the time since the
+# user's most recent PRIOR view (same-table as-of via a running max
+# over the event-time order — one window, no join), then exact latency
+# percentiles per outcome. The funnel-timing metric every growth team
+# reports; x28's as-of join handles the two-table form, this is the
+# self-referential form. One shuffle on user_id + a tiny quantile agg.
+@query(
+    "x134_conversion_latency",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+        MAX(CASE WHEN event_type = 'view' THEN ts END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS last_view
+      FROM events),
+    lat AS (
+      SELECT CAST(epoch_us(ts) - epoch_us(last_view) AS BIGINT) AS us
+      FROM seq
+      WHERE event_type = 'purchase' AND last_view IS NOT NULL)
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_conversions,
+      CAST(ROUND(CAST(quantile_cont(us, 0.5) AS DECIMAL(38,9)), 0)
+           AS BIGINT) AS p50_us,
+      CAST(ROUND(CAST(quantile_cont(us, 0.9) AS DECIMAL(38,9)), 0)
+           AS BIGINT) AS p90_us,
+      CAST(MAX(us) AS BIGINT) AS max_us
+    FROM lat
+    """,
+)
+def x134_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).over(w).alias("last_view"),
+    )
+    lat = seq.where(
+        (F.col("event_type") == "purchase") & F.col("last_view").isNotNull()
+    ).select(
+        (
+            F.unix_micros("ts") - F.unix_micros("last_view")
+        ).cast("bigint").alias("us")
+    )
+    q = F.percentile("us", F.array(F.lit(0.5), F.lit(0.9)))
+    return lat.agg(
+        F.count("*").cast("bigint").alias("n_conversions"),
+        q.alias("qs"),
+        F.max("us").cast("bigint").alias("max_us"),
+    ).select(
+        "n_conversions",
+        F.round(F.col("qs")[0].cast("decimal(38,9)"), 0)
+        .cast("bigint")
+        .alias("p50_us"),
+        F.round(F.col("qs")[1].cast("decimal(38,9)"), 0)
+        .cast("bigint")
+        .alias("p90_us"),
+        "max_us",
+    )
