@@ -127,6 +127,7 @@ _SAMPLE_FIRST = [
     "x132_pii_scrub",
     "x133_rfm_segmentation",
     "x134_conversion_latency",
+    "x135_salted_aggregation",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -1848,3 +1848,45 @@ def x134_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_us"),
         "max_us",
     )
+
+
+# --------------------------------------------------------------------------
+# x135: SALTED TWO-STAGE AGGREGATION — the hot-key defense made
+# explicit: stage 1 aggregates on (key, salt) so a single heavy key
+# spreads over 16 reducers, stage 2 combines the partials per key.
+# The oracle is the PLAIN single-stage aggregate, so hash parity
+# proves salting is semantics-free (the algebraic requirement: the
+# aggregate must decompose — count/sum do, and the decimal sums keep
+# the recombination exact). bench_skew.py measures the wall-clock win
+# on planted skew; this query pins the correctness contract in the
+# oracle suite. Events' 5 event types ARE a worst-case key space: every
+# key is heavy.
+@query(
+    "x135_salted_aggregation",
+    oracle="""
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def x135_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import dec
+
+    ev = table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").cast("bigint").alias("pn"),
+            F.sum(dec("value")).alias("pt"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_events"),
+            F.sum("pt").cast("decimal(28,6)").alias("total"),
+        )
+        .orderBy("event_type")
+    )
