@@ -128,6 +128,7 @@ _SAMPLE_FIRST = [
     "x133_rfm_segmentation",
     "x134_conversion_latency",
     "x135_salted_aggregation",
+    "x136_join_cardinality_estimate",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -1890,3 +1890,72 @@ def x135_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# x136: JOIN-CARDINALITY ESTIMATION by hash sampling — the planner-
+# style estimate a warehouse computes before committing to a join
+# strategy: sample the fact side at 1/8 with the deterministic id-hash
+# predicate (x46's operator — pushes to the scan, shuffles nothing),
+# join the sample, scale counts by 8. The estimate column sits next to
+# the exact count so the relative error is part of the verified
+# result. At 100 TB only the sampled plan runs — the exact side here
+# exists because the oracle can afford it at test scale.
+@query(
+    "x136_join_cardinality_estimate",
+    oracle="""
+    WITH sampled AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 10000 < 1250),
+    est AS (
+      SELECT n.n_name, CAST(COUNT(*) * 8 AS BIGINT) AS est_orders
+      FROM sampled s
+      JOIN customer c ON s.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name),
+    exact AS (
+      SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS exact_orders
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name)
+    SELECT exact.n_name,
+      COALESCE(est.est_orders, 0) AS est_orders,
+      exact.exact_orders
+    FROM exact LEFT JOIN est ON exact.n_name = est.n_name
+    ORDER BY exact.n_name
+    """,
+)
+def x136_join_cardinality_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from video_streamer_spark.operators import sampling
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    sampled = sampling.hash_sample(orders, rate=0.125, id_col="o_orderkey")
+    est = (
+        sampled.join(cust, sampled["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg((F.count("*") * 8).cast("bigint").alias("est_orders"))
+    )
+    exact = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count("*").cast("bigint").alias("exact_orders"))
+    )
+    return (
+        exact.join(est, "n_name", "left")
+        .select(
+            "n_name",
+            F.coalesce("est_orders", F.lit(0)).cast("bigint").alias(
+                "est_orders"
+            ),
+            "exact_orders",
+        )
+        .orderBy("n_name")
+    )
