@@ -129,6 +129,8 @@ _SAMPLE_FIRST = [
     "x134_conversion_latency",
     "x135_salted_aggregation",
     "x136_join_cardinality_estimate",
+    "x137_cumulative_distinct_users",
+    "x138_weighted_median",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

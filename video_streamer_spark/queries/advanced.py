@@ -1959,3 +1959,113 @@ def x136_join_cardinality_estimate(
         )
         .orderBy("n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# x137: CUMULATIVE DISTINCT COUNT — distinct users seen up to each day
+# (the "cumulative reach" curve; COUNT(DISTINCT) OVER a running frame
+# is unsupported in both engines, so it must be restructured). The
+# engine computes it the scalable way: each user contributes ONLY at
+# their first-seen day (one groupBy min), daily first-timer counts
+# then cumulative-sum — two small shuffles, no set materialization.
+# The ORACLE brute-forces the definition (correlated COUNT DISTINCT
+# per day), an independent formulation. Day identity is a date string.
+@query(
+    "x137_cumulative_distinct_users",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day FROM events)
+    SELECT day,
+      (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+       WHERE CAST(CAST(ts AS DATE) AS VARCHAR) <= day) AS reach
+    FROM days ORDER BY day
+    """,
+)
+def x137_cumulative_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily_new = first_seen.groupBy(
+        F.col("first_day").cast("string").alias("day")
+    ).agg(F.count("*").alias("n_new"))
+    # the spine must be every ACTIVE day (a day with no first-timers
+    # still appears, carrying the running total)
+    days = ev.select(
+        F.col("ts").cast("date").cast("string").alias("day")
+    ).distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(daily_new, "day", "left")
+        .select("day", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .select("day", F.sum("n_new").over(w).cast("bigint").alias("reach"))
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# x138: WEIGHTED MEDIAN per group — the 50% point of the QUANTITY-
+# weighted price distribution per return flag (what "median price paid"
+# actually means when rows carry volumes). No engine has a weighted
+# median built-in; both sides compute the definition — sort by value,
+# take the first row where the running weight reaches half the total —
+# but through different machinery (Spark: one window + one argmin-
+# struct aggregate; DuckDB: a correlated threshold subquery). Integer
+# cents and integer weights keep the running sums exact. One shuffle
+# per group for the sort — the same cost envelope as exact percentiles
+# (x87).
+@query(
+    "x138_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem),
+    tot AS (SELECT flag, CAST(SUM(qty) AS BIGINT) AS total FROM w
+            GROUP BY flag),
+    run AS (
+      SELECT flag, cents, qty,
+        SUM(qty) OVER (PARTITION BY flag ORDER BY cents, qty
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS cum
+      FROM w)
+    SELECT r.flag,
+      CAST(MIN(r.cents) AS BIGINT) AS weighted_median_cents,
+      t.total AS total_weight
+    FROM run r JOIN tot t ON r.flag = t.flag
+    WHERE r.cum * 2 >= t.total
+    GROUP BY r.flag, t.total
+    ORDER BY r.flag
+    """,
+)
+def x138_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    tot = w.groupBy("flag").agg(F.sum("qty").cast("bigint").alias("total"))
+    win = (
+        Window.partitionBy("flag")
+        .orderBy("cents", "qty")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = w.select("flag", "cents", "qty", F.sum("qty").over(win).alias("cum"))
+    return (
+        run.join(F.broadcast(tot), "flag")
+        .where(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("flag", "total")
+        .agg(F.min("cents").cast("bigint").alias("weighted_median_cents"))
+        .select(
+            "flag",
+            "weighted_median_cents",
+            F.col("total").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
