@@ -131,6 +131,8 @@ _SAMPLE_FIRST = [
     "x136_join_cardinality_estimate",
     "x137_cumulative_distinct_users",
     "x138_weighted_median",
+    "x139_topn_plus_other",
+    "x140_source_novelty",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -2069,3 +2069,114 @@ def x138_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# --------------------------------------------------------------------------
+# x139: TOP-N + OTHER ROLLUP — the reporting staple: per region, the
+# top-3 part types by revenue keep their identity, everything else
+# collapses into an 'OTHER' bucket whose total still reconciles to the
+# grand total (the invariant dashboards depend on). One aggregate to
+# part-type grain, one ranking window over that (small) grain, one
+# re-aggregate — the fact scan is touched once.
+@query(
+    "x139_topn_plus_other",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name, p.p_type,
+        CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, p.p_type),
+    ranked AS (
+      SELECT r_name, p_type, cents,
+        ROW_NUMBER() OVER (PARTITION BY r_name
+                           ORDER BY cents DESC, p_type) AS rn
+      FROM rev)
+    SELECT r_name,
+      CASE WHEN rn <= 3 THEN p_type ELSE 'OTHER' END AS bucket,
+      CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+      CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM ranked
+    GROUP BY r_name, CASE WHEN rn <= 3 THEN p_type ELSE 'OTHER' END
+    ORDER BY r_name, revenue_cents DESC, bucket
+    """,
+)
+def x139_topn_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    rev = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "p_type")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("r_name").orderBy(F.col("cents").desc(), "p_type")
+    ranked = rev.withColumn("rn", F.row_number().over(w))
+    bucket = F.when(F.col("rn") <= 3, F.col("p_type")).otherwise(
+        F.lit("OTHER")
+    )
+    return (
+        ranked.groupBy("r_name", bucket.alias("bucket"))
+        .agg(
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.count("*").cast("bigint").alias("n_types"),
+        )
+        .orderBy("r_name", F.col("revenue_cents").desc(), "bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# x140: SOURCE NOVELTY ATTRIBUTION — how much of each ingest source is
+# actually NEW: a doc is novel iff it is the corpus-first copy of its
+# text (first = lowest doc_id, the dedup keeper rule from x01). The
+# per-source novelty rate is the metric that prices data sources in a
+# curation pipeline (a source that only re-crawls what you have is
+# worthless). One hash-groupBy for first-copy ids + one broadcast-able
+# semi-join back — exactly the exact-dedup cost envelope.
+@query(
+    "x140_source_novelty",
+    oracle="""
+    WITH firsts AS (
+      SELECT MIN(doc_id) AS keeper FROM documents GROUP BY md5(text))
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) FILTER (WHERE doc_id IN (SELECT keeper FROM firsts))
+           AS BIGINT) AS n_novel,
+      CAST(COUNT(*) FILTER (WHERE doc_id NOT IN
+           (SELECT keeper FROM firsts)) AS BIGINT) AS n_duplicate
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+)
+def x140_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    firsts = docs.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("keeper")
+    ).select("keeper")
+    flagged = docs.join(
+        firsts, docs["doc_id"] == firsts["keeper"], "left"
+    ).select("source", F.col("keeper").isNotNull().alias("novel"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_if("novel").cast("bigint").alias("n_novel"),
+            F.count_if(~F.col("novel")).cast("bigint").alias("n_duplicate"),
+        )
+        .orderBy("source")
+    )
