@@ -133,6 +133,7 @@ _SAMPLE_FIRST = [
     "x138_weighted_median",
     "x139_topn_plus_other",
     "x140_source_novelty",
+    "x141_share_of_parent",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -2180,3 +2180,62 @@ def x140_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# x141: SHARE-OF-PARENT — each nation's revenue as a fraction of its
+# region (the % -of-parent column every hierarchy report carries).
+# One aggregate at child grain, the parent totals as a WINDOW SUM over
+# the child aggregate (no second scan, no self-join), exact cents for
+# the totals and ROUND4 for the ratio. The window runs over 25 rows —
+# free at any input scale.
+@query(
+    "x141_share_of_parent",
+    oracle=f"""
+    WITH nat AS (
+      SELECT r.r_name, n.n_name,
+        CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name)
+    SELECT r_name, n_name, cents,
+      {_R4.format(
+          "CAST(cents AS DOUBLE)"
+          " / CAST(SUM(cents) OVER (PARTITION BY r_name) AS DOUBLE)"
+      )} AS share
+    FROM nat ORDER BY r_name, n_name
+    """,
+)
+def x141_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    nat = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(
+            F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return nat.select(
+        "r_name",
+        "n_name",
+        "cents",
+        round4(
+            F.col("cents").cast("double")
+            / F.sum("cents").over(w).cast("double")
+        ).alias("share"),
+    ).orderBy("r_name", "n_name")
