@@ -614,3 +614,92 @@ def pagerank_iterations(
             )
         )
     return ranks
+
+
+# --------------------------------------------------------------------------
+# n-gram decontamination (benchmark leakage removal)
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    is_eval: Column,
+    shingle_k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag training documents sharing any ``shingle_k``-token n-gram with
+    the evaluation set — the standard benchmark-decontamination pass a
+    training corpus runs before a model ever sees it (the reference has
+    no analog; this is the LLM-pipeline extension of exact dedup).
+
+    ``is_eval`` is a boolean Column partitioning ``docs`` into eval
+    (benchmark) and train rows. Returns the TRAIN rows with a boolean
+    ``contaminated`` column.
+
+    100 TB design: eval sets are small by construction (thousands of
+    docs), so their distinct n-gram hashes broadcast; the train side then
+    decides membership in a single scan — one shuffle-free broadcast
+    semi-join probe, no train-side n-gram materialization survives the
+    stage. Hashes are md5 strings so the broadcast rows stay 32 bytes
+    regardless of shingle length.
+    """
+    tagged = docs.withColumn("__is_eval", is_eval)
+    # persist: the gram explode feeds both the eval-distinct build side
+    # and the train probe side; without it the heaviest stage (tokenize +
+    # explode + md5 over the full corpus) runs twice
+    grams = scatter(tagged).select(
+        id_col,
+        "__is_eval",
+        F.explode(shingles_col(text_col, shingle_k)).alias("gram"),
+    ).select(id_col, "__is_eval", F.md5("gram").alias("gh")).persist()
+    eval_grams = (
+        grams.where(F.col("__is_eval")).select("gh").distinct()
+    )
+    train = tagged.where(~F.col("__is_eval")).drop("__is_eval")
+    hits = (
+        grams.where(~F.col("__is_eval"))
+        .join(F.broadcast(eval_grams), "gh", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        train.join(hits, id_col, "left")
+        .withColumn("contaminated", F.coalesce(F.col("__hit"), F.lit(False)))
+        .drop("__hit")
+    )
+
+
+# --------------------------------------------------------------------------
+# canonical selection (quality-aware dedup keeper rule)
+
+
+def canonical_selection(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Exact-dup clusters keep their BEST copy, not their first: within
+    each md5(text) group the keeper is the row with the highest
+    ``quality_col`` (ties to the lowest id — fully deterministic). The
+    upgrade over ``exact_dedup``'s min-id rule matters when copies differ
+    in metadata quality (truncated mirrors, stripped headers).
+
+    One hash-shuffle on the 32-byte text digest — the exact-dedup cost
+    envelope; the rank window runs inside each (small) dup group.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(text_col)).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "group_size",
+            F.count("*").over(Window.partitionBy(F.md5(text_col))).cast("bigint"),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -115,3 +115,83 @@ def hash_split(
         )
     expr = expr.otherwise(F.lit(items[-1][0]))
     return df.withColumn(split_col, expr)
+
+
+def mixture_rebalance(
+    docs: DataFrame,
+    group_col: str = "source",
+    tokens: F.Column | None = None,
+    budget_frac: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebalance a corpus toward a UNIFORM per-``group_col`` token
+    mixture under a global token budget (``budget_frac`` of the corpus):
+    each group gets acceptance rate min(1, target/group_tokens) where
+    target = floor(budget_frac·total) ÷ n_groups, then rows are kept by
+    the deterministic md5-bucket predicate — the static form of the
+    domain-reweighting step (DoReMi-style mixtures resolve to exactly
+    such per-domain rates before sampling).
+
+    Returns one row per group: n_docs, tokens_total, accept_rate,
+    n_kept, tokens_kept. Two scans of ``docs`` (one to price groups, one
+    to apply rates); at scale the rate table is dimension-sized and
+    broadcasts, and the keep predicate stays row-local so the second
+    scan shuffles only the final per-group aggregate.
+    """
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators.dedup import tokens_col
+
+    tok = tokens if tokens is not None else F.size(tokens_col("text"))
+    base = docs.select(
+        id_col, F.col(group_col).alias("grp"), tok.cast("bigint").alias("toks")
+    )
+    totals = base.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("tokens_total"),
+    )
+    w = Window.partitionBy()
+    priced = totals.select(
+        "grp",
+        "n_docs",
+        "tokens_total",
+        F.floor(
+            F.floor(
+                F.sum("tokens_total").over(w).cast("double")
+                * F.lit(float(budget_frac))
+            )
+            / F.count("*").over(w)
+        )
+        .cast("bigint")
+        .alias("target"),
+    ).select(
+        "grp",
+        "n_docs",
+        "tokens_total",
+        F.least(
+            F.lit(1.0),
+            F.col("target").cast("double") / F.col("tokens_total").cast("double"),
+        ).alias("rate"),
+    )
+    cutoff = F.floor(F.col("rate") * F.lit(float(SAMPLE_BUCKETS))).cast("bigint")
+    kept = (
+        base.join(F.broadcast(priced.select("grp", "rate")), "grp")
+        .where(_hash_bucket(id_col) < cutoff)
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("toks").cast("bigint").alias("tokens_kept"),
+        )
+    )
+    return (
+        priced.join(kept, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "tokens_total",
+            round4(F.col("rate")).alias("accept_rate"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(F.col("tokens_kept"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+    )

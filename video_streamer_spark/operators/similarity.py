@@ -695,3 +695,73 @@ def embedding_near_pairs_lsh(
         .where(F.col("sim") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --------------------------------------------------------------------------
+# cluster-blocked semantic dedup (SemDeDup-shaped)
+
+
+def semantic_dedup_by_cluster(
+    embeddings: DataFrame,
+    cluster_col: str = "label",
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster semantic dedup report: within each cluster, a vector
+    is DROPPED iff some lower-id cluster-mate sits at cosine ≥
+    ``threshold`` (SemDeDup, Abbas et al. 2023 — pairwise dedup inside
+    k-means cells instead of over the full corpus). Returns one row per
+    cluster: n_vecs, n_dropped, n_kept.
+
+    The cluster column IS the blocking: the self-join shuffles both
+    sides on ``cluster_col`` once and compares only within cells, so
+    cost is Σ|cell|² instead of the corpus-global |N|² — the property
+    that makes SemDeDup run at dataset scale. Cosines fold in doubles
+    JVM-side (same expression both engines, bit-identical — the x05
+    contract).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    e = embeddings.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__id"),
+        v.alias("__v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("__n"),
+    )
+    a = e.select(
+        F.col("__c"), F.col("__id").alias("__ida"),
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+    )
+    b = e.select(
+        F.col("__c"), F.col("__id").alias("__idb"),
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        a.join(b, "__c")
+        .where(F.col("__ida") < F.col("__idb"))
+        .where(dot / (F.col("__na") * F.col("__nb")) >= threshold)
+        .select("__c", F.col("__idb").alias("__id"))
+        .distinct()
+    )
+    return (
+        e.select("__c", "__id")
+        .join(dropped.withColumn("__d", F.lit(True)), ["__c", "__id"], "left")
+        .groupBy("__c")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.count("__d").cast("bigint").alias("n_dropped"),
+            (F.count("*") - F.count("__d")).cast("bigint").alias("n_kept"),
+        )
+        .select(F.col("__c").alias(cluster_col), "n_vecs", "n_dropped", "n_kept")
+    )

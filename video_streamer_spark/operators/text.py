@@ -249,3 +249,70 @@ def chunk_documents(
         F.size(chunk).cast("int").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# intra-document repetition signals (Gopher/MassiveText-style filters)
+
+
+def repetition_signals(docs: DataFrame, top2_max_frac: float = 0.2) -> DataFrame:
+    """Per-document repetition metrics from the MassiveText quality
+    filters (Gopher, Rae et al. 2021, Table A1), token-based:
+
+    - ``top2_frac``: fraction of tokens covered by the single most
+      frequent word 2-gram (2·count/n_tokens);
+    - ``dup3_frac``: fraction of 3-gram positions whose 3-gram occurs
+      more than once in the document;
+    - ``keep``: top2_frac ≤ ``top2_max_frac`` (the Gopher cut).
+
+    Plan: one explode per gram size, counts grouped on (doc_id, gram) —
+    partial map-side combine applies, the shuffle key spreads with the
+    corpus, and no state is per-corpus (each doc's metrics only see its
+    own grams), so the operator scales embarrassingly with documents.
+    """
+    from video_streamer_spark.catalog import scatter
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators.dedup import shingles_col, tokens_col
+
+    base = scatter(docs).select(
+        "doc_id", F.size(tokens_col("text")).alias("n_tokens"), "text"
+    )
+    g2 = (
+        base.select("doc_id", F.explode(shingles_col("text", 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top2_count"))
+    )
+    g3 = (
+        base.select("doc_id", F.explode(shingles_col("text", 3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(0)).alias("dup3"),
+            F.sum("n").alias("tot3"),
+        )
+    )
+    top2_frac = (
+        F.lit(2.0) * F.col("top2_count").cast("double")
+        / F.col("n_tokens").cast("double")
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(g2, "doc_id", "left")
+        .join(g3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("top2_count"), F.lit(0)).cast("bigint").alias("top2_count"),
+            round4(F.coalesce(top2_frac, F.lit(0.0))).alias("top2_frac"),
+            round4(
+                F.coalesce(
+                    F.col("dup3").cast("double") / F.col("tot3").cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("dup3_frac"),
+            (F.coalesce(top2_frac, F.lit(0.0)) <= top2_max_frac).alias("keep"),
+        )
+    )

@@ -40,6 +40,7 @@ def _load_all() -> None:
     from video_streamer_spark.queries import joins  # noqa: F401
     from video_streamer_spark.queries import analytics  # noqa: F401
     from video_streamer_spark.queries import advanced  # noqa: F401
+    from video_streamer_spark.queries import corpus  # noqa: F401
 
 
 # The driver hash-checks the FIRST 50 registered queries per round. Round-5
@@ -134,6 +135,11 @@ _SAMPLE_FIRST = [
     "x139_topn_plus_other",
     "x140_source_novelty",
     "x141_share_of_parent",
+    "x142_ngram_decontamination",
+    "x143_repetition_filter",
+    "x144_mixture_rebalance",
+    "x145_semantic_dedup",
+    "x146_canonical_selection",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",
