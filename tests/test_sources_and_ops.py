@@ -2310,3 +2310,114 @@ def test_decode_video_stats_quarantines_corrupt_payloads(spark):
 
     with pytest.raises(Exception):
         decode_video_stats(df).collect()
+
+
+# --------------------------------------------------------------------------
+# round-5b corpus-curation operators (x142-x146 backing functions)
+
+
+def test_ngram_decontaminate_edges(spark):
+    from pyspark.sql import functions as F
+
+    from video_streamer_spark.operators.dedup import ngram_decontaminate
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),   # eval
+        (1, "alpha beta gamma delta epsilon"),   # train, identical -> hit
+        (2, "zeta eta theta iota kappa"),        # train, disjoint -> clean
+        (3, "alpha beta gamma"),                 # train, < k tokens -> clean
+        (4, "x alpha beta gamma delta y"),       # train, shares a 4-gram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in ngram_decontaminate(
+            docs, is_eval=F.col("doc_id") == 0, shingle_k=4
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: False, 4: True}
+
+    # empty eval set: every train row is clean
+    clean = ngram_decontaminate(
+        docs, is_eval=F.lit(False), shingle_k=4
+    ).collect()
+    assert len(clean) == 5 and not any(r["contaminated"] for r in clean)
+
+
+def test_canonical_selection_tie_breaks(spark):
+    from video_streamer_spark.operators.dedup import canonical_selection
+
+    rows = [
+        (10, "same text", 9),
+        (11, "same text", 12),   # longest -> keeper
+        (12, "same text", 12),   # same length, higher id -> loses
+        (20, "unique", 6),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = {r["doc_id"]: r for r in canonical_selection(docs).collect()}
+    assert set(out) == {11, 20}
+    assert out[11]["group_size"] == 3
+    assert out[20]["group_size"] == 1
+
+
+def test_mixture_rebalance_rates(spark):
+    from pyspark.sql import functions as F
+
+    from video_streamer_spark.operators.sampling import mixture_rebalance
+
+    # 'big' holds 9x the tokens of 'small'; under a 50% budget with
+    # uniform targets, 'small' is below target (rate 1.0, keeps all),
+    # 'big' is capped.
+    rows = [(i, "big" if i < 90 else "small", "w " * 10) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in mixture_rebalance(docs, budget_frac=0.5).collect()}
+    assert out["small"]["accept_rate"] == 1.0
+    assert out["small"]["n_kept"] == out["small"]["n_docs"]
+    assert 0.0 < out["big"]["accept_rate"] < 1.0
+    assert out["big"]["n_kept"] < out["big"]["n_docs"]
+    # budget respected in expectation: big's target is ~1/2 of half the
+    # corpus; the hash sample keeps within a loose band of it
+    assert out["big"]["tokens_kept"] <= out["big"]["tokens_total"]
+
+
+def test_repetition_signals_crafted(spark):
+    from video_streamer_spark.operators.text import repetition_signals
+
+    rows = [
+        (1, "a a a a"),                    # top 2-gram 'a a' x3, all 3-grams dup
+        (2, "a b c d e f g h i j k"),      # no repetition, long enough that
+                                           # 2/n_tokens clears the 0.2 cut
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert out[1]["top2_count"] == 3
+    assert out[1]["top2_frac"] == 1.5  # 2*3/4
+    assert out[1]["dup3_frac"] == 1.0
+    assert not out[1]["keep"]
+    assert out[2]["top2_count"] == 1
+    assert out[2]["dup3_frac"] == 0.0
+    assert out[2]["keep"]
+
+
+def test_semantic_dedup_by_cluster_blocks(spark):
+    from video_streamer_spark.operators.similarity import (
+        semantic_dedup_by_cluster,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),   # identical to 1, same cluster -> dropped
+        (3, [0.0, 1.0], 0),   # orthogonal -> kept
+        (4, [1.0, 0.0], 1),   # identical to 1 but OTHER cluster -> kept
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        r["label"]: r
+        for r in semantic_dedup_by_cluster(
+            emb, cluster_col="label", threshold=0.95
+        ).collect()
+    }
+    assert out[0]["n_vecs"] == 3 and out[0]["n_dropped"] == 1
+    assert out[1]["n_vecs"] == 1 and out[1]["n_dropped"] == 0
