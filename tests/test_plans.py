@@ -233,3 +233,30 @@ def test_dynamic_partition_pruning_on_partitioned_table(spark, tmp_path):
     )
     text2 = plan_report(fact.join(dim2, "lang")).text
     assert "dynamicpruning" in text2.lower(), text2
+
+
+def test_x142_eval_grams_broadcast_probe(spark):
+    """The decontamination probe must BROADCAST the eval n-gram hashes
+    (eval sets are small by construction) — a sort-merge join here means
+    the full train-side n-gram explosion gets shuffled, which at 100 TB
+    is the whole corpus × shingle_k in flight."""
+    r = plan_report(QUERIES["x142_ngram_decontamination"](spark, SF_ORACLE))
+    assert r.n_sortmerge_joins == 0, r.text
+    assert r.n_broadcast_joins >= 1, r.text
+
+
+def test_x145_semantic_dedup_joins_on_cluster_key(spark):
+    """SemDeDup's pair compare must ride the cluster equi-join (cost
+    Σ|cell|²) — a BNL/cartesian means the blocking fell out and the
+    compare went corpus-global |N|²."""
+    r = plan_report(QUERIES["x145_semantic_dedup"](spark, SF_ORACLE))
+    assert r.n_bnl_joins == 0, r.text
+    assert "CartesianProduct" not in r.text, r.text
+
+
+def test_x144_rate_table_broadcasts(spark):
+    """The mixture-rebalance rate table is dimension-sized (one row per
+    source); applying rates to the corpus must broadcast it, never
+    shuffle the doc side for the join."""
+    r = plan_report(QUERIES["x144_mixture_rebalance"](spark, SF_ORACLE))
+    assert r.n_sortmerge_joins == 0, r.text
