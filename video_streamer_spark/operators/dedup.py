@@ -703,3 +703,62 @@ def canonical_selection(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# --------------------------------------------------------------------------
+# cross-source overlap estimation
+
+
+def source_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    shingle_k: int = DEFAULT_SHINGLE,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise shingle-set overlap between ingest sources: for each
+    (source_a < source_b), the intersection size and both directed
+    containments |A∩B|/|A|, |A∩B|/|B| — the numbers that decide which
+    of two feeds is redundant BEFORE paying for full dedup.
+
+    Scale shape: the inverted index groups by shingle, and a shingle
+    contributes at most n_groups rows to the self-join, so pair fan-out
+    is bounded by n_groups² per shingle — group counts are
+    dimension-sized (tens), never corpus-sized. One explode + distinct,
+    one equi-join on the 32-byte shingle hash.
+    """
+    sh = (
+        scatter(docs)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(shingles_col(text_col, shingle_k)).alias("gram"),
+        )
+        .select("grp", F.md5("gram").alias("gh"))
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("grp").agg(F.count("*").alias("set_size"))
+    a = sh.select(F.col("grp").alias("source_a"), "gh")
+    b = sh.select(F.col("grp").alias("source_b"), "gh")
+    inter = (
+        a.join(b, "gh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("grp").alias("source_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("grp").alias("source_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            (F.col("n_inter").cast("double") / F.col("size_a").cast("double")).alias(
+                "containment_a_raw"
+            ),
+            (F.col("n_inter").cast("double") / F.col("size_b").cast("double")).alias(
+                "containment_b_raw"
+            ),
+        )
+    )

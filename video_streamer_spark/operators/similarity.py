@@ -765,3 +765,62 @@ def semantic_dedup_by_cluster(
         )
         .select(F.col("__c").alias(cluster_col), "n_vecs", "n_dropped", "n_kept")
     )
+
+
+# --------------------------------------------------------------------------
+# hard-negative mining (contrastive training pairs)
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    anchor_pred: F.Column,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """For each anchor vector, the k most-similar vectors with a
+    DIFFERENT label — the hard negatives contrastive training mines
+    (high-similarity, wrong-class). Returns (query_id, vec_id, sim,
+    rank).
+
+    Scale shape: anchors are a SAMPLE (the predicate), so the anchor
+    side broadcasts and the corpus is scanned once — the query-sharded
+    form; at full-corpus anchor counts you shard anchors into batches
+    or swap in the IVF/LSH route, same contract. Ranking uses the
+    ROUNDED similarity with an id tiebreak so top-k selection is
+    engine-independent (the brute_topk rule).
+    """
+    anchors = _prepped(
+        embeddings.where(anchor_pred), id_col, vec_col, "q"
+    ).join(
+        embeddings.where(anchor_pred).select(
+            F.col(id_col).alias("q_id"), F.col(label_col).alias("q_label")
+        ),
+        "q_id",
+    )
+    corpus = _prepped(embeddings, id_col, vec_col, "c").join(
+        embeddings.select(
+            F.col(id_col).alias("c_id"), F.col(label_col).alias("c_label")
+        ),
+        "c_id",
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .where(F.col("c_label") != F.col("q_label"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("vec_id"),
+            round4(
+                _dot("c_vec", "q_vec") / (F.col("c_norm") * F.col("q_norm"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )

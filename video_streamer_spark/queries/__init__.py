@@ -57,6 +57,7 @@ def _load_all() -> None:
 _SAMPLE_FIRST = [
     # 1. code changed this round
     "q07_window_running_total",
+    "q15_sessionization",
     "x43_decode_infer_replay",
     "x55_decode_bmp_infer",
     "x74_decode_wav_stats",
@@ -140,6 +141,10 @@ _SAMPLE_FIRST = [
     "x144_mixture_rebalance",
     "x145_semantic_dedup",
     "x146_canonical_selection",
+    "x147_curation_pipeline_v3",
+    "x148_source_overlap",
+    "x149_hard_negatives",
+    "x150_bpe_pair_counts",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

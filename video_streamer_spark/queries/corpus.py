@@ -255,3 +255,323 @@ def x146_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         "group_size",
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x148: CROSS-SOURCE OVERLAP — pairwise shingle containment between
+# ingest sources (|A∩B|/|A| and /|B|): the report that prices a feed's
+# redundancy BEFORE paying for full dedup. Inverted-index join on the
+# shingle; per-shingle fan-out is bounded by n_sources², a dimension
+# count.
+@query(
+    "x148_source_overlap",
+    oracle=f"""
+    WITH {_TOKS},
+    sh AS (
+      SELECT DISTINCT source, shingle FROM (
+        SELECT source,
+          unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(toks) >= 3)),
+    sizes AS (SELECT source, COUNT(*) AS set_size FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, CAST(n_inter AS BIGINT) AS n_inter,
+      {_R4.format(
+          "CAST(n_inter AS DOUBLE) / CAST(sa.set_size AS DOUBLE)"
+      )} AS containment_a,
+      {_R4.format(
+          "CAST(n_inter AS DOUBLE) / CAST(sb.set_size AS DOUBLE)"
+      )} AS containment_b
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def x148_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators.dedup import source_overlap
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        source_overlap(docs, group_col="source", shingle_k=3)
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            round4("containment_a_raw").alias("containment_a"),
+            round4("containment_b_raw").alias("containment_b"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# x149: HARD-NEGATIVE MINING — for each anchor vector (a deterministic
+# sample), the 3 most-similar vectors with a DIFFERENT label: the
+# high-similarity wrong-class pairs contrastive training wants.
+# Anchors broadcast; the corpus is scanned once (query-sharded form).
+@query(
+    "x149_hard_negatives",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        {_R4.format(_sql_cos('c.embedding', 'q.embedding'))} AS sim
+      FROM embeddings q JOIN embeddings c ON c.label <> q.label
+      WHERE q.vec_id % 50 = 0),
+    ranked AS (
+      SELECT query_id, vec_id, sim,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, vec_id) AS rn
+      FROM scored)
+    SELECT query_id, vec_id, sim, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def x149_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.similarity import hard_negative_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return hard_negative_topk(
+        emb, anchor_pred=F.col("vec_id") % 50 == 0, k=3
+    ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# x150: BPE PAIR STATISTICS — corpus-wide adjacent-character-pair
+# frequencies, the statistic byte-pair-encoding maximizes on its first
+# merge (Sennrich et al. 2016). Token-weighted (every occurrence
+# counts), pure codegen explode + hash agg with map-side combine; the
+# top-20 is a TakeOrdered, not a global sort.
+@query(
+    "x150_bpe_pair_counts",
+    oracle=f"""
+    WITH {_TOKS},
+    tok AS (SELECT unnest(toks) AS t FROM toks),
+    pairs AS (
+      SELECT substr(t, CAST(i AS INT), 2) AS pair
+      FROM (SELECT t, unnest(range(1, length(t))) AS i FROM tok)),
+    counted AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+    SELECT pair, CAST(n AS BIGINT) AS n FROM counted
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def x150_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.catalog import scatter
+    from video_streamer_spark.operators.dedup import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("t")
+    pairs = F.when(
+        F.length(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 1),
+            lambda i: F.substring(t, i, 2),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        scatter(docs)
+        .select(F.explode(tokens_col("text")).alias("t"))
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# x147: CURATION PIPELINE v3 — the four corpus passes composed the way a
+# training run ships them, with a per-source FUNNEL report: raw → train
+# split → exact-dedup keepers → repetition filter → benchmark
+# decontamination → mixture-rebalanced acceptance. Every stage is the
+# already-verified operator (x01/x143/x142/x144 rules, identical
+# constants); the per-doc flag frame is built once (persisted — it feeds
+# both the pricing aggregate and the final acceptance scan, the same
+# two-consumer shape x142's gram table has).
+@query(
+    "x147_curation_pipeline_v3",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, md5(text) AS th,
+        len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks_n,
+        (doc_id % 23 <> 0) AS is_train
+      FROM documents),
+    keep1 AS (
+      SELECT doc_id,
+        (ROW_NUMBER() OVER (PARTITION BY th ORDER BY doc_id) = 1) AS is_keeper
+      FROM base),
+    toksd AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+    g2 AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, greatest(len(toks), 1)),
+                              i -> array_to_string(toks[i:i+1], ' '))) AS g
+      FROM toksd WHERE len(toks) >= 2),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS n FROM g2 GROUP BY 1, 2),
+    t2 AS (SELECT doc_id, MAX(n) AS top2_count FROM c2 GROUP BY 1),
+    g4 AS (
+      SELECT doc_id,
+        md5(unnest(list_transform(range(1, greatest(len(toks) - 2, 1)),
+                              i -> array_to_string(toks[i:i+3], ' ')))) AS gh
+      FROM toksd WHERE len(toks) >= 4),
+    ev AS (SELECT DISTINCT gh FROM g4 WHERE doc_id % 23 = 0),
+    hits AS (
+      SELECT DISTINCT doc_id FROM g4
+      WHERE doc_id % 23 <> 0 AND gh IN (SELECT gh FROM ev)),
+    flags AS (
+      SELECT b.doc_id, b.source, b.toks_n, b.is_train, k.is_keeper,
+        (COALESCE(2.0 * t2.top2_count / b.toks_n, 0.0) <= 0.2) AS rep_ok,
+        (b.doc_id IN (SELECT doc_id FROM hits)) AS contaminated
+      FROM base b
+      JOIN keep1 k USING (doc_id)
+      LEFT JOIN t2 USING (doc_id)),
+    flagged AS (
+      SELECT *,
+        (is_train AND is_keeper AND rep_ok AND NOT contaminated) AS clean
+      FROM flags),
+    funnel AS (
+      SELECT source,
+        COUNT(*) AS n_raw,
+        COUNT(*) FILTER (WHERE is_train) AS n_train,
+        COUNT(*) FILTER (WHERE is_train AND is_keeper) AS n_keeper,
+        COUNT(*) FILTER (WHERE is_train AND is_keeper AND rep_ok) AS n_rep_ok,
+        COUNT(*) FILTER (WHERE clean) AS n_clean,
+        SUM(CASE WHEN clean THEN toks_n ELSE 0 END) AS clean_tokens
+      FROM flagged GROUP BY source),
+    priced AS (
+      SELECT *,
+        CASE WHEN clean_tokens > 0 THEN least(1.0,
+          CAST(CAST(floor(
+            floor(CAST(SUM(clean_tokens) OVER () AS DOUBLE) * 0.5)
+            / COUNT(*) OVER ()) AS BIGINT) AS DOUBLE)
+          / CAST(clean_tokens AS DOUBLE)) ELSE 0.0 END AS rate
+      FROM funnel),
+    kept AS (
+      SELECT f.source, COUNT(*) AS n_final, SUM(f.toks_n) AS tokens_final
+      FROM flagged f JOIN priced p USING (source)
+      WHERE f.clean
+        AND CAST(('0x' || substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 10000
+            < CAST(floor(p.rate * 10000.0) AS BIGINT)
+      GROUP BY f.source)
+    SELECT p.source,
+      CAST(p.n_raw AS BIGINT) AS n_raw,
+      CAST(p.n_train AS BIGINT) AS n_train,
+      CAST(p.n_keeper AS BIGINT) AS n_keeper,
+      CAST(p.n_rep_ok AS BIGINT) AS n_rep_ok,
+      CAST(p.n_clean AS BIGINT) AS n_clean,
+      {_R4.format("p.rate")} AS accept_rate,
+      CAST(COALESCE(k.n_final, 0) AS BIGINT) AS n_final,
+      CAST(COALESCE(k.tokens_final, 0) AS BIGINT) AS tokens_final
+    FROM priced p LEFT JOIN kept k USING (source)
+    ORDER BY source
+    """,
+)
+def x147_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators.dedup import (
+        ngram_decontaminate,
+        tokens_col,
+    )
+    from video_streamer_spark.operators.sampling import (
+        SAMPLE_BUCKETS,
+        _hash_bucket,
+    )
+    from video_streamer_spark.operators.text import repetition_signals
+
+    docs = table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 23 == 0
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens_col("text")).cast("bigint").alias("toks_n"),
+        (F.row_number().over(w) == 1).alias("is_keeper"),
+        (~is_eval).alias("is_train"),
+    )
+    rep = repetition_signals(docs).select("doc_id", F.col("keep").alias("rep_ok"))
+    decon = ngram_decontaminate(docs, is_eval=is_eval, shingle_k=4).select(
+        "doc_id", "contaminated"
+    )
+    flagged = (
+        base.join(rep, "doc_id")
+        .join(decon, "doc_id", "left")
+        .withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+        .withColumn(
+            "clean",
+            F.col("is_train")
+            & F.col("is_keeper")
+            & F.col("rep_ok")
+            & ~F.col("contaminated"),
+        )
+        .persist()
+    )
+    funnel = flagged.groupBy("source").agg(
+        F.count("*").alias("n_raw"),
+        F.count_if("is_train").alias("n_train"),
+        F.count_if(F.col("is_train") & F.col("is_keeper")).alias("n_keeper"),
+        F.count_if(
+            F.col("is_train") & F.col("is_keeper") & F.col("rep_ok")
+        ).alias("n_rep_ok"),
+        F.count_if("clean").alias("n_clean"),
+        F.sum(F.when(F.col("clean"), F.col("toks_n")).otherwise(0)).alias(
+            "clean_tokens"
+        ),
+    )
+    wall = Window.partitionBy()
+    priced = funnel.withColumn(
+        "rate",
+        F.when(
+            F.col("clean_tokens") > 0,
+            F.least(
+                F.lit(1.0),
+                F.floor(
+                    F.floor(
+                        F.sum("clean_tokens").over(wall).cast("double")
+                        * F.lit(0.5)
+                    )
+                    / F.count("*").over(wall)
+                )
+                .cast("bigint")
+                .cast("double")
+                / F.col("clean_tokens").cast("double"),
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    cutoff = F.floor(F.col("rate") * F.lit(float(SAMPLE_BUCKETS))).cast("bigint")
+    kept = (
+        flagged.where("clean")
+        .join(F.broadcast(priced.select("source", "rate")), "source")
+        .where(_hash_bucket("doc_id") < cutoff)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_final"),
+            F.sum("toks_n").alias("tokens_final"),
+        )
+    )
+    return (
+        priced.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_raw").cast("bigint").alias("n_raw"),
+            F.col("n_train").cast("bigint").alias("n_train"),
+            F.col("n_keeper").cast("bigint").alias("n_keeper"),
+            F.col("n_rep_ok").cast("bigint").alias("n_rep_ok"),
+            F.col("n_clean").cast("bigint").alias("n_clean"),
+            round4("rate").alias("accept_rate"),
+            F.coalesce(F.col("n_final"), F.lit(0)).cast("bigint").alias("n_final"),
+            F.coalesce(F.col("tokens_final"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_final"),
+        )
+        .orderBy("source")
+    )
