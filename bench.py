@@ -67,7 +67,40 @@ def main() -> None:
     # here AQE coalesces the remainder). Override: $SPARK_GRAFT_SHUFFLE.
     shuf_env = os.environ.get("SPARK_GRAFT_SHUFFLE")
     shuffle = int(shuf_env) if shuf_env else max(8, min(32, int(sf * 160)))
-    spark = get_spark(app_name="vss-bench", shuffle_partitions=shuffle)
+    # AQE sized to the data, same rule as shuffle partitions: adaptive
+    # re-planning materializes every shuffle stage as its own job before
+    # re-optimizing, a fixed ~50-150 ms latency per stage that only pays
+    # for itself when stage stats can change a decision (skew split,
+    # SMJ->broadcast demotion, coalesce of thousands of partitions).
+    # Below a volume floor (compressed input < 1 GiB -> every shuffle is
+    # tens of MB) no such decision exists, so the latency is pure loss —
+    # measured on the HEADLINE set: AQE off is faster on 23/25 queries,
+    # -16% total (interleaved min-of-3; PLANS.md round-5 floor study).
+    # At real scale the floor test keeps AQE ON — the 100 TB posture is
+    # unchanged (session.py defaults stay adaptive).
+    input_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    ) if os.path.isdir(sf_dir) else 0
+    small_input = input_bytes < (1 << 30)
+    # Arrow batch rows sized so batch BYTES stay bounded: the 2048 cap in
+    # session.py assumes MB-scale binary frame payloads (2048 x ~1 MB
+    # ≈ 2 GiB ceiling). At this SF the widest row is KB-scale, so the
+    # same byte budget allows 10k-row batches — fewer Python/JVM round
+    # trips on the mapInPandas queries and fewer result slices on the
+    # 100k-row collects (q07, x03).
+    extra = (
+        {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        }
+        if small_input
+        else {}
+    )
+    spark = get_spark(
+        app_name="vss-bench", shuffle_partitions=shuffle, extra_conf=extra
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warmup pass (reference benchmark.sh:30 does a full unmeasured run
