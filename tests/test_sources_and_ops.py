@@ -978,7 +978,9 @@ def test_sql_string_surface_matches_dataframe_api(spark):
         """
     )
     want = QUERIES["q03_multijoin_region_counts"](spark, SF_ORACLE)
-    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
 
 
 def test_orc_round_trip(spark, tmp_path):

@@ -68,14 +68,10 @@ def shingles_col(text: Column | str, k: int = DEFAULT_SHINGLE) -> Column:
 
 def exact_dedup_stats(docs: DataFrame) -> DataFrame:
     """Per-language doc/distinct/duplicate counts (declared Q16)."""
-    return (
-        docs.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.countDistinct("text").alias("n_distinct"),
-            (F.count("*") - F.countDistinct("text")).alias("n_dupes"),
-        )
-        .orderBy("lang")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct"),
+        (F.count("*") - F.countDistinct("text")).alias("n_dupes"),
     )
 
 
@@ -199,7 +195,6 @@ def minhash_candidate_pairs(
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("n_shared_bands"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -305,7 +300,6 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
-        .orderBy("doc_a", "doc_b")
     )
 
 

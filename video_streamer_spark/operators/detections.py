@@ -87,7 +87,6 @@ def per_label_counts(det_labeled: DataFrame) -> DataFrame:
     return (
         det_labeled.groupBy("label_id", "label_name")
         .agg(F.count("*").alias("n_detections"))
-        .orderBy("label_id")
     )
 
 
@@ -95,7 +94,6 @@ def per_frame_counts(det: DataFrame) -> DataFrame:
     return (
         det.groupBy("frame_id")
         .agg(F.count("*").alias("n_boxes"))
-        .orderBy("frame_id")
     )
 
 

@@ -107,7 +107,6 @@ def brute_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
-        .orderBy("query_id", "rank")
     )
 
 
@@ -278,7 +277,6 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
-        .orderBy("query_id", "rank")
     )
 
 
@@ -433,7 +431,7 @@ def embedding_near_pairs(
     )
     return pairs.select(
         "vec_a", "vec_b", round4("sim_raw").alias("sim")
-    ).orderBy("vec_a", "vec_b")
+    )
 
 
 def embedding_near_pairs_sql(
@@ -461,7 +459,6 @@ def embedding_near_pairs_sql(
         )
         .where(F.col("sim_raw") >= threshold)
         .select("vec_a", "vec_b", round4("sim_raw").alias("sim"))
-        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -538,7 +535,6 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
-        .orderBy("query_id", "rank")
     )
 
 
@@ -643,7 +639,6 @@ def ivf_topk_pivots(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
-        .orderBy("query_id", "rank")
     )
 
 
@@ -693,7 +688,6 @@ def embedding_near_pairs_lsh(
             round4(cosine_similarity("a_vec", "b_vec")).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
-        .orderBy("vec_a", "vec_b")
     )
 
 

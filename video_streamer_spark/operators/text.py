@@ -111,7 +111,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         round2(avg_tok_len).alias("avg_token_len"),
         round4(stop_ratio).alias("stopword_ratio"),
         round4(score).alias("quality_score"),
-    ).orderBy("doc_id")
+    )
 
 
 def fingerprints(docs: DataFrame) -> DataFrame:

@@ -346,14 +346,13 @@ def x24_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (MAX(value) OVER w - MIN(value) OVER w) END AS scaled
     FROM events
     WINDOW w AS (PARTITION BY event_type)
-    ORDER BY event_id
     """,
 )
 def x33_grouped_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_streamer_spark.operators.grouped import minmax_scale_per_group
 
     e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    return minmax_scale_per_group(e).orderBy("event_id")
+    return minmax_scale_per_group(e)
 
 
 # --------------------------------------------------------------------------

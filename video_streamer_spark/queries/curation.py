@@ -68,7 +68,7 @@ _R2 = "CAST(ROUND(CAST(({}) AS DECIMAL(38,9)), 2) AS DOUBLE)"
     SELECT lang, COUNT(*) AS n_docs,
       COUNT(DISTINCT text) AS n_distinct,
       COUNT(*) - COUNT(DISTINCT text) AS n_dupes
-    FROM documents GROUP BY lang ORDER BY lang
+    FROM documents GROUP BY lang
     """,
 )
 def q16_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,7 +99,7 @@ def q17_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, sim,
         CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
       FROM scored)
-    SELECT vec_id, sim, rank FROM ranked WHERE rank <= 5 ORDER BY rank
+    SELECT vec_id, sim, rank FROM ranked WHERE rank <= 5
     """,
 )
 def q18_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,7 +163,6 @@ def _minhash_cte() -> str:
     oracle=f"""
     WITH {_minhash_cte()}
     SELECT doc_a, doc_b, n_shared_bands FROM mh_pairs
-    ORDER BY doc_a, doc_b
     """,
 )
 def x02_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,7 +238,6 @@ def x45_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-    ORDER BY doc_a, doc_b
     """,
 )
 def x03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,7 +287,6 @@ def x04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       {_R4.format(_sql_cos('a.embedding', 'b.embedding'))} AS sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.35
-    ORDER BY vec_a, vec_b
     """,
 )
 def x05_embed_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,7 +320,7 @@ def x05_embed_near(spark: SparkSession, sf_dir: str) -> DataFrame:
           PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
       FROM scored)
     SELECT query_id, vec_id, sim, rank FROM ranked
-    WHERE rank <= 3 ORDER BY query_id, rank
+    WHERE rank <= 3
     """,
 )
 def x06_ann_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,7 +371,7 @@ def _lsh_planes_values(dim: int, n_planes: int, n_tables: int) -> str:
           PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
       FROM scored)
     SELECT query_id, vec_id, sim, rank FROM ranked
-    WHERE rank <= 3 ORDER BY query_id, rank
+    WHERE rank <= 3
     """,
 )
 def x07_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,7 +447,7 @@ def x09_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
           'least(CAST(n_tokens AS DOUBLE), 200.0) / 200.0 * 0.5'
           ' + least(stop_ratio_raw * 10.0, 1.0) * 0.5'
       )} AS quality_score
-    FROM feats ORDER BY doc_id
+    FROM feats
     """,
 )
 def x10_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,13 +484,13 @@ def x11_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS byte_sum,
       CAST(strlen(text) % 640 AS INT) AS width,
       CAST(strlen(text) // 640 AS INT) AS height
-    FROM documents ORDER BY doc_id
+    FROM documents
     """,
 )
 def x12_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     payloads = multimodal.documents_as_payloads(docs)
-    return multimodal.payload_stats(payloads).orderBy("doc_id")
+    return multimodal.payload_stats(payloads)
 
 
 # --------------------------------------------------------------------------
@@ -513,7 +510,6 @@ def x12_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(24 AS INT) AS height
     FROM documents
     WHERE doc_id % 5 = 0
-    ORDER BY doc_id
     """,
 )
 def x31_sampled_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,7 +521,6 @@ def x31_sampled_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.payload_stats(resized)
         .withColumn("width", F.lit(32).cast("int"))
         .withColumn("height", F.lit(24).cast("int"))
-        .orderBy("doc_id")
     )
 
 

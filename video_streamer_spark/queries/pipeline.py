@@ -61,7 +61,6 @@ def _pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.label_id, l.label_name, COUNT(*) AS n_detections
     FROM scaled s JOIN labels l ON s.label_id = l.label_id
     GROUP BY s.label_id, l.label_name
-    ORDER BY s.label_id
     """,
 )
 def q19a_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,7 +104,6 @@ def q19a_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.label_id, l.label_name, COUNT(*) AS n_detections
     FROM scaled s JOIN labels l ON s.label_id = l.label_id
     GROUP BY s.label_id, l.label_name
-    ORDER BY s.label_id
     """,
 )
 def x13_inference_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,7 +124,6 @@ def x13_inference_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT frame_id, COUNT(*) AS n_boxes
     FROM scaled
     GROUP BY frame_id
-    ORDER BY frame_id
     """,
 )
 def q19b_per_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

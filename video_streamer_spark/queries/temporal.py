@@ -36,7 +36,6 @@ SESSION_GAP_SECONDS = 30 * 60
         / 1000000.0) AS DECIMAL(38,9)), 2) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY date_trunc('hour', ts), 2
-    ORDER BY hour_start, event_type
     """,
 )
 def q14_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,7 +56,6 @@ def q14_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
-        .orderBy("hour_start", "event_type")
     )
 
 
@@ -108,7 +106,6 @@ def tumbling_agg(events: DataFrame) -> DataFrame:
     SELECT user_id, session_id, COUNT(*) AS n_events
     FROM sessions
     GROUP BY user_id, session_id
-    ORDER BY user_id, session_id
     """,
 )
 def q15_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,10 +142,8 @@ def q15_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum("is_new").over(w_run).cast("bigint").alias("session_id"),
     )
-    return (
-        sessions.groupBy("user_id", "session_id")
-        .agg(F.count("*").alias("n_events"))
-        .orderBy("user_id", "session_id")
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
     )
 
 
