@@ -297,3 +297,38 @@ def test_topk_queries_plan_as_take_ordered(spark):
     for name in ("q04_topk_customers", "q17_top_tokens"):
         r = plan_report(QUERIES[name](spark, SF_ORACLE))
         assert "TakeOrderedAndProject" in r.text, name
+
+
+def test_sort_elision_boundary_rules(spark):
+    """The registration-boundary sort elision must strip exactly the
+    presentation case and nothing else."""
+    from video_streamer_spark.queries import (
+        _elide_presentation_sort,
+        _strip_final_order_by,
+    )
+
+    df = spark.range(100).withColumnRenamed("id", "v")
+    # presentation sort -> elided
+    out = _elide_presentation_sort(df.orderBy("v"))
+    assert out._jdf.queryExecution().logical().getClass().getSimpleName() != "Sort"
+    # sortWithinPartitions is not a global sort -> kept
+    swp = _elide_presentation_sort(df.sortWithinPartitions("v"))
+    assert swp._jdf.queryExecution().logical().getClass().getSimpleName() == "Sort"
+    # orderBy + limit -> root is Limit, untouched (top-k contract)
+    topk = _elide_presentation_sort(df.orderBy("v").limit(5))
+    assert [r.v for r in topk.collect()] == [0, 1, 2, 3, 4]
+
+    # oracle twin: strips only a final, paren-balanced, LIMIT-free clause
+    assert _strip_final_order_by(
+        "SELECT a FROM t ORDER BY a"
+    ).rstrip().endswith("FROM t")
+    kept_limit = "SELECT a FROM t ORDER BY a LIMIT 5"
+    assert _strip_final_order_by(kept_limit) == kept_limit
+    kept_window = "SELECT ROW_NUMBER() OVER (ORDER BY a) FROM t"
+    assert _strip_final_order_by(kept_window) == kept_window
+    kept_sub = "SELECT * FROM (SELECT a FROM t ORDER BY a)"
+    assert _strip_final_order_by(kept_sub) == kept_sub
+    # function parens inside the final clause are balanced -> stripped
+    assert _strip_final_order_by(
+        "SELECT a FROM t GROUP BY a ORDER BY SUM(b) DESC, a"
+    ).rstrip().endswith("GROUP BY a")

