@@ -195,3 +195,26 @@ def test_x112_centroids_broadcast_and_pushed(spark):
     assert "BroadcastExchange IdentityBroadcastMode" in plan, plan
     # WindowGroupLimit keeps per-vector top-1 before the window shuffle
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_corpus_pass_ops_scaling_curve(spark):
+    """10x envelope for the round-5 corpus-pass operators: x147's funnel
+    builds the per-doc flag frame ONCE (persisted, two consumers) with
+    one pass per stage; x148's source-overlap join is an inverted index
+    on the shingle hash whose per-shingle fan-out is bounded by
+    n_sources² (a dimension count), never corpus². A lost persist or a
+    de-duplicated index falling back to per-occurrence rows trips
+    these."""
+    bounds = {
+        "x147_curation_pipeline_v3": 40.0,
+        "x148_source_overlap": 40.0,
+    }
+    for name, max_ratio in bounds.items():
+        q = QUERIES[name]
+        small = min(_timed(q, spark, SF_ORACLE) for _ in range(2))
+        big = min(_timed(q, spark, SF_BIG) for _ in range(2))
+        ratio = big / max(small, 1e-3)
+        assert ratio < max_ratio, (
+            f"{name}: sf0.01={small:.2f}s sf0.1={big:.2f}s "
+            f"ratio={ratio:.1f} exceeds {max_ratio}"
+        )
