@@ -332,3 +332,16 @@ def test_sort_elision_boundary_rules(spark):
     assert _strip_final_order_by(
         "SELECT a FROM t GROUP BY a ORDER BY SUM(b) DESC, a"
     ).rstrip().endswith("GROUP BY a")
+
+
+def test_x151_x152_pq_codebook_broadcasts(spark):
+    """PQ's codebook/LUT sides are dimension-sized and must broadcast;
+    the corpus must never shuffle for the join (only the vec_id
+    re-aggregation may exchange), and the ADC top-k must plan as
+    TakeOrderedAndProject, not a global sort."""
+    r = plan_report(QUERIES["x151_pq_encode"](spark, SF_ORACLE))
+    assert "BroadcastExchange" in r.text, r.text
+    assert r.n_sortmerge_joins == 0, r.text
+    r2 = plan_report(QUERIES["x152_pq_adc_topk"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in r2.text, r2.text
+    assert r2.n_sortmerge_joins == 0, r2.text

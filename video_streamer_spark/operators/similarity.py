@@ -818,3 +818,172 @@ def hard_negative_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ) — the embedding-compression scale path
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook_pred: F.Column,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode (Jégou et al., PAMI 2011): split each
+    vector into ``n_subspaces`` contiguous sub-vectors and replace every
+    sub-vector with the id of its nearest codebook centroid — a
+    dim×4-byte float vector becomes n_subspaces small ints, the
+    compression that makes billion-scale ANN indexes fit in memory.
+
+    The codebook is a MODEL PARAMETER: here it is the sub-vectors of
+    the rows selected by ``codebook_pred`` (deterministic, oracle-
+    reproducible — the x112 hash-pivot convention; production would
+    load k-means-trained centroids the same shape).
+
+    Scale shape: the codebook broadcasts (k rows); the corpus is
+    scanned once, fanned out ×k by a broadcast nested-loop join (the
+    x57 tiny-dim pattern), and reduced by ONE groupBy on the vector id
+    with map-side partial min aggregation — no corpus self-join, no
+    sort. Distances are computed as |a|²+|b|²−2·a·b over sequential-
+    fold dots on sub-slices (the engine-exact recipe every similarity
+    operator uses) and quantized to BIGINT nanounits so the argmin —
+    min over (distance, centroid id) structs, lexicographic in both
+    engines — can never flip on float formatting.
+
+    Returns one row per vector: ``code_0..code_{M-1}`` (int centroid
+    ids) and ``qerr_raw`` (total quantization error, double).
+    """
+    sub = dim // n_subspaces
+    cb = embeddings.where(codebook_pred).select(
+        F.col(id_col).alias("c"), F.col(vec_col).alias("c_vec")
+    )
+    joined = embeddings.select(
+        F.col(id_col).alias("pq_id"), F.col(vec_col).alias("v_vec")
+    ).join(F.broadcast(cb), how="cross")
+
+    def sub_dist_q(m: int) -> F.Column:
+        lo = m * sub + 1
+        a = F.slice(F.col("v_vec").cast("array<double>"), lo, sub)
+        b = F.slice(F.col("c_vec").cast("array<double>"), lo, sub)
+
+        def dot(x: F.Column, y: F.Column) -> F.Column:
+            return F.aggregate(
+                F.zip_with(x, y, lambda p, q: p * q),
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            )
+
+        d2 = dot(a, a) + dot(b, b) - 2.0 * dot(a, b)
+        return F.floor(d2 * 1e9).cast("bigint")
+
+    scored = joined.select(
+        "pq_id",
+        "c",
+        *[sub_dist_q(m).alias(f"qd_{m}") for m in range(n_subspaces)],
+    )
+    mins = scored.groupBy("pq_id").agg(
+        *[
+            F.min(F.struct(F.col(f"qd_{m}").alias("d"), F.col("c").alias("c")))
+            .alias(f"best_{m}")
+            for m in range(n_subspaces)
+        ]
+    )
+    qerr = sum(
+        (F.col(f"best_{m}.d").cast("double") for m in range(n_subspaces)),
+        start=F.lit(0.0),
+    ) / 1e9
+    return mins.select(
+        F.col("pq_id").alias(id_col),
+        *[
+            F.col(f"best_{m}.c").cast("int").alias(f"code_{m}")
+            for m in range(n_subspaces)
+        ],
+        qerr.alias("qerr_raw"),
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_pred: F.Column,
+    codebook_pred: F.Column,
+    k: int = 5,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): score every vector against a
+    query using ONLY its PQ codes — per subspace, distance(query sub,
+    centroid) comes from a k×M lookup table, so the corpus scan touches
+    n_subspaces small ints per vector instead of dim floats. This is
+    the query path that pairs with `pq_encode` in a billion-scale index.
+
+    Scale shape: the LUT is (k_centroids × M) rows built from the
+    broadcast query+codebook (dimension-sized); codes melt to
+    (vec, m, code) and equi-join the broadcast LUT; ONE groupBy(vec)
+    re-sums, and the top-k is ORDER BY + LIMIT → TakeOrderedAndProject
+    (bounded heap). Distances stay BIGINT nanounits end to end, so the
+    ranking is integer-exact in both engines.
+    """
+    sub = dim // n_subspaces
+    codes = pq_encode(
+        embeddings, codebook_pred, n_subspaces, dim, id_col, vec_col
+    )
+    melted = codes.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.col(f"code_{m}") for m in range(n_subspaces)])
+        ).alias("m", "code"),
+    )
+    qv = embeddings.where(query_pred).select(
+        F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    cbv = embeddings.where(codebook_pred).select(
+        F.col(id_col).alias("c"), F.col(vec_col).cast("array<double>").alias("c_vec")
+    )
+
+    # quantization must match pq_encode exactly: floor(d2 * 1e9)
+    def sub_dist_q9(m: int) -> F.Column:
+        lo = m * sub + 1
+        a = F.slice(F.col("q_vec"), lo, sub)
+        b = F.slice(F.col("c_vec"), lo, sub)
+
+        def dot(x: F.Column, y: F.Column) -> F.Column:
+            return F.aggregate(
+                F.zip_with(x, y, lambda p, q: p * q),
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            )
+
+        d2 = dot(a, a) + dot(b, b) - 2.0 * dot(a, b)
+        return F.floor(d2 * 1e9).cast("bigint")
+
+    lut_wide = cbv.crossJoin(F.broadcast(qv)).select(
+        "c", *[sub_dist_q9(m).alias(f"qd_{m}") for m in range(n_subspaces)]
+    )
+    lut = lut_wide.select(
+        "c",
+        F.posexplode(
+            F.array(*[F.col(f"qd_{m}") for m in range(n_subspaces)])
+        ).alias("m", "qd"),
+    )
+    scored = (
+        melted.join(
+            F.broadcast(lut),
+            (melted.m == lut.m) & (melted.code == lut.c),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("qd").alias("qdist"))
+    )
+    top = scored.orderBy(F.col("qdist"), F.col(id_col)).limit(k)
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy(F.col("qdist"), F.col(id_col))
+    return top.select(
+        id_col,
+        (F.col("qdist").cast("double") / 1e9).alias("adist_raw"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

@@ -205,6 +205,8 @@ _SAMPLE_FIRST = [
     "x148_source_overlap",
     "x149_hard_negatives",
     "x150_bpe_pair_counts",
+    "x151_pq_encode",
+    "x152_pq_adc_topk",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -575,3 +575,116 @@ def x147_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# x151: PRODUCT QUANTIZATION ENCODE — each 64-d embedding compressed to
+# 4 centroid ids (16-d subspaces, 8-centroid codebook from the x112
+# hash-pivot convention) + total quantization error: the compression
+# that makes billion-scale ANN fit in memory. Codebook broadcasts;
+# corpus scanned once; ONE groupBy(vec_id) with map-side partial min.
+def _pq_sub_dist_sql(m: int, sub: int = 16) -> str:
+    lo, hi = m * sub + 1, (m + 1) * sub
+    dot = "list_dot_product(ev[{lo}:{hi}], {o}[{lo}:{hi}])"
+    aa = dot.format(lo=lo, hi=hi, o="ev")
+    ab = dot.format(lo=lo, hi=hi, o="cv")
+    bb = f"list_dot_product(cv[{lo}:{hi}], cv[{lo}:{hi}])"
+    return f"CAST(floor(({aa} + {bb} - 2*{ab}) * 1000000000.0) AS BIGINT)"
+
+
+@query(
+    "x151_pq_encode",
+    oracle=f"""
+    WITH cb AS (
+      SELECT vec_id AS c, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 8),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    scored AS (
+      SELECT ev.vec_id, cb.c,
+        {", ".join(f"{_pq_sub_dist_sql(m)} AS qd_{m}" for m in range(4))}
+      FROM ev CROSS JOIN cb),
+    mins AS (
+      SELECT vec_id,
+        {", ".join(
+            "MIN({'d': qd_%d, 'c': c}) AS b%d" % (m, m) for m in range(4)
+        )}
+      FROM scored GROUP BY vec_id)
+    SELECT vec_id,
+      {", ".join(f"CAST(b{m}.c AS INT) AS code_{m}" for m in range(4))},
+      {_R4.format(
+          "CAST(b0.d + b1.d + b2.d + b3.d AS DOUBLE) / 1000000000.0"
+      )} AS qerr
+    FROM mins
+    """,
+)
+def x151_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators.similarity import pq_encode
+
+    emb = table(spark, sf_dir, "embeddings")
+    enc = pq_encode(emb, codebook_pred=F.col("vec_id") < 8)
+    return enc.select(
+        "vec_id",
+        *[f"code_{m}" for m in range(4)],
+        round4("qerr_raw").alias("qerr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x152: PQ ADC TOP-K — nearest neighbors of vec 0 scored from PQ CODES
+# alone via a (8 centroids × 4 subspaces) lookup table: the query path
+# of a compressed billion-scale index. LUT broadcasts; one
+# groupBy(vec_id) re-sum; top-5 = TakeOrderedAndProject. Integer
+# nanounit distances end to end — ranking can't flip on float render.
+@query(
+    "x152_pq_adc_topk",
+    oracle=f"""
+    WITH cb AS (
+      SELECT vec_id AS c, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 8),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    scored AS (
+      SELECT ev.vec_id, cb.c,
+        {", ".join(f"{_pq_sub_dist_sql(m)} AS qd_{m}" for m in range(4))}
+      FROM ev CROSS JOIN cb),
+    mins AS (
+      SELECT vec_id,
+        {", ".join(
+            "MIN({'d': qd_%d, 'c': c}) AS b%d" % (m, m) for m in range(4)
+        )}
+      FROM scored GROUP BY vec_id),
+    lut AS (
+      SELECT cb.c,
+        {", ".join(f"{_pq_sub_dist_sql(m)} AS qd_{m}" for m in range(4))}
+      FROM (SELECT CAST(embedding AS DOUBLE[]) AS ev
+            FROM embeddings WHERE vec_id = 0) q CROSS JOIN cb),
+    dist AS (
+      SELECT m.vec_id,
+        l0.qd_0 + l1.qd_1 + l2.qd_2 + l3.qd_3 AS qdist
+      FROM mins m
+      JOIN lut l0 ON l0.c = m.b0.c
+      JOIN lut l1 ON l1.c = m.b1.c
+      JOIN lut l2 ON l2.c = m.b2.c
+      JOIN lut l3 ON l3.c = m.b3.c),
+    ranked AS (
+      SELECT vec_id, qdist,
+        CAST(ROW_NUMBER() OVER (ORDER BY qdist, vec_id) AS INT) AS rank
+      FROM dist)
+    SELECT vec_id,
+      {_R4.format("CAST(qdist AS DOUBLE) / 1000000000.0")} AS adist,
+      rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def x152_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators.similarity import pq_adc_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    top = pq_adc_topk(
+        emb,
+        query_pred=F.col("vec_id") == 0,
+        codebook_pred=F.col("vec_id") < 8,
+        k=5,
+    )
+    return top.select("vec_id", round4("adist_raw").alias("adist"), "rank")
