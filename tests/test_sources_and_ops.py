@@ -2423,3 +2423,20 @@ def test_semantic_dedup_by_cluster_blocks(spark):
     }
     assert out[0]["n_vecs"] == 3 and out[0]["n_dropped"] == 1
     assert out[1]["n_vecs"] == 1 and out[1]["n_dropped"] == 0
+
+
+def test_bpe_merge_rule_non_overlapping_and_tiebreak(spark):
+    """BPE fold-merge must be left-to-right NON-overlapping ('aaaa' with
+    pair (a,a) -> [aa, aa], not three overlapping merges) and ties must
+    break (count desc, left asc, right asc)."""
+    from video_streamer_spark.operators.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa ab")], "doc_id bigint, text string"
+    )
+    out = {r.merge_rank: r for r in bpe_train_merges(docs, n_merges=2).collect()}
+    # round 1: (a,a) appears 3x in 'aaaa' (overlap-counted), (a,b) 1x
+    assert (out[1].l, out[1].r, out[1].n) == ("a", "a", 3)
+    # after merging: 'aaaa' -> [aa, aa]; 'ab' -> [a, b]
+    # round 2 pairs: (aa,aa)=1 and (a,b)=1 -> tie, 'a' < 'aa' wins
+    assert (out[2].l, out[2].r, out[2].n) == ("a", "b", 1)

@@ -316,3 +316,77 @@ def repetition_signals(docs: DataFrame, top2_max_frac: float = 0.2) -> DataFrame
             (F.coalesce(top2_frac, F.lit(0.0)) <= top2_max_frac).alias("keep"),
         )
     )
+
+
+def bpe_train_merges(docs: DataFrame, n_merges: int = 3) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016): iteratively find
+    the highest-count adjacent symbol pair and merge it everywhere,
+    ``n_merges`` times; returns the merge table — (rank, left, right,
+    merged, n) — which IS the tokenizer artifact.
+
+    Scale shape: the iteration state is the DISTINCT-WORD vocabulary
+    with frequencies (vocab-sized, not corpus-sized — the real BPE-at-
+    scale trick), built with one corpus shuffle and persisted. Each
+    round is one vocab-sized pair aggregation + a 1-row TakeOrdered
+    collect (the chosen pair is a MODEL PARAMETER, the established
+    centroid convention), then a codegen'd left-fold merge of the
+    symbol arrays — left-to-right non-overlapping, the BPE rule.
+    Ties break (count desc, left asc, right asc) so the merge sequence
+    is engine-exact.
+    """
+    vocab = (
+        token_explode(docs)
+        .groupBy("token")
+        .agg(F.count("*").alias("wc"))
+        .select("wc", F.split("token", "").alias("syms"))
+        .persist()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            # filter BEFORE building the index sequence: sequence(1, 0)
+            # would generate a DESCENDING range, not an empty one
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").cast("bigint").alias("n"))
+        )
+        best = pairs.orderBy(
+            F.col("n").desc(), F.col("l"), F.col("r")
+        ).limit(1).collect()
+        if not best:
+            break
+        a, b, n = best[0].l, best[0].r, best[0].n
+        merged = a + b
+        merges.append((rank, a, b, merged, n))
+        vocab = vocab.select(
+            "wc",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == a)
+                    & (x == b),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+        ).persist()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, l string, r string, merged string, n bigint"
+    )

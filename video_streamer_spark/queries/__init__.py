@@ -207,6 +207,7 @@ _SAMPLE_FIRST = [
     "x150_bpe_pair_counts",
     "x151_pq_encode",
     "x152_pq_adc_topk",
+    "x153_bpe_train_merges",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

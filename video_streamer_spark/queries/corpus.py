@@ -688,3 +688,48 @@ def x152_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
     )
     return top.select("vec_id", round4("adist_raw").alias("adist"), "rank")
+
+
+# --------------------------------------------------------------------------
+# x153: BPE TOKENIZER TRAINING — three real merge iterations over the
+# corpus vocabulary (count adjacent symbol pairs weighted by word
+# frequency → take the max → fold-merge everywhere, left-to-right
+# non-overlapping), returning the merge table that IS the tokenizer.
+# State is vocab-sized, never corpus-sized; each round is one pair agg
+# + a 1-row TakeOrdered. The oracle unrolls the same three rounds with
+# list_reduce folds — merge sequences must agree exactly.
+def _bpe_round_sql(i: int) -> str:
+    prev, p, b, nxt = f"s{i-1}", f"p{i}", f"b{i}", f"s{i}"
+    return f"""
+    {p} AS (
+      SELECT p.l AS l, p.r AS r, CAST(SUM(wc) AS BIGINT) AS n FROM (
+        SELECT wc, unnest(list_transform(range(1, len(syms)),
+          j -> {{'l': syms[j], 'r': syms[j+1]}})) AS p
+        FROM {prev} WHERE len(syms) >= 2) GROUP BY 1, 2),
+    {b} AS (SELECT l, r, l || r AS m, n FROM {p} ORDER BY n DESC, l, r LIMIT 1),
+    {nxt} AS (
+      SELECT wc, list_reduce(list_transform(syms, s -> [s]),
+        (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = {b}.l AND x[1] = {b}.r
+                    THEN list_concat(acc[1:len(acc)-1], [{b}.m])
+                    ELSE list_concat(acc, x) END) AS syms
+      FROM {prev} CROSS JOIN {b})"""
+
+
+@query(
+    "x153_bpe_train_merges",
+    oracle=f"""
+    WITH {_TOKS},
+    tokn AS (SELECT unnest(toks) AS t FROM toks),
+    words AS (SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS wc
+              FROM tokn GROUP BY t),
+    s0 AS (SELECT wc, string_split(w, '') AS syms FROM words),
+    {",".join(_bpe_round_sql(i) for i in (1, 2, 3))}
+    SELECT 1 AS merge_rank, l, r, m AS merged, n FROM b1
+    UNION ALL SELECT 2, l, r, m, n FROM b2
+    UNION ALL SELECT 3, l, r, m, n FROM b3
+    """,
+)
+def x153_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.text import bpe_train_merges
+
+    return bpe_train_merges(table(spark, sf_dir, "documents"), n_merges=3)
