@@ -318,7 +318,7 @@ def repetition_signals(docs: DataFrame, top2_max_frac: float = 0.2) -> DataFrame
     )
 
 
-def bpe_train_merges(docs: DataFrame, n_merges: int = 3) -> DataFrame:
+def _bpe_train(docs: DataFrame, n_merges: int = 3):
     """BPE tokenizer training (Sennrich et al. 2016): iteratively find
     the highest-count adjacent symbol pair and merge it everywhere,
     ``n_merges`` times; returns the merge table — (rank, left, right,
@@ -387,6 +387,40 @@ def bpe_train_merges(docs: DataFrame, n_merges: int = 3) -> DataFrame:
             ).alias("syms"),
         ).persist()
     spark = docs.sparkSession
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges, "merge_rank int, l string, r string, merged string, n bigint"
+    )
+    return merges_df, vocab
+
+
+def bpe_train_merges(docs: DataFrame, n_merges: int = 3) -> DataFrame:
+    """The merge table from ``n_merges`` BPE training rounds — (rank,
+    left, right, merged, count); see `_bpe_train` for semantics."""
+    merges_df, _ = _bpe_train(docs, n_merges)
+    return merges_df
+
+
+def bpe_segment_stats(docs: DataFrame, n_merges: int = 3) -> DataFrame:
+    """Corpus segmentation report after applying the trained merges:
+    one row with total word occurrences, symbols before (= chars) and
+    after merging, and the compression ratio — the number a tokenizer
+    team watches while growing the merge list. Aggregates the
+    frequency-weighted vocab table (vocab-sized input, exact BIGINT
+    sums)."""
+    _, vocab = _bpe_train(docs, n_merges)
+    agg = vocab.agg(
+        F.sum("wc").cast("bigint").alias("n_words"),
+        F.sum(F.col("wc") * F.aggregate(
+            F.transform("syms", lambda s: F.length(s)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )).cast("bigint").alias("syms_before"),
+        F.sum(F.col("wc") * F.size("syms")).cast("bigint").alias("syms_after"),
+    )
+    return agg.select(
+        "n_words",
+        "syms_before",
+        "syms_after",
+        (F.col("syms_after").cast("double") / F.col("syms_before").cast("double")
+         ).alias("ratio_raw"),
     )

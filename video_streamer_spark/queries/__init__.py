@@ -208,6 +208,7 @@ _SAMPLE_FIRST = [
     "x151_pq_encode",
     "x152_pq_adc_topk",
     "x153_bpe_train_merges",
+    "x154_bpe_segment_stats",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

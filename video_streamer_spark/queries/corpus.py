@@ -733,3 +733,40 @@ def x153_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_streamer_spark.operators.text import bpe_train_merges
 
     return bpe_train_merges(table(spark, sf_dir, "documents"), n_merges=3)
+
+
+# --------------------------------------------------------------------------
+# x154: BPE SEGMENTATION REPORT — apply the x153-trained merges and
+# report corpus compression: word occurrences, symbols before (chars)
+# and after, ratio. Aggregated from the frequency-weighted vocab table
+# (vocab-sized input, exact BIGINT sums).
+@query(
+    "x154_bpe_segment_stats",
+    oracle=f"""
+    WITH {_TOKS},
+    tokn AS (SELECT unnest(toks) AS t FROM toks),
+    words AS (SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS wc
+              FROM tokn GROUP BY t),
+    s0 AS (SELECT wc, string_split(w, '') AS syms FROM words),
+    {",".join(_bpe_round_sql(i) for i in (1, 2, 3))}
+    SELECT CAST(SUM(wc) AS BIGINT) AS n_words,
+      CAST(SUM(wc * list_sum(list_transform(syms, s -> strlen(s))))
+           AS BIGINT) AS syms_before,
+      CAST(SUM(wc * len(syms)) AS BIGINT) AS syms_after,
+      {_R4.format(
+          "CAST(SUM(wc * len(syms)) AS DOUBLE)"
+          " / CAST(SUM(wc * list_sum(list_transform(syms, s -> strlen(s))))"
+          " AS DOUBLE)"
+      )} AS ratio
+    FROM s3
+    """,
+)
+def x154_bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators.text import bpe_segment_stats
+
+    stats = bpe_segment_stats(table(spark, sf_dir, "documents"), n_merges=3)
+    return stats.select(
+        "n_words", "syms_before", "syms_after",
+        round4("ratio_raw").alias("ratio"),
+    )
