@@ -345,3 +345,14 @@ def test_x151_x152_pq_codebook_broadcasts(spark):
     r2 = plan_report(QUERIES["x152_pq_adc_topk"](spark, SF_ORACLE))
     assert "TakeOrderedAndProject" in r2.text, r2.text
     assert r2.n_sortmerge_joins == 0, r2.text
+
+
+def test_x155_index_probe_prunes_partitions(spark):
+    """The materialized IVF index scan must show the probed cells as
+    PartitionFilters (pruned cell= directories) — NOT a full scan with
+    a row filter. This is the physical claim every IVF docstring makes:
+    a probe reads n_probe/n_cells of the bytes."""
+    r = plan_report(QUERIES["x155_ivf_index_search"](spark, SF_ORACLE))
+    assert "PartitionFilters" in r.text, r.text
+    seg = r.text.split("PartitionFilters")[1][:200]
+    assert "cell" in seg, seg

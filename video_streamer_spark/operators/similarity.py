@@ -538,6 +538,43 @@ def ivf_topk(
     )
 
 
+def _pivot_quantizer(corpus, n_cells, id_col="vec_id", vec_col="embedding"):
+    """Hash-sampled pivot coarse quantizer shared by the IVF operators:
+    centroids are the ``n_cells`` corpus rows with the smallest
+    (md5(id), id) — a deterministic uniform sample both engines can
+    recompute (zero Lloyd iterations, a pure function of the data).
+    Returns (cent_ids, cents, <c,c>), all driver-side model parameters
+    (n_cells rows)."""
+    piv_rows = (
+        corpus.select(
+            F.col(id_col).alias("cent_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "cent_id")
+        .limit(n_cells)
+        .collect()
+    )
+    piv_rows = sorted(piv_rows, key=lambda r: r["cent_id"])
+    cent_ids = np.array([r["cent_id"] for r in piv_rows], dtype=np.int64)
+    cents = np.array([r["cvec"] for r in piv_rows], dtype=np.float64)  # (C, dim)
+    # <c,c> with sequential fold order (matches list_dot_product(c, c))
+    c2 = np.zeros(len(cents))
+    for j in range(cents.shape[1]):
+        c2 += cents[:, j] * cents[:, j]
+    return cent_ids, cents, c2
+
+
+def _routing_scores(mat: np.ndarray, cents: np.ndarray, c2: np.ndarray) -> np.ndarray:
+    """(n, C) scores <c,c> - 2<e,c> (monotone-equivalent to ||e-c||²);
+    dots accumulate in dimension order so each score is bit-exact vs
+    the SQL fold."""
+    dots = np.zeros((mat.shape[0], len(cents)))
+    for j in range(mat.shape[1]):
+        dots += np.outer(mat[:, j], cents[:, j])
+    return c2[None, :] - 2.0 * dots
+
+
 def ivf_topk_pivots(
     corpus: DataFrame,
     queries: DataFrame,
@@ -578,31 +615,10 @@ def ivf_topk_pivots(
 
     ship_module(sys.modules[__name__])
 
-    piv_rows = (
-        corpus.select(
-            F.col(id_col).alias("cent_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cvec"),
-            F.md5(F.col(id_col).cast("string")).alias("h"),
-        )
-        .orderBy("h", "cent_id")
-        .limit(n_cells)
-        .collect()
-    )
-    piv_rows = sorted(piv_rows, key=lambda r: r["cent_id"])
-    cent_ids = np.array([r["cent_id"] for r in piv_rows], dtype=np.int64)
-    cents = np.array([r["cvec"] for r in piv_rows], dtype=np.float64)  # (C, dim)
-    # <c,c> with sequential fold order (matches list_dot_product(c, c))
-    c2 = np.zeros(len(cents))
-    for j in range(cents.shape[1]):
-        c2 += cents[:, j] * cents[:, j]
+    cent_ids, cents, c2 = _pivot_quantizer(corpus, n_cells, id_col, vec_col)
 
     def routing_scores(mat: np.ndarray) -> np.ndarray:
-        """(n, C) scores <c,c> - 2<e,c>; dots accumulate in dimension
-        order so each score is bit-exact vs the SQL fold."""
-        dots = np.zeros((mat.shape[0], len(cents)))
-        for j in range(mat.shape[1]):
-            dots += np.outer(mat[:, j], cents[:, j])
-        return c2[None, :] - 2.0 * dots
+        return _routing_scores(mat, cents, c2)
 
     @F.pandas_udf(LongType())
     def assign_cell(vs: pd.Series) -> pd.Series:
@@ -986,4 +1002,110 @@ def pq_adc_topk(
         id_col,
         (F.col("qdist").cast("double") / 1e9).alias("adist_raw"),
         F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# materialized IVF index: build once, probe with partition pruning
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Materialize the IVF index as parquet PARTITIONED BY the cell id —
+    the physical layout every IVF docstring here promises: at 100 TB
+    the corpus lives under ``cell=<id>/`` directories, so a probe reads
+    n_probe/n_cells of the bytes via static partition pruning, not a
+    full scan plus filter. Assignment is the `_pivot_quantizer` routing
+    (argmin ||e-c||², ties on centroid id), identical to
+    `ivf_topk_pivots`. Overwrite is idempotent. Returns n_cells.
+    """
+    import sys
+
+    from pyspark.sql.types import LongType
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+
+    cent_ids, cents, c2 = _pivot_quantizer(corpus, n_cells, id_col, vec_col)
+
+    @F.pandas_udf(LongType())
+    def assign_cell(vs: pd.Series) -> pd.Series:
+        mat = np.array(list(vs), dtype=np.float64)
+        return pd.Series(cent_ids[np.argmin(_routing_scores(mat, cents, c2), axis=1)])
+
+    (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+        )
+        .withColumn("cell", assign_cell(F.col("c_vec")))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return n_cells
+
+
+def ivf_index_search(
+    corpus: DataFrame,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the materialized IVF index: route the query batch to its
+    ``n_probe`` best cells DRIVER-SIDE (query routing is the client's
+    step in any vector database — the batch is request-sized), then
+    scan ONLY those ``cell=`` partitions (a literal IN-filter the scan
+    turns into PartitionFilters: pruned directories, not filtered
+    rows), re-score exactly with the rounded cosine, and take top-k per
+    query. Semantically identical to `ivf_topk_pivots` on the raw
+    table — same quantizer, same probes, same scores — which is what
+    the oracle checks.
+
+    ``corpus`` supplies the quantizer (the same hash-pivot rows the
+    build used); the data bytes come from ``path``.
+    """
+    spark = corpus.sparkSession
+    cent_ids, cents, c2 = _pivot_quantizer(corpus, n_cells, id_col, vec_col)
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("q_vec"),
+    ).collect()
+    mat = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
+    order = np.argsort(_routing_scores(mat, cents, c2), axis=1, kind="stable")
+    probe_pairs = [
+        (int(r["query_id"]), r["q_vec"], int(cent_ids[c]))
+        for r, row in zip(q_rows, order[:, :n_probe])
+        for c in row
+    ]
+    qdf = spark.createDataFrame(
+        probe_pairs, "query_id bigint, q_vec array<double>, cell bigint"
+    )
+    probed_cells = sorted({c for _, _, c in probe_pairs})
+
+    idx = spark.read.parquet(path).where(F.col("cell").isin(probed_cells))
+    scored = (
+        idx.join(F.broadcast(qdf), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            round4(cosine_similarity("c_vec", "q_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
     )

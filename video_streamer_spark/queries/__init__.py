@@ -209,6 +209,7 @@ _SAMPLE_FIRST = [
     "x152_pq_adc_topk",
     "x153_bpe_train_merges",
     "x154_bpe_segment_stats",
+    "x155_ivf_index_search",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -770,3 +770,60 @@ def x154_bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words", "syms_before", "syms_after",
         round4("ratio_raw").alias("ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# x155: MATERIALIZED IVF INDEX — build the cell-partitioned parquet
+# index, then answer a query batch by scanning ONLY the probed cell=
+# partitions (static partition pruning, asserted in test_plans). Same
+# quantizer/probe/score math as x32's in-memory IVF, so the oracle is
+# the identical SQL on the raw table.
+@query(
+    "x155_ivf_index_search",
+    oracle=f"""
+    WITH piv AS (
+      SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, p.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_dot_product(p.cvec, p.cvec) - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), p.cvec), p.cent_id) AS rn
+        FROM embeddings e CROSS JOIN piv p) WHERE rn = 1),
+    probe AS (
+      SELECT query_id, cent_id FROM (
+        SELECT e.vec_id AS query_id, p.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_dot_product(p.cvec, p.cvec) - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), p.cvec), p.cent_id) AS rn
+        FROM embeddings e CROSS JOIN piv p WHERE e.vec_id < 5) WHERE rn <= 4),
+    scored AS (
+      SELECT pr.query_id, a.vec_id,
+        CAST(ROUND(CAST((list_dot_product(CAST(ce.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])) / (sqrt(list_dot_product(CAST(ce.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))) * sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[]))))) AS DECIMAL(38,12)), 4) AS DOUBLE) AS sim
+      FROM probe pr
+      JOIN assign a ON a.cent_id = pr.cent_id AND a.vec_id <> pr.query_id
+      JOIN embeddings qe ON qe.vec_id = pr.query_id
+      JOIN embeddings ce ON ce.vec_id = a.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, sim,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def x155_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from video_streamer_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    path = f"/tmp/vss-warehouse/ivf-index-{tag}"
+    ivf_index_build(emb, path, n_cells=16)
+    return ivf_index_search(
+        emb, path, emb.where(F.col("vec_id") < 5), k=3, n_cells=16, n_probe=4
+    )
