@@ -160,3 +160,93 @@ def test_container_roundtrip_property():
         )
 
     check()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_pq_encode_matches_numpy_reference(spark, seed):
+    """pq_encode's per-subspace argmin must agree with a brute-force
+    numpy reference (same codebook rows, same tie rule: lowest centroid
+    id) on random vectors — independent of the DuckDB oracle path."""
+    from video_streamer_spark.operators.similarity import pq_encode
+    import pyspark.sql.functions as SF
+
+    rng = np.random.default_rng(seed)
+    n, dim, n_sub, k = 24, 16, 4, 4
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {
+        r.vec_id: r
+        for r in pq_encode(
+            df, SF.col("vec_id") < k, n_subspaces=n_sub, dim=dim
+        ).collect()
+    }
+    sub = dim // n_sub
+    v64 = vecs.astype(np.float64)
+    for i in range(n):
+        for m in range(n_sub):
+            a = v64[i, m * sub : (m + 1) * sub]
+            d = [
+                float(((a - v64[c, m * sub : (m + 1) * sub]) ** 2).sum())
+                for c in range(k)
+            ]
+            # integer-nanounit quantization mirrors the operator, so ties
+            # resolve identically (lowest centroid id)
+            q = [int(np.floor(x * 1e9)) for x in d]
+            want = min(range(k), key=lambda c: (q[c], c))
+            got = out[i][f"code_{m}"]
+            assert got == want, (i, m, got, want, q)
+
+
+def test_bpe_matches_pure_python_reference(spark):
+    """bpe_train_merges must reproduce a direct Python BPE on a corpus
+    crafted with repeats, ties, and single-char words."""
+    from video_streamer_spark.operators.text import bpe_train_merges
+
+    texts = ["abab abab cd", "ababab x", "cd cd a"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = [
+        (r.merge_rank, r.l, r.r, r.merged, r.n)
+        for r in sorted(
+            bpe_train_merges(docs, n_merges=3).collect(),
+            key=lambda r: r.merge_rank,
+        )
+    ]
+
+    # reference implementation
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    want = []
+    for rank in range(1, 4):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += words[w]
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, a, b, a + b, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert got == want, (got, want)
