@@ -779,3 +779,51 @@ def test_streaming_video_files_decode_pipeline(spark, tmp_path):
     want = {r["doc_id"]: r for r in V.decode_video_stats(batch).collect()}
     for vid in got:
         assert tuple(got[vid]) == tuple(want[vid])
+
+
+def test_stream_built_index_search_equals_batch_built(spark, tmp_path):
+    """An IVF index built by STREAMING ingestion (multi-micro-batch,
+    maxFilesPerTrigger=1 over a re-filed corpus) must answer searches
+    identically to the batch-built index: same quantizer, same cells,
+    same top-k."""
+    from tests.conftest import SF_ORACLE
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+    )
+    from video_streamer_spark.streaming.index_stream import index_ingest_stream
+    from video_streamer_spark.streaming.pipeline import stream_dir
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+
+    batch_path = str(tmp_path / "idx_batch")
+    ivf_index_build(emb, batch_path, n_cells=16)
+    want = sorted(
+        tuple(r)
+        for r in ivf_index_search(
+            emb, batch_path, queries, k=3, n_cells=16, n_probe=4
+        ).collect()
+    )
+
+    # re-file the corpus as multiple parquet files so availableNow
+    # genuinely processes several micro-batches
+    src = str(tmp_path / "vec_src")
+    emb.repartition(4).write.parquet(src)
+    stream = stream_dir(spark, src, emb.schema, max_files_per_trigger=1)
+    stream_path = str(tmp_path / "idx_stream")
+    index_ingest_stream(
+        stream,
+        stream_path,
+        quantizer_corpus=emb,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_cells=16,
+    )
+    got = sorted(
+        tuple(r)
+        for r in ivf_index_search(
+            emb, stream_path, queries, k=3, n_cells=16, n_probe=4
+        ).collect()
+    )
+    assert got == want
