@@ -424,3 +424,64 @@ def bpe_segment_stats(docs: DataFrame, n_merges: int = 3) -> DataFrame:
         (F.col("syms_after").cast("double") / F.col("syms_before").cast("double")
          ).alias("ratio_raw"),
     )
+
+
+def greedy_coverage_selection(
+    docs: DataFrame, n_select: int = 3, shingle_k: int = 3
+) -> DataFrame:
+    """Submodular (coverage-maximizing) document selection — lazy-greedy
+    facility location over shingle coverage: each round picks the doc
+    adding the most NOT-yet-covered distinct shingles (ties → lowest
+    doc_id), the classic 1-1/e-approximate selection modern corpus
+    curation uses to buy diversity per token budget.
+
+    Scale shape: the iteration state is the distinct (doc, shingle)
+    index (one corpus shuffle, persisted) and the covered-shingle set
+    (grows by ≤ one doc's shingles per round). Each round is one
+    anti-join + count + 1-row TakeOrdered collect (the selection is the
+    model output, the BPE/centroid convention). Returns (sel_rank,
+    doc_id, gain, covered_total).
+    """
+    from video_streamer_spark.operators.dedup import shingles_col
+
+    from video_streamer_spark.catalog import scatter
+
+    sh = (
+        scatter(docs)
+        .select(
+            "doc_id",
+            F.explode(shingles_col("text", shingle_k)).alias("g"),
+        )
+        .select("doc_id", F.md5("g").alias("gh"))
+        .distinct()
+        .persist()
+    )
+    spark = docs.sparkSession
+    covered = None  # DataFrame of distinct gh
+    chosen: list[int] = []
+    out: list[tuple[int, int, int, int]] = []
+    for rank in range(1, n_select + 1):
+        cand = sh
+        if chosen:
+            cand = cand.where(~F.col("doc_id").isin(chosen))
+        if covered is not None:
+            cand = cand.join(covered, "gh", "left_anti")
+        best = (
+            cand.groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("doc_id"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        doc_id, gain = int(best[0].doc_id), int(best[0].gain)
+        chosen.append(doc_id)
+        add = sh.where(F.col("doc_id") == doc_id).select("gh")
+        covered = (
+            add if covered is None else covered.union(add).distinct()
+        ).persist()
+        out.append((rank, doc_id, gain, covered.count()))
+    return spark.createDataFrame(
+        out, "sel_rank int, doc_id bigint, gain bigint, covered_total bigint"
+    )

@@ -827,3 +827,52 @@ def x155_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_search(
         emb, path, emb.where(F.col("vec_id") < 5), k=3, n_cells=16, n_probe=4
     )
+
+
+# --------------------------------------------------------------------------
+# x156: SUBMODULAR COVERAGE SELECTION — three lazy-greedy rounds of
+# facility-location selection over 3-token shingle coverage (the
+# 1-1/e-approximate diversity buy of modern corpus curation): each
+# round one anti-join + count + 1-row TakeOrdered. Oracle unrolls the
+# same rounds; selection sequence and covered totals must agree.
+def _cov_round_sql(i: int) -> str:
+    excl = " AND ".join(
+        f"doc_id NOT IN (SELECT doc_id FROM b{j})" for j in range(1, i)
+    )
+    not_cov = f"AND gh NOT IN (SELECT gh FROM c{i-1})" if i > 1 else ""
+    where = f"WHERE {excl} {not_cov}" if i > 1 else ""
+    cprev = (
+        f"SELECT gh FROM c{i-1} UNION " if i > 1 else ""
+    )
+    return f"""
+    g{i} AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM sh
+      {where} GROUP BY doc_id),
+    b{i} AS (SELECT doc_id, gain FROM g{i} ORDER BY gain DESC, doc_id LIMIT 1),
+    c{i} AS ({cprev}SELECT DISTINCT gh FROM sh
+      WHERE doc_id IN (SELECT doc_id FROM b{i}))"""
+
+
+@query(
+    "x156_coverage_selection",
+    oracle=f"""
+    WITH {_TOKS},
+    sh AS (
+      SELECT DISTINCT doc_id, md5(g) AS gh FROM (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+          i -> array_to_string(toks[i:i+2], ' '))) AS g
+        FROM toks WHERE len(toks) >= 3)),
+    {",".join(_cov_round_sql(i) for i in (1, 2, 3))}
+    SELECT 1 AS sel_rank, doc_id, gain,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS covered_total FROM b1
+    UNION ALL SELECT 2, doc_id, gain,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM c2) FROM b2
+    UNION ALL SELECT 3, doc_id, gain,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM c3) FROM b3
+    """,
+)
+def x156_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.text import greedy_coverage_selection
+
+    return greedy_coverage_selection(
+        table(spark, sf_dir, "documents"), n_select=3, shingle_k=3
+    )
