@@ -876,3 +876,47 @@ def x156_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_coverage_selection(
         table(spark, sf_dir, "documents"), n_select=3, shingle_k=3
     )
+
+
+# --------------------------------------------------------------------------
+# x157: RECORD LINKAGE — customer↔supplier entity-resolution candidates:
+# nation-blocked equi-join (pair fan-out bounded by block size, never a
+# cross product), Fellegi–Sunter-style additive weights on name-suffix
+# edit distance + balance bucket, threshold, top-3 per customer.
+@query(
+    "x157_record_linkage",
+    oracle="""
+    WITH scored AS (
+      SELECT c.c_custkey, s.s_suppkey,
+        CAST((CASE levenshtein(right(c.c_name, 6), right(s.s_name, 6))
+              WHEN 0 THEN 4 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE -1 END)
+           + (CASE WHEN floor(c.c_acctbal / 1000.0)
+                        = floor(s.s_acctbal / 1000.0)
+                   THEN 2 ELSE -1 END) AS INT) AS score
+      FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey),
+    kept AS (SELECT * FROM scored WHERE score >= 2),
+    ranked AS (
+      SELECT c_custkey, s_suppkey, score,
+        CAST(ROW_NUMBER() OVER (PARTITION BY c_custkey
+          ORDER BY score DESC, s_suppkey) AS INT) AS rank
+      FROM kept)
+    SELECT c_custkey, s_suppkey, score, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def x157_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.linkage import link_records
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal",
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal",
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    return link_records(
+        c, s, block_col="nationkey",
+        left_id="c_custkey", right_id="s_suppkey",
+        name_cols=("c_name", "s_name"), bal_cols=("c_acctbal", "s_acctbal"),
+        min_score=2, k=3,
+    )
