@@ -218,3 +218,26 @@ def test_corpus_pass_ops_scaling_curve(spark):
             f"{name}: sf0.01={small:.2f}s sf0.1={big:.2f}s "
             f"ratio={ratio:.1f} exceeds {max_ratio}"
         )
+
+
+def test_model_op_scaling_curve(spark):
+    """10x envelope for the round-5 model-producing operators: x151's
+    fan-out is corpus × 8 broadcast codebook rows (linear), x153's
+    iteration state is the distinct-word vocab (sub-linear in corpus),
+    x156's rounds are one anti-join + count over the (doc, shingle)
+    index (linear). A quantizer/vocab/index that silently becomes
+    corpus-quadratic trips the bound."""
+    bounds = {
+        "x151_pq_encode": 40.0,
+        "x153_bpe_train_merges": 40.0,
+        "x156_coverage_selection": 40.0,
+    }
+    for name, max_ratio in bounds.items():
+        q = QUERIES[name]
+        small = min(_timed(q, spark, SF_ORACLE) for _ in range(2))
+        big = min(_timed(q, spark, SF_BIG) for _ in range(2))
+        ratio = big / max(small, 1e-3)
+        assert ratio < max_ratio, (
+            f"{name}: sf0.01={small:.2f}s sf0.1={big:.2f}s "
+            f"ratio={ratio:.1f} exceeds {max_ratio}"
+        )
