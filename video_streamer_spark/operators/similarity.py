@@ -1109,3 +1109,88 @@ def ivf_index_search(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_pred: F.Column,
+    k: int = 3,
+    pool: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) with
+    λ=1/2: greedily pick the candidate maximizing
+    (rel − max-sim-to-already-selected)/2 — the diversity-aware rerank
+    a retrieval stack runs AFTER ANN recall, so near-duplicate hits
+    don't crowd the context window.
+
+    Scale shape: the candidate pool is the top-``pool`` by relevance
+    (TakeOrderedAndProject over one scan — request-sized, persisted
+    with vectors); each of the k rounds joins the pool against the ≤k
+    selected vectors (broadcast) and collects ONE argmax row (λ=1/2
+    keeps the score exact: halves are powers of two, and the argmax
+    compares floor(score·1e6) BIGINTs with an id tiebreak). Returns
+    (sel_rank, vec_id, rel, div, mmr_micros).
+    """
+    q = embeddings.where(query_pred).select(F.col(vec_col).alias("q_vec"))
+    cand = (
+        embeddings.where(~query_pred)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("c_vec"),
+            round4(cosine_similarity(vec_col, "q_vec")).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(pool)
+        .persist()
+    )
+    spark = embeddings.sparkSession
+    chosen: list[tuple[int, list, float]] = []  # (vec_id, vec, rel)
+    out: list[tuple[int, int, float, float, int]] = []
+    for rank in range(1, k + 1):
+        pool_df = cand
+        if chosen:
+            pool_df = pool_df.where(
+                ~F.col("vec_id").isin([c[0] for c in chosen])
+            )
+            sel = spark.createDataFrame(
+                [(c[0], c[1]) for c in chosen],
+                f"sel_id bigint, s_vec {dict(cand.dtypes)['c_vec']}",
+            )
+            div_df = (
+                pool_df.crossJoin(F.broadcast(sel))
+                .select(
+                    "vec_id",
+                    "c_vec",
+                    "rel",
+                    round4(cosine_similarity("c_vec", "s_vec")).alias("s"),
+                )
+                .groupBy("vec_id", "c_vec", "rel")
+                .agg(F.max("s").alias("div"))
+            )
+        else:
+            div_df = pool_df.select(
+                "vec_id", "c_vec", "rel", F.lit(0.0).alias("div")
+            )
+        scored = div_df.withColumn(
+            "mmr_micros",
+            F.floor(
+                (F.col("rel") * 0.5 - F.col("div") * 0.5) * 1e6
+            ).cast("bigint"),
+        )
+        best = scored.orderBy(
+            F.col("mmr_micros").desc(), F.col("vec_id")
+        ).limit(1).collect()
+        if not best:
+            break
+        b = best[0]
+        chosen.append((int(b.vec_id), b.c_vec, float(b.rel)))
+        out.append(
+            (rank, int(b.vec_id), float(b.rel), float(b.div), int(b.mmr_micros))
+        )
+    return spark.createDataFrame(
+        out,
+        "sel_rank int, vec_id bigint, rel double, div double, mmr_micros bigint",
+    )

@@ -212,6 +212,7 @@ _SAMPLE_FIRST = [
     "x155_ivf_index_search",
     "x156_coverage_selection",
     "x157_record_linkage",
+    "x158_mmr_rerank",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -920,3 +920,64 @@ def x157_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         name_cols=("c_name", "s_name"), bal_cols=("c_acctbal", "s_acctbal"),
         min_score=2, k=3,
     )
+
+
+# --------------------------------------------------------------------------
+# x158: MMR DIVERSIFIED RERANK — relevance recall (top-20 pool) then
+# three λ=1/2 maximal-marginal-relevance rounds: argmax of
+# (rel − max-sim-to-selected)/2 in BIGINT micros with id tiebreaks.
+# The rerank a retrieval stack runs after ANN so near-duplicates don't
+# crowd the context window. Oracle unrolls the identical rounds.
+_MMR_COS_PP = (
+    "list_dot_product(p.ev, s.ev) / "
+    "(sqrt(list_dot_product(p.ev, p.ev)) * sqrt(list_dot_product(s.ev, s.ev)))"
+)
+
+
+@query(
+    "x158_mmr_rerank",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0),
+    pool AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+        {_R4.format(_sql_cos('e.embedding', 'q.qe'))} AS rel
+      FROM embeddings e, q WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id LIMIT 20),
+    b1 AS (
+      SELECT vec_id, rel, 0.0 AS div,
+        CAST(floor((rel * 0.5 - 0.0 * 0.5) * 1000000.0) AS BIGINT)
+          AS mmr_micros
+      FROM pool
+      ORDER BY mmr_micros DESC, vec_id LIMIT 1),
+    d2 AS (
+      SELECT p.vec_id, p.rel, MAX({_R4.format(_MMR_COS_PP)}) AS div
+      FROM pool p JOIN pool s ON s.vec_id IN (SELECT vec_id FROM b1)
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM b1) GROUP BY 1, 2),
+    b2 AS (
+      SELECT vec_id, rel, div,
+        CAST(floor((rel * 0.5 - div * 0.5) * 1000000.0) AS BIGINT)
+          AS mmr_micros
+      FROM d2 ORDER BY mmr_micros DESC, vec_id LIMIT 1),
+    d3 AS (
+      SELECT p.vec_id, p.rel, MAX({_R4.format(_MMR_COS_PP)}) AS div
+      FROM pool p JOIN pool s
+        ON s.vec_id IN (SELECT vec_id FROM b1 UNION SELECT vec_id FROM b2)
+      WHERE p.vec_id NOT IN
+        (SELECT vec_id FROM b1 UNION SELECT vec_id FROM b2)
+      GROUP BY 1, 2),
+    b3 AS (
+      SELECT vec_id, rel, div,
+        CAST(floor((rel * 0.5 - div * 0.5) * 1000000.0) AS BIGINT)
+          AS mmr_micros
+      FROM d3 ORDER BY mmr_micros DESC, vec_id LIMIT 1)
+    SELECT 1 AS sel_rank, vec_id, rel, div, mmr_micros FROM b1
+    UNION ALL SELECT 2, vec_id, rel, div, mmr_micros FROM b2
+    UNION ALL SELECT 3, vec_id, rel, div, mmr_micros FROM b3
+    """,
+)
+def x158_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.similarity import mmr_rerank
+
+    emb = table(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, query_pred=F.col("vec_id") == 0, k=3, pool=20)
