@@ -2440,3 +2440,36 @@ def test_bpe_merge_rule_non_overlapping_and_tiebreak(spark):
     # after merging: 'aaaa' -> [aa, aa]; 'ab' -> [a, b]
     # round 2 pairs: (aa,aa)=1 and (a,b)=1 -> tie, 'a' < 'aa' wins
     assert (out[2].l, out[2].r, out[2].n) == ("a", "b", 1)
+
+
+def test_iterative_model_ops_survive_degenerate_inputs(spark):
+    """BPE, coverage selection, and MMR must return well-formed (possibly
+    short) results when the corpus can't sustain every round — no
+    crashes, no phantom rows."""
+    import pyspark.sql.functions as SF
+
+    from video_streamer_spark.operators.similarity import mmr_rerank
+    from video_streamer_spark.operators.text import (
+        bpe_train_merges,
+        greedy_coverage_selection,
+    )
+
+    # single-char vocabulary: zero mergeable pairs -> empty merge table
+    tiny = spark.createDataFrame([(1, "a b a")], "doc_id bigint, text string")
+    assert bpe_train_merges(tiny, n_merges=2).count() == 0
+
+    # fewer docs with shingles than selection rounds -> truncated output
+    short = spark.createDataFrame(
+        [(1, "one two three four"), (2, "x")], "doc_id bigint, text string"
+    )
+    sel = greedy_coverage_selection(short, n_select=3).collect()
+    assert [r.sel_rank for r in sel] == [1]
+    assert sel[0].doc_id == 1
+
+    # pool smaller than k -> as many rounds as candidates
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)],
+        "vec_id bigint, embedding array<float>",
+    )
+    mmr = mmr_rerank(vecs, SF.col("vec_id") == 0, k=5, pool=20).collect()
+    assert [r.sel_rank for r in mmr] == [1, 2]
