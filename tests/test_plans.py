@@ -356,3 +356,18 @@ def test_x155_index_probe_prunes_partitions(spark):
     assert "PartitionFilters" in r.text, r.text
     seg = r.text.split("PartitionFilters")[1][:200]
     assert "cell" in seg, seg
+
+
+def test_x159_ivfpq_scan_prunes_partitions_and_columns(spark):
+    """The compressed index probe must prune BOTH ways: only the probed
+    cell= partitions (PartitionFilters) and only the code columns
+    (ReadSchema must not contain any vector column)."""
+    r = plan_report(QUERIES["x159_ivfpq_index_search"](spark, SF_ORACLE))
+    assert "PartitionFilters" in r.text, r.text
+    seg = r.text.split("PartitionFilters")[1][:200]
+    assert "cell" in seg, seg
+    # the index holds no vectors at all, and the scan reads only codes
+    idx_schemas = [s for s in r.read_schemas if "code_0" in s]
+    assert idx_schemas and all("embedding" not in s for s in idx_schemas), (
+        r.read_schemas
+    )

@@ -921,6 +921,38 @@ def pq_encode(
     )
 
 
+def _pq_lut(qv: DataFrame, cbv: DataFrame, n_subspaces: int, sub: int) -> DataFrame:
+    """Melted ADC lookup table (c, m, qd): per-subspace quantized
+    distance between the broadcast query (column ``q_vec``) and every
+    codebook row (``c``, ``c_vec``). Quantization matches pq_encode
+    exactly — floor(d2 * 1e9) over the same sequential-fold dots."""
+
+    def sub_dist_q9(m: int) -> F.Column:
+        lo = m * sub + 1
+        a = F.slice(F.col("q_vec"), lo, sub)
+        b = F.slice(F.col("c_vec"), lo, sub)
+
+        def dot(x: F.Column, y: F.Column) -> F.Column:
+            return F.aggregate(
+                F.zip_with(x, y, lambda p, q: p * q),
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            )
+
+        d2 = dot(a, a) + dot(b, b) - 2.0 * dot(a, b)
+        return F.floor(d2 * 1e9).cast("bigint")
+
+    lut_wide = cbv.crossJoin(F.broadcast(qv)).select(
+        "c", *[sub_dist_q9(m).alias(f"qd_{m}") for m in range(n_subspaces)]
+    )
+    return lut_wide.select(
+        "c",
+        F.posexplode(
+            F.array(*[F.col(f"qd_{m}") for m in range(n_subspaces)])
+        ).alias("m", "qd"),
+    )
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     query_pred: F.Column,
@@ -961,31 +993,7 @@ def pq_adc_topk(
         F.col(id_col).alias("c"), F.col(vec_col).cast("array<double>").alias("c_vec")
     )
 
-    # quantization must match pq_encode exactly: floor(d2 * 1e9)
-    def sub_dist_q9(m: int) -> F.Column:
-        lo = m * sub + 1
-        a = F.slice(F.col("q_vec"), lo, sub)
-        b = F.slice(F.col("c_vec"), lo, sub)
-
-        def dot(x: F.Column, y: F.Column) -> F.Column:
-            return F.aggregate(
-                F.zip_with(x, y, lambda p, q: p * q),
-                F.lit(0.0),
-                lambda acc, p: acc + p,
-            )
-
-        d2 = dot(a, a) + dot(b, b) - 2.0 * dot(a, b)
-        return F.floor(d2 * 1e9).cast("bigint")
-
-    lut_wide = cbv.crossJoin(F.broadcast(qv)).select(
-        "c", *[sub_dist_q9(m).alias(f"qd_{m}") for m in range(n_subspaces)]
-    )
-    lut = lut_wide.select(
-        "c",
-        F.posexplode(
-            F.array(*[F.col(f"qd_{m}") for m in range(n_subspaces)])
-        ).alias("m", "qd"),
-    )
+    lut = _pq_lut(qv, cbv, n_subspaces, sub)
     scored = (
         melted.join(
             F.broadcast(lut),
@@ -1193,4 +1201,118 @@ def mmr_rerank(
     return spark.createDataFrame(
         out,
         "sel_rank int, vec_id bigint, rel double, div double, mmr_micros bigint",
+    )
+
+
+def ivfpq_index_build(
+    corpus: DataFrame,
+    path: str,
+    codebook_pred: F.Column,
+    n_cells: int = 16,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build the compressed IVF+PQ index (the FAISS IVFPQ layout): each
+    vector stored as its cell assignment + ``n_subspaces`` PQ codes —
+    NO raw vectors. A 64-float (256 B) vector becomes 4 small ints, the
+    ~16-64x shrink that fits a 100 TB corpus's index in a fraction of
+    the bytes; searches prune to probed ``cell=`` partitions AND scan
+    only code columns. Routing uses the shared pivot quantizer,
+    encoding the shared `pq_encode` — both deterministic, both
+    oracle-reproducible.
+    """
+    import sys
+
+    from pyspark.sql.types import LongType
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+
+    cent_ids, cents, c2 = _pivot_quantizer(corpus, n_cells, id_col, vec_col)
+
+    @F.pandas_udf(LongType())
+    def assign_cell(vs: pd.Series) -> pd.Series:
+        mat = np.array(list(vs), dtype=np.float64)
+        return pd.Series(cent_ids[np.argmin(_routing_scores(mat, cents, c2), axis=1)])
+
+    codes = pq_encode(corpus, codebook_pred, n_subspaces, dim, id_col, vec_col)
+    cells = corpus.select(
+        F.col(id_col), assign_cell(F.col(vec_col)).alias("cell")
+    )
+    (
+        codes.drop("qerr_raw")
+        .join(cells, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivfpq_index_search(
+    corpus: DataFrame,
+    path: str,
+    queries: DataFrame,
+    codebook_pred: F.Column,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search the compressed index: route the (request-sized) query
+    batch to its probe cells driver-side, scan ONLY those ``cell=``
+    partitions — and of them only the code columns — then ADC-score
+    from the broadcast LUT and take top-k. Integer nanounit distances
+    end to end. ``corpus`` supplies quantizer + codebook only (the
+    data bytes come from ``path``); ``codebook_pred`` must match the
+    build. Single-query contract like `pq_adc_topk`: returns
+    (vec_id, adist_raw, rank).
+    """
+    spark = corpus.sparkSession
+    sub = dim // n_subspaces
+    cent_ids, cents, c2 = _pivot_quantizer(corpus, n_cells, id_col, vec_col)
+
+    q_rows = queries.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("q_vec")
+    ).collect()
+    mat = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
+    order = np.argsort(_routing_scores(mat, cents, c2), axis=1, kind="stable")
+    probed_cells = sorted(
+        {int(cent_ids[c]) for row in order[:, :n_probe] for c in row}
+    )
+
+    qv = queries.select(
+        F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    cbv = corpus.where(codebook_pred).select(
+        F.col(id_col).alias("c"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    lut = _pq_lut(qv, cbv, n_subspaces, sub)
+
+    codes = spark.read.parquet(path).where(F.col("cell").isin(probed_cells))
+    melted = codes.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.col(f"code_{m}") for m in range(n_subspaces)])
+        ).alias("m", "code"),
+    )
+    scored = (
+        melted.join(
+            F.broadcast(lut), (melted.m == lut.m) & (melted.code == lut.c)
+        )
+        .groupBy(id_col)
+        .agg(F.sum("qd").alias("qdist"))
+    )
+    top = scored.orderBy(F.col("qdist"), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("qdist"), F.col(id_col))
+    return top.select(
+        id_col,
+        (F.col("qdist").cast("double") / 1e9).alias("adist_raw"),
+        F.row_number().over(w).cast("int").alias("rank"),
     )

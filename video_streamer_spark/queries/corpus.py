@@ -981,3 +981,92 @@ def x158_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return mmr_rerank(emb, query_pred=F.col("vec_id") == 0, k=3, pool=20)
+
+
+# --------------------------------------------------------------------------
+# x159: COMPRESSED IVF+PQ INDEX — the FAISS IVFPQ layout end to end:
+# vectors stored as cell + 4 PQ codes (no raw floats), searched by a
+# partition-pruned scan of the probed cells with LUT-only ADC scoring.
+# Oracle composes the x155 assignment/probe CTEs with the x151/x152
+# code/LUT CTEs on the raw table; integer nanounit distances.
+@query(
+    "x159_ivfpq_index_search",
+    oracle=f"""
+    WITH piv AS (
+      SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, p.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_dot_product(p.cvec, p.cvec)
+                     - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            p.cvec), p.cent_id) AS rn
+        FROM embeddings e CROSS JOIN piv p) WHERE rn = 1),
+    probe AS (
+      SELECT cent_id FROM (
+        SELECT p.cent_id,
+          ROW_NUMBER() OVER (
+            ORDER BY list_dot_product(p.cvec, p.cvec)
+                     - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            p.cvec), p.cent_id) AS rn
+        FROM embeddings e CROSS JOIN piv p WHERE e.vec_id = 0) WHERE rn <= 4),
+    cb AS (
+      SELECT vec_id AS c, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 8),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+    scored AS (
+      SELECT ev.vec_id, cb.c,
+        {", ".join(f"{_pq_sub_dist_sql(m)} AS qd_{m}" for m in range(4))}
+      FROM ev CROSS JOIN cb),
+    mins AS (
+      SELECT vec_id,
+        {", ".join(
+            "MIN({'d': qd_%d, 'c': c}) AS b%d" % (m, m) for m in range(4)
+        )}
+      FROM scored GROUP BY vec_id),
+    lut AS (
+      SELECT cb.c,
+        {", ".join(f"{_pq_sub_dist_sql(m)} AS qd_{m}" for m in range(4))}
+      FROM (SELECT CAST(embedding AS DOUBLE[]) AS ev
+            FROM embeddings WHERE vec_id = 0) q CROSS JOIN cb),
+    dist AS (
+      SELECT m.vec_id,
+        l0.qd_0 + l1.qd_1 + l2.qd_2 + l3.qd_3 AS qdist
+      FROM mins m
+      JOIN assign a ON a.vec_id = m.vec_id
+        AND a.cent_id IN (SELECT cent_id FROM probe)
+      JOIN lut l0 ON l0.c = m.b0.c
+      JOIN lut l1 ON l1.c = m.b1.c
+      JOIN lut l2 ON l2.c = m.b2.c
+      JOIN lut l3 ON l3.c = m.b3.c),
+    ranked AS (
+      SELECT vec_id, qdist,
+        CAST(ROW_NUMBER() OVER (ORDER BY qdist, vec_id) AS INT) AS rank
+      FROM dist)
+    SELECT vec_id,
+      {_R4.format("CAST(qdist AS DOUBLE) / 1000000000.0")} AS adist,
+      rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def x159_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators.similarity import (
+        ivfpq_index_build,
+        ivfpq_index_search,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    path = f"/tmp/vss-warehouse/ivfpq-index-{tag}"
+    cbp = F.col("vec_id") < 8
+    ivfpq_index_build(emb, path, codebook_pred=cbp, n_cells=16)
+    top = ivfpq_index_search(
+        emb, path, emb.where(F.col("vec_id") == 0),
+        codebook_pred=cbp, k=5, n_cells=16, n_probe=4,
+    )
+    return top.select("vec_id", round4("adist_raw").alias("adist"), "rank")
