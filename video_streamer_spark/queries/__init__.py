@@ -214,6 +214,7 @@ _SAMPLE_FIRST = [
     "x157_record_linkage",
     "x158_mmr_rerank",
     "x159_ivfpq_index_search",
+    "x160_ann_recall_eval",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -1070,3 +1070,86 @@ def x159_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebook_pred=cbp, k=5, n_cells=16, n_probe=4,
     )
     return top.select("vec_id", round4("adist_raw").alias("adist"), "rank")
+
+
+# --------------------------------------------------------------------------
+# x160: ANN RECALL EVALUATION — recall@5 of the IVF probe (x32 params)
+# against the brute-force ground truth, per query: the measurement loop
+# every ANN deployment runs before trusting an index ("measure, don't
+# guess" as a first-class operator). Both rankings and their
+# intersection are computed engine-side; the oracle recomputes the
+# identical pair of rankings in SQL.
+@query(
+    "x160_ann_recall_eval",
+    oracle=f"""
+    WITH piv AS (
+      SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, p.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_dot_product(p.cvec, p.cvec)
+                     - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            p.cvec), p.cent_id) AS rn
+        FROM embeddings e CROSS JOIN piv p) WHERE rn = 1),
+    probe AS (
+      SELECT query_id, cent_id FROM (
+        SELECT e.vec_id AS query_id, p.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_dot_product(p.cvec, p.cvec)
+                     - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            p.cvec), p.cent_id) AS rn
+        FROM embeddings e CROSS JOIN piv p WHERE e.vec_id < 10) WHERE rn <= 4),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT pr.query_id, a.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY pr.query_id
+            ORDER BY {_sql_cos('ce.embedding', 'qe.embedding')} DESC,
+                     a.vec_id) AS rank
+        FROM probe pr
+        JOIN assign a ON a.cent_id = pr.cent_id AND a.vec_id <> pr.query_id
+        JOIN embeddings qe ON qe.vec_id = pr.query_id
+        JOIN embeddings ce ON ce.vec_id = a.vec_id) WHERE rank <= 5),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY {_sql_cos('e.embedding', 'q.embedding')} DESC,
+                     e.vec_id) AS rank
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 10) WHERE rank <= 5)
+    SELECT x.query_id,
+      CAST(COUNT(a.vec_id) AS INT) AS n_hit,
+      {_R4.format("CAST(COUNT(a.vec_id) AS DOUBLE) / 5.0")} AS recall
+    FROM exact x
+    LEFT JOIN approx a
+      ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+    GROUP BY x.query_id
+    """,
+)
+def x160_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    approx = similarity.ivf_topk_pivots(
+        emb, q, k=5, n_cells=16, n_probe=4
+    ).select("query_id", "vec_id")
+    exact = similarity.brute_topk(emb, q, k=5, exclude_self=True).select(
+        "query_id", "vec_id"
+    )
+    return (
+        exact.join(
+            approx.withColumn("__hit", F.lit(1)),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").cast("int").alias("n_hit"),
+            round4(F.count("__hit").cast("double") / 5.0).alias("recall"),
+        )
+    )
