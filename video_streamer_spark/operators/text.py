@@ -6,7 +6,7 @@ aggregating variants.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from video_streamer_spark.functions.parity import round2, round4
@@ -84,6 +84,20 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_score_col() -> Column:
+    """The UNROUNDED composite quality score as a column expression —
+    capped-length * 0.5 + stopword-signal * 0.5 over the text column.
+    Shared by quality_scores (which parity-rounds it) and consumers
+    that bucket on the raw double (x161 PSI drift)."""
+    toks = tokens_col("text")
+    n_tokens = F.size(toks).cast("double")
+    stop_ratio = _stopword_ratio()
+    return (
+        F.least(n_tokens, F.lit(200.0)) / F.lit(200.0) * F.lit(0.5)
+        + F.least(stop_ratio * F.lit(10.0), F.lit(1.0)) * F.lit(0.5)
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Per-document quality features + a composite score.
 
@@ -101,10 +115,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         / n_tokens,
     ).otherwise(F.lit(0.0))
     stop_ratio = _stopword_ratio()
-    score = (
-        F.least(n_tokens, F.lit(200.0)) / F.lit(200.0) * F.lit(0.5)
-        + F.least(stop_ratio * F.lit(10.0), F.lit(1.0)) * F.lit(0.5)
-    )
+    score = quality_score_col()
     return docs.select(
         "doc_id",
         F.size(toks).cast("int").alias("n_tokens"),

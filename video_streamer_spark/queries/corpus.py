@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 
 from video_streamer_spark.catalog import table
 from video_streamer_spark.queries import query
-from video_streamer_spark.queries.curation import _R4, _sql_cos
+from video_streamer_spark.queries.curation import (
+    _R4,
+    _sql_cos,
+    _STOPWORDS_SQL,
+)
 
 # Tokenization CTE shared with curation.py's oracles (lockstep with
 # operators/dedup.tokens_col: split on single space, drop empties).
@@ -1152,4 +1156,93 @@ def x160_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("__hit").cast("int").alias("n_hit"),
             round4(F.count("__hit").cast("double") / 5.0).alias("recall"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# x161: QUALITY DRIFT MONITORING (PSI) — population stability index of
+# each source's quality-score distribution against the corpus-wide
+# one: Σ (p−q)·ln(p/q) over 5 score buckets, Laplace-smoothed on the
+# full source×bucket grid so empty buckets contribute finitely.
+# Per-bucket terms are DECIMAL(18,6)-quantized (the x62/x92 ln-parity
+# recipe) so the cross-engine sum is exact. The monitoring pass a feed
+# pipeline runs to catch a source going off-distribution.
+@query(
+    "x161_psi_quality_drift",
+    oracle=f"""
+    WITH {_TOKS},
+    feats AS (
+      SELECT source,
+        CAST(len(toks) AS DOUBLE) AS n_tokens,
+        CASE WHEN len(toks) > 0 THEN
+          CAST(len(list_filter(toks, t -> list_contains(
+            {_STOPWORDS_SQL}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        ELSE 0.0 END AS stop_ratio
+      FROM toks),
+    q AS (
+      SELECT source,
+        CAST(least(floor((least(n_tokens, 200.0) / 200.0 * 0.5
+          + least(stop_ratio * 10.0, 1.0) * 0.5) * 5.0), 4) AS INT) AS b
+      FROM feats),
+    grid AS (
+      SELECT s.source, g.b
+      FROM (SELECT DISTINCT source FROM q) s
+      CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS b) g),
+    sc AS (SELECT source, b, COUNT(*) AS c FROM q GROUP BY 1, 2),
+    filled AS (
+      SELECT grid.source, grid.b, COALESCE(sc.c, 0) AS c
+      FROM grid LEFT JOIN sc ON sc.source = grid.source AND sc.b = grid.b),
+    stot AS (SELECT source, SUM(c) AS n FROM filled GROUP BY source),
+    gcnt AS (SELECT b, SUM(c) AS c FROM filled GROUP BY b),
+    gtot AS (SELECT SUM(c) AS n FROM gcnt),
+    terms AS (
+      SELECT f.source,
+        CAST(((CAST(f.c + 1 AS DOUBLE) / CAST(stot.n + 5 AS DOUBLE))
+            - (CAST(g.c + 1 AS DOUBLE) / CAST(gtot.n + 5 AS DOUBLE)))
+          * ln((CAST(f.c + 1 AS DOUBLE) / CAST(stot.n + 5 AS DOUBLE))
+             / (CAST(g.c + 1 AS DOUBLE) / CAST(gtot.n + 5 AS DOUBLE)))
+          AS DECIMAL(18,6)) AS term
+      FROM filled f
+      JOIN stot ON stot.source = f.source
+      JOIN gcnt g ON g.b = f.b
+      CROSS JOIN gtot)
+    SELECT source, CAST(SUM(term) AS DOUBLE) AS psi
+    FROM terms GROUP BY source
+    """,
+)
+def x161_psi_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.text import quality_score_col
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        F.least(F.floor(quality_score_col() * 5.0), F.lit(4))
+        .cast("int")
+        .alias("b"),
+    )
+    grid = (
+        scored.select("source")
+        .distinct()
+        .crossJoin(spark.range(5).select(F.col("id").cast("int").alias("b")))
+    )
+    sc = scored.groupBy("source", "b").agg(F.count("*").alias("c"))
+    filled = grid.join(sc, ["source", "b"], "left").withColumn(
+        "c", F.coalesce("c", F.lit(0))
+    )
+    stot = filled.groupBy("source").agg(F.sum("c").alias("n_src"))
+    gcnt = filled.groupBy("b").agg(F.sum("c").alias("gc"))
+    gtot = filled.agg(F.sum("c").alias("n_all"))
+    p = (F.col("c") + 1).cast("double") / (F.col("n_src") + 5).cast("double")
+    q = (F.col("gc") + 1).cast("double") / (F.col("n_all") + 5).cast("double")
+    terms = (
+        filled.join(F.broadcast(stot), "source")
+        .join(F.broadcast(gcnt), "b")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            ((p - q) * F.log(p / q)).cast("decimal(18,6)").alias("term"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.sum("term").cast("double").alias("psi")
     )
