@@ -2473,3 +2473,31 @@ def test_iterative_model_ops_survive_degenerate_inputs(spark):
     )
     mmr = mmr_rerank(vecs, SF.col("vec_id") == 0, k=5, pool=20).collect()
     assert [r.sel_rank for r in mmr] == [1, 2]
+
+
+def test_containment_pairs_contract(spark):
+    """containment_pairs finds token-aligned verbatim containment, orients
+    identical twins doc_a < doc_b, and (documented recall bound) does
+    NOT claim non-token-aligned substrings."""
+    from video_streamer_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "prefix words the quick brown fox jumps and more"),
+            (3, "identical twin text here"),
+            (4, "identical twin text here"),
+            # contains doc 1's text mid-token ("Xthe quick...jumpsY"):
+            # raw substring yes, token-aligned no -> found anyway? no:
+            # shingles of doc 1 ARE present as shingles of doc 5? doc 5
+            # tokens: [Xthe, quick, brown, fox, jumpsY] -> 'the quick brown'
+            # is NOT one of its shingles -> no candidate, documented miss
+            (5, "Xthe quick brown fox jumpsY"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in containment_pairs(docs, shingle_k=3).collect()
+    )
+    assert got == [(1, 2), (3, 4)], got

@@ -756,3 +756,74 @@ def source_overlap(
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# substring containment
+
+
+def containment_pairs(
+    docs: DataFrame,
+    shingle_k: int = DEFAULT_SHINGLE,
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-containment pairs: (doc_a, doc_b) where a's text appears
+    VERBATIM inside b's — the quoted/superset duplicates that survive
+    near-dup thresholds (a short doc inside a long one has low Jaccard).
+
+    Blocking is each doc's RAREST shingle (min document frequency, then
+    lexicographic): for token-aligned containment every shingle of the
+    contained doc is a shingle of the container, so joining a's rarest
+    shingle against the inverted index is candidate-EXACT for that
+    case, and per-doc candidate fan-out is bounded by df(rarest) — a
+    doc only fans wide when ALL its shingles are corpus-hot. Candidates
+    are verified with a codegen substring test on the joined texts;
+    equal-length (identical) pairs are oriented doc_a < doc_b.
+    """
+    sh = (
+        scatter(docs)
+        .select(
+            "doc_id",
+            F.explode(shingles_col(text_col, shingle_k)).alias("g"),
+        )
+        .distinct()
+        .persist()
+    )
+    df_ = sh.groupBy("g").agg(F.count("*").alias("df"))
+    rarest = (
+        sh.join(df_, "g")
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("df", "g")).alias("r"))
+        .select("doc_id", F.col("r.g").alias("g"))
+    )
+    a = rarest.join(
+        docs.select(
+            F.col("doc_id"),
+            F.col(text_col).alias("a_text"),
+            F.length(text_col).alias("a_len"),
+        ),
+        "doc_id",
+    ).select(F.col("doc_id").alias("doc_a"), "g", "a_text", "a_len")
+    b = sh.join(
+        docs.select(
+            F.col("doc_id"),
+            F.col(text_col).alias("b_text"),
+            F.length(text_col).alias("b_len"),
+        ),
+        "doc_id",
+    ).select(F.col("doc_id").alias("doc_b"), "g", "b_text", "b_len")
+    return (
+        a.join(b, "g")
+        .where(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (
+                (F.col("a_len") < F.col("b_len"))
+                | (
+                    (F.col("a_len") == F.col("b_len"))
+                    & (F.col("doc_a") < F.col("doc_b"))
+                )
+            )
+            & (F.expr("instr(b_text, a_text)") > 0)
+        )
+        .select("doc_a", "doc_b")
+    )

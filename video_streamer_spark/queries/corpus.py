@@ -1246,3 +1246,45 @@ def x161_psi_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("source").agg(
         F.sum("term").cast("double").alias("psi")
     )
+
+
+# --------------------------------------------------------------------------
+# x162: CONTAINMENT DEDUP — documents appearing VERBATIM inside other
+# documents (quoted/superset duplicates that near-dup misses: a short
+# doc inside a long one has low Jaccard). Rarest-shingle blocking
+# (candidate-exact for token-aligned containment, fan-out bounded by
+# df(rarest)), codegen substring verify.
+@query(
+    "x162_containment_dedup",
+    oracle=f"""
+    WITH {_TOKS},
+    sh AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+          i -> array_to_string(toks[i:i+2], ' '))) AS g
+        FROM toks WHERE len(toks) >= 3)),
+    dfq AS (SELECT g, COUNT(*) AS df FROM sh GROUP BY g),
+    rarest AS (
+      SELECT doc_id, g FROM (
+        SELECT sh.doc_id, sh.g,
+          ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+                             ORDER BY dfq.df, sh.g) AS rn
+        FROM sh JOIN dfq ON dfq.g = sh.g) WHERE rn = 1),
+    cand AS (
+      SELECT r.doc_id AS doc_a, s.doc_id AS doc_b
+      FROM rarest r JOIN sh s ON s.g = r.g AND s.doc_id <> r.doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN documents da ON da.doc_id = c.doc_a
+      JOIN documents db ON db.doc_id = c.doc_b
+      WHERE (length(da.text) < length(db.text)
+             OR (length(da.text) = length(db.text) AND c.doc_a < c.doc_b))
+        AND strpos(db.text, da.text) > 0)
+    SELECT doc_a, doc_b FROM verified
+    """,
+)
+def x162_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(table(spark, sf_dir, "documents"), shingle_k=3)
