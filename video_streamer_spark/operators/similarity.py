@@ -788,6 +788,7 @@ def hard_negative_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    same_label: bool = False,
 ) -> DataFrame:
     """For each anchor vector, the k most-similar vectors with a
     DIFFERENT label — the hard negatives contrastive training mines
@@ -817,7 +818,12 @@ def hard_negative_topk(
     )
     scored = (
         corpus.crossJoin(F.broadcast(anchors))
-        .where(F.col("c_label") != F.col("q_label"))
+        .where(
+            (F.col("c_label") == F.col("q_label"))
+            if same_label
+            else (F.col("c_label") != F.col("q_label"))
+        )
+        .where(F.col("c_id") != F.col("q_id"))
         .select(
             F.col("q_id").alias("query_id"),
             F.col("c_id").alias("vec_id"),

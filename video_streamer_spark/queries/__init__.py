@@ -217,6 +217,7 @@ _SAMPLE_FIRST = [
     "x160_ann_recall_eval",
     "x161_psi_quality_drift",
     "x162_containment_dedup",
+    "x163_contrastive_triplets",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

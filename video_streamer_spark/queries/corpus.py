@@ -1288,3 +1288,55 @@ def x162_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_streamer_spark.operators.dedup import containment_pairs
 
     return containment_pairs(table(spark, sf_dir, "documents"), shingle_k=3)
+
+
+# --------------------------------------------------------------------------
+# x163: CONTRASTIVE TRIPLET ASSEMBLY — the training-pair export a
+# contrastive run consumes: per anchor (deterministic sample), the
+# most-similar SAME-label vector as positive and the most-similar
+# DIFFERENT-label vector as hard negative, with both similarities.
+# Two broadcast-anchor corpus scans (the x149 shape), one join.
+@query(
+    "x163_contrastive_triplets",
+    oracle=f"""
+    WITH pos AS (
+      SELECT query_id, vec_id AS pos_id, sim AS pos_sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+          {_R4.format(_sql_cos('c.embedding', 'q.embedding'))} AS sim,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            {_R4.format(_sql_cos('c.embedding', 'q.embedding'))} DESC,
+            c.vec_id) AS rn
+        FROM embeddings q JOIN embeddings c
+          ON c.label = q.label AND c.vec_id <> q.vec_id
+        WHERE q.vec_id % 50 = 0) WHERE rn = 1),
+    neg AS (
+      SELECT query_id, vec_id AS neg_id, sim AS neg_sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+          {_R4.format(_sql_cos('c.embedding', 'q.embedding'))} AS sim,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            {_R4.format(_sql_cos('c.embedding', 'q.embedding'))} DESC,
+            c.vec_id) AS rn
+        FROM embeddings q JOIN embeddings c
+          ON c.label <> q.label
+        WHERE q.vec_id % 50 = 0) WHERE rn = 1)
+    SELECT p.query_id AS anchor_id, p.pos_id, p.pos_sim,
+           n.neg_id, n.neg_sim
+    FROM pos p JOIN neg n ON n.query_id = p.query_id
+    """,
+)
+def x163_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.similarity import hard_negative_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    pos = hard_negative_topk(emb, pred, k=1, same_label=True).select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("vec_id").alias("pos_id"),
+        F.col("sim").alias("pos_sim"),
+    )
+    neg = hard_negative_topk(emb, pred, k=1, same_label=False).select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("vec_id").alias("neg_id"),
+        F.col("sim").alias("neg_sim"),
+    )
+    return pos.join(neg, "anchor_id")
