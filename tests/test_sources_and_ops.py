@@ -2501,3 +2501,69 @@ def test_containment_pairs_contract(spark):
         for r in containment_pairs(docs, shingle_k=3).collect()
     )
     assert got == [(1, 2), (3, 4)], got
+
+
+def test_ivf_index_upsert_touches_only_affected_cells(spark, tmp_path):
+    """Vector upsert must rewrite ONLY the touched cell= partitions
+    (others' files untouched on disk), apply last-write-wins per
+    vec_id including cell MOVES (old home emptied or rewritten), and
+    leave search results equal to a fresh rebuild of the same logical
+    table."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    from tests.conftest import SF_ORACLE
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+        ivf_index_upsert,
+    )
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    path = str(tmp_path / "idx")
+    ivf_index_build(emb, path, n_cells=16)
+
+    # delta: vectors 0-9 get REVERSED embeddings (deterministic, likely
+    # to move cells), vector 10000 is brand new
+    delta = emb.where(SF.col("vec_id") < 10).select(
+        "vec_id", SF.reverse("embedding").alias("embedding"), "label"
+    ).unionByName(
+        emb.where(SF.col("vec_id") == 20).select(
+            (SF.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+        )
+    )
+
+    before = {}
+    for d in os.listdir(path):
+        if d.startswith("cell="):
+            full = os.path.join(path, d)
+            before[d] = sorted(os.listdir(full))
+
+    touched = ivf_index_upsert(emb, path, delta, n_cells=16)
+
+    for d, files in before.items():
+        cell = int(d.split("=")[1])
+        if cell not in touched and os.path.exists(os.path.join(path, d)):
+            assert sorted(os.listdir(os.path.join(path, d))) == files, d
+
+    # logical table after upsert == base minus delta ids plus delta
+    logical = emb.join(
+        delta.select("vec_id"), "vec_id", "left_anti"
+    ).unionByName(delta)
+    rebuild = str(tmp_path / "idx2")
+    ivf_index_build(logical, rebuild, n_cells=16)
+    q = emb.where(SF.col("vec_id").isin(11, 12, 13))
+    got = sorted(
+        tuple(r)
+        for r in ivf_index_search(emb, path, q, k=3, n_cells=16).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivf_index_search(emb, rebuild, q, k=3, n_cells=16).collect()
+    )
+    assert got == want
+    # no duplicate vec_ids anywhere in the index
+    idx = spark.read.parquet(path)
+    assert idx.count() == idx.select("vec_id").distinct().count()

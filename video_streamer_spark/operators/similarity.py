@@ -1322,3 +1322,93 @@ def ivfpq_index_search(
         (F.col("qdist").cast("double") / 1e9).alias("adist_raw"),
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+def ivf_index_upsert(
+    corpus_for_quantizer: DataFrame,
+    path: str,
+    delta: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Vector upsert into the materialized IVF index: route the delta
+    batch with the PINNED quantizer (cells must not drift), then
+    rewrite ONLY the touched ``cell=`` partitions — each rewritten as
+    (surviving old rows ANTI-JOIN delta ids) ∪ delta rows, last write
+    wins per vec_id. Untouched partitions are never read or written
+    (the merge.py touched-bucket discipline on the index layout).
+    Returns the touched cell ids (≤ |delta| — a request-sized driver
+    list, same class as the merge bucket list).
+
+    Crash contract mirrors `merge_parquet_table`: the per-partition
+    dynamic overwrite commits cell by cell, so a crash mid-upsert
+    leaves some cells new and some old; re-applying the same delta
+    converges (replacement is idempotent).
+    """
+    import sys
+
+    from pyspark.sql.types import LongType
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+
+    spark = corpus_for_quantizer.sparkSession
+    cent_ids, cents, c2 = _pivot_quantizer(
+        corpus_for_quantizer, n_cells, id_col, vec_col
+    )
+
+    @F.pandas_udf(LongType())
+    def assign_cell(vs: pd.Series) -> pd.Series:
+        mat = np.array(list(vs), dtype=np.float64)
+        return pd.Series(cent_ids[np.argmin(_routing_scores(mat, cents, c2), axis=1)])
+
+    routed = (
+        delta.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+        )
+        .withColumn("cell", assign_cell(F.col("c_vec")))
+        .persist()
+    )
+    touched = sorted(int(r.cell) for r in routed.select("cell").distinct().collect())
+    # a vec may MOVE cells: its old copy can live in a cell the new
+    # delta doesn't touch. Find old homes of delta ids and add them.
+    delta_ids = routed.select("vec_id")
+    idx_all = spark.read.parquet(path)
+    old_homes = (
+        idx_all.join(F.broadcast(delta_ids), "vec_id")
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    touched = sorted({*touched, *(int(r.cell) for r in old_homes)})
+
+    survivors = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(touched))
+        .join(F.broadcast(delta_ids), "vec_id", "left_anti")
+    )
+    merged = survivors.unionByName(routed.where(F.col("cell").isin(touched)))
+    # a vec moving away can EMPTY its old cell: dynamic overwrite only
+    # rewrites partitions present in the output, so collect the
+    # non-empty set BEFORE the write (lineage reads the pre-merge base)
+    # and drop stale directories after — the merge.py discipline.
+    non_empty = {
+        int(r.cell) for r in merged.select("cell").distinct().collect()
+    }
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    import os
+    import shutil
+
+    for c in set(touched) - non_empty:
+        cell_dir = os.path.join(path, f"cell={c}")
+        if os.path.exists(cell_dir):
+            shutil.rmtree(cell_dir)
+    routed.unpersist()
+    return touched

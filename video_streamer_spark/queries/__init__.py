@@ -218,6 +218,7 @@ _SAMPLE_FIRST = [
     "x161_psi_quality_drift",
     "x162_containment_dedup",
     "x163_contrastive_triplets",
+    "x164_index_upsert_search",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

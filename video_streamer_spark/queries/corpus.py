@@ -1340,3 +1340,88 @@ def x163_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sim").alias("neg_sim"),
     )
     return pos.join(neg, "anchor_id")
+
+
+# --------------------------------------------------------------------------
+# x164: INDEX UPSERT THEN SEARCH — the vector-DB write path end to end:
+# build the IVF index, upsert a delta batch (vecs 0-9 get reversed
+# embeddings — cell moves included — plus one brand-new vector), then
+# search; only touched cell= partitions rewrite (unit-tested). The
+# oracle runs the x155 pipeline over the delta-APPLIED logical table
+# with the quantizer pinned from the BASE corpus, exactly as the
+# operator pins it.
+@query(
+    "x164_index_upsert_search",
+    oracle=f"""
+    WITH delta AS (
+      SELECT vec_id, list_reverse(embedding) AS embedding
+      FROM embeddings WHERE vec_id < 10
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id = 20),
+    emb2 AS (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      WHERE e.vec_id NOT IN (SELECT vec_id FROM delta)
+      UNION ALL SELECT vec_id, embedding FROM delta),
+    piv AS (
+      SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, p.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_dot_product(p.cvec, p.cvec)
+                     - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            p.cvec), p.cent_id) AS rn
+        FROM emb2 e CROSS JOIN piv p) WHERE rn = 1),
+    probe AS (
+      SELECT cent_id FROM (
+        SELECT p.cent_id,
+          ROW_NUMBER() OVER (
+            ORDER BY list_dot_product(p.cvec, p.cvec)
+                     - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            p.cvec), p.cent_id) AS rn
+        FROM embeddings e CROSS JOIN piv p WHERE e.vec_id = 42) WHERE rn <= 4),
+    scored AS (
+      SELECT a.vec_id,
+        {_R4.format(_sql_cos('ce.embedding', 'qe.embedding'))} AS sim
+      FROM assign a
+      JOIN emb2 ce ON ce.vec_id = a.vec_id
+      JOIN embeddings qe ON qe.vec_id = 42
+      WHERE a.cent_id IN (SELECT cent_id FROM probe) AND a.vec_id <> 42),
+    ranked AS (
+      SELECT vec_id, sim,
+        CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INT) AS rank
+      FROM scored)
+    SELECT vec_id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def x164_index_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from video_streamer_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+        ivf_index_upsert,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    path = f"/tmp/vss-warehouse/ivf-upsert-{tag}"
+    ivf_index_build(emb, path, n_cells=16)
+    delta = (
+        emb.where(F.col("vec_id") < 10)
+        .select("vec_id", F.reverse("embedding").alias("embedding"), "label")
+        .unionByName(
+            emb.where(F.col("vec_id") == 20).select(
+                (F.col("vec_id") + 10000).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+    )
+    ivf_index_upsert(emb, path, delta, n_cells=16)
+    return ivf_index_search(
+        emb, path, emb.where(F.col("vec_id") == 42), k=5, n_cells=16, n_probe=4
+    ).select("vec_id", "sim", "rank")
