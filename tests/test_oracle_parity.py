@@ -37,3 +37,16 @@ def test_all_queries_run_smoke(spark):
         df = fn(spark, SF_SMOKE)
         assert df.columns, f"{name}: empty schema"
         assert df.count() >= 0, f"{name}: failed to execute"
+
+
+def test_registry_consistency():
+    """Every registered query has an oracle, and every _SAMPLE_FIRST
+    entry names a real query — a typo there silently demotes a query to
+    the sample tail and its driver evidence goes stale."""
+    from video_streamer_spark.queries import _SAMPLE_FIRST
+
+    assert set(QUERIES) == set(ORACLES), (
+        set(QUERIES) ^ set(ORACLES)
+    )
+    missing = [n for n in _SAMPLE_FIRST if n not in QUERIES]
+    assert not missing, missing
