@@ -827,3 +827,50 @@ def test_stream_built_index_search_equals_batch_built(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_streaming_cdc_upsert_converges_to_batch_upsert(spark, tmp_path):
+    """Streaming CDC upsert (multi-micro-batch deltas) must leave the
+    index identical to one batch upsert of the same delta set — last
+    write wins per vec_id, cells consistent."""
+    import pyspark.sql.functions as SF
+
+    from tests.conftest import SF_ORACLE
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_upsert,
+    )
+    from video_streamer_spark.streaming.index_stream import index_upsert_stream
+    from video_streamer_spark.streaming.pipeline import stream_dir
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    delta = emb.where(SF.col("vec_id") < 20).select(
+        "vec_id", SF.reverse("embedding").alias("embedding"), "label"
+    )
+
+    batch_path = str(tmp_path / "idx_b")
+    ivf_index_build(emb, batch_path, n_cells=16)
+    ivf_index_upsert(emb, batch_path, delta, n_cells=16)
+    want = sorted(
+        (r.vec_id, r.cell, tuple(r.c_vec))
+        for r in spark.read.parquet(batch_path).collect()
+    )
+
+    stream_path = str(tmp_path / "idx_s")
+    ivf_index_build(emb, stream_path, n_cells=16)
+    src = str(tmp_path / "delta_src")
+    delta.repartition(3).write.parquet(src)
+    stream = stream_dir(spark, src, delta.schema, max_files_per_trigger=1)
+    index_upsert_stream(
+        stream,
+        stream_path,
+        quantizer_corpus=emb,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_cells=16,
+    )
+    got = sorted(
+        (r.vec_id, r.cell, tuple(r.c_vec))
+        for r in spark.read.parquet(stream_path).collect()
+    )
+    assert got == want

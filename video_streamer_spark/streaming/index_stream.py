@@ -70,3 +70,43 @@ def index_ingest_stream(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def index_upsert_stream(
+    vec_stream: DataFrame,
+    path: str,
+    quantizer_corpus: DataFrame,
+    checkpoint_dir: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    timeout_sec: int = 300,
+) -> None:
+    """CDC into the vector index: each micro-batch applies as a vector
+    UPSERT (last write wins per id, touched ``cell=`` partitions only)
+    via `ivf_index_upsert` — the streaming write path of a vector
+    database, vs `index_ingest_stream`'s append-only bulk load.
+    Quantizer pinned once at start; availableNow EOS semantics; replay
+    of a delivered epoch CONVERGES (upsert is idempotent), unlike the
+    append ingest."""
+    from video_streamer_spark.operators.similarity import ivf_index_upsert
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ivf_index_upsert(
+            quantizer_corpus,
+            path,
+            batch_df,
+            n_cells=n_cells,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    q = (
+        vec_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
