@@ -2567,3 +2567,30 @@ def test_ivf_index_upsert_touches_only_affected_cells(spark, tmp_path):
     # no duplicate vec_ids anywhere in the index
     idx = spark.read.parquet(path)
     assert idx.count() == idx.select("vec_id").distinct().count()
+
+
+def test_concurrent_queries_are_thread_safe(spark):
+    """An engine serves parallel clients: eight different queries
+    submitted from eight threads against one SparkSession must all
+    return their (independently recomputed) single-thread results."""
+    import concurrent.futures as cf
+
+    from tests.conftest import SF_ORACLE
+
+    names = [
+        "q01_scan_filter", "q03_multijoin_region_counts",
+        "q13_distinct_users_per_type", "q16_exact_dedup_stats",
+        "x10_quality_scores", "x24_approx_distinct",
+        "x41_bpe_token_counts", "x83_string_agg_nations",
+    ]
+    want = {
+        n: sorted(map(tuple, QUERIES[n](spark, SF_ORACLE).collect()))
+        for n in names
+    }
+
+    def run(n):
+        return n, sorted(map(tuple, QUERIES[n](spark, SF_ORACLE).collect()))
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        got = dict(ex.map(run, names))
+    assert got == want
