@@ -496,3 +496,70 @@ def greedy_coverage_selection(
     return spark.createDataFrame(
         out, "sel_rank int, doc_id bigint, gain bigint, covered_total bigint"
     )
+
+
+def rake_keywords(docs: DataFrame, top_n: int = 15) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores degree/frequency
+    (degree = Σ co-phrase lengths), a phrase scores the sum of its
+    words' scores. Corpus-level: phrases aggregate across documents and
+    the top-N by (score, phrase) is the extracted vocabulary.
+
+    Scale shape: phrase splitting is a codegen fold over the token
+    array (no Python); word stats are two vocab-sized aggregations;
+    the final cut is a TakeOrdered. Scores are DECIMAL(18,6)-quantized
+    rationals so ranking is engine-exact.
+    """
+    toks = tokens_col("text")
+    # fold tokens into stopword-delimited phrase runs: accumulator is
+    # an array of phrases (arrays of words); stopword -> open new run
+    phrases = F.filter(
+        F.aggregate(
+            toks,
+            F.array(F.array().cast("array<string>")),
+            lambda acc, t: F.when(
+                t.isin(*EN_STOPWORDS),
+                F.when(
+                    F.size(F.element_at(acc, -1)) > 0,
+                    F.concat(acc, F.array(F.array().cast("array<string>"))),
+                ).otherwise(acc),
+            ).otherwise(
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), F.array(t))),
+                )
+            ),
+        ),
+        lambda p: F.size(p) > 0,
+    )
+    ph = docs.select(F.explode(phrases).alias("p")).persist()
+    words = ph.select(
+        F.explode("p").alias("w"), F.size("p").alias("plen")
+    )
+    stats = words.groupBy("w").agg(
+        F.count("*").alias("freq"),
+        F.sum("plen").alias("degree"),
+    )
+    # word score = degree/freq as DECIMAL(18,6) (exact cross-engine)
+    wscore = stats.select(
+        "w",
+        (F.col("degree").cast("double") / F.col("freq").cast("double"))
+        .cast("decimal(18,6)")
+        .alias("ws"),
+    )
+    # score each DISTINCT phrase once (occurrences only set n_occ):
+    # re-split its words from the phrase string and sum their decimal
+    # scores — exact decimal addition, no division, engine-stable
+    per_phrase = ph.groupBy(F.concat_ws(" ", "p").alias("phrase")).agg(
+        F.count("*").cast("bigint").alias("n_occ")
+    )
+    pw = per_phrase.select(
+        "phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    return (
+        pw.join(wscore, "w")
+        .groupBy("phrase", "n_occ")
+        .agg(F.sum("ws").cast("decimal(18,6)").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("phrase"))
+        .limit(top_n)
+    )

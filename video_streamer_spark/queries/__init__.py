@@ -219,6 +219,7 @@ _SAMPLE_FIRST = [
     "x162_containment_dedup",
     "x163_contrastive_triplets",
     "x164_index_upsert_search",
+    "x165_rake_keywords",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -1425,3 +1425,57 @@ def x164_index_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_search(
         emb, path, emb.where(F.col("vec_id") == 42), k=5, n_cells=16, n_probe=4
     ).select("vec_id", "sim", "rank")
+
+
+# --------------------------------------------------------------------------
+# x165: RAKE KEYWORD EXTRACTION — corpus keyword vocabulary via Rapid
+# Automatic Keyword Extraction: stopword-delimited phrase runs (a
+# codegen fold Spark-side; prefix-count run ids in the oracle), word
+# degree/frequency scores, phrase = Σ word scores in exact
+# DECIMAL(18,6), top-15 TakeOrdered.
+@query(
+    "x165_rake_keywords",
+    oracle=f"""
+    WITH {_TOKS},
+    pos AS (
+      SELECT doc_id, unnest(toks) AS t,
+             unnest(range(1, len(toks) + 1)) AS i
+      FROM toks),
+    marked AS (
+      SELECT doc_id, i, t,
+        CASE WHEN list_contains({_STOPWORDS_SQL}, t) THEN 1 ELSE 0 END AS s
+      FROM pos),
+    runs AS (
+      SELECT doc_id, i, t, s,
+        SUM(s) OVER (PARTITION BY doc_id ORDER BY i) AS run_id
+      FROM marked),
+    phr AS (
+      SELECT doc_id, run_id, string_agg(t, ' ' ORDER BY i) AS phrase
+      FROM runs WHERE s = 0 GROUP BY doc_id, run_id),
+    pw AS (
+      SELECT unnest(string_split(phrase, ' ')) AS w,
+             len(string_split(phrase, ' ')) AS plen
+      FROM phr),
+    stats AS (SELECT w, COUNT(*) AS freq, SUM(plen) AS degree
+              FROM pw GROUP BY w),
+    ws AS (
+      SELECT w, CAST(CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE)
+                     AS DECIMAL(18,6)) AS ws
+      FROM stats),
+    per_phrase AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM phr GROUP BY phrase),
+    pword AS (
+      SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w
+      FROM per_phrase)
+    SELECT p.phrase, p.n_occ,
+      CAST(SUM(ws.ws) AS DECIMAL(18,6)) AS score
+    FROM pword p JOIN ws ON ws.w = p.w
+    GROUP BY p.phrase, p.n_occ
+    ORDER BY score DESC, p.phrase LIMIT 15
+    """,
+)
+def x165_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.text import rake_keywords
+
+    return rake_keywords(table(spark, sf_dir, "documents"), top_n=15)
