@@ -250,3 +250,63 @@ def test_bpe_matches_pure_python_reference(spark):
                     i += 1
             vocab[w] = out
     assert got == want, (got, want)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_mmr_matches_python_reference(spark, seed):
+    """mmr_rerank must agree with a direct python MMR on random vectors
+    (same rounded cosines, same λ=1/2 micro-quantized argmax)."""
+    import pyspark.sql.functions as SF
+
+    from video_streamer_spark.operators.similarity import mmr_rerank
+
+    rng = np.random.default_rng(seed)
+    n, dim = 12, 8
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = [
+        (r.sel_rank, r.vec_id)
+        for r in sorted(
+            mmr_rerank(df, SF.col("vec_id") == 0, k=3, pool=8).collect(),
+            key=lambda r: r.sel_rank,
+        )
+    ]
+
+    v = vecs.astype(np.float64)
+
+    def cos4(a, b):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        c = float(np.dot(v[a], v[b]) / (np.linalg.norm(v[a]) * np.linalg.norm(v[b])))
+        # mirror round4: decimal half-up at 4 places
+        return float(
+            Decimal(repr(c)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+
+    # python reference: pool = top-8 by (rel desc, id), then 3 rounds
+    import math
+
+    rel = {i: cos4(i, 0) for i in range(1, n)}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:8]
+    chosen, want = [], []
+    for rank in range(1, 4):
+        best = None
+        for c in pool:
+            if c in chosen:
+                continue
+            div = max((cos4(c, s) for s in chosen), default=0.0)
+            mmr = math.floor((rel[c] * 0.5 - div * 0.5) * 1e6)
+            key = (-mmr, c)
+            if best is None or key < best[0]:
+                best = (key, c)
+        chosen.append(best[1])
+        want.append((rank, best[1]))
+    assert got == want, (got, want)
