@@ -2594,3 +2594,23 @@ def test_concurrent_queries_are_thread_safe(spark):
     with cf.ThreadPoolExecutor(max_workers=8) as ex:
         got = dict(ex.map(run, names))
     assert got == want
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing theorem: two documents sharing a token run of at
+    least w + k - 1 (= 5 here) MUST share a selected fingerprint."""
+    from video_streamer_spark.operators.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon"  # 5-token shared run
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four five six"),
+            (2, f"seven eight nine ten {shared} eleven"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sel = winnowing_fingerprints(docs, window=4, shingle_k=2).collect()
+    fps = {1: set(), 2: set()}
+    for r in sel:
+        fps[r.doc_id].add(r.fp)
+    assert fps[1] & fps[2], sel

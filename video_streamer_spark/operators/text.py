@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from video_streamer_spark.functions.parity import round2, round4
 from video_streamer_spark.operators.dedup import tokens_col
@@ -563,3 +564,67 @@ def rake_keywords(docs: DataFrame, top_n: int = 15) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("phrase"))
         .limit(top_n)
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, window: int = 4, shingle_k: int = 2
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS scheme): hash every k-token gram, slide a
+    w-hash window, keep each window's minimum (leftmost on ties). Any
+    shared run of ≥ w+k-1 tokens between two documents is GUARANTEED
+    to share a selected fingerprint — the recall property ad-hoc
+    sampling lacks — while storing only ~2/(w+1) of the hashes.
+
+    Returns distinct (doc_id, pos, fp) selections. Argmin per window is
+    computed the same way in both engines: pass 1 takes the window MIN
+    over the w hashes starting at each position (a doc-local analytic
+    window); pass 2 equi-joins grams back on (doc, hash = window min)
+    within the window's position range and keeps MIN(pos). All work is
+    doc-local: per-doc cost ∝ n_grams × w, and the fingerprint density
+    bound caps downstream index size.
+    """
+    from video_streamer_spark.catalog import scatter
+    from video_streamer_spark.operators.dedup import shingles_col
+
+    grams = (
+        scatter(docs)
+        .select(
+            "doc_id",
+            F.posexplode(shingles_col("text", shingle_k)).alias("i", "g"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.conv(F.substring(F.md5("g"), 1, 14), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .persist()
+    )
+    w_fwd = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    starts = grams.select(
+        "doc_id",
+        F.col("i").alias("j"),
+        F.min("h").over(w_fwd).alias("wmin"),
+        F.count("*").over(w_fwd).alias("wlen"),
+    ).where(F.col("wlen") == window)
+    sel = (
+        starts.alias("s")
+        .join(
+            grams.alias("g"),
+            (F.col("s.doc_id") == F.col("g.doc_id"))
+            & (F.col("g.h") == F.col("s.wmin"))
+            & (F.col("g.i") >= F.col("s.j"))
+            & (F.col("g.i") < F.col("s.j") + window),
+        )
+        .groupBy("s.doc_id", "s.j")
+        .agg(F.min("g.i").alias("pos"), F.first("s.wmin").alias("fp"))
+        .select(F.col("doc_id"), "pos", "fp")
+        .distinct()
+    )
+    return sel

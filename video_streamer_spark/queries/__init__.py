@@ -220,6 +220,7 @@ _SAMPLE_FIRST = [
     "x163_contrastive_triplets",
     "x164_index_upsert_search",
     "x165_rake_keywords",
+    "x166_winnowing_fingerprints",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -1479,3 +1479,52 @@ def x165_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_streamer_spark.operators.text import rake_keywords
 
     return rake_keywords(table(spark, sf_dir, "documents"), top_n=15)
+
+
+# --------------------------------------------------------------------------
+# x166: WINNOWING FINGERPRINTS — the MOSS selection (window-min over
+# k-gram hashes, leftmost tie): any shared run of ≥ w+k-1 tokens is
+# GUARANTEED a shared fingerprint at ~2/(w+1) storage density. Per-doc
+# report of selections and distinct fingerprints; argmin computed by
+# the identical two-pass window+join in both engines.
+@query(
+    "x166_winnowing_fingerprints",
+    oracle=f"""
+    WITH {_TOKS},
+    gr AS (
+      SELECT doc_id,
+        unnest(range(0, len(toks) - 1)) AS i,
+        unnest(list_transform(range(1, len(toks)),
+          x -> CAST(('0x' || substr(md5(array_to_string(toks[x:x+1], ' ')),
+                     1, 14)) AS BIGINT))) AS h
+      FROM toks WHERE len(toks) >= 2),
+    starts AS (
+      SELECT doc_id, i AS j,
+        MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wlen
+      FROM gr),
+    st AS (SELECT doc_id, j, wmin FROM starts WHERE wlen = 4),
+    per_win AS (
+      SELECT s.doc_id, s.j, MIN(g.i) AS pos, s.wmin AS fp
+      FROM st s JOIN gr g
+        ON g.doc_id = s.doc_id AND g.h = s.wmin
+       AND g.i >= s.j AND g.i < s.j + 4
+      GROUP BY s.doc_id, s.j, s.wmin),
+    sel AS (SELECT DISTINCT doc_id, pos, fp FROM per_win)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sel,
+      CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp
+    FROM sel GROUP BY doc_id
+    """,
+)
+def x166_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.text import winnowing_fingerprints
+
+    sel = winnowing_fingerprints(
+        table(spark, sf_dir, "documents"), window=4, shingle_k=2
+    )
+    return sel.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_sel"),
+        F.countDistinct("fp").cast("bigint").alias("n_fp"),
+    )
