@@ -221,6 +221,7 @@ _SAMPLE_FIRST = [
     "x164_index_upsert_search",
     "x165_rake_keywords",
     "x166_winnowing_fingerprints",
+    "x167_zipf_fit",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

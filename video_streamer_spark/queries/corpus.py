@@ -1528,3 +1528,98 @@ def x166_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_sel"),
         F.countDistinct("fp").cast("bigint").alias("n_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# x167: ZIPF FIT — least-squares fit of ln(freq) on ln(rank) over the
+# top-100 tokens: the corpus-statistics sanity report (natural text
+# slopes ≈ −1; synthetic/boilerplate corpora drift). The x107
+# regression recipe on micro-quantized lns: BIGINT ln-microunits,
+# DECIMAL(38,0) exact sums, double math only at the end.
+_ZNUM = ("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+         " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))")
+_ZDXX = ("(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+         " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")
+_ZDYY = ("(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+         " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))")
+
+
+@query(
+    "x167_zipf_fit",
+    oracle=f"""
+    WITH {_TOKS},
+    tok AS (SELECT unnest(toks) AS t FROM toks),
+    freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rank
+      FROM freq ORDER BY c DESC, t LIMIT 100),
+    pts AS (
+      SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS DECIMAL(38,0)) AS x,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS DECIMAL(38,0)) AS y
+      FROM ranked),
+    sums AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        SUM(x) AS sx, SUM(y) AS sy,
+        SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_points,
+      {_R4.format(f"({_ZNUM}) / ({_ZDXX})")} AS slope,
+      {_R4.format(
+          f"((CAST(sy AS DOUBLE) - (({_ZNUM}) / ({_ZDXX}))"
+          f" * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 1000000.0"
+      )} AS intercept_ln,
+      {_R4.format(
+          f"(({_ZNUM}) / (sqrt({_ZDXX}) * sqrt({_ZDYY})))"
+          f" * (({_ZNUM}) / (sqrt({_ZDXX}) * sqrt({_ZDYY})))"
+      )} AS r2
+    FROM sums
+    """,
+)
+def x167_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators.text import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens_col("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "t")
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("c").desc(), "t")
+    pts = freq.select(
+        F.floor(F.log(F.row_number().over(w).cast("double")) * 1e6 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1e6 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = (F.col("n").cast("double"), F.col("sx").cast("double"),
+                 F.col("sy").cast("double"))
+    sxy, sxx, syy = (F.col("sxy").cast("double"), F.col("sxx").cast("double"),
+                     F.col("syy").cast("double"))
+    num = n * sxy - sx * sy
+    dxx = n * sxx - sx * sx
+    dyy = n * syy - sy * sy
+    slope = num / dxx
+    return s.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        round4(slope).alias("slope"),
+        round4(((sy - slope * sx) / n) / 1e6).alias("intercept_ln"),
+        round4((num / (F.sqrt(dxx) * F.sqrt(dyy)))
+               * (num / (F.sqrt(dxx) * F.sqrt(dyy)))).alias("r2"),
+    )
