@@ -20,6 +20,7 @@ from video_streamer_spark.catalog import table
 from video_streamer_spark.queries import query
 from video_streamer_spark.queries.curation import (
     _R4,
+    _minhash_cte,
     _sql_cos,
     _STOPWORDS_SQL,
 )
@@ -1622,4 +1623,86 @@ def x167_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(((sy - slope * sx) / n) / 1e6).alias("intercept_ln"),
         round4((num / (F.sqrt(dxx) * F.sqrt(dyy)))
                * (num / (F.sqrt(dxx) * F.sqrt(dyy)))).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x168: LEAKAGE-SAFE SPLIT — train/val/test assignment by NEAR-DUP
+# CLUSTER, not by document: hash-splitting doc ids leaks near-identical
+# pairs across the eval boundary, so the split key is the connected
+# component of the minhash candidate graph (x45 machinery), singletons
+# keyed by their own id. The n_spanning column PROVES the invariant
+# in-band (clusters touching >1 split — must be 0).
+@query(
+    "x168_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM mh_pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS min_reach FROM reach GROUP BY src),
+    assigned AS (
+      SELECT d.doc_id,
+        CAST(COALESCE(LEAST(c.doc_id, c.min_reach), d.doc_id) AS BIGINT)
+          AS comp_id
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+    split AS (
+      SELECT doc_id, comp_id,
+        CASE WHEN CAST(('0x' || substr(md5(CAST(comp_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 < 8000 THEN 'train'
+             WHEN CAST(('0x' || substr(md5(CAST(comp_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 < 9000 THEN 'val'
+             ELSE 'test' END AS split
+      FROM assigned),
+    spanning AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT comp_id FROM split GROUP BY comp_id
+        HAVING COUNT(DISTINCT split) > 1))
+    SELECT s.split,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(DISTINCT s.comp_id) AS BIGINT) AS n_clusters,
+      (SELECT n FROM spanning) AS n_spanning
+    FROM split s GROUP BY s.split
+    """,
+)
+def x168_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators import dedup
+    from video_streamer_spark.operators.sampling import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidate_pairs(docs)
+    comps = dedup.connected_components(pairs)
+    assigned = (
+        docs.select("doc_id")
+        .join(comps, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id"))
+            .cast("bigint")
+            .alias("comp_id"),
+        )
+    )
+    split = hash_split(
+        assigned,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="comp_id",
+    ).persist()
+    spanning = (
+        split.groupBy("comp_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count("*").cast("bigint").alias("n_spanning"))
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("comp_id").cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(spanning))
     )
