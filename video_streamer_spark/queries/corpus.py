@@ -1706,3 +1706,114 @@ def x168_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(spanning))
     )
+
+
+# --------------------------------------------------------------------------
+# x169: DEDUP IMPACT REPORT — what each dedup family would remove,
+# measured independently on the same corpus: exact (non-first copy per
+# md5), near-dup (non-canonical members of minhash-graph clusters),
+# containment (docs appearing verbatim inside another). Docs AND token
+# counts — the executive summary that prices a dedup pass before
+# committing to it.
+@query(
+    "x169_dedup_impact_report",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_cte()},
+    tk AS (
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS BIGINT) AS n_tok
+      FROM documents),
+    exact_drop AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn > 1),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+      UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, MIN(dst) AS mr FROM reach GROUP BY src),
+    near_drop AS (
+      SELECT doc_id FROM comp WHERE LEAST(doc_id, mr) <> doc_id),
+    sh2 AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+          i -> array_to_string(toks[i:i+2], ' '))) AS g
+        FROM toks WHERE len(toks) >= 3)),
+    dfq AS (SELECT g, COUNT(*) AS df FROM sh2 GROUP BY g),
+    rarest AS (
+      SELECT doc_id, g FROM (
+        SELECT sh2.doc_id, sh2.g,
+          ROW_NUMBER() OVER (PARTITION BY sh2.doc_id
+                             ORDER BY dfq.df, sh2.g) AS rn
+        FROM sh2 JOIN dfq ON dfq.g = sh2.g) WHERE rn = 1),
+    contain_drop AS (
+      SELECT DISTINCT r.doc_id
+      FROM rarest r
+      JOIN sh2 s ON s.g = r.g AND s.doc_id <> r.doc_id
+      JOIN documents da ON da.doc_id = r.doc_id
+      JOIN documents db ON db.doc_id = s.doc_id
+      WHERE (length(da.text) < length(db.text)
+             OR (length(da.text) = length(db.text) AND r.doc_id < s.doc_id))
+        AND strpos(db.text, da.text) > 0)
+    SELECT 'exact' AS method,
+      CAST(COUNT(*) AS BIGINT) AS n_docs_dropped,
+      CAST(COALESCE(SUM(tk.n_tok), 0) AS BIGINT) AS n_tokens_dropped
+    FROM exact_drop d JOIN tk ON tk.doc_id = d.doc_id
+    UNION ALL
+    SELECT 'near_dup', CAST(COUNT(*) AS BIGINT),
+      CAST(COALESCE(SUM(tk.n_tok), 0) AS BIGINT)
+    FROM near_drop d JOIN tk ON tk.doc_id = d.doc_id
+    UNION ALL
+    SELECT 'containment', CAST(COUNT(*) AS BIGINT),
+      CAST(COALESCE(SUM(tk.n_tok), 0) AS BIGINT)
+    FROM contain_drop d JOIN tk ON tk.doc_id = d.doc_id
+    """,
+)
+def x169_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from video_streamer_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.size(dedup.tokens_col("text")).cast("bigint").alias("n_tok")
+    ).persist()
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact_drop = (
+        docs.select("doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    comps = dedup.connected_components(dedup.minhash_candidate_pairs(docs))
+    near_drop = comps.where(F.col("comp") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    contain_drop = (
+        dedup.containment_pairs(docs, shingle_k=3)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+
+    def report(name: str, dropped: DataFrame) -> DataFrame:
+        return (
+            dropped.join(tk, "doc_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs_dropped"),
+                F.coalesce(F.sum("n_tok"), F.lit(0))
+                .cast("bigint")
+                .alias("n_tokens_dropped"),
+            )
+            .select(F.lit(name).alias("method"), "n_docs_dropped",
+                    "n_tokens_dropped")
+        )
+
+    return (
+        report("exact", exact_drop)
+        .unionByName(report("near_dup", near_drop))
+        .unionByName(report("containment", contain_drop))
+    )
