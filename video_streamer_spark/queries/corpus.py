@@ -1817,3 +1817,99 @@ def x169_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(report("near_dup", near_drop))
         .unionByName(report("containment", contain_drop))
     )
+
+
+# --------------------------------------------------------------------------
+# x170: BIGRAM LM SCORING — per-document mean log-probability under an
+# interpolated bigram model trained on the corpus itself (0.75·MLE
+# bigram + 0.25·Laplace unigram): the perplexity-style quality signal
+# CCNet/Gopher-class filters rank documents by. Count tables are
+# vocab-sized broadcasts; per-term lns are DECIMAL(18,6)-quantized so
+# document sums are exact across engines.
+@query(
+    "x170_bigram_lm_score",
+    oracle=f"""
+    WITH {_TOKS},
+    uni AS (
+      SELECT t, COUNT(*) AS c FROM (SELECT unnest(toks) AS t FROM toks)
+      GROUP BY t),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM uni),
+    bi AS (
+      SELECT p.w1, p.w2, COUNT(*) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+          i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS p
+        FROM toks WHERE len(toks) >= 2)
+      GROUP BY p.w1, p.w2),
+    terms AS (
+      SELECT d.doc_id,
+        CAST(ln(0.75 * (CAST(COALESCE(b.c, 0) AS DOUBLE)
+                        / CAST(u1.c AS DOUBLE))
+              + 0.25 * ((CAST(u2.c AS DOUBLE) + 1.0)
+                        / (CAST(tot.n AS DOUBLE) + CAST(tot.v AS DOUBLE))))
+             AS DECIMAL(18,6)) AS term
+      FROM (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(toks)),
+            i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS p
+        FROM toks WHERE len(toks) >= 2) d(doc_id, p)
+      JOIN uni u1 ON u1.t = d.p.w1
+      JOIN uni u2 ON u2.t = d.p.w2
+      LEFT JOIN bi b ON b.w1 = d.p.w1 AND b.w2 = d.p.w2
+      CROSS JOIN tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      CAST(SUM(term) AS DECIMAL(18,6)) AS logprob_sum
+    FROM terms GROUP BY doc_id
+    """,
+)
+def x170_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.dedup import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    pairs = toks.where(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    terms = (
+        pairs.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(
+                0.75
+                * (
+                    F.coalesce(F.col("cb"), F.lit(0)).cast("double")
+                    / F.col("c1").cast("double")
+                )
+                + 0.25
+                * (
+                    (F.col("c2").cast("double") + 1.0)
+                    / (F.col("n").cast("double") + F.col("v").cast("double"))
+                )
+            )
+            .cast("decimal(18,6)")
+            .alias("term"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("term").cast("decimal(18,6)").alias("logprob_sum"),
+    )
