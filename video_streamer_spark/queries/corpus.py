@@ -1913,3 +1913,46 @@ def x170_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_terms"),
         F.sum("term").cast("decimal(18,6)").alias("logprob_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# x171: DOCUMENT STITCHING — suffix/prefix overlap pairs: doc A's last
+# 3 tokens equal doc B's first 3 (A≠B), the candidate that B continues
+# A — the reconstruction signal for documents split by crawl/shard
+# boundaries. One equi-join on the 3-token boundary gram (fan-out
+# bounded by boundary-gram frequency); no similarity scan.
+@query(
+    "x171_doc_stitching",
+    oracle=f"""
+    WITH {_TOKS},
+    ends AS (
+      SELECT doc_id,
+        array_to_string(toks[1:3], ' ') AS head_g,
+        array_to_string(toks[len(toks)-2:len(toks)], ' ') AS tail_g
+      FROM toks WHERE len(toks) >= 3)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      a.tail_g AS overlap_gram
+    FROM ends a JOIN ends b
+      ON a.tail_g = b.head_g AND a.doc_id <> b.doc_id
+    """,
+)
+def x171_doc_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.dedup import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    ends = (
+        docs.select("doc_id", tokens_col("text").alias("t"))
+        .where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("t", 1, 3)).alias("head_g"),
+            F.concat_ws(" ", F.slice("t", -3, 3)).alias("tail_g"),
+        )
+    )
+    a = ends.select(F.col("doc_id").alias("doc_a"), F.col("tail_g"))
+    b = ends.select(F.col("doc_id").alias("doc_b"), F.col("head_g"))
+    return (
+        a.join(b, a.tail_g == b.head_g)
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", F.col("tail_g").alias("overlap_gram"))
+    )
