@@ -226,6 +226,7 @@ _SAMPLE_FIRST = [
     "x169_dedup_impact_report",
     "x170_bigram_lm_score",
     "x171_doc_stitching",
+    "x172_boilerplate_ngrams",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -1956,3 +1956,72 @@ def x171_doc_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b", F.col("tail_g").alias("overlap_gram"))
     )
+
+
+# --------------------------------------------------------------------------
+# x172: BOILERPLATE N-GRAM DETECTION — shingles present in >5% of all
+# documents are corpus boilerplate (the C4-style common-gram signal);
+# per source, the mean fraction of gram occurrences that are
+# boilerplate — a feed whose number spikes is shipping templated text.
+# Doc-frequency table is vocab-sized and broadcasts; per-doc fractions
+# are DECIMAL(18,6)-quantized before the exact sum.
+@query(
+    "x172_boilerplate_ngrams",
+    oracle=f"""
+    WITH {_TOKS},
+    grams AS (
+      SELECT doc_id, source,
+        unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+          i -> array_to_string(toks[i:i+2], ' '))) AS g
+      FROM toks WHERE len(toks) >= 3),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    dfq AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g),
+    bp AS (
+      SELECT g FROM dfq CROSS JOIN nd
+      WHERE CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE) > 0.05),
+    per_doc AS (
+      SELECT gr.doc_id, gr.source,
+        CAST(CAST(COUNT(bp.g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS DECIMAL(18,6)) AS frac
+      FROM grams gr LEFT JOIN bp ON bp.g = gr.g
+      GROUP BY gr.doc_id, gr.source)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      {_R4.format(
+          "CAST(SUM(frac) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+      )} AS mean_boilerplate_frac
+    FROM per_doc GROUP BY source
+    """,
+)
+def x172_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators.dedup import shingles_col
+
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(shingles_col("text", 3)).alias("g"),
+    )
+    n_docs = docs.count()  # table stat: one scalar, catalog-style
+    dfq = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    bp = dfq.where(
+        F.col("df").cast("double") / F.lit(float(n_docs)) > 0.05
+    ).select("g", F.lit(1).alias("is_bp"))
+    per_doc = (
+        grams.join(F.broadcast(bp), "g", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            (
+                F.count("is_bp").cast("double")
+                / F.count("*").cast("double")
+            )
+            .cast("decimal(18,6)")
+            .alias("frac")
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        round4(
+            F.sum("frac").cast("double") / F.count("*").cast("double")
+        ).alias("mean_boilerplate_frac"),
+    )
