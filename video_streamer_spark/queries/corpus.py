@@ -2002,7 +2002,11 @@ def x172_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(shingles_col("text", 3)).alias("g"),
     )
-    n_docs = docs.count()  # table stat: one scalar, catalog-style
+    # table stat from the parquet footer (zero Spark jobs at plan
+    # construction — the x05 catalog-statistics convention)
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     dfq = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
     bp = dfq.where(
         F.col("df").cast("double") / F.lit(float(n_docs)) > 0.05
