@@ -371,3 +371,21 @@ def test_x159_ivfpq_scan_prunes_partitions_and_columns(spark):
     assert idx_schemas and all("embedding" not in s for s in idx_schemas), (
         r.read_schemas
     )
+
+
+def test_round5_blocked_joins_never_go_cartesian(spark):
+    """The blocking contracts of the round-5 pair generators: source
+    overlap (x148) rides the shingle-hash equi-join, record linkage
+    (x157) the nation block, containment (x162) the rarest-shingle
+    equi-join, stitching (x171) the boundary-gram equi-join. A dropped
+    blocking key turns any of them into a cartesian/BNL — the
+    all-pairs explosion this engine bans."""
+    for name in (
+        "x148_source_overlap",
+        "x157_record_linkage",
+        "x162_containment_dedup",
+        "x171_doc_stitching",
+    ):
+        r = plan_report(QUERIES[name](spark, SF_ORACLE))
+        assert "CartesianProduct" not in r.text, name
+        assert r.n_bnl_joins == 0, (name, r.text)
