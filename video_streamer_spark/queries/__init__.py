@@ -227,6 +227,7 @@ _SAMPLE_FIRST = [
     "x170_bigram_lm_score",
     "x171_doc_stitching",
     "x172_boilerplate_ngrams",
+    "x173_temperature_mixture",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

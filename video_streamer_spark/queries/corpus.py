@@ -2029,3 +2029,112 @@ def x172_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("frac").cast("double") / F.count("*").cast("double")
         ).alias("mean_boilerplate_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# x173: TEMPERATURE MIXTURE SAMPLING — per-source acceptance rates from
+# the α-temperature rule (share_i ∝ tokens_i^α, α=0.3 — the mT5/XLM-R
+# low-resource up-weighting) under a 50%-of-corpus token budget.
+# pow() outputs are DECIMAL(18,6)-quantized before ANY arithmetic that
+# feeds an integer cutoff, so the acceptance predicate (md5 bucket <
+# floor(rate·10⁴)) is engine-exact. Acceptance stays a pure row-local
+# hash predicate — x144's machinery, different allocation rule.
+@query(
+    "x173_temperature_mixture",
+    oracle=f"""
+    WITH {_TOKS},
+    pertok AS (
+      SELECT doc_id, source,
+        CAST(len(toks) AS BIGINT) AS n_tok
+      FROM toks),
+    src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS toks
+      FROM pertok GROUP BY source),
+    w AS (
+      SELECT source, n_docs, toks,
+        CAST(pow(CAST(toks AS DOUBLE), 0.3) AS DECIMAL(18,6)) AS wt
+      FROM src),
+    tot AS (SELECT SUM(wt) AS sw, SUM(toks) AS all_toks FROM w),
+    rates AS (
+      SELECT w.source, w.n_docs, w.toks,
+        CAST(least(1.0,
+          CAST(CAST(floor(
+            (CAST(w.wt AS DOUBLE) / CAST(tot.sw AS DOUBLE))
+            * floor(0.5 * CAST(tot.all_toks AS DOUBLE))) AS BIGINT) AS DOUBLE)
+          / CAST(w.toks AS DOUBLE)) AS DECIMAL(18,6)) AS rate
+      FROM w CROSS JOIN tot),
+    accepted AS (
+      SELECT p.source,
+        CAST(COUNT(*) AS BIGINT) AS n_acc,
+        CAST(SUM(p.n_tok) AS BIGINT) AS toks_acc
+      FROM pertok p JOIN rates r ON r.source = p.source
+      WHERE CAST(('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 10000
+            < CAST(floor(r.rate * 10000.0) AS BIGINT)
+      GROUP BY p.source)
+    SELECT r.source,
+      r.n_docs, r.toks,
+      CAST(r.rate AS DOUBLE) AS accept_rate,
+      CAST(COALESCE(a.n_acc, 0) AS BIGINT) AS n_accepted,
+      CAST(COALESCE(a.toks_acc, 0) AS BIGINT) AS tokens_accepted
+    FROM rates r LEFT JOIN accepted a ON a.source = r.source
+    """,
+)
+def x173_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.dedup import tokens_col
+    from video_streamer_spark.operators.sampling import _hash_bucket
+
+    docs = table(spark, sf_dir, "documents")
+    pertok = docs.select(
+        "doc_id", "source", F.size(tokens_col("text")).cast("bigint").alias("n_tok")
+    )
+    src = pertok.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("toks"),
+    )
+    w = src.select(
+        "source", "n_docs", "toks",
+        F.pow(F.col("toks").cast("double"), 0.3)
+        .cast("decimal(18,6)")
+        .alias("wt"),
+    )
+    tot = w.agg(
+        F.sum("wt").alias("sw"), F.sum("toks").alias("all_toks")
+    )
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "toks",
+        F.least(
+            F.lit(1.0),
+            F.floor(
+                (F.col("wt").cast("double") / F.col("sw").cast("double"))
+                * F.floor(0.5 * F.col("all_toks").cast("double"))
+            )
+            .cast("bigint")
+            .cast("double")
+            / F.col("toks").cast("double"),
+        )
+        .cast("decimal(18,6)")
+        .alias("rate"),
+    )
+    cutoff = F.floor(F.col("rate").cast("double") * 10000.0).cast("bigint")
+    accepted = (
+        pertok.join(F.broadcast(rates.select("source", "rate")), "source")
+        .where(_hash_bucket("doc_id") < cutoff)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_acc"),
+            F.sum("n_tok").cast("bigint").alias("toks_acc"),
+        )
+    )
+    return (
+        rates.join(accepted, "source", "left")
+        .select(
+            "source", "n_docs", "toks",
+            F.col("rate").cast("double").alias("accept_rate"),
+            F.coalesce("n_acc", F.lit(0)).cast("bigint").alias("n_accepted"),
+            F.coalesce("toks_acc", F.lit(0))
+            .cast("bigint")
+            .alias("tokens_accepted"),
+        )
+    )
