@@ -228,6 +228,7 @@ _SAMPLE_FIRST = [
     "x171_doc_stitching",
     "x172_boilerplate_ngrams",
     "x173_temperature_mixture",
+    "x174_k_anonymity",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -2138,3 +2138,45 @@ def x173_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_accepted"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x174: K-ANONYMITY AUDIT — re-identification risk over the
+# quasi-identifier tuple (nation, market segment, balance bucket):
+# how many QI groups have fewer than k=5 members and how many records
+# they expose. The privacy gate a dataset passes before release;
+# complements x132's PII scrub (content) with structure-level risk.
+@query(
+    "x174_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_b
+      FROM customer),
+    grp AS (
+      SELECT nat, seg, bal_b, COUNT(*) AS sz
+      FROM qi GROUP BY nat, seg, bal_b)
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_groups,
+      CAST(COUNT(*) FILTER (WHERE sz < 5) AS BIGINT) AS n_violating,
+      CAST(COALESCE(SUM(sz) FILTER (WHERE sz < 5), 0) AS BIGINT)
+        AS n_records_at_risk,
+      CAST(MIN(sz) AS BIGINT) AS min_group_size
+    FROM grp
+    """,
+)
+def x174_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    grp = c.groupBy(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_b"),
+    ).agg(F.count("*").alias("sz"))
+    return grp.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.count_if(F.col("sz") < 5).cast("bigint").alias("n_violating"),
+        F.coalesce(F.sum(F.when(F.col("sz") < 5, F.col("sz"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_records_at_risk"),
+        F.min("sz").cast("bigint").alias("min_group_size"),
+    )
