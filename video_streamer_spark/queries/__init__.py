@@ -229,6 +229,7 @@ _SAMPLE_FIRST = [
     "x172_boilerplate_ngrams",
     "x173_temperature_mixture",
     "x174_k_anonymity",
+    "x175_oov_ratio",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

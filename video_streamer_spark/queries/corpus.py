@@ -2180,3 +2180,68 @@ def x174_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_records_at_risk"),
         F.min("sz").cast("bigint").alias("min_group_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# x175: OOV / GIBBERISH RATIO — fraction of each document's tokens
+# outside the corpus's top-20 vocabulary: the out-of-vocabulary signal
+# a gibberish/garbled-encoding filter thresholds on. Vocabulary is a
+# TakeOrdered broadcast; per-doc fractions DECIMAL-quantized before
+# exact summing; per-source mean + count of flagged (frac > 0.5) docs.
+@query(
+    "x175_oov_ratio",
+    oracle=f"""
+    WITH {_TOKS},
+    tok AS (SELECT doc_id, source, unnest(toks) AS t FROM toks),
+    vocab AS (
+      SELECT t FROM (
+        SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+        ORDER BY c DESC, t LIMIT 20)),
+    per_doc AS (
+      SELECT doc_id, source,
+        CAST(CAST(COUNT(*) FILTER (WHERE t NOT IN (SELECT t FROM vocab))
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS DECIMAL(18,6)) AS oov
+      FROM tok GROUP BY doc_id, source)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      {_R4.format(
+          "CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+      )} AS mean_oov,
+      CAST(COUNT(*) FILTER (WHERE oov > 0.5) AS BIGINT) AS n_flagged
+    FROM per_doc GROUP BY source
+    """,
+)
+def x175_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators.dedup import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens_col("text")).alias("t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "t")
+        .limit(20)
+        .select("t", F.lit(1).alias("in_v"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            (
+                F.count_if(F.col("in_v").isNull()).cast("double")
+                / F.count("*").cast("double")
+            )
+            .cast("decimal(18,6)")
+            .alias("oov")
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        round4(
+            F.sum("oov").cast("double") / F.count("*").cast("double")
+        ).alias("mean_oov"),
+        F.count_if(F.col("oov") > 0.5).cast("bigint").alias("n_flagged"),
+    )
