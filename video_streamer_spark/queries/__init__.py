@@ -230,6 +230,7 @@ _SAMPLE_FIRST = [
     "x173_temperature_mixture",
     "x174_k_anonymity",
     "x175_oov_ratio",
+    "x176_generalization_step",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -2245,3 +2245,60 @@ def x175_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_oov"),
         F.count_if(F.col("oov") > 0.5).cast("bigint").alias("n_flagged"),
     )
+
+
+# --------------------------------------------------------------------------
+# x176: GENERALIZATION STEP — the k-anonymity repair loop: re-bucket
+# the quasi-identifier one lattice step coarser (balance 1000→2000
+# bands) and report how many violating groups the generalization fixes
+# and how many records remain at risk. x174 finds the risk; this query
+# prices the cheapest fix.
+@query(
+    "x176_generalization_step",
+    oracle="""
+    WITH fine AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b,
+        COUNT(*) AS sz
+      FROM customer GROUP BY 1, 2, 3),
+    coarse AS (
+      SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS b,
+        COUNT(*) AS sz
+      FROM customer GROUP BY 1, 2, 3)
+    SELECT
+      CAST((SELECT COUNT(*) FROM fine WHERE sz < 5) AS BIGINT)
+        AS fine_violating,
+      CAST((SELECT COALESCE(SUM(sz), 0) FROM fine WHERE sz < 5) AS BIGINT)
+        AS fine_at_risk,
+      CAST((SELECT COUNT(*) FROM coarse WHERE sz < 5) AS BIGINT)
+        AS coarse_violating,
+      CAST((SELECT COALESCE(SUM(sz), 0) FROM coarse WHERE sz < 5) AS BIGINT)
+        AS coarse_at_risk
+    """,
+)
+def x176_generalization_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+
+    def risk(width: float):
+        grp = c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / width).cast("bigint").alias("b"),
+        ).agg(F.count("*").alias("sz"))
+        return grp.agg(
+            F.count_if(F.col("sz") < 5).cast("bigint").alias("violating"),
+            F.coalesce(F.sum(F.when(F.col("sz") < 5, F.col("sz"))), F.lit(0))
+            .cast("bigint")
+            .alias("at_risk"),
+        )
+
+    fine = risk(1000.0).select(
+        F.col("violating").alias("fine_violating"),
+        F.col("at_risk").alias("fine_at_risk"),
+    )
+    coarse = risk(2000.0).select(
+        F.col("violating").alias("coarse_violating"),
+        F.col("at_risk").alias("coarse_at_risk"),
+    )
+    return fine.crossJoin(coarse)
