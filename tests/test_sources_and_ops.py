@@ -2614,3 +2614,48 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
     for r in sel:
         fps[r.doc_id].add(r.fp)
     assert fps[1] & fps[2], sel
+
+
+def test_result_cache_hit_miss_and_invalidation(spark, tmp_path):
+    """Result cache contract: first call builds (miss), second serves
+    the cache (hit, plan is a plain scan of the cache path, builder NOT
+    invoked), input mutation invalidates (miss again)."""
+    import os
+
+    from video_streamer_spark.operators.result_cache import cached_result
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    spark.range(100).withColumnRenamed("id", "v").coalesce(1).write.parquet(
+        str(tmp_path / "stage")
+    )
+    for f in os.listdir(str(tmp_path / "stage")):
+        if f.endswith(".parquet"):
+            os.rename(
+                os.path.join(str(tmp_path / "stage"), f),
+                os.path.join(src, "t.parquet"),
+            )
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return (
+            spark.read.parquet(os.path.join(src, "t.parquet"))
+            .groupBy((F.col("v") % 10).alias("b"))
+            .count()
+        )
+
+    root = str(tmp_path / "cache")
+    df1, hit1 = cached_result(spark, "agg", src, build, cache_root=root)
+    assert not hit1 and calls["n"] == 1
+    want = sorted(map(tuple, df1.collect()))
+
+    df2, hit2 = cached_result(spark, "agg", src, build, cache_root=root)
+    assert hit2 and calls["n"] == 1
+    assert sorted(map(tuple, df2.collect())) == want
+    assert all(root in p for p in df2.inputFiles())  # serves the cache
+
+    # mutate the input -> stale -> rebuild
+    os.utime(os.path.join(src, "t.parquet"))
+    _, hit3 = cached_result(spark, "agg", src, build, cache_root=root)
+    assert not hit3 and calls["n"] == 2
