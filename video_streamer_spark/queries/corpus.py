@@ -2302,3 +2302,78 @@ def x176_generalization_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("at_risk").alias("coarse_at_risk"),
     )
     return fine.crossJoin(coarse)
+
+
+# --------------------------------------------------------------------------
+# x177: EMBEDDING DIMENSION HEALTH — per-dimension mean/variance/range
+# over the corpus plus dead-dimension flags (variance below 1e-4): the
+# monitoring report that catches a collapsed encoder or a truncated
+# export before it poisons retrieval. Values quantized to BIGINT
+# micros (x107 recipe) so sums are exact; variance from the
+# sum/sum-of-squares identity in double at the end.
+@query(
+    "x177_embedding_dim_health",
+    oracle=f"""
+    WITH vals AS (
+      SELECT
+        unnest(range(0, len(embedding))) AS dim,
+        unnest(list_transform(CAST(embedding AS DOUBLE[]),
+          v -> CAST(floor(v * 1000000.0 + 0.5) AS BIGINT))) AS q
+      FROM embeddings),
+    sums AS (
+      SELECT dim,
+        CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        SUM(CAST(q AS DECIMAL(38,0))) AS s,
+        SUM(CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))) AS ss,
+        MIN(q) AS mn, MAX(q) AS mx
+      FROM vals GROUP BY dim)
+    SELECT CAST(dim AS INT) AS dim,
+      {_R4.format("CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0")}
+        AS mean_v,
+      {_R4.format(
+          "(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)"
+          " - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+          " * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))"
+          " / 1000000.0 / 1000000.0"
+      )} AS var_v,
+      {_R4.format("CAST(mx - mn AS DOUBLE) / 1000000.0")} AS range_v,
+      CAST((CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+           / 1000000.0 / 1000000.0 < 0.0001 AS BOOLEAN) AS is_dead
+    FROM sums
+    """,
+)
+def x177_embedding_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+
+    emb = table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.floor(v.cast("double") * 1e6 + 0.5).cast("bigint"),
+            )
+        ).alias("dim", "q")
+    )
+    sums = vals.groupBy("dim").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("q").cast("decimal(38,0)") * F.col("q").cast("decimal(38,0)")
+        ).alias("ss"),
+        F.min("q").alias("mn"),
+        F.max("q").alias("mx"),
+    )
+    n, s, ss = (F.col("n").cast("double"), F.col("s").cast("double"),
+                F.col("ss").cast("double"))
+    var_v = (ss / n - (s / n) * (s / n)) / 1e6 / 1e6
+    return sums.select(
+        F.col("dim").cast("int").alias("dim"),
+        round4(s / n / 1e6).alias("mean_v"),
+        round4(var_v).alias("var_v"),
+        round4((F.col("mx") - F.col("mn")).cast("double") / 1e6).alias(
+            "range_v"
+        ),
+        (var_v < 0.0001).alias("is_dead"),
+    )
