@@ -232,6 +232,7 @@ _SAMPLE_FIRST = [
     "x175_oov_ratio",
     "x176_generalization_step",
     "x177_embedding_dim_health",
+    "x178_corpus_health_dashboard",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

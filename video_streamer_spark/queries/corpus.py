@@ -2377,3 +2377,87 @@ def x177_embedding_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (var_v < 0.0001).alias("is_dead"),
     )
+
+
+# --------------------------------------------------------------------------
+# x178: CORPUS HEALTH DASHBOARD — the one-look KPI table a data lead
+# checks every morning: corpus size, vocabulary, exact-dup rate, mean
+# quality, length stats — six metrics, one plan (single scan feeds
+# every aggregate; the per-doc frame is computed once). All values as
+# R4 doubles in (metric, value) rows.
+@query(
+    "x178_corpus_health_dashboard",
+    oracle=f"""
+    WITH {_TOKS},
+    per_doc AS (
+      SELECT t.doc_id, md5(d.text) AS th,
+        CAST(len(toks) AS DOUBLE) AS n_tok,
+        CASE WHEN len(toks) > 0 THEN
+          least(CAST(len(toks) AS DOUBLE), 200.0) / 200.0 * 0.5
+          + least((CAST(len(list_filter(toks, x -> list_contains(
+              {_STOPWORDS_SQL}, x))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE)) * 10.0, 1.0) * 0.5
+        ELSE 0.0 END AS q
+      FROM toks t JOIN documents d ON d.doc_id = t.doc_id),
+    vocab AS (
+      SELECT COUNT(DISTINCT t) AS v FROM (
+        SELECT unnest(toks) AS t FROM toks)),
+    agg AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        CAST(SUM(n_tok) AS DOUBLE) AS n_tokens,
+        CAST(COUNT(DISTINCT th) AS DOUBLE) AS n_distinct,
+        SUM(q) AS sum_q
+      FROM per_doc)
+    SELECT 'n_docs' AS metric, {_R4.format("n_docs")} AS value FROM agg
+    UNION ALL SELECT 'n_tokens', {_R4.format("n_tokens")} FROM agg
+    UNION ALL SELECT 'vocab_size',
+      {_R4.format("CAST(v AS DOUBLE)")} FROM vocab
+    UNION ALL SELECT 'exact_dup_rate',
+      {_R4.format("1.0 - n_distinct / n_docs")} FROM agg
+    UNION ALL SELECT 'mean_quality',
+      {_R4.format("sum_q / n_docs")} FROM agg
+    UNION ALL SELECT 'mean_tokens_per_doc',
+      {_R4.format("n_tokens / n_docs")} FROM agg
+    """,
+)
+def x178_corpus_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators.dedup import tokens_col
+    from video_streamer_spark.operators.text import quality_score_col
+
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        F.md5("text").alias("th"),
+        F.size(tokens_col("text")).cast("double").alias("n_tok"),
+        quality_score_col().alias("q"),
+        tokens_col("text").alias("toks"),
+    ).persist()
+    agg = per_doc.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.countDistinct("th").cast("double").alias("n_distinct"),
+        F.sum("q").alias("sum_q"),
+    )
+    vocab = (
+        per_doc.select(F.explode("toks").alias("t"))
+        .agg(F.countDistinct("t").cast("double").alias("v"))
+    )
+    row = agg.crossJoin(F.broadcast(vocab))
+
+    def metric(name: str, col: F.Column) -> DataFrame:
+        return row.select(
+            F.lit(name).alias("metric"), round4(col).alias("value")
+        )
+
+    return (
+        metric("n_docs", F.col("n_docs"))
+        .unionByName(metric("n_tokens", F.col("n_tokens")))
+        .unionByName(metric("vocab_size", F.col("v")))
+        .unionByName(
+            metric("exact_dup_rate", 1.0 - F.col("n_distinct") / F.col("n_docs"))
+        )
+        .unionByName(metric("mean_quality", F.col("sum_q") / F.col("n_docs")))
+        .unionByName(
+            metric("mean_tokens_per_doc", F.col("n_tokens") / F.col("n_docs"))
+        )
+    )
