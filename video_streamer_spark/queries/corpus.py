@@ -2461,3 +2461,90 @@ def x178_corpus_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             metric("mean_tokens_per_doc", F.col("n_tokens") / F.col("n_docs"))
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x179: DIMENSION CORRELATION — Pearson correlation between embedding
+# dimension pairs, top-10 most correlated: the redundancy analysis
+# that motivates PQ subspace layout and whitening. Micros-quantized
+# values, exact decimal sums (x107 recipe), one equi-join on vec_id
+# (i<j pairs; at 100 TB the same sums come from a mapInPandas
+# per-batch outer-product accumulation — documented, not needed at
+# these widths).
+@query(
+    "x179_dim_correlation_topk",
+    oracle=f"""
+    WITH vals AS (
+      SELECT vec_id,
+        unnest(range(0, len(embedding))) AS i,
+        unnest(list_transform(CAST(embedding AS DOUBLE[]),
+          v -> CAST(floor(v * 1000000.0 + 0.5) AS BIGINT))) AS q
+      FROM embeddings),
+    pairs AS (
+      SELECT a.i AS i, b.i AS j,
+        CAST(a.q AS DECIMAL(38,0)) AS qa, CAST(b.q AS DECIMAL(38,0)) AS qb
+      FROM vals a JOIN vals b ON a.vec_id = b.vec_id AND a.i < b.i),
+    sums AS (
+      SELECT i, j, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        SUM(qa) AS sa, SUM(qb) AS sb, SUM(qa * qb) AS sab,
+        SUM(qa * qa) AS saa, SUM(qb * qb) AS sbb
+      FROM pairs GROUP BY i, j)
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+      {_R4.format(
+          "(CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)"
+          " - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+          " / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)"
+          "        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+          "    * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)"
+          "          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))"
+      )} AS corr
+    FROM sums
+    ORDER BY corr DESC, i, j LIMIT 10
+    """,
+)
+def x179_dim_correlation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+
+    emb = table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.floor(v.cast("double") * 1e6 + 0.5).cast("bigint"),
+            )
+        ).alias("i", "q"),
+    )
+    a = vals.select("vec_id", F.col("i"), F.col("q").cast("decimal(38,0)").alias("qa"))
+    b = vals.select(
+        "vec_id", F.col("i").alias("j"), F.col("q").cast("decimal(38,0)").alias("qb")
+    )
+    sums = (
+        a.join(b, "vec_id")
+        .where(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum("qa").alias("sa"),
+            F.sum("qb").alias("sb"),
+            F.sum(F.col("qa") * F.col("qb")).alias("sab"),
+            F.sum(F.col("qa") * F.col("qa")).alias("saa"),
+            F.sum(F.col("qb") * F.col("qb")).alias("sbb"),
+        )
+    )
+    n, sa, sb = (F.col("n").cast("double"), F.col("sa").cast("double"),
+                 F.col("sb").cast("double"))
+    sab, saa, sbb = (F.col("sab").cast("double"), F.col("saa").cast("double"),
+                     F.col("sbb").cast("double"))
+    corr = (n * sab - sa * sb) / (
+        F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+    )
+    return (
+        sums.select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            round4(corr).alias("corr"),
+        )
+        .orderBy(F.col("corr").desc(), "i", "j")
+        .limit(10)
+    )
