@@ -234,6 +234,7 @@ _SAMPLE_FIRST = [
     "x177_embedding_dim_health",
     "x178_corpus_health_dashboard",
     "x179_dim_correlation_topk",
+    "x180_class_separation",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

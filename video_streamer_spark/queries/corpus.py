@@ -2548,3 +2548,88 @@ def x179_dim_correlation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("corr").desc(), "i", "j")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# x180: CLASS SEPARATION — cosine similarity between per-label centroid
+# vectors (label pairs a<b): high inter-class centroid similarity means
+# the embedding space isn't separating classes — the report that pairs
+# with x177 (dims) and x179 (correlations). Centroid means are
+# re-quantized to BIGINT micros so the cross-centroid dot products are
+# exact integer sums in both engines.
+@query(
+    "x180_class_separation",
+    oracle=f"""
+    WITH vals AS (
+      SELECT label,
+        unnest(range(0, len(embedding))) AS dim,
+        unnest(list_transform(CAST(embedding AS DOUBLE[]),
+          v -> CAST(floor(v * 1000000.0 + 0.5) AS BIGINT))) AS q
+      FROM embeddings),
+    cent AS (
+      SELECT label, dim,
+        CAST(floor(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5)
+             AS DECIMAL(38,0)) AS m
+      FROM vals GROUP BY label, dim),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+        SUM(a.m * b.m) AS sab,
+        SUM(a.m * a.m) AS saa,
+        SUM(b.m * b.m) AS sbb
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label)
+    SELECT CAST(label_a AS INT) AS label_a, CAST(label_b AS INT) AS label_b,
+      {_R4.format(
+          "CAST(sab AS DOUBLE)"
+          " / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE)))"
+      )} AS centroid_cos
+    FROM dots
+    """,
+)
+def x180_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+
+    emb = table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.floor(v.cast("double") * 1e6 + 0.5).cast("bigint"),
+            )
+        ).alias("dim", "q"),
+    )
+    cent = vals.groupBy("label", "dim").agg(
+        F.floor(
+            F.sum("q").cast("double") / F.count("*").cast("double") + 0.5
+        )
+        .cast("decimal(38,0)")
+        .alias("m")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("m").alias("mb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("sab"),
+            F.sum(F.col("ma") * F.col("ma")).alias("saa"),
+            F.sum(F.col("mb") * F.col("mb")).alias("sbb"),
+        )
+    )
+    return dots.select(
+        F.col("label_a").cast("int").alias("label_a"),
+        F.col("label_b").cast("int").alias("label_b"),
+        round4(
+            F.col("sab").cast("double")
+            / (
+                F.sqrt(F.col("saa").cast("double"))
+                * F.sqrt(F.col("sbb").cast("double"))
+            )
+        ).alias("centroid_cos"),
+    )
