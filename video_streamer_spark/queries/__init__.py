@@ -235,6 +235,7 @@ _SAMPLE_FIRST = [
     "x178_corpus_health_dashboard",
     "x179_dim_correlation_topk",
     "x180_class_separation",
+    "x181_hybrid_rrf",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -2633,3 +2633,119 @@ def x180_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("centroid_cos"),
     )
+
+
+# --------------------------------------------------------------------------
+# x181: HYBRID RETRIEVAL (RRF) — reciprocal-rank fusion of a DENSE
+# ranking (cosine vs query vector 0) and a SPARSE lexical ranking
+# (distinct-token overlap with query document 0; BM25 proper is x108)
+# over the embedding-aligned candidates: rrf = 1/(60+r_dense) +
+# 1/(60+r_sparse), the hybrid-search standard (Cormack et al. 2009).
+# Each reciprocal is DECIMAL(18,6)-quantized before the exact sum, so
+# the fused ranking cannot drift between engines.
+@query(
+    "x181_hybrid_rrf",
+    oracle=f"""
+    WITH cand AS (
+      SELECT e.vec_id AS id, e.embedding FROM embeddings e
+      WHERE e.vec_id <> 0),
+    dense AS (
+      SELECT id,
+        ROW_NUMBER() OVER (ORDER BY
+          {_R4.format(_sql_cos('cand.embedding', 'q.embedding'))} DESC, id)
+          AS rd
+      FROM cand CROSS JOIN (SELECT embedding FROM embeddings
+                            WHERE vec_id = 0) q),
+    qtok AS (
+      SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS t
+      FROM documents WHERE doc_id = 0),
+    dtok AS (
+      SELECT d.doc_id AS id, COUNT(DISTINCT tk.t) AS ov
+      FROM documents d,
+           unnest(list_filter(string_split(d.text, ' '), x -> x <> ''))
+             AS u(t)
+      JOIN qtok tk ON tk.t = u.t
+      WHERE d.doc_id <> 0 AND d.doc_id IN (SELECT id FROM cand)
+      GROUP BY d.doc_id),
+    sparse AS (
+      SELECT c.id,
+        ROW_NUMBER() OVER (ORDER BY COALESCE(d.ov, 0) DESC, c.id) AS rs
+      FROM cand c LEFT JOIN dtok d ON d.id = c.id),
+    fused AS (
+      SELECT de.id,
+        CAST(CAST(1.0 / (60.0 + de.rd) AS DECIMAL(18,6))
+           + CAST(1.0 / (60.0 + sp.rs) AS DECIMAL(18,6))
+           AS DECIMAL(18,6)) AS rrf,
+        CAST(de.rd AS INT) AS r_dense, CAST(sp.rs AS INT) AS r_sparse
+      FROM dense de JOIN sparse sp ON sp.id = de.id)
+    SELECT id, r_dense, r_sparse, CAST(rrf AS DOUBLE) AS rrf
+    FROM fused ORDER BY rrf DESC, id LIMIT 10
+    """,
+)
+def x181_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators.dedup import tokens_col
+    from video_streamer_spark.functions.arrays import cosine_similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cand = emb.where(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    dense = cand.crossJoin(F.broadcast(q)).select(
+        "id",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                round4(cosine_similarity("embedding", "q_emb")).desc(),
+                F.col("id"),
+            )
+        )
+        .alias("rd"),
+    )
+    qtok = (
+        docs.where(F.col("doc_id") == 0)
+        .select(F.explode(tokens_col("text")).alias("t"))
+        .distinct()
+    )
+    dtok = (
+        docs.join(cand.select(F.col("id").alias("doc_id")), "doc_id")
+        .select("doc_id", F.explode(tokens_col("text")).alias("t"))
+        .distinct()
+        .join(F.broadcast(qtok), "t")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("ov"))
+    )
+    sparse = (
+        cand.select(F.col("id"))
+        .join(dtok.withColumnRenamed("doc_id", "id"), "id", "left")
+        .select(
+            "id",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.coalesce("ov", F.lit(0)).desc(), F.col("id")
+                )
+            )
+            .alias("rs"),
+        )
+    )
+    fused = dense.join(sparse, "id").select(
+        "id",
+        F.col("rd").cast("int").alias("r_dense"),
+        F.col("rs").cast("int").alias("r_sparse"),
+        (
+            (1.0 / (60.0 + F.col("rd"))).cast("decimal(18,6)")
+            + (1.0 / (60.0 + F.col("rs"))).cast("decimal(18,6)")
+        )
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "id").limit(10)
