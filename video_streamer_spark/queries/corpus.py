@@ -2749,3 +2749,75 @@ def x181_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "id").limit(10)
+
+
+# --------------------------------------------------------------------------
+# x182: DEDUP CANDIDATE EVALUATION — precision/recall of the MinHash-
+# LSH candidate pairs (x02 scheme) against the exact n-gram-Jaccard
+# ≥0.6 ground truth (x04 scheme): the measurement that justifies the
+# banding parameters before a production dedup run — x160's "measure,
+# don't guess" applied to dedup instead of ANN.
+@query(
+    "x182_lsh_recall_eval",
+    oracle=f"""
+    WITH {_minhash_cte()},
+    shj AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+          unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+            i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        FROM toks WHERE len(toks) >= 3)),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shj GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE)
+            / CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.6),
+    cand AS (SELECT doc_a, doc_b FROM mh_pairs),
+    hits AS (
+      SELECT c.doc_a FROM cand c
+      JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+    SELECT
+      CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+      CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+      CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
+      {_R4.format(
+          "CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)"
+          " / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE)"
+      )} AS precision,
+      {_R4.format(
+          "CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)"
+          " / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE)"
+      )} AS recall
+    """,
+)
+def x182_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    cand = dedup.minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.6).select(
+        "doc_a", "doc_b"
+    )
+    hits = cand.join(truth, ["doc_a", "doc_b"])
+    nc = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    nt = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    nh = hits.agg(F.count("*").cast("bigint").alias("n_hits"))
+    row = nc.crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nh))
+    return row.select(
+        "n_candidates",
+        "n_truth",
+        "n_hits",
+        round4(
+            F.col("n_hits").cast("double") / F.col("n_candidates").cast("double")
+        ).alias("precision"),
+        round4(
+            F.col("n_hits").cast("double") / F.col("n_truth").cast("double")
+        ).alias("recall"),
+    )
