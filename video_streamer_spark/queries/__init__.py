@@ -237,6 +237,7 @@ _SAMPLE_FIRST = [
     "x180_class_separation",
     "x181_hybrid_rrf",
     "x182_lsh_recall_eval",
+    "x183_similarity_profile",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -2821,3 +2821,58 @@ def x182_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hits").cast("double") / F.col("n_truth").cast("double")
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# x183: SIMILARITY PROFILE — percentiles of pairwise cosine over a
+# deterministic 20% VECTOR sample (sample-then-pair: the quadratic
+# stays on the sample, never the corpus): the compactness report that
+# says whether an embedding space has collapsed (p50 creeping toward
+# 1) — the fourth embedding-health view next to x177/x179/x180.
+@query(
+    "x183_similarity_profile",
+    oracle=f"""
+    WITH samp AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 5 = 0),
+    sims AS (
+      SELECT {_R4.format(_sql_cos('a.embedding', 'b.embedding'))} AS sim
+      FROM samp a JOIN samp b ON a.vec_id < b.vec_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      {_R4.format("quantile_cont(sim, 0.1)")} AS p10,
+      {_R4.format("quantile_cont(sim, 0.5)")} AS p50,
+      {_R4.format("quantile_cont(sim, 0.9)")} AS p90,
+      {_R4.format("MAX(sim)")} AS max_sim
+    FROM sims
+    """,
+)
+def x183_similarity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.arrays import cosine_similarity
+    from video_streamer_spark.functions.parity import round4
+
+    emb = table(spark, sf_dir, "embeddings")
+    samp = emb.where(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(5),
+        )
+        == 0
+    ).select("vec_id", "embedding")
+    a = samp.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = samp.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    sims = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(round4(cosine_similarity("ea", "eb")).alias("sim"))
+    )
+    return sims.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        round4(F.percentile("sim", F.lit(0.1))).alias("p10"),
+        round4(F.percentile("sim", F.lit(0.5))).alias("p50"),
+        round4(F.percentile("sim", F.lit(0.9))).alias("p90"),
+        round4(F.max("sim")).alias("max_sim"),
+    )
