@@ -238,6 +238,7 @@ _SAMPLE_FIRST = [
     "x181_hybrid_rrf",
     "x182_lsh_recall_eval",
     "x183_similarity_profile",
+    "x184_scene_changes",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

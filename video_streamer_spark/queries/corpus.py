@@ -2876,3 +2876,57 @@ def x183_similarity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4(F.percentile("sim", F.lit(0.9))).alias("p90"),
         round4(F.max("sim")).alias("max_sim"),
     )
+
+
+# --------------------------------------------------------------------------
+# x184: SCENE-CHANGE DETECTION — the reference's video domain on the
+# relational engine: frames (x43's payload convention) ordered by id,
+# per-frame byte-sum intensity, a LAG window over the sequence, and a
+# boundary wherever the absolute delta exceeds the threshold — the
+# shot-segmentation primitive of every video-analytics pipeline
+# (reference decodebin→analyze chain, run.sh:53).
+@query(
+    "x184_scene_changes",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id AS frame_id,
+        CAST(list_sum(list_transform(
+          string_split(rpad(substr(text, 1, 96), 96, '.'), ''),
+          c -> ascii(c))) AS BIGINT) AS intensity
+      FROM documents),
+    seq AS (
+      SELECT frame_id, intensity,
+        LAG(intensity) OVER (ORDER BY frame_id) AS prev_i
+      FROM frames)
+    SELECT frame_id, intensity,
+      CAST(intensity - prev_i AS BIGINT) AS delta
+    FROM seq
+    WHERE prev_i IS NOT NULL AND abs(intensity - prev_i) > 500
+    """,
+)
+def x184_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    body = F.rpad(F.substring("text", 1, 96), 96, ".")
+    intensity = F.aggregate(
+        F.split(body, ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: acc
+        + F.when(F.length(c) > 0, F.ascii(c)).otherwise(0).cast("bigint"),
+    )
+    frames = docs.select(
+        F.col("doc_id").alias("frame_id"), intensity.alias("intensity")
+    )
+    w = Window.orderBy("frame_id")
+    seq = frames.select(
+        "frame_id", "intensity", F.lag("intensity").over(w).alias("prev_i")
+    )
+    return seq.where(
+        F.col("prev_i").isNotNull()
+        & (F.abs(F.col("intensity") - F.col("prev_i")) > 500)
+    ).select(
+        "frame_id",
+        "intensity",
+        (F.col("intensity") - F.col("prev_i")).cast("bigint").alias("delta"),
+    )
