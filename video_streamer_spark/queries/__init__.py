@@ -239,6 +239,7 @@ _SAMPLE_FIRST = [
     "x182_lsh_recall_eval",
     "x183_similarity_profile",
     "x184_scene_changes",
+    "x185_track_segments",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -2930,3 +2930,69 @@ def x184_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "intensity",
         (F.col("intensity") - F.col("prev_i")).cast("bigint").alias("delta"),
     )
+
+
+# --------------------------------------------------------------------------
+# x185: TRACK SEGMENTS — object persistence across the frame sequence:
+# consecutive frames carrying the same (deterministic, x43-convention)
+# label form a track; per label, how many tracks, the longest, and the
+# mean length — the tracking-continuity report of a video pipeline,
+# via the gaps-and-islands trick (x90) on the frame order.
+@query(
+    "x185_track_segments",
+    oracle=f"""
+    WITH frames AS (
+      SELECT doc_id AS frame_id,
+        CAST(CAST(list_sum(list_transform(
+          string_split(rpad(substr(text, 1, 96), 96, '.'), ''),
+          c -> ascii(c))) AS BIGINT) % 80 + 1 AS INT) AS label_id
+      FROM documents),
+    runs AS (
+      SELECT frame_id, label_id,
+        ROW_NUMBER() OVER (ORDER BY frame_id)
+        - ROW_NUMBER() OVER (PARTITION BY label_id ORDER BY frame_id)
+          AS grp
+      FROM frames),
+    tracks AS (
+      SELECT label_id, grp, COUNT(*) AS len
+      FROM runs GROUP BY label_id, grp)
+    SELECT label_id,
+      CAST(COUNT(*) AS BIGINT) AS n_tracks,
+      CAST(MAX(len) AS BIGINT) AS longest,
+      {_R4.format("CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")}
+        AS mean_len
+    FROM tracks GROUP BY label_id
+    """,
+)
+def x185_track_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from video_streamer_spark.functions.parity import round4
+
+    docs = table(spark, sf_dir, "documents")
+    body = F.rpad(F.substring("text", 1, 96), 96, ".")
+    byte_sum = F.aggregate(
+        F.split(body, ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: acc
+        + F.when(F.length(c) > 0, F.ascii(c)).otherwise(0).cast("bigint"),
+    )
+    frames = docs.select(
+        F.col("doc_id").alias("frame_id"),
+        (byte_sum % 80 + 1).cast("int").alias("label_id"),
+    )
+    w_all = Window.orderBy("frame_id")
+    w_lab = Window.partitionBy("label_id").orderBy("frame_id")
+    runs = frames.select(
+        "frame_id",
+        "label_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_lab)).alias("grp"),
+    )
+    tracks = runs.groupBy("label_id", "grp").agg(F.count("*").alias("len"))
+    return tracks.groupBy("label_id").agg(
+        F.count("*").cast("bigint").alias("n_tracks"),
+        F.max("len").cast("bigint").alias("longest"),
+        round4(
+            F.sum("len").cast("double") / F.count("*").cast("double")
+        ).alias("mean_len"),
+    )
