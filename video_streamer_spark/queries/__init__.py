@@ -240,6 +240,7 @@ _SAMPLE_FIRST = [
     "x183_similarity_profile",
     "x184_scene_changes",
     "x185_track_segments",
+    "x186_event_peaks",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -2996,3 +2996,50 @@ def x185_track_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("len").cast("double") / F.count("*").cast("double")
         ).alias("mean_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# x186: PEAK DETECTION — local maxima of the hourly event-count series
+# per event type (count strictly above both neighbors): the alerting
+# primitive over the q14 rollup, one LAG/LEAD window on the bucketed
+# aggregate (group-local, never a self-join).
+@query(
+    "x186_event_peaks",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT event_type, h, n,
+        LAG(n) OVER (PARTITION BY event_type ORDER BY h) AS prev_n,
+        LEAD(n) OVER (PARTITION BY event_type ORDER BY h) AS next_n
+      FROM hourly)
+    SELECT event_type,
+      strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start, n
+    FROM seq
+    WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+      AND n > prev_n AND n > next_n
+    """,
+)
+def x186_event_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from video_streamer_spark.functions.parity import ts_str
+
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    seq = hourly.select(
+        "event_type", "h", "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    return seq.where(
+        F.col("prev_n").isNotNull()
+        & F.col("next_n").isNotNull()
+        & (F.col("n") > F.col("prev_n"))
+        & (F.col("n") > F.col("next_n"))
+    ).select("event_type", ts_str("h").alias("hour_start"), "n")
