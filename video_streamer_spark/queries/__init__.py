@@ -241,6 +241,7 @@ _SAMPLE_FIRST = [
     "x184_scene_changes",
     "x185_track_segments",
     "x186_event_peaks",
+    "x187_anomalous_users",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

@@ -3043,3 +3043,59 @@ def x186_event_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n") > F.col("prev_n"))
         & (F.col("n") > F.col("next_n"))
     ).select("event_type", ts_str("h").alias("hour_start"), "n")
+
+
+# --------------------------------------------------------------------------
+# x187: ANOMALOUS USERS — per-user event rates z-scored against the
+# population (exact integer sums; σ from the sum/sum-of-squares
+# identity in double at the end): users above 2σ with their counts —
+# the abuse/bot screen over the events table.
+@query(
+    "x187_anomalous_users",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id),
+    pop AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS m,
+        SUM(CAST(n AS DECIMAL(38,0))) AS s,
+        SUM(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS ss
+      FROM per_user)
+    SELECT u.user_id, u.n,
+      {_R4.format(
+          "(CAST(u.n AS DOUBLE) - CAST(p.s AS DOUBLE) / CAST(p.m AS DOUBLE))"
+          " / sqrt(CAST(p.ss AS DOUBLE) / CAST(p.m AS DOUBLE)"
+          "        - (CAST(p.s AS DOUBLE) / CAST(p.m AS DOUBLE))"
+          "        * (CAST(p.s AS DOUBLE) / CAST(p.m AS DOUBLE)))"
+      )} AS z
+    FROM per_user u CROSS JOIN pop p
+    WHERE (CAST(u.n AS DOUBLE) - CAST(p.s AS DOUBLE) / CAST(p.m AS DOUBLE))
+          / sqrt(CAST(p.ss AS DOUBLE) / CAST(p.m AS DOUBLE)
+                 - (CAST(p.s AS DOUBLE) / CAST(p.m AS DOUBLE))
+                 * (CAST(p.s AS DOUBLE) / CAST(p.m AS DOUBLE))) > 2.0
+    """,
+)
+def x187_anomalous_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    pop = per_user.agg(
+        F.count("*").cast("decimal(38,0)").alias("m"),
+        F.sum(F.col("n").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("n").cast("decimal(38,0)") * F.col("n").cast("decimal(38,0)")
+        ).alias("ss"),
+    )
+    m, s, ss = (F.col("m").cast("double"), F.col("s").cast("double"),
+                F.col("ss").cast("double"))
+    mean = s / m
+    sd = F.sqrt(ss / m - mean * mean)
+    z = (F.col("n").cast("double") - mean) / sd
+    return (
+        per_user.crossJoin(F.broadcast(pop))
+        .where(z > 2.0)
+        .select("user_id", "n", round4(z).alias("z"))
+    )
