@@ -242,6 +242,7 @@ _SAMPLE_FIRST = [
     "x185_track_segments",
     "x186_event_peaks",
     "x187_anomalous_users",
+    "x188_vocab_growth",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

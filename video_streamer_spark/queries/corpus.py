@@ -3099,3 +3099,61 @@ def x187_anomalous_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(z > 2.0)
         .select("user_id", "n", round4(z).alias("z"))
     )
+
+
+# --------------------------------------------------------------------------
+# x188: VOCABULARY GROWTH — Heaps-law companion to x167's Zipf fit:
+# docs in ingestion order (doc_id) split into 10 deciles; per decile,
+# how many distinct tokens appear for the FIRST time (min-decile per
+# token, then a count — one agg each, no window over the corpus). A
+# flattening curve says the feed has stopped contributing novelty.
+@query(
+    "x188_vocab_growth",
+    oracle=f"""
+    WITH {_TOKS},
+    nd AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    tok AS (
+      SELECT CAST(least(floor(doc_id * 10 / n), 9) AS INT) AS decile,
+        unnest(toks) AS t
+      FROM toks CROSS JOIN nd),
+    first_seen AS (
+      SELECT t, MIN(decile) AS d0 FROM tok GROUP BY t),
+    new_per AS (
+      SELECT d0 AS decile, CAST(COUNT(*) AS BIGINT) AS new_tokens
+      FROM first_seen GROUP BY d0),
+    occ AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM tok GROUP BY decile)
+    SELECT o.decile, o.n_occurrences,
+      CAST(COALESCE(n.new_tokens, 0) AS BIGINT) AS new_tokens
+    FROM occ o LEFT JOIN new_per n ON n.decile = o.decile
+    """,
+)
+def x188_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    from video_streamer_spark.operators.dedup import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    # max doc_id + 1 from the footer-stats convention is not available
+    # (footers carry row counts, not max ids) — one tiny agg is the
+    # honest source here; it is a table statistic a catalog would cache
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    tok = docs.select(
+        F.least(F.floor(F.col("doc_id") * 10 / F.lit(n)), F.lit(9))
+        .cast("int")
+        .alias("decile"),
+        F.explode(tokens_col("text")).alias("t"),
+    )
+    first_seen = tok.groupBy("t").agg(F.min("decile").alias("d0"))
+    new_per = first_seen.groupBy(F.col("d0").alias("decile")).agg(
+        F.count("*").cast("bigint").alias("new_tokens")
+    )
+    occ = tok.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+    return occ.join(F.broadcast(new_per), "decile", "left").select(
+        "decile",
+        "n_occurrences",
+        F.coalesce("new_tokens", F.lit(0)).cast("bigint").alias("new_tokens"),
+    )
