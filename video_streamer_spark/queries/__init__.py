@@ -243,6 +243,7 @@ _SAMPLE_FIRST = [
     "x186_event_peaks",
     "x187_anomalous_users",
     "x188_vocab_growth",
+    "x189_sequence_gap_audit",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

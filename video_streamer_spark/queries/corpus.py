@@ -3157,3 +3157,60 @@ def x188_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_occurrences",
         F.coalesce("new_tokens", F.lit(0)).cast("bigint").alias("new_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# x189: SEQUENCE GAP AUDIT — lost-data detection over a surrogate-key
+# space: expected vs present key counts and the 5 widest missing
+# ranges, from islands over the sorted key sequence (LAG deltas — one
+# window, no generated key table). The ingestion-completeness check a
+# pipeline runs after every backfill.
+@query(
+    "x189_sequence_gap_audit",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    stats AS (
+      SELECT MIN(k) AS lo, MAX(k) AS hi,
+        CAST(COUNT(*) AS BIGINT) AS present
+      FROM keys),
+    gaps AS (
+      SELECT prev_k + 1 AS gap_start, k - 1 AS gap_end, k - prev_k - 1 AS width
+      FROM (SELECT k, LAG(k) OVER (ORDER BY k) AS prev_k FROM keys)
+      WHERE prev_k IS NOT NULL AND k - prev_k > 1),
+    top5 AS (
+      SELECT gap_start, gap_end, CAST(width AS BIGINT) AS width
+      FROM gaps ORDER BY width DESC, gap_start LIMIT 5)
+    SELECT s.lo, s.hi, s.present,
+      CAST(s.hi - s.lo + 1 - s.present AS BIGINT) AS missing,
+      t.gap_start, t.gap_end, t.width
+    FROM stats s CROSS JOIN top5 t
+    """,
+)
+def x189_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    keys = o.select(F.col("o_orderkey").alias("k")).distinct()
+    stats = keys.agg(
+        F.min("k").alias("lo"),
+        F.max("k").alias("hi"),
+        F.count("*").cast("bigint").alias("present"),
+    )
+    w = Window.orderBy("k")
+    gaps = (
+        keys.select("k", F.lag("k").over(w).alias("prev_k"))
+        .where(F.col("prev_k").isNotNull() & (F.col("k") - F.col("prev_k") > 1))
+        .select(
+            (F.col("prev_k") + 1).alias("gap_start"),
+            (F.col("k") - 1).alias("gap_end"),
+            (F.col("k") - F.col("prev_k") - 1).cast("bigint").alias("width"),
+        )
+    )
+    top5 = gaps.orderBy(F.col("width").desc(), "gap_start").limit(5)
+    return stats.crossJoin(F.broadcast(top5)).select(
+        "lo", "hi", "present",
+        (F.col("hi") - F.col("lo") + 1 - F.col("present"))
+        .cast("bigint")
+        .alias("missing"),
+        "gap_start", "gap_end", "width",
+    )
