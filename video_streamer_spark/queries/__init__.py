@@ -244,6 +244,7 @@ _SAMPLE_FIRST = [
     "x187_anomalous_users",
     "x188_vocab_growth",
     "x189_sequence_gap_audit",
+    "x190_rag_context_assembly",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

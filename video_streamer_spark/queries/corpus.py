@@ -3214,3 +3214,95 @@ def x189_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("missing"),
         "gap_start", "gap_end", "width",
     )
+
+
+# --------------------------------------------------------------------------
+# x190: RAG CONTEXT ASSEMBLY — the retrieval stack composed end to end:
+# dense recall pool → λ=1/2 MMR diversification (x158's exact rounds)
+# → greedy packing of the selections into a 256-token context budget
+# (running token sum over selection order). The query a retrieval
+# service answers per request, with every stage one already-verified
+# operator.
+@query(
+    "x190_rag_context_assembly",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+               FROM embeddings WHERE vec_id = 0),
+    pool AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+        {_R4.format(_sql_cos('e.embedding', 'q.qe'))} AS rel
+      FROM embeddings e, q WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id LIMIT 20),
+    b1 AS (
+      SELECT vec_id, rel, 0.0 AS div,
+        CAST(floor((rel * 0.5 - 0.0 * 0.5) * 1000000.0) AS BIGINT)
+          AS mmr_micros
+      FROM pool ORDER BY mmr_micros DESC, vec_id LIMIT 1),
+    d2 AS (
+      SELECT p.vec_id, p.rel, MAX({_R4.format(_MMR_COS_PP)}) AS div
+      FROM pool p JOIN pool s ON s.vec_id IN (SELECT vec_id FROM b1)
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM b1) GROUP BY 1, 2),
+    b2 AS (
+      SELECT vec_id, rel, div,
+        CAST(floor((rel * 0.5 - div * 0.5) * 1000000.0) AS BIGINT)
+          AS mmr_micros
+      FROM d2 ORDER BY mmr_micros DESC, vec_id LIMIT 1),
+    d3 AS (
+      SELECT p.vec_id, p.rel, MAX({_R4.format(_MMR_COS_PP)}) AS div
+      FROM pool p JOIN pool s
+        ON s.vec_id IN (SELECT vec_id FROM b1 UNION SELECT vec_id FROM b2)
+      WHERE p.vec_id NOT IN
+        (SELECT vec_id FROM b1 UNION SELECT vec_id FROM b2)
+      GROUP BY 1, 2),
+    b3 AS (
+      SELECT vec_id, rel, div,
+        CAST(floor((rel * 0.5 - div * 0.5) * 1000000.0) AS BIGINT)
+          AS mmr_micros
+      FROM d3 ORDER BY mmr_micros DESC, vec_id LIMIT 1),
+    sel AS (
+      SELECT 1 AS sel_rank, vec_id FROM b1
+      UNION ALL SELECT 2, vec_id FROM b2
+      UNION ALL SELECT 3, vec_id FROM b3),
+    toks AS (
+      SELECT s.sel_rank, s.vec_id,
+        CAST(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+             AS BIGINT) AS n_tokens
+      FROM sel s JOIN documents d ON d.doc_id = s.vec_id),
+    packed AS (
+      SELECT sel_rank, vec_id, n_tokens,
+        CAST(SUM(n_tokens) OVER (ORDER BY sel_rank
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_tokens
+      FROM toks)
+    SELECT sel_rank, vec_id, n_tokens, cum_tokens,
+      CAST(cum_tokens <= 256 AS BOOLEAN) AS fits
+    FROM packed
+    """,
+)
+def x190_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from video_streamer_spark.operators.dedup import tokens_col
+    from video_streamer_spark.operators.similarity import mmr_rerank
+
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    sel = mmr_rerank(emb, F.col("vec_id") == 0, k=3, pool=20).select(
+        "sel_rank", "vec_id"
+    )
+    toks = sel.join(
+        docs.select(
+            F.col("doc_id").alias("vec_id"),
+            F.size(tokens_col("text")).cast("bigint").alias("n_tokens"),
+        ),
+        "vec_id",
+    )
+    w = Window.orderBy("sel_rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return toks.select(
+        "sel_rank",
+        "vec_id",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    ).withColumn("fits", F.col("cum_tokens") <= 256)
