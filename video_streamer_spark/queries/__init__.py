@@ -245,6 +245,7 @@ _SAMPLE_FIRST = [
     "x188_vocab_growth",
     "x189_sequence_gap_audit",
     "x190_rag_context_assembly",
+    "x191_filter_overlap_matrix",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

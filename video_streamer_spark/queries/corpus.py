@@ -3306,3 +3306,157 @@ def x190_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
     ).withColumn("fits", F.col("cum_tokens") <= 256)
+
+
+# --------------------------------------------------------------------------
+# x191: FILTER OVERLAP MATRIX — of the documents each curation filter
+# would drop (exact-dup copy, low quality, repetition, boilerplate),
+# the single and pairwise drop counts: the redundancy analysis that
+# says which filters actually earn their runtime. One per-doc flag
+# frame, ten aggregate rows (4 singles + 6 pairs).
+@query(
+    "x191_filter_overlap_matrix",
+    oracle=f"""
+    WITH {_TOKS},
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    rn AS (
+      SELECT doc_id,
+        ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents),
+    qual AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) > 0 THEN
+          least(CAST(len(toks) AS DOUBLE), 200.0) / 200.0 * 0.5
+          + least((CAST(len(list_filter(toks, x -> list_contains(
+              {_STOPWORDS_SQL}, x))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE)) * 10.0, 1.0) * 0.5
+        ELSE 0.0 END AS q,
+        len(toks) AS n_tok
+      FROM toks),
+    g2 AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, greatest(len(toks), 1)),
+                              i -> array_to_string(toks[i:i+1], ' '))) AS g
+      FROM toks WHERE len(toks) >= 2),
+    t2 AS (
+      SELECT doc_id, MAX(n) AS top2 FROM (
+        SELECT doc_id, g, COUNT(*) AS n FROM g2 GROUP BY 1, 2) GROUP BY 1),
+    g3 AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS g
+      FROM toks WHERE len(toks) >= 3),
+    dfq AS (
+      SELECT g, COUNT(DISTINCT doc_id) AS df FROM g3 GROUP BY g),
+    bpf AS (
+      SELECT g3.doc_id,
+        CAST(COUNT(CASE WHEN CAST(dfq.df AS DOUBLE)
+                             / (SELECT n_docs FROM nd) > 0.05
+                        THEN 1 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS frac
+      FROM g3 JOIN dfq ON dfq.g = g3.g GROUP BY g3.doc_id),
+    flags AS (
+      SELECT d.doc_id,
+        (rn.rn > 1) AS f_exact,
+        (qual.q < 0.5) AS f_quality,
+        (COALESCE(2.0 * t2.top2 / qual.n_tok, 0.0) > 0.2) AS f_rep,
+        (COALESCE(bpf.frac, 0.0) > 0.1) AS f_bp
+      FROM documents d
+      JOIN rn ON rn.doc_id = d.doc_id
+      JOIN qual ON qual.doc_id = d.doc_id
+      LEFT JOIN t2 ON t2.doc_id = d.doc_id
+      LEFT JOIN bpf ON bpf.doc_id = d.doc_id)
+    SELECT 'exact' AS filter_a, 'exact' AS filter_b,
+      CAST(COUNT(*) FILTER (WHERE f_exact) AS BIGINT) AS n_docs FROM flags
+    UNION ALL SELECT 'quality', 'quality',
+      CAST(COUNT(*) FILTER (WHERE f_quality) AS BIGINT) FROM flags
+    UNION ALL SELECT 'rep', 'rep',
+      CAST(COUNT(*) FILTER (WHERE f_rep) AS BIGINT) FROM flags
+    UNION ALL SELECT 'bp', 'bp',
+      CAST(COUNT(*) FILTER (WHERE f_bp) AS BIGINT) FROM flags
+    UNION ALL SELECT 'exact', 'quality',
+      CAST(COUNT(*) FILTER (WHERE f_exact AND f_quality) AS BIGINT) FROM flags
+    UNION ALL SELECT 'exact', 'rep',
+      CAST(COUNT(*) FILTER (WHERE f_exact AND f_rep) AS BIGINT) FROM flags
+    UNION ALL SELECT 'exact', 'bp',
+      CAST(COUNT(*) FILTER (WHERE f_exact AND f_bp) AS BIGINT) FROM flags
+    UNION ALL SELECT 'quality', 'rep',
+      CAST(COUNT(*) FILTER (WHERE f_quality AND f_rep) AS BIGINT) FROM flags
+    UNION ALL SELECT 'quality', 'bp',
+      CAST(COUNT(*) FILTER (WHERE f_quality AND f_bp) AS BIGINT) FROM flags
+    UNION ALL SELECT 'rep', 'bp',
+      CAST(COUNT(*) FILTER (WHERE f_rep AND f_bp) AS BIGINT) FROM flags
+    """,
+)
+def x191_filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+    from pyspark.sql.window import Window
+
+    from video_streamer_spark.operators.dedup import shingles_col, tokens_col
+    from video_streamer_spark.operators.text import quality_score_col
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    base = docs.select(
+        "doc_id",
+        (F.row_number().over(w) > 1).alias("f_exact"),
+        (quality_score_col() < 0.5).alias("f_quality"),
+        F.size(tokens_col("text")).alias("n_tok"),
+    )
+    t2 = (
+        docs.select("doc_id", F.explode(shingles_col("text", 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top2"))
+    )
+    g3 = docs.select("doc_id", F.explode(shingles_col("text", 3)).alias("g"))
+    dfq = g3.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    bpf = (
+        g3.join(F.broadcast(dfq), "g")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.count_if(
+                    F.col("df").cast("double") / F.lit(float(n_docs)) > 0.05
+                ).cast("double")
+                / F.count("*").cast("double")
+            ).alias("frac")
+        )
+    )
+    flags = (
+        base.join(t2, "doc_id", "left")
+        .join(bpf, "doc_id", "left")
+        .select(
+            "f_exact",
+            "f_quality",
+            (
+                F.coalesce(
+                    2.0 * F.col("top2") / F.col("n_tok"), F.lit(0.0)
+                )
+                > 0.2
+            ).alias("f_rep"),
+            (F.coalesce("frac", F.lit(0.0)) > 0.1).alias("f_bp"),
+        )
+        .persist()
+    )
+
+    def row(a: str, b: str, cond: F.Column) -> DataFrame:
+        return flags.agg(F.count_if(cond).cast("bigint").alias("n_docs")).select(
+            F.lit(a).alias("filter_a"), F.lit(b).alias("filter_b"), "n_docs"
+        )
+
+    fa = {n: F.col(f"f_{n}") for n in ("exact", "quality", "rep", "bp")}
+    singles = [row(n, n, c) for n, c in fa.items()]
+    names = list(fa)
+    pairs = [
+        row(a, b, fa[a] & fa[b])
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+    ]
+    out = singles[0]
+    for p in singles[1:] + pairs:
+        out = out.unionByName(p)
+    return out
