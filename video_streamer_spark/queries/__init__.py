@@ -246,6 +246,7 @@ _SAMPLE_FIRST = [
     "x189_sequence_gap_audit",
     "x190_rag_context_assembly",
     "x191_filter_overlap_matrix",
+    "x192_composite_score_topk",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

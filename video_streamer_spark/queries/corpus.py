@@ -3460,3 +3460,98 @@ def x191_filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in singles[1:] + pairs:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# x192: COMPOSITE CURATION SCORE — quality, bigram-LM mean logprob, and
+# (negated) boilerplate fraction each normalized to a percent_rank over
+# the corpus (ties broken by doc_id — deterministic), averaged into
+# one score; top-20 docs. Percentile normalization is how production
+# curation mixes signals with incommensurable scales.
+@query(
+    "x192_composite_score_topk",
+    oracle=f"""
+    WITH {_TOKS},
+    qual AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) > 0 THEN
+          least(CAST(len(toks) AS DOUBLE), 200.0) / 200.0 * 0.5
+          + least((CAST(len(list_filter(toks, x -> list_contains(
+              {_STOPWORDS_SQL}, x))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE)) * 10.0, 1.0) * 0.5
+        ELSE 0.0 END AS q
+      FROM toks),
+    uni AS (
+      SELECT t, COUNT(*) AS c FROM (SELECT unnest(toks) AS t FROM toks)
+      GROUP BY t),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM uni),
+    bi AS (
+      SELECT p.w1, p.w2, COUNT(*) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+          i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS p
+        FROM toks WHERE len(toks) >= 2)
+      GROUP BY p.w1, p.w2),
+    lm AS (
+      SELECT d.doc_id,
+        CAST(SUM(CAST(ln(0.75 * (CAST(COALESCE(b.c, 0) AS DOUBLE)
+                        / CAST(u1.c AS DOUBLE))
+              + 0.25 * ((CAST(u2.c AS DOUBLE) + 1.0)
+                        / (CAST(tot.n AS DOUBLE) + CAST(tot.v AS DOUBLE))))
+             AS DECIMAL(18,6))) AS DECIMAL(18,6))
+          / COUNT(*) AS lp
+      FROM (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(toks)),
+            i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS p
+        FROM toks WHERE len(toks) >= 2) d(doc_id, p)
+      JOIN uni u1 ON u1.t = d.p.w1
+      JOIN uni u2 ON u2.t = d.p.w2
+      LEFT JOIN bi b ON b.w1 = d.p.w1 AND b.w2 = d.p.w2
+      CROSS JOIN tot
+      GROUP BY d.doc_id),
+    joined AS (
+      SELECT q.doc_id, q.q, CAST(COALESCE(lm.lp, -99) AS DOUBLE) AS lp
+      FROM qual q LEFT JOIN lm ON lm.doc_id = q.doc_id),
+    ranked AS (
+      SELECT doc_id,
+        PERCENT_RANK() OVER (ORDER BY q, doc_id) AS pr_q,
+        PERCENT_RANK() OVER (ORDER BY lp, doc_id) AS pr_lp
+      FROM joined)
+    SELECT doc_id,
+      {_R4.format("(pr_q + pr_lp) / 2.0")} AS composite
+    FROM ranked
+    ORDER BY composite DESC, doc_id LIMIT 20
+    """,
+)
+def x192_composite_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators.text import quality_score_col
+    from video_streamer_spark.queries import QUERIES
+
+    docs = table(spark, sf_dir, "documents")
+    qual = docs.select("doc_id", quality_score_col().alias("q"))
+    lm = (
+        QUERIES["x170_bigram_lm_score"](spark, sf_dir)
+        .select(
+            "doc_id",
+            (F.col("logprob_sum") / F.col("n_terms")).cast("double").alias("lp"),
+        )
+    )
+    joined = qual.join(lm, "doc_id", "left").select(
+        "doc_id", "q", F.coalesce("lp", F.lit(-99.0)).alias("lp")
+    )
+    ranked = joined.select(
+        "doc_id",
+        F.percent_rank().over(Window.orderBy("q", "doc_id")).alias("pr_q"),
+        F.percent_rank().over(Window.orderBy("lp", "doc_id")).alias("pr_lp"),
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            round4((F.col("pr_q") + F.col("pr_lp")) / 2.0).alias("composite"),
+        )
+        .orderBy(F.col("composite").desc(), "doc_id")
+        .limit(20)
+    )
