@@ -3555,3 +3555,62 @@ def x192_composite_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("composite").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# x193: SOURCE PARETO SEGMENTATION — sources ordered by token volume,
+# cut into head (cumulative share ≤ 50%), torso (≤ 90%), and tail: the
+# segmentation a mixing plan treats differently (cap the head, keep
+# the torso, up-sample the tail). One vocab-sized window cumsum;
+# shares computed from exact BIGINT token sums.
+@query(
+    "x193_source_pareto_segments",
+    oracle=f"""
+    WITH {_TOKS},
+    src AS (
+      SELECT source, CAST(SUM(len(toks)) AS BIGINT) AS toks
+      FROM toks GROUP BY source),
+    tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS n FROM src),
+    cum AS (
+      SELECT source, toks,
+        CAST(SUM(toks) OVER (ORDER BY toks DESC, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_toks
+      FROM src)
+    SELECT c.source, c.toks,
+      {_R4.format("CAST(c.cum_toks AS DOUBLE) / CAST(t.n AS DOUBLE)")}
+        AS cum_share,
+      CASE WHEN CAST(c.cum_toks AS DOUBLE) / CAST(t.n AS DOUBLE) <= 0.5
+           THEN 'head'
+           WHEN CAST(c.cum_toks AS DOUBLE) / CAST(t.n AS DOUBLE) <= 0.9
+           THEN 'torso' ELSE 'tail' END AS segment
+    FROM cum c CROSS JOIN tot t
+    """,
+)
+def x193_source_pareto_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators.dedup import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    src = docs.select(
+        "source", F.size(tokens_col("text")).alias("nt")
+    ).groupBy("source").agg(F.sum("nt").cast("bigint").alias("toks"))
+    tot = src.agg(F.sum("toks").cast("bigint").alias("n"))
+    w = Window.orderBy(F.col("toks").desc(), "source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = src.select(
+        "source", "toks", F.sum("toks").over(w).cast("bigint").alias("cum_toks")
+    )
+    share = F.col("cum_toks").cast("double") / F.col("n").cast("double")
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        round4(share).alias("cum_share"),
+        F.when(share <= 0.5, "head")
+        .when(share <= 0.9, "torso")
+        .otherwise("tail")
+        .alias("segment"),
+    )
