@@ -1412,3 +1412,31 @@ def ivf_index_upsert(
             shutil.rmtree(cell_dir)
     routed.unpersist()
     return touched
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) assignment under the shared pivot quantizer — the
+    building block ivf_index_build/ivfpq_index_build use, exposed for
+    index monitoring (cell-balance reports)."""
+    import sys
+
+    from pyspark.sql.types import LongType
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+    cent_ids, cents, c2 = _pivot_quantizer(embeddings, n_cells, id_col, vec_col)
+
+    @F.pandas_udf(LongType())
+    def assign_cell(vs: pd.Series) -> pd.Series:
+        mat = np.array(list(vs), dtype=np.float64)
+        return pd.Series(cent_ids[np.argmin(_routing_scores(mat, cents, c2), axis=1)])
+
+    return embeddings.select(
+        F.col(id_col), assign_cell(F.col(vec_col)).alias("cell")
+    )

@@ -248,6 +248,7 @@ _SAMPLE_FIRST = [
     "x191_filter_overlap_matrix",
     "x192_composite_score_topk",
     "x193_source_pareto_segments",
+    "x194_ivf_cell_balance",
     # 4. everything else, oldest evidence first
     "x40_range_frame_trailing_sum",
     "x49_stat_aggregates",

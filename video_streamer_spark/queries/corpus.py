@@ -3614,3 +3614,57 @@ def x193_source_pareto_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("segment"),
     )
+
+
+# --------------------------------------------------------------------------
+# x194: IVF CELL BALANCE — size distribution of the index's cells and
+# the imbalance factor (max/mean): the skew monitor for the vector
+# index — a hot cell is a hot partition is a slow probe. One groupBy
+# over the deterministic assignment (x155 quantizer).
+@query(
+    "x194_ivf_cell_balance",
+    oracle=f"""
+    WITH piv AS (
+      SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 16),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, p.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_dot_product(p.cvec, p.cvec)
+                     - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            p.cvec), p.cent_id) AS rn
+        FROM embeddings e CROSS JOIN piv p) WHERE rn = 1),
+    cells AS (
+      SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM assign GROUP BY cent_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+      CAST(MIN(sz) AS BIGINT) AS min_sz,
+      CAST(MAX(sz) AS BIGINT) AS max_sz,
+      {_R4.format(
+          "CAST(MAX(sz) AS DOUBLE)"
+          " / (CAST(SUM(sz) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))"
+      )} AS imbalance
+    FROM cells
+    """,
+)
+def x194_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.operators.similarity import assign_cells
+
+    emb = table(spark, sf_dir, "embeddings")
+    cells = (
+        assign_cells(emb, n_cells=16)
+        .groupBy("cell")
+        .agg(F.count("*").cast("bigint").alias("sz"))
+    )
+    return cells.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.min("sz").cast("bigint").alias("min_sz"),
+        F.max("sz").cast("bigint").alias("max_sz"),
+        round4(
+            F.max("sz").cast("double")
+            / (F.sum("sz").cast("double") / F.count("*").cast("double"))
+        ).alias("imbalance"),
+    )
