@@ -18,6 +18,20 @@ engines. Three rules, applied on BOTH sides:
 
 3. **Render timestamps/dates as strings** with one explicit format, in
    UTC, so engine-native temporal encodings never reach the hasher.
+
+4. **Never emit a DECIMAL-typed OUTPUT column.** DECIMAL is an internal
+   type (exact, order-independent sums); final outputs must be BIGINT,
+   DOUBLE, or STRING. Root cause of the only driver-red rows in five
+   rounds (x92/x95, CORRECTNESS_r05): a comparator fetch path that
+   coerces one engine's DECIMAL to float64 while the other side keeps
+   scale-preserving Decimal objects makes '0.980510' hash-mismatch
+   '0.98051' whenever the last place is a zero — ~1-0.9^n odds per
+   query of n decimal values, unreproducible under Decimal-to-Decimal
+   comparison (this repo's parity suite), categorical on the driver.
+   Casting the final DECIMAL to DOUBLE is always safe: both engines
+   correctly round the same exact decimal to the same float64.
+   Enforced by tests/test_no_decimal_outputs.py over every registered
+   query.
 """
 
 from __future__ import annotations
@@ -48,6 +62,12 @@ def round4(col: Column | str) -> Column:
     return _round_via_decimal(col, 4, 12)
 
 
+def round6(col: Column | str) -> Column:
+    """ROUND(x, 6) for log-scale scores (PMI, idf, logprob): the
+    guard-digit recipe at micro precision, emitted as DOUBLE (rule 4)."""
+    return _round_via_decimal(col, 6, 12)
+
+
 def ts_str(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
@@ -65,6 +85,10 @@ def sql_round2(expr: str) -> str:
 
 def sql_round4(expr: str) -> str:
     return f"CAST(ROUND(CAST(({expr}) AS DECIMAL(38,12)), 4) AS DOUBLE)"
+
+
+def sql_round6(expr: str) -> str:
+    return f"CAST(ROUND(CAST(({expr}) AS DECIMAL(38,12)), 6) AS DOUBLE)"
 
 
 def sql_dec(expr: str, precision: int = 18, scale: int = 6) -> str:

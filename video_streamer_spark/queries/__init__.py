@@ -103,76 +103,32 @@ def _load_all() -> None:
     from video_streamer_spark.queries import corpus  # noqa: F401
 
 
-# The driver hash-checks the FIRST 50 registered queries per round. Round-5
+# The driver hash-checks the FIRST 50 registered queries per round. Round-6
 # ordering rule (invariant since r3: every green row should describe the
 # code as currently written, and no query's evidence should go stale):
-#   1. Queries whose CODE changed this round (q07 bigint-micros window,
-#      encode-path byte-slicing behind x43/x55/x74, hash_split rounding
-#      behind x72, CDC compaction behind x56) need fresh rows most.
-#   2. Round-5-new queries (x85+) as they land (missing names skipped).
-#   3. The events family whose last green row predates the r4
-#      TIMESTAMP_NTZ catalog rewrite (VERDICT r4 top item): x28, q12,
-#      q13, q14, x38, x48, x24, x52, x53.
-#   4. Everything else without an r4 row, oldest evidence first.
+#   1. The r5 driver-red rows x92/x95 plus every query whose hashed
+#      output changed with the parity rule-4 sweep (DECIMAL outputs →
+#      DOUBLE/BIGINT): x97, x130, x135, x165, x170. These must re-earn
+#      green rows first.
+#   2. Queries whose index code changed this round (ivf upsert
+#      crash-safety + per-session index paths): x155, x159, x164.
+#   3. The never-driver-verified tail x119+ in order (43 fit in the
+#      50-row sample; the remainder — x163, x166-x169, x171-x194 —
+#      completes in round 7).
 _SAMPLE_FIRST = [
-    # 1. code changed this round
-    "q07_window_running_total",
-    "q15_sessionization",
-    "x43_decode_infer_replay",
-    "x55_decode_bmp_infer",
-    "x74_decode_wav_stats",
-    "x72_train_val_test_split",
-    "x56_merge_upsert_result",
-    # 2. events family whose last green row predates the r4
-    #    TIMESTAMP_NTZ catalog rewrite (VERDICT r4 top item) — kept
-    #    inside the 50-query driver sample ahead of the newest x-names,
-    #    which carry fresh in-repo differential evidence instead
-    "x28_asof_purchase_click",
-    "q12_json_extract_sum",
-    "q13_distinct_users_per_type",
-    "q14_tumbling_hourly",
-    "x38_multi_granularity_rollup",
-    "x48_sliding_window_agg",
-    "x24_approx_distinct",
-    "x52_approx_percentile_contract",
-    "x53_hll_sketch_rollup",
-    # 3. round-5 new queries (appended as they land; the driver's
-    #    50-row sample reaches through x119 — the tail past it gets its
-    #    first driver row next round)
-    "x85_decode_png_infer",
-    "x86_bloom_filter_join",
-    "x87_group_quantiles_exact",
-    "x88_skyline_pareto",
-    "x89_triangle_count",
-    "x90_gaps_islands",
-    "x91_interval_overlap_join",
+    # 1. r5 red rows + rule-4 hashed-output changes
     "x92_collocation_pmi",
-    "x93_jaccard_prefix_join",
-    "x94_windowed_dedup_stream",
     "x95_embedding_dispersion",
-    "x96_equidepth_histogram",
     "x97_chi_square_independence",
-    "x98_snapshot_diff",
-    "x99_stream_stream_join",
-    "x100_zorder_clustering",
-    "x101_variant_json",
-    "x102_lateral_topk",
-    "x103_python_udtf_chunks",
-    "x104_decode_jpeg_infer",
-    "x105_decode_video_stats",
-    "x106_recursive_chain_rollup",
-    "x107_regression_by_nation",
-    "x108_bm25_ranking",
-    "x109_tfidf_profile_drift",
-    "x110_markov_transitions",
-    "x111_basket_lift",
-    "x112_kmeans_assign",
-    "x113_outlier_mad",
-    "x114_bfs_hops",
-    "x115_event_trigrams",
-    "x116_scripted_threshold_search",
-    "x117_data_quality_audit",
-    "x118_linear_interpolation",
+    "x130_time_range_frame",
+    "x135_salted_aggregation",
+    "x165_rake_keywords",
+    "x170_bigram_lm_score",
+    # 2. index-lifecycle code changed this round
+    "x155_ivf_index_search",
+    "x159_ivfpq_index_search",
+    "x164_index_upsert_search",
+    # 3. never-driver-verified tail, oldest first
     "x119_decode_mp4_stats",
     "x120_journey_pattern_count",
     "x121_benford_digit_audit",
@@ -184,12 +140,10 @@ _SAMPLE_FIRST = [
     "x127_map_functions",
     "x128_union_by_name",
     "x129_decode_quarantine_report",
-    "x130_time_range_frame",
     "x131_array_custom_sort",
     "x132_pii_scrub",
     "x133_rfm_segmentation",
     "x134_conversion_latency",
-    "x135_salted_aggregation",
     "x136_join_cardinality_estimate",
     "x137_cumulative_distinct_users",
     "x138_weighted_median",
@@ -209,22 +163,17 @@ _SAMPLE_FIRST = [
     "x152_pq_adc_topk",
     "x153_bpe_train_merges",
     "x154_bpe_segment_stats",
-    "x155_ivf_index_search",
     "x156_coverage_selection",
     "x157_record_linkage",
     "x158_mmr_rerank",
-    "x159_ivfpq_index_search",
     "x160_ann_recall_eval",
     "x161_psi_quality_drift",
     "x162_containment_dedup",
     "x163_contrastive_triplets",
-    "x164_index_upsert_search",
-    "x165_rake_keywords",
     "x166_winnowing_fingerprints",
     "x167_zipf_fit",
     "x168_leakage_safe_split",
     "x169_dedup_impact_report",
-    "x170_bigram_lm_score",
     "x171_doc_stitching",
     "x172_boilerplate_ngrams",
     "x173_temperature_mixture",

@@ -1584,7 +1584,7 @@ def x129_decode_quarantine_report(
       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
         PARTITION BY user_id ORDER BY ts
         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-        AS DECIMAL(18,6)) AS hour_sum
+        AS DOUBLE) AS hour_sum
     FROM events WHERE user_id < 10
     ORDER BY event_id
     """,
@@ -1597,7 +1597,7 @@ def x130_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
         PARTITION BY user_id ORDER BY ts
         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-        AS DECIMAL(18,6)) AS hour_sum
+        AS DOUBLE) AS hour_sum
     FROM x130_events
     ORDER BY event_id
     """)
@@ -1866,7 +1866,7 @@ def x134_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
       CAST(COUNT(*) AS BIGINT) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS total
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -1886,7 +1886,7 @@ def x135_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         partial.groupBy("event_type")
         .agg(
             F.sum("pn").cast("bigint").alias("n_events"),
-            F.sum("pt").cast("decimal(28,6)").alias("total"),
+            F.sum("pt").cast("double").alias("total"),
         )
         .orderBy("event_type")
     )

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from video_streamer_spark.catalog import table
-from video_streamer_spark.functions.parity import round2, round4
+from video_streamer_spark.functions.parity import round2, round4, round6
 from video_streamer_spark.queries import query
 
 _R2 = "CAST(ROUND(CAST(({}) AS DECIMAL(38,9)), 2) AS DOUBLE)"
@@ -435,10 +435,13 @@ def x91_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x92: COLLOCATION MINING (PMI) — statistically-bound word pairs, the
 # classic corpus-analysis signal (phrase detection for tokenizer vocab
 # building). Adjacent-token bigrams and unigrams are counted with plain
-# aggregations; PMI = ln(P(ab) / (P(a)·P(b))) quantized to
-# DECIMAL(18,6) per the x62 ln-parity recipe. Scale: two groupBy counts
-# + two broadcastable joins of the (small) vocab onto the bigram
-# relation; nothing quadratic, no UDF.
+# aggregations. The hashed output carries the EXACT integer sufficient
+# statistics (n_pair, c1, c2) plus PMI = ln(P(ab)/(P(a)·P(b))) through
+# the guard-digit round6 recipe emitted as DOUBLE — never DECIMAL
+# (parity.py rule 4; this query was the program's first driver-red row
+# because its old DECIMAL(18,6) output hash-diverged on trailing-zero
+# values). Scale: two groupBy counts + two broadcastable joins of the
+# (small) vocab onto the bigram relation; nothing quadratic, no UDF.
 @query(
     "x92_collocation_pmi",
     oracle="""
@@ -457,9 +460,11 @@ def x91_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              GROUP BY p.w1, p.w2),
     btot AS (SELECT SUM(c) AS n FROM bcnt)
     SELECT w1, w2, CAST(b.c AS BIGINT) AS n_pair,
-      CAST(ln((CAST(b.c AS DOUBLE) / btot.n) /
+      CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
+      CAST(ROUND(CAST(ln((CAST(b.c AS DOUBLE) / btot.n) /
               ((CAST(u1.c AS DOUBLE) / utot.n) *
-               (CAST(u2.c AS DOUBLE) / utot.n))) AS DECIMAL(18,6)) AS pmi
+               (CAST(u2.c AS DOUBLE) / utot.n))) AS DECIMAL(38,12)), 6)
+           AS DOUBLE) AS pmi
     FROM bcnt b
     JOIN ucnt u1 ON b.w1 = u1.w
     JOIN ucnt u2 ON b.w2 = u2.w
@@ -501,15 +506,17 @@ def x92_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             F.col("c").cast("bigint").alias("n_pair"),
-            F.log(
-                (F.col("c").cast("double") / F.col("n_bi"))
-                / (
-                    (F.col("c1").cast("double") / F.col("n_uni"))
-                    * (F.col("c2").cast("double") / F.col("n_uni"))
+            F.col("c1").cast("bigint").alias("c1"),
+            F.col("c2").cast("bigint").alias("c2"),
+            round6(
+                F.log(
+                    (F.col("c").cast("double") / F.col("n_bi"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("n_uni"))
+                        * (F.col("c2").cast("double") / F.col("n_uni"))
+                    )
                 )
-            )
-            .cast("decimal(18,6)")
-            .alias("pmi"),
+            ).alias("pmi"),
         )
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
@@ -643,10 +650,15 @@ def x93_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # monitor tracks). posexplode puts (label, dim) on the shuffle key so
 # the reduction is a plain two-level aggregation; all sums ride the
 # integer-quantization parity recipe (floor(x·1e6) / floor(x²·1e12) —
-# exact, order-independent, identical in both engines), per-dim
-# contributions quantize to DECIMAL(18,6) before the cross-dim sum so
-# no double addition order ever reaches the hash. Scale: one shuffle on
-# (label, dim) — 64·n_labels keys — then a tiny label-level agg.
+# exact, order-independent, identical in both engines). Per-dim
+# contributions floor-quantize to BIGINT micro-units (the x61/x107
+# recipe: floor of a transcendental-free double is bit-identical
+# cross-engine) so the cross-dim sum is exact integer arithmetic, and
+# the trace is emitted as micro_sum/1e6 — one correctly-rounded double
+# division, never a DECIMAL output (parity.py rule 4; the old
+# DECIMAL(18,6) output was the program's second driver-red row). Scale:
+# one shuffle on (label, dim) — 64·n_labels keys — then a tiny
+# label-level agg.
 @query(
     "x95_embedding_dispersion",
     oracle="""
@@ -662,13 +674,13 @@ def x93_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dims GROUP BY label, dim),
     contrib AS (
       SELECT label, n,
-        CAST(CAST(sxx AS DOUBLE) / 1000000000000.0 / n
+        CAST(floor((CAST(sxx AS DOUBLE) / 1000000000000.0 / n
              - (CAST(sx AS DOUBLE) / 1000000.0 / n)
-               * (CAST(sx AS DOUBLE) / 1000000.0 / n)
-          AS DECIMAL(18,6)) AS v
+               * (CAST(sx AS DOUBLE) / 1000000.0 / n))
+               * 1000000.0) AS BIGINT) AS v_micro
       FROM per_dim)
     SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
-      CAST(CAST(SUM(v) AS DOUBLE) AS DECIMAL(18,6)) AS variance_trace
+      CAST(SUM(v_micro) AS DOUBLE) / 1000000.0 AS variance_trace
     FROM contrib GROUP BY label ORDER BY label
     """,
 )
@@ -695,21 +707,22 @@ def x95_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = per_dim.select(
         "label",
         "n",
-        (
-            F.col("sxx").cast("double") / 1e12 / F.col("n")
-            - (F.col("sx").cast("double") / 1e6 / F.col("n"))
-            * (F.col("sx").cast("double") / 1e6 / F.col("n"))
+        F.floor(
+            (
+                F.col("sxx").cast("double") / 1e12 / F.col("n")
+                - (F.col("sx").cast("double") / 1e6 / F.col("n"))
+                * (F.col("sx").cast("double") / 1e6 / F.col("n"))
+            )
+            * 1e6
         )
-        .cast("decimal(18,6)")
-        .alias("v"),
+        .cast("bigint")
+        .alias("v_micro"),
     )
     return (
         contrib.groupBy("label")
         .agg(
             F.max("n").cast("bigint").alias("n_vectors"),
-            F.sum("v").cast("double").cast("decimal(18,6)").alias(
-                "variance_trace"
-            ),
+            (F.sum("v_micro").cast("double") / 1e6).alias("variance_trace"),
         )
         .orderBy("label")
     )
@@ -781,7 +794,7 @@ def x96_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
       CAST((SELECT COUNT(*) FROM rowm) - 1 AS BIGINT)
         * CAST((SELECT COUNT(*) FROM colm) - 1 AS BIGINT) AS dof,
-      CAST(CAST(SUM(x2) AS DOUBLE) AS DECIMAL(18,6)) AS chi2
+      CAST(SUM(x2) AS DOUBLE) AS chi2
     FROM contrib
     """,
 )
@@ -812,7 +825,7 @@ def x97_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         contrib.agg(
             F.count("*").cast("bigint").alias("n_cells"),
-            F.sum("x2").cast("double").cast("decimal(18,6)").alias("chi2"),
+            F.sum("x2").cast("double").alias("chi2"),
         )
         .crossJoin(F.broadcast(n_rows))
         .crossJoin(F.broadcast(n_cols))

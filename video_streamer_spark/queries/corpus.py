@@ -1470,7 +1470,7 @@ def x164_index_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w
       FROM per_phrase)
     SELECT p.phrase, p.n_occ,
-      CAST(SUM(ws.ws) AS DECIMAL(18,6)) AS score
+      CAST(SUM(ws.ws) AS DOUBLE) AS score
     FROM pword p JOIN ws ON ws.w = p.w
     GROUP BY p.phrase, p.n_occ
     ORDER BY score DESC, p.phrase LIMIT 15
@@ -1479,7 +1479,11 @@ def x164_index_upsert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x165_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_streamer_spark.operators.text import rake_keywords
 
-    return rake_keywords(table(spark, sf_dir, "documents"), top_n=15)
+    # Final DOUBLE cast of the exact DECIMAL phrase score: parity.py
+    # rule 4 — DECIMAL never reaches the hashed output.
+    return rake_keywords(table(spark, sf_dir, "documents"), top_n=15).select(
+        "phrase", "n_occ", F.col("score").cast("double").alias("score")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1857,7 +1861,7 @@ def x169_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN bi b ON b.w1 = d.p.w1 AND b.w2 = d.p.w2
       CROSS JOIN tot)
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-      CAST(SUM(term) AS DECIMAL(18,6)) AS logprob_sum
+      CAST(SUM(term) AS DOUBLE) AS logprob_sum
     FROM terms GROUP BY doc_id
     """,
 )
@@ -1911,7 +1915,7 @@ def x170_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return terms.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_terms"),
-        F.sum("term").cast("decimal(18,6)").alias("logprob_sum"),
+        F.sum("term").cast("double").alias("logprob_sum"),
     )
 
 
