@@ -2569,6 +2569,70 @@ def test_ivf_index_upsert_touches_only_affected_cells(spark, tmp_path):
     assert idx.count() == idx.select("vec_id").distinct().count()
 
 
+def test_ivf_index_upsert_crash_recovery(spark, tmp_path):
+    """A crash mid-swap must not lose surviving non-delta rows: simulate
+    dying between the two swap renames (cell=c renamed to cell=c.old,
+    staged copy not yet moved in) plus a leftover staging dir, then
+    re-apply the SAME delta and require the index to equal a fresh
+    rebuild of the logical table (r5 ADVICE: the old dynamic-overwrite
+    path lost the cell's survivors permanently here)."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as SF
+
+    from tests.conftest import SF_ORACLE
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+        ivf_index_upsert,
+    )
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    path = str(tmp_path / "idx")
+    ivf_index_build(emb, path, n_cells=16)
+
+    delta = emb.where(SF.col("vec_id") < 10).select(
+        "vec_id", SF.reverse("embedding").alias("embedding"), "label"
+    )
+
+    # simulate the torn state: pick a touched cell, leave only its .old
+    # backup plus a stale half-written staging dir
+    victim = next(
+        d for d in sorted(os.listdir(path)) if d.startswith("cell=")
+    )
+    os.rename(os.path.join(path, victim), os.path.join(path, victim + ".old"))
+    staging = path.rstrip("/") + ".upsert-tmp"
+    os.makedirs(os.path.join(staging, victim))
+    with open(os.path.join(staging, victim, "part-garbage.parquet"), "w") as f:
+        f.write("torn write")
+
+    ivf_index_upsert(emb, path, delta, n_cells=16)
+
+    assert not os.path.exists(staging)
+    assert not any(d.endswith(".old") for d in os.listdir(path))
+
+    logical = emb.join(
+        delta.select("vec_id"), "vec_id", "left_anti"
+    ).unionByName(delta)
+    rebuild = str(tmp_path / "idx2")
+    ivf_index_build(logical, rebuild, n_cells=16)
+    q = emb.where(SF.col("vec_id").isin(11, 12, 13))
+    got = sorted(
+        tuple(r)
+        for r in ivf_index_search(emb, path, q, k=3, n_cells=16).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivf_index_search(emb, rebuild, q, k=3, n_cells=16).collect()
+    )
+    assert got == want
+    idx = spark.read.parquet(path)
+    assert idx.count() == idx.select("vec_id").distinct().count()
+    shutil.rmtree(rebuild, ignore_errors=True)
+
+
 def test_concurrent_queries_are_thread_safe(spark):
     """An engine serves parallel clients: eight different queries
     submitted from eight threads against one SparkSession must all

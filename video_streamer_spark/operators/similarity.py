@@ -1341,11 +1341,18 @@ def ivf_index_upsert(
     Returns the touched cell ids (≤ |delta| — a request-sized driver
     list, same class as the merge bucket list).
 
-    Crash contract mirrors `merge_parquet_table`: the per-partition
-    dynamic overwrite commits cell by cell, so a crash mid-upsert
-    leaves some cells new and some old; re-applying the same delta
-    converges (replacement is idempotent).
+    Crash contract (the maintenance.py/result_cache stage-and-swap
+    discipline): the merged touched cells are materialized into a
+    sibling ``.upsert-tmp`` directory FIRST — the live index is never
+    read-and-overwritten in one job — then swapped in per cell with two
+    renames (``cell=c`` → ``cell=c.old``, staged → ``cell=c``). A crash
+    at any point leaves every cell with exactly one complete directory
+    (old or new); entry-time recovery restores any half-swapped cell
+    from its ``.old`` twin and clears leftover staging, so re-applying
+    the same delta converges without losing surviving non-delta rows.
     """
+    import os
+    import shutil
     import sys
 
     from pyspark.sql.types import LongType
@@ -1353,6 +1360,22 @@ def ivf_index_upsert(
     from video_streamer_spark.functions.shipping import ship_module
 
     ship_module(sys.modules[__name__])
+
+    # crash recovery from a prior interrupted upsert: a cell=c.old dir
+    # with no cell=c twin means we died between the two swap renames —
+    # restore it; with a twin present the swap completed — drop it.
+    # A leftover staging dir is always stale.
+    for entry in os.listdir(path):
+        if entry.startswith("cell=") and entry.endswith(".old"):
+            live = os.path.join(path, entry[: -len(".old")])
+            backup = os.path.join(path, entry)
+            if os.path.exists(live):
+                shutil.rmtree(backup)
+            else:
+                os.rename(backup, live)
+    staging = path.rstrip("/") + ".upsert-tmp"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
 
     spark = corpus_for_quantizer.sparkSession
     cent_ids, cents, c2 = _pivot_quantizer(
@@ -1390,26 +1413,24 @@ def ivf_index_upsert(
         .join(F.broadcast(delta_ids), "vec_id", "left_anti")
     )
     merged = survivors.unionByName(routed.where(F.col("cell").isin(touched)))
-    # a vec moving away can EMPTY its old cell: dynamic overwrite only
-    # rewrites partitions present in the output, so collect the
-    # non-empty set BEFORE the write (lineage reads the pre-merge base)
-    # and drop stale directories after — the merge.py discipline.
-    non_empty = {
-        int(r.cell) for r in merged.select("cell").distinct().collect()
-    }
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell")
-        .parquet(path)
-    )
-    import os
-    import shutil
-
-    for c in set(touched) - non_empty:
-        cell_dir = os.path.join(path, f"cell={c}")
-        if os.path.exists(cell_dir):
-            shutil.rmtree(cell_dir)
+    # Stage the merged touched cells into the sibling temp dir — the
+    # live index is only READ here, never overwritten mid-job, so the
+    # old cells stay intact until the staged copy is complete on disk.
+    merged.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    # Per-cell two-rename swap. A vec moving away can EMPTY its old
+    # cell — such cells have no staged dir and their old dir is simply
+    # dropped.
+    for c in touched:
+        live = os.path.join(path, f"cell={c}")
+        backup = live + ".old"
+        staged = os.path.join(staging, f"cell={c}")
+        if os.path.exists(live):
+            os.rename(live, backup)
+        if os.path.exists(staged):
+            os.rename(staged, live)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+    shutil.rmtree(staging)
     routed.unpersist()
     return touched
 

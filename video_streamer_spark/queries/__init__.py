@@ -49,15 +49,24 @@ def _strip_final_order_by(sql: str) -> str:
     """The oracle-side twin of `_elide_presentation_sort`: drop a final
     ORDER BY clause so DuckDB runs the same unordered query Spark does.
     Conservative by construction — the clause is kept whenever it is
-    semantic or ambiguous: a LIMIT rides it (top-k), or the last ORDER
-    BY sits inside parentheses (window spec / subquery, detected by
-    unbalanced parens in the tail)."""
+    semantic or ambiguous: a LIMIT/OFFSET/FETCH rides it (top-k /
+    pagination — dropping the keys would change the result SET), a
+    set-operation keyword or a string literal appears in the tail
+    (the match may sit inside a branch or quoted text), or the last
+    ORDER BY sits inside parentheses (window spec / subquery, detected
+    by unbalanced parens in the tail)."""
     upper = sql.upper()
     idx = upper.rfind("ORDER BY")
     if idx == -1:
         return sql
     tail = sql[idx:]
-    if "LIMIT" in tail.upper():
+    tail_u = tail.upper()
+    if any(
+        kw in tail_u
+        for kw in ("LIMIT", "OFFSET", "FETCH", "UNION", "INTERSECT", "EXCEPT")
+    ):
+        return sql
+    if "'" in tail:
         return sql
     if tail.count("(") != tail.count(")"):
         return sql

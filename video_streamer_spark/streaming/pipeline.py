@@ -42,7 +42,10 @@ def _as_stream_dir(sf_dir: str, name: str) -> str:
     link = os.path.join(d, f"{name}.parquet")
     target = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(link):
-        os.symlink(target, link)
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass  # concurrent session won the check-then-create race
     return d
 
 
