@@ -147,45 +147,56 @@ def main() -> None:
     # shared box swing ±30% (whole-run comparisons showed every query
     # inflating together when the box is busy), so the min over reps is
     # the best available estimate of the query's uncontended cost — the
-    # quantity that actually scales with the plan. clearCache between
-    # reps so persisted intermediates are recomputed every time (reps
-    # must not degrade into cache reads).
+    # quantity that actually scales with the plan. Reps are interleaved
+    # ROUND-ROBIN (A,B,C,...,A,B,C — not A,A,A): three consecutive reps
+    # all sit inside the same contention window, so a single load spike
+    # used to poison a query's whole row (BENCH_r05's q17: consecutive
+    # reps 2.63/2.25/1.93 s vs 0.21 s clean); separated reps cost a
+    # spike one rep, and min-of-3 recovers. clearCache between reps so
+    # persisted intermediates are recomputed every time (reps must not
+    # degrade into cache reads).
     N_RUNS = 3
-    timings: dict[str, float] = {}
-    all_reps: dict[str, list[float]] = {}
-    for name in headline:
-        reps = []
-        for _ in range(N_RUNS):
+    all_reps: dict[str, list[float]] = {name: [] for name in headline}
+    row_counts: dict[str, int] = {}
+    for _rep in range(N_RUNS):
+        for name in headline:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             # full materialization of the result set, like a client
             # would — over Arrow (toPandas): row-wise collect() spends
             # multiples of the query runtime deserializing Row objects
-            n = len(QUERIES[name](spark, sf_dir).toPandas())
-            reps.append(time.perf_counter() - t0)
+            row_counts[name] = len(QUERIES[name](spark, sf_dir).toPandas())
+            all_reps[name].append(time.perf_counter() - t0)
+    timings: dict[str, float] = {}
+    for name in headline:
+        reps = all_reps[name]
         timings[name] = round(min(reps), 3)
         all_reps[name] = [round(r, 3) for r in reps]
         rep_s = "/".join(f"{r:.2f}" for r in sorted(reps))
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows; reps {rep_s})", file=sys.stderr)
+        print(
+            f"# {name}: {timings[name]:.3f}s"
+            f" ({row_counts[name]} rows; reps {rep_s})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
-    # "queries" stays name->best (the shape earlier rounds recorded);
-    # "reps" carries every rep for every query so a regression in the
-    # artifact is separable from box noise without rerunning (round-4
-    # postmortem: the tail of the stderr log was the only rep record and
-    # it had scrolled off for most queries).
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "reps": all_reps,
-                "sf": sf,
-            }
-        )
+    # Per-rep record goes to STDERR: the driver captures only the last
+    # ~2000 bytes of stdout, and round 5's inline "reps" pushed the JSON
+    # line past that cap — the driver recorded a truncated tail and a
+    # null parse (BENCH_r05 postmortem). stdout carries exactly ONE
+    # compact JSON line, short enough to survive the capture window.
+    print(f"# reps_json: {json.dumps(all_reps)}", file=sys.stderr)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),  # ~1.1 kB for 25 queries — under the cap
     )
+    print(line)
     spark.stop()
 
 

@@ -37,6 +37,66 @@ TABLES = (
 ).split()
 
 
+def load_bench_artifact(path: str) -> dict:
+    """Parse a BENCH artifact that may be a truncated driver capture.
+
+    BENCH_r05.json arrived with its head (`{"metric"...`) cut off
+    mid-JSON and the old strict parse silently degraded to
+    `spark_total 0 / ratio 0.0` — the one artifact this tool exists to
+    adjudicate was the one it couldn't read. Order of attempts:
+    strict JSON; any parseable JSON line in the file; regex recovery of
+    per-query seconds (query names are `q.../x...` keys with scalar
+    values — rep lists don't match the scalar pattern). Hard-errors if
+    nothing is recoverable: a zero ratio must never be reported for a
+    parse failure.
+    """
+    text = open(path).read()
+    doc = None
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        for line in text.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    doc = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+    if isinstance(doc, dict):
+        if isinstance(doc.get("queries"), dict):
+            return doc  # a raw bench.py line
+        # the driver wrapper: {"n", "rc", "cpus", "sf", "tail", "parsed"}
+        if isinstance(doc.get("parsed"), dict) and isinstance(
+            doc["parsed"].get("queries"), dict
+        ):
+            return doc["parsed"]
+        # parse failed driver-side (tail truncated mid-JSON): fall
+        # through to regex recovery on the captured tail text
+        text = str(doc.get("tail", text))
+    queries = {
+        k: float(v)
+        for k, v in re.findall(
+            r'"((?:q|x)\d+[a-z0-9_]*)"\s*:\s*([0-9]+(?:\.[0-9]+)?)', text
+        )
+    }
+    # rep LISTS survive truncation more often than the summary dict:
+    # min-of-reps reconstructs any query the scalar pass missed
+    for k, arr in re.findall(
+        r'"((?:q|x)\d+[a-z0-9_]*)"\s*:\s*\[([0-9., ]+)\]', text
+    ):
+        if k not in queries:
+            vals = [float(x) for x in arr.split(",") if x.strip()]
+            if vals:
+                queries[k] = round(min(vals), 3)
+    if not queries:
+        raise SystemExit(
+            f"bench artifact {path}: not JSON and no per-query seconds "
+            "recoverable — refusing to report a zero ratio"
+        )
+    return {"queries": queries, "reconstructed_from_truncated_tail": True}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -69,16 +129,25 @@ def main() -> None:
         "sf": sf,
     }
     if len(sys.argv) > 1:
-        bench = json.load(open(sys.argv[1]))
+        bench = load_bench_artifact(sys.argv[1])
         sq = bench.get("queries", {})
-        out["spark_total"] = round(
-            sum(v for k, v in sq.items() if k in timings), 3
-        )
-        out["ratio"] = round(out["spark_total"] / max(total, 1e-9), 2)
+        common = sorted(set(sq) & set(timings))
+        if not common:
+            raise SystemExit(
+                f"bench artifact {sys.argv[1]}: no overlap with the "
+                "HEADLINE oracle set — refusing to report a zero ratio"
+            )
+        out["spark_total"] = round(sum(sq[k] for k in common), 3)
+        # ratio over the COMMON set on both sides: a partially
+        # reconstructed artifact must not divide a partial spark total
+        # by the full duckdb total
+        duck_common = round(sum(timings[k] for k in common), 3)
+        out["duckdb_common_total"] = duck_common
+        out["ratio"] = round(out["spark_total"] / max(duck_common, 1e-9), 2)
+        if bench.get("reconstructed_from_truncated_tail"):
+            out["reconstructed_from_truncated_tail"] = True
         out["per_query_ratio"] = {
-            k: round(sq[k] / max(v, 1e-9), 2)
-            for k, v in timings.items()
-            if k in sq
+            k: round(sq[k] / max(timings[k], 1e-9), 2) for k in common
         }
     print(json.dumps(out))
 
