@@ -220,6 +220,104 @@ def test_corpus_pass_ops_scaling_curve(spark):
         )
 
 
+def test_second_scale_point_heavy_five(spark, tmp_path_factory):
+    """Two-scale-point envelope for the heavy five (VERDICT r5 item 5):
+    the sf0.01→sf0.1 curves above pin one decade; this pins a second
+    decade ABOVE sf0.1 on a synthetic blow-up generated in-test, so the
+    complexity claims are measured at two scales instead of one.
+
+    Blow-up construction (deterministic, no RNG):
+    - documents ×10: every token salted with its replica id, so each
+      replica behaves as an independent shard — cross-replica TOKEN
+      overlap is zero (char-shingle overlap is merely reduced), the
+      planted near-dup clusters keep their original size, and candidate
+      volume/output grow near-linearly (a naive copy would grow every
+      cluster 10× and the pair output 100×, testing the data, not the
+      operator). Measured 2026-08-14: x02 5.4×, x03 4.3×, x10 4.9×,
+      x33 3.3× wall-clock on 10× data; x05 1.4× on 16× compare work.
+    - events ×10: fresh event/user ids per replica — group count scales,
+      per-group structure is preserved.
+    - embeddings ×4 (identical vectors, fresh ids): compare work is the
+      quantity under test and it grows exactly 16×; output inflation
+      (replica self-pairs) stays bounded and cheap.
+
+    Bounds are generous (shared box): linear ops get 30× headroom on
+    10× data; x05 gets 40× on 16× compare work (more block pairs =
+    better core utilization than at sf0.1)."""
+    import glob
+    import os
+    import shutil
+
+    big = tmp_path_factory.mktemp("scale2")
+
+    def write_single_file(df, name):
+        # the testdata layout is one FILE per table (pyarrow footer
+        # reads depend on it) — write then promote the single part file
+        stage = str(big / f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        os.replace(part, str(big / f"{name}.parquet"))
+        shutil.rmtree(stage)
+
+    docs = table(spark, SF_BIG, "documents")
+    reps = spark.range(10).select(F.col("id").cast("int").alias("r"))
+    write_single_file(
+        docs.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") * 10 + F.col("r")).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda t: F.concat(t, F.lit("~"), F.col("r").cast("string")),
+                ),
+                " ",
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        ),
+        "documents",
+    )
+    ev = table(spark, SF_BIG, "events")
+    write_single_file(
+        ev.crossJoin(F.broadcast(reps)).select(
+            (F.col("event_id") * 10 + F.col("r")).alias("event_id"),
+            "ts",
+            (F.col("user_id") * 10 + F.col("r")).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        ),
+        "events",
+    )
+    emb = table(spark, SF_BIG, "embeddings")
+    reps4 = spark.range(4).select(F.col("id").cast("int").alias("r"))
+    write_single_file(
+        emb.crossJoin(F.broadcast(reps4)).select(
+            (F.col("vec_id") * 4 + F.col("r")).alias("vec_id"),
+            "embedding",
+            "label",
+        ),
+        "embeddings",
+    )
+
+    bounds = {
+        "x02_dedup_minhash_pairs": 30.0,
+        "x03_dedup_simhash_pairs": 30.0,
+        "x10_quality_scores": 30.0,
+        "x33_grouped_minmax_scale": 30.0,
+        "x05_embedding_near_pairs": 40.0,
+    }
+    for name, max_ratio in bounds.items():
+        q = QUERIES[name]
+        base = min(_timed(q, spark, SF_BIG) for _ in range(2))
+        scaled = _timed(q, spark, str(big))
+        ratio = scaled / max(base, 1e-3)
+        assert ratio < max_ratio, (
+            f"{name}: sf0.1={base:.2f}s blowup={scaled:.2f}s "
+            f"ratio={ratio:.1f} exceeds {max_ratio}"
+        )
+
+
 def test_model_op_scaling_curve(spark):
     """10x envelope for the round-5 model-producing operators: x151's
     fan-out is corpus × 8 broadcast codebook rows (linear), x153's
