@@ -68,6 +68,22 @@ def round6(col: Column | str) -> Column:
     return _round_via_decimal(col, 6, 12)
 
 
+def qdec6(col: Column | str) -> Column:
+    """Guarded quantize-to-DECIMAL(18,6) for per-term values that will
+    be SUMMED exactly (rule 1) before a final double cast (rule 4).
+
+    The guard digits (capture at scale 9, then round to 6) absorb the
+    cast-implementation asymmetry between engines — Spark quantizes the
+    double's shortest decimal rendering, DuckDB the scaled binary — the
+    same mechanism round2/round4 rely on, applied where the result must
+    stay DECIMAL for exact summation. Used for ln()-derived terms
+    (idf, PSI, logprob): a 1-ulp libm divergence at a 1e-6 boundary is
+    the residual risk either way; the guard removes the larger
+    same-double disagreement window (r5 ADVICE, corpus.py:1244)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c.cast(DecimalType(38, 9)), 6).cast(DecimalType(18, 6))
+
+
 def ts_str(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
@@ -89,6 +105,10 @@ def sql_round4(expr: str) -> str:
 
 def sql_round6(expr: str) -> str:
     return f"CAST(ROUND(CAST(({expr}) AS DECIMAL(38,12)), 6) AS DOUBLE)"
+
+
+def sql_qdec6(expr: str) -> str:
+    return f"CAST(ROUND(CAST(({expr}) AS DECIMAL(38,9)), 6) AS DECIMAL(18,6))"
 
 
 def sql_dec(expr: str, precision: int = 18, scale: int = 6) -> str:

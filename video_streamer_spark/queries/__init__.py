@@ -137,6 +137,12 @@ _SAMPLE_FIRST = [
     "x155_ivf_index_search",
     "x159_ivfpq_index_search",
     "x164_index_upsert_search",
+    # 2b. guard-digit qdec6 sweep changed these hashed outputs too
+    #     (x121/x161/x167/x170 are already listed above/below)
+    "x62_unigram_logprob",
+    "x108_bm25_ranking",
+    "x109_tfidf_profile_drift",
+    "x192_composite_score_topk",
     # 3. never-driver-verified tail, oldest first
     "x119_decode_mp4_stats",
     "x120_journey_pattern_count",

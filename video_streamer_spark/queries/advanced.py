@@ -191,8 +191,9 @@ _BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
     scored AS (
       SELECT tf.doc_id,
         SUM(CAST(
-          CAST(ln((CAST(c.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)
-                  + 1.0) AS DECIMAL(18,6))
+          CAST(ROUND(CAST(ln((CAST(c.n_docs AS DOUBLE) - df.df + 0.5)
+                             / (df.df + 0.5) + 1.0)
+                          AS DECIMAL(38,9)), 6) AS DECIMAL(18,6))
           AS DOUBLE)
           * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
           / (CAST(tf.tf AS DOUBLE) + {_BM25_K1}
@@ -231,15 +232,15 @@ def x108_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
     )
-    idf_q = (
+    from video_streamer_spark.functions.parity import qdec6
+
+    idf_q = qdec6(
         F.log(
             (F.col("n_docs").cast("double") - F.col("df") + 0.5)
             / (F.col("df") + 0.5)
             + 1.0
         )
-        .cast("decimal(18,6)")
-        .cast("double")
-    )
+    ).cast("double")
     tf_d = F.col("tf").cast("double")
     avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
     term_score = (
@@ -284,8 +285,8 @@ def x108_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt AS (
       SELECT tf.lang, tf.w,
         CAST(tf.tf AS DECIMAL(18,6))
-          * CAST(ln(CAST(nl.n_langs AS DOUBLE) / dfl.dfl + 1.0)
-                 AS DECIMAL(18,6)) AS wgt
+          * CAST(ROUND(CAST(ln(CAST(nl.n_langs AS DOUBLE) / dfl.dfl + 1.0)
+                            AS DECIMAL(38,9)), 6) AS DECIMAL(18,6)) AS wgt
       FROM tf JOIN dfl ON tf.w = dfl.w CROSS JOIN nl),
     nrm AS (SELECT lang, SUM(wgt * wgt) AS n2 FROM wt GROUP BY lang),
     num AS (
@@ -311,9 +312,11 @@ def x109_tfidf_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("lang", "w").agg(F.count("*").cast("bigint").alias("tf"))
     nl = tf.agg(F.countDistinct("lang").cast("bigint").alias("n_langs"))
     dfl = tf.groupBy("w").agg(F.count("*").cast("bigint").alias("dfl"))
-    idf_q = F.log(
-        F.col("n_langs").cast("double") / F.col("dfl") + 1.0
-    ).cast("decimal(18,6)")
+    from video_streamer_spark.functions.parity import qdec6
+
+    idf_q = qdec6(
+        F.log(F.col("n_langs").cast("double") / F.col("dfl") + 1.0)
+    )
     wt = (
         tf.join(F.broadcast(dfl), "w")
         .crossJoin(F.broadcast(nl))
@@ -1105,8 +1108,8 @@ def x120_journey_pattern_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ln(1+1/d)/ln(10) expectation, with per-digit chi-square
 # contributions. The leading digit comes from string math on the
 # integer part (engine-stable); expectations and contributions are the
-# same double expressions quantized to ROUND4 after a DECIMAL(18,6)
-# quantization of the Benford probability (the x62 ln recipe). One
+# same double expressions quantized to ROUND4 after a guard-digit
+# qdec6 quantization of the Benford probability (parity.py). One
 # scan, one 9-row aggregate — audit cost is scan-bound at any scale.
 @query(
     "x121_benford_digit_audit",
@@ -1121,17 +1124,17 @@ def x120_journey_pattern_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cnt)
     SELECT digit, n_obs,
       {_R4.format(
-          "CAST(CAST(ln(1.0 + 1.0 / digit) / ln(10.0) AS DECIMAL(18,6))"
+          "CAST(ROUND(CAST(ln(1.0 + 1.0 / digit) / ln(10.0) AS DECIMAL(38,9)), 6)"
           " AS DOUBLE) * tot.n"
       )} AS expected,
       {_R4.format(
           "(CAST(n_obs AS DOUBLE)"
-          " - CAST(CAST(ln(1.0 + 1.0 / digit) / ln(10.0) AS DECIMAL(18,6))"
+          " - CAST(ROUND(CAST(ln(1.0 + 1.0 / digit) / ln(10.0) AS DECIMAL(38,9)), 6)"
           "   AS DOUBLE) * tot.n)"
           " * (CAST(n_obs AS DOUBLE)"
-          " - CAST(CAST(ln(1.0 + 1.0 / digit) / ln(10.0) AS DECIMAL(18,6))"
+          " - CAST(ROUND(CAST(ln(1.0 + 1.0 / digit) / ln(10.0) AS DECIMAL(38,9)), 6)"
           "   AS DOUBLE) * tot.n)"
-          " / (CAST(CAST(ln(1.0 + 1.0 / digit) / ln(10.0) AS DECIMAL(18,6))"
+          " / (CAST(ROUND(CAST(ln(1.0 + 1.0 / digit) / ln(10.0) AS DECIMAL(38,9)), 6)"
           "    AS DOUBLE) * tot.n)"
       )} AS chi2_term
     FROM cnt CROSS JOIN tot
@@ -1149,9 +1152,11 @@ def x121_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n_obs"))
     tot = cnt.agg(F.sum("n_obs").cast("bigint").alias("n"))
-    p_q = (
+    from video_streamer_spark.functions.parity import qdec6
+
+    p_q = qdec6(
         F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
-    ).cast("decimal(18,6)").cast("double")
+    ).cast("double")
     expected = p_q * F.col("n")
     dev = F.col("n_obs").cast("double") - expected
     return (

@@ -1178,8 +1178,9 @@ def x160_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each source's quality-score distribution against the corpus-wide
 # one: Σ (p−q)·ln(p/q) over 5 score buckets, Laplace-smoothed on the
 # full source×bucket grid so empty buckets contribute finitely.
-# Per-bucket terms are DECIMAL(18,6)-quantized (the x62/x92 ln-parity
-# recipe) so the cross-engine sum is exact. The monitoring pass a feed
+# Per-bucket terms ride the guard-digit qdec6 quantizer (parity.py) so
+# the cross-engine sum is exact and the ln cast window is minimal; the
+# psi output itself is DOUBLE (rule 4). The monitoring pass a feed
 # pipeline runs to catch a source going off-distribution.
 @query(
     "x161_psi_quality_drift",
@@ -1211,11 +1212,12 @@ def x160_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     gtot AS (SELECT SUM(c) AS n FROM gcnt),
     terms AS (
       SELECT f.source,
-        CAST(((CAST(f.c + 1 AS DOUBLE) / CAST(stot.n + 5 AS DOUBLE))
+        CAST(ROUND(CAST(
+          ((CAST(f.c + 1 AS DOUBLE) / CAST(stot.n + 5 AS DOUBLE))
             - (CAST(g.c + 1 AS DOUBLE) / CAST(gtot.n + 5 AS DOUBLE)))
           * ln((CAST(f.c + 1 AS DOUBLE) / CAST(stot.n + 5 AS DOUBLE))
              / (CAST(g.c + 1 AS DOUBLE) / CAST(gtot.n + 5 AS DOUBLE)))
-          AS DECIMAL(18,6)) AS term
+          AS DECIMAL(38,9)), 6) AS DECIMAL(18,6)) AS term
       FROM filled f
       JOIN stot ON stot.source = f.source
       JOIN gcnt g ON g.b = f.b
@@ -1248,13 +1250,15 @@ def x161_psi_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     gtot = filled.agg(F.sum("c").alias("n_all"))
     p = (F.col("c") + 1).cast("double") / (F.col("n_src") + 5).cast("double")
     q = (F.col("gc") + 1).cast("double") / (F.col("n_all") + 5).cast("double")
+    from video_streamer_spark.functions.parity import qdec6
+
     terms = (
         filled.join(F.broadcast(stot), "source")
         .join(F.broadcast(gcnt), "b")
         .crossJoin(F.broadcast(gtot))
         .select(
             "source",
-            ((p - q) * F.log(p / q)).cast("decimal(18,6)").alias("term"),
+            qdec6((p - q) * F.log(p / q)).alias("term"),
         )
     )
     return terms.groupBy("source").agg(
@@ -1571,10 +1575,10 @@ _ZDYY = ("(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
       SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rank
       FROM freq ORDER BY c DESC, t LIMIT 100),
     pts AS (
-      SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5)
-                  AS DECIMAL(38,0)) AS x,
-             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
-                  AS DECIMAL(38,0)) AS y
+      SELECT CAST(ROUND(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(38,9)), 6)
+                  * 1000000 AS DECIMAL(38,0)) AS x,
+             CAST(ROUND(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(38,9)), 6)
+                  * 1000000 AS DECIMAL(38,0)) AS y
       FROM ranked),
     sums AS (
       SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
@@ -1609,13 +1613,16 @@ def x167_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
     )
     w = Window.orderBy(F.col("c").desc(), "t")
+    def ln_micro(c):
+        # guard-digit ln micro-units (r5 ADVICE): capture at 1e-9, round
+        # to 1e-6, scale — exact decimal arithmetic after the one cast
+        return (
+            F.round(c.cast("decimal(38,9)"), 6) * 1000000
+        ).cast("decimal(38,0)")
+
     pts = freq.select(
-        F.floor(F.log(F.row_number().over(w).cast("double")) * 1e6 + 0.5)
-        .cast("decimal(38,0)")
-        .alias("x"),
-        F.floor(F.log(F.col("c").cast("double")) * 1e6 + 0.5)
-        .cast("decimal(38,0)")
-        .alias("y"),
+        ln_micro(F.log(F.row_number().over(w).cast("double"))).alias("x"),
+        ln_micro(F.log(F.col("c").cast("double"))).alias("y"),
     )
     s = pts.agg(
         F.count("*").cast("decimal(38,0)").alias("n"),
@@ -1858,11 +1865,12 @@ def x169_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY p.w1, p.w2),
     terms AS (
       SELECT d.doc_id,
-        CAST(ln(0.75 * (CAST(COALESCE(b.c, 0) AS DOUBLE)
+        CAST(ROUND(CAST(
+          ln(0.75 * (CAST(COALESCE(b.c, 0) AS DOUBLE)
                         / CAST(u1.c AS DOUBLE))
               + 0.25 * ((CAST(u2.c AS DOUBLE) + 1.0)
                         / (CAST(tot.n AS DOUBLE) + CAST(tot.v AS DOUBLE))))
-             AS DECIMAL(18,6)) AS term
+             AS DECIMAL(38,9)), 6) AS DECIMAL(18,6)) AS term
       FROM (
         SELECT doc_id,
           unnest(list_transform(range(1, len(toks)),
@@ -1878,6 +1886,7 @@ def x169_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x170_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import qdec6
     from video_streamer_spark.operators.dedup import tokens_col
 
     docs = table(spark, sf_dir, "documents")
@@ -1909,20 +1918,23 @@ def x170_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
-            F.log(
-                0.75
-                * (
-                    F.coalesce(F.col("cb"), F.lit(0)).cast("double")
-                    / F.col("c1").cast("double")
+            qdec6(
+                F.log(
+                    0.75
+                    * (
+                        F.coalesce(F.col("cb"), F.lit(0)).cast("double")
+                        / F.col("c1").cast("double")
+                    )
+                    + 0.25
+                    * (
+                        (F.col("c2").cast("double") + 1.0)
+                        / (
+                            F.col("n").cast("double")
+                            + F.col("v").cast("double")
+                        )
+                    )
                 )
-                + 0.25
-                * (
-                    (F.col("c2").cast("double") + 1.0)
-                    / (F.col("n").cast("double") + F.col("v").cast("double"))
-                )
-            )
-            .cast("decimal(18,6)")
-            .alias("term"),
+            ).alias("term"),
         )
     )
     return terms.groupBy("doc_id").agg(
@@ -3509,12 +3521,13 @@ def x191_filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY p.w1, p.w2),
     lm AS (
       SELECT d.doc_id,
-        CAST(SUM(CAST(ln(0.75 * (CAST(COALESCE(b.c, 0) AS DOUBLE)
+        CAST(CAST(SUM(CAST(ROUND(CAST(
+          ln(0.75 * (CAST(COALESCE(b.c, 0) AS DOUBLE)
                         / CAST(u1.c AS DOUBLE))
               + 0.25 * ((CAST(u2.c AS DOUBLE) + 1.0)
                         / (CAST(tot.n AS DOUBLE) + CAST(tot.v AS DOUBLE))))
-             AS DECIMAL(18,6))) AS DECIMAL(18,6))
-          / COUNT(*) AS lp
+             AS DECIMAL(38,9)), 6) AS DECIMAL(18,6))) AS DECIMAL(18,6))
+          AS DOUBLE) / COUNT(*) AS lp
       FROM (
         SELECT doc_id,
           unnest(list_transform(range(1, len(toks)),

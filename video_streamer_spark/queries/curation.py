@@ -1052,8 +1052,8 @@ def x61_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then per-doc mean surprisal via a vocab join); the vocab relation is
 # tiny relative to the corpus, so at scale the join broadcasts and the
 # only heavy shuffle is the vocab count itself. Each token's log-prob is
-# quantized to DECIMAL(18,6) before the cross-row sum (the repo-standard
-# exact-sum discipline), so per-doc means are engine-stable.
+# guard-digit-quantized to DECIMAL(18,6) (parity.py qdec6) before the
+# cross-row sum, so per-doc means are engine-stable.
 @query(
     "x62_unigram_logprob",
     oracle=f"""
@@ -1064,8 +1064,9 @@ def x61_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(freq) AS total FROM vocab),
     scored AS (
       SELECT t.doc_id,
-        CAST(ln(CAST(v.freq AS DOUBLE) / CAST(tot.total AS DOUBLE))
-             AS DECIMAL(18,6)) AS lp
+        CAST(ROUND(CAST(
+          ln(CAST(v.freq AS DOUBLE) / CAST(tot.total AS DOUBLE))
+          AS DECIMAL(38,9)), 6) AS DECIMAL(18,6)) AS lp
       FROM tok t JOIN vocab v ON t.token = v.token CROSS JOIN tot)
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
       {_R4.format("CAST(SUM(lp) AS DOUBLE) / COUNT(*)")} AS avg_logprob
@@ -1073,7 +1074,7 @@ def x61_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x62_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from video_streamer_spark.functions.parity import round4
+    from video_streamer_spark.functions.parity import qdec6, round4
     from video_streamer_spark.operators.text import token_explode
 
     docs = table(spark, sf_dir, "documents")
@@ -1085,11 +1086,12 @@ def x62_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
-            F.log(
-                F.col("freq").cast("double") / F.col("total").cast("double")
-            )
-            .cast("decimal(18,6)")
-            .alias("lp"),
+            qdec6(
+                F.log(
+                    F.col("freq").cast("double")
+                    / F.col("total").cast("double")
+                )
+            ).alias("lp"),
         )
     )
     return (
