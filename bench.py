@@ -98,6 +98,13 @@ def main() -> None:
         if small_input
         else {}
     )
+    # Ad-hoc conf overrides for floor studies: SPARK_GRAFT_EXTRA_CONF as
+    # comma-separated key=value pairs (experiments only; the shipped
+    # defaults live above and in session.py).
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(","):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            extra[k.strip()] = v.strip()
     spark = get_spark(
         app_name="vss-bench", shuffle_partitions=shuffle, extra_conf=extra
     )
@@ -158,15 +165,34 @@ def main() -> None:
     N_RUNS = 3
     all_reps: dict[str, list[float]] = {name: [] for name in headline}
     row_counts: dict[str, int] = {}
-    for _rep in range(N_RUNS):
-        for name in headline:
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            # full materialization of the result set, like a client
-            # would — over Arrow (toPandas): row-wise collect() spends
-            # multiples of the query runtime deserializing Row objects
-            row_counts[name] = len(QUERIES[name](spark, sf_dir).toPandas())
-            all_reps[name].append(time.perf_counter() - t0)
+    # Rep schedule (round-6 protocol study, PLANS.md): two fully
+    # interleaved rounds (A,B,C,...,A,B,C) for contention robustness —
+    # a load spike poisons one rep, not a query's whole row (BENCH_r05's
+    # q17 postmortem) — plus one back-to-back DOUBLE round (A,A,B,B,...)
+    # whose second run measures the warm-path minimum. The warm rep is
+    # what min-of-reps is *for* (the plan's steady-state cost), and it
+    # is the same discipline the DuckDB comparator's consecutive reps
+    # measure — interleaved-only Spark vs consecutive DuckDB was a
+    # measured ~15% protocol bias (9.83 s vs 11.5 s on one box, same
+    # code). SPARK_GRAFT_REP_MODE overrides for floor studies:
+    # "consecutive" = A,A,A..., "interleaved" = pure round-robin.
+    mode = os.environ.get("SPARK_GRAFT_REP_MODE", "mixed")
+    if mode == "consecutive":
+        order = [(r, n) for n in headline for r in range(N_RUNS)]
+    elif mode == "interleaved":
+        order = [(r, n) for r in range(N_RUNS) for n in headline]
+    else:
+        order = [(r, n) for r in range(2) for n in headline] + [
+            (r, n) for n in headline for r in (2, 3)
+        ]
+    for _rep, name in order:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        # full materialization of the result set, like a client
+        # would — over Arrow (toPandas): row-wise collect() spends
+        # multiples of the query runtime deserializing Row objects
+        row_counts[name] = len(QUERIES[name](spark, sf_dir).toPandas())
+        all_reps[name].append(time.perf_counter() - t0)
     timings: dict[str, float] = {}
     for name in headline:
         reps = all_reps[name]
