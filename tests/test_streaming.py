@@ -874,3 +874,61 @@ def test_streaming_cdc_upsert_converges_to_batch_upsert(spark, tmp_path):
         for r in spark.read.parquet(stream_path).collect()
     )
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized rollup (streaming/incremental.py)
+
+
+def test_incremental_rollup_equals_batch(spark):
+    """The journal-combined rollup must be indistinguishable from a full
+    batch recompute regardless of micro-batch composition."""
+    from pyspark.sql import functions as F
+
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.functions.parity import round2
+    from video_streamer_spark.streaming.incremental import incremental_rollup
+
+    got = sorted(
+        tuple(r) for r in incremental_rollup(spark, SF_SMOKE, n_splits=5).collect()
+    )
+    e = table(spark, SF_SMOKE, "events")
+    micros = F.floor(F.col("value").cast("double") * 1000000.0).cast("bigint")
+    want = sorted(
+        tuple(r)
+        for r in (
+            e.groupBy(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                round2(F.sum(micros).cast("double") / 1000000.0).alias("sum_value"),
+            )
+        ).collect()
+    )
+    assert got == want
+    assert len(got) > 1
+
+
+def test_incremental_rollup_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch may replay an epoch after a failure: re-journaling the
+    same epoch must leave the combined rollup unchanged (overwrite, not
+    accumulate)."""
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.streaming.incremental import (
+        combine_rollup,
+        write_partial_batch,
+    )
+
+    journal = str(tmp_path / "journal")
+    e = table(spark, SF_SMOKE, "events")
+    half_a = e.where("event_id % 2 = 0").select("ts", "event_type", "value")
+    half_b = e.where("event_id % 2 = 1").select("ts", "event_type", "value")
+    write_partial_batch(half_a, 0, journal)
+    write_partial_batch(half_b, 1, journal)
+    once = sorted(tuple(r) for r in combine_rollup(spark, journal).collect())
+    # replay epoch 1 (same data, same epoch id) — a crash-retry
+    write_partial_batch(half_b, 1, journal)
+    twice = sorted(tuple(r) for r in combine_rollup(spark, journal).collect())
+    assert once == twice

@@ -3697,3 +3697,76 @@ def x194_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("sz").cast("double") / F.count("*").cast("double"))
         ).alias("imbalance"),
     )
+
+
+# --------------------------------------------------------------------------
+# x195: CHARACTER-ENTROPY QUALITY SIGNAL — per-document Shannon entropy
+# over the character distribution, the classic cheap screen for
+# low-information text (boilerplate, repeated padding, binary spill):
+# natural prose sits near 4–4.5 nats of char entropy; near-zero means a
+# handful of characters dominate. Complements x10's length/punct ratios
+# and x143's repetition filters (those look at tokens/lines; this is the
+# distribution itself). H = ln(n) − (Σ_c k_c·ln k_c)/n computed from the
+# integer character counts, so ln() only ever sees integers (the
+# x92/x107 recipe): each ln is qdec6 guard-digit quantized, the weighted
+# sum is exact DECIMAL, and the final value is a round6 DOUBLE on both
+# engines (parity rules 1/2/4). Reference analog: the per-frame
+# quality gates in the curation loop (gst-detection-tf.py threshold
+# keep/drop) applied to text at corpus scale.
+#
+# 100 TB shape: explode to (doc, char) rows → ONE partial-aggregable
+# shuffle keyed (doc_id, ch) (≤ ~100 distinct chars per doc survive the
+# map-side combine), then a doc-keyed combine. No UDF, no collect; both
+# aggregations are codegen hash aggs.
+_X195_ORACLE = f"""
+    WITH chars AS (
+      SELECT doc_id, substr(text, CAST(i.i AS INT), 1) AS ch
+      FROM documents
+      CROSS JOIN unnest(generate_series(1, length(text))) AS i(i)),
+    counts AS (
+      SELECT doc_id, ch, COUNT(*) AS k FROM chars GROUP BY doc_id, ch),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_chars_tot,
+             SUM(k * {{q_ln_k}}) AS s
+      FROM counts GROUP BY doc_id)
+    SELECT doc_id, n_chars_tot,
+      {{r6_h}} AS char_entropy
+    FROM per_doc
+"""
+
+
+def _x195_oracle() -> str:
+    from video_streamer_spark.functions.parity import sql_qdec6, sql_round6
+
+    q_ln_k = sql_qdec6("ln(CAST(k AS DOUBLE))")
+    q_ln_n = sql_qdec6("ln(CAST(n_chars_tot AS DOUBLE))")
+    r6_h = sql_round6(
+        f"CAST({q_ln_n} AS DOUBLE)"
+        " - CAST(s AS DOUBLE) / CAST(n_chars_tot AS DOUBLE)"
+    )
+    return _X195_ORACLE.format(q_ln_k=q_ln_k, r6_h=r6_h)
+
+
+@query("x195_char_entropy_quality", oracle=_x195_oracle())
+def x195_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.parity import qdec6, round6
+
+    docs = table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, length(text))")).alias("i"),
+        "text",
+    ).select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("k"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n_chars_tot"),
+        F.sum(F.col("k") * qdec6(F.log(F.col("k").cast("double")))).alias("s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chars_tot",
+        round6(
+            qdec6(F.log(F.col("n_chars_tot").cast("double"))).cast("double")
+            - F.col("s").cast("double") / F.col("n_chars_tot").cast("double")
+        ).alias("char_entropy"),
+    )

@@ -166,3 +166,28 @@ def x99_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT c_user AS user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs "
         f"FROM {name} GROUP BY c_user ORDER BY user_id"
     )
+
+
+# x196: INCREMENTAL MATERIALIZED ROLLUP — the (day, event_type) rollup
+# maintained from micro-batch partial-aggregate journal entries
+# (streaming/incremental.py), then combined on read. The oracle is the
+# plain batch GROUP BY: the maintained table must be indistinguishable
+# from a full recompute no matter how events were split into batches —
+# the materialized-view-maintenance contract. Exact BIGINT micros in
+# the journal (order/batching-invariant), round2 DOUBLE presentation
+# (parity rules 1/2/4).
+_X196_ORACLE = """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(ROUND(CAST((CAST(SUM(CAST(floor(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+        / 1000000.0) AS DECIMAL(38,9)), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@query("x196_incremental_rollup", oracle=_X196_ORACLE)
+def x196_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.streaming.incremental import incremental_rollup
+
+    return incremental_rollup(spark, sf_dir)
