@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 from video_streamer_spark.plans import plan_report
 from video_streamer_spark.queries import QUERIES
 
@@ -389,3 +389,36 @@ def test_round5_blocked_joins_never_go_cartesian(spark):
         r = plan_report(QUERIES[name](spark, SF_ORACLE))
         assert "CartesianProduct" not in r.text, name
         assert r.n_bnl_joins == 0, (name, r.text)
+
+
+def test_x195_entropy_is_two_hash_aggs_no_udf(spark):
+    """x195's 100 TB shape: explode → (doc,char) hash agg → doc hash agg.
+    Both aggregations must be codegen HashAggregates with map-side
+    partials (exactly 2 Exchanges: one per grouping), no Python boundary
+    anywhere — the entropy math is pure column expressions."""
+    r = plan_report(QUERIES["x195_char_entropy_quality"](spark, SF_ORACLE))
+    assert r.n_exchanges == 2, r.text
+    assert "HashAggregate" in r.text
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in r.text, marker
+    assert r.has_codegen
+    # only doc_id and text leave the documents scan (column pruning)
+    assert r.scans_only_columns("doc_id", "text"), r.read_schemas
+
+
+def test_x196_journal_combine_is_partial_aggregable(spark, tmp_path):
+    """The read-side combine of the partial journal must itself be one
+    partial-aggregable hash agg over journal rows — a single Exchange on
+    the rollup key, no join back to the fact table."""
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.streaming.incremental import (
+        combine_rollup,
+        write_partial_batch,
+    )
+
+    journal = str(tmp_path / "journal")
+    e = table(spark, SF_SMOKE, "events").select("ts", "event_type", "value")
+    write_partial_batch(e, 0, journal)
+    r = plan_report(combine_rollup(spark, journal))
+    assert r.n_exchanges == 1, r.text
+    assert "HashAggregate" in r.text

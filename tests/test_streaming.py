@@ -932,3 +932,37 @@ def test_incremental_rollup_epoch_replay_is_idempotent(spark, tmp_path):
     write_partial_batch(half_b, 1, journal)
     twice = sorted(tuple(r) for r in combine_rollup(spark, journal).collect())
     assert once == twice
+
+
+def test_incremental_rollup_compaction_preserves_result(spark, tmp_path):
+    """Folding the journal must not change the combined rollup, must
+    bound the journal to one epoch dir, and must survive a rerun."""
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.streaming.incremental import (
+        combine_rollup,
+        compact_journal,
+        write_partial_batch,
+    )
+
+    journal = str(tmp_path / "journal")
+    e = table(spark, SF_SMOKE, "events")
+    for i in range(4):
+        write_partial_batch(
+            e.where(f"event_id % 4 = {i}").select("ts", "event_type", "value"),
+            i,
+            journal,
+        )
+    before = sorted(tuple(r) for r in combine_rollup(spark, journal).collect())
+    stats = compact_journal(spark, journal)
+    assert stats["epochs_folded"] == 4
+    after = sorted(tuple(r) for r in combine_rollup(spark, journal).collect())
+    assert before == after
+    import os
+
+    assert [d for d in os.listdir(journal) if d.startswith("batch-")] == [
+        "batch-compacted"
+    ]
+    # compacting an already-compacted journal is a safe no-op fold
+    compact_journal(spark, journal)
+    again = sorted(tuple(r) for r in combine_rollup(spark, journal).collect())
+    assert before == again

@@ -86,6 +86,43 @@ def combine_rollup(spark: SparkSession, journal: str) -> DataFrame:
     )
 
 
+def compact_journal(spark: SparkSession, journal: str) -> dict:
+    """Fold all journal epochs into one: read every ``batch-*`` partial,
+    combine per key (partials are order/grouping-invariant BIGINT sums,
+    so the fold IS the same aggregation), and swap the folded journal in
+    atomically with the ``compact_parquet_dir`` two-rename + self-heal
+    discipline (maintenance.py:33). ``combine_rollup`` results are
+    identical before and after — compaction only bounds journal growth
+    (|keys| rows instead of |keys touched| × |epochs|)."""
+    folded = (
+        spark.read.parquet(f"{journal}/batch-*")
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_partial").cast("bigint").alias("n_partial"),
+            F.sum("micros_partial").cast("bigint").alias("micros_partial"),
+        )
+    )
+    tmp = journal.rstrip("/") + ".compact-tmp"
+    old = journal.rstrip("/") + ".compact-old"
+    import shutil
+
+    if os.path.exists(old):  # self-heal a crash between the two renames
+        if not os.path.exists(journal):
+            os.rename(old, journal)
+        else:
+            shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    n_epochs = len(
+        [d for d in os.listdir(journal) if d.startswith("batch-")]
+    )
+    folded.write.mode("overwrite").parquet(f"{tmp}/batch-compacted")
+    os.rename(journal, old)
+    os.rename(tmp, journal)
+    shutil.rmtree(old)
+    return {"epochs_folded": n_epochs}
+
+
 def incremental_rollup(
     spark: SparkSession,
     sf_dir: str,
