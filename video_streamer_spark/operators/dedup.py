@@ -45,19 +45,32 @@ DEFAULT_SHINGLE = 3      # tokens per shingle
 
 
 def tokens_col(text: Column | str) -> Column:
-    c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(c, " "), lambda x: x != "")
+    # String-name path builds ONE SQL expression (single Py4J round
+    # trip); Python-lambda HOFs cost ~10 ms of gateway traffic each at
+    # construction time (profiled in the round-6 floor study, PLANS.md)
+    # for the identical analyzed plan.
+    if isinstance(text, str):
+        return F.expr(f"filter(split({text}, ' '), x -> x != '')")
+    return F.filter(F.split(text, " "), lambda x: x != "")
 
 
 def shingles_col(text: Column | str, k: int = DEFAULT_SHINGLE) -> Column:
     """k-token shingles as space-joined strings (empty array if < k tokens)."""
-    toks = tokens_col(text)
-    n = F.size(toks)
+    if isinstance(text, str):
+        toks = f"filter(split({text}, ' '), x -> x != '')"
+        return F.expr(
+            f"CASE WHEN size({toks}) >= {k} THEN "
+            f"transform(sequence(1, size({toks}) - {k - 1}),"
+            f" i -> concat_ws(' ', slice({toks}, i, {k}))) "
+            "ELSE CAST(array() AS array<string>) END"
+        )
+    toks_c = tokens_col(text)
+    n = F.size(toks_c)
     return F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            lambda i: F.concat_ws(" ", F.slice(toks_c, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -126,15 +139,19 @@ def minhash_signatures(
         F.explode(shingles_col(text_col, shingle_k)).alias("shingle"),
     )
     slices_per_hash = 4  # 64 hex chars → 4 × 14-hex (56-bit) slices
-    cols = {}
+    # SQL-string columns, not a Column-op loop: 32 conv(substring(sha2))
+    # trees built through Py4J cost ~0.2 s of driver latency per
+    # construction (~6 gateway round-trips each); one selectExpr is one
+    # round-trip for the whole projection, same analyzed plan.
+    exprs = []
     for s in range(num_hashes):
         seed, piece = divmod(s, slices_per_hash)
-        h = F.sha2(F.concat(F.lit(f"{seed}:"), F.col("shingle")), 256)
-        cols[f"g_{s}"] = F.conv(
-            F.substring(h, 1 + piece * 14, 14), 16, 10
-        ).cast("bigint")
-    hashed = exploded.select("doc_id", *[c.alias(n) for n, c in cols.items()])
-    aggs = [F.min(f"g_{s}").alias(f"mh_{s}") for s in range(num_hashes)]
+        exprs.append(
+            f"CAST(conv(substring(sha2(concat('{seed}:', shingle), 256),"
+            f" {1 + piece * 14}, 14), 16, 10) AS BIGINT) AS g_{s}"
+        )
+    hashed = exploded.selectExpr("doc_id", *exprs)
+    aggs = [F.expr(f"min(g_{s})").alias(f"mh_{s}") for s in range(num_hashes)]
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
@@ -222,28 +239,32 @@ def simhash_fingerprints(
     )
     # h8 as a 32-bit integer: hex char p is the (7-p)-th nibble of v, so
     # bitpos k = 4p+b  ↔  integer bit j = 4*(7-p)+b = k - 8*(k//4) + 28
-    hashed = tok.select(
+    hashed = tok.selectExpr(
         "doc_id",
-        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
-        .cast("bigint")
-        .alias("v"),
+        "CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT) AS v",
     )
+    # SQL-string aggs + one fingerprint expression: the Column-op loop
+    # version of these 32 votes + 32 CASE terms was ~0.6 s of Py4J
+    # driver latency per construction (profiled; most of x03's bench
+    # time) for the identical analyzed plan.
     vote_aggs = []
     for p in range(8):
         for b in range(4):
             k = 4 * p + b          # simhash bit position
             j = 4 * (7 - p) + b    # bit position within integer v
             vote_aggs.append(
-                F.sum(
-                    F.shiftright(F.col("v"), j).bitwiseAND(F.lit(1)) * 2 - 1
-                ).alias(f"v_{k}")
+                F.expr(f"sum((shiftright(v, {j}) & 1) * 2 - 1)").alias(
+                    f"v_{k}"
+                )
             )
     votes = hashed.groupBy("doc_id").agg(*vote_aggs)
-    fingerprint = None
-    for k in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v_{k}") >= 0, F.lit(1 << k)).otherwise(F.lit(0))
-        fingerprint = bit if fingerprint is None else fingerprint + bit
-    return votes.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+    fingerprint = " + ".join(
+        f"(CASE WHEN v_{k} >= 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(SIMHASH_BITS)
+    )
+    return votes.selectExpr(
+        "doc_id", f"CAST({fingerprint} AS BIGINT) AS simhash"
+    )
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -255,24 +276,19 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     pigeonhole), which this function applies via a 4-chunk prefix join.
     """
     fp = simhash_fingerprints(docs)
-    # pigeonhole blocking: hamming ≤ 3 ⇒ at least one of the 4 bytes equal
-    chunks = fp.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_idx"),
-                        F.shiftright(F.col("simhash"), i * 8)
-                        .bitwiseAND(F.lit(255))
-                        .alias("chunk_val"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val").persist()
+    # pigeonhole blocking: hamming ≤ 3 ⇒ at least one of the 4 bytes
+    # equal (one selectExpr: the Column-op build of these 4 structs was
+    # ~25 Py4J round-trips of construction latency)
+    structs = ", ".join(
+        f"struct({i} AS chunk_idx, shiftright(simhash, {i * 8}) & 255"
+        " AS chunk_val)"
+        for i in range(4)
+    )
+    chunks = (
+        fp.selectExpr("doc_id", "simhash", f"explode(array({structs})) AS c")
+        .select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+        .persist()
+    )
     # persist: both join sides read chunks; unpersisted, the fingerprint
     # aggregation would run twice. 4 short rows per doc — tiny.
     a = chunks.select(

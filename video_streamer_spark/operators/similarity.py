@@ -52,24 +52,28 @@ def _prepped(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame
     """Project (id, double-cast vector, L2 norm) ONCE per row, before any
     join — so per-pair work is a single dot-product fold, not repeated
     cast/normalize trees duplicated across filter and project."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.select(
-        F.col(id_col).alias(f"{prefix}_id"), v.alias(f"{prefix}_vec")
+    # SQL-string lambdas, not Python-lambda HOFs: each Python lambda in
+    # F.aggregate/F.zip_with/F.transform costs ~10 ms of Py4J round-trips
+    # to assemble (UnresolvedNamedLambdaVariable plumbing) — profiled at
+    # ~0.17 s of DRIVER-side latency per brute_topk construction, half of
+    # q18's bench time. One F.expr string is one gateway call and parses
+    # to the identical analyzed plan (0.0d = double literal, matching the
+    # F.lit(0.0) it replaces).
+    return df.selectExpr(
+        f"{id_col} AS {prefix}_id",
+        f"transform({vec_col}, x -> cast(x AS double)) AS {prefix}_vec",
     ).withColumn(
         f"{prefix}_norm",
-        F.sqrt(
-            F.aggregate(
-                F.col(f"{prefix}_vec"), F.lit(0.0), lambda acc, x: acc + x * x
-            )
+        F.expr(
+            f"sqrt(aggregate({prefix}_vec, 0.0d, (acc, x) -> acc + x * x))"
         ),
     )
 
 
 def _dot(a: str, b: str) -> F.Column:
-    return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " 0.0d, (acc, x) -> acc + x)"
     )
 
 
