@@ -966,3 +966,24 @@ def test_incremental_rollup_compaction_preserves_result(spark, tmp_path):
     compact_journal(spark, journal)
     again = sorted(tuple(r) for r in combine_rollup(spark, journal).collect())
     assert before == again
+
+
+def test_incremental_journal_epochs_are_staged_atomically(spark, tmp_path):
+    """No .staging-* dirs survive a write, and the batch-* glob a reader
+    uses can never match a staging dir name."""
+    import os
+
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.streaming.incremental import write_partial_batch
+
+    journal = str(tmp_path / "journal")
+    e = table(spark, SF_SMOKE, "events").select("ts", "event_type", "value")
+    write_partial_batch(e, 7, journal)
+    entries = os.listdir(journal)
+    assert "batch-7" in entries
+    assert not [d for d in entries if d.startswith(".staging")]
+    # replay: same epoch again — still exactly one complete dir
+    write_partial_batch(e, 7, journal)
+    entries = os.listdir(journal)
+    assert entries.count("batch-7") == 1
+    assert not [d for d in entries if d.startswith(".staging")]

@@ -49,9 +49,18 @@ def _work_dir(spark: SparkSession, sf_dir: str) -> str:
 
 def write_partial_batch(batch_df: DataFrame, epoch_id: int, journal: str) -> None:
     """One micro-batch's contribution: a partial rollup per
-    (day, event_type), journaled under its epoch id. Overwrite makes an
-    epoch replay idempotent — re-running the same epoch rewrites the
-    same directory with the same rows."""
+    (day, event_type), journaled under its epoch id.
+
+    The epoch dir is STAGED (written to a dot-prefixed temp the
+    ``batch-*`` reader glob never matches) and renamed into place, so a
+    concurrent ``combine_rollup`` sees each epoch either completely or
+    not at all — never a half-written parquet directory. Replay of an
+    epoch re-stages and swaps the same rows (idempotent); a crash
+    between the remove and the rename loses only that epoch dir, which
+    the checkpoint replays on restart — exactly the failure the journal
+    design exists to absorb."""
+    import shutil
+
     micros = F.floor(F.col("value").cast("double") * 1000000.0).cast("bigint")
     partial = batch_df.groupBy(
         F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
@@ -62,7 +71,12 @@ def write_partial_batch(batch_df: DataFrame, epoch_id: int, journal: str) -> Non
         F.count("*").cast("bigint").alias("n_partial"),
         F.sum(micros).cast("bigint").alias("micros_partial"),
     )
-    partial.write.mode("overwrite").parquet(f"{journal}/batch-{epoch_id}")
+    staged = f"{journal}/.staging-batch-{epoch_id}"
+    final = f"{journal}/batch-{epoch_id}"
+    partial.write.mode("overwrite").parquet(staged)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(staged, final)
 
 
 def combine_rollup(spark: SparkSession, journal: str) -> DataFrame:
