@@ -57,32 +57,32 @@ def asof_join(
     # Right rows: keys + event time + payload struct. Packing the payload
     # into ONE struct makes the carry-forward a single last() and gives a
     # total, deterministic tiebreak (struct ordering) for equal timestamps.
-    r = right.select(
+    # SQL-string projections (one gateway round-trip per select, not one
+    # per column — round-6 floor study, PLANS.md); schemas are fetched
+    # once for the NULL casts.
+    struct_fields = ", ".join([f"{right_ts} AS __rt", *payload])
+    r = right.selectExpr(
         *keys,
-        F.col(right_ts).alias("__t"),
-        F.lit(0).alias("__side"),
-        F.struct(F.col(right_ts).alias("__rt"), *payload).alias("__r"),
+        f"{right_ts} AS __t",
+        "0 AS __side",
+        f"struct({struct_fields}) AS __r",
     )
-    l = left.select(
+    r_type = r.schema["__r"].dataType.simpleString()
+    left_schema = {f.name: f.dataType.simpleString() for f in left.schema.fields}
+    l = left.selectExpr(
         *left.columns,
-        F.col(left_ts).alias("__t"),
-        F.lit(1).alias("__side"),
-        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        f"{left_ts} AS __t",
+        "1 AS __side",
+        f"CAST(NULL AS {r_type}) AS __r",
     )
-    merged = r.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns
-          if c not in keys],
+    non_keys = [c for c in left.columns if c not in keys]
+    merged = r.selectExpr(
+        *[f"CAST(NULL AS {left_schema[c]}) AS {c}" for c in non_keys],
         *keys,
         "__t",
         "__side",
         "__r",
-    ).unionByName(l.select(
-        *[F.col(c) for c in left.columns if c not in keys],
-        *keys,
-        "__t",
-        "__side",
-        "__r",
-    ))
+    ).unionByName(l.select(*non_keys, *keys, "__t", "__side", "__r"))
 
     # One shuffle: partition by key, order by (t, side, r) so that at
     # equal timestamps right rows (side=0) sort before the left row and
