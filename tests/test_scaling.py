@@ -309,12 +309,20 @@ def test_second_scale_point_heavy_five(spark, tmp_path_factory):
     }
     for name, max_ratio in bounds.items():
         q = QUERIES[name]
-        base = min(_timed(q, spark, SF_BIG) for _ in range(2))
-        scaled = _timed(q, spark, str(big))
-        ratio = scaled / max(base, 1e-3)
+        # wall-clock envelope on a shared box: retry once before failing
+        # so a transient load spike (observed: two concurrent Spark
+        # sessions inflated one run past the bound; clean rerun passed)
+        # costs a re-measure, while a real complexity regression — which
+        # reproduces — still fails.
+        for attempt in (1, 2):
+            base = min(_timed(q, spark, SF_BIG) for _ in range(2))
+            scaled = _timed(q, spark, str(big))
+            ratio = scaled / max(base, 1e-3)
+            if ratio < max_ratio:
+                break
         assert ratio < max_ratio, (
             f"{name}: sf0.1={base:.2f}s blowup={scaled:.2f}s "
-            f"ratio={ratio:.1f} exceeds {max_ratio}"
+            f"ratio={ratio:.1f} exceeds {max_ratio} (twice)"
         )
 
 
