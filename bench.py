@@ -150,18 +150,21 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).count()
     spark.catalog.clearCache()
 
-    # minimum of 3 measured runs per query: single-shot numbers on a
+    # min over 4 measured reps per query: single-shot numbers on a
     # shared box swing ±30% (whole-run comparisons showed every query
     # inflating together when the box is busy), so the min over reps is
-    # the best available estimate of the query's uncontended cost — the
-    # quantity that actually scales with the plan. Reps are interleaved
-    # ROUND-ROBIN (A,B,C,...,A,B,C — not A,A,A): three consecutive reps
-    # all sit inside the same contention window, so a single load spike
-    # used to poison a query's whole row (BENCH_r05's q17: consecutive
-    # reps 2.63/2.25/1.93 s vs 0.21 s clean); separated reps cost a
-    # spike one rep, and min-of-3 recovers. clearCache between reps so
-    # persisted intermediates are recomputed every time (reps must not
-    # degrade into cache reads).
+    # the best available estimate of the query's uncontended steady-state
+    # cost — the quantity that actually scales with the plan. The shipped
+    # "mixed" schedule (see below) = 2 fully interleaved rounds
+    # (A,B,...,A,B — a load spike poisons one rep, not a query's whole
+    # row; BENCH_r05's q17 postmortem) + 1 back-to-back DOUBLE round
+    # (A,A,B,B,... — the second run measures the warm path, the same
+    # quantity the DuckDB comparator's consecutive min measures;
+    # interleaved-only was a measured ~15% protocol bias, PLANS.md
+    # round-6 study). clearCache between reps so persisted intermediates
+    # are recomputed every time (reps must not degrade into cache
+    # reads). N_RUNS governs the override modes only; the mixed schedule
+    # is fixed at 4 reps.
     N_RUNS = 3
     all_reps: dict[str, list[float]] = {name: [] for name in headline}
     row_counts: dict[str, int] = {}

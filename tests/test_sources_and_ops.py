@@ -2723,3 +2723,51 @@ def test_result_cache_hit_miss_and_invalidation(spark, tmp_path):
     os.utime(os.path.join(src, "t.parquet"))
     _, hit3 = cached_result(spark, "agg", src, build, cache_root=root)
     assert not hit3 and calls["n"] == 2
+
+
+def test_asof_join_quotes_awkward_column_names(spark):
+    """asof_join interpolates caller column names into SQL strings; they
+    ride in backticks so dashes/keywords survive (review regression)."""
+    from video_streamer_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 20.0, "b")], ["k", "ts", "select"]
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0, "early"), (1, 15.0, "late")], ["k", "ts", "my-col"]
+    )
+    got = {
+        (r["k"], r["ts"], r["my-col_asof"])
+        for r in asof_join(left, right, on=["k"], right_cols=["my-col"]).collect()
+    }
+    assert got == {(1, 10.0, "early"), (1, 20.0, "late")}
+
+
+def test_x195_entropy_ignores_empty_documents(spark, tmp_path):
+    """Spark's sequence(1, 0) yields [1, 0] (descending default step):
+    without the length guard an empty document would emit two phantom
+    ''-char rows and a bogus rollup row DuckDB never produces. Both
+    engines must drop empty docs entirely."""
+    import duckdb
+
+    from video_streamer_spark.queries import ORACLES, QUERIES
+
+    docs = spark.createDataFrame(
+        [(1, "aab", "en", "s", 3), (2, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {
+        tuple(r)
+        for r in QUERIES["x195_char_entropy_quality"](spark, sf).collect()
+    }
+    assert {r[0] for r in got} == {1}, "empty doc must produce no row"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = {tuple(r) for r in con.execute(
+        ORACLES["x195_char_entropy_quality"]).fetchall()}
+    assert got == want

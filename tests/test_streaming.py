@@ -987,3 +987,34 @@ def test_incremental_journal_epochs_are_staged_atomically(spark, tmp_path):
     entries = os.listdir(journal)
     assert entries.count("batch-7") == 1
     assert not [d for d in entries if d.startswith(".staging")]
+
+
+def test_incremental_replay_after_compaction_does_not_double_count(spark, tmp_path):
+    """A foreachBatch replay of an epoch the compaction already folded
+    must be a no-op: the fold manifest carries its id, so re-journaling
+    (which would double-count inside the combined rollup) is skipped."""
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.streaming.incremental import (
+        combine_rollup,
+        compact_journal,
+        write_partial_batch,
+    )
+
+    journal = str(tmp_path / "journal")
+    e = table(spark, SF_SMOKE, "events")
+    half_a = e.where("event_id % 2 = 0").select("ts", "event_type", "value")
+    half_b = e.where("event_id % 2 = 1").select("ts", "event_type", "value")
+    write_partial_batch(half_a, 0, journal)
+    write_partial_batch(half_b, 1, journal)
+    want = sorted(tuple(r) for r in combine_rollup(spark, journal).collect())
+    compact_journal(spark, journal)
+    # crash-before-checkpoint-commit scenario: epoch 1 replays AFTER
+    # its rows were folded
+    write_partial_batch(half_b, 1, journal)
+    got = sorted(tuple(r) for r in combine_rollup(spark, journal).collect())
+    assert got == want
+    # and a brand-new later epoch still lands normally
+    write_partial_batch(half_a, 2, journal)
+    grown = combine_rollup(spark, journal)
+    n_events = sum(r["n_events"] for r in grown.collect())
+    assert n_events == sum(r[2] for r in want) + half_a.count()

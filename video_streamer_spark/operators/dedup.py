@@ -50,14 +50,14 @@ def tokens_col(text: Column | str) -> Column:
     # construction time (profiled in the round-6 floor study, PLANS.md)
     # for the identical analyzed plan.
     if isinstance(text, str):
-        return F.expr(f"filter(split({text}, ' '), x -> x != '')")
+        return F.expr(f"filter(split(`{text}`, ' '), x -> x != '')")
     return F.filter(F.split(text, " "), lambda x: x != "")
 
 
 def shingles_col(text: Column | str, k: int = DEFAULT_SHINGLE) -> Column:
     """k-token shingles as space-joined strings (empty array if < k tokens)."""
     if isinstance(text, str):
-        toks = f"filter(split({text}, ' '), x -> x != '')"
+        toks = f"filter(split(`{text}`, ' '), x -> x != '')"
         return F.expr(
             f"CASE WHEN size({toks}) >= {k} THEN "
             f"transform(sequence(1, size({toks}) - {k - 1}),"

@@ -19,6 +19,37 @@ from pyspark.sql import SparkSession
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # one HDFS-block-ish file
 
 
+def heal_swap_residue(path: str) -> None:
+    """Self-heal a crash between the two swap renames of
+    ``atomic_swap_dir``: a stranded ``-old`` with no live table means we
+    died mid-swap — restore it; a leftover ``-tmp`` is a half-written
+    rewrite — discard it (source of truth is path/old)."""
+    tmp = path.rstrip("/") + ".compact-tmp"
+    old = path.rstrip("/") + ".compact-old"
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)
+        else:
+            shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+
+def atomic_swap_dir(staged: str, path: str) -> None:
+    """Replace directory ``path`` with ``staged`` via two renames (no
+    copies): readers see the old tree or the new tree, never a partial
+    one. A crash between the renames strands the old tree at
+    ``<path>.compact-old``, which ``heal_swap_residue`` (called by every
+    maintenance entry point before swapping) restores on the next run.
+    ``staged`` must live on the same filesystem as ``path``."""
+    old = path.rstrip("/") + ".compact-old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+
+
 def _dir_stats(path: str) -> tuple[int, int]:
     """(n_data_files, total_bytes) for a parquet directory."""
     n, total = 0, 0
@@ -55,17 +86,7 @@ def compact_parquet_dir(
       narrow-dependency case coalesce exists for.
     """
     tmp = path.rstrip("/") + ".compact-tmp"
-    old = path.rstrip("/") + ".compact-old"
-    # self-heal a previous crash: a stranded -old with no live table means
-    # we died between the two swap renames — restore it; a leftover -tmp
-    # is a half-written rewrite — discard it (source of truth is path/old)
-    if os.path.exists(old):
-        if not os.path.exists(path):
-            os.rename(old, path)
-        else:
-            shutil.rmtree(old)
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    heal_swap_residue(path)
     n_before, total = _dir_stats(path)
     n_target = max(1, -(-total // target_bytes))
     if n_before < min_files or n_target >= n_before:
@@ -76,12 +97,7 @@ def compact_parquet_dir(
         }
     df = spark.read.parquet(path)
     df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
-    # swap: path -> old, tmp -> path, drop old (two renames, not copies)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    atomic_swap_dir(tmp, path)
     n_after, _ = _dir_stats(path)
     return {
         "compacted": True,

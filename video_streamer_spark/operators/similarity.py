@@ -60,8 +60,8 @@ def _prepped(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame
     # to the identical analyzed plan (0.0d = double literal, matching the
     # F.lit(0.0) it replaces).
     return df.selectExpr(
-        f"{id_col} AS {prefix}_id",
-        f"transform({vec_col}, x -> cast(x AS double)) AS {prefix}_vec",
+        f"`{id_col}` AS {prefix}_id",
+        f"transform(`{vec_col}`, x -> cast(x AS double)) AS {prefix}_vec",
     ).withColumn(
         f"{prefix}_norm",
         F.expr(

@@ -60,24 +60,32 @@ def asof_join(
     # SQL-string projections (one gateway round-trip per select, not one
     # per column — round-6 floor study, PLANS.md); schemas are fetched
     # once for the NULL casts.
-    struct_fields = ", ".join([f"{right_ts} AS __rt", *payload])
+    # caller-supplied identifiers ride in backticks — asof_join is a
+    # generic operator, and an unquoted name with a dash/space/keyword
+    # would misparse (review finding on the SQL-string rewrite)
+    struct_fields = ", ".join(
+        [f"`{right_ts}` AS __rt", *[f"`{p}`" for p in payload]]
+    )
     r = right.selectExpr(
-        *keys,
-        f"{right_ts} AS __t",
+        *[f"`{k}`" for k in keys],
+        f"`{right_ts}` AS __t",
         "0 AS __side",
         f"struct({struct_fields}) AS __r",
     )
-    r_type = r.schema["__r"].dataType.simpleString()
-    left_schema = {f.name: f.dataType.simpleString() for f in left.schema.fields}
-    l = left.selectExpr(
+    # NULL casts use DataType OBJECTS (Column-API cast), not a type
+    # string round-trip: simpleString() of a struct containing an
+    # awkward field name ("my-col") is not re-parseable
+    r_type = r.schema["__r"].dataType
+    left_schema = {f.name: f.dataType for f in left.schema.fields}
+    l = left.select(
         *left.columns,
-        f"{left_ts} AS __t",
-        "1 AS __side",
-        f"CAST(NULL AS {r_type}) AS __r",
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_type).alias("__r"),
     )
     non_keys = [c for c in left.columns if c not in keys]
-    merged = r.selectExpr(
-        *[f"CAST(NULL AS {left_schema[c]}) AS {c}" for c in non_keys],
+    merged = r.select(
+        *[F.lit(None).cast(left_schema[c]).alias(c) for c in non_keys],
         *keys,
         "__t",
         "__side",

@@ -3722,7 +3722,8 @@ _X195_ORACLE = f"""
     WITH chars AS (
       SELECT doc_id, substr(text, CAST(i.i AS INT), 1) AS ch
       FROM documents
-      CROSS JOIN unnest(generate_series(1, length(text))) AS i(i)),
+      CROSS JOIN unnest(generate_series(1, length(text))) AS i(i)
+      WHERE length(text) >= 1),
     counts AS (
       SELECT doc_id, ch, COUNT(*) AS k FROM chars GROUP BY doc_id, ch),
     per_doc AS (
@@ -3752,11 +3753,20 @@ def x195_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_streamer_spark.functions.parity import qdec6, round6
 
     docs = table(spark, sf_dir, "documents")
-    chars = docs.select(
-        "doc_id",
-        F.explode(F.expr("sequence(1, length(text))")).alias("i"),
-        "text",
-    ).select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
+    # the length >= 1 guard is semantic, not cosmetic: Spark's
+    # sequence(1, 0) yields [1, 0] (descending default step), so an
+    # EMPTY document would emit two phantom ''-char rows and a bogus
+    # (n_chars_tot=2, entropy=0) row that DuckDB's generate_series(1, 0)
+    # (empty) never produces — found by review, guarded symmetrically
+    chars = (
+        docs.where(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(1, length(text))")).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
+    )
     counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("k"))
     per_doc = counts.groupBy("doc_id").agg(
         F.sum("k").cast("bigint").alias("n_chars_tot"),

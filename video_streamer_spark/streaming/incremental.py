@@ -3,21 +3,30 @@
 The pattern a 100 TB event warehouse uses to keep an aggregate table
 fresh without recomputing it: each micro-batch contributes a PARTIAL
 aggregate row per key to a journal, and readers combine the journal on
-read (or a compaction folds it periodically). Two properties make it
+read (or a compaction folds it periodically). Properties that make it
 safe at scale:
 
 - **Replay idempotence.** Structured Streaming's foreachBatch may replay
   an epoch after a failure. Additive MERGE into the rollup would then
-  double-count; journaling partials keyed by ``batch-{epoch_id}`` with
-  ``mode("overwrite")`` makes a replay rewrite the same rows instead
-  (the same per-epoch discipline as ``pipeline.run_foreach_batch_sink``
-  and the reference's end-of-run flush, gst-detection-tf.py:339-344).
+  double-count; journaling partials keyed by ``batch-{epoch_id}`` makes
+  a replay rewrite the same rows instead (the same per-epoch discipline
+  as ``pipeline.run_foreach_batch_sink`` and the reference's end-of-run
+  flush, gst-detection-tf.py:339-344). Replay stays idempotent ACROSS
+  compaction too: the fold records which epochs it absorbed in a
+  manifest, and a replayed epoch found in the manifest is skipped — its
+  rows (deterministic from the checkpointed source offsets) are already
+  inside the folded partials.
 - **Partial-aggregability.** Journal rows are (n_events, sum_micros)
   in exact BIGINT — combinable in any order/grouping, so the read-side
   combine is a plain codegen hash agg and a compaction is the identical
   query writing its output back. This is the same shape Spark's own
   map-side partial aggregation uses, persisted across time instead of
   across tasks.
+- **Epoch visibility is all-or-nothing.** Epoch dirs are staged under a
+  dot-prefixed name the ``batch-*`` reader glob never matches and
+  renamed into place; a replay swaps the old dir aside and the new one
+  in (two renames), so a concurrent combine never reads a half-written
+  epoch.
 
 The journal grows by |keys touched| per batch, not |events|; the
 read-side combine shuffles journal rows only. At 1000 executors the
@@ -27,40 +36,46 @@ journal is partition-pruned by day like any fact table.
 from __future__ import annotations
 
 import itertools
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from video_streamer_spark.catalog import table
 from video_streamer_spark.functions.parity import round2
+from video_streamer_spark.operators.maintenance import (
+    atomic_swap_dir,
+    heal_swap_residue,
+)
 
 _seq = itertools.count()
 
+_MANIFEST = "folded-epochs.json"
 
-def _work_dir(spark: SparkSession, sf_dir: str) -> str:
-    # per-application + per-invocation path: concurrent sessions (or
-    # re-runs within one session) never share a mutable directory
-    # (r5 ADVICE discipline, corpus.py index paths)
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    app = spark.sparkContext.applicationId
-    return f"/tmp/vss-incr/{app}-{tag}-{next(_seq)}"
+
+def _folded_epochs(journal: str) -> set[int]:
+    p = os.path.join(journal, _MANIFEST)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as fh:
+        return set(json.load(fh))
 
 
 def write_partial_batch(batch_df: DataFrame, epoch_id: int, journal: str) -> None:
     """One micro-batch's contribution: a partial rollup per
     (day, event_type), journaled under its epoch id.
 
-    The epoch dir is STAGED (written to a dot-prefixed temp the
-    ``batch-*`` reader glob never matches) and renamed into place, so a
-    concurrent ``combine_rollup`` sees each epoch either completely or
-    not at all — never a half-written parquet directory. Replay of an
-    epoch re-stages and swaps the same rows (idempotent); a crash
-    between the remove and the rename loses only that epoch dir, which
-    the checkpoint replays on restart — exactly the failure the journal
-    design exists to absorb."""
-    import shutil
-
+    Idempotence: a replayed epoch whose dir still exists is swapped in
+    place with the same rows; a replayed epoch that a compaction already
+    folded (listed in the journal manifest) is SKIPPED — its rows are
+    already inside the folded partials, and re-journaling it would
+    double-count. The epoch is staged under a dot-prefixed temp the
+    ``batch-*`` reader glob never matches and renamed into place, so a
+    concurrent read sees each epoch completely or not at all."""
+    if int(epoch_id) in _folded_epochs(journal):
+        return
     micros = F.floor(F.col("value").cast("double") * 1000000.0).cast("bigint")
     partial = batch_df.groupBy(
         F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
@@ -75,8 +90,18 @@ def write_partial_batch(batch_df: DataFrame, epoch_id: int, journal: str) -> Non
     final = f"{journal}/batch-{epoch_id}"
     partial.write.mode("overwrite").parquet(staged)
     if os.path.exists(final):
-        shutil.rmtree(final)
-    os.rename(staged, final)
+        # replay over an existing epoch: swap aside + in (two renames),
+        # not rmtree-then-rename — shrinks the reader-invisible window
+        # to the instant between the renames, and a crash there leaves
+        # the old epoch recoverable at .replaced-* instead of lost
+        replaced = f"{journal}/.replaced-batch-{epoch_id}"
+        if os.path.exists(replaced):
+            shutil.rmtree(replaced)
+        os.rename(final, replaced)
+        os.rename(staged, final)
+        shutil.rmtree(replaced)
+    else:
+        os.rename(staged, final)
 
 
 def combine_rollup(spark: SparkSession, journal: str) -> DataFrame:
@@ -104,12 +129,38 @@ def compact_journal(spark: SparkSession, journal: str) -> dict:
     """Fold all journal epochs into one: read every ``batch-*`` partial,
     combine per key (partials are order/grouping-invariant BIGINT sums,
     so the fold IS the same aggregation), and swap the folded journal in
-    atomically with the ``compact_parquet_dir`` two-rename + self-heal
-    discipline (maintenance.py:33). ``combine_rollup`` results are
-    identical before and after — compaction only bounds journal growth
-    (|keys| rows instead of |keys touched| × |epochs|)."""
+    atomically (``maintenance.atomic_swap_dir``: two renames +
+    ``heal_swap_residue`` crash recovery). ``combine_rollup`` results
+    are identical before and after — compaction only bounds journal
+    growth (|keys| rows instead of |keys touched| × |epochs|).
+
+    The manifest written alongside the fold lists every epoch id ever
+    absorbed (merged across folds), which is what keeps a post-crash
+    foreachBatch REPLAY of a folded epoch from double-counting (see
+    ``write_partial_batch``).
+
+    Concurrency contract: run with writers QUIESCED (the stream drained
+    or stopped) — the same contract as every offline compactor
+    (maintenance.compact_parquet_dir, Delta OPTIMIZE). As a guard, any
+    epoch dir that appears between the fold's snapshot and the swap is
+    carried over into the new journal rather than deleted; a writer
+    mid-stage (.staging-*) during the swap is not supported."""
+    heal_swap_residue(journal)
+    epochs = sorted(
+        d for d in os.listdir(journal) if d.startswith("batch-")
+    )
+    if not epochs:
+        return {"epochs_folded": 0}
+    folded_ids = sorted(
+        _folded_epochs(journal)
+        | {
+            int(d.removeprefix("batch-"))
+            for d in epochs
+            if d != "batch-compacted"
+        }
+    )
     folded = (
-        spark.read.parquet(f"{journal}/batch-*")
+        spark.read.parquet(*[f"{journal}/{d}" for d in epochs])
         .groupBy("day", "event_type")
         .agg(
             F.sum("n_partial").cast("bigint").alias("n_partial"),
@@ -117,24 +168,30 @@ def compact_journal(spark: SparkSession, journal: str) -> dict:
         )
     )
     tmp = journal.rstrip("/") + ".compact-tmp"
-    old = journal.rstrip("/") + ".compact-old"
-    import shutil
-
-    if os.path.exists(old):  # self-heal a crash between the two renames
-        if not os.path.exists(journal):
-            os.rename(old, journal)
-        else:
-            shutil.rmtree(old)
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    n_epochs = len(
-        [d for d in os.listdir(journal) if d.startswith("batch-")]
-    )
     folded.write.mode("overwrite").parquet(f"{tmp}/batch-compacted")
-    os.rename(journal, old)
-    os.rename(tmp, journal)
-    shutil.rmtree(old)
-    return {"epochs_folded": n_epochs}
+    with open(os.path.join(tmp, _MANIFEST), "w") as fh:
+        json.dump(folded_ids, fh)
+    # carry over epochs journaled after the snapshot (quiesced-writer
+    # contract makes this set empty; the guard keeps a straggler's data)
+    for d in os.listdir(journal):
+        if d.startswith("batch-") and d not in epochs:
+            os.rename(os.path.join(journal, d), os.path.join(tmp, d))
+    atomic_swap_dir(tmp, journal)
+    return {"epochs_folded": len(epochs)}
+
+
+def _work_dirs(spark: SparkSession, sf_dir: str, n_splits: int) -> tuple[str, str]:
+    """(reusable src layout dir, per-invocation run dir).
+
+    The src re-layout is deterministic from (sf_dir, n_splits) and is
+    the expensive part (a full copy of events) — keyed by applicationId
+    + sf tag + split count and REUSED within the session. The journal
+    and checkpoint are cheap (partial rows) and per-invocation, so
+    re-runs never share mutable streaming state."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    base = f"/tmp/vss-incr/{app}-{tag}-x{n_splits}"
+    return f"{base}/src", f"{base}/run-{next(_seq)}"
 
 
 def incremental_rollup(
@@ -152,13 +209,14 @@ def incremental_rollup(
     invariant to how events landed in batches — the equivalence the
     journal design guarantees and the oracle checks.
     """
-    work = _work_dir(spark, sf_dir)
-    src = f"{work}/src"
-    journal = f"{work}/journal"
-    events = table(spark, sf_dir, "events").select(
-        "ts", "event_type", "value"
-    )
-    events.repartition(n_splits).write.mode("overwrite").parquet(src)
+    src, run = _work_dirs(spark, sf_dir, n_splits)
+    journal = f"{run}/journal"
+    checkpoint = f"{run}/checkpoint"
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        events = table(spark, sf_dir, "events").select(
+            "ts", "event_type", "value"
+        )
+        events.repartition(n_splits).write.mode("overwrite").parquet(src)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
@@ -169,9 +227,20 @@ def incremental_rollup(
         stream.writeStream.foreachBatch(
             lambda df, epoch: write_partial_batch(df, epoch, journal)
         )
-        .option("checkpointLocation", f"{work}/checkpoint")
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # combining a partial journal while the leaked query keeps
+        # writing would surface as a nondeterministic wrong answer;
+        # fail loudly instead
+        q.stop()
+        raise TimeoutError(
+            f"incremental_rollup: stream did not drain in {timeout_sec}s"
+        )
+    # the drain is complete and the journal immutable; the checkpoint
+    # has no further reader (each invocation streams into a fresh run
+    # dir), so reclaim it
+    shutil.rmtree(checkpoint, ignore_errors=True)
     return combine_rollup(spark, journal)
