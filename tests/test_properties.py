@@ -310,3 +310,61 @@ def test_mmr_matches_python_reference(spark, seed):
         chosen.append(best[1])
         want.append((rank, best[1]))
     assert got == want, (got, want)
+
+
+def test_char_entropy_matches_python_reference(spark):
+    """x195's qdec6/round6 entropy pipeline vs a direct Python
+    computation with the same quantization: per-doc values must agree
+    exactly (the quantization IS the contract, so the reference applies
+    it too — Counter + math.log + Decimal grid)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from collections import Counter
+
+    from tests.conftest import SF_ORACLE
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.queries import QUERIES
+
+    df = QUERIES["x195_char_entropy_quality"](spark, SF_ORACLE)
+    got = {r["doc_id"]: (r["n_chars_tot"], r["char_entropy"]) for r in df.collect()}
+
+    def qdec6(x: float) -> Decimal:
+        d9 = Decimal(x).quantize(Decimal("1.000000000"), rounding=ROUND_HALF_UP)
+        return d9.quantize(Decimal("1.000000"), rounding=ROUND_HALF_UP)
+
+    def round6(x: float) -> float:
+        d12 = Decimal(x).quantize(Decimal("1." + "0" * 12), rounding=ROUND_HALF_UP)
+        return float(d12.quantize(Decimal("1.000000"), rounding=ROUND_HALF_UP))
+
+    docs = table(spark, SF_ORACLE, "documents").select("doc_id", "text").collect()
+    checked = 0
+    for r in docs[:200]:
+        text = r["text"]
+        if not text:
+            assert r["doc_id"] not in got
+            continue
+        counts = Counter(text)
+        n = sum(counts.values())
+        s = sum(k * qdec6(math.log(k)) for k in counts.values())
+        want = round6(float(qdec6(math.log(n))) - float(s) / n)
+        gn, ge = got[r["doc_id"]]
+        assert gn == n
+        assert ge == want, (r["doc_id"], ge, want)
+        checked += 1
+    assert checked >= 100
+
+
+def test_incremental_rollup_is_batch_composition_invariant(spark):
+    """The journal design's core claim: the combined rollup is identical
+    no matter how events were split into micro-batches."""
+    from tests.conftest import SF_SMOKE
+    from video_streamer_spark.streaming.incremental import incremental_rollup
+
+    a = sorted(
+        tuple(r) for r in incremental_rollup(spark, SF_SMOKE, n_splits=3).collect()
+    )
+    b = sorted(
+        tuple(r) for r in incremental_rollup(spark, SF_SMOKE, n_splits=8).collect()
+    )
+    assert a == b and len(a) > 1
