@@ -1,0 +1,75 @@
+"""Plan-advisor lint rules: clean plans pass, known-bad shapes flag."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_ORACLE
+from video_streamer_spark.catalog import table
+from video_streamer_spark.plans.advisor import lint_plan
+from video_streamer_spark.queries import QUERIES
+
+
+def codes(findings):
+    return {f.code for f in findings}
+
+
+def test_headline_queries_pass_the_lint(spark):
+    """Every declared headline query must be advisory-clean — the lint
+    encodes exactly the plan contracts the suite already pins."""
+    from bench import HEADLINE
+
+    for name in HEADLINE:
+        got = codes(lint_plan(QUERIES[name](spark, SF_ORACLE)))
+        # x33 is the deliberate applyInPandas showcase: MapInPandas is
+        # sanctioned (Arrow-batched), so even it must pass
+        assert not got, (name, got)
+
+
+def test_cartesian_join_flags(spark):
+    e = table(spark, SF_ORACLE, "events")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bad = e.alias("a").join(e.alias("b"))  # no condition at all
+        assert "CARTESIAN" in codes(lint_plan(bad))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # with broadcast available the same join plans as BNL — also flagged
+    assert {"CARTESIAN", "BNL_JOIN"} & codes(
+        lint_plan(e.alias("a").join(e.alias("b")))
+    )
+
+
+def test_non_equi_bnl_join_flags(spark):
+    c = table(spark, SF_ORACLE, "customer")
+    n = table(spark, SF_ORACLE, "nation")
+    bad = c.join(n, c.c_acctbal > n.n_nationkey)  # pure theta, tiny side
+    assert "BNL_JOIN" in codes(lint_plan(bad))
+
+
+def test_row_python_udf_flags(spark):
+    from pyspark.sql.types import LongType
+
+    plus_one = F.udf(lambda x: x + 1, LongType())
+    bad = table(spark, SF_ORACLE, "events").select(plus_one("event_id"))
+    assert "ROW_PYTHON_UDF" in codes(lint_plan(bad))
+
+
+def test_root_sort_without_limit_flags(spark):
+    e = table(spark, SF_ORACLE, "events")
+    bad = e.groupBy("event_type").count().orderBy("event_type")
+    assert "ROOT_SORT" in codes(lint_plan(bad))
+    # the same sort under a LIMIT plans as TakeOrdered — clean
+    good = e.groupBy("event_type").count().orderBy("event_type").limit(3)
+    assert "ROOT_SORT" not in codes(lint_plan(good))
+
+
+def test_exchange_budget_flags(spark):
+    # chained re-aggregations on fresh keys: each groupBy is a real
+    # Exchange Catalyst cannot collapse (consecutive repartitions it CAN)
+    e = table(spark, SF_ORACLE, "events")
+    df = e.groupBy("user_id").agg(F.count("*").alias("c0"))
+    for i in range(3):
+        df = df.groupBy(f"c{i}").agg(F.count("*").alias(f"c{i + 1}"))
+    assert "EXCHANGE_BUDGET" in codes(lint_plan(df, max_exchanges=3))

@@ -1,0 +1,147 @@
+"""Plan advisor: mechanical lint over a DataFrame's physical plan.
+
+The test suite pins known-good plans (tests/test_plans.py); this is the
+same knowledge packaged for USERS of the engine — point it at any
+DataFrame before launching a large job and it flags the plan shapes
+that melt down at 100 TB:
+
+- a cartesian / broadcast-nested-loop join (all-pairs explosion — the
+  shape every blocked operator in this repo exists to avoid);
+- a parquet scan with no pushed filters AND no column pruning when the
+  query clearly consumes a subset (full-table decode for a narrow
+  answer);
+- a row-at-a-time Python eval (``BatchEvalPython``) in the plan — the
+  ~10-100× slow path vs Arrow-batched pandas UDFs (``ArrowEvalPython``/
+  ``MapInPandas`` pass the lint: they are the sanctioned boundary);
+- a global Sort directly under the root that no Limit consumes — at
+  scale a total sort range-samples and re-executes the upstream plan
+  (PLANS.md round-5 sort study; the registry elides these for declared
+  queries, but ad-hoc DataFrames do not get that treatment);
+- more shuffle Exchanges than a configurable budget (each one is a
+  full-data barrier).
+
+Each finding is a (code, message) pair; an empty list means the plan
+passes every rule. The rules are advisory — a deliberate crossJoin of
+two 10-row dims is fine — which is why this is a lint, not a gate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from video_streamer_spark.plans.explain import plan_report
+
+
+@dataclass
+class Finding:
+    code: str
+    message: str
+
+
+def lint_plan(df: DataFrame, max_exchanges: int = 8) -> list[Finding]:
+    r = plan_report(df)
+    findings: list[Finding] = []
+
+    if "CartesianProduct" in r.text:
+        findings.append(
+            Finding(
+                "CARTESIAN",
+                "CartesianProduct in the plan: every pair of input rows "
+                "materializes. Block the join on an equi-key (bands, "
+                "cells, buckets) or broadcast the small side.",
+            )
+        )
+    if r.n_bnl_joins > 0:
+        # bounded-build-side heuristic: a BNL whose plan selects a
+        # bounded set somewhere (a pushed comparison/equality filter
+        # beyond bare IsNotNull, or an explicit Limit) is the sanctioned
+        # broadcast-grid pattern (a handful of query rows against the
+        # corpus — q18/x06's shape); a BNL with neither is an all-pairs
+        # theta join and flags.
+        import re as _re
+
+        non_null_filters = [
+            f
+            for pf in r.pushed_filters
+            for f in pf.split(",")
+            if f.strip() and not f.strip().startswith("IsNotNull")
+        ]
+        has_limit = _re.search(r"\b(Global|Local)Limit\b", r.text)
+        if not non_null_filters and not has_limit:
+            findings.append(
+                Finding(
+                    "BNL_JOIN",
+                    f"{r.n_bnl_joins} BroadcastNestedLoopJoin(s) with an "
+                    "unbounded build side: a non-equi condition with no "
+                    "equi-key component scans the full broadcast side "
+                    "per row. Add an equi-key (interval bucket, hash "
+                    "block) to the join condition, or bound the build "
+                    "side.",
+                )
+            )
+    if "BatchEvalPython" in r.text:
+        findings.append(
+            Finding(
+                "ROW_PYTHON_UDF",
+                "BatchEvalPython (row-at-a-time Python UDF) in the plan: "
+                "10-100x slower than Arrow-batched execution. Use a "
+                "pandas_udf / mapInPandas, or better a built-in "
+                "expression.",
+            )
+        )
+    # scans that read everything with no filter pushed: only flag when
+    # at least one OTHER scan (or the projection) shows the query needs
+    # a subset — a plain full-table aggregate legitimately reads all
+    full_scans = [
+        i
+        for i, pf in enumerate(r.pushed_filters)
+        if not pf.strip()
+        and i < len(r.read_schemas)
+        and len(r.read_schemas[i].split(",")) > 8
+    ]
+    if full_scans and r.pushed_filters and any(p.strip() for p in r.pushed_filters):
+        findings.append(
+            Finding(
+                "UNPRUNED_SCAN",
+                f"{len(full_scans)} scan(s) read >8 columns with no "
+                "pushed filters while sibling scans push predicates: "
+                "check that filters and column pruning reach every "
+                "branch (a transform between filter and scan — e.g. a "
+                "UDF — blocks pushdown).",
+            )
+        )
+    # root-level global sort with no Limit above it: parse the TREE
+    # section ("NodeName (N)" lines, indentation-prefixed) — the first
+    # few nodes below the root wrappers
+    tree: list[str] = []
+    for ln in r.text.splitlines()[1:]:
+        if not ln.strip():
+            break
+        name = ln.split("(")[0].strip().lstrip("+-:* ").strip()
+        if name:
+            tree.append(name.split(" ")[0])
+    wrappers = {"AdaptiveSparkPlan", "Project", "ResultQueryStage"}
+    top = [n for n in tree[:4] if n not in wrappers]
+    if top[:1] == ["Sort"]:
+        findings.append(
+            Finding(
+                "ROOT_SORT",
+                "Global Sort at the plan root with no Limit: a total "
+                "sort range-samples and re-executes the upstream plan. "
+                "Drop the ORDER BY (consumers that re-sort anyway) or "
+                "pair it with a LIMIT (TakeOrderedAndProject).",
+            )
+        )
+    if r.n_exchanges > max_exchanges:
+        findings.append(
+            Finding(
+                "EXCHANGE_BUDGET",
+                f"{r.n_exchanges} shuffle Exchanges (> budget "
+                f"{max_exchanges}): each is a full-data barrier. Reuse "
+                "one partitioning across stages (bucketing, "
+                "repartition-then-chain) or collapse aggregations.",
+            )
+        )
+    return findings
