@@ -73,3 +73,20 @@ def test_exchange_budget_flags(spark):
     for i in range(3):
         df = df.groupBy(f"c{i}").agg(F.count("*").alias(f"c{i + 1}"))
     assert "EXCHANGE_BUDGET" in codes(lint_plan(df, max_exchanges=3))
+
+
+def test_unpruned_wide_scan_flags(spark):
+    """A wide (>8 col) scan with no selective pushed filter next to a
+    sibling scan that does push one — the stuck-filter signature."""
+    li = table(spark, SF_ORACLE, "lineitem")  # 11 columns
+    # filter on a NON-join-key so Catalyst's transitive pushdown cannot
+    # copy it to the lineitem side (a join-key predicate would be —
+    # found out empirically writing this test)
+    o = table(spark, SF_ORACLE, "orders").where("o_totalprice < 1000")
+    bad = li.join(o, li.l_orderkey == o.o_orderkey)
+    assert "UNPRUNED_SCAN" in codes(lint_plan(bad))
+    # prune the wide side and the finding clears
+    good = li.select("l_orderkey", "l_quantity").join(
+        o, F.col("l_orderkey") == o.o_orderkey
+    )
+    assert "UNPRUNED_SCAN" not in codes(lint_plan(good))

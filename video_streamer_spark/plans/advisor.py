@@ -91,25 +91,33 @@ def lint_plan(df: DataFrame, max_exchanges: int = 8) -> list[Finding]:
                 "expression.",
             )
         )
-    # scans that read everything with no filter pushed: only flag when
-    # at least one OTHER scan (or the projection) shows the query needs
-    # a subset — a plain full-table aggregate legitimately reads all
-    full_scans = [
+    # scans that read everything with no real filter pushed (IsNotNull
+    # alone is join-key hygiene, not selectivity): only flag when a
+    # SIBLING scan does push a selective predicate — that asymmetry is
+    # the signature of a filter stuck above one branch (e.g. behind a
+    # UDF), while a plain full-table aggregate legitimately reads all
+    def _selective(pf: str) -> bool:
+        return any(
+            tok.strip() and not tok.strip().startswith("IsNotNull")
+            for tok in pf.split(",")
+        )
+
+    wide_unfiltered = [
         i
         for i, pf in enumerate(r.pushed_filters)
-        if not pf.strip()
+        if not _selective(pf)
         and i < len(r.read_schemas)
         and len(r.read_schemas[i].split(",")) > 8
     ]
-    if full_scans and r.pushed_filters and any(p.strip() for p in r.pushed_filters):
+    if wide_unfiltered and any(_selective(p) for p in r.pushed_filters):
         findings.append(
             Finding(
                 "UNPRUNED_SCAN",
-                f"{len(full_scans)} scan(s) read >8 columns with no "
-                "pushed filters while sibling scans push predicates: "
-                "check that filters and column pruning reach every "
-                "branch (a transform between filter and scan — e.g. a "
-                "UDF — blocks pushdown).",
+                f"{len(wide_unfiltered)} scan(s) read >8 columns with "
+                "no selective pushed filters while sibling scans push "
+                "predicates: check that filters and column pruning "
+                "reach every branch (a transform between filter and "
+                "scan — e.g. a UDF — blocks pushdown).",
             )
         )
     # root-level global sort with no Limit above it: parse the TREE
