@@ -57,12 +57,20 @@ def token_stats_per_lang(docs: DataFrame) -> DataFrame:
     return totals.join(distinct_tokens, "lang").orderBy("lang")
 
 
+_TOKS_SQL = "filter(split(text, ' '), x -> x != '')"
+
+
 def _stopword_ratio() -> F.Column:
-    toks = tokens_col("text")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
-    return F.when(
-        F.size(toks) > 0, n_stop.cast("double") / F.size(toks).cast("double")
-    ).otherwise(F.lit(0.0))
+    # one SQL string, one gateway round-trip: the lambda + isin(*10
+    # literals) version cost ~65 ms of Py4J per construction (round-6
+    # floor study, PLANS.md). D-suffixed literals keep every constant a
+    # DOUBLE exactly like the F.lit() calls it replaces.
+    stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return F.expr(
+        f"CASE WHEN size({_TOKS_SQL}) > 0 THEN "
+        f"CAST(size(filter({_TOKS_SQL}, t -> t IN ({stops}))) AS DOUBLE)"
+        f" / CAST(size({_TOKS_SQL}) AS DOUBLE) ELSE 0.0D END"
+    )
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
@@ -90,12 +98,15 @@ def quality_score_col() -> Column:
     capped-length * 0.5 + stopword-signal * 0.5 over the text column.
     Shared by quality_scores (which parity-rounds it) and consumers
     that bucket on the raw double (x161 PSI drift)."""
-    toks = tokens_col("text")
-    n_tokens = F.size(toks).cast("double")
-    stop_ratio = _stopword_ratio()
-    return (
-        F.least(n_tokens, F.lit(200.0)) / F.lit(200.0) * F.lit(0.5)
-        + F.least(stop_ratio * F.lit(10.0), F.lit(1.0)) * F.lit(0.5)
+    stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    stop_ratio = (
+        f"(CASE WHEN size({_TOKS_SQL}) > 0 THEN "
+        f"CAST(size(filter({_TOKS_SQL}, t -> t IN ({stops}))) AS DOUBLE)"
+        f" / CAST(size({_TOKS_SQL}) AS DOUBLE) ELSE 0.0D END)"
+    )
+    return F.expr(
+        f"least(CAST(size({_TOKS_SQL}) AS DOUBLE), 200.0D) / 200.0D * 0.5D"
+        f" + least({stop_ratio} * 10.0D, 1.0D) * 0.5D"
     )
 
 
@@ -107,14 +118,12 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     stopword-signal * 0.5, all in double with parity rounding at the end.
     """
     toks = tokens_col("text")
-    n_tokens = F.size(toks).cast("double")
-    avg_tok_len = F.when(
-        F.size(toks) > 0,
-        F.aggregate(
-            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
-        )
-        / n_tokens,
-    ).otherwise(F.lit(0.0))
+    avg_tok_len = F.expr(
+        f"CASE WHEN size({_TOKS_SQL}) > 0 THEN "
+        f"aggregate({_TOKS_SQL}, 0.0D, (acc, t) -> acc +"
+        " CAST(length(t) AS DOUBLE))"
+        f" / CAST(size({_TOKS_SQL}) AS DOUBLE) ELSE 0.0D END"
+    )
     stop_ratio = _stopword_ratio()
     score = quality_score_col()
     return docs.select(
