@@ -42,18 +42,21 @@ def synthetic_detections(events: DataFrame) -> DataFrame:
     gst-detection-tf.py:236): every field is integer-modular over
     event_id, identically computable in any engine.
     """
-    e = F.col("event_id")
-    ymin = ((e * 37) % 80) / 100.0
-    xmin = ((e * 53) % 80) / 100.0
-    return events.select(
-        F.floor(e / BOXES_PER_FRAME).cast("bigint").alias("frame_id"),
-        (e % BOXES_PER_FRAME).cast("int").alias("box_idx"),
-        ymin.alias("ymin"),
-        xmin.alias("xmin"),
-        (ymin + ((e * 11) % 20 + 1) / 100.0).alias("ymax"),
-        (xmin + ((e * 29) % 20 + 1) / 100.0).alias("xmax"),
-        (1 + e % 80).cast("int").alias("label_id"),
-        (((e * 13) % 100) / 100.0).alias("score"),
+    # one selectExpr, one gateway round-trip (the ~30 Column ops cost
+    # ~0.1 s of Py4J per construction — round-6 floor study, PLANS.md);
+    # D-suffixed divisors keep every term the same DOUBLE the Column
+    # version produced
+    return events.selectExpr(
+        f"CAST(floor(event_id / {BOXES_PER_FRAME}) AS BIGINT) AS frame_id",
+        f"CAST(event_id % {BOXES_PER_FRAME} AS INT) AS box_idx",
+        "((event_id * 37) % 80) / 100.0D AS ymin",
+        "((event_id * 53) % 80) / 100.0D AS xmin",
+        "((event_id * 37) % 80) / 100.0D"
+        " + ((event_id * 11) % 20 + 1) / 100.0D AS ymax",
+        "((event_id * 53) % 80) / 100.0D"
+        " + ((event_id * 29) % 20 + 1) / 100.0D AS xmax",
+        "CAST(1 + event_id % 80 AS INT) AS label_id",
+        "((event_id * 13) % 100) / 100.0D AS score",
     )
 
 
@@ -66,13 +69,13 @@ def scale_boxes(
     det: DataFrame, width: int = FRAME_WIDTH, height: int = FRAME_HEIGHT
 ) -> DataFrame:
     """Normalized [0,1] box corners → integer pixel coordinates."""
-    return det.select(
+    return det.selectExpr(
         "frame_id",
         "box_idx",
-        F.floor(F.col("xmin") * width).cast("int").alias("x_min"),
-        F.floor(F.col("ymin") * height).cast("int").alias("y_min"),
-        F.floor(F.col("xmax") * width).cast("int").alias("x_max"),
-        F.floor(F.col("ymax") * height).cast("int").alias("y_max"),
+        f"CAST(floor(xmin * {width}) AS INT) AS x_min",
+        f"CAST(floor(ymin * {height}) AS INT) AS y_min",
+        f"CAST(floor(xmax * {width}) AS INT) AS x_max",
+        f"CAST(floor(ymax * {height}) AS INT) AS y_max",
         "label_id",
         "score",
     )
