@@ -168,16 +168,17 @@ def minhash_bands(sigs: DataFrame, band_rows: int = MINHASH_BAND_ROWS) -> DataFr
             "and quietly degrade candidate recall"
         )
     n_bands = len(mh_cols) // band_rows
-    bands = F.array(
-        *[
-            F.concat_ws(
-                "|", *[F.col(mh_cols[b * band_rows + r]) for r in range(band_rows)]
-            )
-            for b in range(n_bands)
-        ]
+    # one SQL expression for the whole band array (the concat_ws loop
+    # was ~40 Py4J calls of construction latency; same analyzed plan)
+    band_exprs = ", ".join(
+        "concat_ws('|', "
+        + ", ".join(mh_cols[b * band_rows + r] for r in range(band_rows))
+        + ")"
+        for b in range(n_bands)
     )
-    return sigs.select(
-        "doc_id", F.posexplode(bands).alias("band_idx", "band_val")
+    return sigs.selectExpr(
+        "doc_id",
+        f"posexplode(array({band_exprs})) AS (band_idx, band_val)",
     )
 
 
