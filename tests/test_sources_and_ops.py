@@ -2771,3 +2771,34 @@ def test_x195_entropy_ignores_empty_documents(spark, tmp_path):
     want = {tuple(r) for r in con.execute(
         ORACLES["x195_char_entropy_quality"]).fetchall()}
     assert got == want
+
+
+def test_motion_estimation_survives_perturbation(spark):
+    """Block matching must recover the planted shift even when frame 2
+    is not an exact copy (one corrupted block): SAD at the true shift
+    becomes nonzero but stays the minimum."""
+    import numpy as np
+    import pandas as pd
+
+    from video_streamer_spark.operators import video
+    from video_streamer_spark.operators.jpeg import encode_jpeg_gray
+
+    n, bw, bh = 32, 8, 4
+    vals = (8 * np.arange(n, dtype=np.int64) + 3).astype(np.uint8)
+    blocks = vals.reshape(bh, bw)
+    f1 = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    shifted = np.roll(blocks, (1, -2), axis=(0, 1))
+    shifted = shifted.copy()
+    shifted[0, 0] = (int(shifted[0, 0]) + 40) % 251  # corrupt one block
+    f2 = np.repeat(np.repeat(shifted, 8, axis=0), 8, axis=1)
+    payload = video.mux_mjpeg_avi(
+        [encode_jpeg_gray(f1, quant=1), encode_jpeg_gray(f2, quant=1)],
+        bw * 8,
+        bh * 8,
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "payload": [payload]})
+    )
+    r = video.estimate_global_motion(df).collect()[0]
+    assert (r["mv_dx_blocks"], r["mv_dy_blocks"]) == (-2, 1)
+    assert r["sad_min"] > 0

@@ -321,3 +321,129 @@ def probe_video_metadata(
             yield pd.DataFrame(rows)
 
     return videos.select(id_col, bin_col).mapInPandas(compute, PROBE_SCHEMA)
+
+
+MOTION_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mv_dx_blocks", IntegerType()),
+        StructField("mv_dy_blocks", IntegerType()),
+        StructField("sad_min", LongType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def encode_shifted_pair_payloads(
+    docs: DataFrame, blocks_w: int = 8, blocks_h: int = 4
+) -> DataFrame:
+    """Two-frame MJPEG AVIs with PLANTED global motion: frame 1 is a
+    grid of pairwise-distinct flat 8×8 blocks (value ``8·i + doc_id%8``
+    for block index i — distinct by construction, so no other shift can
+    tie), frame 2 is frame 1 cyclically shifted by
+    ``(dy, dx) = ((doc_id//5)%3 − 1, doc_id%5 − 2)`` blocks. Because
+    the planted shift is closed-form in doc_id and block values are
+    distinct, exhaustive block matching must recover exactly (dx, dy)
+    with SAD 0 — the oracle contract for x197."""
+    import sys
+
+    from pyspark.sql.functions import pandas_udf
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+    ship_module(_jpeg_dep)
+    ship_module(_mp4_dep)
+    encode_gray = _jpeg_dep.encode_jpeg_gray
+    n = blocks_w * blocks_h
+    w_px, h_px = blocks_w * 8, blocks_h * 8
+
+    @pandas_udf("binary")
+    def to_avi(ids: pd.Series) -> pd.Series:
+        out = []
+        for d in ids:
+            d = int(d)
+            vals = (8 * np.arange(n, dtype=np.int64) + d % 8).astype(np.uint8)
+            blocks = vals.reshape(blocks_h, blocks_w)
+            dy, dx = (d // 5) % 3 - 1, d % 5 - 2
+            f1 = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+            f2 = np.repeat(
+                np.repeat(np.roll(blocks, (dy, dx), axis=(0, 1)), 8, axis=0),
+                8,
+                axis=1,
+            )
+            out.append(
+                mux_mjpeg_avi(
+                    [encode_gray(f1, quant=1), encode_gray(f2, quant=1)],
+                    w_px,
+                    h_px,
+                )
+            )
+        return pd.Series(out)
+
+    return docs.select("doc_id", to_avi(F.col("doc_id")).alias("payload"))
+
+
+def estimate_global_motion(
+    videos: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    search_dx: int = 2,
+    search_dy: int = 1,
+    block: int = 8,
+) -> DataFrame:
+    """Global motion between the first two frames of each video by
+    exhaustive block-granular matching: for every candidate shift
+    (dy, dx) in the search window, SAD between frame 2 and frame 1
+    cyclically shifted by (dy·block, dx·block) pixels; the argmin (scan
+    order dy asc, dx asc on ties) is the motion vector. This is the
+    first estimation stage of any encoder/tracker — done on the REAL
+    decoded pixels (demux → JPEG decode), not metadata, unlike the
+    x184/x185 metadata-level trackers.
+
+    Spark shape: one video = one row through Arrow-batched mapInPandas;
+    the search is O(window · pixels) per video and frames never leave
+    the executor — scale-out is by video exactly like decode_video_stats.
+    """
+    import sys
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+    ship_module(_jpeg_dep)
+    ship_module(_mp4_dep)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "mv_dx_blocks", "mv_dy_blocks",
+                    "sad_min", "n_frames",
+                )
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[bin_col]):
+                v = decode_video(b)
+                f1 = v[0].astype(np.int64)
+                f2 = v[1].astype(np.int64)
+                best = None
+                for dy in range(-search_dy, search_dy + 1):
+                    for dx in range(-search_dx, search_dx + 1):
+                        sad = int(
+                            np.abs(
+                                f2
+                                - np.roll(
+                                    f1, (dy * block, dx * block), axis=(0, 1)
+                                )
+                            ).sum()
+                        )
+                        if best is None or sad < best[0]:
+                            best = (sad, dx, dy)
+                rows["doc_id"].append(int(doc_id))
+                rows["mv_dx_blocks"].append(int(best[1]))
+                rows["mv_dy_blocks"].append(int(best[2]))
+                rows["sad_min"].append(int(best[0]))
+                rows["n_frames"].append(int(v.shape[0]))
+            yield pd.DataFrame(rows)
+
+    return videos.select(id_col, bin_col).mapInPandas(compute, MOTION_SCHEMA)

@@ -1147,3 +1147,36 @@ def x105_decode_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     avis = video.encode_mjpeg_payloads(docs, n_frames=3, blocks_w=8, blocks_h=4)
     return video.decode_video_stats(avis).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x197: GLOBAL MOTION ESTIMATION — the first stage of every video
+# encoder/tracker (reference analog: the per-frame temporal loop the
+# GStreamer pipeline hands to the model, run.sh:53), executed on REAL
+# decoded pixels with zero codec libraries: each document becomes a
+# two-frame MJPEG AVI whose second frame carries a PLANTED cyclic shift
+# of (dy, dx) = ((doc_id//5)%3 − 1, doc_id%5 − 2) blocks over a grid of
+# pairwise-distinct flat blocks (operators/video.py
+# encode_shifted_pair_payloads). The engine demuxes the RIFF tree,
+# JPEG-decodes both frames, and exhaustively block-matches a ±2×±1
+# search window; distinct block values make the planted shift the
+# unique SAD-zero argmin, so the oracle is the closed-form plant — the
+# query only hash-matches if mux → demux → decode → search recovers
+# every planted vector exactly.
+@query(
+    "x197_motion_vectors",
+    oracle="""
+    SELECT doc_id,
+      CAST(doc_id % 5 - 2 AS INT) AS mv_dx_blocks,
+      CAST((doc_id // 5) % 3 - 1 AS INT) AS mv_dy_blocks,
+      CAST(0 AS BIGINT) AS sad_min,
+      CAST(2 AS INT) AS n_frames
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x197_motion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators import video
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = video.encode_shifted_pair_payloads(docs)
+    return video.estimate_global_motion(pairs).orderBy("doc_id")
