@@ -447,3 +447,135 @@ def estimate_global_motion(
             yield pd.DataFrame(rows)
 
     return videos.select(id_col, bin_col).mapInPandas(compute, MOTION_SCHEMA)
+
+
+MOTION_FIELD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("region", StringType()),
+        StructField("mv_dx_blocks", IntegerType()),
+        StructField("mv_dy_blocks", IntegerType()),
+        StructField("sad_min", LongType()),
+    ]
+)
+
+
+def encode_split_motion_payloads(
+    docs: DataFrame, blocks_w: int = 8, blocks_h: int = 4
+) -> DataFrame:
+    """Two-frame AVIs with TWO independent planted motions: the left
+    and right halves of the block grid each carry their own cyclic
+    shift — left ``(dy, dx) = ((doc_id//3)%3 − 1, doc_id%3 − 1)``,
+    right ``(dy, dx) = ((doc_id//7)%3 − 1, doc_id%7%3 − 1)`` — shifts
+    wrap WITHIN each half, so each half is an independent recovery
+    problem. Block values are pairwise distinct across the WHOLE frame
+    (``8·i + doc_id%8``), so neither half's argmin can alias the other's
+    content. The x198 oracle is the closed-form plant per region."""
+    import sys
+
+    from pyspark.sql.functions import pandas_udf
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+    ship_module(_jpeg_dep)
+    ship_module(_mp4_dep)
+    encode_gray = _jpeg_dep.encode_jpeg_gray
+    n = blocks_w * blocks_h
+    half = blocks_w // 2
+    w_px, h_px = blocks_w * 8, blocks_h * 8
+
+    @pandas_udf("binary")
+    def to_avi(ids: pd.Series) -> pd.Series:
+        out = []
+        for d in ids:
+            d = int(d)
+            vals = (8 * np.arange(n, dtype=np.int64) + d % 8).astype(np.uint8)
+            blocks = vals.reshape(blocks_h, blocks_w)
+            left, right = blocks[:, :half], blocks[:, half:]
+            l_dy, l_dx = (d // 3) % 3 - 1, d % 3 - 1
+            r_dy, r_dx = (d // 7) % 3 - 1, d % 7 % 3 - 1
+            shifted = np.hstack(
+                [
+                    np.roll(left, (l_dy, l_dx), axis=(0, 1)),
+                    np.roll(right, (r_dy, r_dx), axis=(0, 1)),
+                ]
+            )
+            f1 = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+            f2 = np.repeat(np.repeat(shifted, 8, axis=0), 8, axis=1)
+            out.append(
+                mux_mjpeg_avi(
+                    [encode_gray(f1, quant=1), encode_gray(f2, quant=1)],
+                    w_px,
+                    h_px,
+                )
+            )
+        return pd.Series(out)
+
+    return docs.select("doc_id", to_avi(F.col("doc_id")).alias("payload"))
+
+
+def estimate_motion_field(
+    videos: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    search: int = 1,
+    block: int = 8,
+) -> DataFrame:
+    """Per-REGION motion between the first two frames: the frame is
+    split into left/right halves and each half gets its own exhaustive
+    cyclic block-matching argmin — the minimal motion FIELD (what a
+    tracker/encoder consumes; x197 is the global special case). One row
+    per (video, region); same mapInPandas scale shape as
+    estimate_global_motion."""
+    import sys
+
+    from video_streamer_spark.functions.shipping import ship_module
+
+    ship_module(sys.modules[__name__])
+    ship_module(_jpeg_dep)
+    ship_module(_mp4_dep)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "region", "mv_dx_blocks",
+                    "mv_dy_blocks", "sad_min",
+                )
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[bin_col]):
+                v = decode_video(b)
+                w = v.shape[2]
+                for region, sl in (
+                    ("left", slice(0, w // 2)),
+                    ("right", slice(w // 2, w)),
+                ):
+                    f1 = v[0][:, sl].astype(np.int64)
+                    f2 = v[1][:, sl].astype(np.int64)
+                    best = None
+                    for dy in range(-search, search + 1):
+                        for dx in range(-search, search + 1):
+                            sad = int(
+                                np.abs(
+                                    f2
+                                    - np.roll(
+                                        f1,
+                                        (dy * block, dx * block),
+                                        axis=(0, 1),
+                                    )
+                                ).sum()
+                            )
+                            if best is None or sad < best[0]:
+                                best = (sad, dx, dy)
+                    rows["doc_id"].append(int(doc_id))
+                    rows["region"].append(region)
+                    rows["mv_dx_blocks"].append(int(best[1]))
+                    rows["mv_dy_blocks"].append(int(best[2]))
+                    rows["sad_min"].append(int(best[0]))
+            yield pd.DataFrame(rows)
+
+    return videos.select(id_col, bin_col).mapInPandas(
+        compute, MOTION_FIELD_SCHEMA
+    )

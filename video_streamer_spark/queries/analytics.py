@@ -1180,3 +1180,33 @@ def x197_motion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = video.encode_shifted_pair_payloads(docs)
     return video.estimate_global_motion(pairs).orderBy("doc_id")
+
+
+# x198: MOTION FIELD — x197's global estimator generalized to per-
+# region vectors (the minimal motion SEGMENTATION a tracker/encoder
+# consumes): the two halves of each synthesized frame pair carry
+# INDEPENDENT planted cyclic shifts (operators/video.py
+# encode_split_motion_payloads), and the engine must recover BOTH per
+# video through the same demux → JPEG decode → exhaustive matching
+# path. Frame-wide distinct block values make each half's argmin
+# unique, so the oracle is the closed-form plant per (doc, region).
+@query(
+    "x198_motion_field",
+    oracle="""
+    SELECT doc_id, region,
+      CASE WHEN region = 'left' THEN CAST(doc_id % 3 - 1 AS INT)
+           ELSE CAST(doc_id % 7 % 3 - 1 AS INT) END AS mv_dx_blocks,
+      CASE WHEN region = 'left' THEN CAST((doc_id // 3) % 3 - 1 AS INT)
+           ELSE CAST((doc_id // 7) % 3 - 1 AS INT) END AS mv_dy_blocks,
+      CAST(0 AS BIGINT) AS sad_min
+    FROM documents
+    CROSS JOIN (SELECT unnest(['left', 'right']) AS region)
+    ORDER BY doc_id, region
+    """,
+)
+def x198_motion_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators import video
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = video.encode_split_motion_payloads(docs)
+    return video.estimate_motion_field(pairs).orderBy("doc_id", "region")
