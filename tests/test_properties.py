@@ -368,3 +368,30 @@ def test_incremental_rollup_is_batch_composition_invariant(spark):
         tuple(r) for r in incremental_rollup(spark, SF_SMOKE, n_splits=8).collect()
     )
     assert a == b and len(a) > 1
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(
+    seed=st.integers(0, 10_000),
+    dy=st.integers(-1, 1),
+    dx=st.integers(-2, 2),
+)
+def test_block_match_recovers_any_planted_shift(seed, dy, dx):
+    """block_match must recover every planted cyclic shift exactly
+    (SAD 0) for any frame of pairwise-distinct flat blocks — the
+    property both motion queries' oracles rely on."""
+    import numpy as np
+
+    from video_streamer_spark.operators.video import block_match
+
+    rng = np.random.default_rng(seed)
+    vals = rng.permutation(256)[:32].astype(np.uint8)  # distinct blocks
+    blocks = vals.reshape(4, 8)
+    f1 = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    f2 = np.repeat(
+        np.repeat(np.roll(blocks, (dy, dx), axis=(0, 1)), 8, axis=0),
+        8,
+        axis=1,
+    )
+    sad, got_dx, got_dy = block_match(f1, f2, search_dy=1, search_dx=2)
+    assert (sad, got_dx, got_dy) == (0, dx, dy)

@@ -384,6 +384,31 @@ def encode_shifted_pair_payloads(
     return docs.select("doc_id", to_avi(F.col("doc_id")).alias("payload"))
 
 
+def block_match(
+    f1: np.ndarray,
+    f2: np.ndarray,
+    search_dy: int,
+    search_dx: int,
+    block: int = 8,
+) -> tuple[int, int, int]:
+    """Exhaustive cyclic block matching: (sad_min, dx, dy) minimizing
+    SAD(f2, roll(f1, (dy·block, dx·block))) over the search window,
+    ties broken in scan order (dy asc, dx asc). Pure function shared by
+    both estimators and property-tested directly
+    (tests/test_properties.py)."""
+    a = f1.astype(np.int64)
+    b = f2.astype(np.int64)
+    best = None
+    for dy in range(-search_dy, search_dy + 1):
+        for dx in range(-search_dx, search_dx + 1):
+            sad = int(
+                np.abs(b - np.roll(a, (dy * block, dx * block), axis=(0, 1))).sum()
+            )
+            if best is None or sad < best[0]:
+                best = (sad, dx, dy)
+    return best
+
+
 def estimate_global_motion(
     videos: DataFrame,
     id_col: str = "doc_id",
@@ -424,21 +449,9 @@ def estimate_global_motion(
             }
             for doc_id, b in zip(pdf[id_col], pdf[bin_col]):
                 v = decode_video(b)
-                f1 = v[0].astype(np.int64)
-                f2 = v[1].astype(np.int64)
-                best = None
-                for dy in range(-search_dy, search_dy + 1):
-                    for dx in range(-search_dx, search_dx + 1):
-                        sad = int(
-                            np.abs(
-                                f2
-                                - np.roll(
-                                    f1, (dy * block, dx * block), axis=(0, 1)
-                                )
-                            ).sum()
-                        )
-                        if best is None or sad < best[0]:
-                            best = (sad, dx, dy)
+                best = block_match(
+                    v[0], v[1], search_dy, search_dx, block
+                )
                 rows["doc_id"].append(int(doc_id))
                 rows["mv_dx_blocks"].append(int(best[1]))
                 rows["mv_dy_blocks"].append(int(best[2]))
@@ -552,23 +565,9 @@ def estimate_motion_field(
                     ("left", slice(0, w // 2)),
                     ("right", slice(w // 2, w)),
                 ):
-                    f1 = v[0][:, sl].astype(np.int64)
-                    f2 = v[1][:, sl].astype(np.int64)
-                    best = None
-                    for dy in range(-search, search + 1):
-                        for dx in range(-search, search + 1):
-                            sad = int(
-                                np.abs(
-                                    f2
-                                    - np.roll(
-                                        f1,
-                                        (dy * block, dx * block),
-                                        axis=(0, 1),
-                                    )
-                                ).sum()
-                            )
-                            if best is None or sad < best[0]:
-                                best = (sad, dx, dy)
+                    best = block_match(
+                        v[0][:, sl], v[1][:, sl], search, search, block
+                    )
                     rows["doc_id"].append(int(doc_id))
                     rows["region"].append(region)
                     rows["mv_dx_blocks"].append(int(best[1]))
