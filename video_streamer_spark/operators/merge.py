@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from video_streamer_spark.streaming.drain import drain_or_raise
+
 OP_COL = "__op"
 BUCKET_COL = "pb"
 
@@ -234,7 +236,7 @@ def run_merge_upsert_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    drain_or_raise(q, timeout_sec, "run_merge_upsert_sink")
 
 
 def diff_snapshots(

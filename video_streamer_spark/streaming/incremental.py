@@ -49,21 +49,72 @@ from video_streamer_spark.operators.maintenance import (
     atomic_swap_dir,
     heal_swap_residue,
 )
+from video_streamer_spark.streaming.drain import drain_or_raise
 
 _seq = itertools.count()
 
 _MANIFEST = "folded-epochs.json"
 
 
-def _folded_epochs(journal: str) -> set[int]:
+def _read_manifest(journal: str) -> dict:
+    """``{"epochs": set[int], "scope": str | None}``. The legacy format
+    (a bare JSON list of epoch ids) is read as scope=None."""
     p = os.path.join(journal, _MANIFEST)
     if not os.path.exists(p):
-        return set()
+        return {"epochs": set(), "scope": None}
     with open(p) as fh:
-        return set(json.load(fh))
+        data = json.load(fh)
+    if isinstance(data, list):
+        return {"epochs": set(data), "scope": None}
+    return {"epochs": set(data["epochs"]), "scope": data.get("scope")}
 
 
-def write_partial_batch(batch_df: DataFrame, epoch_id: int, journal: str) -> None:
+def _folded_epochs(journal: str) -> set[int]:
+    return _read_manifest(journal)["epochs"]
+
+
+def heal_journal_residue(journal: str) -> None:
+    """Self-heal a crash inside ``write_partial_batch``'s two-rename
+    epoch swap. Crash states and their recovery, per epoch N:
+
+    - ``.replaced-batch-N`` + ``batch-N`` both present: died after the
+      second rename, before cleanup — the swap completed; drop the
+      ``.replaced`` copy (it would otherwise leak forever: subsequent
+      replays take the no-final plain-rename branch and never see it).
+    - ``.replaced-batch-N`` present, ``batch-N`` missing: died between
+      the two renames. The staged dir (written fully BEFORE the first
+      rename) is the replay's rows — promote it if complete, else
+      restore the replaced original.
+    - ``.staging-batch-N`` present with ``batch-N``: a half-written
+      stage (crash mid-parquet-write) — discard; ``batch-N`` is intact.
+    """
+    if not os.path.isdir(journal):
+        return
+    for d in os.listdir(journal):
+        if d.startswith(".replaced-batch-"):
+            name = d.removeprefix(".replaced-")
+            final = os.path.join(journal, name)
+            staged = os.path.join(journal, f".staging-{name}")
+            if os.path.exists(final):
+                shutil.rmtree(os.path.join(journal, d))
+            elif os.path.exists(os.path.join(staged, "_SUCCESS")):
+                os.rename(staged, final)
+                shutil.rmtree(os.path.join(journal, d))
+            else:
+                os.rename(os.path.join(journal, d), final)
+    for d in os.listdir(journal):
+        if d.startswith(".staging-batch-"):
+            final = os.path.join(journal, d.removeprefix(".staging-"))
+            if os.path.exists(final):
+                shutil.rmtree(os.path.join(journal, d))
+
+
+def write_partial_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    journal: str,
+    scope: str | None = None,
+) -> None:
     """One micro-batch's contribution: a partial rollup per
     (day, event_type), journaled under its epoch id.
 
@@ -73,8 +124,30 @@ def write_partial_batch(batch_df: DataFrame, epoch_id: int, journal: str) -> Non
     already inside the folded partials, and re-journaling it would
     double-count. The epoch is staged under a dot-prefixed temp the
     ``batch-*`` reader glob never matches and renamed into place, so a
-    concurrent read sees each epoch completely or not at all."""
-    if int(epoch_id) in _folded_epochs(journal):
+    concurrent read sees each epoch completely or not at all.
+
+    ``scope`` ties the manifest's folded-epoch ids to ONE stream run
+    (pass the stream's checkpoint location). Epoch ids restart at 0
+    whenever a stream gets a fresh checkpoint, so without the scope a
+    journal that outlives its checkpoint would silently drop the new
+    stream's early epochs (their ids collide with folded ones). A
+    scoped writer hitting a manifest folded under a DIFFERENT scope
+    refuses loudly instead of guessing."""
+    heal_journal_residue(journal)
+    manifest = _read_manifest(journal)
+    if (
+        scope is not None
+        and manifest["scope"] is not None
+        and manifest["scope"] != scope
+    ):
+        raise RuntimeError(
+            f"journal {journal} was compacted under stream scope "
+            f"{manifest['scope']!r} but this writer has scope {scope!r}: "
+            "epoch ids are only comparable within one checkpoint "
+            "lineage. Use a fresh journal for a fresh checkpoint (or "
+            "compact with the matching scope)."
+        )
+    if int(epoch_id) in manifest["epochs"]:
         return
     micros = F.floor(F.col("value").cast("double") * 1000000.0).cast("bigint")
     partial = batch_df.groupBy(
@@ -106,7 +179,11 @@ def write_partial_batch(batch_df: DataFrame, epoch_id: int, journal: str) -> Non
 
 def combine_rollup(spark: SparkSession, journal: str) -> DataFrame:
     """Read-side combine of the partial journal: exact BIGINT sums, then
-    the presentation round (parity rules 1/2/4)."""
+    the presentation round (parity rules 1/2/4). Heals swap/stage
+    residue from a crashed writer first (same quiesced-writer contract
+    as compaction), so an epoch stranded mid-swap is visible again."""
+    heal_swap_residue(journal)
+    heal_journal_residue(journal)
     parts = spark.read.parquet(f"{journal}/batch-*")
     return (
         parts.groupBy("day", "event_type")
@@ -125,7 +202,9 @@ def combine_rollup(spark: SparkSession, journal: str) -> DataFrame:
     )
 
 
-def compact_journal(spark: SparkSession, journal: str) -> dict:
+def compact_journal(
+    spark: SparkSession, journal: str, scope: str | None = None
+) -> dict:
     """Fold all journal epochs into one: read every ``batch-*`` partial,
     combine per key (partials are order/grouping-invariant BIGINT sums,
     so the fold IS the same aggregation), and swap the folded journal in
@@ -142,17 +221,34 @@ def compact_journal(spark: SparkSession, journal: str) -> dict:
     Concurrency contract: run with writers QUIESCED (the stream drained
     or stopped) — the same contract as every offline compactor
     (maintenance.compact_parquet_dir, Delta OPTIMIZE). As a guard, any
-    epoch dir that appears between the fold's snapshot and the swap is
-    carried over into the new journal rather than deleted; a writer
-    mid-stage (.staging-*) during the swap is not supported."""
+    epoch dir that appears between the fold's snapshot and the swap —
+    including the window between the carry-over listdir and the swap
+    renames, re-checked AFTER the swap before the old tree is deleted —
+    is carried over into the new journal rather than deleted; a writer
+    mid-stage (.staging-*) during the swap is not supported.
+
+    ``scope`` (the writing stream's checkpoint location) is recorded in
+    the manifest; see ``write_partial_batch`` for why folded epoch ids
+    are only meaningful within one checkpoint lineage."""
     heal_swap_residue(journal)
+    heal_journal_residue(journal)
+    manifest = _read_manifest(journal)
+    if (
+        scope is not None
+        and manifest["scope"] is not None
+        and manifest["scope"] != scope
+    ):
+        raise RuntimeError(
+            f"journal {journal} already folded under scope "
+            f"{manifest['scope']!r}; refusing to compact under {scope!r}"
+        )
     epochs = sorted(
         d for d in os.listdir(journal) if d.startswith("batch-")
     )
     if not epochs:
         return {"epochs_folded": 0}
     folded_ids = sorted(
-        _folded_epochs(journal)
+        manifest["epochs"]
         | {
             int(d.removeprefix("batch-"))
             for d in epochs
@@ -170,13 +266,31 @@ def compact_journal(spark: SparkSession, journal: str) -> dict:
     tmp = journal.rstrip("/") + ".compact-tmp"
     folded.write.mode("overwrite").parquet(f"{tmp}/batch-compacted")
     with open(os.path.join(tmp, _MANIFEST), "w") as fh:
-        json.dump(folded_ids, fh)
+        json.dump(
+            {
+                "epochs": folded_ids,
+                "scope": scope if scope is not None else manifest["scope"],
+            },
+            fh,
+        )
     # carry over epochs journaled after the snapshot (quiesced-writer
     # contract makes this set empty; the guard keeps a straggler's data)
     for d in os.listdir(journal):
         if d.startswith("batch-") and d not in epochs:
             os.rename(os.path.join(journal, d), os.path.join(tmp, d))
-    atomic_swap_dir(tmp, journal)
+    # the swap inline (not atomic_swap_dir) so the old tree can be
+    # re-listed AFTER the renames: an epoch journaled between the
+    # carry-over listdir above and the rename lands in `old`, and an
+    # unconditional rmtree there would silently lose it
+    old = journal.rstrip("/") + ".compact-old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(journal, old)
+    os.rename(tmp, journal)
+    for d in os.listdir(old):
+        if d.startswith("batch-") and d not in epochs:
+            os.rename(os.path.join(old, d), os.path.join(journal, d))
+    shutil.rmtree(old)
     return {"epochs_folded": len(epochs)}
 
 
@@ -225,20 +339,15 @@ def incremental_rollup(
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda df, epoch: write_partial_batch(df, epoch, journal)
+            lambda df, epoch: write_partial_batch(
+                df, epoch, journal, scope=checkpoint
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(timeout_sec):
-        # combining a partial journal while the leaked query keeps
-        # writing would surface as a nondeterministic wrong answer;
-        # fail loudly instead
-        q.stop()
-        raise TimeoutError(
-            f"incremental_rollup: stream did not drain in {timeout_sec}s"
-        )
+    drain_or_raise(q, timeout_sec, "incremental_rollup")
     # the drain is complete and the journal immutable; the checkpoint
     # has no further reader (each invocation streams into a fresh run
     # dir), so reclaim it

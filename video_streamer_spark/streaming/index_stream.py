@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from video_streamer_spark.functions.shipping import ship_module
+from video_streamer_spark.streaming.drain import drain_or_raise
 from video_streamer_spark.operators.similarity import (
     _pivot_quantizer,
     _routing_scores,
@@ -69,7 +70,7 @@ def index_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    drain_or_raise(q, timeout_sec, "index_ingest_stream")
 
 
 def index_upsert_stream(
@@ -109,4 +110,4 @@ def index_upsert_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    drain_or_raise(q, timeout_sec, "index_upsert_stream")

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from video_streamer_spark.catalog import table
+from video_streamer_spark.streaming.drain import drain_or_raise
 
 
 def _as_stream_dir(sf_dir: str, name: str) -> str:
@@ -120,7 +121,7 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    drain_or_raise(q, timeout_sec, f"run_available_now({sink_name})")
     return sink_name
 
 
@@ -152,7 +153,7 @@ def run_foreach_batch_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    drain_or_raise(q, timeout_sec, "run_foreach_batch_sink")
 
 
 def purchase_click_stream_join(
@@ -286,4 +287,4 @@ def run_bucketed_table_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    drain_or_raise(q, timeout_sec, "run_partitioned_table_sink")
