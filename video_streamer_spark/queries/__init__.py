@@ -112,18 +112,14 @@ def _load_all() -> None:
     from video_streamer_spark.queries import corpus  # noqa: F401
 
 
-# The driver hash-checks the FIRST 50 registered queries per round. Round-6
-# ordering rule (invariant since r3: every green row should describe the
-# code as currently written, and no query's evidence should go stale):
-#   1. The r5 driver-red rows x92/x95 plus every query whose hashed
-#      output changed with the parity rule-4 sweep (DECIMAL outputs →
-#      DOUBLE/BIGINT): x97, x130, x135, x165, x170. These must re-earn
-#      green rows first.
-#   2. Queries whose index code changed this round (ivf upsert
-#      crash-safety + per-session index paths): x155, x159, x164.
-#   3. The never-driver-verified tail x119+ in order (43 fit in the
-#      50-row sample; the remainder — x163, x166-x169, x171-x194 —
-#      completes in round 7).
+# The driver hash-checks the FIRST 50 registered queries per round.
+# Since round 7 the order is DERIVED from the evidence, not hand-listed
+# (sample_order.derived_sample_order): latest-red rows first, then
+# never-driver-verified queries, then queries whose source hash changed
+# since their newest green row (verified_hashes.json), then everything
+# else oldest-evidence-first. `_SAMPLE_FIRST` survives only as the
+# fallback when derivation itself fails (e.g. artifacts unreadable) and
+# as a regression baseline for the ordering test.
 _SAMPLE_FIRST = [
     # 1. r5 red rows + rule-4 hashed-output changes
     "x92_collocation_pmi",
@@ -263,7 +259,15 @@ _SAMPLE_FIRST = [
 
 
 def _reorder() -> None:
-    head = {n: QUERIES[n] for n in _SAMPLE_FIRST if n in QUERIES}
+    try:
+        from video_streamer_spark.queries.sample_order import (
+            derived_sample_order,
+        )
+
+        order = derived_sample_order(QUERIES, ORACLES)
+    except Exception:
+        order = _SAMPLE_FIRST
+    head = {n: QUERIES[n] for n in order if n in QUERIES}
     tail = {n: fn for n, fn in QUERIES.items() if n not in head}
     QUERIES.clear()
     QUERIES.update(head)

@@ -1,0 +1,252 @@
+"""Derived driver-sample ordering (round-6 VERDICT item 3).
+
+The driver hash-checks the FIRST 50 registered queries per round, so
+the registration order IS the evidence budget. Through round 6 that
+order was a hand-maintained list (`_SAMPLE_FIRST`), with the known
+failure mode the VERDICT called out: a forgotten changed-code query
+ships without re-verification, and never-verified queries age.
+
+This module derives the order from the evidence itself:
+
+1. **Red rows first** — any query whose LATEST driver CORRECTNESS row
+   is not green must re-earn one before anything else.
+2. **Never-verified** — queries with no driver row in ANY
+   ``CORRECTNESS_r*.json``, oldest-registered first.
+3. **Changed since last green** — queries whose current source hash
+   differs from the hash recorded when their newest green row was
+   earned (``verified_hashes.json``, regenerated per round via
+   ``python -m video_streamer_spark.queries.sample_order --write``).
+   The hash covers the query function's own source, its oracle SQL,
+   and every in-package module in the TRANSITIVE import closure of the
+   query's module — module-level granularity deliberately over-flags
+   (touching ``operators/text.py`` re-queues every text query), which
+   errs toward re-verification, never away from it.
+4. **Everything else**, oldest green evidence first, so long-stale
+   rows rotate back through the sample.
+
+The derivation reads the correctness artifacts at the repo root via
+``__file__``-relative paths, so it works from any cwd (the driver's
+included). If no artifact exists (a fresh clone), every query is
+"never verified" and the order degenerates to registration order —
+safe by construction.
+"""
+
+from __future__ import annotations
+
+import ast
+import hashlib
+import inspect
+import json
+import pathlib
+import re
+
+_PKG = "video_streamer_spark"
+
+
+def _repo_root() -> pathlib.Path:
+    return pathlib.Path(__file__).resolve().parents[2]
+
+
+def _pkg_root() -> pathlib.Path:
+    return pathlib.Path(__file__).resolve().parents[1]
+
+
+def latest_driver_evidence() -> dict[str, tuple[int, bool]]:
+    """name -> (round, green) from the newest CORRECTNESS row per query.
+
+    Green = rows+schema matched, hash matched where the driver computed
+    one (``hash_match`` is None for rows-only checks), and no error.
+    """
+    out: dict[str, tuple[int, bool]] = {}
+    for p in sorted(_repo_root().glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green = (
+                bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and row.get("hash_match") is not False
+                and row.get("err") in (None, "")
+            )
+            prev = out.get(name)
+            if prev is None or rnd >= prev[0]:
+                out[name] = (rnd, green)
+    return out
+
+
+def _module_file(mod_name: str) -> pathlib.Path | None:
+    """Best-effort source path for an in-package module name."""
+    if not mod_name.startswith(_PKG):
+        return None
+    rel = mod_name.split(".")[1:]
+    base = _pkg_root().joinpath(*rel) if rel else _pkg_root()
+    if base.with_suffix(".py").is_file():
+        return base.with_suffix(".py")
+    if (base / "__init__.py").is_file():
+        return base / "__init__.py"
+    return None
+
+
+def _direct_imports(path: pathlib.Path) -> set[str]:
+    """In-package module names imported by the file (static AST walk)."""
+    try:
+        tree = ast.parse(path.read_text())
+    except (OSError, SyntaxError):
+        return set()
+    found: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(_PKG):
+                    found.add(a.name)
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            if node.module.startswith(_PKG):
+                found.add(node.module)
+                # `from pkg.mod import name` where name is a submodule
+                for a in node.names:
+                    sub = f"{node.module}.{a.name}"
+                    if _module_file(sub) is not None:
+                        found.add(sub)
+    return found
+
+
+_closure_cache: dict[str, frozenset[str]] = {}
+
+
+def _import_closure(mod_name: str) -> frozenset[str]:
+    """Transitive in-package import closure, by module name. Excluded
+    modules (the registry machinery) are neither hashed nor TRAVERSED:
+    ``queries/__init__`` imports every query module for registration,
+    so descending through it would weld all closures into one."""
+    if mod_name in _closure_cache:
+        return _closure_cache[mod_name]
+    seen: set[str] = set()
+    stack = [mod_name]
+    while stack:
+        cur = stack.pop()
+        if cur in seen or cur in _CLOSURE_EXCLUDE:
+            continue
+        seen.add(cur)
+        f = _module_file(cur)
+        if f is None:
+            continue
+        stack.extend(_direct_imports(f) - seen)
+    out = frozenset(seen)
+    _closure_cache[mod_name] = out
+    return out
+
+
+_file_hash_cache: dict[pathlib.Path, str] = {}
+
+
+def _file_hash(path: pathlib.Path) -> str:
+    if path not in _file_hash_cache:
+        _file_hash_cache[path] = hashlib.sha256(path.read_bytes()).hexdigest()
+    return _file_hash_cache[path]
+
+
+# The registry machinery itself sits in EVERY query's import closure
+# (each query module does `from video_streamer_spark.queries import
+# query`), so including it would flag all 220 queries "changed" on any
+# registry edit — which the 50-row sample cannot absorb, degenerating
+# the ordering to registration order. Registry-level changes apply
+# uniformly to all queries and are guarded by the unconditional
+# in-suite parity run over all 220 instead.
+_CLOSURE_EXCLUDE = frozenset(
+    {f"{_PKG}.queries", f"{_PKG}.queries.sample_order"}
+)
+
+
+def query_source_hash(name: str, fn, oracle: str | None) -> str:
+    """Stable hash of everything that could change a query's output:
+    its own function source, its oracle SQL, and the content of every
+    in-package module its module transitively imports (minus the
+    registry machinery — see ``_CLOSURE_EXCLUDE``)."""
+    target = getattr(fn, "__wrapped__", fn)
+    try:
+        src = inspect.getsource(target)
+    except (OSError, TypeError):
+        src = repr(target)
+    parts = [name, src, oracle or ""]
+    for mod in sorted(_import_closure(target.__module__) - _CLOSURE_EXCLUDE):
+        f = _module_file(mod)
+        if f is not None:
+            parts.append(f"{mod}={_file_hash(f)}")
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()
+
+
+_VERIFIED = pathlib.Path(__file__).resolve().parent / "verified_hashes.json"
+
+
+def load_verified_hashes() -> dict[str, str]:
+    if not _VERIFIED.is_file():
+        return {}
+    try:
+        return json.loads(_VERIFIED.read_text())
+    except (OSError, ValueError):
+        return {}
+
+
+def derived_sample_order(
+    queries: dict, oracles: dict[str, str]
+) -> list[str]:
+    """The four-band order documented in the module docstring. Ties
+    break by registration order (dict insertion order), so the result
+    is deterministic for a given repo state."""
+    ev = latest_driver_evidence()
+    verified = load_verified_hashes()
+    reg = list(queries)
+    red = [n for n in reg if n in ev and not ev[n][1]]
+    never = [n for n in reg if n not in ev]
+    changed = [
+        n
+        for n in reg
+        if n in ev
+        and ev[n][1]
+        and query_source_hash(n, queries[n], oracles.get(n))
+        != verified.get(n)
+    ]
+    head = set(red) | set(never) | set(changed)
+    rest = sorted(
+        (n for n in reg if n not in head),
+        key=lambda n: (ev[n][0], reg.index(n)),
+    )
+    return red + never + changed + rest
+
+
+def write_verified_hashes(queries: dict, oracles: dict[str, str]) -> int:
+    """Record the CURRENT source hash for every query whose latest
+    driver row is green — run this against the exact tree the driver
+    round executed, immediately after a round's artifact lands."""
+    ev = latest_driver_evidence()
+    out = {
+        n: query_source_hash(n, fn, oracles.get(n))
+        for n, fn in queries.items()
+        if n in ev and ev[n][1]
+    }
+    _VERIFIED.write_text(json.dumps(out, indent=0, sort_keys=True))
+    return len(out)
+
+
+if __name__ == "__main__":
+    import sys
+
+    from video_streamer_spark.queries import ORACLES, QUERIES
+
+    if "--write" in sys.argv:
+        n = write_verified_hashes(QUERIES, ORACLES)
+        print(f"recorded {n} verified hashes -> {_VERIFIED}")
+    else:
+        order = derived_sample_order(QUERIES, ORACLES)
+        for name in order[:60]:
+            print(name)
