@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import duckdb  # noqa: E402
 
-from bench import HEADLINE  # noqa: E402
+from bench import HEADLINE, splittable_mirror  # noqa: E402
 from video_streamer_spark.queries import ORACLES  # noqa: E402
 
 TABLES = (
@@ -101,12 +101,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    # Same splittable layout bench.py measures against (a single-row-
+    # group file caps BOTH engines' scan parallelism — the layout fix is
+    # engine-neutral, so the ratio stays apples-to-apples).
+    run_dir = splittable_mirror(sf_dir)
     con = duckdb.connect()
     con.execute(f"SET threads = {os.environ.get('SPARK_GRAFT_CPUS', 32)}")
     for t in TABLES:
+        path = f"{run_dir}/{t}.parquet"
+        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')"
         )
     timings: dict[str, float] = {}
     for name in HEADLINE:
