@@ -395,3 +395,36 @@ def test_block_match_recovers_any_planted_shift(seed, dy, dx):
     )
     sad, got_dx, got_dy = block_match(f1, f2, search_dy=1, search_dx=2)
     assert (sad, got_dx, got_dy) == (0, dx, dy)
+
+
+@given(st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_tiny_conv_recovers_any_planted_rectangle(fid):
+    """The numpy conv detector must recover the planted rectangle's
+    bounds EXACTLY for every frame id — the property the x199 oracle
+    relies on (conv edge analysis: rect-edge activation 6/9 > threshold
+    > corner 4/9, so thresholded extrema equal the planted bounds)."""
+    from video_streamer_spark.operators.npmodel import (
+        planted_bounds,
+        render_frame,
+        tiny_conv_model,
+    )
+
+    top, left, bottom, right = planted_bounds(fid)
+    boxes = tiny_conv_model(render_frame(fid), fid)
+    assert len(boxes) == 1
+    ymin, xmin, ymax, xmax, label_id, score = boxes[0]
+    assert (ymin, xmin, ymax, xmax) == (top, left, bottom, right)
+    area = (bottom - top + 1) * (right - left + 1)
+    assert label_id == 1 + area % 80
+    assert score == area / 4096.0
+
+
+def test_tiny_conv_empty_frame_yields_no_box():
+    """No activation above threshold -> no detections (the model must
+    not hallucinate a box on a black frame)."""
+    import numpy as np
+
+    from video_streamer_spark.operators.npmodel import H, W, tiny_conv_model
+
+    assert tiny_conv_model(np.zeros((H, W), np.uint8).tobytes(), 0) == []

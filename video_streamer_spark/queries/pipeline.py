@@ -117,6 +117,63 @@ def x13_inference_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.per_label_counts(D.with_labels(det, labels(spark)))
 
 
+# O11/O12 with a REAL weights-based model (round-6 VERDICT item 5): a
+# pure-numpy conv layer (stored 3×3 kernel, im2col+tensordot forward
+# pass) detects a rectangle PLANTED per frame_id — the detector must
+# recover the planted bounds exactly (x197's planted-shift evidence
+# style), so the oracle rebuilds the geometry and head arithmetic in
+# SQL. Frames are synthesized executor-side from events ids; no pixel
+# touches the driver.
+@query(
+    "x199_tiny_conv_detections",
+    oracle="""
+    WITH f AS (
+      SELECT event_id AS frame_id FROM events WHERE event_id % 17 = 0),
+    b AS (
+      SELECT frame_id,
+        3 + (frame_id * 7) % 40 AS top,
+        3 + (frame_id * 11) % 40 AS lft,
+        3 + (frame_id * 7) % 40 + 6 + (frame_id * 5) % 12 AS bot,
+        3 + (frame_id * 11) % 40 + 6 + (frame_id * 3) % 12 AS rgt
+      FROM f),
+    a AS (
+      SELECT frame_id, top, lft, bot, rgt,
+        (bot - top + 1) * (rgt - lft + 1) AS area
+      FROM b)
+    SELECT frame_id,
+      CAST(top AS INT) AS ymin, CAST(lft AS INT) AS xmin,
+      CAST(bot AS INT) AS ymax, CAST(rgt AS INT) AS xmax,
+      CAST(1 + area % 80 AS INT) AS label_id,
+      CAST(area AS DOUBLE) / 4096.0 AS score
+    FROM a
+    """,
+)
+def x199_tiny_conv_detections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from video_streamer_spark.operators.inference import infer_detections
+    from video_streamer_spark.operators.npmodel import (
+        load_tiny_conv,
+        rendered_frames,
+    )
+
+    ids = (
+        table(spark, sf_dir, "events")
+        .select(F.col("event_id").alias("frame_id"))
+        .where(F.col("frame_id") % 17 == 0)
+    )
+    det = infer_detections(rendered_frames(ids), model_loader=load_tiny_conv)
+    return det.select(
+        "frame_id",
+        F.col("ymin").cast("int").alias("ymin"),
+        F.col("xmin").cast("int").alias("xmin"),
+        F.col("ymax").cast("int").alias("ymax"),
+        F.col("xmax").cast("int").alias("xmax"),
+        "label_id",
+        "score",
+    )
+
+
 @query(
     "q19b_detections_per_frame",
     oracle=f"""
