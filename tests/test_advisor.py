@@ -90,3 +90,104 @@ def test_unpruned_wide_scan_flags(spark):
         o, F.col("l_orderkey") == o.o_orderkey
     )
     assert "UNPRUNED_SCAN" not in codes(lint_plan(good))
+
+
+def test_streaming_agg_without_watermark_flags(spark, tmp_path):
+    from video_streamer_spark.plans.advisor import lint_streaming
+    from video_streamer_spark.streaming.pipeline import events_stream
+
+    events = events_stream(spark, SF_ORACLE, str(tmp_path / "s1"))
+    bad = events.groupBy("event_type").count()
+    assert "UNBOUNDED_STATE_AGG" in codes(lint_streaming(bad))
+
+
+def test_streaming_windowed_with_watermark_is_clean(spark, tmp_path):
+    from video_streamer_spark.plans.advisor import lint_streaming
+    from video_streamer_spark.streaming.pipeline import (
+        events_stream,
+        session_stream,
+        tumbling_stream,
+    )
+
+    events = events_stream(spark, SF_ORACLE, str(tmp_path / "s2"))
+    assert not lint_streaming(tumbling_stream(events))
+    events2 = events_stream(spark, SF_ORACLE, str(tmp_path / "s3"))
+    assert not lint_streaming(session_stream(events2))
+
+
+def test_streaming_dedup_without_watermark_flags(spark, tmp_path):
+    from video_streamer_spark.plans.advisor import lint_streaming
+    from video_streamer_spark.streaming.pipeline import events_stream
+
+    events = events_stream(spark, SF_ORACLE, str(tmp_path / "s4"))
+    bad = events.dropDuplicates(["user_id"])
+    assert "UNBOUNDED_STATE_DEDUP" in codes(lint_streaming(bad))
+
+
+def test_stream_stream_join_without_watermarks_flags(spark, tmp_path):
+    from video_streamer_spark.plans.advisor import lint_streaming
+    from video_streamer_spark.streaming.pipeline import events_stream
+
+    a = events_stream(spark, SF_ORACLE, str(tmp_path / "s5")).alias("a")
+    b = events_stream(spark, SF_ORACLE, str(tmp_path / "s6")).alias("b")
+    bad = a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+    assert "UNBOUNDED_STREAM_JOIN" in codes(lint_streaming(bad))
+
+
+def test_two_sided_bounded_stream_join_is_clean(spark, tmp_path):
+    """The shipped purchase-click join watermarks BOTH sides — clean."""
+    from video_streamer_spark.plans.advisor import lint_streaming
+    from video_streamer_spark.streaming.pipeline import (
+        purchase_click_stream_join,
+    )
+
+    good = purchase_click_stream_join(spark, SF_ORACLE)
+    assert not lint_streaming(good)
+
+
+def test_foreach_batch_collect_flags():
+    from video_streamer_spark.plans.advisor import lint_foreach_batch
+
+    def bad_sink(batch_df, epoch_id):
+        rows = batch_df.collect()
+        for r in rows:
+            print(r)
+
+    assert "PER_BATCH_COLLECT" in codes(lint_foreach_batch(bad_sink))
+
+
+def test_foreach_batch_static_reread_flags():
+    from video_streamer_spark.plans.advisor import lint_foreach_batch
+
+    def bad_sink(batch_df, epoch_id):
+        dim = batch_df.sparkSession.read.parquet("/data/dim.parquet")
+        batch_df.join(dim, "k").write.mode("append").parquet("/out")
+
+    assert "PER_BATCH_STATIC_READ" in codes(lint_foreach_batch(bad_sink))
+
+
+def test_shipped_sink_bodies_are_clean():
+    """Every foreachBatch body this repo ships passes its own lint."""
+    from video_streamer_spark.operators.merge import run_merge_upsert_sink
+    from video_streamer_spark.plans.advisor import lint_foreach_batch
+    from video_streamer_spark.streaming.incremental import (
+        write_partial_batch,
+    )
+    from video_streamer_spark.streaming.index_stream import (
+        index_ingest_stream,
+        index_upsert_stream,
+    )
+    from video_streamer_spark.streaming.pipeline import (
+        run_bucketed_table_sink,
+        run_foreach_batch_sink,
+    )
+
+    for fn in (
+        run_foreach_batch_sink,
+        run_bucketed_table_sink,
+        run_merge_upsert_sink,
+        index_ingest_stream,
+        index_upsert_stream,
+        write_partial_batch,
+    ):
+        assert not lint_foreach_batch(fn), fn.__name__

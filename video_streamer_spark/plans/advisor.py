@@ -60,6 +60,14 @@ def lint_plan(df: DataFrame, max_exchanges: int = 8) -> list[Finding]:
         # broadcast-grid pattern (a handful of query rows against the
         # corpus — q18/x06's shape); a BNL with neither is an all-pairs
         # theta join and flags.
+        # KNOWN FALSE-NEGATIVE MODE (advisory-acceptable, r6 ADVICE):
+        # the suppression is plan-GLOBAL — a selective filter or Limit
+        # anywhere in the plan clears the flag even when it sits on a
+        # branch unrelated to the BNL's build side, so an unbounded
+        # theta join can pass the lint in a query that also has one
+        # filtered scan. Scoping to the BNL subtree needs child-id
+        # parsing of the formatted plan; until then treat a clean BNL
+        # verdict as "not provably bad", not "provably good".
         import re as _re
 
         non_null_filters = [
@@ -150,6 +158,126 @@ def lint_plan(df: DataFrame, max_exchanges: int = 8) -> list[Finding]:
                 f"{max_exchanges}): each is a full-data barrier. Reuse "
                 "one partitioning across stages (bucketing, "
                 "repartition-then-chain) or collapse aggregations.",
+            )
+        )
+    return findings
+
+
+def lint_streaming(df: DataFrame) -> list[Finding]:
+    """The advisor for STREAMING DataFrames (pre-``start()``), where no
+    physical plan exists yet — lints the optimized LOGICAL plan for the
+    state-management failure modes that batch plans can't have:
+
+    - a streaming aggregation / dropDuplicates with NO watermark: state
+      grows forever (every key ever seen stays resident) — at scale the
+      job dies of state, not of compute;
+    - a stream-stream join without a watermark on both sides: unmatched
+      rows buffer unboundedly waiting for a match that may never come
+      (the two-sided-bound contract ``purchase_click_stream_join``
+      demonstrates).
+
+    Advisory like ``lint_plan``: a complete-mode aggregation over a
+    provably tiny key domain is legitimate — which is why this lints
+    rather than gates."""
+    if not df.isStreaming:
+        return lint_plan(df)
+    # the ANALYZED plan: optimization/physical planning of a streaming
+    # DataFrame trips the batch-executability assertion pre-start, but
+    # analysis (resolution + watermark placement) is always available
+    text = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    findings: list[Finding] = []
+    n_watermarks = text.count("EventTimeWatermark")
+    has_agg = "Aggregate" in text
+    has_dedup = "Deduplicate" in text
+    if has_agg and n_watermarks == 0:
+        findings.append(
+            Finding(
+                "UNBOUNDED_STATE_AGG",
+                "Streaming aggregation with no watermark: state for "
+                "every group ever seen is kept forever. Add "
+                "withWatermark(...) on the event-time column so closed "
+                "windows/groups evict.",
+            )
+        )
+    if has_dedup and n_watermarks == 0:
+        findings.append(
+            Finding(
+                "UNBOUNDED_STATE_DEDUP",
+                "Streaming dropDuplicates with no watermark: the seen-"
+                "keys state grows forever. Use "
+                "dropDuplicatesWithinWatermark (or add a watermark).",
+            )
+        )
+    n_stream_rels = (
+        text.count("StreamingRelation")
+        + text.count("StreamingExecutionRelation")
+        + text.count("StreamingDataSourceV2")
+    )
+    if "Join" in text and n_stream_rels >= 2 and n_watermarks < 2:
+        findings.append(
+            Finding(
+                "UNBOUNDED_STREAM_JOIN",
+                "Stream-stream join without a watermark on BOTH sides: "
+                "unmatched rows buffer unboundedly. Watermark both "
+                "inputs and bound the join condition in event time.",
+            )
+        )
+    return findings
+
+
+def lint_foreach_batch(fn) -> list[Finding]:
+    """Source-level lint of a ``foreachBatch`` body (or of the sink
+    function that defines one): the anti-patterns that are invisible in
+    any plan because they happen per MICRO-BATCH on the driver.
+
+    - ``collect()/toPandas()/toLocalIterator()`` inside the body: the
+      whole micro-batch funnels through the driver every trigger — the
+      streaming twin of a driver-side loop;
+    - ``spark.read...``/``spark.table(...)`` inside the body: a static
+      dimension re-read (and re-planned, and possibly re-broadcast)
+      every micro-batch — hoist it outside and let the closure capture
+      it once.
+
+    Accepts a callable (its source is scanned, so passing the outer
+    sink function that defines ``write_batch`` inline works) or a
+    source string."""
+    import ast
+    import inspect
+    import textwrap
+
+    src = fn if isinstance(fn, str) else inspect.getsource(fn)
+    tree = ast.parse(textwrap.dedent(src))
+    findings: list[Finding] = []
+    collectors: set[str] = set()
+    static_reads: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Call) and isinstance(
+            node.func, ast.Attribute
+        ):
+            if node.func.attr in {"collect", "toPandas", "toLocalIterator"}:
+                collectors.add(node.func.attr)
+            if node.func.attr == "table":
+                static_reads.add("table")
+        elif isinstance(node, ast.Attribute) and node.attr == "read":
+            static_reads.add("read")
+    if collectors:
+        findings.append(
+            Finding(
+                "PER_BATCH_COLLECT",
+                f"{sorted(collectors)} inside a foreachBatch body: the "
+                "micro-batch funnels through the driver every trigger. "
+                "Keep the batch distributed (write/join/agg on the "
+                "DataFrame) or bound what is collected.",
+            )
+        )
+    if static_reads:
+        findings.append(
+            Finding(
+                "PER_BATCH_STATIC_READ",
+                f"{sorted(static_reads)} inside a foreachBatch body: a "
+                "static table is re-read and re-planned every "
+                "micro-batch. Load it once outside the body and let the "
+                "closure capture it.",
             )
         )
     return findings
