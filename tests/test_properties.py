@@ -428,3 +428,25 @@ def test_tiny_conv_empty_frame_yields_no_box():
     from video_streamer_spark.operators.npmodel import H, W, tiny_conv_model
 
     assert tiny_conv_model(np.zeros((H, W), np.uint8).tobytes(), 0) == []
+
+
+@given(st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=100, deadline=None)
+def test_dominant_bin_recovers_any_planted_tone(fid):
+    """synthesize → RIFF encode → chunk-walk decode → rFFT → argmax
+    must recover the planted on-bin tone exactly for every frame id —
+    the property the x203 oracle relies on (int16 quantization noise is
+    ~120 dB below the tone and cannot move the argmax)."""
+    import numpy as np
+
+    from video_streamer_spark.operators.audiofreq import (
+        N_SAMPLES,
+        planted_bin,
+        synth_tone_wav,
+    )
+    from video_streamer_spark.operators.multimodal import decode_wav
+
+    wav = decode_wav(synth_tone_wav(fid))
+    assert wav["samples"].shape == (N_SAMPLES, 1)
+    spec = np.abs(np.fft.rfft(wav["samples"][:, 0].astype(np.float64)))
+    assert int(spec[1:].argmax()) + 1 == planted_bin(fid)

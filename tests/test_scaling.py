@@ -347,3 +347,28 @@ def test_model_op_scaling_curve(spark):
             f"{name}: sf0.01={small:.2f}s sf0.1={big:.2f}s "
             f"ratio={ratio:.1f} exceeds {max_ratio}"
         )
+
+
+def test_round7_heavy_ops_scaling_curve(spark):
+    """10x envelope for the round-7 operators with any fan-out risk:
+    x200's inverted-index gram join is bounded by the df<=5 boilerplate
+    guard (a lost guard reverts to corpus^2 match volume on this
+    tiny-vocab testdata and trips instantly); x201's Gram partials are
+    d^2-sized per Arrow batch — work linear in n, output constant; x206
+    is d independent rank windows. x203's synthesize->decode->FFT chain
+    is embarrassingly parallel per id."""
+    bounds = {
+        "x200_verbatim_span_dedup": 60.0,
+        "x201_embedding_covariance": 40.0,
+        "x203_dominant_frequency": 40.0,
+        "x206_quantile_normalization": 40.0,
+    }
+    for name, max_ratio in bounds.items():
+        q = QUERIES[name]
+        small = min(_timed(q, spark, SF_ORACLE) for _ in range(2))
+        big = min(_timed(q, spark, SF_BIG) for _ in range(2))
+        ratio = big / max(small, 1e-3)
+        assert ratio < max_ratio, (
+            f"{name}: sf0.01={small:.2f}s sf0.1={big:.2f}s "
+            f"ratio={ratio:.1f} exceeds {max_ratio}"
+        )

@@ -1134,3 +1134,23 @@ def test_incremental_journal_scope_mismatch_refuses(spark, tmp_path):
         write_partial_batch(e, 0, journal, scope="ckpt-run-2")
     with _pytest.raises(RuntimeError, match="scope"):
         compact_journal(spark, journal, scope="ckpt-run-2")
+
+
+def test_incremental_join_view_batch_composition_invariance(spark):
+    """The maintained join view must equal itself under a different
+    delta batching (3 vs 6 splits) — the IVM correctness property
+    (maintained == recomputed holds for ANY batch composition)."""
+    from video_streamer_spark.streaming.incremental import (
+        incremental_join_rollup,
+    )
+
+    a = sorted(
+        tuple(r)
+        for r in incremental_join_rollup(spark, SF_SMOKE, n_splits=3).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in incremental_join_rollup(spark, SF_SMOKE, n_splits=6).collect()
+    )
+    assert a == b
+    assert len(a) > 0

@@ -1,0 +1,426 @@
+"""Round-7 extension queries (x200–x206): verbatim-span dedup, exact
+distributed covariance, changepoint detection, spectral analysis on the
+WAV decode path, incremental join-view maintenance, Neyman sampling
+allocation, and quantile normalization — each scale-shaped (blocked /
+partial-aggregated / broadcast, never all-pairs) and DuckDB-oracle
+checked under the same exact-integer parity discipline as the rest of
+the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from video_streamer_spark.catalog import table
+from video_streamer_spark.queries import query
+
+
+# x200 — VERBATIM SPAN DEDUP: the exact-substring near-dup detector
+# (deduplicating-training-data style): word-8-gram fingerprints joined
+# through an inverted index, then maximal shared spans recovered per doc
+# pair by the gaps-islands trick on matching-position diagonals. Scale:
+# the join key is an md5 of the gram (32-byte shuffle keys, same as
+# exact dedup); grams with document frequency > 5 are dropped first —
+# the boilerplate guard that keeps inverted-index fan-out bounded by
+# df_max² per gram instead of corpus²; per-pair island windows touch
+# only that pair's matches.
+@query(
+    "x200_verbatim_span_dedup",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(t.pos AS BIGINT) AS pos,
+        md5(array_to_string(arr[t.pos:t.pos+7], ' ')) AS g
+      FROM arrs, range(1, 4001) t(pos)
+      WHERE t.pos <= len(arr) - 7),
+    rare AS (
+      SELECT g
+      FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g) x
+      WHERE df BETWEEN 2 AND 5),
+    matches AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.pos AS pa, b.pos AS pb
+      FROM grams a JOIN rare r ON a.g = r.g JOIN grams b ON a.g = b.g
+      WHERE a.doc_id < b.doc_id),
+    islands AS (
+      SELECT doc_a, doc_b, pa - pb AS diag, pa,
+        pa - ROW_NUMBER() OVER (
+          PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+      FROM matches),
+    spans AS (
+      SELECT doc_a, doc_b, MAX(pa) - MIN(pa) + 8 AS span_tokens
+      FROM islands GROUP BY doc_a, doc_b, diag, isl)
+    SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+      CAST(SUM(span_tokens) AS BIGINT) AS shared_tokens
+    FROM spans GROUP BY doc_a, doc_b
+    HAVING MAX(span_tokens) >= 12
+    """,
+)
+def x200_verbatim_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    arrs = docs.select("doc_id", F.split("text", " ").alias("arr"))
+    grams = arrs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(arr) - 7, 0)), "
+                "p -> struct(CAST(p AS BIGINT) AS pos, "
+                "md5(array_join(slice(arr, p, 8), ' ')) AS g))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.g")
+    rare = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where("df BETWEEN 2 AND 5")
+        .select("g")
+    )
+    a = grams.join(rare, "g")
+    b = grams.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "pos", "pb"
+    )
+    matches = (
+        a.join(b, (a.g == b.g) & (a.doc_id < b.doc_b))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.col("pos").alias("pa"),
+            "pb",
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    islands = matches.withColumn("diag", F.col("pa") - F.col("pb")).withColumn(
+        "isl", F.col("pa") - F.row_number().over(w)
+    )
+    spans = islands.groupBy("doc_a", "doc_b", "diag", "isl").agg(
+        (F.max("pa") - F.min("pa") + 8).alias("span_tokens")
+    )
+    return (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+            F.sum("span_tokens").cast("bigint").alias("shared_tokens"),
+        )
+        .where("max_span_tokens >= 12")
+    )
+
+
+# x201 — EXACT DISTRIBUTED COVARIANCE over the embedding column: the
+# PCA/whitening precursor. The d×d Gram accumulates as per-Arrow-batch
+# int64 partials (operators/embedstats.gram_partials — X.T@X per batch,
+# d(d+1)/2 rows leave each executor, nothing shuffles with n); means
+# come from a plain posexplode agg. Quantized-integer arithmetic start
+# to finish (the x95 recipe), so any batch composition is bit-equal to
+# the oracle's per-row product sums.
+@query(
+    "x201_embedding_covariance",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, CAST(i AS INT) AS dim,
+        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+      FROM embeddings, range(1, 65) t(i)),
+    sums AS (SELECT dim, SUM(xq) AS sx FROM dims GROUP BY dim),
+    pairs AS (
+      SELECT a.dim AS i, b.dim AS j, COUNT(*) AS n,
+        SUM(a.xq * b.xq) AS sxy
+      FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      GROUP BY a.dim, b.dim)
+    SELECT p.i, p.j, CAST(p.n AS BIGINT) AS n_vectors,
+      CAST(CAST(floor((CAST(p.sxy AS DOUBLE) / 1000000000000.0 / p.n
+        - (CAST(si.sx AS DOUBLE) / 1000000.0 / p.n)
+          * (CAST(sj.sx AS DOUBLE) / 1000000.0 / p.n))
+        * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0 AS covariance
+    FROM pairs p
+    JOIN sums si ON si.dim = p.i
+    JOIN sums sj ON sj.dim = p.j
+    """,
+)
+def x201_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.embedstats import gram_partials
+
+    emb = table(spark, sf_dir, "embeddings")
+    gram = (
+        gram_partials(emb, 64)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n_part").cast("bigint").alias("n"),
+            F.sum("sxy_part").cast("bigint").alias("sxy"),
+        )
+    )
+    dims = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "x"
+        )
+    ).select(
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.floor(F.col("x") * 1000000.0).cast("bigint").alias("xq"),
+    )
+    sums = dims.groupBy("dim").agg(F.sum("xq").alias("sx"))
+    si = sums.select(F.col("dim").alias("i"), F.col("sx").alias("sx_i"))
+    sj = sums.select(F.col("dim").alias("j"), F.col("sx").alias("sx_j"))
+    joined = gram.join(F.broadcast(si), "i").join(F.broadcast(sj), "j")
+    mean_i = F.col("sx_i").cast("double") / 1e6 / F.col("n")
+    mean_j = F.col("sx_j").cast("double") / 1e6 / F.col("n")
+    cov_micro = F.floor(
+        (F.col("sxy").cast("double") / 1e12 / F.col("n") - mean_i * mean_j)
+        * 1e6
+    ).cast("bigint")
+    return joined.select(
+        "i",
+        "j",
+        F.col("n").alias("n_vectors"),
+        (cov_micro.cast("double") / 1e6).alias("covariance"),
+    )
+
+
+# x202 — CUSUM CHANGEPOINT per event_type: the classic mean-shift
+# detector over the daily count series. Scaled-integer CUSUM
+# (n_days·count − total, exact BIGINT running sum) dodges the rational
+# mean, so both engines agree bit-for-bit; the flagged day is the
+# |CUSUM| peak (ties → earliest). Scale: one (type, day) pre-agg — the
+# series per type is days-sized, so the window is trivially cheap.
+@query(
+    "x202_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, day),
+    stats AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        SUM(c) AS total
+      FROM daily GROUP BY event_type),
+    cusums AS (
+      SELECT d.event_type, d.day, s.n_days,
+        SUM(s.n_days * d.c - s.total) OVER (
+          PARTITION BY d.event_type ORDER BY d.day
+          ROWS UNBOUNDED PRECEDING) AS cusum_scaled
+      FROM daily d JOIN stats s ON d.event_type = s.event_type),
+    ranked AS (
+      SELECT event_type, day, n_days, cusum_scaled,
+        ROW_NUMBER() OVER (
+          PARTITION BY event_type
+          ORDER BY ABS(cusum_scaled) DESC, day ASC) AS rn
+      FROM cusums)
+    SELECT event_type, CAST(day AS VARCHAR) AS change_day,
+      CAST(cusum_scaled AS BIGINT) AS cusum_scaled, n_days
+    FROM ranked WHERE rn = 1
+    """,
+)
+def x202_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("c").alias("total"),
+    )
+    cw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusums = daily.join(F.broadcast(stats), "event_type").withColumn(
+        "cusum_scaled",
+        F.sum(F.col("n_days") * F.col("c") - F.col("total")).over(cw),
+    )
+    rw = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("day").asc()
+    )
+    return (
+        cusums.withColumn("rn", F.row_number().over(rw))
+        .where("rn = 1")
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("change_day"),
+            F.col("cusum_scaled").cast("bigint").alias("cusum_scaled"),
+            "n_days",
+        )
+    )
+
+
+# x203 — DOMINANT FREQUENCY through the real WAV decode path: planted
+# on-bin tones (operators/audiofreq) synthesized executor-side, RIFF-
+# encoded, chunk-walk decoded, rFFT'd; the argmax bin must equal the
+# planted bin for every frame — a transcendental DSP transform with an
+# exact SQL oracle (the x197/x199 planted-evidence style, audio
+# modality). Samples never leave their executor.
+@query(
+    "x203_dominant_frequency",
+    oracle="""
+    SELECT event_id AS frame_id, CAST(256 AS BIGINT) AS n_samples,
+      CAST(5 + (event_id * 13) % 100 AS BIGINT) AS dominant_bin
+    FROM events WHERE event_id % 23 = 0
+    """,
+)
+def x203_dominant_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.audiofreq import (
+        dominant_bins,
+        tone_frames,
+    )
+
+    ids = (
+        table(spark, sf_dir, "events")
+        .select(F.col("event_id").alias("frame_id"))
+        .where(F.col("frame_id") % 23 == 0)
+    )
+    return dominant_bins(tone_frames(ids))
+
+
+# x204 — INCREMENTAL JOIN-VIEW MAINTENANCE: orders ⋈ customer rolled up
+# per market segment, maintained from streamed order deltas against the
+# broadcast dim (streaming/incremental.incremental_join_rollup — the
+# Δfact ⋈ dim form of IVM on the journal-epoch discipline, so replay
+# idempotence and crash-healing carry over). The oracle is the view's
+# defining query recomputed from scratch: maintained == recomputed for
+# ANY batch composition.
+@query(
+    "x204_incremental_join_view",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 1000000.0)
+        AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def x204_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.streaming.incremental import (
+        incremental_join_rollup,
+    )
+
+    return incremental_join_rollup(spark, sf_dir)
+
+
+# x205 — NEYMAN ALLOCATION: variance-optimal stratified sample design
+# (n_h ∝ N_h·S_h) over document strata — the principled version of
+# x47's per-language cap. Stratum std via exact integer moments; the
+# per-stratum weight is quantized to integer micros BEFORE the global
+# normalization so the total is an exact BIGINT sum (double summation
+# order never enters). sqrt is IEEE-correctly-rounded — bit-identical
+# across engines.
+@query(
+    "x205_neyman_allocation",
+    oracle="""
+    WITH feats AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        SUM(n_chars) AS sx, SUM(n_chars * n_chars) AS sxx
+      FROM documents GROUP BY source),
+    sd AS (
+      SELECT source, n_docs,
+        sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+             / (n_docs * (n_docs - 1))) AS s
+      FROM feats WHERE n_docs > 1),
+    wq AS (
+      SELECT source, n_docs, s,
+        CAST(floor(n_docs * s * 1000000.0) AS BIGINT) AS w_micro
+      FROM sd),
+    tot AS (SELECT SUM(w_micro) AS w_total FROM wq)
+    SELECT source, n_docs,
+      CAST(CAST(floor(s * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0
+        AS stddev_chars,
+      CAST(floor(1000.0 * w_micro / w_total + 0.5) AS BIGINT) AS n_alloc
+    FROM wq, tot
+    """,
+)
+def x205_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    sd = feats.where("n_docs > 1").withColumn(
+        "s",
+        F.sqrt(
+            (F.col("n_docs") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+            / (F.col("n_docs") * (F.col("n_docs") - 1))
+        ),
+    )
+    wq = sd.withColumn(
+        "w_micro",
+        F.floor(F.col("n_docs") * F.col("s") * 1000000.0).cast("bigint"),
+    )
+    tot = wq.agg(F.sum("w_micro").alias("w_total"))
+    return wq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (
+            F.floor(F.col("s") * 1000000.0).cast("bigint").cast("double")
+            / 1e6
+        ).alias("stddev_chars"),
+        F.floor(
+            1000.0 * F.col("w_micro") / F.col("w_total") + 0.5
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    )
+
+
+# x206 — QUANTILE NORMALIZATION of embedding dims: every dimension's
+# empirical distribution is mapped onto the cross-dim average profile
+# (rank → mean-of-values-at-rank), the standard batch-effect remover in
+# feature prep. Exact: ranks over quantized values with vec_id
+# tie-break, profile mean is a BIGINT sum divided by the (power-of-two)
+# dim count. Scale: one rank window per dim (d independent partitions);
+# at 100 TB swap ntile ranks for approx-quantile bins — the plan keeps
+# the same two-shuffle shape. Output limited to dims 1..4 (the
+# normalization itself uses ALL dims).
+@query(
+    "x206_quantile_normalization",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, CAST(i AS INT) AS dim,
+        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+      FROM embeddings, range(1, 65) t(i)),
+    ranked AS (
+      SELECT vec_id, dim, xq,
+        ROW_NUMBER() OVER (PARTITION BY dim ORDER BY xq, vec_id) AS r
+      FROM dims),
+    profile AS (
+      SELECT r,
+        CAST(floor(CAST(SUM(xq) AS DOUBLE) / 64.0) AS BIGINT) AS prof_micro
+      FROM ranked GROUP BY r)
+    SELECT k.vec_id, k.dim,
+      CAST(p.prof_micro AS DOUBLE) / 1000000.0 AS qnorm
+    FROM ranked k JOIN profile p ON k.r = p.r
+    WHERE k.dim <= 4
+    """,
+)
+def x206_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "x"
+        ),
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.floor(F.col("x") * 1000000.0).cast("bigint").alias("xq"),
+    )
+    rw = Window.partitionBy("dim").orderBy("xq", "vec_id")
+    ranked = dims.withColumn("r", F.row_number().over(rw))
+    profile = ranked.groupBy("r").agg(
+        F.floor(F.sum("xq").cast("double") / 64.0)
+        .cast("bigint")
+        .alias("prof_micro")
+    )
+    return (
+        ranked.where("dim <= 4")
+        .join(profile, "r")
+        .select(
+            "vec_id",
+            "dim",
+            (F.col("prof_micro").cast("double") / 1e6).alias("qnorm"),
+        )
+    )

@@ -109,14 +109,15 @@ def heal_journal_residue(journal: str) -> None:
                 shutil.rmtree(os.path.join(journal, d))
 
 
-def write_partial_batch(
-    batch_df: DataFrame,
+def journal_epoch(
+    partial_df: DataFrame,
     epoch_id: int,
     journal: str,
     scope: str | None = None,
 ) -> None:
-    """One micro-batch's contribution: a partial rollup per
-    (day, event_type), journaled under its epoch id.
+    """Journal ONE micro-batch's partial rows under their epoch id —
+    the shared idempotent-write discipline every incremental-view
+    writer here uses (event rollup, join-view rollup).
 
     Idempotence: a replayed epoch whose dir still exists is swapped in
     place with the same rows; a replayed epoch that a compaction already
@@ -149,19 +150,9 @@ def write_partial_batch(
         )
     if int(epoch_id) in manifest["epochs"]:
         return
-    micros = F.floor(F.col("value").cast("double") * 1000000.0).cast("bigint")
-    partial = batch_df.groupBy(
-        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
-            "day"
-        ),
-        "event_type",
-    ).agg(
-        F.count("*").cast("bigint").alias("n_partial"),
-        F.sum(micros).cast("bigint").alias("micros_partial"),
-    )
     staged = f"{journal}/.staging-batch-{epoch_id}"
     final = f"{journal}/batch-{epoch_id}"
-    partial.write.mode("overwrite").parquet(staged)
+    partial_df.write.mode("overwrite").parquet(staged)
     if os.path.exists(final):
         # replay over an existing epoch: swap aside + in (two renames),
         # not rmtree-then-rename — shrinks the reader-invisible window
@@ -175,6 +166,28 @@ def write_partial_batch(
         shutil.rmtree(replaced)
     else:
         os.rename(staged, final)
+
+
+def write_partial_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    journal: str,
+    scope: str | None = None,
+) -> None:
+    """One micro-batch's contribution to the event rollup: a partial
+    aggregate per (day, event_type), journaled via ``journal_epoch``
+    (see it for the idempotence/replay/scope contract)."""
+    micros = F.floor(F.col("value").cast("double") * 1000000.0).cast("bigint")
+    partial = batch_df.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").cast("bigint").alias("n_partial"),
+        F.sum(micros).cast("bigint").alias("micros_partial"),
+    )
+    journal_epoch(partial, epoch_id, journal, scope=scope)
 
 
 def combine_rollup(spark: SparkSession, journal: str) -> DataFrame:
@@ -353,3 +366,88 @@ def incremental_rollup(
     # dir), so reclaim it
     shutil.rmtree(checkpoint, ignore_errors=True)
     return combine_rollup(spark, journal)
+
+
+def incremental_join_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_splits: int = 6,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Incrementally-maintained JOIN VIEW: a (c_mktsegment) rollup of
+    orders ⋈ customer, kept fresh as order deltas stream in — the
+    delta-join form of incremental view maintenance (Δorders ⋈ customer,
+    the static side; with both sides streaming you'd union the two
+    delta joins).
+
+    Per micro-batch: the order delta broadcast-joins the customer dim
+    (loaded ONCE outside the body and captured by the closure —
+    ``plans.advisor.lint_foreach_batch`` flags the per-batch re-read
+    this avoids), partial-aggregates to (segment, n, price_micros), and
+    journals via ``journal_epoch`` — so replay idempotence, compaction
+    and crash-healing are inherited, and the maintained view equals the
+    full join recomputed from scratch (the oracle's form) after ANY
+    batch composition.
+
+    Scale: the journal grows by |segments| per batch, never |orders|;
+    the dim is broadcast once; the combine shuffles journal rows only.
+    """
+    src, run = _work_dirs(spark, sf_dir + "#join", n_splits)
+    journal = f"{run}/journal"
+    checkpoint = f"{run}/checkpoint"
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        orders = table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice"
+        )
+        orders.repartition(n_splits).write.mode("overwrite").parquet(src)
+
+    customer = F.broadcast(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        micros = F.floor(
+            F.col("o_totalprice").cast("double") * 1000000.0
+        ).cast("bigint")
+        partial = (
+            batch_df.join(
+                customer, batch_df.o_custkey == customer.c_custkey, "inner"
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").cast("bigint").alias("n_partial"),
+                F.sum(micros).cast("bigint").alias("micros_partial"),
+            )
+        )
+        journal_epoch(partial, epoch_id, journal, scope=checkpoint)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, timeout_sec, "incremental_join_rollup")
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    heal_swap_residue(journal)
+    heal_journal_residue(journal)
+    parts = spark.read.parquet(f"{journal}/batch-*")
+    return (
+        parts.groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_partial").cast("bigint").alias("n_orders"),
+            F.sum("micros_partial").cast("bigint").alias("sum_micros"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            (F.col("sum_micros").cast("double") / 1000000.0).alias(
+                "total_price"
+            ),
+        )
+    )
