@@ -424,3 +424,210 @@ def x206_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("prof_micro").cast("double") / 1e6).alias("qnorm"),
         )
     )
+
+
+# x207 — DATA-SKIPPING / LAYOUT ADVISOR: simulates parquet row-group
+# zone maps (min/max per group) under the CURRENT physical order
+# (insertion order = event_id) vs a value-sorted rewrite, and reports
+# what fraction of groups three range predicates could skip. This is
+# the measurement behind every clustering decision (x100's Z-order,
+# Delta OPTIMIZE ZORDER BY): at 100 TB the difference between 2 % and
+# 100 % of row groups scanned IS the query latency. One pass per
+# layout; groups are fixed 500-row windows so both engines agree
+# exactly.
+@query(
+    "x207_pruning_advisor",
+    oracle="""
+    WITH cur AS (
+      SELECT CAST(floor(event_id / 500) AS BIGINT) AS rg, value
+      FROM events),
+    srt AS (
+      SELECT CAST(floor(
+        (ROW_NUMBER() OVER (ORDER BY value, event_id) - 1) / 500
+      ) AS BIGINT) AS rg, value FROM events),
+    zones AS (
+      SELECT 'current' AS layout, rg, MIN(value) AS lo, MAX(value) AS hi
+      FROM cur GROUP BY rg
+      UNION ALL
+      SELECT 'sorted' AS layout, rg, MIN(value) AS lo, MAX(value) AS hi
+      FROM srt GROUP BY rg),
+    preds AS (
+      SELECT * FROM (VALUES
+        ('narrow', 100.0, 110.0),
+        ('medium', 100.0, 200.0),
+        ('wide', 50.0, 400.0)) p(pred, p_lo, p_hi))
+    SELECT layout, pred,
+      CAST(COUNT(*) AS BIGINT) AS n_groups,
+      CAST(SUM(CASE WHEN hi >= p_lo AND lo <= p_hi THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_scanned
+    FROM zones, preds
+    GROUP BY layout, pred
+    """,
+)
+def x207_pruning_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events").select("event_id", "value")
+    cur = events.select(
+        F.floor(F.col("event_id") / 500).cast("bigint").alias("rg"), "value"
+    )
+    sw = Window.orderBy("value", "event_id")
+    srt = events.select(
+        F.floor((F.row_number().over(sw) - 1) / 500)
+        .cast("bigint")
+        .alias("rg"),
+        "value",
+    )
+    zones = (
+        cur.groupBy("rg")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .withColumn("layout", F.lit("current"))
+        .unionByName(
+            srt.groupBy("rg")
+            .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+            .withColumn("layout", F.lit("sorted"))
+        )
+    )
+    preds = spark.createDataFrame(
+        [("narrow", 100.0, 110.0), ("medium", 100.0, 200.0),
+         ("wide", 50.0, 400.0)],
+        "pred string, p_lo double, p_hi double",
+    )
+    return (
+        zones.crossJoin(F.broadcast(preds))
+        .groupBy("layout", "pred")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(
+                F.when(
+                    (F.col("hi") >= F.col("p_lo"))
+                    & (F.col("lo") <= F.col("p_hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_scanned"),
+        )
+    )
+
+
+# x208 — B-CUBED CLUSTERING EVALUATION: item-weighted precision/recall
+# of a cheap clustering (40-char prefix fingerprint) against exact-text
+# ground-truth groups — the standard dedup-quality metric, per source.
+# Each (cluster, group) cell contributes |C∩G|²/|C| (precision) and
+# |C∩G|²/|G| (recall), quantized to integer micros per cell so the
+# cross-cell sum is exact BIGINT (double summation order never enters).
+# Scale: two hash aggs + one join on cell keys — no pairwise work.
+@query(
+    "x208_bcubed_cluster_eval",
+    oracle="""
+    WITH items AS (
+      SELECT doc_id, source,
+        md5(substr(text, 1, 40)) AS c_id, md5(text) AS g_id
+      FROM documents),
+    csize AS (SELECT c_id, COUNT(*) AS n_c FROM items GROUP BY c_id),
+    gsize AS (SELECT g_id, COUNT(*) AS n_g FROM items GROUP BY g_id),
+    cells AS (
+      SELECT source, i.c_id, i.g_id, COUNT(*) AS n_cg
+      FROM items i GROUP BY source, i.c_id, i.g_id),
+    terms AS (
+      SELECT source, n_cg,
+        CAST(floor(1000000.0 * n_cg * n_cg / n_c) AS BIGINT) AS p_micro,
+        CAST(floor(1000000.0 * n_cg * n_cg / n_g) AS BIGINT) AS r_micro
+      FROM cells JOIN csize USING (c_id) JOIN gsize USING (g_id))
+    SELECT source, CAST(SUM(n_cg) AS BIGINT) AS n_docs,
+      CAST(SUM(p_micro) AS DOUBLE) / SUM(n_cg) / 1000000.0
+        AS bcubed_precision,
+      CAST(SUM(r_micro) AS DOUBLE) / SUM(n_cg) / 1000000.0
+        AS bcubed_recall
+    FROM terms GROUP BY source
+    """,
+)
+def x208_bcubed_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    items = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.substring("text", 1, 40)).alias("c_id"),
+        F.md5("text").alias("g_id"),
+    )
+    csize = items.groupBy("c_id").agg(F.count("*").alias("n_c"))
+    gsize = items.groupBy("g_id").agg(F.count("*").alias("n_g"))
+    cells = items.groupBy("source", "c_id", "g_id").agg(
+        F.count("*").alias("n_cg")
+    )
+    terms = (
+        cells.join(csize, "c_id")
+        .join(gsize, "g_id")
+        .select(
+            "source",
+            "n_cg",
+            F.floor(1000000.0 * F.col("n_cg") * F.col("n_cg") / F.col("n_c"))
+            .cast("bigint")
+            .alias("p_micro"),
+            F.floor(1000000.0 * F.col("n_cg") * F.col("n_cg") / F.col("n_g"))
+            .cast("bigint")
+            .alias("r_micro"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.sum("n_cg").cast("bigint").alias("n_docs"),
+        (
+            F.sum("p_micro").cast("double") / F.sum("n_cg") / 1000000.0
+        ).alias("bcubed_precision"),
+        (
+            F.sum("r_micro").cast("double") / F.sum("n_cg") / 1000000.0
+        ).alias("bcubed_recall"),
+    )
+
+
+# x209 — INCREMENTAL DEDUP AGAINST A CORPUS INDEX: the streaming-ingest
+# form of MinHash-LSH dedup — an incoming batch (doc_id % 10 = 0) is
+# banded and joined against the EXISTING corpus's band table (the
+# persisted index; here rebuilt from the 90 % partition), so only
+# new×old candidates materialize — never new×new or old×old. This is
+# the asymmetric join every ingestion pipeline runs before admitting a
+# document; at scale the old side IS the stored band index
+# (cell-partitioned like the IVF index) and the probe prunes to
+# touched buckets.
+@query(
+    "x209_incremental_dedup_probe",
+    oracle=None,  # assembled below — shares x02's minhash CTE
+)
+def x209_incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    bands = dedup.minhash_bands(dedup.minhash_signatures(docs)).persist()
+    new = (
+        bands.where(F.col("doc_id") % 10 == 0)
+        .withColumnRenamed("doc_id", "new_id")
+        .withColumnRenamed("band_val", "bv")
+        .withColumnRenamed("band_idx", "bi")
+    )
+    old = bands.where(F.col("doc_id") % 10 != 0).withColumnRenamed(
+        "doc_id", "old_id"
+    )
+    return (
+        new.join(
+            old,
+            (new.bi == old.band_idx) & (new.bv == old.band_val),
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared_bands"))
+    )
+
+
+def _register_x209_oracle() -> None:
+    from video_streamer_spark.queries import ORACLES
+    from video_streamer_spark.queries.curation import _minhash_cte
+
+    ORACLES["x209_incremental_dedup_probe"] = f"""
+    WITH {_minhash_cte()}
+    SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS new_id,
+           CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS old_id,
+           n_shared_bands
+    FROM mh_pairs
+    WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+    """
+
+
+_register_x209_oracle()
