@@ -191,3 +191,25 @@ def test_shipped_sink_bodies_are_clean():
         write_partial_batch,
     ):
         assert not lint_foreach_batch(fn), fn.__name__
+
+
+def test_bnl_check_is_scoped_to_the_build_subtree(spark):
+    """r6 ADVICE false-negative closed: a selective filter on the PROBE
+    branch must not mask an unbounded broadcast side, and a bounded
+    build side passes regardless of the probe."""
+    c = table(spark, SF_ORACLE, "customer")
+    n = table(spark, SF_ORACLE, "nation")
+    # unbounded build (nation, broadcast-hinted, only IsNotNull pushed)
+    # + a selective filter on the probe branch: MUST flag (the old
+    # plan-global heuristic passed this)
+    bad = c.where("c_acctbal > 100").join(
+        F.broadcast(n), c.c_acctbal > n.n_nationkey
+    )
+    assert "BNL_JOIN" in codes(lint_plan(bad))
+    # bounded build (selective filter INSIDE the broadcast subtree):
+    # clean even though the probe side is a full scan
+    good = c.join(
+        F.broadcast(n.where("n_nationkey < 3")),
+        c.c_acctbal > n.n_nationkey,
+    )
+    assert "BNL_JOIN" not in codes(lint_plan(good))

@@ -40,6 +40,68 @@ class Finding:
     message: str
 
 
+def _parse_tree(text: str) -> list[tuple[int, str, int]]:
+    """The formatted plan's tree section as (depth, node_name, node_id)
+    rows, in preorder. Depth = length of the ASCII-art prefix, which
+    Spark keeps equal for siblings; node ids are the ``(N)`` suffixes
+    that key the detail sections."""
+    import re as _re
+
+    out: list[tuple[int, str, int]] = []
+    for ln in text.splitlines()[1:]:
+        if not ln.strip():
+            break
+        m = _re.search(r"\((\d+)\)\s*$", ln)
+        if not m:
+            continue
+        stripped = _re.sub(r"^[\s:+\-*]+", "", ln)
+        out.append(
+            (len(ln) - len(stripped), stripped.split(" ")[0], int(m.group(1)))
+        )
+    return out
+
+
+def _bnl_build_ids(text: str) -> list[list[int]]:
+    """For each BroadcastNestedLoopJoin in the tree, the node ids of its
+    BUILD-side subtree (the broadcast side: first child for BuildLeft,
+    last for BuildRight). Empty list when the tree can't be parsed —
+    callers fall back to the plan-global heuristic."""
+    nodes = _parse_tree(text)
+    out: list[list[int]] = []
+    for i, (depth, name, _nid) in enumerate(nodes):
+        if name != "BroadcastNestedLoopJoin":
+            continue
+        # subtree rows strictly below this node
+        sub = []
+        for j in range(i + 1, len(nodes)):
+            if nodes[j][0] <= depth:
+                break
+            sub.append(j)
+        if not sub:
+            continue
+        child_depth = min(nodes[j][0] for j in sub)
+        children = [j for j in sub if nodes[j][0] == child_depth]
+        if not children:
+            continue
+        # the tree line spells the build side, e.g.
+        # "BroadcastNestedLoopJoin Inner BuildLeft (6)"
+        line = next(
+            ln
+            for ln in text.splitlines()
+            if ln.rstrip().endswith(f"({_nid})") and name in ln
+        )
+        build_child = children[0] if "BuildLeft" in line else children[-1]
+        # the build subtree: build child + everything under it
+        bdepth = nodes[build_child][0]
+        ids = [nodes[build_child][2]]
+        for j in range(build_child + 1, len(nodes)):
+            if nodes[j][0] <= bdepth:
+                break
+            ids.append(nodes[j][2])
+        out.append(ids)
+    return out
+
+
 def lint_plan(df: DataFrame, max_exchanges: int = 8) -> list[Finding]:
     r = plan_report(df)
     findings: list[Finding] = []
@@ -54,34 +116,57 @@ def lint_plan(df: DataFrame, max_exchanges: int = 8) -> list[Finding]:
             )
         )
     if r.n_bnl_joins > 0:
-        # bounded-build-side heuristic: a BNL whose plan selects a
-        # bounded set somewhere (a pushed comparison/equality filter
-        # beyond bare IsNotNull, or an explicit Limit) is the sanctioned
-        # broadcast-grid pattern (a handful of query rows against the
-        # corpus — q18/x06's shape); a BNL with neither is an all-pairs
-        # theta join and flags.
-        # KNOWN FALSE-NEGATIVE MODE (advisory-acceptable, r6 ADVICE):
-        # the suppression is plan-GLOBAL — a selective filter or Limit
-        # anywhere in the plan clears the flag even when it sits on a
-        # branch unrelated to the BNL's build side, so an unbounded
-        # theta join can pass the lint in a query that also has one
-        # filtered scan. Scoping to the BNL subtree needs child-id
-        # parsing of the formatted plan; until then treat a clean BNL
-        # verdict as "not provably bad", not "provably good".
+        # bounded-build-side check, scoped to each BNL's BUILD subtree
+        # (r7: the r6 version was plan-global, so a selective filter on
+        # an unrelated branch could mask an unbounded theta join — the
+        # ADVICE-flagged false negative). A BNL whose broadcast side
+        # selects a bounded set (a pushed comparison/equality filter
+        # beyond bare IsNotNull, or an explicit Limit, WITHIN that
+        # subtree) is the sanctioned broadcast-grid pattern (a handful
+        # of query rows against the corpus — q18/x06's shape); a BNL
+        # whose build side has neither flags.
         import re as _re
 
-        non_null_filters = [
-            f
-            for pf in r.pushed_filters
-            for f in pf.split(",")
-            if f.strip() and not f.strip().startswith("IsNotNull")
-        ]
-        has_limit = _re.search(r"\b(Global|Local)Limit\b", r.text)
-        if not non_null_filters and not has_limit:
+        def _subtree_bounded(ids: list[int]) -> bool:
+            for nid in ids:
+                detail = _re.search(
+                    rf"^\({nid}\) (\w+)(.*?)(?=^\(\d+\) |\Z)",
+                    r.text,
+                    flags=_re.MULTILINE | _re.DOTALL,
+                )
+                if not detail:
+                    continue
+                name, body = detail.group(1), detail.group(2)
+                if "Limit" in name:
+                    return True
+                for pf in _re.findall(r"PushedFilters: \[([^\]]*)\]", body):
+                    if any(
+                        tok.strip()
+                        and not tok.strip().startswith("IsNotNull")
+                        for tok in pf.split(",")
+                    ):
+                        return True
+            return False
+
+        build_sides = _bnl_build_ids(r.text)
+        if build_sides:
+            unbounded = sum(
+                1 for ids in build_sides if not _subtree_bounded(ids)
+            )
+        else:
+            # tree unparseable: fall back to the plan-global heuristic
+            non_null = any(
+                f.strip() and not f.strip().startswith("IsNotNull")
+                for pf in r.pushed_filters
+                for f in pf.split(",")
+            )
+            has_limit = _re.search(r"\b(Global|Local)Limit\b", r.text)
+            unbounded = 0 if (non_null or has_limit) else r.n_bnl_joins
+        if unbounded:
             findings.append(
                 Finding(
                     "BNL_JOIN",
-                    f"{r.n_bnl_joins} BroadcastNestedLoopJoin(s) with an "
+                    f"{unbounded} BroadcastNestedLoopJoin(s) with an "
                     "unbounded build side: a non-equi condition with no "
                     "equi-key component scans the full broadcast side "
                     "per row. Add an equi-key (interval bucket, hash "
