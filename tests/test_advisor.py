@@ -213,3 +213,23 @@ def test_bnl_check_is_scoped_to_the_build_subtree(spark):
         c.c_acctbal > n.n_nationkey,
     )
     assert "BNL_JOIN" not in codes(lint_plan(good))
+
+
+def test_round7_queries_pass_the_lint(spark):
+    """Every round-7 query is advisory-clean — including the sanctioned
+    one-row-aggregate (x205) and literal-grid (x207) broadcast patterns
+    the scoped BNL check must recognize as bounded."""
+    for name in (
+        "x199_tiny_conv_detections",
+        "x200_verbatim_span_dedup",
+        "x201_embedding_covariance",
+        "x202_cusum_changepoint",
+        "x203_dominant_frequency",
+        "x205_neyman_allocation",
+        "x206_quantile_normalization",
+        "x207_pruning_advisor",
+        "x208_bcubed_cluster_eval",
+        "x209_incremental_dedup_probe",
+    ):
+        got = codes(lint_plan(QUERIES[name](spark, SF_ORACLE)))
+        assert not got, (name, got)

@@ -139,6 +139,22 @@ def lint_plan(df: DataFrame, max_exchanges: int = 8) -> list[Finding]:
                 name, body = detail.group(1), detail.group(2)
                 if "Limit" in name:
                     return True
+                # a keyless (global) aggregate is provably <= 1 row, and
+                # a LocalTableScan is driver-literal data whose size is
+                # fixed at plan time — both are the sanctioned one-row /
+                # constant-grid broadcast patterns (x205's total, x207's
+                # predicate grid)
+                if "Aggregate" in name and _re.search(
+                    r"Keys(?: \[\d+\])?: \[\]", body
+                ):
+                    return True
+                if name == "LocalTableScan" or body.lstrip().startswith(
+                    "ExistingRDD"
+                ):
+                    # LocalTableScan / Scan ExistingRDD: driver-local
+                    # literal data (createDataFrame of a Python list) —
+                    # size fixed at plan time, the constant-grid pattern
+                    return True
                 for pf in _re.findall(r"PushedFilters: \[([^\]]*)\]", body):
                     if any(
                         tok.strip()
