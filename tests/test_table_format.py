@@ -1,0 +1,179 @@
+"""Snapshot-versioned table format: atomic multi-bucket commits,
+time travel, optimistic concurrency, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from video_streamer_spark.catalog import table
+from video_streamer_spark.operators.table_format import (
+    VersionConflictError,
+    create_table,
+    current_version,
+    history,
+    merge_table,
+    read_table,
+    vacuum,
+)
+
+
+def _orders(spark):
+    return table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_create_merge_read_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = _orders(spark).where("o_orderkey % 4 = 0")
+    create_table(base, path, ["o_orderkey"], n_buckets=8)
+    assert current_version(path) == 1
+    assert _rows(read_table(spark, path)) == _rows(base)
+
+    # U doubles some prices, D removes some keys, I adds new keys
+    changes = (
+        _orders(spark)
+        .where("o_orderkey % 4 IN (0, 1)")
+        .withColumn(
+            "__op",
+            F.when(F.col("o_orderkey") % 16 == 0, F.lit("D"))
+            .when(F.col("o_orderkey") % 4 == 1, F.lit("I"))
+            .otherwise(F.lit("U")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                (F.col("o_orderkey") % 4 == 0)
+                & (F.col("o_orderkey") % 16 != 0),
+                F.col("o_totalprice") * 2.0,
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    v = merge_table(spark, path, changes)
+    assert v == 2
+    got = read_table(spark, path)
+    want = (
+        _orders(spark)
+        .where(
+            "(o_orderkey % 4 = 0 AND o_orderkey % 16 <> 0)"
+            " OR o_orderkey % 4 = 1"
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                (F.col("o_orderkey") % 4 == 0)
+                & (F.col("o_orderkey") % 16 != 0),
+                F.col("o_totalprice") * 2.0,
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    assert _rows(got) == _rows(want)
+    # time travel: version 1 still reads the original state
+    assert _rows(read_table(spark, path, version=1)) == _rows(base)
+
+
+def test_crash_before_manifest_publishes_nothing(spark, tmp_path, monkeypatch):
+    """The commit point is the manifest link: kill the commit after the
+    data write but before the link and the table is untouched; the
+    replayed merge then commits normally (no orphan-manifest ambiguity,
+    the exact recovery hole the _CURRENT-pointer design would have)."""
+    import video_streamer_spark.operators.table_format as tf
+
+    path = str(tmp_path / "t")
+    base = _orders(spark).where("o_orderkey % 4 = 0")
+    create_table(base, path, ["o_orderkey"], n_buckets=4)
+    changes = base.limit(50).withColumn("__op", F.lit("D"))
+
+    real = tf._commit_manifest
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before commit point")
+
+    monkeypatch.setattr(tf, "_commit_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        merge_table(spark, path, changes)
+    # nothing committed: same version, same rows
+    assert current_version(path) == 1
+    assert _rows(read_table(spark, path)) == _rows(base)
+    # replay after "restart" commits cleanly
+    monkeypatch.setattr(tf, "_commit_manifest", real)
+    assert merge_table(spark, path, changes) == 2
+    assert read_table(spark, path).count() == base.count() - 50
+    # the crashed commit's unreferenced data dir is swept by vacuum
+    data = os.path.join(path, "data")
+    assert len(os.listdir(data)) == 3  # create + crashed + replay
+    vacuum(path, keep_last=2)
+    assert len(os.listdir(data)) == 2
+
+
+def test_concurrent_writers_conflict_not_lost_update(spark, tmp_path):
+    """Two writers from the same base version: exactly one commits, the
+    other gets VersionConflictError (never a silent lost update)."""
+    import video_streamer_spark.operators.table_format as tf
+
+    path = str(tmp_path / "t")
+    base = _orders(spark).where("o_orderkey % 4 = 0")
+    create_table(base, path, ["o_orderkey"], n_buckets=4)
+    del_a = base.limit(10).withColumn("__op", F.lit("D"))
+
+    # writer A commits v2; writer B, still holding base v1, races by
+    # trying to publish the same next version id directly
+    assert merge_table(spark, path, del_a) == 2
+    with pytest.raises(VersionConflictError):
+        tf._commit_manifest(path, 2, {"buckets": {}})
+    assert current_version(path) == 2
+
+
+def test_multi_bucket_commit_is_all_or_nothing(spark, tmp_path):
+    """A changeset spanning every bucket becomes visible atomically:
+    any committed version reads as a COMPLETE pre- or post-merge state,
+    never a mix (the per-partition-commit gap this format closes)."""
+    path = str(tmp_path / "t")
+    base = _orders(spark).where("o_orderkey % 2 = 0")
+    create_table(base, path, ["o_orderkey"], n_buckets=8)
+    # touches all 8 buckets
+    changes = base.withColumn("__op", F.lit("U")).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0
+    )
+    merge_table(spark, path, changes)
+    for v in history(path):
+        snap = read_table(spark, path, version=v)
+        n_bumped = snap.where(
+            F.col("o_totalprice")
+            != F.floor(F.col("o_totalprice") * 100.0) / 100.0
+        ).count()
+        # version 1: zero bumped; version 2: all bumped. Anything in
+        # between would be a torn commit. (prices are 2-decimal in the
+        # fixture, +1.0 keeps them 2-decimal: detect via full compare)
+        pre = _rows(read_table(spark, path, version=1))
+        post = _rows(read_table(spark, path, version=history(path)[-1]))
+        got = _rows(snap)
+        assert got == pre or got == post
+        del n_bumped
+
+
+def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = _orders(spark).where("o_orderkey % 4 = 0")
+    create_table(base, path, ["o_orderkey"], n_buckets=4)
+    for i in range(3):
+        merge_table(
+            spark,
+            path,
+            base.limit(10 * (i + 1)).withColumn("__op", F.lit("U")),
+        )
+    assert history(path) == [1, 2, 3, 4]
+    stats = vacuum(path, keep_last=2)
+    assert stats["manifests_removed"] == 2
+    assert history(path) == [3, 4]
+    # retained versions still read fine
+    assert read_table(spark, path, version=3).count() > 0
+    assert read_table(spark, path, version=4).count() > 0

@@ -631,3 +631,94 @@ def _register_x209_oracle() -> None:
 
 
 _register_x209_oracle()
+
+
+# x210 — ACID SNAPSHOT MERGE: the manifest-versioned table format
+# (operators/table_format.py) driven end-to-end — create, two MERGE
+# commits (upsert/delete/insert mix), then read the committed snapshot.
+# Every commit is atomic across ALL touched buckets (the manifest link
+# is the commit point), so the oracle can state the final table in
+# closed form; unit tests separately cover crash-before-commit,
+# optimistic concurrency, time travel and vacuum
+# (tests/test_table_format.py).
+@query(
+    "x210_acid_snapshot_merge",
+    oracle="""
+    WITH fin AS (
+      SELECT o_orderkey, o_orderpriority,
+        CASE WHEN o_orderkey % 16 = 8 THEN o_totalprice * 2.0
+             WHEN o_orderkey % 4 = 1 THEN o_totalprice + 1000.0
+             ELSE o_totalprice END AS price
+      FROM orders
+      WHERE (o_orderkey % 4 = 0 AND o_orderkey % 16 <> 0)
+         OR o_orderkey % 4 = 1)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(price * 1000000.0) AS BIGINT)) AS DOUBLE)
+        / 1000000.0 AS total_price
+    FROM fin GROUP BY o_orderpriority
+    """,
+)
+def x210_acid_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import itertools
+    import os
+
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        merge_table,
+        read_table,
+    )
+
+    if not hasattr(x210_acid_snapshot_merge, "_seq"):
+        x210_acid_snapshot_merge._seq = itertools.count()
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    path = (
+        f"/tmp/vss-acid/{app}-{tag}/run-"
+        f"{next(x210_acid_snapshot_merge._seq)}"
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    base = orders.where("o_orderkey % 4 = 0")
+    create_table(base, path, ["o_orderkey"], n_buckets=8)
+    # commit 2: delete %16=0, double-price %16=8, insert the %4=1 keys
+    cs1 = (
+        orders.where("o_orderkey % 4 IN (0, 1)")
+        .withColumn(
+            "__op",
+            F.when(F.col("o_orderkey") % 16 == 0, F.lit("D"))
+            .when(F.col("o_orderkey") % 4 == 1, F.lit("I"))
+            .otherwise(F.lit("U")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 16 == 8,
+                F.col("o_totalprice") * 2.0,
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    merge_table(spark, path, cs1)
+    # commit 3: bump every inserted key's price
+    cs2 = (
+        orders.where("o_orderkey % 4 = 1")
+        .withColumn("__op", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    )
+    merge_table(spark, path, cs2)
+    return (
+        read_table(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 1000000.0).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / 1000000.0
+            ).alias("total_price"),
+        )
+    )
