@@ -177,3 +177,74 @@ def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
     # retained versions still read fine
     assert read_table(spark, path, version=3).count() > 0
     assert read_table(spark, path, version=4).count() > 0
+
+
+def test_merge_idempotency_key_skips_replay(spark, tmp_path):
+    """A merge replayed with the same idempotency key is a no-op at the
+    MANIFEST level: same state, same version, no churn."""
+    path = str(tmp_path / "t")
+    base = _orders(spark).where("o_orderkey % 4 = 0")
+    create_table(base, path, ["o_orderkey"], n_buckets=4)
+    cs = base.limit(20).withColumn("__op", F.lit("D"))
+    v = merge_table(spark, path, cs, idempotency_key="ckpt:0")
+    assert v == 2
+    v2 = merge_table(spark, path, cs, idempotency_key="ckpt:0")
+    assert v2 == 2 and history(path) == [1, 2]
+    # a different key commits normally
+    assert merge_table(spark, path, cs, idempotency_key="ckpt:1") == 3
+
+
+def test_acid_merge_sink_streaming_equivalence(spark, tmp_path):
+    """Stream a CDC feed into the versioned table; the final snapshot
+    must equal the batch apply of the same compacted changeset, and the
+    version count must equal the number of non-empty epochs."""
+    from video_streamer_spark.operators.merge import compact_changeset
+    from video_streamer_spark.operators.table_format import (
+        run_acid_merge_sink,
+    )
+
+    path = str(tmp_path / "t")
+    base = _orders(spark).where("o_orderkey % 2 = 0")
+    create_table(base, path, ["o_orderkey"], n_buckets=4)
+
+    # CDC feed: deletes for %8==0, price bumps for %8==2, with a seq col
+    feed = (
+        _orders(spark)
+        .where("o_orderkey % 8 IN (0, 2)")
+        .withColumn(
+            "__op",
+            F.when(F.col("o_orderkey") % 8 == 0, F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 8 == 2,
+                F.col("o_totalprice") + 5.0,
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn("seq", F.col("o_orderkey"))
+    )
+    src = str(tmp_path / "src")
+    feed.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_acid_merge_sink(stream, path, ["o_orderkey"], "seq")
+
+    got = _rows(read_table(spark, path).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ))
+    from video_streamer_spark.operators.merge import apply_changeset
+
+    want = _rows(
+        apply_changeset(
+            base,
+            compact_changeset(feed, ["o_orderkey"], "seq"),
+            ["o_orderkey"],
+        ).select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    assert got == want

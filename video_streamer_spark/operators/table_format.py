@@ -172,6 +172,7 @@ def merge_table(
     path: str,
     changes: DataFrame,
     op_col: str = OP_COL,
+    idempotency_key: str | None = None,
 ) -> int:
     """MERGE the changeset in ONE atomic commit.
 
@@ -181,7 +182,19 @@ def merge_table(
     dir; the manifest link publishes every touched bucket at once.
     Returns the committed version. Raises ``VersionConflictError`` if
     another writer committed first — replay after a crash is always
-    safe because a crashed commit published nothing."""
+    safe because a crashed commit published nothing.
+
+    ``idempotency_key`` (e.g. ``f"{checkpoint}:{epoch_id}"`` from a
+    streaming foreachBatch) is recorded in the manifest; a merge whose
+    key already appears in ANY retained manifest returns the current
+    version without committing — so a replayed micro-batch is a no-op
+    instead of version churn (Delta's txn-app-id pattern). Keys only
+    survive as far back as ``vacuum`` retention, matching how long a
+    stream could plausibly replay."""
+    if idempotency_key is not None:
+        for v in history(path):
+            if _read_manifest(path, v).get("txn") == idempotency_key:
+                return current_version(path)
     base_v = current_version(path)
     doc = _read_manifest(path, base_v)
     key_cols, n_buckets = doc["key_cols"], doc["n_buckets"]
@@ -218,6 +231,8 @@ def merge_table(
         "key_cols": key_cols,
         "buckets": new_buckets,
     }
+    if idempotency_key is not None:
+        new_doc["txn"] = idempotency_key
     _commit_manifest(path, base_v + 1, new_doc)
     return base_v + 1
 
@@ -253,3 +268,41 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
         "data_dirs_removed": removed,
         "manifests_removed": dropped_manifests,
     }
+
+
+def run_acid_merge_sink(
+    stream_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = OP_COL,
+    timeout_sec: int = 300,
+) -> None:
+    """CDC apply into the versioned table: each micro-batch compacts to
+    last-write-wins per key (``merge.compact_changeset``) and commits
+    ONE atomic version, keyed by ``checkpoint:epoch`` so a foreachBatch
+    replay is a manifest-level no-op — exactly-once table state on top
+    of Structured Streaming's at-least-once epoch delivery. The table
+    must exist (``create_table``) before the stream starts."""
+    from video_streamer_spark.operators.merge import compact_changeset
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        compacted = compact_changeset(batch_df, key_cols, seq_col)
+        merge_table(
+            batch_df.sparkSession,
+            path,
+            compacted,
+            op_col=op_col,
+            idempotency_key=f"{path}:{epoch_id}",
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, timeout_sec, "run_acid_merge_sink")
