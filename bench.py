@@ -95,15 +95,24 @@ def splittable_mirror(sf_dir: str) -> str:
             size = os.path.getsize(src)
             pf = pq.ParquetFile(src)
             if pf.num_row_groups == 1 and size > (4 << 20):
+                # stage + rename: a crash mid-rewrite must not leave a
+                # PARTIAL table dir that a later run would skip over and
+                # then mark _READY (benching against truncated data)
+                stage = dst + ".staging"
+                if os.path.exists(stage):
+                    import shutil
+
+                    shutil.rmtree(stage)
                 tbl = pq.read_table(src)
                 n_files = max(2, min(16, size >> 20))
                 per = -(-tbl.num_rows // n_files)
-                os.makedirs(dst, exist_ok=True)
+                os.makedirs(stage)
                 for i in range(n_files):
                     pq.write_table(
                         tbl.slice(i * per, per),
-                        os.path.join(dst, f"part-{i:05d}.parquet"),
+                        os.path.join(stage, f"part-{i:05d}.parquet"),
                     )
+                os.rename(stage, dst)
             else:
                 os.symlink(src, dst)
         with open(ready, "w") as fh:

@@ -434,7 +434,11 @@ def x206_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Delta OPTIMIZE ZORDER BY): at 100 TB the difference between 2 % and
 # 100 % of row groups scanned IS the query latency. One pass per
 # layout; groups are fixed 500-row windows so both engines agree
-# exactly.
+# exactly. The sorted-layout simulation uses a GLOBAL row_number (a
+# total order is what "sorted layout" means) — at scale you'd simulate
+# with range-partitioned approximate boundaries (x87/x96's quantile
+# machinery) instead of one exact total order; the advisory output is
+# identical to first order.
 @query(
     "x207_pruning_advisor",
     oracle="""
