@@ -78,11 +78,32 @@ def splittable_mirror(sf_dir: str) -> str:
     back to the original dir on any error."""
     import pyarrow.parquet as pq
 
+    import hashlib
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     mirror = f"/tmp/vss-bench-data/{tag}"
     ready = os.path.join(mirror, "_READY")
+    # cache keyed by a fingerprint of the SOURCE files (path + size +
+    # mtime): regenerated testdata or a different dir with the same
+    # basename must rebuild, never silently bench stale copies
+    fp = hashlib.sha256(
+        "\n".join(
+            sorted(
+                f"{os.path.realpath(sf_dir)}/{f}:"
+                f"{os.path.getsize(os.path.join(sf_dir, f))}:"
+                f"{os.path.getmtime(os.path.join(sf_dir, f))}"
+                for f in os.listdir(sf_dir)
+                if f.endswith(".parquet")
+            )
+        ).encode()
+    ).hexdigest()
     if os.path.exists(ready):
-        return mirror
+        with open(ready) as fh:
+            if fh.read().strip() == fp:
+                return mirror
+        import shutil
+
+        shutil.rmtree(mirror)  # stale mirror: rebuild from scratch
     try:
         os.makedirs(mirror, exist_ok=True)
         for f in os.listdir(sf_dir):
@@ -116,7 +137,7 @@ def splittable_mirror(sf_dir: str) -> str:
             else:
                 os.symlink(src, dst)
         with open(ready, "w") as fh:
-            fh.write("ok")
+            fh.write(fp)
         return mirror
     except Exception as exc:  # noqa: BLE001 - bench must still run
         print(f"# mirror build failed, using raw layout: {exc}", file=sys.stderr)
@@ -295,10 +316,19 @@ def main() -> None:
     ) != os.path.realpath(sf_dir):
         small_sec: dict[str, float] = {}
         for rep in range(3):
-            for name in s2:
+            for name in list(s2):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                QUERIES[name](spark, small_dir).toPandas()
+                # guarded like the warmup pass: one broken sf0.01 query
+                # must not abort the bench after the headline timings
+                # were already measured (round-3 postmortem rule)
+                try:
+                    QUERIES[name](spark, small_dir).toPandas()
+                except Exception as exc:  # noqa: BLE001 - diagnostic
+                    print(f"# SCALE2 FAILED {name}: {exc}", file=sys.stderr)
+                    s2.remove(name)
+                    small_sec.pop(name, None)
+                    continue
                 dt = time.perf_counter() - t0
                 if rep:  # rep 0 is warmup
                     small_sec[name] = min(small_sec.get(name, dt), dt)

@@ -233,3 +233,17 @@ def test_round7_queries_pass_the_lint(spark):
     ):
         got = codes(lint_plan(QUERIES[name](spark, SF_ORACLE)))
         assert not got, (name, got)
+
+
+def test_foreach_batch_non_spark_read_is_clean():
+    """open(...).read() / resp.read() are NOT a per-batch Spark table
+    re-read (r7 review false positive)."""
+    from video_streamer_spark.plans.advisor import lint_foreach_batch
+
+    def fine_sink(batch_df, epoch_id):
+        cfg = open("/etc/cfg.json").read()
+        routing = {"a": 1}
+        t = routing.get("table")
+        batch_df.write.mode("append").parquet(f"/out/{cfg}/{t}")
+
+    assert not lint_foreach_batch(fine_sink)

@@ -110,7 +110,7 @@ def test_crash_before_manifest_publishes_nothing(spark, tmp_path, monkeypatch):
     # the crashed commit's unreferenced data dir is swept by vacuum
     data = os.path.join(path, "data")
     assert len(os.listdir(data)) == 3  # create + crashed + replay
-    vacuum(path, keep_last=2)
+    vacuum(path, keep_last=2, min_age_sec=0.0)
     assert len(os.listdir(data)) == 2
 
 
@@ -171,7 +171,7 @@ def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
             base.limit(10 * (i + 1)).withColumn("__op", F.lit("U")),
         )
     assert history(path) == [1, 2, 3, 4]
-    stats = vacuum(path, keep_last=2)
+    stats = vacuum(path, keep_last=2, min_age_sec=0.0)
     assert stats["manifests_removed"] == 2
     assert history(path) == [3, 4]
     # retained versions still read fine
@@ -233,7 +233,9 @@ def test_acid_merge_sink_streaming_equivalence(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    run_acid_merge_sink(stream, path, ["o_orderkey"], "seq")
+    run_acid_merge_sink(
+        stream, path, ["o_orderkey"], "seq", str(tmp_path / "ckpt")
+    )
 
     got = _rows(read_table(spark, path).select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -248,3 +250,69 @@ def test_acid_merge_sink_streaming_equivalence(spark, tmp_path):
         ).select("o_orderkey", "o_custkey", "o_totalprice")
     )
     assert got == want
+
+
+def test_empty_committed_version_reads_as_empty_relation(spark, tmp_path):
+    """A changeset deleting every row commits a valid EMPTY version —
+    readable as an empty relation with the table schema, not an error."""
+    path = str(tmp_path / "t")
+    base = _orders(spark).where("o_orderkey % 100 = 0")
+    create_table(base, path, ["o_orderkey"], n_buckets=4)
+    merge_table(spark, path, base.withColumn("__op", F.lit("D")))
+    snap = read_table(spark, path)
+    assert snap.count() == 0
+    assert set(snap.columns) == {"o_orderkey", "o_custkey", "o_totalprice"}
+    # and the table comes back to life on a later insert
+    merge_table(spark, path, base.limit(5).withColumn("__op", F.lit("I")))
+    assert read_table(spark, path).count() == 5
+
+
+def test_second_stream_run_is_not_swallowed_by_first_runs_epochs(
+    spark, tmp_path
+):
+    """Epoch ids restart at 0 under a fresh checkpoint: run 2's batches
+    must COMMIT, not be skipped as replays of run 1's epoch keys (the
+    epoch-id-collision bug the checkpoint-scoped key prevents)."""
+    from video_streamer_spark.operators.table_format import (
+        run_acid_merge_sink,
+    )
+
+    path = str(tmp_path / "t")
+    base = _orders(spark).where("o_orderkey % 2 = 0")
+    create_table(base, path, ["o_orderkey"], n_buckets=4)
+
+    def feed(pred, bump):
+        return (
+            _orders(spark)
+            .where(pred)
+            .withColumn("__op", F.lit("U"))
+            .withColumn("o_totalprice", F.col("o_totalprice") + bump)
+            .withColumn("seq", F.col("o_orderkey"))
+        )
+
+    for i, (pred, bump) in enumerate(
+        [("o_orderkey % 8 = 0", 1.0), ("o_orderkey % 8 = 2", 7.0)]
+    ):
+        src = str(tmp_path / f"src{i}")
+        feed(pred, bump).repartition(2).write.parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_acid_merge_sink(
+            stream,
+            path,
+            ["o_orderkey"],
+            "seq",
+            str(tmp_path / f"ckpt{i}"),  # FRESH checkpoint per run
+        )
+    got = read_table(spark, path)
+    # run 2's +7.0 bumps must be present
+    n_run2 = got.join(
+        _orders(spark).where("o_orderkey % 8 = 2").select(
+            "o_orderkey", F.col("o_totalprice").alias("orig")
+        ),
+        "o_orderkey",
+    ).where(F.col("o_totalprice") == F.col("orig") + 7.0).count()
+    assert n_run2 == _orders(spark).where("o_orderkey % 8 = 2").count()

@@ -49,12 +49,17 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from video_streamer_spark.operators.merge import (
+    BUCKET_COL,  # the bucket column _bucketed emits — must stay shared
     OP_COL,
     apply_changeset,
     _bucketed,
 )
 
-BUCKET_COL = "pb"
+# how many streaming idempotency keys each manifest carries forward:
+# the replay window. Structured Streaming replays at most the epochs
+# since the last checkpoint commit, so a bounded recent-keys map is the
+# honest analog of Delta's per-app txn version.
+TXN_KEEP = 100
 
 
 class VersionConflictError(RuntimeError):
@@ -139,6 +144,9 @@ def create_table(
         "version": 1,
         "n_buckets": n_buckets,
         "key_cols": key_cols,
+        # the row schema, so an empty version (all rows deleted) stays
+        # readable as an empty relation instead of erroring
+        "schema": df.schema.json(),
         "buckets": {str(b): f"{rel}/{BUCKET_COL}={b}" for b in present},
     }
     _commit_manifest(path, 1, doc)
@@ -160,7 +168,13 @@ def read_table(
         )
     ]
     if not parts:
-        raise ValueError(f"empty table at {path} v{v}")
+        # a committed version CAN be empty (a changeset deleted every
+        # remaining row) — an empty relation with the table schema
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(doc["schema"]))
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -184,19 +198,18 @@ def merge_table(
     another writer committed first — replay after a crash is always
     safe because a crashed commit published nothing.
 
-    ``idempotency_key`` (e.g. ``f"{checkpoint}:{epoch_id}"`` from a
-    streaming foreachBatch) is recorded in the manifest; a merge whose
-    key already appears in ANY retained manifest returns the current
-    version without committing — so a replayed micro-batch is a no-op
-    instead of version churn (Delta's txn-app-id pattern). Keys only
-    survive as far back as ``vacuum`` retention, matching how long a
-    stream could plausibly replay."""
-    if idempotency_key is not None:
-        for v in history(path):
-            if _read_manifest(path, v).get("txn") == idempotency_key:
-                return current_version(path)
+    ``idempotency_key`` (``f"{checkpoint}:{epoch_id}"`` from a
+    streaming foreachBatch) makes a replayed micro-batch a no-op
+    instead of version churn (Delta's txn-app-id pattern): each
+    manifest carries forward the ``TXN_KEEP`` most recent keys, so the
+    check reads ONLY the current manifest — O(1) per merge, and the
+    replay window (a stream replays at most the epochs since its last
+    checkpoint commit) stays comfortably inside the carried map."""
     base_v = current_version(path)
     doc = _read_manifest(path, base_v)
+    txns = doc.get("txns", [])
+    if idempotency_key is not None and idempotency_key in txns:
+        return base_v
     key_cols, n_buckets = doc["key_cols"], doc["n_buckets"]
     bucketed_changes = _bucketed(changes, key_cols, n_buckets)
     touched = sorted(
@@ -229,21 +242,33 @@ def merge_table(
         "version": base_v + 1,
         "n_buckets": n_buckets,
         "key_cols": key_cols,
+        "schema": doc.get("schema", merged.schema.json()),
         "buckets": new_buckets,
     }
     if idempotency_key is not None:
-        new_doc["txn"] = idempotency_key
+        new_doc["txns"] = (txns + [idempotency_key])[-TXN_KEEP:]
+    elif txns:
+        new_doc["txns"] = txns
     _commit_manifest(path, base_v + 1, new_doc)
     return base_v + 1
 
 
-def vacuum(path: str, keep_last: int = 2) -> dict:
+def vacuum(path: str, keep_last: int = 2, min_age_sec: float = 3600.0) -> dict:
     """Delete data dirs no retained manifest references, and manifests
     older than the retention window. Readers of RETAINED versions are
     unaffected (their files survive); time travel beyond the window is
     traded for space — the same contract as Delta VACUUM. Also sweeps
-    unreferenced commit dirs from crashed (never-published) commits."""
+    unreferenced commit dirs from crashed (never-published) commits.
+
+    ``min_age_sec`` protects an IN-FLIGHT writer: a commit dir younger
+    than the threshold may belong to a merge that has written data but
+    not yet linked its manifest — deleting it would let the writer
+    publish a manifest whose files are gone. Only dirs older than the
+    threshold are swept (Delta VACUUM's retention-window check, scaled
+    down); crashed-commit garbage is reclaimed on the next vacuum after
+    it ages past the window."""
     import shutil
+    import time
 
     versions = history(path)
     keep = set(versions[-keep_last:])
@@ -254,10 +279,14 @@ def vacuum(path: str, keep_last: int = 2) -> dict:
             referenced.add(rel.split(f"/{BUCKET_COL}=")[0])
     data_dir = os.path.join(path, "data")
     removed = 0
+    now = time.time()
     for d in os.listdir(data_dir):
         rel = f"data/{d}"
-        if rel not in referenced:
-            shutil.rmtree(os.path.join(data_dir, d))
+        full = os.path.join(data_dir, d)
+        if rel not in referenced and (
+            now - os.path.getmtime(full) >= min_age_sec
+        ):
+            shutil.rmtree(full)
             removed += 1
     dropped_manifests = 0
     for v in versions:
@@ -275,6 +304,7 @@ def run_acid_merge_sink(
     path: str,
     key_cols: list[str],
     seq_col: str,
+    checkpoint_dir: str,
     op_col: str = OP_COL,
     timeout_sec: int = 300,
 ) -> None:
@@ -283,7 +313,14 @@ def run_acid_merge_sink(
     ONE atomic version, keyed by ``checkpoint:epoch`` so a foreachBatch
     replay is a manifest-level no-op — exactly-once table state on top
     of Structured Streaming's at-least-once epoch delivery. The table
-    must exist (``create_table``) before the stream starts."""
+    must exist (``create_table``) before the stream starts.
+
+    ``checkpoint_dir`` is REQUIRED and is part of the idempotency key:
+    epoch ids restart at 0 for every fresh checkpoint, so a key built
+    from the table path alone would make a SECOND stream run's epochs
+    collide with the first's and silently drop its batches (the same
+    epoch-id-scoping rule as ``streaming/incremental.journal_epoch``).
+    One checkpoint lineage == one key namespace."""
     from video_streamer_spark.operators.merge import compact_changeset
     from video_streamer_spark.streaming.drain import drain_or_raise
 
@@ -296,11 +333,12 @@ def run_acid_merge_sink(
             path,
             compacted,
             op_col=op_col,
-            idempotency_key=f"{path}:{epoch_id}",
+            idempotency_key=f"{checkpoint_dir}:{epoch_id}",
         )
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()

@@ -351,16 +351,38 @@ def lint_foreach_batch(fn) -> list[Finding]:
     findings: list[Finding] = []
     collectors: set[str] = set()
     static_reads: set[str] = set()
+
+    def _chain_names(node) -> set[str]:
+        """Identifier segments of an attribute chain, lowercased —
+         'batch_df.sparkSession.read' -> {'batch_df','sparksession',
+        'read'} — so spark-rooted reads are distinguished from
+        open(...).read() / resp.read() (r7 review false positive)."""
+        out: set[str] = set()
+        while isinstance(node, ast.Attribute):
+            out.add(node.attr.lower())
+            node = node.value
+        if isinstance(node, ast.Name):
+            out.add(node.id.lower())
+        return out
+
+    def _spark_rooted(names: set[str]) -> bool:
+        return bool(
+            {"spark", "sparksession", "catalog", "sql_ctx"} & names
+        ) or any("spark" in n for n in names)
+
     for node in ast.walk(tree):
         if isinstance(node, ast.Call) and isinstance(
             node.func, ast.Attribute
         ):
             if node.func.attr in {"collect", "toPandas", "toLocalIterator"}:
                 collectors.add(node.func.attr)
-            if node.func.attr == "table":
+            if node.func.attr == "table" and _spark_rooted(
+                _chain_names(node.func.value)
+            ):
                 static_reads.add("table")
         elif isinstance(node, ast.Attribute) and node.attr == "read":
-            static_reads.add("read")
+            if _spark_rooted(_chain_names(node.value)):
+                static_reads.add("read")
     if collectors:
         findings.append(
             Finding(

@@ -266,7 +266,17 @@ def _reorder() -> None:
         )
 
         order = derived_sample_order(QUERIES, ORACLES)
-    except Exception:
+    except Exception as exc:  # pragma: no cover - defensive fallback
+        # LOUD fallback: a silent degradation here would quietly ship a
+        # stale sample order (tests pin registry order == derived order,
+        # so CI catches it too — this line is for interactive users)
+        import sys as _sys
+
+        print(
+            f"# sample-order derivation failed ({exc!r}); "
+            "falling back to the static _SAMPLE_FIRST order",
+            file=_sys.stderr,
+        )
         order = _SAMPLE_FIRST
     head = {n: QUERIES[n] for n in order if n in QUERIES}
     tail = {n: fn for n, fn in QUERIES.items() if n not in head}
