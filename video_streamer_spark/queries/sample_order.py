@@ -14,8 +14,18 @@ This module derives the order from the evidence itself:
    ``CORRECTNESS_r*.json``, oldest-registered first.
 3. **Changed since last green** — queries whose current source hash
    differs from the hash recorded when their newest green row was
-   earned (``verified_hashes.json``, regenerated per round via
-   ``python -m video_streamer_spark.queries.sample_order --write``).
+   earned (``verified_hashes.json``). ROUND-START RITUAL (run once,
+   right after a new CORRECTNESS_r{N}.json lands, BEFORE changing any
+   code): regenerate the snapshot against the exact tree that driver
+   round executed —
+   ``git worktree add /tmp/prevtree <last-round-final-commit> &&
+   cp video_streamer_spark/queries/sample_order.py
+   /tmp/prevtree/video_streamer_spark/queries/ && (cd /tmp/prevtree &&
+   python -m video_streamer_spark.queries.sample_order --write) &&
+   cp /tmp/prevtree/video_streamer_spark/queries/verified_hashes.json
+   video_streamer_spark/queries/ && git worktree remove --force
+   /tmp/prevtree``. Regenerating against a LATER tree would stamp
+   code the driver never ran as verified.
    The hash covers the query function's own source, its oracle SQL,
    and every in-package module in the TRANSITIVE import closure of the
    query's module — module-level granularity deliberately over-flags
