@@ -316,3 +316,55 @@ def test_second_stream_run_is_not_swallowed_by_first_runs_epochs(
         "o_orderkey",
     ).where(F.col("o_totalprice") == F.col("orig") + 7.0).count()
     assert n_run2 == _orders(spark).where("o_orderkey % 8 = 2").count()
+
+
+def test_random_changeset_sequence_matches_dict_model(spark, tmp_path):
+    """Model-based check: ten seeded-random changesets (U/I/D over a
+    small key space, duplicate keys compacted last-write-wins) applied
+    through merge_table must leave exactly the state a plain python
+    dict model predicts — at every intermediate version (time travel
+    re-reads the full history)."""
+    import random
+
+    from video_streamer_spark.operators.merge import compact_changeset
+
+    rng = random.Random(0xC0FFEE)
+    path = str(tmp_path / "t")
+    keys = list(range(40))
+    base_rows = [(k, float(k * 10)) for k in keys if k % 2 == 0]
+    base = spark.createDataFrame(base_rows, "k bigint, v double")
+    create_table(base, path, ["k"], n_buckets=4)
+    model = dict(base_rows)
+    states = [dict(model)]
+
+    for step in range(10):
+        n = rng.randint(1, 8)
+        cs_rows = []
+        for _ in range(n):
+            k = rng.choice(keys)
+            op = rng.choice(["U", "I", "D"])
+            cs_rows.append((k, float(rng.randint(0, 999)), op, step * 100 + len(cs_rows)))
+        cs = spark.createDataFrame(
+            cs_rows, "k bigint, v double, __op string, seq bigint"
+        )
+        compacted = compact_changeset(cs, ["k"], "seq")
+        merge_table(spark, path, compacted)
+        # model: last op per key wins (compaction), then apply
+        last = {}
+        for k, v, op, _seq in cs_rows:
+            last[k] = (op, v)
+        for k, (op, v) in last.items():
+            if op == "D":
+                model.pop(k, None)
+            else:  # U and I both key-replace
+                model[k] = v
+        states.append(dict(model))
+
+    versions = history(path)
+    assert len(versions) == len(states)
+    for v, want in zip(versions, states):
+        got = {
+            r["k"]: r["v"]
+            for r in read_table(spark, path, version=v).collect()
+        }
+        assert got == want, f"version {v} diverged from the model"
