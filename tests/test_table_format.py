@@ -368,3 +368,148 @@ def test_random_changeset_sequence_matches_dict_model(spark, tmp_path):
             for r in read_table(spark, path, version=v).collect()
         }
         assert got == want, f"version {v} diverged from the model"
+
+
+def test_zone_map_pruned_read_skips_disjoint_buckets(spark, tmp_path):
+    """Per-bucket value ranges made disjoint BY CONSTRUCTION (value =
+    bucket*1000 + i), so the zone maps must resolve a range predicate
+    to exactly one bucket — verified both by inputFiles (skipped
+    buckets never listed) and by exact row equality vs filter-after-
+    full-read."""
+    from video_streamer_spark.operators.merge import BUCKET_COL, _bucketed
+    from video_streamer_spark.operators.table_format import (
+        _read_manifest,
+        read_table_where,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 400).select(F.col("id").alias("k"))
+    with_b = _bucketed(base, ["k"], 8).withColumn(
+        "val", (F.col(BUCKET_COL).cast("long") * 1000 + F.col("k")).cast("long")
+    ).drop(BUCKET_COL)
+    create_table(with_b, path, ["k"], n_buckets=8)
+
+    doc = _read_manifest(path, 1)
+    assert doc["stats"], "zone maps must be recorded at create"
+    # every recorded bucket range is [b*1000, b*1000+399]-shaped
+    for b, cols in doc["stats"].items():
+        mn, mx = cols["val"]
+        assert mn // 1000 == int(b) and mx // 1000 == int(b)
+
+    pruned = read_table_where(spark, path, "val", lo=3000, hi=3399)
+    full = read_table(spark, path).where("val >= 3000 AND val <= 3399")
+    assert _rows(pruned.select("k", "val")) == _rows(full.select("k", "val"))
+    # exactly one bucket's files are listed
+    dirs = {f.rsplit("/", 2)[-2] for f in pruned.inputFiles()}
+    assert len(dirs) == 1, dirs
+
+
+def test_zone_maps_carried_and_refreshed_on_merge(spark, tmp_path):
+    from video_streamer_spark.operators.merge import BUCKET_COL, _bucketed
+    from video_streamer_spark.operators.table_format import _read_manifest
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 200).select(F.col("id").alias("k"))
+    with_b = _bucketed(base, ["k"], 8).withColumn(
+        "val", (F.col(BUCKET_COL).cast("long") * 1000 + F.col("k")).cast("long")
+    ).drop(BUCKET_COL)
+    create_table(with_b, path, ["k"], n_buckets=8)
+    before = _read_manifest(path, 1)["stats"]
+
+    # touch only key 7's bucket: raise its val far above every range
+    change = (
+        read_table(spark, path)
+        .where("k = 7")
+        .withColumn("val", F.lit(999_999).cast("long"))
+        .withColumn("__op", F.lit("U"))
+    )
+    merge_table(spark, path, change)
+    after = _read_manifest(path, 2)["stats"]
+
+    touched = {
+        str(r[BUCKET_COL])
+        for r in _bucketed(
+            spark.range(7, 8).select(F.col("id").alias("k")), ["k"], 8
+        ).select(BUCKET_COL).collect()
+    }
+    for b in before:
+        if b in touched:
+            assert after[b]["val"][1] == 999_999
+        else:
+            assert after[b] == before[b], "untouched stats carried over"
+
+
+def test_key_lookup_reads_at_most_k_buckets(spark, tmp_path):
+    from video_streamer_spark.operators.table_format import read_table_for_keys
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("val")
+    )
+    create_table(base, path, ["k"], n_buckets=16)
+    keys = spark.createDataFrame([(11,), (42,), (433,)], ["k"])
+    got = read_table_for_keys(spark, path, keys)
+    assert _rows(got) == [(11, 33), (42, 126), (433, 1299)]
+    dirs = {f.rsplit("/", 2)[-2] for f in got.inputFiles()}
+    assert len(dirs) <= 3, dirs
+
+
+def test_table_changes_is_exactly_the_applied_delta(spark, tmp_path):
+    from video_streamer_spark.operators.table_format import table_changes
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("val")
+    )
+    create_table(base, path, ["k"], n_buckets=8)
+    changes = spark.createDataFrame(
+        [(3, 99, "U"), (100, 1, "I"), (5, 0, "D")], ["k", "val", "__op"]
+    ).withColumn("val", F.col("val").cast("long"))
+    merge_table(spark, path, changes)
+
+    cdf = table_changes(spark, path, 1, 2)
+    got = sorted((r["k"], r["val"], r["_change_type"]) for r in cdf.collect())
+    assert got == [
+        (3, 99, "update_postimage"),
+        (5, 5 % 7, "delete"),  # delete carries the pre-image
+        (100, 1, "insert"),
+    ]
+    # manifest-level pruning: only rewritten buckets' files are read
+    from video_streamer_spark.operators.merge import BUCKET_COL, _bucketed
+
+    touched = {
+        f"{BUCKET_COL}={r[BUCKET_COL]}"
+        for r in _bucketed(changes, ["k"], 8).select(BUCKET_COL).collect()
+    }
+    dirs = {f.rsplit("/", 2)[-2] for f in cdf.inputFiles()}
+    assert dirs <= touched, (dirs, touched)
+
+
+def test_table_changes_across_multiple_commits(spark, tmp_path):
+    """v1→v3 must reflect the NET delta (an insert later updated shows
+    once, as an insert with the final value; an insert later deleted
+    vanishes)."""
+    from video_streamer_spark.operators.table_format import table_changes
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.col("id").alias("val")
+    )
+    create_table(base, path, ["k"], n_buckets=4)
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(200, 1, "I"), (201, 1, "I")], ["k", "val", "__op"]
+        ).withColumn("val", F.col("val").cast("long")),
+    )
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(200, 7, "U"), (201, 0, "D")], ["k", "val", "__op"]
+        ).withColumn("val", F.col("val").cast("long")),
+    )
+    cdf = table_changes(spark, path, 1, 3)
+    got = sorted((r["k"], r["val"], r["_change_type"]) for r in cdf.collect())
+    assert got == [(200, 7, "insert")]

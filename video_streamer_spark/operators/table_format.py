@@ -42,11 +42,14 @@ gst-detection-tf.py:339-344)."""
 
 from __future__ import annotations
 
+import datetime
 import json
+import math
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from video_streamer_spark.operators.merge import (
     BUCKET_COL,  # the bucket column _bucketed emits — must stay shared
@@ -116,11 +119,69 @@ def _commit_manifest(path: str, version: int, doc: dict) -> None:
         os.unlink(tmp)
 
 
+# types whose min/max are meaningful zone-map bounds AND survive a JSON
+# round trip (dates/timestamps as ISO strings — lexicographic order ==
+# temporal order, so string comparison prunes correctly)
+_STAT_ATOMS = frozenset(
+    {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "string", "date", "timestamp", "timestamp_ntz",
+    }
+)
+
+
+def _json_stat(v):
+    """A collected min/max as a JSON-safe value; None = unknown (an
+    all-null column, or a NaN bound) → the bucket is never pruned on
+    that column."""
+    if v is None:
+        return None
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return None
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    return v
+
+
+def _commit_stats(
+    spark: SparkSession, full: str
+) -> dict[str, dict[str, list]]:
+    """Per-bucket min/max zone maps for the freshly written commit dir.
+
+    Cost: one footer-friendly scan of the COMMIT (changeset-sized,
+    never table-sized) and an n_buckets-row collect. A production
+    format gets these for free from the parquet writer's own footer
+    metadata; re-deriving them from the immutable files keeps this
+    implementation honest without a writer hook."""
+    df = spark.read.parquet(full)
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if f.name != BUCKET_COL
+        and f.dataType.simpleString() in _STAT_ATOMS
+    ]
+    if not cols:
+        return {}
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__mn_{c}"))
+        aggs.append(F.max(c).alias(f"__mx_{c}"))
+    rows = df.groupBy(BUCKET_COL).agg(*aggs).collect()  # n_buckets rows
+    return {
+        str(r[BUCKET_COL]): {
+            c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])]
+            for c in cols
+        }
+        for r in rows
+    }
+
+
 def _write_commit_data(
     df: DataFrame, path: str, key_cols: list[str], n_buckets: int
-) -> tuple[str, list[int]]:
+) -> tuple[str, list[int], dict]:
     """Write bucketed rows under a fresh immutable commit dir; returns
-    (relative commit dir, buckets actually written)."""
+    (relative commit dir, buckets actually written, per-bucket zone-map
+    stats)."""
     rel = f"data/commit-{uuid.uuid4().hex}"
     full = os.path.join(path, rel)
     bucketed = _bucketed(df, key_cols, n_buckets)
@@ -130,7 +191,9 @@ def _write_commit_data(
         for d in os.listdir(full)
         if d.startswith(f"{BUCKET_COL}=")
     ]
-    return rel, present
+    # an all-rows-deleted commit writes no buckets: nothing to profile
+    stats = _commit_stats(df.sparkSession, full) if present else {}
+    return rel, present, stats
 
 
 def create_table(
@@ -139,7 +202,7 @@ def create_table(
     """Materialize version 1. Layout is immutable-from-birth: even the
     initial load is a commit dir referenced by a manifest."""
     os.makedirs(_manifest_dir(path), exist_ok=True)
-    rel, present = _write_commit_data(df, path, key_cols, n_buckets)
+    rel, present, stats = _write_commit_data(df, path, key_cols, n_buckets)
     doc = {
         "version": 1,
         "n_buckets": n_buckets,
@@ -148,9 +211,36 @@ def create_table(
         # readable as an empty relation instead of erroring
         "schema": df.schema.json(),
         "buckets": {str(b): f"{rel}/{BUCKET_COL}={b}" for b in present},
+        "stats": stats,
     }
     _commit_manifest(path, 1, doc)
     return 1
+
+
+def _empty_relation(spark: SparkSession, doc: dict) -> DataFrame:
+    from pyspark.sql.types import StructType
+
+    return spark.createDataFrame(
+        [], StructType.fromJson(json.loads(doc["schema"]))
+    )
+
+
+def _read_buckets(
+    spark: SparkSession, path: str, doc: dict, bucket_ids: list[str]
+) -> DataFrame:
+    """Union of exactly the named buckets' data dirs (empty relation
+    with the table schema when nothing qualifies)."""
+    parts = [
+        spark.read.parquet(os.path.join(path, doc["buckets"][b]))
+        for b in sorted(bucket_ids, key=int)
+        if b in doc["buckets"]
+    ]
+    if not parts:
+        return _empty_relation(spark, doc)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def read_table(
@@ -161,24 +251,141 @@ def read_table(
     time travel (valid until ``vacuum`` drops it)."""
     v = current_version(path) if version is None else version
     doc = _read_manifest(path, v)
-    parts = [
-        spark.read.parquet(os.path.join(path, rel))
-        for _b, rel in sorted(
-            doc["buckets"].items(), key=lambda kv: int(kv[0])
-        )
-    ]
-    if not parts:
-        # a committed version CAN be empty (a changeset deleted every
-        # remaining row) — an empty relation with the table schema
-        from pyspark.sql.types import StructType
+    return _read_buckets(spark, path, doc, list(doc["buckets"]))
 
-        return spark.createDataFrame(
-            [], StructType.fromJson(json.loads(doc["schema"]))
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+
+def read_table_where(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Zone-map-pruned snapshot read: rows with ``lo <= col <= hi``
+    (either bound may be None = unbounded), reading ONLY the buckets
+    whose manifest min/max for ``col`` intersects the range.
+
+    This is pruning ABOVE the engine — a skipped bucket's files are
+    never listed, opened, or footer-read, which at 100 TB is the
+    difference between a metadata operation and a scan. Buckets with
+    no recorded stats for ``col`` (all-null, NaN bound, non-atomic
+    type, or a pre-stats manifest) are conservatively read. The
+    residual filter is still applied, so the result is EXACT — zone
+    maps only ever skip provably-disjoint buckets.
+
+    Date/timestamp columns: pass ISO-format string bounds (the stats
+    are stored as ISO strings; lexicographic order == temporal order).
+    """
+    v = current_version(path) if version is None else version
+    doc = _read_manifest(path, v)
+    stats = doc.get("stats", {})
+    keep = []
+    for b in doc["buckets"]:
+        rng = stats.get(b, {}).get(col)
+        if rng is None or rng[0] is None or rng[1] is None:
+            keep.append(b)  # unknown → must read
+            continue
+        mn, mx = rng
+        if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+            continue  # provably disjoint → skip without listing
+        keep.append(b)
+    out = _read_buckets(spark, path, doc, keep)
+    c = F.col(col)
+    if isinstance(lo, str) or isinstance(hi, str):
+        # stats/bounds are ISO strings for temporal columns; compare in
+        # string space so the residual filter matches the prune rule
+        c = c.cast("string")
+    if lo is not None:
+        out = out.filter(c >= F.lit(lo))
+    if hi is not None:
+        out = out.filter(c <= F.lit(hi))
     return out
+
+
+def read_table_for_keys(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    version: int | None = None,
+) -> DataFrame:
+    """Point-lookup read: the table rows whose key matches a row of
+    ``keys`` (a small DataFrame with exactly the table's key columns).
+
+    The key hash IS the physical layout, so the lookup resolves each
+    key to its one bucket with arithmetic (the same
+    ``pmod(xxhash64(keys), n)`` the writer used) and reads only those
+    buckets — a k-key lookup against a 100 TB table touches at most k
+    buckets regardless of table size. The residual semi join against
+    the broadcast key set keeps the result exact."""
+    v = current_version(path) if version is None else version
+    doc = _read_manifest(path, v)
+    key_cols, n_buckets = doc["key_cols"], doc["n_buckets"]
+    wanted = [
+        str(r[BUCKET_COL])
+        for r in _bucketed(keys.select(*key_cols).distinct(), key_cols, n_buckets)
+        .select(BUCKET_COL)
+        .distinct()
+        .collect()  # bounded by the (small) key-set size
+    ]
+    out = _read_buckets(spark, path, doc, wanted)
+    return out.join(F.broadcast(keys.select(*key_cols).distinct()), key_cols, "semi")
+
+
+def table_changes(
+    spark: SparkSession, path: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Change-data-feed read: the row-level delta between two committed
+    snapshots, as the table columns plus ``_change_type`` in
+    {'insert', 'delete', 'update_postimage'}.
+
+    Pruning is manifest-level FIRST: a bucket whose data dir is
+    byte-identical between the two manifests (dirs are immutable, so
+    same path == same rows) is skipped without reading — the diff
+    reads only buckets some commit in (v_from, v_to] actually rewrote,
+    so its cost tracks the churn, not the table. Within a rewritten
+    bucket, a full outer join on the key classifies each key, and an
+    md5-of-row comparison drops carried-over rows that were rewritten
+    byte-identically (a bucket rewrite copies untouched keys)."""
+    doc_a = _read_manifest(path, v_from)
+    doc_b = _read_manifest(path, v_to)
+    if doc_a["key_cols"] != doc_b["key_cols"]:
+        raise ValueError("key_cols changed between versions")
+    key_cols = doc_a["key_cols"]
+    changed = [
+        b
+        for b in set(doc_a["buckets"]) | set(doc_b["buckets"])
+        if doc_a["buckets"].get(b) != doc_b["buckets"].get(b)
+    ]
+    old = _read_buckets(spark, path, doc_a, changed)
+    new = _read_buckets(spark, path, doc_b, changed)
+    cols = old.columns
+    val_cols = [c for c in cols if c not in key_cols]
+
+    def fingerprinted(df: DataFrame, tag: str) -> DataFrame:
+        fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(cols)])))
+        return df.select(
+            *key_cols,
+            F.struct(*[F.col(c) for c in val_cols]).alias(f"_row_{tag}"),
+            fp.alias(f"_fp_{tag}"),
+        )
+
+    joined = fingerprinted(old, "old").join(
+        fingerprinted(new, "new"), key_cols, "full_outer"
+    )
+    classified = joined.select(
+        *key_cols,
+        F.when(F.col("_fp_old").isNull(), F.lit("insert"))
+        .when(F.col("_fp_new").isNull(), F.lit("delete"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("update_postimage"))
+        .alias("_change_type"),
+        F.coalesce(F.col("_row_new"), F.col("_row_old")).alias("_row"),
+    ).filter(F.col("_change_type").isNotNull())
+    return classified.select(
+        *key_cols,
+        *[F.col(f"_row.{c}").alias(c) for c in val_cols],
+        "_change_type",
+    )
 
 
 def merge_table(
@@ -232,18 +439,23 @@ def merge_table(
     merged = apply_changeset(
         base, bucketed_changes.drop(BUCKET_COL), key_cols, op_col=op_col
     )
-    rel, present = _write_commit_data(merged, path, key_cols, n_buckets)
+    rel, present, stats = _write_commit_data(merged, path, key_cols, n_buckets)
     new_buckets = dict(doc["buckets"])
+    new_stats = dict(doc.get("stats", {}))
     for b in touched:
         new_buckets.pop(str(b), None)  # fully-deleted buckets vanish
+        new_stats.pop(str(b), None)
     for b in present:
         new_buckets[str(b)] = f"{rel}/{BUCKET_COL}={b}"
+        if str(b) in stats:
+            new_stats[str(b)] = stats[str(b)]
     new_doc = {
         "version": base_v + 1,
         "n_buckets": n_buckets,
         "key_cols": key_cols,
         "schema": doc.get("schema", merged.schema.json()),
         "buckets": new_buckets,
+        "stats": new_stats,
     }
     if idempotency_key is not None:
         new_doc["txns"] = (txns + [idempotency_key])[-TXN_KEEP:]
