@@ -726,3 +726,89 @@ def x210_acid_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_price"),
         )
     )
+
+
+# x211 — CHANGE DATA FEED: the row-level delta between two committed
+# snapshots of the versioned table (table_format.table_changes). The
+# diff reads ONLY buckets some commit in between actually rewrote
+# (manifest-level pruning: identical data-dir paths are skipped without
+# listing — at 100 TB the diff costs the churn, not the table), and a
+# row fingerprint drops keys a bucket rewrite carried over unchanged —
+# including cs1's no-op updates (%16 IN (4,12) rows are U-merged with
+# identical values and must NOT appear in the feed). The net v1→v3
+# delta is closed-form: %16=0 deleted (pre-image), %16=8 updated
+# (doubled), %4=1 inserted then bumped (+1000, post-image).
+@query(
+    "x211_table_change_feed",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_custkey,
+                      CAST(o_totalprice AS DOUBLE) AS price
+               FROM orders)
+    SELECT o_orderkey, o_custkey, price AS o_totalprice,
+           'delete' AS _change_type
+    FROM o WHERE o_orderkey % 16 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, price * 2.0 AS o_totalprice,
+           'update_postimage' AS _change_type
+    FROM o WHERE o_orderkey % 16 = 8
+    UNION ALL
+    SELECT o_orderkey, o_custkey, price + 1000.0 AS o_totalprice,
+           'insert' AS _change_type
+    FROM o WHERE o_orderkey % 4 = 1
+    """,
+)
+def x211_table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import itertools
+    import os
+
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        merge_table,
+        table_changes,
+    )
+
+    if not hasattr(x211_table_change_feed, "_seq"):
+        x211_table_change_feed._seq = itertools.count()
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    path = (
+        f"/tmp/vss-cdf/{app}-{tag}/run-"
+        f"{next(x211_table_change_feed._seq)}"
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    create_table(
+        orders.where("o_orderkey % 4 = 0"), path, ["o_orderkey"], n_buckets=8
+    )
+    # commit 2: delete %16=0, double %16=8, no-op-update %16 in (4,12),
+    # insert the %4=1 keys
+    cs1 = (
+        orders.where("o_orderkey % 4 IN (0, 1)")
+        .withColumn(
+            "__op",
+            F.when(F.col("o_orderkey") % 16 == 0, F.lit("D"))
+            .when(F.col("o_orderkey") % 4 == 1, F.lit("I"))
+            .otherwise(F.lit("U")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 16 == 8,
+                F.col("o_totalprice") * 2.0,
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    merge_table(spark, path, cs1)
+    # commit 3: bump every inserted key — the feed must show the NET
+    # insert with the final value, not an insert + an update
+    cs2 = (
+        orders.where("o_orderkey % 4 = 1")
+        .withColumn("__op", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    )
+    merge_table(spark, path, cs2)
+    return table_changes(spark, path, 1, 3)
