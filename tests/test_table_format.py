@@ -513,3 +513,69 @@ def test_table_changes_across_multiple_commits(spark, tmp_path):
     cdf = table_changes(spark, path, 1, 3)
     got = sorted((r["k"], r["val"], r["_change_type"]) for r in cdf.collect())
     assert got == [(200, 7, "insert")]
+
+
+def test_add_column_is_metadata_only_and_null_backfilled(spark, tmp_path):
+    import glob
+
+    from video_streamer_spark.operators.table_format import (
+        _read_manifest,
+        add_column,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("val")
+    )
+    create_table(base, path, ["k"], n_buckets=8)
+    files_before = sorted(glob.glob(f"{path}/data/**/*.parquet", recursive=True))
+
+    v2 = add_column(path, "score", "double")
+    assert v2 == 2
+    # metadata-only: same data files, same bucket dirs, stats carried
+    assert sorted(glob.glob(f"{path}/data/**/*.parquet", recursive=True)) == files_before
+    assert _read_manifest(path, 2)["buckets"] == _read_manifest(path, 1)["buckets"]
+    assert _read_manifest(path, 2)["stats"] == _read_manifest(path, 1)["stats"]
+
+    # current read null-backfills; time travel to v1 has no such column
+    cur = read_table(spark, path)
+    assert cur.schema["score"].dataType.simpleString() == "double"
+    assert cur.where("score IS NOT NULL").count() == 0
+    assert "score" not in read_table(spark, path, version=1).columns
+
+    # a metadata-only commit produces an EMPTY change feed
+    assert table_changes(spark, path, 1, 2).count() == 0
+
+    # a merge materializes values for its touched bucket; sparse
+    # changesets (written pre-evolution, no score column) stay valid
+    with_score = spark.createDataFrame([(7, 7 % 5, 0.5, "U")],
+                                       ["k", "val", "score", "__op"]) \
+        .withColumn("val", F.col("val").cast("long"))
+    merge_table(spark, path, with_score)
+    sparse = spark.createDataFrame([(8, 99, "U")], ["k", "val", "__op"]) \
+        .withColumn("val", F.col("val").cast("long"))
+    merge_table(spark, path, sparse)
+    final = {r["k"]: (r["val"], r["score"]) for r in read_table(spark, path).collect()}
+    assert final[7] == (2, 0.5)
+    assert final[8] == (99, None)
+    assert final[9] == (4, None)
+
+    # the feed across the evolution shows exactly the two updates
+    cdf = table_changes(spark, path, 1, 4)
+    got = sorted((r["k"], r["val"], r["score"], r["_change_type"]) for r in cdf.collect())
+    assert got == [
+        (7, 2, 0.5, "update_postimage"),
+        (8, 99, None, "update_postimage"),
+    ]
+
+
+def test_add_column_duplicate_name_rejected(spark, tmp_path):
+    from video_streamer_spark.operators.table_format import add_column
+
+    path = str(tmp_path / "t")
+    create_table(
+        spark.range(0, 10).select(F.col("id").alias("k")), path, ["k"], 4
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(path, "k", "bigint")

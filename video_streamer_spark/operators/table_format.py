@@ -217,26 +217,52 @@ def create_table(
     return 1
 
 
-def _empty_relation(spark: SparkSession, doc: dict) -> DataFrame:
+def _table_schema(doc: dict):
     from pyspark.sql.types import StructType
 
-    return spark.createDataFrame(
-        [], StructType.fromJson(json.loads(doc["schema"]))
+    return StructType.fromJson(json.loads(doc["schema"]))
+
+
+def _empty_relation(spark: SparkSession, doc: dict) -> DataFrame:
+    return spark.createDataFrame([], _table_schema(doc))
+
+
+def _project(df: DataFrame, schema) -> DataFrame:
+    """Project to the manifest schema, null-backfilling columns the
+    (pre-evolution) data files don't carry — Delta/Iceberg's read-time
+    schema resolution, by name instead of field id (rename is therefore
+    out of scope: an added column is the supported evolution)."""
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
     )
 
 
 def _read_buckets(
-    spark: SparkSession, path: str, doc: dict, bucket_ids: list[str]
+    spark: SparkSession,
+    path: str,
+    doc: dict,
+    bucket_ids: list[str],
+    target_schema=None,
 ) -> DataFrame:
-    """Union of exactly the named buckets' data dirs (empty relation
-    with the table schema when nothing qualifies)."""
+    """Union of exactly the named buckets' data dirs, each projected to
+    the manifest schema (empty relation with that schema when nothing
+    qualifies)."""
+    schema = target_schema if target_schema is not None else _table_schema(doc)
     parts = [
-        spark.read.parquet(os.path.join(path, doc["buckets"][b]))
+        _project(
+            spark.read.parquet(os.path.join(path, doc["buckets"][b])), schema
+        )
         for b in sorted(bucket_ids, key=int)
         if b in doc["buckets"]
     ]
     if not parts:
-        return _empty_relation(spark, doc)
+        return spark.createDataFrame([], schema)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -357,8 +383,12 @@ def table_changes(
         for b in set(doc_a["buckets"]) | set(doc_b["buckets"])
         if doc_a["buckets"].get(b) != doc_b["buckets"].get(b)
     ]
-    old = _read_buckets(spark, path, doc_a, changed)
-    new = _read_buckets(spark, path, doc_b, changed)
+    # both sides project to the TARGET schema, so a diff across an
+    # add_column boundary compares null-backfilled old rows against new
+    # rows (a metadata-only commit alone changes no data dir → no rows)
+    target = _table_schema(doc_b)
+    old = _read_buckets(spark, path, doc_a, changed, target_schema=target)
+    new = _read_buckets(spark, path, doc_b, changed, target_schema=target)
     cols = old.columns
     val_cols = [c for c in cols if c not in key_cols]
 
@@ -386,6 +416,35 @@ def table_changes(
         *[F.col(f"_row.{c}").alias(c) for c in val_cols],
         "_change_type",
     )
+
+
+def add_column(path: str, name: str, ddl_type: str) -> int:
+    """Schema evolution: append a nullable column as a METADATA-ONLY
+    commit — no data file is touched (the manifest's buckets and stats
+    carry over by reference), so the commit costs one JSON write at any
+    table size. Readers null-backfill the column for buckets written
+    before the evolution (``_project``); a later MERGE that rewrites a
+    bucket materializes real values and zone-map stats for it.
+
+    ``ddl_type`` is a Spark DDL type string (``"bigint"``,
+    ``"string"``, ...). Rename/drop are not supported — resolution is
+    by name, the honest scope without Iceberg-style field ids."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    base_v = current_version(path)
+    doc = _read_manifest(path, base_v)
+    schema = _table_schema(doc)
+    if name in {f.name for f in schema.fields}:
+        raise ValueError(f"column {name!r} already exists")
+    new_schema = StructType(
+        list(schema.fields)
+        + [StructField(name, _parse_datatype_string(ddl_type), True)]
+    )
+    new_doc = dict(doc)
+    new_doc["version"] = base_v + 1
+    new_doc["schema"] = new_schema.json()
+    _commit_manifest(path, base_v + 1, new_doc)
+    return base_v + 1
 
 
 def merge_table(
@@ -418,6 +477,7 @@ def merge_table(
     if idempotency_key is not None and idempotency_key in txns:
         return base_v
     key_cols, n_buckets = doc["key_cols"], doc["n_buckets"]
+    schema = _table_schema(doc)
     bucketed_changes = _bucketed(changes, key_cols, n_buckets)
     touched = sorted(
         r[BUCKET_COL]
@@ -425,20 +485,21 @@ def merge_table(
     )
     if not touched:
         return base_v
-    base_parts = [
-        spark.read.parquet(os.path.join(path, doc["buckets"][str(b)]))
-        for b in touched
-        if str(b) in doc["buckets"]
-    ]
-    if base_parts:
-        base = base_parts[0]
-        for p in base_parts[1:]:
-            base = base.unionByName(p)
-    else:
-        base = spark.createDataFrame([], changes.drop(op_col).schema)
-    merged = apply_changeset(
-        base, bucketed_changes.drop(BUCKET_COL), key_cols, op_col=op_col
+    base = _read_buckets(spark, path, doc, [str(b) for b in touched])
+    # null-backfill columns the changeset doesn't carry (a changeset
+    # written before an add_column stays valid), keeping the op marker
+    flat = bucketed_changes.drop(BUCKET_COL)
+    have = set(flat.columns)
+    proj = flat.select(
+        *[
+            F.col(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ],
+        F.col(op_col),
     )
+    merged = apply_changeset(base, proj, key_cols, op_col=op_col)
     rel, present, stats = _write_commit_data(merged, path, key_cols, n_buckets)
     new_buckets = dict(doc["buckets"])
     new_stats = dict(doc.get("stats", {}))
