@@ -579,3 +579,68 @@ def test_add_column_duplicate_name_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="already exists"):
         add_column(path, "k", "bigint")
+
+
+def test_streaming_cdf_source_delivers_snapshot_then_increments(spark, tmp_path):
+    """format('table_cdf'): drain 1 (startingVersion=0) delivers the v1
+    snapshot as inserts; a merge then drain 2 on the SAME checkpoint
+    delivers exactly the net delta of the new commit — matching the
+    batch table_changes — with per-rewritten-bucket partitions."""
+    from video_streamer_spark.operators.table_format import (
+        merge_table,
+        table_changes,
+    )
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.range(0, 80).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("val")
+    )
+    create_table(base, path, ["k"], n_buckets=8)
+    register_cdf_source(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("table_cdf")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 120, "cdf_drain")
+
+    drain()
+    feed1 = spark.read.parquet(out)
+    assert feed1.count() == 80
+    assert feed1.where("_change_type <> 'insert'").count() == 0
+    assert feed1.where("_commit_version <> 1").count() == 0
+
+    changes = spark.createDataFrame(
+        [(3, 99, "U"), (200, 1, "I"), (5, 0, "D"), (6, 6 % 9, "U")],
+        ["k", "val", "__op"],
+    ).withColumn("val", F.col("val").cast("long"))
+    merge_table(spark, path, changes)
+    drain()
+
+    inc = spark.read.parquet(out).where("_commit_version = 2")
+    got = sorted((r["k"], r["val"], r["_change_type"]) for r in inc.collect())
+    # k=6 is a no-op update (same value) — must NOT appear in the feed
+    assert got == [
+        (3, 99, "update_postimage"),
+        (5, 5 % 9, "delete"),
+        (200, 1, "insert"),
+    ]
+    batch = table_changes(spark, path, 1, 2)
+    assert got == sorted(
+        (r["k"], r["val"], r["_change_type"]) for r in batch.collect()
+    )
+    # nothing new: a third drain appends zero rows (metadata poll only)
+    drain()
+    assert spark.read.parquet(out).count() == 83

@@ -1,0 +1,246 @@
+"""Streaming change-data-feed source for the versioned table: a custom
+Python ``DataSource`` (format ``"table_cdf"``) that tails
+``operators/table_format.py`` commits with Structured Streaming —
+``spark.readStream.format("table_cdf").option("path", t)`` — the
+read-side twin of ``run_acid_merge_sink``, and the Spark-4-native
+analog of Delta's ``readChangeFeed`` stream.
+
+Design for scale:
+- **offset = committed version.** ``latestOffset`` is one manifest-dir
+  listing; a micro-batch is the net delta between two manifests, so a
+  quiet table costs a metadata poll, never a scan.
+- **partition = one rewritten bucket.** The key hash pins every key to
+  its bucket forever, so the (start, end] diff decomposes exactly into
+  per-bucket diffs: the driver compares the two manifests' data-dir
+  POINTERS (a bucket whose dir path is unchanged cannot contain a
+  changed row — dirs are immutable) and emits one ``InputPartition``
+  per rewritten bucket. All row work — reading the two immutable dirs,
+  the key-outer-join, the changed-row classification — happens
+  task-side, in parallel across buckets; the feed's cost tracks the
+  churn, not the table.
+- **initial snapshot.** ``startingVersion=0`` (the default) synthesizes
+  an empty base, so the first micro-batch delivers the whole
+  starting snapshot as ``insert`` rows, then subsequent batches the
+  increments — Delta's ``startingVersion`` contract.
+
+Emits the table columns plus ``_change_type`` ∈ {'insert', 'delete',
+'update_postimage'} (deletes carry the pre-image) and
+``_commit_version`` (the window's end version; a multi-commit window
+nets out, matching ``table_format.table_changes``).
+
+Reference contrast: the reference has no notion of table versions or
+change capture at all — its sink writes once at EOS
+(gst-detection-tf.py:339-344)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from video_streamer_spark.functions.shipping import ship_module
+
+ship_module(sys.modules[__name__])
+
+CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
+
+
+def _load_manifest(path: str, version: int) -> dict:
+    with open(
+        os.path.join(path, "_manifests", f"v{version:09d}.json")
+    ) as fh:
+        return json.load(fh)
+
+
+def _latest_version(path: str) -> int:
+    mdir = os.path.join(path, "_manifests")
+    versions = [
+        int(f.removeprefix("v").removesuffix(".json"))
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    if not versions:
+        raise FileNotFoundError(f"no committed version at {path}")
+    return max(versions)
+
+
+def _converter(dt):
+    """Scalar converter from a pandas cell to the declared Spark type —
+    outer merges upcast int64 columns with absent rows to float64, so
+    integral columns must be converted back cell-wise."""
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return lambda v: int(v)
+    if s in ("float", "double"):
+        return lambda v: float(v)
+    if s == "string":
+        return lambda v: str(v)
+    if s == "boolean":
+        return lambda v: bool(v)
+    if s == "binary":
+        return lambda v: bytes(v)
+    if s in ("date", "timestamp", "timestamp_ntz"):
+        return lambda v: v.to_pydatetime() if hasattr(v, "to_pydatetime") else v
+    raise NotImplementedError(
+        f"table_cdf supports atomic columns; got {s}"
+    )
+
+
+class _CdfPartition(InputPartition):
+    def __init__(
+        self,
+        old_dir: str | None,
+        new_dir: str | None,
+        end_version: int,
+    ):
+        self.old_dir = old_dir
+        self.new_dir = new_dir
+        self.end_version = end_version
+
+
+class _CdfStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str, schema: StructType, start_version: int):
+        self.path = path
+        # declared output schema minus the two feed columns = table cols
+        self.table_fields = schema.fields[:-2]
+        self.start_version = start_version
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"v": self.start_version}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        return {"v": _latest_version(self.path)}
+
+    def partitions(  # noqa: N802
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        doc_b = _load_manifest(self.path, end["v"])
+        buckets_a = (
+            {}
+            if start["v"] == 0
+            else _load_manifest(self.path, start["v"])["buckets"]
+        )
+        buckets_b = doc_b["buckets"]
+        out = []
+        for b in set(buckets_a) | set(buckets_b):
+            rel_a, rel_b = buckets_a.get(b), buckets_b.get(b)
+            if rel_a == rel_b:
+                continue  # immutable dir, same pointer → no changed row
+            out.append(
+                _CdfPartition(
+                    os.path.join(self.path, rel_a) if rel_a else None,
+                    os.path.join(self.path, rel_b) if rel_b else None,
+                    end["v"],
+                )
+            )
+        return out
+
+    def read(self, partition: _CdfPartition) -> Iterator[tuple]:
+        # task-side: two immutable dirs → pandas outer join on the key
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        names = [f.name for f in self.table_fields]
+        convs = [_converter(f.dataType) for f in self.table_fields]
+        key_cols = self.key_cols
+        vals = [c for c in names if c not in key_cols]
+
+        def load(d):
+            df = pq.read_table(d).to_pandas()
+            for c in names:  # null-backfill pre-evolution files
+                if c not in df.columns:
+                    df[c] = None
+            return df[names]
+
+        def emit_frame(df, cols, change):
+            for row in df[cols].itertuples(index=False, name=None):
+                yield tuple(
+                    None if pd.isna(v) else conv(v)
+                    for v, conv in zip(row, convs)
+                ) + (change, partition.end_version)
+
+        # one-sided buckets are pure inserts / pure deletes — no join
+        if partition.old_dir is None:
+            yield from emit_frame(load(partition.new_dir), names, "insert")
+            return
+        if partition.new_dir is None:
+            yield from emit_frame(load(partition.old_dir), names, "delete")
+            return
+
+        merged = load(partition.old_dir).merge(
+            load(partition.new_dir),
+            on=key_cols,
+            how="outer",
+            suffixes=("_o", "_n"),
+            indicator=True,
+        )
+        n_cols = [c if c in key_cols else f"{c}_n" for c in names]
+        o_cols = [c if c in key_cols else f"{c}_o" for c in names]
+        yield from emit_frame(
+            merged[merged["_merge"] == "right_only"], n_cols, "insert"
+        )
+        yield from emit_frame(
+            merged[merged["_merge"] == "left_only"], o_cols, "delete"
+        )
+        both = merged[merged["_merge"] == "both"]
+        if vals and len(both):
+            neq = pd.Series(False, index=both.index)
+            for c in vals:
+                o, n = both[f"{c}_o"], both[f"{c}_n"]
+                neq |= ~((o.isna() & n.isna()) | (o == n))
+            yield from emit_frame(both[neq], n_cols, "update_postimage")
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class TableCdfDataSource(DataSource):
+    """``spark.readStream.format("table_cdf").option("path", table)``
+    after ``register_cdf_source(spark)``. Options: ``path`` (required),
+    ``startingVersion`` (default 0 = initial snapshot as inserts)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "table_cdf"
+
+    def schema(self) -> StructType:
+        doc = _load_manifest(
+            self.options["path"], _latest_version(self.options["path"])
+        )
+        table_schema = StructType.fromJson(json.loads(doc["schema"]))
+        return StructType(
+            list(table_schema.fields)
+            + [
+                StructField(CHANGE_TYPE_COL, StringType()),
+                StructField(COMMIT_VERSION_COL, LongType()),
+            ]
+        )
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:  # noqa: N802
+        path = self.options["path"]
+        reader = _CdfStreamReader(
+            path,
+            schema,
+            int(self.options.get("startingVersion", 0)),
+        )
+        doc = _load_manifest(path, _latest_version(path))
+        reader.key_cols = doc["key_cols"]
+        return reader
+
+
+def register_cdf_source(spark) -> None:
+    spark.dataSource.register(TableCdfDataSource)
