@@ -644,3 +644,33 @@ def test_streaming_cdf_source_delivers_snapshot_then_increments(spark, tmp_path)
     # nothing new: a third drain appends zero rows (metadata poll only)
     drain()
     assert spark.read.parquet(out).count() == 83
+
+
+def test_zone_map_temporal_pruning_parses_not_string_compares(spark, tmp_path):
+    """A user bound of '...05.123' and a stored stat of '...05.123000'
+    are the same instant; a lexicographic compare would wrongly skip
+    the bucket (padded stat > unpadded bound). The parsed compare must
+    keep it — and still return the exact filter result."""
+    from video_streamer_spark.operators.table_format import (
+        _read_manifest,
+        read_table_where,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 64).select(
+        F.col("id").alias("k"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 1_000  # .00X ms steps
+        ).alias("ts"),
+    )
+    create_table(df, path, ["k"], n_buckets=4)
+    stats = _read_manifest(path, 1)["stats"]
+    assert all("ts" in s for s in stats.values())
+    # one row: k=0 at exactly ...000.000; bound with no fractional part
+    lo = hi = "2023-11-14 22:13:20"
+    got = read_table_where(spark, path, "ts", lo=lo, hi=hi)
+    assert [r["k"] for r in got.collect()] == [0]
+    full = read_table(spark, path).where(
+        "ts >= timestamp'2023-11-14 22:13:20' AND ts <= timestamp'2023-11-14 22:13:20'"
+    )
+    assert got.count() == full.count() == 1

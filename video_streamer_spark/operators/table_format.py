@@ -300,11 +300,29 @@ def read_table_where(
     residual filter is still applied, so the result is EXACT — zone
     maps only ever skip provably-disjoint buckets.
 
-    Date/timestamp columns: pass ISO-format string bounds (the stats
-    are stored as ISO strings; lexicographic order == temporal order).
+    Date/timestamp columns: pass ISO-format string bounds. Temporal
+    comparisons are PARSED, not lexicographic — a user bound like
+    ``"...05.123"`` and a stored stat like ``"...05.123000"`` denote
+    the same instant but differ as strings, and a string compare could
+    wrongly skip a bucket; parsing both sides removes the hazard.
     """
     v = current_version(path) if version is None else version
     doc = _read_manifest(path, v)
+    field_type = {
+        f.name: f.dataType.simpleString() for f in _table_schema(doc).fields
+    }.get(col, "")
+    temporal = field_type in ("date", "timestamp", "timestamp_ntz")
+
+    def bound(x):
+        if x is None or not temporal:
+            return x
+        return (
+            datetime.date.fromisoformat(x)
+            if field_type == "date"
+            else datetime.datetime.fromisoformat(x)
+        )
+
+    p_lo, p_hi = bound(lo), bound(hi)
     stats = doc.get("stats", {})
     keep = []
     for b in doc["buckets"]:
@@ -312,20 +330,18 @@ def read_table_where(
         if rng is None or rng[0] is None or rng[1] is None:
             keep.append(b)  # unknown → must read
             continue
-        mn, mx = rng
-        if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+        mn, mx = bound(rng[0]), bound(rng[1])
+        if (p_hi is not None and mn > p_hi) or (
+            p_lo is not None and mx < p_lo
+        ):
             continue  # provably disjoint → skip without listing
         keep.append(b)
     out = _read_buckets(spark, path, doc, keep)
     c = F.col(col)
-    if isinstance(lo, str) or isinstance(hi, str):
-        # stats/bounds are ISO strings for temporal columns; compare in
-        # string space so the residual filter matches the prune rule
-        c = c.cast("string")
     if lo is not None:
-        out = out.filter(c >= F.lit(lo))
+        out = out.filter(c >= F.lit(bound(lo)))
     if hi is not None:
-        out = out.filter(c <= F.lit(hi))
+        out = out.filter(c <= F.lit(bound(hi)))
     return out
 
 
