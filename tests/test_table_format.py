@@ -674,3 +674,78 @@ def test_zone_map_temporal_pruning_parses_not_string_compares(spark, tmp_path):
         "ts >= timestamp'2023-11-14 22:13:20' AND ts <= timestamp'2023-11-14 22:13:20'"
     )
     assert got.count() == full.count() == 1
+
+
+def test_optimize_tightens_file_zone_maps_and_is_cdf_invisible(spark, tmp_path):
+    """optimize_table rewrites buckets value-sorted: same rows, empty
+    change feed (layout maintenance is invisible to CDC consumers),
+    and a narrow range read opens strictly fewer files than before
+    because the per-file zone maps became selective."""
+    from video_streamer_spark.operators.table_format import (
+        _read_manifest,
+        optimize_table,
+        read_table_where,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    # val is a scrambled permutation of k: pre-optimize every file's
+    # [min,max] spans nearly the whole domain, so nothing can be skipped
+    base = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 100000).alias("val"),
+    )
+    create_table(base, path, ["k"], n_buckets=4)
+    assert _read_manifest(path, 1)["file_stats"], "per-file maps recorded"
+
+    before = read_table_where(spark, path, "val", lo=10_000, hi=12_000)
+    n_files_before = len(before.inputFiles())
+    rows_before = _rows(before)
+
+    v2 = optimize_table(spark, path, "val", files_per_bucket=4)
+    assert v2 == 2
+    # logically a no-op ...
+    assert _rows(read_table(spark, path)) == _rows(read_table(spark, path, 1))
+    assert table_changes(spark, path, 1, 2).count() == 0
+    # ... but physically selective: same answer from fewer files
+    after = read_table_where(spark, path, "val", lo=10_000, hi=12_000)
+    assert _rows(after) == rows_before
+    n_files_after = len(after.inputFiles())
+    assert n_files_after < n_files_before, (n_files_after, n_files_before)
+    # ~2% of the domain against ~4 value-sorted files per bucket →
+    # at most one intersecting file per bucket
+    assert n_files_after <= 4 * 2
+
+    # zone maps after optimize: within each bucket, file ranges are
+    # non-overlapping (sorted layout) — the property pruning relies on
+    fstats = _read_manifest(path, 2)["file_stats"]
+    for b, files in fstats.items():
+        ranges = sorted(r["val"] for r in files.values())
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+            assert a_hi <= b_lo, (b, ranges)
+
+
+def test_optimize_preserves_txn_keys_and_merge_continuity(spark, tmp_path):
+    from video_streamer_spark.operators.table_format import (
+        _read_manifest,
+        optimize_table,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("val")
+    )
+    create_table(base, path, ["k"], n_buckets=4)
+    ch = spark.createDataFrame([(1, 42, "U")], ["k", "val", "__op"]) \
+        .withColumn("val", F.col("val").cast("long"))
+    merge_table(spark, path, ch, idempotency_key="ck:0")
+    optimize_table(spark, path, "val")
+    assert _read_manifest(path, 3)["txns"] == ["ck:0"]
+    # a replayed epoch after optimize is still a no-op
+    assert merge_table(spark, path, ch, idempotency_key="ck:0") == 3
+    # and a real merge continues normally
+    ch2 = spark.createDataFrame([(2, 43, "U")], ["k", "val", "__op"]) \
+        .withColumn("val", F.col("val").cast("long"))
+    assert merge_table(spark, path, ch2, idempotency_key="ck:1") == 4
+    final = {r["k"]: r["val"] for r in read_table(spark, path).collect()}
+    assert final[1] == 42 and final[2] == 43

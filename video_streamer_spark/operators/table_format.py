@@ -145,14 +145,20 @@ def _json_stat(v):
 
 def _commit_stats(
     spark: SparkSession, full: str
-) -> dict[str, dict[str, list]]:
-    """Per-bucket min/max zone maps for the freshly written commit dir.
+) -> tuple[dict, dict]:
+    """Zone maps for the freshly written commit dir, at BOTH
+    granularities: per bucket (the skip unit for untouched-carry-over
+    manifests) and per FILE within each bucket (the real 100 TB skip
+    unit — ``optimize_table`` tightens these). Returns
+    ``(bucket_stats, file_stats)`` where ``file_stats[bucket][fname]``
+    maps column → [min, max] for one parquet file.
 
     Cost: one footer-friendly scan of the COMMIT (changeset-sized,
-    never table-sized) and an n_buckets-row collect. A production
-    format gets these for free from the parquet writer's own footer
-    metadata; re-deriving them from the immutable files keeps this
-    implementation honest without a writer hook."""
+    never table-sized) grouped by ``input_file_name()`` and a
+    files-in-this-commit-sized collect. A production format gets these
+    for free from the parquet writer's own footer metadata; re-deriving
+    them from the immutable files keeps this implementation honest
+    without a writer hook."""
     df = spark.read.parquet(full)
     cols = [
         f.name
@@ -161,30 +167,56 @@ def _commit_stats(
         and f.dataType.simpleString() in _STAT_ATOMS
     ]
     if not cols:
-        return {}
+        return {}, {}
     aggs = []
     for c in cols:
         aggs.append(F.min(c).alias(f"__mn_{c}"))
         aggs.append(F.max(c).alias(f"__mx_{c}"))
-    rows = df.groupBy(BUCKET_COL).agg(*aggs).collect()  # n_buckets rows
-    return {
-        str(r[BUCKET_COL]): {
+    rows = (
+        df.withColumn("__file", F.input_file_name())
+        .groupBy("__file")
+        .agg(*aggs)
+        .collect()
+    )  # one row per file in THIS commit
+    bucket_stats: dict = {}
+    file_stats: dict = {}
+    for r in rows:
+        # .../commit-<uuid>/pb=<b>/<fname>; input_file_name is a URI
+        tail = r["__file"].split(f"/{BUCKET_COL}=", 1)[1]
+        b, fname = tail.split("/", 1)
+        per_col = {
             c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])]
             for c in cols
         }
-        for r in rows
-    }
+        file_stats.setdefault(b, {})[fname] = per_col
+        agg = bucket_stats.setdefault(b, {})
+        for c, (mn, mx) in per_col.items():
+            if c not in agg:
+                agg[c] = [mn, mx]
+            else:
+                omn, omx = agg[c]
+                agg[c] = [
+                    None if None in (omn, mn) else min(omn, mn),
+                    None if None in (omx, mx) else max(omx, mx),
+                ]
+    return bucket_stats, file_stats
 
 
 def _write_commit_data(
-    df: DataFrame, path: str, key_cols: list[str], n_buckets: int
-) -> tuple[str, list[int], dict]:
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    n_buckets: int,
+    pre_bucketed: bool = False,
+) -> tuple[str, list[int], dict, dict]:
     """Write bucketed rows under a fresh immutable commit dir; returns
-    (relative commit dir, buckets actually written, per-bucket zone-map
-    stats)."""
+    (relative commit dir, buckets actually written, per-bucket stats,
+    per-file stats). ``pre_bucketed`` skips re-hashing when the caller
+    already arranged a ``pb`` column and a physical ordering it wants
+    preserved (``optimize_table``)."""
     rel = f"data/commit-{uuid.uuid4().hex}"
     full = os.path.join(path, rel)
-    bucketed = _bucketed(df, key_cols, n_buckets)
+    bucketed = df if pre_bucketed else _bucketed(df, key_cols, n_buckets)
     bucketed.write.partitionBy(BUCKET_COL).parquet(full)
     present = [
         int(d.removeprefix(f"{BUCKET_COL}="))
@@ -192,8 +224,10 @@ def _write_commit_data(
         if d.startswith(f"{BUCKET_COL}=")
     ]
     # an all-rows-deleted commit writes no buckets: nothing to profile
-    stats = _commit_stats(df.sparkSession, full) if present else {}
-    return rel, present, stats
+    if not present:
+        return rel, present, {}, {}
+    stats, file_stats = _commit_stats(df.sparkSession, full)
+    return rel, present, stats, file_stats
 
 
 def create_table(
@@ -202,7 +236,9 @@ def create_table(
     """Materialize version 1. Layout is immutable-from-birth: even the
     initial load is a commit dir referenced by a manifest."""
     os.makedirs(_manifest_dir(path), exist_ok=True)
-    rel, present, stats = _write_commit_data(df, path, key_cols, n_buckets)
+    rel, present, stats, file_stats = _write_commit_data(
+        df, path, key_cols, n_buckets
+    )
     doc = {
         "version": 1,
         "n_buckets": n_buckets,
@@ -212,6 +248,7 @@ def create_table(
         "schema": df.schema.json(),
         "buckets": {str(b): f"{rel}/{BUCKET_COL}={b}" for b in present},
         "stats": stats,
+        "file_stats": file_stats,
     }
     _commit_manifest(path, 1, doc)
     return 1
@@ -323,20 +360,44 @@ def read_table_where(
         )
 
     p_lo, p_hi = bound(lo), bound(hi)
-    stats = doc.get("stats", {})
-    keep = []
-    for b in doc["buckets"]:
-        rng = stats.get(b, {}).get(col)
+
+    def disjoint(rng) -> bool:
+        """True only when the recorded range PROVABLY misses [lo, hi]."""
         if rng is None or rng[0] is None or rng[1] is None:
-            keep.append(b)  # unknown → must read
-            continue
+            return False  # unknown → must read
         mn, mx = bound(rng[0]), bound(rng[1])
-        if (p_hi is not None and mn > p_hi) or (
+        return (p_hi is not None and mn > p_hi) or (
             p_lo is not None and mx < p_lo
-        ):
-            continue  # provably disjoint → skip without listing
-        keep.append(b)
-    out = _read_buckets(spark, path, doc, keep)
+        )
+
+    stats = doc.get("stats", {})
+    fstats = doc.get("file_stats", {})
+    schema = _table_schema(doc)
+    parts = []
+    for b in sorted(doc["buckets"], key=int):
+        if disjoint(stats.get(b, {}).get(col)):
+            continue  # bucket-level skip: dir never listed
+        bdir = os.path.join(path, doc["buckets"][b])
+        fmap = fstats.get(b)
+        if not fmap:  # pre-file-stats manifest → whole dir
+            parts.append(_project(spark.read.parquet(bdir), schema))
+            continue
+        # file-level skip: the manifest IS the file list (the commit
+        # that wrote the dir profiled every file in it), so a pruned
+        # read opens exactly the intersecting files
+        files = [
+            os.path.join(bdir, fname)
+            for fname, cols_rng in sorted(fmap.items())
+            if not disjoint(cols_rng.get(col))
+        ]
+        if files:
+            parts.append(_project(spark.read.parquet(*files), schema))
+    if not parts:
+        out = spark.createDataFrame([], schema)
+    else:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
     c = F.col(col)
     if lo is not None:
         out = out.filter(c >= F.lit(bound(lo)))
@@ -516,16 +577,22 @@ def merge_table(
         F.col(op_col),
     )
     merged = apply_changeset(base, proj, key_cols, op_col=op_col)
-    rel, present, stats = _write_commit_data(merged, path, key_cols, n_buckets)
+    rel, present, stats, file_stats = _write_commit_data(
+        merged, path, key_cols, n_buckets
+    )
     new_buckets = dict(doc["buckets"])
     new_stats = dict(doc.get("stats", {}))
+    new_fstats = dict(doc.get("file_stats", {}))
     for b in touched:
         new_buckets.pop(str(b), None)  # fully-deleted buckets vanish
         new_stats.pop(str(b), None)
+        new_fstats.pop(str(b), None)
     for b in present:
         new_buckets[str(b)] = f"{rel}/{BUCKET_COL}={b}"
         if str(b) in stats:
             new_stats[str(b)] = stats[str(b)]
+        if str(b) in file_stats:
+            new_fstats[str(b)] = file_stats[str(b)]
     new_doc = {
         "version": base_v + 1,
         "n_buckets": n_buckets,
@@ -533,11 +600,66 @@ def merge_table(
         "schema": doc.get("schema", merged.schema.json()),
         "buckets": new_buckets,
         "stats": new_stats,
+        "file_stats": new_fstats,
     }
     if idempotency_key is not None:
         new_doc["txns"] = (txns + [idempotency_key])[-TXN_KEEP:]
     elif txns:
         new_doc["txns"] = txns
+    _commit_manifest(path, base_v + 1, new_doc)
+    return base_v + 1
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    sort_by: str,
+    files_per_bucket: int = 4,
+) -> int:
+    """OPTIMIZE ... ZORDER BY's one-dimension analog: rewrite every
+    bucket with rows range-partitioned and sorted on ``sort_by``, so
+    each bucket's files cover tight, near-disjoint value ranges and the
+    per-file zone maps become selective (``read_table_where`` then
+    opens a small fraction of files instead of all of them).
+
+    Logically a no-op: the committed version holds exactly the same
+    rows, published atomically by the same manifest protocol — readers
+    of older versions are untouched, a concurrent merge loses or wins
+    the version race cleanly (OCC), and the change feed shows NOTHING
+    for this commit (``table_changes``'s row fingerprints drop
+    identical rows, so layout maintenance is invisible to CDC
+    consumers — the Delta OPTIMIZE contract).
+
+    ``files_per_bucket`` bounds output files: range partitioning on
+    (bucket, sort_by) makes each task's slice of a bucket a contiguous
+    value range."""
+    base_v = current_version(path)
+    doc = _read_manifest(path, base_v)
+    key_cols, n_buckets = doc["key_cols"], doc["n_buckets"]
+    snap = _read_buckets(spark, path, doc, list(doc["buckets"]))
+    arranged = (
+        _bucketed(snap, key_cols, n_buckets)
+        .repartitionByRange(
+            max(1, n_buckets * files_per_bucket),
+            F.col(BUCKET_COL),
+            F.col(sort_by),
+        )
+        .sortWithinPartitions(BUCKET_COL, sort_by)
+    )
+    rel, present, stats, file_stats = _write_commit_data(
+        arranged, path, key_cols, n_buckets, pre_bucketed=True
+    )
+    new_doc = {
+        "version": base_v + 1,
+        "n_buckets": n_buckets,
+        "key_cols": key_cols,
+        "schema": doc["schema"],
+        "buckets": {str(b): f"{rel}/{BUCKET_COL}={b}" for b in present},
+        "stats": stats,
+        "file_stats": file_stats,
+    }
+    if doc.get("txns"):
+        new_doc["txns"] = doc["txns"]  # idempotency keys must survive
     _commit_manifest(path, base_v + 1, new_doc)
     return base_v + 1
 
