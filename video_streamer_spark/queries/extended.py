@@ -812,3 +812,67 @@ def x211_table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_table(spark, path, cs2)
     return table_changes(spark, path, 1, 3)
+
+
+# x212 — ZONE-MAP PRUNED RANGE READ after OPTIMIZE: the versioned
+# table is rewritten value-sorted on o_totalprice (optimize_table, a
+# logically-no-op commit the change feed provably ignores), then a
+# range predicate is answered through read_table_where, which consults
+# the manifest's per-FILE min/max and opens only intersecting files —
+# pruning above the engine (skipped buckets are never even listed; the
+# inputFiles reduction is pinned in tests/test_table_format.py). The
+# oracle states the same range aggregate over the raw rows, so a wrong
+# skip (a pruned file that actually contained a matching row) is a
+# hash mismatch, not a silent speedup.
+@query(
+    "x212_optimized_pruned_range_read",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+        / 100.0 AS total_price
+    FROM orders
+    WHERE o_totalprice >= 50000.0 AND o_totalprice <= 80000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def x212_optimized_pruned_range_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import itertools
+    import os
+
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        optimize_table,
+        read_table_where,
+    )
+
+    if not hasattr(x212_optimized_pruned_range_read, "_seq"):
+        x212_optimized_pruned_range_read._seq = itertools.count()
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    path = (
+        f"/tmp/vss-zonemap/{app}-{tag}/run-"
+        f"{next(x212_optimized_pruned_range_read._seq)}"
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    create_table(orders, path, ["o_orderkey"], n_buckets=8)
+    optimize_table(spark, path, "o_totalprice", files_per_bucket=4)
+    return (
+        read_table_where(
+            spark, path, "o_totalprice", lo=50000.0, hi=80000.0
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100.0).cast("bigint")
+                ).cast("double")
+                / 100.0
+            ).alias("total_price"),
+        )
+    )
