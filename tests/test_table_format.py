@@ -749,3 +749,79 @@ def test_optimize_preserves_txn_keys_and_merge_continuity(spark, tmp_path):
     assert merge_table(spark, path, ch2, idempotency_key="ck:1") == 4
     final = {r["k"]: r["val"] for r in read_table(spark, path).collect()}
     assert final[1] == 42 and final[2] == 43
+
+
+def test_cdf_skips_layout_only_commits_without_reading(spark, tmp_path):
+    """After OPTIMIZE, the change feed must not diff the table at all:
+    the layout_only manifest flag turns the (v, v_opt] window into a
+    metadata walk — zero input files — while a later real merge still
+    surfaces exactly its own bucket."""
+    from video_streamer_spark.operators.table_format import (
+        merge_table,
+        optimize_table,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 300).select(
+        F.col("id").alias("k"), ((F.col("id") * 37) % 1000).alias("val")
+    )
+    create_table(base, path, ["k"], n_buckets=8)
+    optimize_table(spark, path, "val")  # v2, layout-only
+
+    feed = table_changes(spark, path, 1, 2)
+    assert feed.count() == 0
+    assert feed.inputFiles() == [], "layout-only window must read nothing"
+
+    ch = spark.createDataFrame([(5, 9999, "U")], ["k", "val", "__op"]) \
+        .withColumn("val", F.col("val").cast("long"))
+    merge_table(spark, path, ch)  # v3
+    feed2 = table_changes(spark, path, 1, 3)
+    got = [(r["k"], r["val"], r["_change_type"]) for r in feed2.collect()]
+    assert got == [(5, 9999, "update_postimage")]
+    # only the merged key's bucket is read, not the optimized rest
+    from video_streamer_spark.operators.merge import BUCKET_COL, _bucketed
+
+    touched = {
+        f"{BUCKET_COL}={r[BUCKET_COL]}"
+        for r in _bucketed(ch, ["k"], 8).select(BUCKET_COL).collect()
+    }
+    dirs = {f.rsplit("/", 2)[-2] for f in feed2.inputFiles()}
+    assert dirs <= touched, (dirs, touched)
+
+
+def test_streaming_cdf_drain_after_optimize_emits_nothing(spark, tmp_path):
+    from video_streamer_spark.operators.table_format import optimize_table
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    create_table(
+        spark.range(0, 60).select(
+            F.col("id").alias("k"), ((F.col("id") * 7) % 100).alias("val")
+        ),
+        path,
+        ["k"],
+        n_buckets=4,
+    )
+    register_cdf_source(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("table_cdf")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 120, "cdf_drain_opt")
+
+    drain()  # snapshot: 60 inserts
+    optimize_table(spark, path, "val")
+    drain()  # layout-only increment: nothing
+    assert spark.read.parquet(out).count() == 60

@@ -455,11 +455,22 @@ def table_changes(
     if doc_a["key_cols"] != doc_b["key_cols"]:
         raise ValueError("key_cols changed between versions")
     key_cols = doc_a["key_cols"]
-    changed = [
+    endpoint_changed = {
         b
         for b in set(doc_a["buckets"]) | set(doc_b["buckets"])
         if doc_a["buckets"].get(b) != doc_b["buckets"].get(b)
-    ]
+    }
+    try:
+        # manifest-chain walk: buckets repointed ONLY by layout_only
+        # commits (optimize_table) hold identical rows and are skipped
+        changed = sorted(
+            changed_buckets_between(path, v_from, v_to) & endpoint_changed
+        )
+    except FileNotFoundError:
+        # an intermediate manifest was vacuumed: fall back to the
+        # endpoint pointer diff (conservative — layout-only rewrites
+        # are then diffed and net to zero rows via the fingerprints)
+        changed = sorted(endpoint_changed)
     # both sides project to the TARGET schema, so a diff across an
     # add_column boundary compares null-backfilled old rows against new
     # rows (a metadata-only commit alone changes no data dir → no rows)
@@ -657,11 +668,37 @@ def optimize_table(
         "buckets": {str(b): f"{rel}/{BUCKET_COL}={b}" for b in present},
         "stats": stats,
         "file_stats": file_stats,
+        # layout maintenance moved rows between files but changed none:
+        # change-feed readers skip buckets whose pointers changed only
+        # via layout_only commits instead of diffing the whole table
+        "layout_only": True,
     }
     if doc.get("txns"):
         new_doc["txns"] = doc["txns"]  # idempotency keys must survive
     _commit_manifest(path, base_v + 1, new_doc)
     return base_v + 1
+
+
+def changed_buckets_between(path: str, v_from: int, v_to: int) -> set[str]:
+    """Buckets that MAY contain a changed row in (v_from, v_to]: walk
+    the manifest chain and collect pointer changes introduced by
+    non-layout commits. A bucket rewritten only by ``optimize_table``
+    (``layout_only`` manifests) holds byte-different files with
+    identical rows, so skipping it is exact — and the walk is pure
+    JSON, so an OPTIMIZE of a 100 TB table costs its CDC readers a
+    metadata scan, not a full-table diff."""
+    cur = (
+        {"buckets": {}} if v_from == 0 else _read_manifest(path, v_from)
+    )
+    changed: set[str] = set()
+    for v in range(v_from + 1, v_to + 1):
+        nxt = _read_manifest(path, v)
+        if not nxt.get("layout_only"):
+            for b in set(cur["buckets"]) | set(nxt["buckets"]):
+                if cur["buckets"].get(b) != nxt["buckets"].get(b):
+                    changed.add(b)
+        cur = nxt
+    return changed
 
 
 def vacuum(path: str, keep_last: int = 2, min_age_sec: float = 3600.0) -> dict:

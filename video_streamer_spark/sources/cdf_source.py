@@ -66,6 +66,23 @@ def _load_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _changed_buckets_walk(path: str, v_from: int, v_to: int) -> set:
+    """Buckets repointed by at least one NON-layout commit in
+    (v_from, v_to] — a pure-JSON manifest walk (no Spark import in the
+    streaming planner; mirrors
+    ``table_format.changed_buckets_between``)."""
+    cur = {"buckets": {}} if v_from == 0 else _load_manifest(path, v_from)
+    changed: set = set()
+    for v in range(v_from + 1, v_to + 1):
+        nxt = _load_manifest(path, v)
+        if not nxt.get("layout_only"):
+            for b in set(cur["buckets"]) | set(nxt["buckets"]):
+                if cur["buckets"].get(b) != nxt["buckets"].get(b):
+                    changed.add(b)
+        cur = nxt
+    return changed
+
+
 def _latest_version(path: str) -> int:
     mdir = os.path.join(path, "_manifests")
     versions = [
@@ -135,19 +152,34 @@ class _CdfStreamReader(DataSourceStreamReader):
             else _load_manifest(self.path, start["v"])["buckets"]
         )
         buckets_b = doc_b["buckets"]
-        out = []
-        for b in set(buckets_a) | set(buckets_b):
-            rel_a, rel_b = buckets_a.get(b), buckets_b.get(b)
-            if rel_a == rel_b:
-                continue  # immutable dir, same pointer → no changed row
-            out.append(
-                _CdfPartition(
-                    os.path.join(self.path, rel_a) if rel_a else None,
-                    os.path.join(self.path, rel_b) if rel_b else None,
-                    end["v"],
-                )
+        candidates = {
+            b
+            for b in set(buckets_a) | set(buckets_b)
+            # immutable dir, same pointer → no changed row
+            if buckets_a.get(b) != buckets_b.get(b)
+        }
+        try:
+            # skip buckets repointed only by layout_only (OPTIMIZE)
+            # commits — identical rows, and diffing them would turn a
+            # table-wide rewrite into a table-wide diff for every
+            # CDC consumer
+            candidates &= _changed_buckets_walk(
+                self.path, start["v"], end["v"]
             )
-        return out
+        except FileNotFoundError:
+            pass  # vacuumed chain → conservative endpoint diff
+        return [
+            _CdfPartition(
+                os.path.join(self.path, buckets_a[b])
+                if b in buckets_a
+                else None,
+                os.path.join(self.path, buckets_b[b])
+                if b in buckets_b
+                else None,
+                end["v"],
+            )
+            for b in candidates
+        ]
 
     def read(self, partition: _CdfPartition) -> Iterator[tuple]:
         # task-side: two immutable dirs → pandas outer join on the key
