@@ -825,3 +825,48 @@ def test_streaming_cdf_drain_after_optimize_emits_nothing(spark, tmp_path):
     optimize_table(spark, path, "val")
     drain()  # layout-only increment: nothing
     assert spark.read.parquet(out).count() == 60
+
+
+def test_off_type_keys_still_route_to_the_right_bucket(spark, tmp_path):
+    """xxhash64 is type-sensitive: int 42 and bigint 42 hash
+    differently, so an off-type lookup or changeset key would silently
+    route to the wrong bucket. Both paths must cast to the table's
+    declared key type first."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from video_streamer_spark.operators.table_format import (
+        read_table_for_keys,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("val")
+    )  # k is BIGINT
+    create_table(base, path, ["k"], n_buckets=16)
+
+    int_keys = spark.createDataFrame(
+        [(42,), (7,)], StructType([StructField("k", IntegerType())])
+    )
+    got = read_table_for_keys(spark, path, int_keys)
+    assert _rows(got) == [(7, 21), (42, 126)]
+
+    int_change = spark.createDataFrame(
+        [(42, 999, "U")],
+        StructType(
+            [
+                StructField("k", IntegerType()),
+                StructField("val", IntegerType()),
+                StructField("__op", StringType()),
+            ]
+        ),
+    )
+    merge_table(spark, path, int_change)
+    final = {r["k"]: r["val"] for r in read_table(spark, path).collect()}
+    assert final[42] == 999
+    # no duplicated key across buckets
+    assert read_table(spark, path).where("k = 42").count() == 1

@@ -424,15 +424,22 @@ def read_table_for_keys(
     v = current_version(path) if version is None else version
     doc = _read_manifest(path, v)
     key_cols, n_buckets = doc["key_cols"], doc["n_buckets"]
+    # cast lookup keys to the table's declared key types before
+    # hashing — xxhash64 is type-sensitive, and an int literal probing
+    # a bigint key would route to the wrong bucket (a silent miss)
+    types = {f.name: f.dataType for f in _table_schema(doc).fields}
+    keys = keys.select(
+        *[F.col(k).cast(types[k]).alias(k) for k in key_cols]
+    ).distinct()
     wanted = [
         str(r[BUCKET_COL])
-        for r in _bucketed(keys.select(*key_cols).distinct(), key_cols, n_buckets)
+        for r in _bucketed(keys, key_cols, n_buckets)
         .select(BUCKET_COL)
         .distinct()
         .collect()  # bounded by the (small) key-set size
     ]
     out = _read_buckets(spark, path, doc, wanted)
-    return out.join(F.broadcast(keys.select(*key_cols).distinct()), key_cols, "semi")
+    return out.join(F.broadcast(keys), key_cols, "semi")
 
 
 def table_changes(
@@ -566,6 +573,19 @@ def merge_table(
         return base_v
     key_cols, n_buckets = doc["key_cols"], doc["n_buckets"]
     schema = _table_schema(doc)
+    # cast schema columns to their DECLARED types before hashing:
+    # xxhash64 is type-sensitive (int 7 and bigint 7 hash differently),
+    # so an off-type changeset key would route to the wrong bucket and
+    # silently duplicate the key across buckets
+    schema_types = {f.name: f.dataType for f in schema.fields}
+    changes = changes.select(
+        *[
+            F.col(c).cast(schema_types[c]).alias(c)
+            if c in schema_types
+            else F.col(c)
+            for c in changes.columns
+        ]
+    )
     bucketed_changes = _bucketed(changes, key_cols, n_buckets)
     touched = sorted(
         r[BUCKET_COL]
