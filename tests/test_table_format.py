@@ -870,3 +870,98 @@ def test_off_type_keys_still_route_to_the_right_bucket(spark, tmp_path):
     assert final[42] == 999
     # no duplicated key across buckets
     assert read_table(spark, path).where("k = 42").count() == 1
+
+
+def test_unknown_changeset_column_raises_not_silently_drops(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_table(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("score")
+        ),
+        path,
+        ["k"],
+        4,
+    )
+    typo = spark.createDataFrame([(1, 9, "U")], ["k", "scor", "__op"])
+    with pytest.raises(ValueError, match="scor"):
+        merge_table(spark, path, typo)
+    # table untouched
+    assert read_table(spark, path).where("score = 9").count() == 0
+
+
+def test_streaming_cdf_fails_loudly_on_mid_stream_schema_change(
+    spark, tmp_path
+):
+    from video_streamer_spark.operators.table_format import add_column
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    create_table(
+        spark.range(0, 20).select(F.col("id").alias("k")), path, ["k"], 4
+    )
+    register_cdf_source(spark)
+    stream = spark.readStream.format("table_cdf").option("path", path).load()
+
+    def drain():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 120, "cdf_schema_change")
+
+    drain()
+    add_column(path, "score", "double")
+    ch = spark.createDataFrame([(1, 0.5, "U")], ["k", "score", "__op"])
+    merge_table(spark, path, ch)
+    with pytest.raises(Exception, match="restart the table_cdf stream"):
+        drain()
+
+
+def test_streaming_cdf_bigint_values_beyond_2_53_are_exact(spark, tmp_path):
+    """An insert/delete in a bucket upcasts pandas int64 columns to
+    float64 unless nullable Int64 is used; beyond 2^53 that round trip
+    is lossy. The feed must carry such ids bit-exactly."""
+    from video_streamer_spark.operators.table_format import merge_table
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    big = 10**18 + 7  # not representable in float64 (2^53 ≈ 9e15)
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(big, 1), (big + 3, 2), (big + 6, 3)], ["k", "val"]
+    )
+    create_table(base, path, ["k"], n_buckets=2)
+    register_cdf_source(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("table_cdf")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 120, "cdf_bigint")
+
+    drain()
+    ch = spark.createDataFrame(
+        [(big + 9, 4, "I"), (big, 0, "D")], ["k", "val", "__op"]
+    )
+    merge_table(spark, path, ch)
+    drain()
+    feed = spark.read.parquet(out)
+    got = {(r["k"], r["val"], r["_change_type"]) for r in feed.collect()}
+    assert (big + 9, 4, "insert") in got
+    assert (big, 1, "delete") in got
+    assert all(isinstance(k, int) for k, _, _ in got)

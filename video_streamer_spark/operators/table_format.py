@@ -160,18 +160,28 @@ def _commit_stats(
     them from the immutable files keeps this implementation honest
     without a writer hook."""
     df = spark.read.parquet(full)
-    cols = [
-        f.name
+    types = {
+        f.name: f.dataType.simpleString()
         for f in df.schema.fields
         if f.name != BUCKET_COL
         and f.dataType.simpleString() in _STAT_ATOMS
-    ]
+    }
+    cols = list(types)
     if not cols:
         return {}, {}
     aggs = []
     for c in cols:
-        aggs.append(F.min(c).alias(f"__mn_{c}"))
-        aggs.append(F.max(c).alias(f"__mx_{c}"))
+        # timestamps are profiled as unix MICROS (tz-free, monotonic):
+        # collecting them as datetimes would render in the driver's
+        # local timezone, whose DST fall-back fold is non-monotonic —
+        # a wrongly-inverted min/max there means a wrong skip later
+        expr = (
+            F.unix_micros(F.col(c).cast("timestamp"))
+            if types[c].startswith("timestamp")
+            else F.col(c)
+        )
+        aggs.append(F.min(expr).alias(f"__mn_{c}"))
+        aggs.append(F.max(expr).alias(f"__mx_{c}"))
     rows = (
         df.withColumn("__file", F.input_file_name())
         .groupBy("__file")
@@ -260,10 +270,6 @@ def _table_schema(doc: dict):
     return StructType.fromJson(json.loads(doc["schema"]))
 
 
-def _empty_relation(spark: SparkSession, doc: dict) -> DataFrame:
-    return spark.createDataFrame([], _table_schema(doc))
-
-
 def _project(df: DataFrame, schema) -> DataFrame:
     """Project to the manifest schema, null-backfilling columns the
     (pre-evolution) data files don't carry — Delta/Iceberg's read-time
@@ -348,16 +354,28 @@ def read_table_where(
     field_type = {
         f.name: f.dataType.simpleString() for f in _table_schema(doc).fields
     }.get(col, "")
-    temporal = field_type in ("date", "timestamp", "timestamp_ntz")
+    is_ts = field_type.startswith("timestamp")
 
     def bound(x):
-        if x is None or not temporal:
+        """Prune-space value for a user bound or a stored stat: dates
+        parse to date objects; timestamp STATS are already unix micros
+        (see _commit_stats), and a timestamp user bound is resolved to
+        micros THROUGH SPARK, so the skip decision and the residual
+        filter interpret the literal with identical session-timezone
+        semantics."""
+        if x is None:
             return x
-        return (
-            datetime.date.fromisoformat(x)
-            if field_type == "date"
-            else datetime.datetime.fromisoformat(x)
-        )
+        if field_type == "date":
+            return (
+                datetime.date.fromisoformat(x) if isinstance(x, str) else x
+            )
+        if is_ts:
+            if isinstance(x, int):
+                return x  # a stored stat: already micros
+            return spark.range(1).select(
+                F.unix_micros(F.to_timestamp(F.lit(x)))
+            ).first()[0]
+        return x
 
     p_lo, p_hi = bound(lo), bound(hi)
 
@@ -398,11 +416,17 @@ def read_table_where(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+    def lit_bound(x):
+        if is_ts:
+            # same literal semantics as the prune-space resolution
+            return F.to_timestamp(F.lit(x)).cast(field_type)
+        return F.lit(bound(x))
+
     c = F.col(col)
     if lo is not None:
-        out = out.filter(c >= F.lit(bound(lo)))
+        out = out.filter(c >= lit_bound(lo))
     if hi is not None:
-        out = out.filter(c <= F.lit(bound(hi)))
+        out = out.filter(c <= lit_bound(hi))
     return out
 
 
@@ -538,6 +562,9 @@ def add_column(path: str, name: str, ddl_type: str) -> int:
     new_doc = dict(doc)
     new_doc["version"] = base_v + 1
     new_doc["schema"] = new_schema.json()
+    # a stale flag from a preceding optimize_table commit must not
+    # label this METADATA commit as a layout rewrite
+    new_doc.pop("layout_only", None)
     _commit_manifest(path, base_v + 1, new_doc)
     return base_v + 1
 
@@ -573,6 +600,18 @@ def merge_table(
         return base_v
     key_cols, n_buckets = doc["key_cols"], doc["n_buckets"]
     schema = _table_schema(doc)
+    # unknown changeset columns are an error, not a silent drop: the
+    # null-backfill below is for columns the table HAS that the
+    # changeset lacks (pre-evolution feeds), and quietly discarding a
+    # typo'd column would overwrite its real values with NULL
+    unknown = set(changes.columns) - {f.name for f in schema.fields} - {
+        op_col
+    }
+    if unknown:
+        raise ValueError(
+            f"changeset columns {sorted(unknown)} are not in the table "
+            f"schema; add_column first or fix the changeset"
+        )
     # cast schema columns to their DECLARED types before hashing:
     # xxhash64 is type-sensitive (int 7 and bigint 7 hash differently),
     # so an off-type changeset key would route to the wrong bucket and

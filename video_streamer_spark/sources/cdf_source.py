@@ -28,6 +28,12 @@ Emits the table columns plus ``_change_type`` ∈ {'insert', 'delete',
 ``_commit_version`` (the window's end version; a multi-commit window
 nets out, matching ``table_format.table_changes``).
 
+Known limits: the declared schema is pinned at stream start — a
+mid-stream ``add_column`` fails the stream loudly (restart to pick it
+up; Delta's readChangeFeed contract). Float columns conflate SQL NULL
+with NaN in the feed (the pandas/pyarrow default); integral columns
+are exact at any magnitude (nullable Int64, never a float64 detour).
+
 Reference contrast: the reference has no notion of table versions or
 change capture at all — its sink writes once at EOS
 (gst-detection-tf.py:339-344)."""
@@ -59,40 +65,23 @@ CHANGE_TYPE_COL = "_change_type"
 COMMIT_VERSION_COL = "_commit_version"
 
 
+# Manifest access goes through table_format (the single source of the
+# protocol). Imported lazily inside DRIVER-side methods only: the
+# stream reader class is pickled by value to workers for read(), and a
+# module-level reference would drag the whole table_format module (and
+# its pyspark.sql.functions surface) into every task's pickle.
+
+
 def _load_manifest(path: str, version: int) -> dict:
-    with open(
-        os.path.join(path, "_manifests", f"v{version:09d}.json")
-    ) as fh:
-        return json.load(fh)
+    from video_streamer_spark.operators.table_format import _read_manifest
 
-
-def _changed_buckets_walk(path: str, v_from: int, v_to: int) -> set:
-    """Buckets repointed by at least one NON-layout commit in
-    (v_from, v_to] — a pure-JSON manifest walk (no Spark import in the
-    streaming planner; mirrors
-    ``table_format.changed_buckets_between``)."""
-    cur = {"buckets": {}} if v_from == 0 else _load_manifest(path, v_from)
-    changed: set = set()
-    for v in range(v_from + 1, v_to + 1):
-        nxt = _load_manifest(path, v)
-        if not nxt.get("layout_only"):
-            for b in set(cur["buckets"]) | set(nxt["buckets"]):
-                if cur["buckets"].get(b) != nxt["buckets"].get(b):
-                    changed.add(b)
-        cur = nxt
-    return changed
+    return _read_manifest(path, version)
 
 
 def _latest_version(path: str) -> int:
-    mdir = os.path.join(path, "_manifests")
-    versions = [
-        int(f.removeprefix("v").removesuffix(".json"))
-        for f in os.listdir(mdir)
-        if f.startswith("v") and f.endswith(".json")
-    ]
-    if not versions:
-        raise FileNotFoundError(f"no committed version at {path}")
-    return max(versions)
+    from video_streamer_spark.operators.table_format import current_version
+
+    return current_version(path)
 
 
 def _converter(dt):
@@ -145,7 +134,26 @@ class _CdfStreamReader(DataSourceStreamReader):
     def partitions(  # noqa: N802
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
+        from video_streamer_spark.operators.table_format import (
+            changed_buckets_between,
+        )
+
         doc_b = _load_manifest(self.path, end["v"])
+        # the declared schema is pinned at stream start; an add_column
+        # mid-stream would make updates touching ONLY the new column
+        # invisible (both sides projected to the pinned columns compare
+        # equal) — fail loudly and ask for a restart instead, the same
+        # contract as Delta's readChangeFeed on schema change
+        declared = {f.name for f in self.table_fields}
+        current = {
+            f["name"] for f in json.loads(doc_b["schema"])["fields"]
+        }
+        if current != declared:
+            raise RuntimeError(
+                f"table schema changed under the stream (declared "
+                f"{sorted(declared)}, now {sorted(current)}); restart "
+                "the table_cdf stream to pick up the evolved schema"
+            )
         buckets_a = (
             {}
             if start["v"] == 0
@@ -163,7 +171,7 @@ class _CdfStreamReader(DataSourceStreamReader):
             # commits — identical rows, and diffing them would turn a
             # table-wide rewrite into a table-wide diff for every
             # CDC consumer
-            candidates &= _changed_buckets_walk(
+            candidates &= changed_buckets_between(
                 self.path, start["v"], end["v"]
             )
         except FileNotFoundError:
@@ -190,12 +198,23 @@ class _CdfStreamReader(DataSourceStreamReader):
         convs = [_converter(f.dataType) for f in self.table_fields]
         key_cols = self.key_cols
         vals = [c for c in names if c not in key_cols]
+        int_cols = [
+            f.name
+            for f in self.table_fields
+            if f.dataType.simpleString()
+            in ("tinyint", "smallint", "int", "bigint")
+        ]
 
         def load(d):
             df = pq.read_table(d).to_pandas()
             for c in names:  # null-backfill pre-evolution files
                 if c not in df.columns:
                     df[c] = None
+            # nullable Int64 so the outer merge cannot upcast integral
+            # columns to float64 — beyond 2^53 that round-trip is LOSSY
+            # (a bigint id near 10^18 would come back off by ~hundreds)
+            for c in int_cols:
+                df[c] = df[c].astype("Int64")
             return df[names]
 
         def emit_frame(df, cols, change):
