@@ -965,3 +965,98 @@ def test_streaming_cdf_bigint_values_beyond_2_53_are_exact(spark, tmp_path):
     assert (big + 9, 4, "insert") in got
     assert (big, 1, "delete") in got
     assert all(isinstance(k, int) for k, _, _ in got)
+
+
+def test_table_changes_matches_dict_model_on_random_sequences(spark, tmp_path):
+    """Model test: apply a deterministic-random changeset sequence,
+    mirror every state in a plain dict, and check table_changes between
+    EVERY version pair against the model diff (insert/delete/update
+    with post-image; unchanged keys absent)."""
+    import random
+
+    from video_streamer_spark.operators.table_format import table_changes
+
+    rng = random.Random(7)
+    path = str(tmp_path / "t")
+    model = {k: k % 11 for k in range(40)}
+    snapshots = [dict(model)]
+    create_table(
+        spark.createDataFrame(sorted(model.items()), ["k", "val"]),
+        path,
+        ["k"],
+        n_buckets=4,
+    )
+    for _step in range(4):
+        ops = []
+        for k in rng.sample(sorted(model), 6):
+            if rng.random() < 0.3:
+                ops.append((k, model[k], "D"))
+                del model[k]
+            else:
+                nv = rng.randrange(1000, 2000)
+                if rng.random() < 0.25:
+                    nv = snapshots[-1].get(k, nv)  # sometimes a no-op
+                ops.append((k, nv, "U"))
+                model[k] = nv
+        newk = 100 + _step
+        ops.append((newk, rng.randrange(5000, 6000), "I"))
+        model[newk] = ops[-1][1]
+        merge_table(
+            spark, path, spark.createDataFrame(ops, ["k", "val", "__op"])
+        )
+        snapshots.append(dict(model))
+
+    def model_diff(a, b):
+        out = set()
+        for k in set(a) | set(b):
+            if k in a and k not in b:
+                out.add((k, a[k], "delete"))
+            elif k not in a and k in b:
+                out.add((k, b[k], "insert"))
+            elif a[k] != b[k]:
+                out.add((k, b[k], "update_postimage"))
+        return out
+
+    for i in range(len(snapshots)):
+        for j in range(i + 1, len(snapshots)):
+            got = {
+                (r["k"], r["val"], r["_change_type"])
+                for r in table_changes(spark, path, i + 1, j + 1).collect()
+            }
+            assert got == model_diff(snapshots[i], snapshots[j]), (i, j)
+
+
+def test_table_changes_falls_back_when_chain_is_incomplete(spark, tmp_path):
+    """If an intermediate manifest is gone (out-of-policy deletion),
+    the layout-only walk can't run; the endpoint pointer diff must
+    still produce the correct net delta."""
+    from video_streamer_spark.operators.table_format import (
+        merge_table,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    create_table(
+        spark.range(0, 50).select(F.col("id").alias("k"), F.col("id").alias("val")),
+        path,
+        ["k"],
+        4,
+    )
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame([(1, 100, "U")], ["k", "val", "__op"])
+        .withColumn("val", F.col("val").cast("long")),
+    )
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame([(2, 200, "U")], ["k", "val", "__op"])
+        .withColumn("val", F.col("val").cast("long")),
+    )
+    os.remove(os.path.join(path, "_manifests", "v000000002.json"))
+    got = sorted(
+        (r["k"], r["val"], r["_change_type"])
+        for r in table_changes(spark, path, 1, 3).collect()
+    )
+    assert got == [(1, 100, "update_postimage"), (2, 200, "update_postimage")]
