@@ -438,7 +438,10 @@ def x206_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # total order is what "sorted layout" means) — at scale you'd simulate
 # with range-partitioned approximate boundaries (x87/x96's quantile
 # machinery) instead of one exact total order; the advisory output is
-# identical to first order.
+# identical to first order. The rewrite this advises is IMPLEMENTED:
+# operators/table_format.optimize_table performs the value-sorted
+# rewrite on the versioned table and x212 drives the resulting
+# per-file zone-map pruning under the oracle.
 @query(
     "x207_pruning_advisor",
     oracle="""
