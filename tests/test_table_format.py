@@ -1060,3 +1060,47 @@ def test_table_changes_falls_back_when_chain_is_incomplete(spark, tmp_path):
         for r in table_changes(spark, path, 1, 3).collect()
     )
     assert got == [(1, 100, "update_postimage"), (2, 200, "update_postimage")]
+
+
+def test_acid_sink_retries_version_conflicts(spark, tmp_path, monkeypatch):
+    """A concurrent commit racing a streaming micro-batch is liveness,
+    not failure: the sink re-reads the new current and re-applies.
+    Inject conflicts on the first two attempts; the drain must succeed
+    and the final state must include the batch."""
+    import video_streamer_spark.operators.table_format as tf
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    path = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+    create_table(
+        spark.range(0, 30).select(
+            F.col("id").alias("k"), F.col("id").alias("val"),
+        ),
+        path,
+        ["k"],
+        4,
+    )
+    spark.createDataFrame(
+        [(3, 333, "U", 1)], ["k", "val", "__op", "seq"]
+    ).write.parquet(src)
+
+    real = tf.merge_table
+    fails = {"n": 2}
+
+    def flaky(*a, **kw):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise tf.VersionConflictError("injected concurrent commit")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(tf, "merge_table", flaky)
+    stream = spark.readStream.schema(
+        "k bigint, val bigint, __op string, seq bigint"
+    ).parquet(src)
+    tf.run_acid_merge_sink(
+        stream, path, ["k"], "seq", ckpt, timeout_sec=120
+    )
+    assert fails["n"] == 0
+    final = {r["k"]: r["val"] for r in read_table(spark, path).collect()}
+    assert final[3] == 333

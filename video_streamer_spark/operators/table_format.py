@@ -835,13 +835,25 @@ def run_acid_merge_sink(
         if batch_df.isEmpty():
             return
         compacted = compact_changeset(batch_df, key_cols, seq_col)
-        merge_table(
-            batch_df.sparkSession,
-            path,
-            compacted,
-            op_col=op_col,
-            idempotency_key=f"{checkpoint_dir}:{epoch_id}",
-        )
+        # OCC retry: a concurrent writer (another stream, a manual
+        # merge, an OPTIMIZE) winning the version race is expected
+        # liveness, not failure — merge_table re-reads the new current
+        # on each attempt, and the idempotency key still dedupes if an
+        # earlier attempt actually committed before dying
+        last: VersionConflictError | None = None
+        for _attempt in range(4):
+            try:
+                merge_table(
+                    batch_df.sparkSession,
+                    path,
+                    compacted,
+                    op_col=op_col,
+                    idempotency_key=f"{checkpoint_dir}:{epoch_id}",
+                )
+                return
+            except VersionConflictError as exc:
+                last = exc
+        raise last
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)
