@@ -1104,3 +1104,46 @@ def test_acid_sink_retries_version_conflicts(spark, tmp_path, monkeypatch):
     assert fails["n"] == 0
     final = {r["k"]: r["val"] for r in read_table(spark, path).collect()}
     assert final[3] == 333
+
+
+def test_cdc_replication_converges_dst_to_src(spark, tmp_path):
+    """Replication = the streaming change feed of A applied into B via
+    the ACID merge sink. Every pass ships only the new commits; B's
+    snapshot equals A's after each pass, including deletes, OPTIMIZE
+    on the source (shipped as nothing), and a replayed pass (no-op)."""
+    from video_streamer_spark.operators.table_format import (
+        merge_table,
+        optimize_table,
+    )
+    from video_streamer_spark.sources.cdf_source import (
+        register_cdf_source,
+        replicate_table,
+    )
+
+    src = str(tmp_path / "a")
+    dst = str(tmp_path / "b")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.range(0, 120).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("val")
+    )
+    create_table(base, src, ["k"], n_buckets=8)
+    # dst starts EMPTY with the same keys/schema
+    create_table(base.limit(0), dst, ["k"], n_buckets=4)
+    register_cdf_source(spark)
+
+    replicate_table(spark, src, dst, ckpt, timeout_sec=120)
+    assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
+
+    ch = spark.createDataFrame(
+        [(5, 999, "U"), (500, 1, "I"), (7, 0, "D")], ["k", "val", "__op"]
+    ).withColumn("val", F.col("val").cast("long"))
+    merge_table(spark, src, ch)
+    optimize_table(spark, src, "val")  # must ship as NOTHING
+    replicate_table(spark, src, dst, ckpt, timeout_sec=120)
+    assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
+
+    # replayed pass with nothing new: metadata poll, same state
+    v_before = current_version(dst)
+    replicate_table(spark, src, dst, ckpt, timeout_sec=120)
+    assert current_version(dst) == v_before
+    assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))

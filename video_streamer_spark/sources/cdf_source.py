@@ -65,23 +65,54 @@ CHANGE_TYPE_COL = "_change_type"
 COMMIT_VERSION_COL = "_commit_version"
 
 
-# Manifest access goes through table_format (the single source of the
-# protocol). Imported lazily inside DRIVER-side methods only: the
-# stream reader class is pickled by value to workers for read(), and a
-# module-level reference would drag the whole table_format module (and
-# its pyspark.sql.functions surface) into every task's pickle.
+# These three helpers DUPLICATE table_format's manifest accessors on
+# purpose: every DataSource method — schema(), streamReader(),
+# partitions(), read() — executes in Spark's Python data-source RUNNER
+# process, which does not have this repo on sys.path when the consumer
+# runs from an external cwd. An import of
+# video_streamer_spark.operators.table_format from any of them raises
+# ModuleNotFoundError there (caught live by the external-cwd verify
+# drive; in-repo tests cannot see it because their cwd is the repo
+# root). ship_module pickles THIS module by value, so everything it
+# needs must be self-contained (stdlib + pandas/pyarrow only). Keep in
+# lockstep with table_format._read_manifest / current_version /
+# changed_buckets_between — tests/test_table_format.py exercises both
+# sides against the same tables.
 
 
 def _load_manifest(path: str, version: int) -> dict:
-    from video_streamer_spark.operators.table_format import _read_manifest
-
-    return _read_manifest(path, version)
+    with open(
+        os.path.join(path, "_manifests", f"v{version:09d}.json")
+    ) as fh:
+        return json.load(fh)
 
 
 def _latest_version(path: str) -> int:
-    from video_streamer_spark.operators.table_format import current_version
+    mdir = os.path.join(path, "_manifests")
+    versions = [
+        int(f.removeprefix("v").removesuffix(".json"))
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    if not versions:
+        raise FileNotFoundError(f"no committed version at {path}")
+    return max(versions)
 
-    return current_version(path)
+
+def _changed_buckets_walk(path: str, v_from: int, v_to: int) -> set:
+    """Buckets repointed by at least one NON-layout commit in
+    (v_from, v_to] — self-contained twin of
+    ``table_format.changed_buckets_between`` (see the note above)."""
+    cur = {"buckets": {}} if v_from == 0 else _load_manifest(path, v_from)
+    changed: set = set()
+    for v in range(v_from + 1, v_to + 1):
+        nxt = _load_manifest(path, v)
+        if not nxt.get("layout_only"):
+            for b in set(cur["buckets"]) | set(nxt["buckets"]):
+                if cur["buckets"].get(b) != nxt["buckets"].get(b):
+                    changed.add(b)
+        cur = nxt
+    return changed
 
 
 def _converter(dt):
@@ -134,10 +165,6 @@ class _CdfStreamReader(DataSourceStreamReader):
     def partitions(  # noqa: N802
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
-        from video_streamer_spark.operators.table_format import (
-            changed_buckets_between,
-        )
-
         doc_b = _load_manifest(self.path, end["v"])
         # the declared schema is pinned at stream start; an add_column
         # mid-stream would make updates touching ONLY the new column
@@ -171,7 +198,7 @@ class _CdfStreamReader(DataSourceStreamReader):
             # commits — identical rows, and diffing them would turn a
             # table-wide rewrite into a table-wide diff for every
             # CDC consumer
-            candidates &= changed_buckets_between(
+            candidates &= _changed_buckets_walk(
                 self.path, start["v"], end["v"]
             )
         except FileNotFoundError:
@@ -295,3 +322,63 @@ class TableCdfDataSource(DataSource):
 
 def register_cdf_source(spark) -> None:
     spark.dataSource.register(TableCdfDataSource)
+
+
+def replicate_table(
+    spark,
+    src_path: str,
+    dst_path: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> None:
+    """One incremental replication pass: drain ``src``'s change feed
+    into ``dst`` through the ACID merge sink — CDC replication built
+    entirely from this module's source and the table format's sink.
+
+    The stream checkpoint remembers the last shipped version, so
+    repeated calls move only the NEW commits (a no-change call is a
+    metadata poll); the sink's ``checkpoint:epoch`` idempotency keys
+    make replayed epochs no-ops, so dst converges to src exactly once
+    per commit even across crashes and re-drains. ``dst`` must exist
+    (``create_table`` with the same key columns), typically created
+    empty so the first pass ships the initial snapshot (the
+    ``startingVersion=0`` inserts).
+
+    Ordering note: a single pass applies the NET window (the source
+    nets multi-commit windows), and one micro-batch is one atomic
+    commit on dst — so dst always shows a state src actually passed
+    through at commit granularity."""
+    from pyspark.sql import functions as F
+
+    from video_streamer_spark.operators.table_format import (
+        current_version,
+        run_acid_merge_sink,
+    )
+
+    dst_keys = _load_manifest(dst_path, current_version(dst_path))[
+        "key_cols"
+    ]
+    feed = (
+        spark.readStream.format("table_cdf")
+        .option("path", src_path)
+        .load()
+    )
+    changes = feed.select(
+        *[
+            c
+            for c in feed.columns
+            if c not in (CHANGE_TYPE_COL, COMMIT_VERSION_COL)
+        ],
+        F.when(F.col(CHANGE_TYPE_COL) == "delete", F.lit("D"))
+        .otherwise(F.lit("U"))  # insert and update are both upserts
+        .alias("__op"),
+        F.col(COMMIT_VERSION_COL).alias("__seq"),
+    )
+    run_acid_merge_sink(
+        changes,
+        dst_path,
+        key_cols=dst_keys,
+        seq_col="__seq",
+        checkpoint_dir=checkpoint_dir,
+        timeout_sec=timeout_sec,
+    )
