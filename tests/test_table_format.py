@@ -1147,3 +1147,43 @@ def test_cdc_replication_converges_dst_to_src(spark, tmp_path):
     replicate_table(spark, src, dst, ckpt, timeout_sec=120)
     assert current_version(dst) == v_before
     assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
+
+
+def test_rebucket_grows_layout_without_changing_rows(spark, tmp_path):
+    """rebucket_table: same rows, empty change feed, new bucket count
+    in force for subsequent merges, keys reachable by point lookup
+    through the NEW hash routing."""
+    from video_streamer_spark.operators.table_format import (
+        _read_manifest,
+        read_table_for_keys,
+        rebucket_table,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 17).alias("val")
+    )
+    create_table(base, path, ["k"], n_buckets=2)
+    ch0 = spark.createDataFrame([(1, 777, "U")], ["k", "val", "__op"]) \
+        .withColumn("val", F.col("val").cast("long"))
+    merge_table(spark, path, ch0, idempotency_key="ck:0")
+
+    v = rebucket_table(spark, path, 16)
+    doc = _read_manifest(path, v)
+    assert doc["n_buckets"] == 16 and len(doc["buckets"]) > 2
+    assert doc["txns"] == ["ck:0"]
+    # rows identical, feed empty, old version still readable
+    assert _rows(read_table(spark, path)) == _rows(read_table(spark, path, 2))
+    assert table_changes(spark, path, 2, v).count() == 0
+    assert table_changes(spark, path, 2, v).inputFiles() == []
+
+    # a merge now routes through the 16-bucket hash
+    ch = spark.createDataFrame([(2, 888, "U")], ["k", "val", "__op"]) \
+        .withColumn("val", F.col("val").cast("long"))
+    merge_table(spark, path, ch)
+    got = read_table_for_keys(
+        spark, path, spark.createDataFrame([(1,), (2,)], ["k"])
+    )
+    assert _rows(got) == [(1, 777), (2, 888)]
+    assert merge_table(spark, path, ch0, idempotency_key="ck:0") == v + 1

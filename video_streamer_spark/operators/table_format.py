@@ -760,6 +760,42 @@ def changed_buckets_between(path: str, v_from: int, v_to: int) -> set[str]:
     return changed
 
 
+def rebucket_table(
+    spark: SparkSession, path: str, new_n_buckets: int
+) -> int:
+    """Change the table's bucket count — the growth escape hatch: a
+    table that outgrew its layout (each merge rewrites whole buckets,
+    so oversized buckets make every commit expensive) re-hashes into
+    ``new_n_buckets`` as ONE atomic layout-only commit. Rows are
+    untouched, so readers of old versions are unaffected, the change
+    feed shows nothing (``layout_only``), and idempotency keys carry
+    forward; every subsequent merge hashes against the manifest's new
+    count automatically. OCC applies as usual — a racing writer either
+    commits before (we rebucket its output) or conflicts and retries
+    against the new layout."""
+    base_v = current_version(path)
+    doc = _read_manifest(path, base_v)
+    key_cols = doc["key_cols"]
+    snap = _read_buckets(spark, path, doc, list(doc["buckets"]))
+    rel, present, stats, file_stats = _write_commit_data(
+        snap, path, key_cols, new_n_buckets
+    )
+    new_doc = {
+        "version": base_v + 1,
+        "n_buckets": new_n_buckets,
+        "key_cols": key_cols,
+        "schema": doc["schema"],
+        "buckets": {str(b): f"{rel}/{BUCKET_COL}={b}" for b in present},
+        "stats": stats,
+        "file_stats": file_stats,
+        "layout_only": True,
+    }
+    if doc.get("txns"):
+        new_doc["txns"] = doc["txns"]
+    _commit_manifest(path, base_v + 1, new_doc)
+    return base_v + 1
+
+
 def vacuum(path: str, keep_last: int = 2, min_age_sec: float = 3600.0) -> dict:
     """Delete data dirs no retained manifest references, and manifests
     older than the retention window. Readers of RETAINED versions are
