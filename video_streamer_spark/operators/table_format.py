@@ -34,11 +34,16 @@ Iceberg) reduce to, in its smallest honest form:
   dirs straight from the manifest — pruning above the engine, stronger
   than a pushed filter (untouched buckets are never even listed).
 
-At 100 TB the manifest tracks files (not dirs) with per-file zone-map
-stats, and the link becomes a conditional PUT on an object store /
-catalog row — same protocol, bigger bookkeeping. Reference contrast:
-the reference's sink has no commit notion at all (one flush at EOS,
-gst-detection-tf.py:339-344)."""
+The manifest also tracks per-bucket AND per-file zone-map stats
+(``read_table_where`` prunes dirs, then files, without listing what it
+skips), schema evolution (``add_column``, metadata-only), layout
+maintenance (``optimize_table`` value-sorted rewrite, ``rebucket_table``
+bucket-count growth — both layout_only commits the change feed provably
+ignores), and a change-data-feed (batch ``table_changes`` here;
+streaming ``sources/cdf_source.py``). At 100 TB the hard link becomes a
+conditional PUT on an object store / catalog row — same protocol,
+bigger bookkeeping. Reference contrast: the reference's sink has no
+commit notion at all (one flush at EOS, gst-detection-tf.py:339-344)."""
 
 from __future__ import annotations
 
