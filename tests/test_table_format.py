@@ -1187,3 +1187,54 @@ def test_rebucket_grows_layout_without_changing_rows(spark, tmp_path):
     )
     assert _rows(got) == [(1, 777), (2, 888)]
     assert merge_table(spark, path, ch0, idempotency_key="ck:0") == v + 1
+
+
+def test_streaming_cdf_null_transitions_are_updates_not_crashes(
+    spark, tmp_path
+):
+    """null→value and value→null transitions in a streamed bucket:
+    nullable-dtype comparison yields pd.NA, which must be treated as a
+    CHANGE (and never poison the boolean mask). null→null is no
+    change."""
+    from video_streamer_spark.operators.table_format import merge_table
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(1, None), (2, 20), (3, None), (4, 40)], "k bigint, val bigint"
+    )
+    create_table(base, path, ["k"], n_buckets=1)  # one bucket: all rows join
+    register_cdf_source(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("table_cdf")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 120, "cdf_nulls")
+
+    drain()
+    ch = spark.createDataFrame(
+        [(1, 11, "U"), (2, None, "U"), (3, None, "U")],
+        "k bigint, val bigint, __op string",
+    )
+    merge_table(spark, path, ch)
+    drain()
+    inc = spark.read.parquet(out).where("_commit_version = 2")
+    got = sorted(
+        (r["k"], r["val"], r["_change_type"]) for r in inc.collect()
+    )
+    # k=1 null→11, k=2 20→null; k=3 null→null must NOT appear
+    assert got == [
+        (1, 11, "update_postimage"),
+        (2, None, "update_postimage"),
+    ]

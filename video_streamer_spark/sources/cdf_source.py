@@ -279,8 +279,17 @@ class _CdfStreamReader(DataSourceStreamReader):
             neq = pd.Series(False, index=both.index)
             for c in vals:
                 o, n = both[f"{c}_o"], both[f"{c}_n"]
-                neq |= ~((o.isna() & n.isna()) | (o == n))
-            yield from emit_frame(both[neq], n_cols, "update_postimage")
+                # (o == n) is pd.NA when exactly one side is null
+                # (nullable dtypes) — fillna(False) makes null↔value a
+                # CHANGE and keeps the mask pure-boolean (an NA mask
+                # raises on indexing); null==null is the isna clause
+                eq = (o == n)
+                if eq.dtype == object or str(eq.dtype) == "boolean":
+                    eq = eq.fillna(False)
+                neq |= ~((o.isna() & n.isna()) | eq)
+            yield from emit_frame(
+                both[neq.astype(bool)], n_cols, "update_postimage"
+            )
 
     def commit(self, end: dict) -> None:
         pass
