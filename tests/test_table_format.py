@@ -1238,3 +1238,30 @@ def test_streaming_cdf_null_transitions_are_updates_not_crashes(
         (1, 11, "update_postimage"),
         (2, None, "update_postimage"),
     ]
+
+
+def test_optimize_is_idempotent_and_feed_stays_empty(spark, tmp_path):
+    """Two consecutive OPTIMIZE passes: rows invariant through both,
+    the change feed empty over the whole layout-only window, and the
+    second pass's file ranges still non-overlapping per bucket."""
+    from video_streamer_spark.operators.table_format import (
+        _read_manifest,
+        optimize_table,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 600).select(
+        F.col("id").alias("k"), ((F.col("id") * 97) % 5000).alias("val")
+    )
+    create_table(base, path, ["k"], n_buckets=4)
+    optimize_table(spark, path, "val")
+    optimize_table(spark, path, "val")
+    assert _rows(read_table(spark, path)) == _rows(read_table(spark, path, 1))
+    feed = table_changes(spark, path, 1, 3)
+    assert feed.count() == 0 and feed.inputFiles() == []
+    fstats = _read_manifest(path, 3)["file_stats"]
+    for b, files in fstats.items():
+        ranges = sorted(r["val"] for r in files.values())
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+            assert a_hi <= b_lo, (b, ranges)
