@@ -101,9 +101,15 @@ def splittable_mirror(sf_dir: str) -> str:
         with open(ready) as fh:
             if fh.read().strip() == fp:
                 return mirror
+    if os.path.exists(mirror):
+        # stale fingerprint, OR no _READY at all (a crashed build):
+        # rebuild from scratch either way — a crashed run may have left
+        # COMPLETED table dirs built from since-regenerated source, and
+        # resuming around them would stamp the new fingerprint over old
+        # data (benching stale rows while claiming the current source)
         import shutil
 
-        shutil.rmtree(mirror)  # stale mirror: rebuild from scratch
+        shutil.rmtree(mirror)
     try:
         os.makedirs(mirror, exist_ok=True)
         for f in os.listdir(sf_dir):
@@ -111,8 +117,6 @@ def splittable_mirror(sf_dir: str) -> str:
                 continue
             src = os.path.join(sf_dir, f)
             dst = os.path.join(mirror, f)
-            if os.path.exists(dst):
-                continue
             size = os.path.getsize(src)
             pf = pq.ParquetFile(src)
             if pf.num_row_groups == 1 and size > (4 << 20):

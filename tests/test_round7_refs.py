@@ -196,3 +196,56 @@ def test_x207_pruning_advisor_matches_python_reference(spark):
         assert (
             got[("sorted", pred)][1] <= got[("current", pred)][1]
         ), pred
+
+
+def test_x200_no_position_cap_and_short_doc_safety(spark, tmp_path):
+    """Two regressions pinned: (a) the DuckDB oracle used to enumerate
+    gram positions only up to 4000, silently diverging from Spark on
+    long documents — a shared span at positions ~4050 must be found by
+    BOTH sides; (b) documents with <= 7 tokens used to reach
+    sequence(1, 0) = [1, 0] and slice(arr, 0, 8), which THROWS — they
+    must now contribute nothing and crash nothing."""
+    import duckdb
+    import pyarrow as pa
+
+    a_toks = [f"a{i}" for i in range(4120)]
+    b_toks = [f"b{i}" for i in range(4120)]
+    b_toks[4040:4060] = a_toks[4040:4060]  # shared 20-token span
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                " ".join(a_toks),
+                " ".join(b_toks),
+                "",  # 1 empty "token"
+                "a b c",
+                "t1 t2 t3 t4 t5 t6 t7",  # exactly 7: no 8-gram
+                "u1 u2 u3 u4 u5 u6 u7 u8",  # one gram, df=1 -> dropped
+            ],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    from video_streamer_spark.queries import ORACLES
+
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["x200_verbatim_span_dedup"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(
+            ORACLES["x200_verbatim_span_dedup"]
+        ).fetchall()
+    )
+    con.close()
+    # span of 20 tokens starting at position 4041: 13 grams, one island
+    assert got == [(1, 2, 1, 20, 20)]
+    assert oracle == got

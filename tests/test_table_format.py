@@ -1265,3 +1265,168 @@ def test_optimize_is_idempotent_and_feed_stays_empty(spark, tmp_path):
         ranges = sorted(r["val"] for r in files.values())
         for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
             assert a_hi <= b_lo, (b, ranges)
+
+
+def test_table_changes_across_rebucket_window_is_key_exact(spark, tmp_path):
+    """A version window spanning rebucket_table PLUS data commits:
+    bucket ids name different key partitions in the two hash layouts,
+    so the per-bucket walk must be abandoned for the key-level endpoint
+    diff — carried-over keys net out (no false inserts for rows that
+    merely moved buckets), and a delete whose pre-image lived in an
+    old-layout bucket still produces its feed row."""
+    from video_streamer_spark.operators.table_format import (
+        rebucket_table,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("val")
+    )
+    create_table(base, path, ["k"], n_buckets=2)  # v1
+    ch0 = spark.createDataFrame([(1, 100, "U")], ["k", "val", "__op"]) \
+        .withColumn("val", F.col("val").cast("long"))
+    merge_table(spark, path, ch0)  # v2
+    rebucket_table(spark, path, 16)  # v3 (layout_only)
+    ch1 = spark.createDataFrame(
+        [(2, 999, "U"), (3, 0, "D"), (1000, 5, "I")], ["k", "val", "__op"]
+    ).withColumn("val", F.col("val").cast("long"))
+    merge_table(spark, path, ch1)  # v4
+
+    got = sorted(
+        (r["k"], r["val"], r["_change_type"])
+        for r in table_changes(spark, path, 2, 4).collect()
+    )
+    assert got == [
+        (2, 999, "update_postimage"),
+        (3, 3 % 7, "delete"),
+        (1000, 5, "insert"),
+    ]
+    # a window ending ON the rebucket stays zero rows AND zero reads
+    feed = table_changes(spark, path, 2, 3)
+    assert feed.count() == 0 and feed.inputFiles() == []
+    # a wider window also nets the pre-rebucket commit's change
+    wide = sorted(
+        (r["k"], r["val"], r["_change_type"])
+        for r in table_changes(spark, path, 1, 4).collect()
+    )
+    assert wide == [
+        (1, 100, "update_postimage"),
+        (2, 999, "update_postimage"),
+        (3, 3 % 7, "delete"),
+        (1000, 5, "insert"),
+    ]
+
+
+def test_streaming_cdf_window_spanning_rebucket_is_exact(spark, tmp_path):
+    """One micro-batch window covering merge + rebucket + merge: the
+    source must not pair old/new dirs by bucket id across the two
+    layouts (false inserts for every moved key, missing deletes) — it
+    falls back to one global endpoint-diff partition and matches the
+    batch table_changes exactly."""
+    from video_streamer_spark.operators.table_format import (
+        merge_table,
+        rebucket_table,
+        table_changes,
+    )
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.range(0, 80).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("val")
+    )
+    create_table(base, path, ["k"], n_buckets=2)  # v1
+    register_cdf_source(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("table_cdf")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 120, "cdf_drain")
+
+    drain()  # snapshot: 80 inserts at v1
+    ch0 = spark.createDataFrame(
+        [(3, 99, "U"), (5, 0, "D")], ["k", "val", "__op"]
+    ).withColumn("val", F.col("val").cast("long"))
+    merge_table(spark, path, ch0)  # v2
+    rebucket_table(spark, path, 16)  # v3
+    ch1 = spark.createDataFrame(
+        [(200, 1, "I"), (7, 77, "U")], ["k", "val", "__op"]
+    ).withColumn("val", F.col("val").cast("long"))
+    merge_table(spark, path, ch1)  # v4
+    drain()  # ONE window (1, 4] spanning the rebucket
+
+    inc = spark.read.parquet(out).where("_commit_version = 4")
+    got = sorted((r["k"], r["val"], r["_change_type"]) for r in inc.collect())
+    assert got == [
+        (3, 99, "update_postimage"),
+        (5, 5 % 9, "delete"),
+        (7, 77, "update_postimage"),
+        (200, 1, "insert"),
+    ]
+    batch = table_changes(spark, path, 1, 4)
+    assert got == sorted(
+        (r["k"], r["val"], r["_change_type"]) for r in batch.collect()
+    )
+    assert spark.read.parquet(out).count() == 84
+    # rebucket alone is still feed-invisible: new drain appends nothing
+    rebucket_table(spark, path, 4)  # v5
+    drain()
+    assert spark.read.parquet(out).count() == 84
+
+
+def test_ntz_zone_maps_are_timezone_independent(spark, tmp_path):
+    """timestamp_ntz zone maps must live in wall-clock space end to
+    end: a table written under one spark.sql.session.timeZone and
+    range-read under another (across the US DST spring-forward date,
+    the worst case) returns exactly the rows in [lo, hi] — the old
+    cast-through-session-tz stats would shift the prune bounds by the
+    offset difference and silently drop matching buckets."""
+    from video_streamer_spark.operators.table_format import (
+        _read_manifest,
+        read_table_where,
+    )
+
+    path = str(tmp_path / "t")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.range(0, 48).select(
+            F.col("id").alias("k"),
+            F.expr(
+                "timestamp_ntz'2026-03-08 00:00:00' "
+                "+ make_interval(0, 0, 0, 0, id, 0, 0)"
+            ).alias("ts"),
+        )
+        create_table(df, path, ["k"], n_buckets=4)
+        # stats are recorded as wall strings, not session-tz micros
+        stats = _read_manifest(path, 1)["stats"]
+        for b in stats:
+            lo_s, hi_s = stats[b]["ts"]
+            assert isinstance(lo_s, str) and isinstance(hi_s, str)
+
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = read_table_where(
+            spark, path, "ts",
+            lo="2026-03-08 05:00:00", hi="2026-03-08 10:00:00",
+        )
+        assert sorted(r["k"] for r in got.collect()) == list(range(5, 11))
+        # fully-disjoint range prunes to an empty relation (no files)
+        miss = read_table_where(
+            spark, path, "ts", lo="2027-01-01 00:00:00",
+            hi="2027-02-01 00:00:00",
+        )
+        assert miss.count() == 0 and miss.inputFiles() == []
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -176,13 +176,20 @@ def _commit_stats(
         return {}, {}
     aggs = []
     for c in cols:
-        # timestamps are profiled as unix MICROS (tz-free, monotonic):
-        # collecting them as datetimes would render in the driver's
-        # local timezone, whose DST fall-back fold is non-monotonic —
-        # a wrongly-inverted min/max there means a wrong skip later
+        # INSTANT timestamps are profiled as unix MICROS (tz-free,
+        # monotonic): collecting them as datetimes would render in the
+        # driver's local timezone, whose DST fall-back fold is
+        # non-monotonic — a wrongly-inverted min/max there means a
+        # wrong skip later. timestamp_ntz is profiled DIRECTLY: it is
+        # already a wall-clock value with wall-clock ordering and
+        # collects as a naive datetime with no tz conversion; routing
+        # it through cast("timestamp") would bake the WRITER session's
+        # timezone offset into the stats, so a reader session with a
+        # different spark.sql.session.timeZone would prune wrongly and
+        # silently lose rows
         expr = (
-            F.unix_micros(F.col(c).cast("timestamp"))
-            if types[c].startswith("timestamp")
+            F.unix_micros(F.col(c))
+            if types[c] == "timestamp"
             else F.col(c)
         )
         aggs.append(F.min(expr).alias(f"__mn_{c}"))
@@ -374,6 +381,20 @@ def read_table_where(
             return (
                 datetime.date.fromisoformat(x) if isinstance(x, str) else x
             )
+        if field_type == "timestamp_ntz":
+            # wall-clock space end to end: stats are isoformat wall
+            # strings (see _commit_stats) and user bounds are wall
+            # strings/naive datetimes — no session timezone anywhere,
+            # so a reader session with a different timeZone conf prunes
+            # identically to the writer. An int here is a legacy
+            # writer-tz micros stat: uninterpretable → unknown (read).
+            if isinstance(x, int):
+                return None
+            return (
+                datetime.datetime.fromisoformat(x)
+                if isinstance(x, str)
+                else x
+            )
         if is_ts:
             if isinstance(x, int):
                 return x  # a stored stat: already micros
@@ -389,6 +410,8 @@ def read_table_where(
         if rng is None or rng[0] is None or rng[1] is None:
             return False  # unknown → must read
         mn, mx = bound(rng[0]), bound(rng[1])
+        if mn is None or mx is None:
+            return False  # uninterpretable stat (legacy format) → read
         return (p_hi is not None and mn > p_hi) or (
             p_lo is not None and mx < p_lo
         )
@@ -422,6 +445,11 @@ def read_table_where(
         for p in parts[1:]:
             out = out.unionByName(p)
     def lit_bound(x):
+        if field_type == "timestamp_ntz":
+            # parse the wall string AS ntz directly — to_timestamp
+            # would route through the reader session timezone, whose
+            # DST spring-forward gap shifts unrepresentable wall times
+            return F.lit(x).cast("timestamp_ntz")
         if is_ts:
             # same literal semantics as the prune-space resolution
             return F.to_timestamp(F.lit(x)).cast(field_type)
@@ -502,10 +530,14 @@ def table_changes(
         changed = sorted(
             changed_buckets_between(path, v_from, v_to) & endpoint_changed
         )
-    except FileNotFoundError:
-        # an intermediate manifest was vacuumed: fall back to the
-        # endpoint pointer diff (conservative — layout-only rewrites
-        # are then diffed and net to zero rows via the fingerprints)
+    except (FileNotFoundError, BucketLayoutChanged):
+        # vacuumed intermediate manifest, or the window spans a
+        # rebucket_table commit (bucket ids not comparable across the
+        # two hash layouts): fall back to the endpoint pointer diff.
+        # Across a rebucket every pointer differs, so this reads both
+        # FULL endpoint snapshots — the key-level outer join below is
+        # then a global diff, which is exact (carried-over rows net to
+        # zero via the fingerprints); only the pruning is lost.
         changed = sorted(endpoint_changed)
     # both sides project to the TARGET schema, so a diff across an
     # add_column boundary compares null-backfilled old rows against new
@@ -743,6 +775,13 @@ def optimize_table(
     return base_v + 1
 
 
+class BucketLayoutChanged(Exception):
+    """The version window spans a ``rebucket_table`` commit: the bucket
+    COUNT changed, so key→bucket assignment differs between manifests
+    and bucket ids are not comparable across the window. Callers must
+    fall back to a key-level (global) diff."""
+
+
 def changed_buckets_between(path: str, v_from: int, v_to: int) -> set[str]:
     """Buckets that MAY contain a changed row in (v_from, v_to]: walk
     the manifest chain and collect pointer changes introduced by
@@ -750,18 +789,39 @@ def changed_buckets_between(path: str, v_from: int, v_to: int) -> set[str]:
     (``layout_only`` manifests) holds byte-different files with
     identical rows, so skipping it is exact — and the walk is pure
     JSON, so an OPTIMIZE of a 100 TB table costs its CDC readers a
-    metadata scan, not a full-table diff."""
+    metadata scan, not a full-table diff.
+
+    Raises ``BucketLayoutChanged`` if ``n_buckets`` varies anywhere in
+    the window (a ``rebucket_table`` commit) AND some non-layout commit
+    changed rows: bucket ids then name DIFFERENT key partitions in
+    different manifests, so a bucket-id set would be meaningless —
+    comparing ids across the two layouts emits false inserts/deletes
+    and can silently drop real changes. A window whose only commits
+    are layout_only still returns the exact empty set (rows identical
+    end to end), keeping rebucket/OPTIMIZE zero-read for the feed."""
     cur = (
         {"buckets": {}} if v_from == 0 else _read_manifest(path, v_from)
     )
+    anchor_n = cur.get("n_buckets")
+    varied = False
     changed: set[str] = set()
     for v in range(v_from + 1, v_to + 1):
         nxt = _read_manifest(path, v)
+        if anchor_n is None:
+            anchor_n = nxt.get("n_buckets")
+        elif nxt.get("n_buckets") != anchor_n:
+            varied = True
         if not nxt.get("layout_only"):
             for b in set(cur["buckets"]) | set(nxt["buckets"]):
                 if cur["buckets"].get(b) != nxt["buckets"].get(b):
                     changed.add(b)
         cur = nxt
+    if varied and changed:
+        raise BucketLayoutChanged(
+            f"n_buckets changed within versions ({v_from}, {v_to}] of "
+            f"{path} alongside data commits: bucket ids are not "
+            "comparable across the window"
+        )
     return changed
 
 

@@ -32,10 +32,11 @@ from video_streamer_spark.queries import query
     WITH arrs AS (
       SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
     grams AS (
-      SELECT doc_id, CAST(t.pos AS BIGINT) AS pos,
-        md5(array_to_string(arr[t.pos:t.pos+7], ' ')) AS g
-      FROM arrs, range(1, 4001) t(pos)
-      WHERE t.pos <= len(arr) - 7),
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        md5(array_to_string(arr[pos:pos+7], ' ')) AS g
+      FROM (SELECT doc_id, arr,
+              unnest(range(1, greatest(len(arr) - 6, 1))) AS pos
+            FROM arrs) p),
     rare AS (
       SELECT g
       FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g) x
@@ -66,8 +67,13 @@ def x200_verbatim_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = arrs.select(
         "doc_id",
         F.explode(
+            # slice(seq(1, max(n,1)), 1, max(n,0)): positions 1..n with
+            # a SAFE empty array when n <= 0 — sequence(1, 0) would
+            # yield the DESCENDING [1, 0] and slice(arr, 0, 8) throws,
+            # so a ≤7-token document must never reach the transform
             F.expr(
-                "transform(sequence(1, greatest(size(arr) - 7, 0)), "
+                "transform(slice(sequence(1, greatest(size(arr) - 7, 1)), "
+                "1, greatest(size(arr) - 7, 0)), "
                 "p -> struct(CAST(p AS BIGINT) AS pos, "
                 "md5(array_join(slice(arr, p, 8), ' ')) AS g))"
             )

@@ -99,19 +99,40 @@ def _latest_version(path: str) -> int:
     return max(versions)
 
 
+class _BucketLayoutChanged(Exception):
+    """The window spans a rebucket_table commit (n_buckets varies), so
+    bucket ids are not comparable across it — self-contained twin of
+    ``table_format.BucketLayoutChanged``."""
+
+
 def _changed_buckets_walk(path: str, v_from: int, v_to: int) -> set:
     """Buckets repointed by at least one NON-layout commit in
     (v_from, v_to] — self-contained twin of
-    ``table_format.changed_buckets_between`` (see the note above)."""
+    ``table_format.changed_buckets_between`` (see the note above).
+    Raises ``_BucketLayoutChanged`` when ``n_buckets`` varies in the
+    window AND a non-layout commit changed rows: the collected ids
+    would name different key partitions in different manifests. A
+    layout-only window still returns the exact empty set."""
     cur = {"buckets": {}} if v_from == 0 else _load_manifest(path, v_from)
+    anchor_n = cur.get("n_buckets")
+    varied = False
     changed: set = set()
     for v in range(v_from + 1, v_to + 1):
         nxt = _load_manifest(path, v)
+        if anchor_n is None:
+            anchor_n = nxt.get("n_buckets")
+        elif nxt.get("n_buckets") != anchor_n:
+            varied = True
         if not nxt.get("layout_only"):
             for b in set(cur["buckets"]) | set(nxt["buckets"]):
                 if cur["buckets"].get(b) != nxt["buckets"].get(b):
                     changed.add(b)
         cur = nxt
+    if varied and changed:
+        raise _BucketLayoutChanged(
+            f"n_buckets changed within ({v_from}, {v_to}] alongside "
+            "data commits"
+        )
     return changed
 
 
@@ -138,14 +159,23 @@ def _converter(dt):
 
 
 class _CdfPartition(InputPartition):
+    """One diff unit: the old-side dirs vs the new-side dirs of a key
+    population. Normal windows emit one partition per rewritten bucket
+    (single dir per side); a window spanning ``rebucket_table`` emits
+    ONE partition holding both full endpoint snapshots (bucket ids are
+    not comparable across the two hash layouts, and the new-layout
+    bucket hash cannot be recomputed task-side, so the global key-level
+    diff is the exact decomposition — rebucket is a rare maintenance
+    commit, so paying one wide task for that window is acceptable)."""
+
     def __init__(
         self,
-        old_dir: str | None,
-        new_dir: str | None,
+        old_dirs: list[str],
+        new_dirs: list[str],
         end_version: int,
     ):
-        self.old_dir = old_dir
-        self.new_dir = new_dir
+        self.old_dirs = old_dirs
+        self.new_dirs = new_dirs
         self.end_version = end_version
 
 
@@ -181,11 +211,10 @@ class _CdfStreamReader(DataSourceStreamReader):
                 f"{sorted(declared)}, now {sorted(current)}); restart "
                 "the table_cdf stream to pick up the evolved schema"
             )
-        buckets_a = (
-            {}
-            if start["v"] == 0
-            else _load_manifest(self.path, start["v"])["buckets"]
+        doc_a = (
+            None if start["v"] == 0 else _load_manifest(self.path, start["v"])
         )
+        buckets_a = {} if doc_a is None else doc_a["buckets"]
         buckets_b = doc_b["buckets"]
         candidates = {
             b
@@ -194,23 +223,50 @@ class _CdfStreamReader(DataSourceStreamReader):
             if buckets_a.get(b) != buckets_b.get(b)
         }
         try:
-            # skip buckets repointed only by layout_only (OPTIMIZE)
-            # commits — identical rows, and diffing them would turn a
-            # table-wide rewrite into a table-wide diff for every
-            # CDC consumer
+            # skip buckets repointed only by layout_only (OPTIMIZE /
+            # rebucket) commits — identical rows, and diffing them
+            # would turn a table-wide rewrite into a table-wide diff
+            # for every CDC consumer. A rebucket-only window returns
+            # the exact empty set here → zero partitions, zero reads.
             candidates &= _changed_buckets_walk(
                 self.path, start["v"], end["v"]
             )
-        except FileNotFoundError:
-            pass  # vacuumed chain → conservative endpoint diff
+        except (FileNotFoundError, _BucketLayoutChanged):
+            # vacuumed chain, or the window mixes a rebucket with data
+            # commits. Per-bucket endpoint pairing stays exact as long
+            # as both ENDPOINTS share one layout (same n_buckets →
+            # same key→bucket map; what happened between only affects
+            # pruning). When the endpoints disagree, bucket ids name
+            # different key partitions — per-bucket pairing would emit
+            # false inserts/deletes and MISS real deletes — so one
+            # global partition diffs the full endpoint snapshots:
+            # exact (carried-over keys compare equal and net out),
+            # and rebucket is a rare maintenance commit so one wide
+            # task for that window is an acceptable cost.
+            if doc_a is not None and doc_a.get("n_buckets") != doc_b.get(
+                "n_buckets"
+            ):
+                return [
+                    _CdfPartition(
+                        [
+                            os.path.join(self.path, d)
+                            for d in buckets_a.values()
+                        ],
+                        [
+                            os.path.join(self.path, d)
+                            for d in buckets_b.values()
+                        ],
+                        end["v"],
+                    )
+                ]
         return [
             _CdfPartition(
-                os.path.join(self.path, buckets_a[b])
+                [os.path.join(self.path, buckets_a[b])]
                 if b in buckets_a
-                else None,
-                os.path.join(self.path, buckets_b[b])
+                else [],
+                [os.path.join(self.path, buckets_b[b])]
                 if b in buckets_b
-                else None,
+                else [],
                 end["v"],
             )
             for b in candidates
@@ -232,11 +288,19 @@ class _CdfStreamReader(DataSourceStreamReader):
             in ("tinyint", "smallint", "int", "bigint")
         ]
 
-        def load(d):
-            df = pq.read_table(d).to_pandas()
-            for c in names:  # null-backfill pre-evolution files
-                if c not in df.columns:
-                    df[c] = None
+        def load(dirs):
+            frames = []
+            for d in dirs:
+                df = pq.read_table(d).to_pandas()
+                for c in names:  # null-backfill pre-evolution files
+                    if c not in df.columns:
+                        df[c] = None
+                frames.append(df[names])
+            df = (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(columns=names)
+            )
             # nullable Int64 so the outer merge cannot upcast integral
             # columns to float64 — beyond 2^53 that round-trip is LOSSY
             # (a bigint id near 10^18 would come back off by ~hundreds)
@@ -252,15 +316,15 @@ class _CdfStreamReader(DataSourceStreamReader):
                 ) + (change, partition.end_version)
 
         # one-sided buckets are pure inserts / pure deletes — no join
-        if partition.old_dir is None:
-            yield from emit_frame(load(partition.new_dir), names, "insert")
+        if not partition.old_dirs:
+            yield from emit_frame(load(partition.new_dirs), names, "insert")
             return
-        if partition.new_dir is None:
-            yield from emit_frame(load(partition.old_dir), names, "delete")
+        if not partition.new_dirs:
+            yield from emit_frame(load(partition.old_dirs), names, "delete")
             return
 
-        merged = load(partition.old_dir).merge(
-            load(partition.new_dir),
+        merged = load(partition.old_dirs).merge(
+            load(partition.new_dirs),
             on=key_cols,
             how="outer",
             suffixes=("_o", "_n"),

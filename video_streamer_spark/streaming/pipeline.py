@@ -287,4 +287,4 @@ def run_bucketed_table_sink(
         .trigger(availableNow=True)
         .start()
     )
-    drain_or_raise(q, timeout_sec, "run_partitioned_table_sink")
+    drain_or_raise(q, timeout_sec, "run_bucketed_table_sink")
