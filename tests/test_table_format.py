@@ -1430,3 +1430,75 @@ def test_ntz_zone_maps_are_timezone_independent(spark, tmp_path):
         assert miss.count() == 0 and miss.inputFiles() == []
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_cdc_replication_converges_across_rebucket(spark, tmp_path):
+    """Replication over a feed window that spans rebucket_table plus
+    data commits: the destination must converge exactly — the old
+    per-bucket pairing across the two layouts would ship false deletes
+    of live keys (diverging dst permanently) and false inserts for
+    every moved key."""
+    from video_streamer_spark.operators.table_format import (
+        merge_table,
+        rebucket_table,
+    )
+    from video_streamer_spark.sources.cdf_source import (
+        register_cdf_source,
+        replicate_table,
+    )
+
+    src = str(tmp_path / "a")
+    dst = str(tmp_path / "b")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.range(0, 120).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("val")
+    )
+    create_table(base, src, ["k"], n_buckets=2)
+    create_table(base.limit(0), dst, ["k"], n_buckets=4)
+    register_cdf_source(spark)
+    replicate_table(spark, src, dst, ckpt, timeout_sec=120)
+
+    ch0 = spark.createDataFrame(
+        [(5, 999, "U"), (7, 0, "D")], ["k", "val", "__op"]
+    ).withColumn("val", F.col("val").cast("long"))
+    merge_table(spark, src, ch0)
+    rebucket_table(spark, src, 16)
+    ch1 = spark.createDataFrame(
+        [(500, 1, "I"), (9, 77, "U")], ["k", "val", "__op"]
+    ).withColumn("val", F.col("val").cast("long"))
+    merge_table(spark, src, ch1)
+
+    # ONE pass ships the whole rebucket-spanning window
+    replicate_table(spark, src, dst, ckpt, timeout_sec=120)
+    assert _rows(read_table(spark, dst)) == _rows(read_table(spark, src))
+    assert read_table(spark, dst).count() == 120  # -1 delete +1 insert
+
+
+def test_rebucket_occ_conflicts_with_racing_writer(spark, tmp_path):
+    """rebucket_table participates in OCC like any commit: a writer
+    holding the pre-rebucket version cannot publish over it — it
+    conflicts, and its retry hashes against the NEW bucket count."""
+    import video_streamer_spark.operators.table_format as tf
+    from video_streamer_spark.operators.table_format import rebucket_table
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("val")
+    )
+    create_table(base, path, ["k"], n_buckets=2)  # v1
+    rebucket_table(spark, path, 8)  # v2
+
+    # a racing writer that read v1 tries to publish v2 directly
+    with pytest.raises(VersionConflictError):
+        tf._commit_manifest(path, 2, {"buckets": {}})
+    assert current_version(path) == 2
+
+    # the retry path (a fresh merge) routes through the new layout
+    ch = spark.createDataFrame([(3, 999, "U")], ["k", "val", "__op"]) \
+        .withColumn("val", F.col("val").cast("long"))
+    v = merge_table(spark, path, ch)
+    assert tf._read_manifest(path, v)["n_buckets"] == 8
+    got = dict(
+        (r["k"], r["val"]) for r in read_table(spark, path).collect()
+    )
+    assert got[3] == 999 and len(got) == 60
