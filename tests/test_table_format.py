@@ -1502,3 +1502,110 @@ def test_rebucket_occ_conflicts_with_racing_writer(spark, tmp_path):
         (r["k"], r["val"]) for r in read_table(spark, path).collect()
     )
     assert got[3] == 999 and len(got) == 60
+
+
+def test_merge_without_op_column_defaults_to_upsert(spark, tmp_path):
+    """A changeset with no __op column is a plain upsert feed: existing
+    keys replaced, new keys inserted — no opaque unresolved-column
+    error (the external verify drive hit exactly that)."""
+    path = str(tmp_path / "t")
+    create_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"),
+        path,
+        ["k"],
+        n_buckets=4,
+    )
+    merge_table(
+        spark,
+        spark_path := path,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k bigint, v string"),
+    )
+    assert _rows(read_table(spark, spark_path)) == [
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+    ]
+
+
+def test_bloom_skipping_exact_and_no_false_negatives(spark, tmp_path):
+    """Equality reads on a bloom-tracked unclustered column stay EXACT
+    across merge/optimize/rebucket, an absent value bloom-skips every
+    bucket, and a value merged in later is never wrongly skipped."""
+    from video_streamer_spark.operators.table_format import (
+        _bloom_absent,
+        _bloom_conf,
+        _bloom_value_hashes,
+        _read_manifest,
+        optimize_table,
+        read_table_where,
+        rebucket_table,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 800).selectExpr(
+        "id AS k", "id * 7919 % 200 AS cust", "concat('v', id) AS v"
+    )
+    create_table(df, path, ["k"], n_buckets=8, bloom_cols=["cust"])
+
+    def eq_read(val):
+        return sorted(
+            r["k"]
+            for r in read_table_where(
+                spark, path, "cust", lo=val, hi=val
+            ).collect()
+        )
+
+    def want(val, extra=()):
+        base = sorted(
+            r["k"] for r in df.where(F.col("cust") == val).collect()
+        )
+        return sorted(base + list(extra))
+
+    for val in (0, 3, 199):
+        assert eq_read(val) == want(val)
+
+    # absent value: provably skipped in every bucket, and still exact
+    doc = _read_manifest(path, 1)
+    bloom = _bloom_conf(doc)
+    h = _bloom_value_hashes(spark, 999_999, "bigint")
+    assert all(
+        _bloom_absent(bloom, b, "cust", *h) for b in doc["buckets"]
+    ), "an absent value should bloom-skip all 8 buckets at this fill"
+    assert eq_read(999_999) == []
+
+    # merge a row carrying the absent value: carry-over must not keep
+    # the stale all-absent verdict (that would be a false negative)
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(9000, 999_999, "late")], "k bigint, cust bigint, v string"
+        ),
+    )
+    assert eq_read(999_999) == [9000]
+
+    # layout maintenance rebuilds blooms for the rewritten dirs
+    optimize_table(spark, path, "cust")
+    rebucket_table(spark, path, 16)
+    assert eq_read(3) == want(3)
+    assert eq_read(999_999) == [9000]
+
+    # NO FALSE NEGATIVES, exhaustively: every value present in the
+    # table must be maybe-present in the bloom of every bucket that
+    # holds one of its rows
+    doc = _read_manifest(path, max(history(path)))
+    bloom = _bloom_conf(doc)
+    import os as _os
+
+    from video_streamer_spark.operators.table_format import BUCKET_COL
+
+    for b, rel in doc["buckets"].items():
+        vals = {
+            r["cust"]
+            for r in spark.read.parquet(
+                _os.path.join(path, rel)
+            ).collect()
+        }
+        for v in vals:
+            hv = _bloom_value_hashes(spark, v, "bigint")
+            assert not _bloom_absent(bloom, b, "cust", *hv), (b, v)

@@ -252,11 +252,140 @@ def _write_commit_data(
     return rel, present, stats, file_stats
 
 
+def _commit_blooms(
+    spark: SparkSession, full: str, cols: list[str], m: int, k: int
+) -> dict:
+    """Per-bucket bloom filters over a freshly written commit dir:
+    ``{bucket: {col: base64(m-bit array)}}``.
+
+    Zone maps cannot prune an equality probe on an UNCLUSTERED column —
+    after enough merges every bucket's [min, max] spans the whole value
+    domain, so ``read_table_where`` degrades to a full scan. A bloom
+    answers "is value v possibly in bucket b" with no false negatives,
+    which is exactly the Delta/parquet bloom-filter data-skipping
+    design, kept at the manifest level here.
+
+    Scale shape: hashing is JVM-side (``xxhash64`` twice — the second
+    stream salts with a literal — double-hashed into k positions,
+    Kirsch–Mitzenmacher); each TASK emits one partial m-bit bloom per
+    bucket it saw (``mapInPandas``, no per-bucket pandas materialization
+    of rows), and the driver OR-folds the partials — a
+    tasks x buckets x m/8-byte collect, metadata-sized by construction,
+    like the IVF centroid pull. A production format gets these from the
+    parquet writer footer instead; deriving them from the immutable
+    files keeps the implementation honest without a writer hook."""
+    import base64
+
+    df = spark.read.parquet(full)
+    have = set(df.columns)
+    out: dict = {}
+    for col in cols:
+        if col not in have:
+            continue
+        h = df.where(F.col(col).isNotNull()).select(
+            F.col(BUCKET_COL).alias("pb"),
+            F.xxhash64(F.col(col)).alias("h1"),
+            F.xxhash64(F.col(col), F.lit(1)).alias("h2"),
+        )
+
+        def partial(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            acc: dict[int, _np.ndarray] = {}
+            for pdf in batches:
+                for pb, g in pdf.groupby("pb"):
+                    bits = acc.setdefault(
+                        int(pb), _np.zeros(m // 8, dtype=_np.uint8)
+                    )
+                    h1 = g["h1"].to_numpy(_np.int64).view(_np.uint64)
+                    h2 = g["h2"].to_numpy(_np.int64).view(_np.uint64)
+                    for i in range(k):
+                        pos = (h1 + _np.uint64(i) * h2) % _np.uint64(m)
+                        _np.bitwise_or.at(
+                            bits,
+                            (pos // 8).astype(_np.int64),
+                            (1 << (pos % 8)).astype(_np.uint8),
+                        )
+            yield _pd.DataFrame(
+                {
+                    "pb": list(acc),
+                    "bloom": [a.tobytes() for a in acc.values()],
+                }
+            )
+
+        for r in h.mapInPandas(partial, "pb int, bloom binary").collect():
+            cur = out.setdefault(str(r["pb"]), {})
+            if col in cur:
+                import numpy as np_
+
+                a = np_.frombuffer(
+                    base64.b64decode(cur[col]), dtype=np_.uint8
+                ) | np_.frombuffer(r["bloom"], dtype=np_.uint8)
+                cur[col] = base64.b64encode(a.tobytes()).decode()
+            else:
+                cur[col] = base64.b64encode(r["bloom"]).decode()
+    return out
+
+
+def _bloom_conf(doc: dict) -> dict | None:
+    b = doc.get("bloom")
+    return b if b and b.get("cols") else None
+
+
+def _bloom_value_hashes(spark: SparkSession, value, dt) -> tuple[int, int]:
+    """The (h1, h2) streams for a probe value, computed THROUGH SPARK
+    with the value cast to the column's declared type — xxhash64 is
+    type-sensitive, so hashing driver-side (or at the wrong width)
+    would probe the wrong bits and turn "no false negatives" into a
+    silent wrong-skip. One 1-row job at planning time (same cost class
+    as the timestamp bound resolution above)."""
+    lit = F.lit(value).cast(dt)
+    r = spark.range(1).select(
+        F.xxhash64(lit).alias("h1"), F.xxhash64(lit, F.lit(1)).alias("h2")
+    ).first()
+    return r["h1"] & 0xFFFFFFFFFFFFFFFF, r["h2"] & 0xFFFFFFFFFFFFFFFF
+
+
+def _bloom_absent(
+    bloom: dict, bucket: str, col: str, h1: int, h2: int
+) -> bool:
+    """True only when the bucket's bloom PROVES the value absent. A
+    bucket with no bloom for the column (pre-bloom manifest, all-null
+    commit) is conservatively "maybe present"."""
+    import base64
+
+    b64 = bloom.get("buckets", {}).get(bucket, {}).get(col)
+    if b64 is None:
+        return False
+    bits = base64.b64decode(b64)
+    m, k = bloom["m"], bloom["k"]
+    for i in range(k):
+        pos = (h1 + i * h2) % (1 << 64) % m
+        if not bits[pos // 8] & (1 << (pos % 8)):
+            return True
+    return False
+
+
 def create_table(
-    df: DataFrame, path: str, key_cols: list[str], n_buckets: int = 16
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    n_buckets: int = 16,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
+    bloom_hashes: int = 6,
 ) -> int:
     """Materialize version 1. Layout is immutable-from-birth: even the
-    initial load is a commit dir referenced by a manifest."""
+    initial load is a commit dir referenced by a manifest.
+
+    ``bloom_cols`` declares equality-probe data skipping: every commit
+    maintains a per-bucket bloom filter for each listed column
+    (``bloom_bits`` bits, ``bloom_hashes`` probes), and
+    ``read_table_where`` with an equality bound on such a column skips
+    buckets the bloom proves value-free — the unclustered-column
+    complement to the min/max zone maps. Table-level property, fixed at
+    creation like the key layout."""
     os.makedirs(_manifest_dir(path), exist_ok=True)
     rel, present, stats, file_stats = _write_commit_data(
         df, path, key_cols, n_buckets
@@ -272,6 +401,21 @@ def create_table(
         "stats": stats,
         "file_stats": file_stats,
     }
+    if bloom_cols:
+        doc["bloom"] = {
+            "cols": list(bloom_cols),
+            "m": bloom_bits,
+            "k": bloom_hashes,
+            "buckets": _commit_blooms(
+                df.sparkSession,
+                os.path.join(path, rel),
+                list(bloom_cols),
+                bloom_bits,
+                bloom_hashes,
+            )
+            if present
+            else {},
+        }
     _commit_manifest(path, 1, doc)
     return 1
 
@@ -419,10 +563,25 @@ def read_table_where(
     stats = doc.get("stats", {})
     fstats = doc.get("file_stats", {})
     schema = _table_schema(doc)
+    # equality probe on a bloom-tracked column: resolve the value's two
+    # hash streams once, then let each bucket's bloom veto the read —
+    # the skip zone maps cannot provide once merges have smeared every
+    # bucket's [min, max] across the value domain
+    bloom = _bloom_conf(doc)
+    bh = None
+    if (
+        bloom is not None
+        and col in bloom["cols"]
+        and lo is not None
+        and lo == hi
+    ):
+        bh = _bloom_value_hashes(spark, lo, field_type or "string")
     parts = []
     for b in sorted(doc["buckets"], key=int):
         if disjoint(stats.get(b, {}).get(col)):
             continue  # bucket-level skip: dir never listed
+        if bh is not None and _bloom_absent(bloom, b, col, *bh):
+            continue  # bloom skip: value provably not in this bucket
         bdir = os.path.join(path, doc["buckets"][b])
         fmap = fstats.get(b)
         if not fmap:  # pre-file-stats manifest → whole dir
@@ -637,6 +796,12 @@ def merge_table(
         return base_v
     key_cols, n_buckets = doc["key_cols"], doc["n_buckets"]
     schema = _table_schema(doc)
+    # a changeset without the op column is a plain upsert feed — the
+    # common ergonomic case (Delta's MERGE-with-update-and-insert);
+    # requiring callers to synthesize __op='U' themselves only produced
+    # an opaque unresolved-column AnalysisException deep in the merge
+    if op_col not in changes.columns:
+        changes = changes.withColumn(op_col, F.lit("U"))
     # unknown changeset columns are an error, not a silent drop: the
     # null-backfill below is for columns the table HAS that the
     # changeset lacks (pre-evolution feeds), and quietly discarding a
@@ -690,16 +855,28 @@ def merge_table(
     new_buckets = dict(doc["buckets"])
     new_stats = dict(doc.get("stats", {}))
     new_fstats = dict(doc.get("file_stats", {}))
+    bloom = _bloom_conf(doc)
+    new_blooms = dict(bloom["buckets"]) if bloom else {}
+    if bloom and present:
+        fresh_blooms = _commit_blooms(
+            spark, os.path.join(path, rel), bloom["cols"],
+            bloom["m"], bloom["k"],
+        )
+    else:
+        fresh_blooms = {}
     for b in touched:
         new_buckets.pop(str(b), None)  # fully-deleted buckets vanish
         new_stats.pop(str(b), None)
         new_fstats.pop(str(b), None)
+        new_blooms.pop(str(b), None)
     for b in present:
         new_buckets[str(b)] = f"{rel}/{BUCKET_COL}={b}"
         if str(b) in stats:
             new_stats[str(b)] = stats[str(b)]
         if str(b) in file_stats:
             new_fstats[str(b)] = file_stats[str(b)]
+        if str(b) in fresh_blooms:
+            new_blooms[str(b)] = fresh_blooms[str(b)]
     new_doc = {
         "version": base_v + 1,
         "n_buckets": n_buckets,
@@ -709,6 +886,8 @@ def merge_table(
         "stats": new_stats,
         "file_stats": new_fstats,
     }
+    if bloom:
+        new_doc["bloom"] = {**bloom, "buckets": new_blooms}
     if idempotency_key is not None:
         new_doc["txns"] = (txns + [idempotency_key])[-TXN_KEEP:]
     elif txns:
@@ -769,6 +948,17 @@ def optimize_table(
         # via layout_only commits instead of diffing the whole table
         "layout_only": True,
     }
+    bloom = _bloom_conf(doc)
+    if bloom:  # same rows, rewritten dirs: rebuild the bucket blooms
+        new_doc["bloom"] = {
+            **bloom,
+            "buckets": _commit_blooms(
+                spark, os.path.join(path, rel), bloom["cols"],
+                bloom["m"], bloom["k"],
+            )
+            if present
+            else {},
+        }
     if doc.get("txns"):
         new_doc["txns"] = doc["txns"]  # idempotency keys must survive
     _commit_manifest(path, base_v + 1, new_doc)
@@ -855,6 +1045,17 @@ def rebucket_table(
         "file_stats": file_stats,
         "layout_only": True,
     }
+    bloom = _bloom_conf(doc)
+    if bloom:  # key→bucket map changed: every bucket's bloom is new
+        new_doc["bloom"] = {
+            **bloom,
+            "buckets": _commit_blooms(
+                spark, os.path.join(path, rel), bloom["cols"],
+                bloom["m"], bloom["k"],
+            )
+            if present
+            else {},
+        }
     if doc.get("txns"):
         new_doc["txns"] = doc["txns"]
     _commit_manifest(path, base_v + 1, new_doc)

@@ -111,6 +111,7 @@ def _load_all() -> None:
     from video_streamer_spark.queries import advanced  # noqa: F401
     from video_streamer_spark.queries import corpus  # noqa: F401
     from video_streamer_spark.queries import extended  # noqa: F401
+    from video_streamer_spark.queries import extended2  # noqa: F401
 
 
 # The driver hash-checks the FIRST 50 registered queries per round.
