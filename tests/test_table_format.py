@@ -1609,3 +1609,29 @@ def test_bloom_skipping_exact_and_no_false_negatives(spark, tmp_path):
         for v in vals:
             hv = _bloom_value_hashes(spark, v, "bigint")
             assert not _bloom_absent(bloom, b, "cust", *hv), (b, v)
+
+
+def test_key_lookup_bloom_veto(spark, tmp_path):
+    """With a bloom on the key column, a point lookup for keys the
+    table never held reads ZERO buckets (inputFiles empty), while
+    present keys still return exactly their rows alongside the misses."""
+    from video_streamer_spark.operators.table_format import (
+        read_table_for_keys,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 400).selectExpr("id AS k", "concat('v', id) AS v")
+    create_table(df, path, ["k"], n_buckets=8, bloom_cols=["k"])
+
+    # all-miss probe: bloom vetoes every routed bucket
+    misses = spark.createDataFrame(
+        [(10_001,), (10_002,), (10_003,)], "k bigint"
+    )
+    out = read_table_for_keys(spark, path, misses)
+    assert out.count() == 0
+    assert out.inputFiles() == [], "miss probe should open no files"
+
+    # mixed probe stays exact
+    mixed = spark.createDataFrame([(7,), (10_001,), (399,)], "k bigint")
+    got = _rows(read_table_for_keys(spark, path, mixed))
+    assert got == [(7, "v7"), (399, "v399")]

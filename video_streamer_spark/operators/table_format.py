@@ -647,13 +647,48 @@ def read_table_for_keys(
     keys = keys.select(
         *[F.col(k).cast(types[k]).alias(k) for k in key_cols]
     ).distinct()
-    wanted = [
-        str(r[BUCKET_COL])
-        for r in _bucketed(keys, key_cols, n_buckets)
-        .select(BUCKET_COL)
-        .distinct()
-        .collect()  # bounded by the (small) key-set size
-    ]
+    bloom = _bloom_conf(doc)
+    if (
+        bloom is not None
+        and len(key_cols) == 1
+        and key_cols[0] in bloom["cols"]
+    ):
+        # miss-heavy lookups: the bloom vetoes the routed bucket when
+        # the key is provably absent, so probing a key the table never
+        # held reads ZERO files instead of one bucket. Hash streams
+        # come back from the same (small) collect that resolves bucket
+        # routing — no extra job.
+        kc = key_cols[0]
+        rows = (
+            _bucketed(keys, key_cols, n_buckets)
+            .select(
+                BUCKET_COL,
+                F.xxhash64(F.col(kc)).alias("__h1"),
+                F.xxhash64(F.col(kc), F.lit(1)).alias("__h2"),
+            )
+            .collect()  # bounded by the (small) key-set size
+        )
+        wanted = sorted(
+            {
+                str(r[BUCKET_COL])
+                for r in rows
+                if not _bloom_absent(
+                    bloom,
+                    str(r[BUCKET_COL]),
+                    kc,
+                    r["__h1"] & 0xFFFFFFFFFFFFFFFF,
+                    r["__h2"] & 0xFFFFFFFFFFFFFFFF,
+                )
+            }
+        )
+    else:
+        wanted = [
+            str(r[BUCKET_COL])
+            for r in _bucketed(keys, key_cols, n_buckets)
+            .select(BUCKET_COL)
+            .distinct()
+            .collect()  # bounded by the (small) key-set size
+        ]
     out = _read_buckets(spark, path, doc, wanted)
     return out.join(F.broadcast(keys), key_cols, "semi")
 
