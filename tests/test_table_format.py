@@ -1635,3 +1635,184 @@ def test_key_lookup_bloom_veto(spark, tmp_path):
     mixed = spark.createDataFrame([(7,), (10_001,), (399,)], "k bigint")
     got = _rows(read_table_for_keys(spark, path, mixed))
     assert got == [(7, "v7"), (399, "v399")]
+
+
+def test_delete_keys_merge_on_read(spark, tmp_path):
+    """Tombstone deletes: O(keys) commit, every reader effective, debt
+    repaid on rewrite, CDC sees deletes, vacuum keeps live tombstones."""
+    from video_streamer_spark.operators.table_format import (
+        _read_manifest,
+        delete_keys,
+        optimize_table,
+        read_table_for_keys,
+        read_table_where,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 500).selectExpr(
+        "id AS k", "id % 37 AS g", "concat('v', id) AS v"
+    )
+    create_table(df, path, ["k"], n_buckets=8, bloom_cols=["g"])
+    dead = spark.range(0, 500).where("id % 7 = 0").selectExpr("id AS k")
+    v = delete_keys(spark, path, dead)
+    assert v == 2
+    want = sorted(r["k"] for r in df.where("k % 7 != 0").collect())
+
+    # snapshot read, time travel, pruned read, point lookup: effective
+    assert sorted(r["k"] for r in read_table(spark, path).collect()) == want
+    assert read_table(spark, path, version=1).count() == 500
+    got = sorted(
+        r["k"]
+        for r in read_table_where(spark, path, "g", lo=0, hi=0).collect()
+    )
+    assert got == sorted(
+        r["k"] for r in df.where("g = 0 AND k % 7 != 0").collect()
+    )
+    probe = spark.createDataFrame([(7,), (8,)], "k bigint")
+    assert sorted(
+        r["k"] for r in read_table_for_keys(spark, path, probe).collect()
+    ) == [8]
+
+    # CDC: the tombstone commit is pure deletes, exactly the dead keys
+    ch = [(r["k"], r["_change_type"])
+          for r in table_changes(spark, path, 1, 2).collect()]
+    assert all(t == "delete" for _, t in ch)
+    assert sorted(k for k, _ in ch) == sorted(
+        r["k"] for r in dead.collect()
+    )
+
+    # a merge folds ONLY its touched buckets' tombstones
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame([(1, 99, "upd")], "k bigint, g bigint, v string"),
+    )
+    doc = _read_manifest(path, 3)
+    assert 0 < len(doc["tombstones"]) < 8
+    assert sorted(r["k"] for r in read_table(spark, path).collect()) == want
+
+    # deleting an already-deleted / absent key is a no-op
+    delete_keys(spark, path, spark.createDataFrame([(7,), (123456,)], "k bigint"))
+    assert sorted(r["k"] for r in read_table(spark, path).collect()) == want
+
+    # OPTIMIZE folds everything; the fold is invisible to CDC
+    v_before = 4
+    v_after = optimize_table(spark, path, "g")
+    assert not _read_manifest(path, v_after).get("tombstones")
+    assert table_changes(spark, path, v_before, v_after).count() == 0
+    assert sorted(r["k"] for r in read_table(spark, path).collect()) == want
+
+    # vacuum with the tombstoned version retained keeps its files
+    from video_streamer_spark.operators.table_format import vacuum
+
+    vacuum(path, keep_last=4, min_age_sec=0.0)
+    assert (
+        sorted(r["k"] for r in read_table(spark, path, version=4).collect())
+        == want
+    )
+
+
+def test_delete_keys_occ_and_idempotency(spark, tmp_path):
+    from video_streamer_spark.operators.table_format import (
+        _commit_manifest,
+        _read_manifest,
+        delete_keys,
+    )
+
+    path = str(tmp_path / "t")
+    create_table(
+        spark.range(0, 100).selectExpr("id AS k", "concat('v', id) AS v"),
+        path,
+        ["k"],
+        n_buckets=4,
+    )
+    # replayed epoch: same idempotency key is a no-op
+    keys = spark.createDataFrame([(5,)], "k bigint")
+    v = delete_keys(spark, path, keys, idempotency_key="ck:0")
+    assert delete_keys(spark, path, keys, idempotency_key="ck:0") == v
+
+    # OCC: a racing commit that links the next version first wins
+    doc = dict(_read_manifest(path, v))
+    doc["version"] = v + 1
+    _commit_manifest(path, v + 1, doc)
+    with pytest.raises(VersionConflictError):
+        # stale-base writer loses loudly (delete_keys reads current and
+        # tries v+1 too via the same link protocol only when racing —
+        # simulate by pre-linking v+2 after it reads)
+        _commit_manifest(path, v + 1, doc)
+
+
+def test_streaming_cdf_sees_tombstone_deletes_and_replication_converges(
+    spark, tmp_path
+):
+    """A delete_keys commit changes rows WITHOUT repointing any bucket
+    dir: the stream's candidate set must come from the (pointer,
+    tombstone-list) pair, and the task-side diff must load each side
+    minus its tombstones — otherwise the feed silently misses deletes
+    and a replica diverges forever."""
+    from video_streamer_spark.operators.table_format import (
+        delete_keys,
+        merge_table,
+        read_table,
+    )
+    from video_streamer_spark.sources.cdf_source import (
+        register_cdf_source,
+        replicate_table,
+    )
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    create_table(
+        spark.range(0, 120).selectExpr("id AS k", "concat('v', id) AS v"),
+        path,
+        ["k"],
+        n_buckets=4,
+    )
+    register_cdf_source(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("table_cdf")
+            .option("path", path)
+            .option("startingVersion", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 120, "cdf_drain")
+
+    merge_table(
+        spark, path, spark.createDataFrame([(500, "new")], "k bigint, v string")
+    )
+    drain()  # window 1->2: the insert
+    delete_keys(
+        spark, path, spark.createDataFrame([(3,), (500,), (9999,)], "k bigint")
+    )
+    drain()  # window 2->3: tombstone-only commit (no pointer changes)
+    rows = sorted(
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [
+        (3, "delete", 3),
+        (500, "delete", 3),
+        (500, "insert", 2),
+    ], rows
+
+    # replication applies the deletes and converges exactly
+    dst = str(tmp_path / "dst")
+    create_table(
+        spark.createDataFrame([], "k bigint, v string"), dst, ["k"],
+        n_buckets=4,
+    )
+    replicate_table(spark, path, dst, str(tmp_path / "repck"))
+    a = sorted(tuple(r) for r in read_table(spark, path).collect())
+    b = sorted(tuple(r) for r in read_table(spark, dst).collect())
+    assert a == b and len(a) == 119

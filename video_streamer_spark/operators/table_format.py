@@ -465,7 +465,28 @@ def _read_buckets(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return _minus_tombstones(spark, path, doc, bucket_ids, out)
+
+
+def _minus_tombstones(
+    spark: SparkSession, path: str, doc: dict, bucket_ids, df: DataFrame
+) -> DataFrame:
+    """Apply the manifest's merge-on-read deletes: anti-join the
+    requested buckets' tombstone key files out of ``df``. Tombstone
+    keys are bucket-routed by the same hash as the data, so restricting
+    to the read buckets' tombstones is exact. No tombstones → ``df``
+    unchanged (the pre-tombstone plan, no extra join node)."""
+    tombs = doc.get("tombstones", {})
+    dirs = [
+        os.path.join(path, rel)
+        for b in bucket_ids
+        for rel in tombs.get(str(b), [])
+    ]
+    if not dirs:
+        return df
+    key_cols = doc["key_cols"]
+    dead = spark.read.parquet(*dirs).select(*key_cols).distinct()
+    return df.join(F.broadcast(dead), key_cols, "left_anti")
 
 
 def read_table(
@@ -577,11 +598,13 @@ def read_table_where(
     ):
         bh = _bloom_value_hashes(spark, lo, field_type or "string")
     parts = []
+    read_buckets = []
     for b in sorted(doc["buckets"], key=int):
         if disjoint(stats.get(b, {}).get(col)):
             continue  # bucket-level skip: dir never listed
         if bh is not None and _bloom_absent(bloom, b, col, *bh):
             continue  # bloom skip: value provably not in this bucket
+        read_buckets.append(b)
         bdir = os.path.join(path, doc["buckets"][b])
         fmap = fstats.get(b)
         if not fmap:  # pre-file-stats manifest → whole dir
@@ -603,6 +626,11 @@ def read_table_where(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        # merge-on-read deletes: zone maps and blooms may still claim a
+        # tombstoned row (stats stay conservative until a rewrite folds
+        # the tombstones), so the anti-join below is what keeps a
+        # pruned read EXACT after delete_keys
+        out = _minus_tombstones(spark, path, doc, read_buckets, out)
     def lit_bound(x):
         if field_type == "timestamp_ntz":
             # parse the wall string AS ntz directly — to_timestamp
@@ -713,10 +741,16 @@ def table_changes(
     if doc_a["key_cols"] != doc_b["key_cols"]:
         raise ValueError("key_cols changed between versions")
     key_cols = doc_a["key_cols"]
+    tomb_a = doc_a.get("tombstones", {})
+    tomb_b = doc_b.get("tombstones", {})
     endpoint_changed = {
         b
-        for b in set(doc_a["buckets"]) | set(doc_b["buckets"])
+        for b in set(doc_a["buckets"])
+        | set(doc_b["buckets"])
+        | set(tomb_a)
+        | set(tomb_b)
         if doc_a["buckets"].get(b) != doc_b["buckets"].get(b)
+        or tomb_a.get(b) != tomb_b.get(b)
     }
     try:
         # manifest-chain walk: buckets repointed ONLY by layout_only
@@ -923,10 +957,88 @@ def merge_table(
     }
     if bloom:
         new_doc["bloom"] = {**bloom, "buckets": new_blooms}
+    # the rewrite read each touched bucket EFFECTIVELY (tombstones
+    # anti-joined in _read_buckets), so the fresh dirs materialize the
+    # deletes: the touched buckets' tombstone debt is repaid here
+    tombs = {
+        b: v
+        for b, v in doc.get("tombstones", {}).items()
+        if int(b) not in set(touched)
+    }
+    if tombs:
+        new_doc["tombstones"] = tombs
     if idempotency_key is not None:
         new_doc["txns"] = (txns + [idempotency_key])[-TXN_KEEP:]
     elif txns:
         new_doc["txns"] = txns
+    _commit_manifest(path, base_v + 1, new_doc)
+    return base_v + 1
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    idempotency_key: str | None = None,
+) -> int:
+    """MERGE-ON-READ delete: commit a TOMBSTONE file of keys instead of
+    rewriting the touched buckets — Delta's deletion-vector / Iceberg's
+    delete-file idea in this format's manifest vocabulary.
+
+    ``merge_table`` prices a 1-row delete at a whole-bucket rewrite; at
+    100 TB that makes retention/GDPR deletes the most expensive commits
+    on the table. A tombstone commit costs O(keys): the key rows are
+    bucket-routed and written under a fresh commit dir, and the
+    manifest's per-bucket ``tombstones`` lists grow by one ref each —
+    data dirs, stats and blooms all carry over untouched. Every reader
+    anti-joins the tombstones back out (``_minus_tombstones``), so
+    reads, time travel, point lookups, pruned reads, the change feed
+    and replication all see the post-delete rows; stats/blooms go
+    conservative (they may still claim a dead row) but never wrong.
+
+    The debt is repaid on the next rewrite of each bucket: a MERGE
+    folds the touched buckets' tombstones into the rewrite and clears
+    them; OPTIMIZE / rebucket fold the whole table's (their snapshots
+    read effectively, and layout_only stays honest — effective rows are
+    identical before and after the fold). Deleting a key the table
+    never held is a no-op, like MERGE's D of an absent key. OCC, crash
+    safety and ``idempotency_key`` replay behave exactly as in
+    ``merge_table`` (nothing is visible before the manifest link)."""
+    base_v = current_version(path)
+    doc = _read_manifest(path, base_v)
+    txns = doc.get("txns", [])
+    if idempotency_key is not None and idempotency_key in txns:
+        return base_v
+    key_cols, n_buckets = doc["key_cols"], doc["n_buckets"]
+    types = {f.name: f.dataType for f in _table_schema(doc).fields}
+    keys = keys.select(
+        *[F.col(k).cast(types[k]).alias(k) for k in key_cols]
+    ).distinct()
+    rel = f"data/commit-{uuid.uuid4().hex}"
+    full = os.path.join(path, rel)
+    _bucketed(keys, key_cols, n_buckets).write.partitionBy(
+        BUCKET_COL
+    ).parquet(full)
+    touched = [
+        d.removeprefix(f"{BUCKET_COL}=")
+        for d in os.listdir(full)
+        if d.startswith(f"{BUCKET_COL}=")
+    ]
+    # keys routed to buckets with no data cannot delete anything; their
+    # tombstone files stay unreferenced (vacuum sweeps the dir if ALL
+    # routed buckets are empty and no manifest ends up linking it)
+    touched = [b for b in touched if b in doc["buckets"]]
+    new_tombs = {b: list(v) for b, v in doc.get("tombstones", {}).items()}
+    for b in touched:
+        new_tombs.setdefault(b, []).append(f"{rel}/{BUCKET_COL}={b}")
+    new_doc = dict(doc)
+    new_doc["version"] = base_v + 1
+    new_doc["tombstones"] = new_tombs
+    # rows changed: a stale flag from a preceding OPTIMIZE must not
+    # hide this commit from the change feed
+    new_doc.pop("layout_only", None)
+    if idempotency_key is not None:
+        new_doc["txns"] = (txns + [idempotency_key])[-TXN_KEEP:]
     _commit_manifest(path, base_v + 1, new_doc)
     return base_v + 1
 
@@ -1040,6 +1152,15 @@ def changed_buckets_between(path: str, v_from: int, v_to: int) -> set[str]:
             for b in set(cur["buckets"]) | set(nxt["buckets"]):
                 if cur["buckets"].get(b) != nxt["buckets"].get(b):
                     changed.add(b)
+            # a delete_keys commit changes rows WITHOUT repointing the
+            # bucket dir: the tombstone list is part of the bucket's
+            # effective contents (a layout commit folding tombstones is
+            # row-identical, hence still skipped above)
+            ta = cur.get("tombstones", {})
+            tb = nxt.get("tombstones", {})
+            for b in set(ta) | set(tb):
+                if ta.get(b) != tb.get(b):
+                    changed.add(b)
         cur = nxt
     if varied and changed:
         raise BucketLayoutChanged(
@@ -1121,6 +1242,9 @@ def vacuum(path: str, keep_last: int = 2, min_age_sec: float = 3600.0) -> dict:
         doc = _read_manifest(path, v)
         for rel in doc["buckets"].values():
             referenced.add(rel.split(f"/{BUCKET_COL}=")[0])
+        for refs in doc.get("tombstones", {}).values():
+            for rel in refs:  # live tombstones must survive the sweep
+                referenced.add(rel.split(f"/{BUCKET_COL}=")[0])
     data_dir = os.path.join(path, "data")
     removed = 0
     now = time.time()

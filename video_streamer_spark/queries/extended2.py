@@ -126,3 +126,82 @@ def x214_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("total_price"),
     )
+
+
+# x215 — MERGE-ON-READ DELETE (tombstones): the versioned table's
+# O(keys) delete path under the oracle. create → delete_keys (a
+# tombstone commit: no bucket rewrite, manifest lists grow by one ref)
+# → snapshot aggregate; a reader that failed to anti-join the
+# tombstones (or wrongly dropped a surviving row) hash-mismatches the
+# oracle, which states the same aggregate over the raw rows minus the
+# deleted key set. A follow-up merge exercises the partial FOLD (the
+# touched bucket rewrites effectively and clears its debt) inside the
+# same measured plan. Scale: the delete writes only the key rows —
+# Delta deletion-vector / Iceberg delete-file economics, not a
+# whole-bucket rewrite per retention pass.
+@query(
+    "x215_tombstone_delete_read",
+    oracle="""
+    WITH eff AS (
+      SELECT o_orderkey, o_custkey,
+        CASE WHEN o_orderkey = 32 THEN -1.0 ELSE o_totalprice END
+          AS o_totalprice
+      FROM orders
+      WHERE o_orderkey % 32 >= 4 OR o_orderkey = 32)
+    SELECT CAST(o_orderkey % 8 AS BIGINT) AS key_class,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+        / 100.0 AS total_price
+    FROM eff GROUP BY key_class
+    """,
+)
+def x215_tombstone_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import itertools
+    import os
+
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        delete_keys,
+        merge_table,
+        read_table,
+    )
+
+    if not hasattr(x215_tombstone_delete_read, "_seq"):
+        x215_tombstone_delete_read._seq = itertools.count()
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    app = spark.sparkContext.applicationId
+    path = (
+        f"/tmp/vss-tomb/{app}-{tag}/run-"
+        f"{next(x215_tombstone_delete_read._seq)}"
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    create_table(orders, path, ["o_orderkey"], n_buckets=8)
+    delete_keys(
+        spark,
+        path,
+        orders.where(F.col("o_orderkey") % 32 < 4).select("o_orderkey"),
+    )
+    # fold path: re-insert one deleted key with a sentinel price — its
+    # bucket rewrites effectively (tombstones folded), the rest stay
+    # merge-on-read; both shapes flow into one aggregate
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(32, 1, -1.0)], "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+        ),
+    )
+    return read_table(spark, path).groupBy(
+        (F.col("o_orderkey") % 8).cast("bigint").alias("key_class")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0).cast("bigint")
+            ).cast("double")
+            / 100.0
+        ).alias("total_price"),
+    )

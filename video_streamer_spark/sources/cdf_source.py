@@ -127,6 +127,12 @@ def _changed_buckets_walk(path: str, v_from: int, v_to: int) -> set:
             for b in set(cur["buckets"]) | set(nxt["buckets"]):
                 if cur["buckets"].get(b) != nxt["buckets"].get(b):
                     changed.add(b)
+            # delete_keys changes rows without repointing the bucket:
+            # its tombstone list is part of the effective contents
+            ta, tb = cur.get("tombstones", {}), nxt.get("tombstones", {})
+            for b in set(ta) | set(tb):
+                if ta.get(b) != tb.get(b):
+                    changed.add(b)
         cur = nxt
     if varied and changed:
         raise _BucketLayoutChanged(
@@ -173,10 +179,17 @@ class _CdfPartition(InputPartition):
         old_dirs: list[str],
         new_dirs: list[str],
         end_version: int,
+        old_tombs: list[str] | None = None,
+        new_tombs: list[str] | None = None,
     ):
         self.old_dirs = old_dirs
         self.new_dirs = new_dirs
         self.end_version = end_version
+        # merge-on-read deletes: each side's rows are its dirs MINUS
+        # its manifest's tombstone keys (same anti-join the batch
+        # readers apply), so a delete_keys commit diffs as deletes
+        self.old_tombs = old_tombs or []
+        self.new_tombs = new_tombs or []
 
 
 class _CdfStreamReader(DataSourceStreamReader):
@@ -216,11 +229,16 @@ class _CdfStreamReader(DataSourceStreamReader):
         )
         buckets_a = {} if doc_a is None else doc_a["buckets"]
         buckets_b = doc_b["buckets"]
+        tombs_a = {} if doc_a is None else doc_a.get("tombstones", {})
+        tombs_b = doc_b.get("tombstones", {})
         candidates = {
             b
-            for b in set(buckets_a) | set(buckets_b)
-            # immutable dir, same pointer → no changed row
+            for b in set(buckets_a) | set(buckets_b) | set(tombs_a)
+            | set(tombs_b)
+            # immutable dir, same pointer AND same tombstone list → no
+            # changed effective row
             if buckets_a.get(b) != buckets_b.get(b)
+            or tombs_a.get(b) != tombs_b.get(b)
         }
         try:
             # skip buckets repointed only by layout_only (OPTIMIZE /
@@ -257,6 +275,16 @@ class _CdfStreamReader(DataSourceStreamReader):
                             for d in buckets_b.values()
                         ],
                         end["v"],
+                        old_tombs=[
+                            os.path.join(self.path, r)
+                            for refs in tombs_a.values()
+                            for r in refs
+                        ],
+                        new_tombs=[
+                            os.path.join(self.path, r)
+                            for refs in tombs_b.values()
+                            for r in refs
+                        ],
                     )
                 ]
         return [
@@ -268,6 +296,14 @@ class _CdfStreamReader(DataSourceStreamReader):
                 if b in buckets_b
                 else [],
                 end["v"],
+                old_tombs=[
+                    os.path.join(self.path, r)
+                    for r in tombs_a.get(b, [])
+                ],
+                new_tombs=[
+                    os.path.join(self.path, r)
+                    for r in tombs_b.get(b, [])
+                ],
             )
             for b in candidates
         ]
@@ -288,7 +324,7 @@ class _CdfStreamReader(DataSourceStreamReader):
             in ("tinyint", "smallint", "int", "bigint")
         ]
 
-        def load(dirs):
+        def load(dirs, tomb_dirs):
             frames = []
             for d in dirs:
                 df = pq.read_table(d).to_pandas()
@@ -306,6 +342,24 @@ class _CdfStreamReader(DataSourceStreamReader):
             # (a bigint id near 10^18 would come back off by ~hundreds)
             for c in int_cols:
                 df[c] = df[c].astype("Int64")
+            if tomb_dirs and len(df):
+                # merge-on-read deletes: this side's effective rows are
+                # its dirs minus its manifest's tombstoned keys (same
+                # anti-join the batch readers apply)
+                dead = pd.concat(
+                    [
+                        pq.read_table(d).to_pandas()[key_cols]
+                        for d in tomb_dirs
+                    ],
+                    ignore_index=True,
+                ).drop_duplicates()
+                for c in key_cols:
+                    if c in int_cols:
+                        dead[c] = dead[c].astype("Int64")
+                marked = df[key_cols].merge(
+                    dead, on=key_cols, how="left", indicator=True
+                )
+                df = df[(marked["_merge"] == "left_only").to_numpy()]
             return df[names]
 
         def emit_frame(df, cols, change):
@@ -317,14 +371,22 @@ class _CdfStreamReader(DataSourceStreamReader):
 
         # one-sided buckets are pure inserts / pure deletes — no join
         if not partition.old_dirs:
-            yield from emit_frame(load(partition.new_dirs), names, "insert")
+            yield from emit_frame(
+                load(partition.new_dirs, partition.new_tombs),
+                names,
+                "insert",
+            )
             return
         if not partition.new_dirs:
-            yield from emit_frame(load(partition.old_dirs), names, "delete")
+            yield from emit_frame(
+                load(partition.old_dirs, partition.old_tombs),
+                names,
+                "delete",
+            )
             return
 
-        merged = load(partition.old_dirs).merge(
-            load(partition.new_dirs),
+        merged = load(partition.old_dirs, partition.old_tombs).merge(
+            load(partition.new_dirs, partition.new_tombs),
             on=key_cols,
             how="outer",
             suffixes=("_o", "_n"),
