@@ -1816,3 +1816,56 @@ def test_streaming_cdf_sees_tombstone_deletes_and_replication_converges(
     a = sorted(tuple(r) for r in read_table(spark, path).collect())
     b = sorted(tuple(r) for r in read_table(spark, dst).collect())
     assert a == b and len(a) == 119
+
+
+def test_delete_then_rebucket_folds_tombstones_layout_only(spark, tmp_path):
+    """delete_keys → rebucket_table: the rebucket snapshot reads
+    EFFECTIVELY, so the new layout materializes the deletes and carries
+    no tombstones — while staying honestly layout_only (effective rows
+    identical before/after the fold). A CDC window spanning the delete
+    AND the rebucket cannot pair buckets by id (the key→bucket map
+    changed), so it must fall back to the endpoint key-diff and still
+    emit exactly the deletes; replication across the same window must
+    converge."""
+    from video_streamer_spark.operators.table_format import (
+        _read_manifest,
+        delete_keys,
+        rebucket_table,
+        table_changes,
+    )
+    from video_streamer_spark.sources.cdf_source import (
+        register_cdf_source,
+        replicate_table,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 200).selectExpr("id AS k", "concat('v', id) AS v")
+    create_table(df, path, ["k"], n_buckets=4)
+    delete_keys(
+        spark, path, spark.range(0, 200).where("id % 5 = 0").selectExpr("id AS k")
+    )  # v2: tombstones in every bucket
+    v3 = rebucket_table(spark, path, 16)  # v3: fold + re-hash, one commit
+    doc = _read_manifest(path, v3)
+    assert doc["n_buckets"] == 16 and not doc.get("tombstones")
+    assert doc.get("layout_only") is True
+    want = sorted(i for i in range(200) if i % 5 != 0)
+    assert sorted(r["k"] for r in read_table(spark, path).collect()) == want
+
+    # batch diff across delete+rebucket: key-exact fallback, deletes only
+    ch = [(r["k"], r["_change_type"])
+          for r in table_changes(spark, path, 1, 3).collect()]
+    assert all(t == "delete" for _, t in ch)
+    assert sorted(k for k, _ in ch) == [i for i in range(200) if i % 5 == 0]
+    # the rebucket-only window stays invisible
+    assert table_changes(spark, path, 2, 3).count() == 0
+
+    # replication across the folded history converges exactly
+    register_cdf_source(spark)
+    dst = str(tmp_path / "dst")
+    create_table(
+        spark.createDataFrame([], "k bigint, v string"), dst, ["k"],
+        n_buckets=4,
+    )
+    replicate_table(spark, path, dst, str(tmp_path / "repck"))
+    b = sorted(r["k"] for r in read_table(spark, dst).collect())
+    assert b == want
