@@ -1869,3 +1869,34 @@ def test_delete_then_rebucket_folds_tombstones_layout_only(spark, tmp_path):
     replicate_table(spark, path, dst, str(tmp_path / "repck"))
     b = sorted(r["k"] for r in read_table(spark, dst).collect())
     assert b == want
+
+
+def test_tombstone_broadcast_hint_is_size_gated(spark, tmp_path, monkeypatch):
+    """Under the byte cap the dead-key anti-join is broadcast (no
+    Exchange on the key side); past it (cap forced to 0) the hint is
+    dropped — a TB-scale bulk delete must not be forced driver-side."""
+    from video_streamer_spark.operators import table_format as tf
+
+    path = str(tmp_path / "t")
+    create_table(
+        spark.range(0, 300).selectExpr("id AS k", "concat('v', id) AS v"),
+        path,
+        ["k"],
+        n_buckets=4,
+    )
+    tf.delete_keys(
+        spark, path, spark.createDataFrame([(1,), (2,)], "k bigint")
+    )
+    # the FORCED hint shows as a hint node in the analyzed plan (the
+    # physical join may be broadcast either way on a tiny test table —
+    # Spark's own cost model is allowed to pick it when un-hinted)
+    plan_small = tf.read_table(spark, path)._jdf.queryExecution() \
+        .analyzed().toString()
+    assert "hint" in plan_small.lower()
+
+    monkeypatch.setattr(tf, "_TOMBSTONE_BROADCAST_MAX_BYTES", 0)
+    df = tf.read_table(spark, path)
+    plan_big = df._jdf.queryExecution().analyzed().toString()
+    assert "hint" not in plan_big.lower()
+    # and the un-hinted plan still reads exactly
+    assert sorted(r["k"] for r in df.collect()) == [0] + list(range(3, 300))

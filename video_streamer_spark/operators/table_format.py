@@ -69,6 +69,12 @@ from video_streamer_spark.operators.merge import (
 # honest analog of Delta's per-app txn version.
 TXN_KEEP = 100
 
+# tombstone anti-joins broadcast the dead-key set only below this
+# on-disk size (parquet bytes, keys-only columns) — Spark's own
+# autoBroadcastJoinThreshold default. Above it the keys stay
+# distributed (see _minus_tombstones).
+_TOMBSTONE_BROADCAST_MAX_BYTES = 10 * 1024 * 1024
+
 
 class VersionConflictError(RuntimeError):
     """Another writer committed from the same base version first."""
@@ -475,7 +481,15 @@ def _minus_tombstones(
     requested buckets' tombstone key files out of ``df``. Tombstone
     keys are bucket-routed by the same hash as the data, so restricting
     to the read buckets' tombstones is exact. No tombstones → ``df``
-    unchanged (the pre-tombstone plan, no extra join node)."""
+    unchanged (the pre-tombstone plan, no extra join node).
+
+    The broadcast hint is SIZE-GATED on the tombstone files' on-disk
+    bytes (a metadata stat, no job): typical retention/GDPR deletes are
+    tiny and the hint keeps the big side shuffle-free, but a bulk
+    delete (10 % of a 100 TB table is TBs of keys) must NOT be forced
+    driver-side — past the threshold the hint is dropped and the
+    anti-join plans as a regular shuffle join (AQE may still choose
+    broadcast if runtime stats allow)."""
     tombs = doc.get("tombstones", {})
     dirs = [
         os.path.join(path, rel)
@@ -486,7 +500,15 @@ def _minus_tombstones(
         return df
     key_cols = doc["key_cols"]
     dead = spark.read.parquet(*dirs).select(*key_cols).distinct()
-    return df.join(F.broadcast(dead), key_cols, "left_anti")
+    on_disk = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d in dirs
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    if on_disk <= _TOMBSTONE_BROADCAST_MAX_BYTES:
+        dead = F.broadcast(dead)
+    return df.join(dead, key_cols, "left_anti")
 
 
 def read_table(
