@@ -1900,3 +1900,103 @@ def test_tombstone_broadcast_hint_is_size_gated(spark, tmp_path, monkeypatch):
     assert "hint" not in plan_big.lower()
     # and the un-hinted plan still reads exactly
     assert sorted(r["k"] for r in df.collect()) == [0] + list(range(3, 300))
+
+
+def test_random_merge_delete_layout_sequence_matches_dict_model(
+    spark, tmp_path
+):
+    """Model-based check over the WHOLE lifecycle: a seeded-random
+    interleaving of merge_table, delete_keys (tombstones, including
+    already-dead and never-present keys), optimize_table and
+    rebucket_table must leave exactly the dict-model state at EVERY
+    committed version (time travel re-reads full history), and
+    table_changes over random version pairs must equal the model's
+    netted key diff — regardless of how many tombstone/fold/layout
+    boundaries the window spans."""
+    import random
+
+    from video_streamer_spark.operators.table_format import (
+        delete_keys,
+        optimize_table,
+        rebucket_table,
+        table_changes,
+    )
+
+    rng = random.Random(0xBEEF)
+    path = str(tmp_path / "t")
+    keys = list(range(40))
+    base_rows = [(k, float(k * 10)) for k in keys if k % 2 == 0]
+    create_table(
+        spark.createDataFrame(base_rows, "k bigint, v double"),
+        path,
+        ["k"],
+        n_buckets=4,
+    )
+    model = dict(base_rows)
+    states = [dict(model)]
+    n_buckets = 4
+
+    for step in range(12):
+        roll = rng.random()
+        if roll < 0.45:  # merge: upserts + deletes in one changeset
+            cs_rows = []
+            for k in rng.sample(keys, rng.randint(1, 6)):
+                op = rng.choice(["U", "I", "D"])
+                cs_rows.append((k, float(rng.randint(0, 999)), op))
+                if op == "D":
+                    model.pop(k, None)
+                else:
+                    model[k] = cs_rows[-1][1]
+            merge_table(
+                spark,
+                path,
+                spark.createDataFrame(
+                    cs_rows, "k bigint, v double, __op string"
+                ),
+            )
+        elif roll < 0.75:  # tombstone delete: live, dead + absent keys
+            dead = rng.sample(keys, rng.randint(1, 5)) + [999 + step]
+            delete_keys(
+                spark,
+                path,
+                spark.createDataFrame([(k,) for k in dead], "k bigint"),
+            )
+            for k in dead:
+                model.pop(k, None)
+        elif roll < 0.9:  # layout: value-sorted rewrite (folds all debt)
+            optimize_table(spark, path, "v")
+        else:  # layout: re-hash every key
+            n_buckets = 8 if n_buckets == 4 else 4
+            rebucket_table(spark, path, n_buckets)
+        states.append(dict(model))
+
+    versions = history(path)
+    assert len(versions) == len(states)
+    for v, want in zip(versions, states):
+        got = {
+            r["k"]: r["v"]
+            for r in read_table(spark, path, version=v).collect()
+        }
+        assert got == want, f"version {v} diverged from the model"
+
+    # netted change feed over random windows == model key diff
+    for _ in range(6):
+        va, vb = sorted(rng.sample(range(len(versions)), 2))
+        a, b = states[va], states[vb]
+        want_diff = {}
+        for k in set(a) | set(b):
+            if k not in a:
+                want_diff[k] = ("insert", b[k])
+            elif k not in b:
+                want_diff[k] = ("delete", a[k])
+            elif a[k] != b[k]:
+                want_diff[k] = ("update_postimage", b[k])
+        got_diff = {
+            r["k"]: (r["_change_type"], r["v"])
+            for r in table_changes(
+                spark, path, versions[va], versions[vb]
+            ).collect()
+        }
+        assert got_diff == want_diff, (
+            f"window v{versions[va]}->v{versions[vb]} diverged"
+        )
