@@ -1713,12 +1713,9 @@ def test_delete_keys_merge_on_read(spark, tmp_path):
     )
 
 
-def test_delete_keys_occ_and_idempotency(spark, tmp_path):
-    from video_streamer_spark.operators.table_format import (
-        _commit_manifest,
-        _read_manifest,
-        delete_keys,
-    )
+def test_delete_keys_occ_and_idempotency(spark, tmp_path, monkeypatch):
+    from video_streamer_spark.operators import table_format as tf
+    from video_streamer_spark.operators.table_format import delete_keys
 
     path = str(tmp_path / "t")
     create_table(
@@ -1732,15 +1729,60 @@ def test_delete_keys_occ_and_idempotency(spark, tmp_path):
     v = delete_keys(spark, path, keys, idempotency_key="ck:0")
     assert delete_keys(spark, path, keys, idempotency_key="ck:0") == v
 
-    # OCC: a racing commit that links the next version first wins
-    doc = dict(_read_manifest(path, v))
-    doc["version"] = v + 1
-    _commit_manifest(path, v + 1, doc)
+    # keys routed ONLY to data-less buckets are a no-op: no version
+    # churn, no orphan commit (existence inside a data bucket is NOT
+    # checked — that would cost a read; such deletes commit a harmless
+    # tombstone instead)
+    t2 = str(tmp_path / "t2")
+    create_table(
+        spark.createDataFrame([(0, "x")], "k bigint, v string"),
+        t2,
+        ["k"],
+        n_buckets=32,
+    )
+    probe = spark.createDataFrame([(i,) for i in range(1, 40)], "k bigint")
+    routed = {
+        r["k"]: r[tf.BUCKET_COL]
+        for r in tf._bucketed(probe, ["k"], 32).collect()
+    }
+    b0 = tf._bucketed(
+        spark.createDataFrame([(0,)], "k bigint"), ["k"], 32
+    ).collect()[0][tf.BUCKET_COL]
+    miss = next(k for k, b in routed.items() if b != b0)
+    assert delete_keys(
+        spark, t2, spark.createDataFrame([(miss,)], "k bigint")
+    ) == 1
+    assert current_version(t2) == 1
+
+    # OCC: a REAL interleaved race — a merge commits between
+    # delete_keys' manifest read and its manifest link (injected at the
+    # tombstone-routing step); the stale-base delete must lose loudly
+    # and leave no tombstones behind
+    orig = tf._bucketed
+    state = {"raced": False}
+
+    def racing(df, key_cols, n):
+        if not state["raced"]:
+            state["raced"] = True  # set FIRST: the nested merge recurses
+            merge_table(
+                spark,
+                path,
+                spark.createDataFrame([(77, "race")], "k bigint, v string"),
+            )
+        return orig(df, key_cols, n)
+
+    monkeypatch.setattr(tf, "_bucketed", racing)
     with pytest.raises(VersionConflictError):
-        # stale-base writer loses loudly (delete_keys reads current and
-        # tries v+1 too via the same link protocol only when racing —
-        # simulate by pre-linking v+2 after it reads)
-        _commit_manifest(path, v + 1, doc)
+        delete_keys(spark, path, spark.createDataFrame([(9,)], "k bigint"))
+    monkeypatch.setattr(tf, "_bucketed", orig)
+
+    # the winner's row is live, the loser's delete never applied, and a
+    # clean retry (re-reading the new current version) succeeds
+    snap = {r["k"]: r["v"] for r in read_table(spark, path).collect()}
+    assert snap[77] == "race" and 9 in snap
+    v2 = delete_keys(spark, path, spark.createDataFrame([(9,)], "k bigint"))
+    assert v2 == current_version(path)
+    assert 9 not in {r["k"] for r in read_table(spark, path).collect()}
 
 
 def test_streaming_cdf_sees_tombstone_deletes_and_replication_converges(

@@ -70,9 +70,13 @@ from video_streamer_spark.operators.merge import (
 TXN_KEEP = 100
 
 # tombstone anti-joins broadcast the dead-key set only below this
-# on-disk size (parquet bytes, keys-only columns) — Spark's own
-# autoBroadcastJoinThreshold default. Above it the keys stay
-# distributed (see _minus_tombstones).
+# on-disk size (compressed parquet bytes, keys-only columns). The gate
+# is deliberately tighter than the session's
+# spark.sql.autoBroadcastJoinThreshold (64m in session.py): compressed
+# key columns expand several-fold in memory, so 10 MiB on disk stays
+# safely under the engine's in-memory budget. Past the gate the keys
+# stay distributed; AQE may still pick broadcast from runtime stats
+# (see _minus_tombstones).
 _TOMBSTONE_BROADCAST_MAX_BYTES = 10 * 1024 * 1024
 
 
@@ -789,6 +793,19 @@ def table_changes(
         # then a global diff, which is exact (carried-over rows net to
         # zero via the fingerprints); only the pruning is lost.
         changed = sorted(endpoint_changed)
+    # tombstone-only buckets: pointer identical at both endpoints, only
+    # the tombstone list grew (dirs are immutable and every fold
+    # repoints, so an unrepointed bucket's list is append-only across
+    # the window). Their diff is EXACTLY the delta tombstones' keys —
+    # read the bucket once and semi-join the (tiny) key delta instead
+    # of outer-joining the bucket against itself.
+    tomb_only = [
+        b
+        for b in changed
+        if doc_a["buckets"].get(b) is not None
+        and doc_a["buckets"].get(b) == doc_b["buckets"].get(b)
+    ]
+    changed = [b for b in changed if b not in set(tomb_only)]
     # both sides project to the TARGET schema, so a diff across an
     # add_column boundary compares null-backfilled old rows against new
     # rows (a metadata-only commit alone changes no data dir → no rows)
@@ -817,11 +834,39 @@ def table_changes(
         .alias("_change_type"),
         F.coalesce(F.col("_row_new"), F.col("_row_old")).alias("_row"),
     ).filter(F.col("_change_type").isNotNull())
-    return classified.select(
+    out = classified.select(
         *key_cols,
         *[F.col(f"_row.{c}").alias(c) for c in val_cols],
         "_change_type",
     )
+    if tomb_only:
+        delta_dirs = [
+            os.path.join(path, rel)
+            for b in tomb_only
+            for rel in tomb_b.get(b, [])
+            if rel not in set(tomb_a.get(b, []))
+        ]
+        # effective rows at A, restricted to the window's new dead keys
+        # = the deletes (pre-image contract), nothing else can differ
+        eff_a = _read_buckets(
+            spark, path, doc_a, tomb_only, target_schema=target
+        )
+        dead = spark.read.parquet(*delta_dirs).select(*key_cols).distinct()
+        on_disk = sum(
+            os.path.getsize(os.path.join(d, f))
+            for d in delta_dirs
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+        if on_disk <= _TOMBSTONE_BROADCAST_MAX_BYTES:
+            dead = F.broadcast(dead)
+        deletes = eff_a.join(dead, key_cols, "semi").select(
+            *key_cols,
+            *[F.col(c) for c in val_cols],
+            F.lit("delete").alias("_change_type"),
+        )
+        out = out.unionByName(deletes)
+    return out
 
 
 def add_column(path: str, name: str, ddl_type: str) -> int:
@@ -1046,10 +1091,15 @@ def delete_keys(
         for d in os.listdir(full)
         if d.startswith(f"{BUCKET_COL}=")
     ]
-    # keys routed to buckets with no data cannot delete anything; their
-    # tombstone files stay unreferenced (vacuum sweeps the dir if ALL
-    # routed buckets are empty and no manifest ends up linking it)
+    # keys routed to buckets with no data cannot delete anything
     touched = [b for b in touched if b in doc["buckets"]]
+    if not touched:  # nothing to delete: no version churn (merge_table's
+        # empty-changeset contract), no spurious OCC conflict for a
+        # racing real writer; the just-written commit dir is garbage
+        import shutil
+
+        shutil.rmtree(full, ignore_errors=True)
+        return base_v
     new_tombs = {b: list(v) for b, v in doc.get("tombstones", {}).items()}
     for b in touched:
         new_tombs.setdefault(b, []).append(f"{rel}/{BUCKET_COL}={b}")

@@ -369,6 +369,37 @@ class _CdfStreamReader(DataSourceStreamReader):
                     for v, conv in zip(row, convs)
                 ) + (change, partition.end_version)
 
+        # tombstone-only window for this bucket: the dir pointer never
+        # moved (dirs are immutable; every fold repoints, so the
+        # tombstone list is append-only here) — the diff is exactly the
+        # DELTA tombstones' still-live keys. Read the dir once and
+        # semi-filter, instead of outer-joining the bucket with itself.
+        if partition.old_dirs and partition.old_dirs == partition.new_dirs:
+            delta = [
+                d
+                for d in partition.new_tombs
+                if d not in set(partition.old_tombs)
+            ]
+            eff = load(partition.old_dirs, partition.old_tombs)
+            if not delta or not len(eff):
+                return
+            dead = pd.concat(
+                [pq.read_table(d).to_pandas()[key_cols] for d in delta],
+                ignore_index=True,
+            ).drop_duplicates()
+            for c in key_cols:
+                if c in int_cols:
+                    dead[c] = dead[c].astype("Int64")
+            marked = eff[key_cols].merge(
+                dead, on=key_cols, how="left", indicator=True
+            )
+            yield from emit_frame(
+                eff[(marked["_merge"] == "both").to_numpy()],
+                names,
+                "delete",
+            )
+            return
+
         # one-sided buckets are pure inserts / pure deletes — no join
         if not partition.old_dirs:
             yield from emit_frame(
