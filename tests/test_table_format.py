@@ -1995,6 +1995,9 @@ def test_random_merge_delete_layout_sequence_matches_dict_model(
                 spark.createDataFrame(
                     cs_rows, "k bigint, v double, __op string"
                 ),
+                # exercise both delete economics: eager bucket rewrite
+                # and single-commit tombstoning of pure-delete buckets
+                tombstone_pure_deletes=rng.random() < 0.5,
             )
         elif roll < 0.75:  # tombstone delete: live, dead + absent keys
             dead = rng.sample(keys, rng.randint(1, 5)) + [999 + step]
@@ -2042,3 +2045,87 @@ def test_random_merge_delete_layout_sequence_matches_dict_model(
         assert got_diff == want_diff, (
             f"window v{versions[va]}->v{versions[vb]} diverged"
         )
+
+
+def test_merge_tombstone_pure_deletes_single_commit(spark, tmp_path):
+    """tombstone_pure_deletes=True: in ONE commit, buckets with any
+    upsert rewrite (folding their debt) while pure-delete buckets keep
+    their dir pointer and gain a tombstone ref — delete_keys economics
+    with merge_table atomicity. CDC must emit exactly the changeset;
+    replay must be a no-op; OPTIMIZE folds everything."""
+    from video_streamer_spark.operators.merge import BUCKET_COL, _bucketed
+    from video_streamer_spark.operators.table_format import (
+        _read_manifest,
+        optimize_table,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 400).selectExpr("id AS k", "concat('v', id) AS v")
+    create_table(df, path, ["k"], n_buckets=8)
+
+    # route every key: pick an upsert bucket and two delete-only buckets
+    routed = {
+        r["k"]: r[BUCKET_COL]
+        for r in _bucketed(
+            spark.range(0, 400).selectExpr("id AS k"), ["k"], 8
+        ).collect()
+    }
+    by_bucket: dict = {}
+    for k, b in routed.items():
+        by_bucket.setdefault(b, []).append(k)
+    buckets = sorted(by_bucket)
+    up_b, del_b1, del_b2 = buckets[0], buckets[1], buckets[2]
+    up_key = by_bucket[up_b][0]
+    dels = by_bucket[del_b1][:3] + by_bucket[del_b2][:3]
+    cs = spark.createDataFrame(
+        [(up_key, "upd", "U")] + [(k, None, "D") for k in dels],
+        "k bigint, v string, __op string",
+    )
+    doc1 = _read_manifest(path, 1)
+    v = merge_table(
+        spark, path, cs, idempotency_key="m:0", tombstone_pure_deletes=True
+    )
+    assert v == 2
+    doc2 = _read_manifest(path, 2)
+    # upsert bucket repointed, delete-only buckets kept by reference
+    assert doc2["buckets"][str(up_b)] != doc1["buckets"][str(up_b)]
+    for b in (del_b1, del_b2):
+        assert doc2["buckets"][str(b)] == doc1["buckets"][str(b)]
+    assert sorted(doc2["tombstones"]) == sorted([str(del_b1), str(del_b2)])
+
+    # snapshot: upsert applied, deletes effective
+    snap = {r["k"]: r["v"] for r in read_table(spark, path).collect()}
+    assert snap[up_key] == "upd"
+    assert not set(dels) & set(snap)
+    assert len(snap) == 400 - len(dels)
+
+    # CDC of the single commit = exactly the changeset
+    ch = {
+        r["k"]: r["_change_type"]
+        for r in table_changes(spark, path, 1, 2).collect()
+    }
+    assert ch == {up_key: "update_postimage", **{k: "delete" for k in dels}}
+
+    # replayed epoch: idempotency key spans both shapes
+    assert merge_table(
+        spark, path, cs, idempotency_key="m:0", tombstone_pure_deletes=True
+    ) == 2
+
+    # a pure-delete-only changeset repoints NOTHING
+    more = by_bucket[del_b1][3:5]
+    cs2 = spark.createDataFrame(
+        [(k, None, "D") for k in more], "k bigint, v string, __op string"
+    )
+    merge_table(spark, path, cs2, tombstone_pure_deletes=True)
+    doc3 = _read_manifest(path, 3)
+    assert doc3["buckets"] == doc2["buckets"]
+    assert len(doc3["tombstones"][str(del_b1)]) == 2
+
+    # OPTIMIZE folds all debt; rows unchanged
+    v4 = optimize_table(spark, path, "v")
+    assert not _read_manifest(path, v4).get("tombstones")
+    want = {k: ("upd" if k == up_key else f"v{k}")
+            for k in range(400) if k not in set(dels) | set(more)}
+    got = {r["k"]: r["v"] for r in read_table(spark, path).collect()}
+    assert got == want

@@ -907,6 +907,7 @@ def merge_table(
     changes: DataFrame,
     op_col: str = OP_COL,
     idempotency_key: str | None = None,
+    tombstone_pure_deletes: bool = False,
 ) -> int:
     """MERGE the changeset in ONE atomic commit.
 
@@ -924,7 +925,18 @@ def merge_table(
     manifest carries forward the ``TXN_KEEP`` most recent keys, so the
     check reads ONLY the current manifest — O(1) per merge, and the
     replay window (a stream replays at most the epochs since its last
-    checkpoint commit) stays comfortably inside the carried map."""
+    checkpoint commit) stays comfortably inside the carried map.
+
+    ``tombstone_pure_deletes=True`` prices deletes like ``delete_keys``
+    WITHOUT giving up single-commit atomicity: a touched bucket whose
+    changeset rows are ALL 'D' is tombstoned (O(keys) — its dir, stats
+    and bloom carry over by reference) instead of rewritten, while
+    buckets with any upsert rewrite as usual (folding their own
+    tombstone debt). Both shapes publish in ONE manifest link, so
+    readers see the whole changeset or none of it. This is the right
+    mode for CDC replication sinks, where retention deletes routinely
+    arrive in buckets no upsert touches; default False keeps the
+    rewrite-everything behavior (deletes repaid eagerly)."""
     base_v = current_version(path)
     doc = _read_manifest(path, base_v)
     txns = doc.get("txns", [])
@@ -964,30 +976,66 @@ def merge_table(
         ]
     )
     bucketed_changes = _bucketed(changes, key_cols, n_buckets)
-    touched = sorted(
-        r[BUCKET_COL]
-        for r in bucketed_changes.select(BUCKET_COL).distinct().collect()
+    # one collect resolves both the touched-bucket list and (for the
+    # tombstone mode) which of them carry any upsert
+    flags = (
+        bucketed_changes.groupBy(BUCKET_COL)
+        .agg(
+            F.max((F.col(op_col) != "D").cast("int")).alias("has_upsert")
+        )
+        .collect()
     )
+    touched = sorted(r[BUCKET_COL] for r in flags)
     if not touched:
         return base_v
-    base = _read_buckets(spark, path, doc, [str(b) for b in touched])
-    # null-backfill columns the changeset doesn't carry (a changeset
-    # written before an add_column stays valid), keeping the op marker
-    flat = bucketed_changes.drop(BUCKET_COL)
-    have = set(flat.columns)
-    proj = flat.select(
-        *[
-            F.col(f.name)
-            if f.name in have
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in schema.fields
-        ],
-        F.col(op_col),
-    )
-    merged = apply_changeset(base, proj, key_cols, op_col=op_col)
-    rel, present, stats, file_stats = _write_commit_data(
-        merged, path, key_cols, n_buckets
-    )
+    pure_delete: set = set()
+    if tombstone_pure_deletes:
+        # only buckets that exist with data can be tombstoned; a pure
+        # delete against a data-less bucket is a no-op either way
+        pure_delete = {
+            r[BUCKET_COL]
+            for r in flags
+            if r["has_upsert"] == 0 and str(r[BUCKET_COL]) in doc["buckets"]
+        }
+    rewrite = [b for b in touched if b not in pure_delete]
+    if rewrite:
+        base = _read_buckets(spark, path, doc, [str(b) for b in rewrite])
+        # null-backfill columns the changeset doesn't carry (a changeset
+        # written before an add_column stays valid), keeping the op marker
+        flat = bucketed_changes
+        if pure_delete:
+            flat = flat.where(
+                ~F.col(BUCKET_COL).isin([int(b) for b in pure_delete])
+            )
+        flat = flat.drop(BUCKET_COL)
+        have = set(flat.columns)
+        proj = flat.select(
+            *[
+                F.col(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ],
+            F.col(op_col),
+        )
+        merged = apply_changeset(base, proj, key_cols, op_col=op_col)
+        rel, present, stats, file_stats = _write_commit_data(
+            merged, path, key_cols, n_buckets
+        )
+    else:
+        rel, present, stats, file_stats = None, [], {}, {}
+    tomb_rel = None
+    if pure_delete:
+        tomb_rel = f"data/commit-{uuid.uuid4().hex}"
+        (
+            bucketed_changes.where(
+                F.col(BUCKET_COL).isin([int(b) for b in pure_delete])
+            )
+            .select(*key_cols, BUCKET_COL)
+            .distinct()
+            .write.partitionBy(BUCKET_COL)
+            .parquet(os.path.join(path, tomb_rel))
+        )
     new_buckets = dict(doc["buckets"])
     new_stats = dict(doc.get("stats", {}))
     new_fstats = dict(doc.get("file_stats", {}))
@@ -1000,7 +1048,7 @@ def merge_table(
         )
     else:
         fresh_blooms = {}
-    for b in touched:
+    for b in rewrite:
         new_buckets.pop(str(b), None)  # fully-deleted buckets vanish
         new_stats.pop(str(b), None)
         new_fstats.pop(str(b), None)
@@ -1017,21 +1065,26 @@ def merge_table(
         "version": base_v + 1,
         "n_buckets": n_buckets,
         "key_cols": key_cols,
-        "schema": doc.get("schema", merged.schema.json()),
+        "schema": doc["schema"],
         "buckets": new_buckets,
         "stats": new_stats,
         "file_stats": new_fstats,
     }
     if bloom:
         new_doc["bloom"] = {**bloom, "buckets": new_blooms}
-    # the rewrite read each touched bucket EFFECTIVELY (tombstones
-    # anti-joined in _read_buckets), so the fresh dirs materialize the
-    # deletes: the touched buckets' tombstone debt is repaid here
+    # REWRITTEN buckets read effectively (tombstones anti-joined in
+    # _read_buckets), so their fresh dirs materialize the deletes and
+    # their debt is repaid; pure-delete buckets keep theirs and gain
+    # this commit's tombstone ref — one manifest publishes both shapes
     tombs = {
-        b: v
+        b: list(v)
         for b, v in doc.get("tombstones", {}).items()
-        if int(b) not in set(touched)
+        if int(b) not in set(rewrite)
     }
+    for b in sorted(pure_delete):
+        tombs.setdefault(str(b), []).append(
+            f"{tomb_rel}/{BUCKET_COL}={b}"
+        )
     if tombs:
         new_doc["tombstones"] = tombs
     if idempotency_key is not None:
@@ -1347,6 +1400,7 @@ def run_acid_merge_sink(
     checkpoint_dir: str,
     op_col: str = OP_COL,
     timeout_sec: int = 300,
+    tombstone_pure_deletes: bool = True,
 ) -> None:
     """CDC apply into the versioned table: each micro-batch compacts to
     last-write-wins per key (``merge.compact_changeset``) and commits
@@ -1360,7 +1414,12 @@ def run_acid_merge_sink(
     from the table path alone would make a SECOND stream run's epochs
     collide with the first's and silently drop its batches (the same
     epoch-id-scoping rule as ``streaming/incremental.journal_epoch``).
-    One checkpoint lineage == one key namespace."""
+    One checkpoint lineage == one key namespace.
+
+    ``tombstone_pure_deletes`` (default True here — a CDC feed's
+    retention deletes routinely land in buckets no upsert touches)
+    applies each batch's pure-delete buckets as O(keys) tombstones
+    inside the same atomic commit; see ``merge_table``."""
     from video_streamer_spark.operators.merge import compact_changeset
     from video_streamer_spark.streaming.drain import drain_or_raise
 
@@ -1382,6 +1441,7 @@ def run_acid_merge_sink(
                     compacted,
                     op_col=op_col,
                     idempotency_key=f"{checkpoint_dir}:{epoch_id}",
+                    tombstone_pure_deletes=tombstone_pure_deletes,
                 )
                 return
             except VersionConflictError as exc:
