@@ -2129,3 +2129,79 @@ def test_merge_tombstone_pure_deletes_single_commit(spark, tmp_path):
             for k in range(400) if k not in set(dels) | set(more)}
     got = {r["k"]: r["v"] for r in read_table(spark, path).collect()}
     assert got == want
+
+
+def test_tombstone_debt_cap_forces_fold(spark, tmp_path):
+    """A delete-heavy CDC feed must not grow tombstone lists without
+    bound: once a bucket holds _TOMBSTONE_MAX_REFS refs, the next
+    tombstoning merge rewrites it (folding ALL its debt), and a
+    deletes-only changeset against data-less buckets commits nothing."""
+    from video_streamer_spark.operators import table_format as tf
+    from video_streamer_spark.operators.merge import BUCKET_COL, _bucketed
+    from video_streamer_spark.operators.table_format import _read_manifest
+
+    path = str(tmp_path / "t")
+    create_table(
+        spark.range(0, 200).selectExpr("id AS k", "concat('v', id) AS v"),
+        path,
+        ["k"],
+        n_buckets=1,  # one bucket: every delete is a pure-delete there
+    )
+    dead = iter(range(200))
+    for i in range(tf._TOMBSTONE_MAX_REFS):
+        v = merge_table(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(next(dead), None, "D")], "k bigint, v string, __op string"
+            ),
+            tombstone_pure_deletes=True,
+        )
+        doc = _read_manifest(path, v)
+        assert len(doc["tombstones"]["0"]) == i + 1
+        assert doc["buckets"] == _read_manifest(path, 1)["buckets"]
+
+    # at the cap: the next tombstoning merge folds via rewrite
+    v = merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(next(dead), None, "D")], "k bigint, v string, __op string"
+        ),
+        tombstone_pure_deletes=True,
+    )
+    doc = _read_manifest(path, v)
+    assert not doc.get("tombstones")
+    assert doc["buckets"] != _read_manifest(path, 1)["buckets"]
+    n_dead = tf._TOMBSTONE_MAX_REFS + 1
+    assert read_table(spark, path).count() == 200 - n_dead
+
+    # deletes-only changeset routed ONLY to data-less buckets: no commit
+    t2 = str(tmp_path / "t2")
+    create_table(
+        spark.createDataFrame([(0, "x")], "k bigint, v string"),
+        t2,
+        ["k"],
+        n_buckets=32,
+    )
+    b0 = _bucketed(
+        spark.createDataFrame([(0,)], "k bigint"), ["k"], 32
+    ).collect()[0][BUCKET_COL]
+    routed = {
+        r["k"]: r[BUCKET_COL]
+        for r in _bucketed(
+            spark.createDataFrame([(i,) for i in range(1, 40)], "k bigint"),
+            ["k"],
+            32,
+        ).collect()
+    }
+    miss = next(k for k, b in routed.items() if b != b0)
+    assert merge_table(
+        spark,
+        t2,
+        spark.createDataFrame(
+            [(miss, None, "D")], "k bigint, v string, __op string"
+        ),
+        tombstone_pure_deletes=True,
+    ) == 1
+    assert current_version(t2) == 1

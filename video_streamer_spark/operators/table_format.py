@@ -79,6 +79,15 @@ TXN_KEEP = 100
 # (see _minus_tombstones).
 _TOMBSTONE_BROADCAST_MAX_BYTES = 10 * 1024 * 1024
 
+# a bucket may accumulate at most this many tombstone refs before a
+# tombstoning merge forces it through the rewrite path (folding all of
+# its debt): bounds the manifest's list growth AND the per-read
+# anti-join fan-in on delete-heavy CDC feeds at amortized O(1) — every
+# cap-th delete batch pays one bucket rewrite, like a log-structured
+# tree's compaction trigger. delete_keys (the explicit O(keys) API) is
+# deliberately NOT capped: its caller chose tombstone economics.
+_TOMBSTONE_MAX_REFS = 8
+
 
 class VersionConflictError(RuntimeError):
     """Another writer committed from the same base version first."""
@@ -936,7 +945,12 @@ def merge_table(
     readers see the whole changeset or none of it. This is the right
     mode for CDC replication sinks, where retention deletes routinely
     arrive in buckets no upsert touches; default False keeps the
-    rewrite-everything behavior (deletes repaid eagerly)."""
+    rewrite-everything behavior (deletes repaid eagerly). Debt is
+    bounded: a bucket already at ``_TOMBSTONE_MAX_REFS`` tombstone refs
+    is forced through the rewrite path (folding all of them), so a
+    delete-heavy feed pays one bucket rewrite every cap-th batch —
+    amortized O(1), the LSM-compaction trigger shape — and pure deletes
+    against data-less buckets commit nothing at all."""
     base_v = current_version(path)
     doc = _read_manifest(path, base_v)
     txns = doc.get("txns", [])
@@ -975,7 +989,10 @@ def merge_table(
             for c in changes.columns
         ]
     )
-    bucketed_changes = _bucketed(changes, key_cols, n_buckets)
+    # the changeset feeds up to three actions (flags collect, rewrite
+    # write, tombstone write): pin it so the upstream lineage — often a
+    # foreachBatch compaction — computes once
+    bucketed_changes = _bucketed(changes, key_cols, n_buckets).persist()
     # one collect resolves both the touched-bucket list and (for the
     # tombstone mode) which of them carry any upsert
     flags = (
@@ -987,16 +1004,35 @@ def merge_table(
     )
     touched = sorted(r[BUCKET_COL] for r in flags)
     if not touched:
+        bucketed_changes.unpersist()
         return base_v
     pure_delete: set = set()
     if tombstone_pure_deletes:
-        # only buckets that exist with data can be tombstoned; a pure
-        # delete against a data-less bucket is a no-op either way
+        old_tombs = doc.get("tombstones", {})
+        # a pure delete against a data-less bucket is a provable no-op:
+        # route it NOWHERE (neither tombstone nor rewrite); a bucket
+        # already carrying _TOMBSTONE_MAX_REFS tombstone refs is forced
+        # into the rewrite path instead, folding its whole debt — the
+        # cap is what keeps a delete-heavy CDC feed's manifest lists and
+        # per-read anti-join fan-in bounded without manual OPTIMIZE
+        no_op = {
+            r[BUCKET_COL]
+            for r in flags
+            if r["has_upsert"] == 0
+            and str(r[BUCKET_COL]) not in doc["buckets"]
+        }
         pure_delete = {
             r[BUCKET_COL]
             for r in flags
-            if r["has_upsert"] == 0 and str(r[BUCKET_COL]) in doc["buckets"]
+            if r["has_upsert"] == 0
+            and str(r[BUCKET_COL]) in doc["buckets"]
+            and len(old_tombs.get(str(r[BUCKET_COL]), []))
+            < _TOMBSTONE_MAX_REFS
         }
+        touched = [b for b in touched if b not in no_op]
+        if not touched:
+            bucketed_changes.unpersist()
+            return base_v
     rewrite = [b for b in touched if b not in pure_delete]
     if rewrite:
         base = _read_buckets(spark, path, doc, [str(b) for b in rewrite])
@@ -1036,6 +1072,7 @@ def merge_table(
             .write.partitionBy(BUCKET_COL)
             .parquet(os.path.join(path, tomb_rel))
         )
+    bucketed_changes.unpersist()  # last action on the changeset is done
     new_buckets = dict(doc["buckets"])
     new_stats = dict(doc.get("stats", {}))
     new_fstats = dict(doc.get("file_stats", {}))
