@@ -512,7 +512,12 @@ def _minus_tombstones(
     if not dirs:
         return df
     key_cols = doc["key_cols"]
-    dead = spark.read.parquet(*dirs).select(*key_cols).distinct()
+    # NO distinct: a left-anti join is duplicate-insensitive on its
+    # build side, and the distinct's hashpartitioning Exchange would be
+    # REPLICATED per union branch when Catalyst pushes the anti-join
+    # below the bucket union (PushdownLeftSemiAntiJoin) — measured 8
+    # shuffle exchanges on an 8-bucket read for zero semantic gain
+    dead = spark.read.parquet(*dirs).select(*key_cols)
     on_disk = sum(
         os.path.getsize(os.path.join(d, f))
         for d in dirs
@@ -860,7 +865,10 @@ def table_changes(
         eff_a = _read_buckets(
             spark, path, doc_a, tomb_only, target_schema=target
         )
-        dead = spark.read.parquet(*delta_dirs).select(*key_cols).distinct()
+        # no distinct: semi joins are duplicate-insensitive (see
+        # _minus_tombstones — the distinct's Exchange replicates when
+        # the join is pushed below the bucket union)
+        dead = spark.read.parquet(*delta_dirs).select(*key_cols)
         on_disk = sum(
             os.path.getsize(os.path.join(d, f))
             for d in delta_dirs
