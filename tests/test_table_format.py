@@ -2205,3 +2205,63 @@ def test_tombstone_debt_cap_forces_fold(spark, tmp_path):
         tombstone_pure_deletes=True,
     ) == 1
     assert current_version(t2) == 1
+
+
+def test_crashed_tombstone_commit_is_invisible_and_vacuumed(
+    spark, tmp_path, monkeypatch
+):
+    """A delete_keys that dies AFTER writing its tombstone files but
+    BEFORE linking the manifest published nothing: readers see the
+    pre-delete rows, a replay commits cleanly, and vacuum reclaims the
+    orphan commit dir once it ages past the in-flight window."""
+    from video_streamer_spark.operators import table_format as tf
+
+    path = str(tmp_path / "t")
+    create_table(
+        spark.range(0, 100).selectExpr("id AS k", "concat('v', id) AS v"),
+        path,
+        ["k"],
+        n_buckets=4,
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before manifest link")
+
+    monkeypatch.setattr(tf, "_commit_manifest", boom)
+    with pytest.raises(RuntimeError):
+        tf.delete_keys(
+            spark, path, spark.createDataFrame([(5,)], "k bigint")
+        )
+    monkeypatch.undo()
+
+    # nothing published: full pre-delete snapshot, version unchanged
+    assert current_version(path) == 1
+    assert read_table(spark, path).count() == 100
+    # the orphan tombstone dir exists but is referenced by no manifest
+    data = os.path.join(path, "data")
+    orphans = {
+        d
+        for d in os.listdir(data)
+        if f"data/{d}" not in
+        {r.split(f"/{tf.BUCKET_COL}=")[0]
+         for r in tf._read_manifest(path, 1)["buckets"].values()}
+    }
+    assert orphans
+
+    # replay after the crash commits cleanly
+    v = tf.delete_keys(spark, path, spark.createDataFrame([(5,)], "k bigint"))
+    assert v == 2
+    assert read_table(spark, path).count() == 99
+
+    # vacuum with min_age 0 sweeps the crashed dir, keeps live refs
+    tf.vacuum(path, keep_last=2, min_age_sec=0.0)
+    live = set()
+    for ver in (1, 2):
+        doc = tf._read_manifest(path, ver)
+        for rel in doc["buckets"].values():
+            live.add(rel.split(f"/{tf.BUCKET_COL}=")[0].split("/", 1)[1])
+        for refs in doc.get("tombstones", {}).values():
+            for rel in refs:
+                live.add(rel.split(f"/{tf.BUCKET_COL}=")[0].split("/", 1)[1])
+    assert set(os.listdir(data)) == live
+    assert read_table(spark, path).count() == 99
