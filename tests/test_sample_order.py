@@ -11,6 +11,7 @@ from video_streamer_spark.queries.sample_order import (
     _VERIFIED,
     derived_sample_order,
     latest_driver_evidence,
+    load_snapshot_round,
     load_verified_hashes,
     query_source_hash,
 )
@@ -60,12 +61,26 @@ def test_never_verified_precede_changed():
 
 def test_verified_hashes_cover_only_green_rows():
     """verified_hashes.json records a hash for every latest-green query
-    and nothing else — a red or never-sampled query must not carry a
-    'verified' hash that could mask staleness later."""
+    known AT SNAPSHOT TIME and nothing that is red or never-sampled —
+    a red query must not carry a 'verified' hash that could mask
+    staleness later. Green rows from rounds NEWER than the snapshot's
+    recorded round are tolerated (round-7 VERDICT, What's wrong 4):
+    they can only add evidence, never mask staleness — staleness is
+    source-hash drift, which the snapshot still catches — so the suite
+    stays green when a fresh CORRECTNESS artifact lands at a round
+    boundary, before the round-start ritual reruns."""
     ev = latest_driver_evidence()
     verified = load_verified_hashes()
+    snap_round = load_snapshot_round()
     green = {n for n, (_, g) in ev.items() if g and n in QUERIES}
-    assert set(verified) == green
+    green_at_snapshot = {
+        n for n, (rnd, g) in ev.items()
+        if g and n in QUERIES and rnd <= snap_round
+    }
+    # nothing red/never-sampled carries a hash...
+    assert set(verified) <= green
+    # ...and every green row the snapshot COULD know about has one
+    assert green_at_snapshot <= set(verified)
     # and the file is valid sorted JSON (stable diffs round to round)
     raw = json.loads(_VERIFIED.read_text())
     assert list(raw) == sorted(raw)

@@ -198,13 +198,30 @@ def query_source_hash(name: str, fn, oracle: str | None) -> str:
 _VERIFIED = pathlib.Path(__file__).resolve().parent / "verified_hashes.json"
 
 
-def load_verified_hashes() -> dict[str, str]:
+def _read_snapshot() -> dict:
     if not _VERIFIED.is_file():
         return {}
     try:
         return json.loads(_VERIFIED.read_text())
     except (OSError, ValueError):
         return {}
+
+
+def load_verified_hashes() -> dict[str, str]:
+    """Query-name -> source hash, excluding ``__``-prefixed metadata."""
+    return {
+        k: v for k, v in _read_snapshot().items() if not k.startswith("__")
+    }
+
+
+def load_snapshot_round() -> int:
+    """The driver round the snapshot was regenerated against (0 if the
+    snapshot predates round stamping or is absent). Green rows from
+    rounds NEWER than this can only add evidence the snapshot can't
+    know about yet — consumers tolerate them instead of flagging the
+    round boundary as red (round-7 VERDICT, What's wrong 4)."""
+    v = _read_snapshot().get("__snapshot_round__", 0)
+    return v if isinstance(v, int) else 0
 
 
 def derived_sample_order(
@@ -239,13 +256,19 @@ def write_verified_hashes(queries: dict, oracles: dict[str, str]) -> int:
     driver row is green — run this against the exact tree the driver
     round executed, immediately after a round's artifact lands."""
     ev = latest_driver_evidence()
-    out = {
+    out: dict = {
         n: query_source_hash(n, fn, oracles.get(n))
         for n, fn in queries.items()
         if n in ev and ev[n][1]
     }
+    n_hashes = len(out)
+    # Stamp the newest round seen so consumers can tolerate green rows
+    # from artifacts that land AFTER this snapshot (round boundaries).
+    out["__snapshot_round__"] = max(
+        (rnd for rnd, _ in ev.values()), default=0
+    )
     _VERIFIED.write_text(json.dumps(out, indent=0, sort_keys=True))
-    return len(out)
+    return n_hashes
 
 
 if __name__ == "__main__":
