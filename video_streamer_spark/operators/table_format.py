@@ -13,15 +13,18 @@ Iceberg) reduce to, in its smallest honest form:
   data/commit-<uuid>/pb=<b>/ immutable parquet written by one commit
 ```
 
-- **The commit point is the manifest link.** A commit (a) writes new
-  data files under a fresh ``commit-<uuid>`` dir nobody references
-  yet, then (b) publishes manifest N+1 by ``os.link``-ing a
-  fully-written temp file to its final name — an ATOMIC
-  create-if-absent. Before (b) nothing happened (a crash leaves only
-  unreferenced data a ``vacuum`` sweeps); after (b) every touched
-  bucket is visible at once. There is no observable half-merged state
-  and no recovery ambiguity: a manifest either exists completely or
-  not at all. (Delta's `_delta_log` JSON append is this same protocol.)
+- **The commit point is an atomic publish-if-absent of the manifest.**
+  A commit (a) writes new data files under a fresh ``commit-<uuid>``
+  dir nobody references yet, then (b) publishes manifest N+1 through
+  the table's ``LogStore`` (``operators/log_store.py``): POSIX = temp
+  write + exclusive hard link; object store = conditional PUT — both
+  are an ATOMIC create-if-absent of a COMPLETE entry. Before (b)
+  nothing happened (a crash leaves only unreferenced data a ``vacuum``
+  sweeps); after (b) every touched bucket is visible at once. There is
+  no observable half-merged state and no recovery ambiguity: a
+  manifest either exists completely or not at all. (Delta's
+  `_delta_log` append via per-filesystem LogStores is this same
+  protocol.)
 - **Snapshot isolation / time travel.** The current version is simply
   the highest manifest present; readers resolve a version to its
   manifest and read exactly those files. Data files are immutable
@@ -40,9 +43,11 @@ skips), schema evolution (``add_column``, metadata-only), layout
 maintenance (``optimize_table`` value-sorted rewrite, ``rebucket_table``
 bucket-count growth — both layout_only commits the change feed provably
 ignores), and a change-data-feed (batch ``table_changes`` here;
-streaming ``sources/cdf_source.py``). At 100 TB the hard link becomes a
-conditional PUT on an object store / catalog row — same protocol,
-bigger bookkeeping. Reference contrast: the reference's sink has no
+streaming ``sources/cdf_source.py``). At 100 TB the commit primitive is
+a conditional PUT on an object store / catalog row — the LogStore
+interface carries exactly that split, and the OCC/crash/lifecycle tests
+run against both the POSIX and the conditional-put store (``tests/
+test_table_format.py``). Reference contrast: the reference's sink has no
 commit notion at all (one flush at EOS, gst-detection-tf.py:339-344)."""
 
 from __future__ import annotations
@@ -56,6 +61,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from video_streamer_spark.operators.log_store import (
+    LogEntryExistsError,
+    log_store_for,
+)
 from video_streamer_spark.operators.merge import (
     BUCKET_COL,  # the bucket column _bucketed emits — must stay shared
     OP_COL,
@@ -101,7 +110,7 @@ def history(path: str) -> list[int]:
     """Committed versions, ascending. A manifest file IS a commit."""
     return sorted(
         int(f.removeprefix("v").removesuffix(".json"))
-        for f in os.listdir(_manifest_dir(path))
+        for f in log_store_for(path).list_entries(_manifest_dir(path))
         if f.startswith("v") and f.endswith(".json")
     )
 
@@ -114,33 +123,29 @@ def current_version(path: str) -> int:
 
 
 def _read_manifest(path: str, version: int) -> dict:
-    p = os.path.join(_manifest_dir(path), f"v{version:09d}.json")
-    with open(p) as fh:
-        return json.load(fh)
+    return json.loads(
+        log_store_for(path).read_entry(
+            _manifest_dir(path), f"v{version:09d}.json"
+        )
+    )
 
 
 def _commit_manifest(path: str, version: int, doc: dict) -> None:
-    """Publish the manifest atomically: full write + fsync to a temp
-    name, then an exclusive hard link to the final name — the commit
-    point. The loser of a same-version race gets VersionConflictError
-    and no partial manifest can ever be observed."""
-    final = os.path.join(_manifest_dir(path), f"v{version:09d}.json")
-    tmp = os.path.join(
-        _manifest_dir(path), f".tmp-{uuid.uuid4().hex}.json"
-    )
-    with open(tmp, "w") as fh:
-        json.dump(doc, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
+    """Publish the manifest atomically via the table's LogStore — the
+    commit point. The store guarantees publish-if-absent of a COMPLETE
+    entry (POSIX: temp write + exclusive hard link; object store:
+    conditional PUT — see ``operators/log_store.py``); the loser of a
+    same-version race gets VersionConflictError and no partial
+    manifest can ever be observed."""
     try:
-        os.link(tmp, final)
-    except FileExistsError as exc:
+        log_store_for(path).put_if_absent(
+            _manifest_dir(path), f"v{version:09d}.json", json.dumps(doc)
+        )
+    except LogEntryExistsError as exc:
         raise VersionConflictError(
             f"version v{version} at {path} was committed by another "
             "writer; re-read the table and re-apply the changeset"
         ) from exc
-    finally:
-        os.unlink(tmp)
 
 
 # types whose min/max are meaningful zone-map bounds AND survive a JSON
@@ -405,7 +410,7 @@ def create_table(
     buckets the bloom proves value-free — the unclustered-column
     complement to the min/max zone maps. Table-level property, fixed at
     creation like the key layout."""
-    os.makedirs(_manifest_dir(path), exist_ok=True)
+    log_store_for(path).ensure_log(_manifest_dir(path))
     rel, present, stats, file_stats = _write_commit_data(
         df, path, key_cols, n_buckets
     )
@@ -1426,14 +1431,20 @@ def vacuum(path: str, keep_last: int = 2, min_age_sec: float = 3600.0) -> dict:
         ):
             shutil.rmtree(full)
             removed += 1
+    store = log_store_for(path)
     dropped_manifests = 0
     for v in versions:
         if v not in keep:
-            os.remove(os.path.join(_manifest_dir(path), f"v{v:09d}.json"))
+            store.delete_entry(_manifest_dir(path), f"v{v:09d}.json")
             dropped_manifests += 1
+    # crashed writers may strand store-private staging files (the
+    # POSIX store's .tmp-*.json between link and unlink, ADVICE r7);
+    # reclaim aged ones under the same in-flight-writer age gate
+    stray = store.sweep_stray(_manifest_dir(path), min_age_sec)
     return {
         "data_dirs_removed": removed,
         "manifests_removed": dropped_manifests,
+        "stray_log_files_removed": stray,
     }
 
 

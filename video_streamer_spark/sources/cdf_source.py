@@ -224,9 +224,25 @@ class _CdfStreamReader(DataSourceStreamReader):
                 f"{sorted(declared)}, now {sorted(current)}); restart "
                 "the table_cdf stream to pick up the evolved schema"
             )
-        doc_a = (
-            None if start["v"] == 0 else _load_manifest(self.path, start["v"])
-        )
+        try:
+            doc_a = (
+                None
+                if start["v"] == 0
+                else _load_manifest(self.path, start["v"])
+            )
+        except FileNotFoundError as exc:
+            # the checkpointed start offset's manifest was vacuumed out
+            # from under the stream; without it the window's old side
+            # is unknowable, so crash-looping on a raw FileNotFoundError
+            # helps nobody — name the remedy (ADVICE r7)
+            raise RuntimeError(
+                f"table_cdf start offset v{start['v']} at {self.path} "
+                "was removed by vacuum; the change window can no longer "
+                "be computed. Restart the stream with a FRESH checkpoint "
+                "(and a startingVersion within the retained history), or "
+                "raise vacuum's keep_last so the feed's offsets outlive "
+                "its trigger interval"
+            ) from exc
         buckets_a = {} if doc_a is None else doc_a["buckets"]
         buckets_b = doc_b["buckets"]
         tombs_a = {} if doc_a is None else doc_a.get("tombstones", {})
