@@ -50,6 +50,15 @@ HEADLINE = [
     "x28_asof_purchase_click",
     "x31_sampled_resize_stats",
     "x33_grouped_minmax_scale",
+    # versioned-table READ paths (round-7 VERDICT item 3): both read a
+    # PRE-BUILT table (built once per session by the warm pass below —
+    # the build is layout cost, like the splittable mirror), so the
+    # measured number is the per-query manifest walk + pruning + (for
+    # x217) the tombstone anti-join. The DuckDB oracle side prices the
+    # same aggregate as a raw scan — the honest yardstick for a format
+    # whose pruning should at least break even with scanning.
+    "x216_zonemap_range_read",
+    "x217_tombstone_snapshot_read",
 ]
 
 
@@ -76,8 +85,6 @@ def splittable_mirror(sf_dir: str) -> str:
     ``<table>.parquet/`` directory (what any real warehouse layout looks
     like); everything else is symlinked. Idempotent per sf tag; falls
     back to the original dir on any error."""
-    import pyarrow.parquet as pq
-
     import hashlib
 
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -97,10 +104,66 @@ def splittable_mirror(sf_dir: str) -> str:
             )
         ).encode()
     ).hexdigest()
-    if os.path.exists(ready):
-        with open(ready) as fh:
-            if fh.read().strip() == fp:
-                return mirror
+    def built() -> bool:
+        try:
+            with open(ready) as fh:
+                return fh.read().strip() == fp
+        except OSError:
+            return False
+
+    if built():
+        return mirror
+    # Exclusive build lock (ADVICE r7): bench.py and bench_compare.py
+    # launched in the same window would otherwise race stage/rename and
+    # one side silently falls back to the raw layout, skewing the
+    # engine-vs-engine ratio. os.mkdir is the atomic primitive; the
+    # loser WAITS for the winner's _READY instead of racing, and a lock
+    # older than the stale threshold is treated as a crashed builder.
+    os.makedirs(os.path.dirname(mirror), exist_ok=True)
+    lock = mirror + ".lock"
+    import time as _time
+
+    deadline = _time.time() + 600
+    while True:
+        try:
+            os.mkdir(lock)
+            break
+        except FileExistsError:
+            if built():
+                return mirror  # the other process finished the build
+            try:
+                stale = _time.time() - os.path.getmtime(lock) > 600
+            except FileNotFoundError:
+                continue  # lock just released; retry immediately
+            if stale:
+                try:
+                    os.rmdir(lock)
+                except FileNotFoundError:
+                    pass
+                continue
+            if _time.time() > deadline:
+                print(
+                    "# mirror lock wait timed out, using raw layout",
+                    file=sys.stderr,
+                )
+                return sf_dir
+            _time.sleep(0.5)
+    try:
+        return _build_mirror(sf_dir, mirror, ready, fp, built)
+    finally:
+        try:
+            os.rmdir(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _build_mirror(
+    sf_dir: str, mirror: str, ready: str, fp: str, built
+) -> str:
+    import pyarrow.parquet as pq
+
+    if built():
+        return mirror  # built while we waited on the lock
     if os.path.exists(mirror):
         # stale fingerprint, OR no _READY at all (a crashed build):
         # rebuild from scratch either way — a crashed run may have left
@@ -244,7 +307,16 @@ def main() -> None:
     # are deliberately excluded (a full warm pass was measured to slow
     # them via worker memory pressure).
     run_dir = splittable_mirror(sf_dir)
-    for name in ("x02_dedup_minhash_pairs", "x03_dedup_simhash_pairs"):
+    # x216/x217 warm at target SF for a different reason: their first
+    # invocation BUILDS the session's versioned table (prebuilt-table
+    # contract, queries/extended2.py) — one unmeasured pass keeps the
+    # build outside every measured rep, not just outside the min.
+    for name in (
+        "x02_dedup_minhash_pairs",
+        "x03_dedup_simhash_pairs",
+        "x216_zonemap_range_read",
+        "x217_tombstone_snapshot_read",
+    ):
         if name in headline:
             QUERIES[name](spark, run_dir).count()
     spark.catalog.clearCache()

@@ -247,3 +247,37 @@ def test_foreach_batch_non_spark_read_is_clean():
         batch_df.write.mode("append").parquet(f"/out/{cfg}/{t}")
 
     assert not lint_foreach_batch(fine_sink)
+
+
+def test_cogroup_fanout_lint(spark):
+    """The blocked all-pairs cogroup flags once its block-pair grid
+    exceeds the budget — the quadratic scale cliff no join lint can see
+    (round-7 VERDICT item 4b) — and stays clean at sane sizes."""
+    from video_streamer_spark.operators.similarity import (
+        embedding_near_pairs,
+    )
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    df = embedding_near_pairs(emb)
+    # clean at the real block count for this corpus...
+    assert "COGROUP_FANOUT" not in codes(lint_plan(df))
+    # ...flags when the same grid exceeds a tightened budget
+    assert "COGROUP_FANOUT" in codes(lint_plan(df, max_cogroup_grid=3))
+
+
+def test_exact_near_pairs_row_guard(spark):
+    """embedding_near_pairs refuses above max_exact_rows with a pointer
+    to the sub-quadratic paths, and the override restores the old
+    behavior (round-7 VERDICT item 4a)."""
+    import pytest
+
+    from video_streamer_spark.operators.similarity import (
+        embedding_near_pairs,
+    )
+
+    emb = table(spark, SF_ORACLE, "embeddings")
+    with pytest.raises(ValueError, match="embedding_near_pairs_lsh"):
+        embedding_near_pairs(emb, max_exact_rows=10)
+    # explicit opt-out constructs the plan (no job yet)
+    df = embedding_near_pairs(emb, max_exact_rows=None)
+    assert df.columns == ["vec_a", "vec_b", "sim"]

@@ -20,7 +20,7 @@ import time
 
 import pyspark.sql.functions as F
 
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 from video_streamer_spark.catalog import table
 from video_streamer_spark.queries import QUERIES
 
@@ -372,3 +372,70 @@ def test_round7_heavy_ops_scaling_curve(spark):
             f"{name}: sf0.01={small:.2f}s sf0.1={big:.2f}s "
             f"ratio={ratio:.1f} exceeds {max_ratio}"
         )
+
+
+def test_construction_job_sweep_is_exactly_the_allowlist(spark):
+    """EVERY registered query's plan construction is job-free except a
+    pinned allowlist of queries whose construction legitimately
+    materializes (round-7 VERDICT item 6 — the x188 bug class: a
+    driver-side collect() creeping into what should be pure plan
+    building). The allowlist entries fall into five audited classes:
+
+    - versioned-table / incremental-view builders: construction IS a
+      sequence of commits (x196, x204, x210-x215) or a once-per-session
+      prebuilt-table build + multi-path listing (x216/x217);
+    - ANN index builders / pivot quantizers: k-centroid collect is
+      centroids-sized, never corpus-sized (x32, x155, x158, x159, x160,
+      x164, x190, x194);
+    - iterative algorithms whose loop trip count needs a driver-side
+      convergence check (x45, x114, x116, x156, and their dependents
+      x168, x169);
+    - BPE training: merge selection is inherently sequential rounds
+      (x153, x154);
+    - streaming twins that drain a stream at construction to return a
+      batch-comparable result (x14, x15, x94, x99).
+
+    A query joining this set is a review event: either it belongs to a
+    class above (add it WITH its class) or a collect crept in."""
+    from video_streamer_spark.queries import QUERIES
+
+    ALLOWED = {
+        # table/incremental builders
+        "x196_incremental_rollup", "x204_incremental_join_view",
+        "x210_acid_snapshot_merge", "x211_table_change_feed",
+        "x212_optimized_pruned_range_read", "x214_bloom_pruned_lookup",
+        "x215_tombstone_delete_read", "x216_zonemap_range_read",
+        "x217_tombstone_snapshot_read",
+        # index builders / pivot quantizers (centroids-sized collects)
+        "x32_ivf_topk", "x155_ivf_index_search", "x158_mmr_rerank",
+        "x159_ivfpq_index_search", "x160_ann_recall_eval",
+        "x164_index_upsert_search", "x190_rag_context_assembly",
+        "x194_ivf_cell_balance",
+        # iterative driver-checked loops
+        "x45_dedup_components", "x114_bfs_hops",
+        "x116_scripted_threshold_search", "x156_coverage_selection",
+        "x168_leakage_safe_split", "x169_dedup_impact_report",
+        # BPE training (sequential merge rounds)
+        "x153_bpe_train_merges", "x154_bpe_segment_stats",
+        # streaming twins (drain at construction)
+        "x14_stream_tumbling", "x15_stream_sessions",
+        "x94_windowed_dedup_stream", "x99_stream_stream_join",
+    }
+    tracker = spark.sparkContext.statusTracker()
+    offenders: dict[str, int] = {}
+    for name, fn in QUERIES.items():
+        if name in ALLOWED:
+            continue
+        fn(spark, SF_SMOKE)  # warm footers/listing caches
+        spark.sparkContext.setJobGroup(f"construct-{name}", name)
+        try:
+            fn(spark, SF_SMOKE)
+            jobs = tracker.getJobIdsForGroup(f"construct-{name}")
+            if jobs:
+                offenders[name] = len(jobs)
+        finally:
+            spark.sparkContext.setJobGroup("", "")
+    assert not offenders, (
+        f"construction-time jobs crept into: {offenders} — a collect/"
+        "count during plan building scans data before the plan exists"
+    )

@@ -102,9 +102,48 @@ def _bnl_build_ids(text: str) -> list[list[int]]:
     return out
 
 
-def lint_plan(df: DataFrame, max_exchanges: int = 8) -> list[Finding]:
+def lint_plan(
+    df: DataFrame,
+    max_exchanges: int = 8,
+    max_cogroup_grid: int = 120_000,
+) -> list[Finding]:
     r = plan_report(df)
     findings: list[Finding] = []
+
+    # Unbounded cogroup fan-out (round-7 VERDICT item 4b): a blocked
+    # all-pairs cogroup (x05's shape) is O(B²) tasks where B — the
+    # hash-block count — was computed FROM THE INPUT SIZE at plan
+    # construction, so the plan itself carries the evidence: the
+    # grouping keys are pmod(xxhash64(...), B) with B a literal. The
+    # BNL/cartesian lints can't see this (the join is a clean broadcast
+    # equi-join); reading B out of the text is the zero-job check. The
+    # default budget (~120k block-pairs ≈ 1M rows at the default block
+    # size) matches embedding_near_pairs' own max_exact_rows guard, so
+    # this fires exactly where that guard was explicitly overridden.
+    if "FlatMapCoGroupsInPandas" in r.text:
+        import re as _re
+
+        blocks = {
+            int(b)
+            for b in _re.findall(
+                r"pmod\(xxhash64\([^)]*\),\s*(\d+)\)", r.text
+            )
+        }
+        over = [b for b in blocks if b * (b + 1) // 2 > max_cogroup_grid]
+        if over:
+            b = max(over)
+            findings.append(
+                Finding(
+                    "COGROUP_FANOUT",
+                    f"FlatMapCoGroupsInPandas over a {b}-block pair "
+                    f"grid = {b * (b + 1) // 2:,} cogroup tasks "
+                    f"(> budget {max_cogroup_grid:,}); the grid grows "
+                    "quadratically with input rows. Route to an "
+                    "LSH/cluster-blocked variant (sub-quadratic "
+                    "candidates), or accept and budget the exact "
+                    "all-pairs cost explicitly.",
+                )
+            )
 
     if "CartesianProduct" in r.text:
         findings.append(
