@@ -2322,3 +2322,228 @@ def test_streaming_cdf_vacuumed_start_offset_names_the_remedy(
     reader = _CdfStreamReader(path, feed_schema, start_version=0)
     with pytest.raises(RuntimeError, match="removed by vacuum"):
         reader.partitions({"v": 2}, {"v": 4})
+
+
+def test_zorder_optimize_prunes_both_dimensions(spark, tmp_path):
+    """OPTIMIZE zorder_by=(a, b) must (1) keep the rows bit-identical,
+    (2) make single-column range reads on EITHER column open fewer
+    files than the full snapshot (the 2-D zone-map box property a
+    value sort cannot give), and (3) stay invisible to the change feed
+    (layout_only commit) — round-7 VERDICT item 8."""
+    from video_streamer_spark.operators.table_format import (
+        optimize_table,
+        read_table_where,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    orders = _orders(spark)  # o_orderkey, o_custkey, o_totalprice
+    create_table(orders, path, ["o_orderkey"], n_buckets=4)
+    with pytest.raises(ValueError, match="exactly one"):
+        optimize_table(spark, path)
+    v = optimize_table(
+        spark,
+        path,
+        zorder_by=("o_custkey", "o_totalprice"),
+        files_per_bucket=8,
+    )
+    # (1) rows identical across the rewrite
+    assert _rows(read_table(spark, path)) == _rows(orders)
+    full_files = len(read_table(spark, path).inputFiles())
+    # (2) both dimensions prune: narrow range on each column
+    r_cust = read_table_where(spark, path, "o_custkey", lo=10, hi=40)
+    r_price = read_table_where(
+        spark, path, "o_totalprice", lo=50000.0, hi=60000.0
+    )
+    assert len(r_cust.inputFiles()) < full_files
+    assert len(r_price.inputFiles()) < full_files
+    # pruned reads stay EXACT
+    assert r_cust.count() == orders.where(
+        "o_custkey between 10 and 40"
+    ).count()
+    assert r_price.count() == orders.where(
+        "o_totalprice between 50000.0 and 60000.0"
+    ).count()
+    # (3) the zorder commit is layout-only: CDC sees nothing
+    assert table_changes(spark, path, v - 1, v).count() == 0
+
+
+def test_pre_evolution_merge_preserves_materialized_columns(
+    spark, tmp_path
+):
+    """A changeset written BEFORE an add_column (missing that column)
+    must preserve the base row's materialized value on update — Delta
+    MERGE semantics for columns absent from the source — instead of
+    null-overwriting it (ADVICE r7). New keys from the same feed still
+    null-backfill."""
+    from video_streamer_spark.operators.table_format import add_column
+
+    path = str(tmp_path / "t")
+    create_table(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k bigint, v string"
+        ),
+        path,
+        ["k"],
+        n_buckets=2,
+    )
+    add_column(path, "score", "double")
+    # materialize a real score for k=1 via a post-evolution merge
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "a2", 7.5)], "k bigint, v string, score double"
+        ),
+    )
+    # pre-evolution feed: no score column; updates k=1, inserts k=3
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "a3"), (3, "c")], "k bigint, v string"
+        ),
+    )
+    got = {r["k"]: (r["v"], r["score"]) for r in read_table(spark, path).collect()}
+    assert got[1] == ("a3", 7.5)  # updated v, PRESERVED score
+    assert got[2] == ("b", None)  # untouched pre-evolution row
+    assert got[3] == ("c", None)  # new key: null backfill
+
+
+def test_streaming_cdf_chaos_matches_batch_diff_per_commit(
+    spark, tmp_path
+):
+    """CHAOS: a seeded-random interleaving of merge_table, delete_keys,
+    optimize_table (sort AND zorder) and rebucket_table, with a LIVE
+    format('table_cdf') stream drained per commit against one
+    checkpoint lineage — each drain's rows must equal the batch
+    table_changes over exactly that window, every query restart picks
+    up from the checkpointed offset (each availableNow drain IS a
+    restart; one mid-lifecycle drain is additionally forced to cover a
+    multi-commit window, exercising the netting contract), and the
+    union of all feed windows replays to the final snapshot (round-7
+    VERDICT item 5)."""
+    import random
+
+    from video_streamer_spark.operators.table_format import (
+        delete_keys,
+        optimize_table,
+        rebucket_table,
+        table_changes,
+    )
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    rng = random.Random(0xC0FFEE)
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    keys = list(range(48))
+    base_rows = [(k, float(k)) for k in keys if k % 3 != 2]
+    create_table(
+        spark.createDataFrame(base_rows, "k bigint, v double"),
+        path,
+        ["k"],
+        n_buckets=4,
+    )
+    register_cdf_source(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("table_cdf")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 180, "cdf_chaos_drain")
+
+    def feed_rows(v_from, v_to):
+        return sorted(
+            (r["k"], r["v"], r["_change_type"])
+            for r in spark.read.parquet(out)
+            .where(
+                (F.col("_commit_version") > v_from)
+                & (F.col("_commit_version") <= v_to)
+            )
+            .collect()
+        )
+
+    drain()  # initial snapshot window (0, 1]
+    assert len(feed_rows(0, 1)) == len(base_rows)
+    model = dict(base_rows)
+    last_v = 1
+    # one randomly chosen step skips its drain so the NEXT drain nets a
+    # multi-commit window — the netting path a per-commit loop would
+    # otherwise never exercise
+    skip_drain_at = rng.randint(2, 9)
+    for step in range(12):
+        roll = rng.random()
+        if roll < 0.40:  # merge with mixed ops
+            cs = []
+            for k in rng.sample(keys, rng.randint(1, 6)):
+                op = rng.choice(["U", "I", "D"])
+                cs.append((k, float(rng.randint(0, 99)), op))
+                if op == "D":
+                    model.pop(k, None)
+                else:
+                    model[k] = cs[-1][1]
+            merge_table(
+                spark,
+                path,
+                spark.createDataFrame(cs, "k bigint, v double, __op string"),
+            )
+        elif roll < 0.65:  # tombstone deletes (incl. absent keys)
+            dead = rng.sample(keys, rng.randint(1, 5))
+            delete_keys(
+                spark,
+                path,
+                spark.createDataFrame([(k,) for k in dead], "k bigint"),
+            )
+            for k in dead:
+                model.pop(k, None)
+        elif roll < 0.80:
+            optimize_table(spark, path, sort_by="v")
+        elif roll < 0.90:
+            optimize_table(
+                spark, path, zorder_by=("k", "v"), files_per_bucket=2
+            )
+        else:
+            rebucket_table(spark, path, current_version(path) % 3 + 4)
+        new_v = current_version(path)
+        if step == skip_drain_at:
+            continue  # leave this commit for the next drain to net
+        drain()
+        got = feed_rows(last_v, new_v)
+        want = sorted(
+            (r["k"], r["v"], r["_change_type"])
+            for r in table_changes(spark, path, last_v, new_v).collect()
+        )
+        assert got == want, (step, last_v, new_v)
+        last_v = new_v
+    drain()  # pick up any tail left by the skipped step
+    final_v = current_version(path)
+    got = feed_rows(last_v, final_v)
+    want = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in table_changes(spark, path, last_v, final_v).collect()
+    )
+    assert got == want
+    # replaying every feed window reconstructs the final snapshot
+    replay: dict = {}
+    for r in sorted(
+        spark.read.parquet(out).collect(),
+        key=lambda r: r["_commit_version"],
+    ):
+        if r["_change_type"] == "delete":
+            replay.pop(r["k"], None)
+        else:
+            replay[r["k"]] = r["v"]
+    assert replay == model
+    assert {
+        r["k"]: r["v"] for r in read_table(spark, path).collect()
+    } == model

@@ -1047,6 +1047,7 @@ def merge_table(
             )
         flat = flat.drop(BUCKET_COL)
         have = set(flat.columns)
+        missing = [f.name for f in schema.fields if f.name not in have]
         proj = flat.select(
             *[
                 F.col(f.name)
@@ -1056,6 +1057,30 @@ def merge_table(
             ],
             F.col(op_col),
         )
+        if missing:
+            # Delta-MERGE column semantics for pre-evolution feeds: a
+            # column ABSENT from the changeset is preserved from the
+            # base row on update, not null-overwritten (ADVICE r7 —
+            # whole-row replace silently lost materialized values for
+            # keys updated by a feed older than an add_column). One
+            # key-join against the already-loaded rewrite buckets, only
+            # on this rare path; inserts/new keys still backfill null.
+            base_vals = base.select(
+                *key_cols,
+                *[F.col(c).alias(f"__base_{c}") for c in missing],
+            )
+            proj = (
+                proj.join(base_vals, key_cols, "left")
+                .select(
+                    *[
+                        F.col(f"__base_{f.name}").alias(f.name)
+                        if f.name in missing
+                        else F.col(f.name)
+                        for f in schema.fields
+                    ],
+                    F.col(op_col),
+                )
+            )
         merged = apply_changeset(base, proj, key_cols, op_col=op_col)
         rel, present, stats, file_stats = _write_commit_data(
             merged, path, key_cols, n_buckets
@@ -1210,14 +1235,26 @@ def delete_keys(
 def optimize_table(
     spark: SparkSession,
     path: str,
-    sort_by: str,
+    sort_by: str | None = None,
     files_per_bucket: int = 4,
+    zorder_by: tuple[str, str] | None = None,
+    zorder_bits: int = 10,
 ) -> int:
-    """OPTIMIZE ... ZORDER BY's one-dimension analog: rewrite every
-    bucket with rows range-partitioned and sorted on ``sort_by``, so
-    each bucket's files cover tight, near-disjoint value ranges and the
-    per-file zone maps become selective (``read_table_where`` then
-    opens a small fraction of files instead of all of them).
+    """OPTIMIZE: rewrite every bucket with rows clustered for zone-map
+    selectivity — either value-SORTED on one column (``sort_by``: each
+    bucket's files cover tight, near-disjoint ranges of that column) or
+    Z-ORDERED on two (``zorder_by=(a, b)``: files tile the Morton curve
+    of the two range-normalized columns, so EACH file gets a tight
+    bounding box in BOTH dimensions — ~√(1/n_files) of each range —
+    and ``read_table_where`` prunes on either column; Delta's OPTIMIZE
+    ZORDER BY). Exactly one of ``sort_by`` / ``zorder_by`` is required.
+
+    Z-order prep: both columns are linearly binned into ``zorder_bits``
+    bits using their global min/max from ONE one-row aggregate
+    broadcast into the rewrite plan (no window, no per-row rank — the
+    rewrite is the only table-sized work, same as the sort path). The
+    z-value itself is pure codegen (``operators/layout.zorder_value``:
+    shifts/masks) and is dropped before the write.
 
     Logically a no-op: the committed version holds exactly the same
     rows, published atomically by the same manifest protocol — readers
@@ -1228,21 +1265,64 @@ def optimize_table(
     consumers — the Delta OPTIMIZE contract).
 
     ``files_per_bucket`` bounds output files: range partitioning on
-    (bucket, sort_by) makes each task's slice of a bucket a contiguous
-    value range."""
+    (bucket, cluster key) makes each task's slice of a bucket a
+    contiguous value/curve range."""
+    if (sort_by is None) == (zorder_by is None):
+        raise ValueError(
+            "optimize_table needs exactly one of sort_by= or zorder_by="
+        )
     base_v = current_version(path)
     doc = _read_manifest(path, base_v)
     key_cols, n_buckets = doc["key_cols"], doc["n_buckets"]
     snap = _read_buckets(spark, path, doc, list(doc["buckets"]))
+    if zorder_by is not None:
+        from video_streamer_spark.operators.layout import zorder_value
+
+        ca, cb = zorder_by
+        mm = snap.agg(
+            F.min(ca).alias("__amin"), F.max(ca).alias("__amax"),
+            F.min(cb).alias("__bmin"), F.max(cb).alias("__bmax"),
+        )
+        top = (1 << zorder_bits) - 1
+
+        def _bin(col: str, lo: str, hi: str):
+            # degenerate range (constant column) → every row bin 0
+            span = F.col(hi).cast("double") - F.col(lo).cast("double")
+            return F.when(
+                span > 0,
+                F.floor(
+                    (F.col(col).cast("double") - F.col(lo).cast("double"))
+                    / span
+                    * top
+                ),
+            ).otherwise(F.lit(0))
+
+        clustered = (
+            snap.crossJoin(F.broadcast(mm))
+            .withColumn(
+                "__z",
+                zorder_value(
+                    _bin(ca, "__amin", "__amax"),
+                    _bin(cb, "__bmin", "__bmax"),
+                    zorder_bits,
+                ),
+            )
+            .drop("__amin", "__amax", "__bmin", "__bmax")
+        )
+        cluster_key = "__z"
+    else:
+        clustered, cluster_key = snap, sort_by
     arranged = (
-        _bucketed(snap, key_cols, n_buckets)
+        _bucketed(clustered, key_cols, n_buckets)
         .repartitionByRange(
             max(1, n_buckets * files_per_bucket),
             F.col(BUCKET_COL),
-            F.col(sort_by),
+            F.col(cluster_key),
         )
-        .sortWithinPartitions(BUCKET_COL, sort_by)
+        .sortWithinPartitions(BUCKET_COL, cluster_key)
     )
+    if cluster_key == "__z":
+        arranged = arranged.drop("__z")
     rel, present, stats, file_stats = _write_commit_data(
         arranged, path, key_cols, n_buckets, pre_bucketed=True
     )

@@ -414,3 +414,65 @@ def x218_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=8,
         fold_exact=True,
     )
+
+
+# x219 — 2-D PREDICATE READ AFTER Z-ORDER OPTIMIZE: the multi-column
+# data-skipping story (round-7 VERDICT item 8). optimize_table
+# zorder_by=(o_custkey, o_totalprice) rewrites each bucket's files to
+# tile the Morton curve of the two range-normalized columns, so EVERY
+# file carries a tight zone-map box in BOTH dimensions — a range
+# predicate on either column prunes files (the physical assertion
+# lives in tests/test_table_format.py::test_zorder_optimize_*), where
+# a value-sort would serve only its one sort column. The query reads
+# through the o_custkey zone maps and pushes the o_totalprice residual
+# into the parquet scan; the oracle states the same 2-D aggregate over
+# the raw rows, so a wrong skip on either dimension hash-mismatches.
+@query(
+    "x219_zorder_2d_read",
+    oracle="""
+    SELECT CAST(o_custkey % 16 AS BIGINT) AS cust_class,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+        / 100.0 AS total_price
+    FROM orders
+    WHERE o_custkey BETWEEN 10 AND 400
+      AND o_totalprice BETWEEN 20000.0 AND 120000.0
+    GROUP BY cust_class
+    """,
+)
+def x219_zorder_2d_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        optimize_table,
+        read_table_where,
+    )
+
+    def build(path: str) -> None:
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        create_table(orders, path, ["o_orderkey"], n_buckets=4)
+        optimize_table(
+            spark,
+            path,
+            zorder_by=("o_custkey", "o_totalprice"),
+            files_per_bucket=8,
+        )
+
+    path = _prebuilt_table(spark, sf_dir, "zorder-orders", build)
+    return (
+        read_table_where(spark, path, "o_custkey", lo=10, hi=400)
+        .where(F.col("o_totalprice").between(20000.0, 120000.0))
+        .groupBy(
+            (F.col("o_custkey") % 16).cast("bigint").alias("cust_class")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100.0).cast("bigint")
+                ).cast("double")
+                / 100.0
+            ).alias("total_price"),
+        )
+    )
