@@ -224,12 +224,53 @@ def load_snapshot_round() -> int:
     return v if isinstance(v, int) else 0
 
 
+def load_snapshot_modules() -> dict[str, str]:
+    """module name -> file hash at snapshot time (empty for snapshots
+    that predate module stamping)."""
+    v = _read_snapshot().get("__modules__", {})
+    return v if isinstance(v, dict) else {}
+
+
+def _changed_modules() -> set[str]:
+    """In-package modules whose file hash differs from the snapshot's
+    recorded hash (new modules count as changed)."""
+    snap = load_snapshot_modules()
+    if not snap:
+        return set()
+    out: set[str] = set()
+    for mod, f in _iter_package_modules():
+        if snap.get(mod) != _file_hash(f):
+            out.add(mod)
+    return out
+
+
+def _iter_package_modules():
+    """(module name, source path) for every .py in the package."""
+    root = _pkg_root()
+    for f in sorted(root.rglob("*.py")):
+        rel = f.relative_to(root).with_suffix("")
+        parts = [_PKG, *rel.parts]
+        if parts[-1] == "__init__":
+            parts = parts[:-1]
+        yield ".".join(parts), f
+
+
 def derived_sample_order(
     queries: dict, oracles: dict[str, str]
 ) -> list[str]:
     """The four-band order documented in the module docstring. Ties
     break by registration order (dict insertion order), so the result
-    is deterministic for a given repo state."""
+    is deterministic for a given repo state.
+
+    Within the CHANGED band, queries sort by how many of their closure
+    modules actually changed since the snapshot, DESCENDING: the
+    module-level closure hash deliberately over-flags (one edited
+    shared module re-queues every importer), and when the over-flagged
+    band exceeds the driver's 50-row sample the queries most likely to
+    have genuinely changed behavior — those sitting on several edited
+    modules, e.g. the table-format family after a table_format +
+    cdf_source + log_store round — must land INSIDE the sample, not
+    behind a hundred importers of a one-line shared edit."""
     ev = latest_driver_evidence()
     verified = load_verified_hashes()
     reg = list(queries)
@@ -243,6 +284,14 @@ def derived_sample_order(
         and query_source_hash(n, queries[n], oracles.get(n))
         != verified.get(n)
     ]
+    mods_changed = _changed_modules()
+
+    def _touch_count(n: str) -> int:
+        target = getattr(queries[n], "__wrapped__", queries[n])
+        closure = _import_closure(target.__module__) - _CLOSURE_EXCLUDE
+        return len(closure & mods_changed)
+
+    changed.sort(key=lambda n: (-_touch_count(n), reg.index(n)))
     head = set(red) | set(never) | set(changed)
     rest = sorted(
         (n for n in reg if n not in head),
@@ -267,6 +316,12 @@ def write_verified_hashes(queries: dict, oracles: dict[str, str]) -> int:
     out["__snapshot_round__"] = max(
         (rnd for rnd, _ in ev.values()), default=0
     )
+    # Per-module file hashes: lets the derived order rank over-flagged
+    # "changed" queries by how many of their closure modules actually
+    # changed (see derived_sample_order).
+    out["__modules__"] = {
+        mod: _file_hash(f) for mod, f in _iter_package_modules()
+    }
     _VERIFIED.write_text(json.dumps(out, indent=0, sort_keys=True))
     return n_hashes
 
