@@ -166,3 +166,24 @@ def test_registry_longest_prefix_routing(tmp_path):
     finally:
         unregister_log_store("/data")
         unregister_log_store("/data/tables")
+
+
+def test_condput_steals_stale_mutex_from_crashed_writer(tmp_path):
+    """A writer that crashed between acquiring the simulated server
+    mutex and finishing its put must not wedge the log forever: a
+    contender treats a mutex older than the stale threshold as dead,
+    steals it, and completes its own conditional put."""
+    store = ConditionalPutLogStore()
+    log = str(tmp_path / "_manifests")
+    store.ensure_log(log)
+    # simulate the crash: the lock dir exists, its holder is gone
+    stale = os.path.join(log, ".putlock-v1.json")
+    os.mkdir(stale)
+    old = time.time() - 2 * ConditionalPutLogStore._MUTEX_STALE_SEC
+    os.utime(stale, (old, old))
+    store.put_if_absent(log, "v1.json", "recovered")
+    assert store.read_entry(log, "v1.json") == "recovered"
+    assert not os.path.exists(stale)
+    # and exclusivity still holds afterwards
+    with pytest.raises(LogEntryExistsError):
+        store.put_if_absent(log, "v1.json", "late")

@@ -206,7 +206,12 @@ class ConditionalPutLogStore(LogStore):
                 os.fsync(fh.fileno())
             os.replace(tmp, final)
         finally:
-            os.rmdir(mutex)
+            try:
+                os.rmdir(mutex)
+            except FileNotFoundError:
+                # a contender declared us stale and stole the mutex; a
+                # missing lock must not mask this put's real outcome
+                pass
 
     def delete_entry(self, log_dir: str, name: str) -> None:
         os.remove(os.path.join(log_dir, name))
