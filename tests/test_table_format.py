@@ -2547,3 +2547,47 @@ def test_streaming_cdf_chaos_matches_batch_diff_per_commit(
     assert {
         r["k"]: r["v"] for r in read_table(spark, path).collect()
     } == model
+
+
+def test_multi_predicate_read_prunes_conjunctively(spark, tmp_path):
+    """where=[(col, lo, hi), ...] must open only files BOTH predicates
+    can hit (strictly fewer than either predicate alone on a Z-ordered
+    layout), keep the result exact, and anti-join tombstones like any
+    other read."""
+    from video_streamer_spark.operators.table_format import (
+        delete_keys,
+        optimize_table,
+        read_table_where,
+    )
+
+    path = str(tmp_path / "t")
+    orders = _orders(spark)
+    create_table(orders, path, ["o_orderkey"], n_buckets=4)
+    optimize_table(
+        spark,
+        path,
+        zorder_by=("o_custkey", "o_totalprice"),
+        files_per_bucket=8,
+    )
+    preds = [("o_custkey", 10, 40), ("o_totalprice", 50000.0, 60000.0)]
+    both = read_table_where(spark, path, where=preds)
+    only_a = read_table_where(spark, path, "o_custkey", 10, 40)
+    only_b = read_table_where(
+        spark, path, "o_totalprice", 50000.0, 60000.0
+    )
+    assert len(both.inputFiles()) <= min(
+        len(only_a.inputFiles()), len(only_b.inputFiles())
+    )
+    want = orders.where(
+        "o_custkey between 10 and 40 "
+        "and o_totalprice between 50000.0 and 60000.0"
+    )
+    assert _rows(both) == _rows(want)
+    # exactness survives merge-on-read deletes
+    delete_keys(
+        spark,
+        path,
+        orders.where("o_orderkey % 5 = 0").select("o_orderkey"),
+    )
+    got = read_table_where(spark, path, where=preds)
+    assert _rows(got) == _rows(want.where("o_orderkey % 5 <> 0"))

@@ -538,14 +538,24 @@ def read_table(
 def read_table_where(
     spark: SparkSession,
     path: str,
-    col: str,
+    col: str | None = None,
     lo=None,
     hi=None,
     version: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """Zone-map-pruned snapshot read: rows with ``lo <= col <= hi``
     (either bound may be None = unbounded), reading ONLY the buckets
     whose manifest min/max for ``col`` intersects the range.
+
+    ``where=[(col, lo, hi), ...]`` states a CONJUNCTION of range
+    predicates: a bucket/file is skipped when ANY predicate provably
+    misses it, every residual is applied, and equality predicates on
+    bloom-tracked columns each get their bloom veto. Over a Z-ordered
+    layout (``optimize_table(zorder_by=...)``) this is true
+    multi-dimensional skipping — each file's tight box in every
+    clustered dimension prunes independently, and their intersection
+    is what a 2-D range query actually opens.
 
     This is pruning ABOVE the engine — a skipped bucket's files are
     never listed, opened, or footer-read, which at 100 TB is the
@@ -561,51 +571,69 @@ def read_table_where(
     the same instant but differ as strings, and a string compare could
     wrongly skip a bucket; parsing both sides removes the hazard.
     """
+    preds = [(c, plo, phi) for (c, plo, phi) in (where or [])]
+    if col is not None:
+        preds.append((col, lo, hi))
+    if not preds:
+        raise ValueError(
+            "read_table_where needs col=/lo=/hi= or where=[(col, lo, hi), ...]"
+        )
     v = current_version(path) if version is None else version
     doc = _read_manifest(path, v)
-    field_type = {
-        f.name: f.dataType.simpleString() for f in _table_schema(doc).fields
-    }.get(col, "")
-    is_ts = field_type.startswith("timestamp")
+    schema = _table_schema(doc)
+    field_types = {f.name: f.dataType.simpleString() for f in schema.fields}
 
-    def bound(x):
-        """Prune-space value for a user bound or a stored stat: dates
-        parse to date objects; timestamp STATS are already unix micros
-        (see _commit_stats), and a timestamp user bound is resolved to
+    def _bounder(c: str):
+        """Per-column prune-space resolver: dates parse to date
+        objects; timestamp STATS are already unix micros (see
+        _commit_stats), and a timestamp user bound is resolved to
         micros THROUGH SPARK, so the skip decision and the residual
         filter interpret the literal with identical session-timezone
         semantics."""
-        if x is None:
+        field_type = field_types.get(c, "")
+        is_ts = field_type.startswith("timestamp")
+
+        def bound(x):
+            if x is None:
+                return x
+            if field_type == "date":
+                return (
+                    datetime.date.fromisoformat(x)
+                    if isinstance(x, str)
+                    else x
+                )
+            if field_type == "timestamp_ntz":
+                # wall-clock space end to end: stats are isoformat wall
+                # strings (see _commit_stats) and user bounds are wall
+                # strings/naive datetimes — no session timezone
+                # anywhere, so a reader session with a different
+                # timeZone conf prunes identically to the writer. An
+                # int here is a legacy writer-tz micros stat:
+                # uninterpretable → unknown (read).
+                if isinstance(x, int):
+                    return None
+                return (
+                    datetime.datetime.fromisoformat(x)
+                    if isinstance(x, str)
+                    else x
+                )
+            if is_ts:
+                if isinstance(x, int):
+                    return x  # a stored stat: already micros
+                return spark.range(1).select(
+                    F.unix_micros(F.to_timestamp(F.lit(x)))
+                ).first()[0]
             return x
-        if field_type == "date":
-            return (
-                datetime.date.fromisoformat(x) if isinstance(x, str) else x
-            )
-        if field_type == "timestamp_ntz":
-            # wall-clock space end to end: stats are isoformat wall
-            # strings (see _commit_stats) and user bounds are wall
-            # strings/naive datetimes — no session timezone anywhere,
-            # so a reader session with a different timeZone conf prunes
-            # identically to the writer. An int here is a legacy
-            # writer-tz micros stat: uninterpretable → unknown (read).
-            if isinstance(x, int):
-                return None
-            return (
-                datetime.datetime.fromisoformat(x)
-                if isinstance(x, str)
-                else x
-            )
-        if is_ts:
-            if isinstance(x, int):
-                return x  # a stored stat: already micros
-            return spark.range(1).select(
-                F.unix_micros(F.to_timestamp(F.lit(x)))
-            ).first()[0]
-        return x
 
-    p_lo, p_hi = bound(lo), bound(hi)
+        return field_type, is_ts, bound
 
-    def disjoint(rng) -> bool:
+    # one resolved context per predicate: (col, bound fn, prune lo/hi)
+    ctxs = []
+    for c, plo, phi in preds:
+        field_type, is_ts, bound = _bounder(c)
+        ctxs.append((c, field_type, is_ts, bound, bound(plo), bound(phi)))
+
+    def disjoint(bound, p_lo, p_hi, rng) -> bool:
         """True only when the recorded range PROVABLY misses [lo, hi]."""
         if rng is None or rng[0] is None or rng[1] is None:
             return False  # unknown → must read
@@ -616,30 +644,40 @@ def read_table_where(
             p_lo is not None and mx < p_lo
         )
 
+    def any_disjoint(col_ranges: dict) -> bool:
+        """A bucket/file is skippable when ANY predicate provably
+        misses it — conjunctive predicates compose skips for free,
+        which is exactly what a Z-ordered layout (optimize_table
+        zorder_by) turns into multi-dimensional pruning."""
+        return any(
+            disjoint(bound, p_lo, p_hi, col_ranges.get(c))
+            for c, _ft, _ts, bound, p_lo, p_hi in ctxs
+        )
+
     stats = doc.get("stats", {})
     fstats = doc.get("file_stats", {})
-    schema = _table_schema(doc)
     # equality probe on a bloom-tracked column: resolve the value's two
     # hash streams once, then let each bucket's bloom veto the read —
     # the skip zone maps cannot provide once merges have smeared every
     # bucket's [min, max] across the value domain
     bloom = _bloom_conf(doc)
-    bh = None
-    if (
-        bloom is not None
-        and col in bloom["cols"]
-        and lo is not None
-        and lo == hi
-    ):
-        bh = _bloom_value_hashes(spark, lo, field_type or "string")
+    bhs = []
+    if bloom is not None:
+        for c, plo, phi in preds:
+            if c in bloom["cols"] and plo is not None and plo == phi:
+                bhs.append(
+                    (c, _bloom_value_hashes(spark, plo, field_types.get(c) or "string"))
+                )
     # qualifying dirs/files accumulate into ONE multi-path explicit-
     # schema scan — same single-FileScan rationale as _read_buckets
     paths: list[str] = []
     read_buckets = []
     for b in sorted(doc["buckets"], key=int):
-        if disjoint(stats.get(b, {}).get(col)):
+        if any_disjoint(stats.get(b, {})):
             continue  # bucket-level skip: dir never listed
-        if bh is not None and _bloom_absent(bloom, b, col, *bh):
+        if any(
+            _bloom_absent(bloom, b, c, *bh) for c, bh in bhs
+        ):
             continue  # bloom skip: value provably not in this bucket
         read_buckets.append(b)
         bdir = os.path.join(path, doc["buckets"][b])
@@ -653,7 +691,7 @@ def read_table_where(
         paths.extend(
             os.path.join(bdir, fname)
             for fname, cols_rng in sorted(fmap.items())
-            if not disjoint(cols_rng.get(col))
+            if not any_disjoint(cols_rng)
         )
     if not paths:
         out = spark.createDataFrame([], schema)
@@ -664,22 +702,30 @@ def read_table_where(
         # the tombstones), so the anti-join below is what keeps a
         # pruned read EXACT after delete_keys
         out = _minus_tombstones(spark, path, doc, read_buckets, out)
-    def lit_bound(x):
-        if field_type == "timestamp_ntz":
-            # parse the wall string AS ntz directly — to_timestamp
-            # would route through the reader session timezone, whose
-            # DST spring-forward gap shifts unrepresentable wall times
-            return F.lit(x).cast("timestamp_ntz")
-        if is_ts:
-            # same literal semantics as the prune-space resolution
-            return F.to_timestamp(F.lit(x)).cast(field_type)
-        return F.lit(bound(x))
+    # residual filters (ctxs[i] is preds[i]'s resolved context, so the
+    # ORIGINAL user bounds pair with their own column even when one
+    # column appears in several predicates)
+    for (c, u_lo, u_hi), (_c, field_type, is_ts, bound, _plo, _phi) in zip(
+        preds, ctxs
+    ):
 
-    c = F.col(col)
-    if lo is not None:
-        out = out.filter(c >= lit_bound(lo))
-    if hi is not None:
-        out = out.filter(c <= lit_bound(hi))
+        def lit_bound(x, field_type=field_type, is_ts=is_ts, bound=bound):
+            if field_type == "timestamp_ntz":
+                # parse the wall string AS ntz directly — to_timestamp
+                # would route through the reader session timezone, whose
+                # DST spring-forward gap shifts unrepresentable wall
+                # times
+                return F.lit(x).cast("timestamp_ntz")
+            if is_ts:
+                # same literal semantics as the prune-space resolution
+                return F.to_timestamp(F.lit(x)).cast(field_type)
+            return F.lit(bound(x))
+
+        cc = F.col(c)
+        if u_lo is not None:
+            out = out.filter(cc >= lit_bound(u_lo))
+        if u_hi is not None:
+            out = out.filter(cc <= lit_bound(u_hi))
     return out
 
 

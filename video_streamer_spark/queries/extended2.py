@@ -423,10 +423,12 @@ def x218_lsh_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # file carries a tight zone-map box in BOTH dimensions — a range
 # predicate on either column prunes files (the physical assertion
 # lives in tests/test_table_format.py::test_zorder_optimize_*), where
-# a value-sort would serve only its one sort column. The query reads
-# through the o_custkey zone maps and pushes the o_totalprice residual
-# into the parquet scan; the oracle states the same 2-D aggregate over
-# the raw rows, so a wrong skip on either dimension hash-mismatches.
+# a value-sort would serve only its one sort column. The query states
+# BOTH ranges as a conjunctive where= — read_table_where skips every
+# file either predicate provably misses, so the scan opens only files
+# whose z-curve box intersects the query RECTANGLE; the oracle states
+# the same 2-D aggregate over the raw rows, so a wrong skip on either
+# dimension hash-mismatches.
 @query(
     "x219_zorder_2d_read",
     oracle="""
@@ -461,8 +463,14 @@ def x219_zorder_2d_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _prebuilt_table(spark, sf_dir, "zorder-orders", build)
     return (
-        read_table_where(spark, path, "o_custkey", lo=10, hi=400)
-        .where(F.col("o_totalprice").between(20000.0, 120000.0))
+        read_table_where(
+            spark,
+            path,
+            where=[
+                ("o_custkey", 10, 400),
+                ("o_totalprice", 20000.0, 120000.0),
+            ],
+        )
         .groupBy(
             (F.col("o_custkey") % 16).cast("bigint").alias("cust_class")
         )
