@@ -1154,3 +1154,68 @@ def test_incremental_join_view_batch_composition_invariance(spark):
     )
     assert a == b
     assert len(a) > 0
+
+
+def test_end_to_end_ingest_dedup_acid_replicate(spark, tmp_path):
+    """The whole pipeline a real deployment composes, end to end:
+    Kafka-wire ingest (encode → broker schema → decode) → streaming
+    CDC upsert into the versioned ACID table (compacted per epoch,
+    idempotent commits) → table_cdf change feed → CDC replication into
+    a second table. The replica's final snapshot must equal the batch
+    events relation — every stage is someone else's tested unit; this
+    pins that they COMPOSE."""
+    from video_streamer_spark.catalog import table as btable
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        read_table,
+        run_acid_merge_sink,
+    )
+    from video_streamer_spark.sources.cdf_source import (
+        register_cdf_source,
+        replicate_table,
+    )
+    from video_streamer_spark.streaming.kafka_shim import (
+        kafka_shaped_events,
+        parse_events_from_kafka,
+    )
+
+    sf = SF_SMOKE
+    tbl = str(tmp_path / "tbl")
+    replica = str(tmp_path / "replica")
+    # 1) ingest: wire-encoded stream, decoded back to typed rows
+    # seq_col is CONSUMED by the per-epoch compaction (metadata, like a
+    # Kafka offset/LSN) — derive one so the ts DATA column survives
+    typed = parse_events_from_kafka(kafka_shaped_events(spark, sf)).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    ).withColumn("__seq", F.unix_micros("ts"))
+    # 2) CDC upsert into the ACID table (event_id key, ts as seq)
+    seed = (
+        btable(spark, sf, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .limit(0)
+    )
+    create_table(seed, tbl, ["event_id"], n_buckets=4)
+    run_acid_merge_sink(
+        typed,
+        tbl,
+        key_cols=["event_id"],
+        seq_col="__seq",
+        checkpoint_dir=str(tmp_path / "ckpt_ingest"),
+    )
+    # 3) replicate through the change feed
+    register_cdf_source(spark)
+    create_table(seed, replica, ["event_id"], n_buckets=4)
+    replicate_table(
+        spark, tbl, replica, checkpoint_dir=str(tmp_path / "ckpt_repl")
+    )
+    want = sorted(
+        tuple(r)
+        for r in btable(spark, sf, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .collect()
+    )
+    assert sorted(tuple(r) for r in read_table(spark, tbl).collect()) == want
+    assert (
+        sorted(tuple(r) for r in read_table(spark, replica).collect())
+        == want
+    )

@@ -2591,3 +2591,55 @@ def test_multi_predicate_read_prunes_conjunctively(spark, tmp_path):
     )
     got = read_table_where(spark, path, where=preds)
     assert _rows(got) == _rows(want.where("o_orderkey % 5 <> 0"))
+
+
+def test_streaming_cdf_starting_version_latest_skips_snapshot(
+    spark, tmp_path
+):
+    """startingVersion='latest' subscribes to changes only: the first
+    drain over an unchanged table delivers nothing (no initial
+    snapshot), and a subsequent merge delivers exactly that commit's
+    delta on the same checkpoint lineage."""
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    create_table(
+        spark.range(0, 30).select(F.col("id").alias("k")), path, ["k"], 4
+    )
+    register_cdf_source(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("table_cdf")
+            .option("path", path)
+            .option("startingVersion", "latest")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 120, "cdf_latest_drain")
+
+    drain()
+    import os as _os
+
+    assert (
+        not _os.path.exists(out)
+        or spark.read.parquet(out).count() == 0
+    )
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame([(100, "I"), (3, "D")], ["k", "__op"]),
+    )
+    drain()
+    got = sorted(
+        (r["k"], r["_change_type"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(3, "delete"), (100, "insert")]

@@ -1580,6 +1580,13 @@ def run_acid_merge_sink(
     of Structured Streaming's at-least-once epoch delivery. The table
     must exist (``create_table``) before the stream starts.
 
+    ``seq_col`` is CONSUMED by the per-epoch compaction (it is feed
+    metadata — a Kafka offset / LSN — not table data, and
+    ``compact_changeset`` drops it after picking each key's winner); a
+    feed whose ordering column must also be STORED should derive a
+    separate sequence column (e.g. ``unix_micros(ts)``) and keep the
+    data column in the row.
+
     ``checkpoint_dir`` is REQUIRED and is part of the idempotency key:
     epoch ids restart at 0 for every fresh checkpoint, so a key built
     from the table path alone would make a SECOND stream run's epochs

@@ -471,7 +471,11 @@ class _CdfStreamReader(DataSourceStreamReader):
 class TableCdfDataSource(DataSource):
     """``spark.readStream.format("table_cdf").option("path", table)``
     after ``register_cdf_source(spark)``. Options: ``path`` (required),
-    ``startingVersion`` (default 0 = initial snapshot as inserts)."""
+    ``startingVersion`` (default 0 = initial snapshot as inserts; an
+    integer starts after that committed version; the string "latest"
+    subscribes to changes only — the stream's first window begins at
+    the version current WHEN THE STREAM STARTS, Delta's
+    startingVersion=latest)."""
 
     @classmethod
     def name(cls) -> str:
@@ -492,11 +496,13 @@ class TableCdfDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:  # noqa: N802
         path = self.options["path"]
-        reader = _CdfStreamReader(
-            path,
-            schema,
-            int(self.options.get("startingVersion", 0)),
+        raw = self.options.get("startingVersion", 0)
+        start = (
+            _latest_version(path)
+            if isinstance(raw, str) and raw.strip().lower() == "latest"
+            else int(raw)
         )
+        reader = _CdfStreamReader(path, schema, start)
         doc = _load_manifest(path, _latest_version(path))
         reader.key_cols = doc["key_cols"]
         return reader
