@@ -1950,9 +1950,19 @@ def test_tombstone_broadcast_hint_is_size_gated(spark, tmp_path, monkeypatch):
     tf.delete_keys(
         spark, path, spark.createDataFrame([(1,), (2,)], "k bigint")
     )
-    # the FORCED hint shows as a hint node in the analyzed plan (the
-    # physical join may be broadcast either way on a tiny test table —
-    # Spark's own cost model is allowed to pick it when un-hinted)
+    # a TINY single-key delete set folds into the scan as a NOT-isin
+    # predicate: no join stage at all, still exact
+    inline = tf.read_table(spark, path)
+    assert "Join" not in inline._jdf.queryExecution().analyzed().toString()
+    assert sorted(r["k"] for r in inline.collect()) == [0] + list(
+        range(3, 300)
+    )
+    # past the inline gate: the anti-join path, broadcast-hinted under
+    # the byte cap. The FORCED hint shows as a hint node in the
+    # analyzed plan (the physical join may be broadcast either way on a
+    # tiny test table — Spark's own cost model is allowed to pick it
+    # when un-hinted)
+    monkeypatch.setattr(tf, "_TOMBSTONE_INLINE_MAX_BYTES", 0)
     plan_small = tf.read_table(spark, path)._jdf.queryExecution() \
         .analyzed().toString()
     assert "hint" in plan_small.lower()

@@ -88,6 +88,17 @@ TXN_KEEP = 100
 # (see _minus_tombstones).
 _TOMBSTONE_BROADCAST_MAX_BYTES = 10 * 1024 * 1024
 
+# below BOTH of these, a single-key table's tombstones fold into the
+# scan as a codegen InSet predicate instead of an anti-join (zero extra
+# stages per read — the GDPR/small-retention case). The row cap is
+# MEASURED, not guessed: literal-heavy plans pay analysis/serialization
+# per literal, and min-of-3 on a 150k-row table put the crossover
+# between 128 (inline 0.43 vs join 0.46) and 512 (0.68 vs 0.44) keys —
+# past ~128 the anti-join wins, so that's the cap. The byte gate keeps
+# the driver-side pyarrow key read metadata-sized.
+_TOMBSTONE_INLINE_MAX_BYTES = 256 * 1024
+_TOMBSTONE_INLINE_MAX_KEYS = 128
+
 # a bucket may accumulate at most this many tombstone refs before a
 # tombstoning merge forces it through the rewrite path (folding all of
 # its debt): bounds the manifest's list growth AND the per-read
@@ -507,18 +518,55 @@ def _minus_tombstones(
     if not dirs:
         return df
     key_cols = doc["key_cols"]
-    # NO distinct: a left-anti join is duplicate-insensitive on its
-    # build side, and the distinct's hashpartitioning Exchange would be
-    # REPLICATED per union branch when Catalyst pushes the anti-join
-    # below the bucket union (PushdownLeftSemiAntiJoin) — measured 8
-    # shuffle exchanges on an 8-bucket read for zero semantic gain
-    dead = spark.read.parquet(*dirs).select(*key_cols)
     on_disk = sum(
         os.path.getsize(os.path.join(d, f))
         for d in dirs
         for f in os.listdir(d)
         if f.endswith(".parquet")
     )
+    # TINY delete sets (the common retention/GDPR case) fold into the
+    # scan as a NOT-isin predicate instead of a join: Catalyst compiles
+    # a large IN to an InSet hash probe inside whole-stage codegen, so
+    # the read pays zero extra stages — Delta's in-memory deletion
+    # vector, in predicate form. The keys are read driver-side with
+    # pyarrow (no Spark job — construction stays job-free), double-
+    # gated on bytes AND row count so a bulk delete can never blow up
+    # the plan tree; past the gate the anti-join below handles any
+    # size. Single-key tables only: a composite key would need a
+    # struct-isin that codegen handles far worse than the join.
+    if len(key_cols) == 1 and on_disk <= _TOMBSTONE_INLINE_MAX_BYTES:
+        import pyarrow.dataset as pads
+
+        files = [
+            os.path.join(d, f)
+            for d in dirs
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+        try:
+            keys = (
+                pads.dataset(files, format="parquet")
+                .to_table(columns=key_cols)
+                .column(0)
+                .to_pylist()
+            )
+        except Exception:  # unreadable → fall through to the join path
+            keys = None
+        if keys is not None and len(keys) <= _TOMBSTONE_INLINE_MAX_KEYS:
+            # drop null tombstone keys (equality never matches them in
+            # the anti-join either) and keep null-keyed DATA rows (the
+            # anti-join keeps them; a bare NOT-isin would null them out)
+            keys = [k for k in keys if k is not None]
+            if not keys:
+                return df
+            c = F.col(key_cols[0])
+            return df.where(c.isNull() | ~c.isin(keys))
+    # NO distinct: a left-anti join is duplicate-insensitive on its
+    # build side, and the distinct's hashpartitioning Exchange would be
+    # REPLICATED per union branch when Catalyst pushes the anti-join
+    # below the bucket union (PushdownLeftSemiAntiJoin) — measured 8
+    # shuffle exchanges on an 8-bucket read for zero semantic gain
+    dead = spark.read.parquet(*dirs).select(*key_cols)
     if on_disk <= _TOMBSTONE_BROADCAST_MAX_BYTES:
         dead = F.broadcast(dead)
     return df.join(dead, key_cols, "left_anti")
