@@ -18,7 +18,11 @@ that melt down at 100 TB:
   (PLANS.md round-5 sort study; the registry elides these for declared
   queries, but ad-hoc DataFrames do not get that treatment);
 - more shuffle Exchanges than a configurable budget (each one is a
-  full-data barrier).
+  full-data barrier);
+- a blocked all-pairs cogroup whose pair grid exceeds a budget
+  (``COGROUP_FANOUT``): the block count is read out of the
+  ``pmod(xxhash64, B)`` grouping literal, pricing the B(B+1)/2 grid
+  with zero jobs — the quadratic shape the join lints cannot see.
 
 Each finding is a (code, message) pair; an empty list means the plan
 passes every rule. The rules are advisory — a deliberate crossJoin of
