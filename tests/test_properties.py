@@ -450,3 +450,75 @@ def test_dominant_bin_recovers_any_planted_tone(fid):
     assert wav["samples"].shape == (N_SAMPLES, 1)
     spec = np.abs(np.fft.rfft(wav["samples"][:, 0].astype(np.float64)))
     assert int(spec[1:].argmax()) + 1 == planted_bin(fid)
+
+
+@PROFILE
+@given(
+    bounds=st.lists(
+        st.tuples(
+            st.sampled_from(["k", "a", "b"]),
+            st.one_of(st.none(), st.integers(-20, 120)),
+            st.one_of(st.none(), st.integers(-20, 120)),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    n_dead=st.integers(min_value=0, max_value=40),
+)
+def test_pruned_multi_predicate_read_equals_brute_filter(
+    spark, tmp_path_factory, bounds, n_dead
+):
+    """For RANDOM conjunctions of (col, lo, hi) range predicates —
+    open bounds included — over a Z-ordered, tombstoned table,
+    read_table_where(where=...) must return exactly what filtering the
+    raw rows returns: pruning may only ever skip provably-disjoint
+    files, whatever the predicate mix, delete set, or layout."""
+    import pyspark.sql.functions as F
+
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        delete_keys,
+        optimize_table,
+        read_table_where,
+    )
+
+    base = tmp_path_factory.mktemp("prop_pruned")
+    cache = test_pruned_multi_predicate_read_equals_brute_filter.__dict__
+    if "table" not in cache:
+        # one table for the whole property run: build cost paid once
+        path = str(base / "t")
+        rows = [(k, k % 97, (k * 7) % 101) for k in range(400)]
+        df = spark.createDataFrame(rows, "k bigint, a bigint, b bigint")
+        create_table(df, path, ["k"], n_buckets=4)
+        optimize_table(
+            spark, path, zorder_by=("a", "b"), files_per_bucket=4
+        )
+        delete_keys(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(k,) for k in range(0, 400, 11)], "k bigint"
+            ),
+        )
+        cache["table"] = path
+        cache["rows"] = [
+            r for r in rows if r[0] % 11 != 0
+        ]
+    path, rows = cache["table"], cache["rows"]
+    del n_dead  # the delete set is fixed; n_dead only varies examples
+
+    def keep(row):
+        vals = dict(zip(("k", "a", "b"), row))
+        for c, lo, hi in bounds:
+            if lo is not None and vals[c] < lo:
+                return False
+            if hi is not None and vals[c] > hi:
+                return False
+        return True
+
+    want = sorted(r for r in rows if keep(r))
+    got = sorted(
+        tuple(r)
+        for r in read_table_where(spark, path, where=bounds).collect()
+    )
+    assert got == want

@@ -2653,3 +2653,58 @@ def test_streaming_cdf_starting_version_latest_skips_snapshot(
         for r in spark.read.parquet(out).collect()
     )
     assert got == [(3, "delete"), (100, "insert")]
+
+
+def test_analyze_table_flags_and_clears_maintenance_debt(spark, tmp_path):
+    """The metadata-only maintenance report: commit churn must surface
+    SMALL_FILES and TOMBSTONE_DEBT (no Spark job, no data read — pure
+    manifest walk + file sizes), and an OPTIMIZE must clear both."""
+    from video_streamer_spark.operators.table_format import (
+        analyze_table,
+        delete_keys,
+        optimize_table,
+    )
+
+    path = str(tmp_path / "t")
+    create_table(
+        spark.range(0, 4000).selectExpr("id AS k", "id * 1.5 AS v"),
+        path,
+        ["k"],
+        n_buckets=2,
+    )
+    # churn: several tiny merges fragment the buckets, repeated
+    # delete_keys builds tombstone debt (delete_keys is uncapped)
+    for i in range(4):
+        merge_table(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(10_000 + i, 1.0)], "k bigint, v double"
+            ),
+        )
+    for i in range(8):
+        delete_keys(
+            spark,
+            path,
+            spark.createDataFrame([(i * 2,), (i * 2 + 1,)], "k bigint"),
+        )
+    spark.sparkContext.setJobGroup("analyze-probe", "analyze_table")
+    try:
+        report = analyze_table(path)
+        jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(
+            "analyze-probe"
+        )
+        assert jobs == [], "analyze_table must be metadata-only"
+    finally:
+        spark.sparkContext.setJobGroup("", "")
+    codes = {c for c, _ in report["findings"]}
+    assert "SMALL_FILES" in codes
+    assert "TOMBSTONE_DEBT" in codes
+    # OPTIMIZE compacts the files and folds every tombstone
+    optimize_table(spark, path, sort_by="k", files_per_bucket=1)
+    after = analyze_table(path)
+    after_codes = {c for c, _ in after["findings"]}
+    assert "SMALL_FILES" not in after_codes
+    assert "TOMBSTONE_DEBT" not in after_codes
+    # and the table still reads exactly
+    assert read_table(spark, path).count() == 4000 + 4 - 16

@@ -1682,3 +1682,119 @@ def run_acid_merge_sink(
         .start()
     )
     drain_or_raise(q, timeout_sec, "run_acid_merge_sink")
+
+
+def analyze_table(path: str, version: int | None = None) -> dict:
+    """Metadata-only maintenance report — the layout counterpart of
+    ``plans/advisor.lint_plan``. Everything comes from the manifest and
+    file sizes: NO Spark session, NO data read, so at 100 TB this is a
+    sub-second catalog operation a scheduler can poll before deciding
+    whether an OPTIMIZE / rebucket / fold is worth a cluster.
+
+    Findings (each a ``(code, message)`` pair, advisory like the plan
+    lint):
+
+    - ``SMALL_FILES``: a bucket averages under ~4 MiB/file — commit
+      churn has fragmented it and scans pay per-file open/footer cost;
+      ``optimize_table`` compacts (and tightens zone maps).
+    - ``TOMBSTONE_DEBT``: a bucket's merge-on-read tombstone list is at
+      or past half the fold cap — every read pays the anti-join on it;
+      a merge touching the bucket (or OPTIMIZE) folds the debt.
+    - ``BUCKET_SKEW``: max/median bucket bytes exceeds 4× — one task
+      per read/merge does several buckets' work; ``rebucket_table`` or
+      a key-choice review rebalances.
+    - ``NO_FILE_STATS``: buckets still on a pre-file-stats manifest —
+      range reads fall back to whole-dir scans there; any rewriting
+      commit (merge/OPTIMIZE) re-profiles them.
+    """
+    v = current_version(path) if version is None else version
+    doc = _read_manifest(path, v)
+    tombs = doc.get("tombstones", {})
+    fstats = doc.get("file_stats", {})
+    buckets: dict = {}
+    for b, rel in doc["buckets"].items():
+        full = os.path.join(path, rel)
+        try:
+            sizes = [
+                os.path.getsize(os.path.join(full, f))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            ]
+        except FileNotFoundError:
+            sizes = []
+        buckets[b] = {
+            "n_files": len(sizes),
+            "bytes": sum(sizes),
+            "avg_file_bytes": (sum(sizes) // len(sizes)) if sizes else 0,
+            "tombstone_refs": len(tombs.get(b, [])),
+            "has_file_stats": b in fstats,
+        }
+    findings: list[tuple[str, str]] = []
+    # >=4 sub-target files in one bucket is churn, not layout choice
+    # (optimize_table itself may split a bucket across a couple of
+    # range partitions; a single extra tiny file is not a finding)
+    small = [
+        b
+        for b, info in buckets.items()
+        if info["n_files"] >= 4 and info["avg_file_bytes"] < (4 << 20)
+    ]
+    if small:
+        findings.append(
+            (
+                "SMALL_FILES",
+                f"{len(small)} bucket(s) average <4 MiB/file "
+                f"(e.g. bucket {small[0]}: "
+                f"{buckets[small[0]]['n_files']} files, avg "
+                f"{buckets[small[0]]['avg_file_bytes']} B); scans pay "
+                "per-file open cost — optimize_table compacts.",
+            )
+        )
+    indebted = [
+        b
+        for b, info in buckets.items()
+        if info["tombstone_refs"] * 2 >= _TOMBSTONE_MAX_REFS
+    ]
+    # tombstones can also reference buckets with NO data dir (pure
+    # inserts-then-deleted); count their debt too
+    for b in tombs:
+        if b not in buckets and len(tombs[b]) * 2 >= _TOMBSTONE_MAX_REFS:
+            indebted.append(b)
+    if indebted:
+        findings.append(
+            (
+                "TOMBSTONE_DEBT",
+                f"{len(indebted)} bucket(s) at >=half the fold cap "
+                f"({_TOMBSTONE_MAX_REFS}); every read anti-joins the "
+                "debt — a merge touching them (or OPTIMIZE) folds it.",
+            )
+        )
+    byte_counts = sorted(
+        info["bytes"] for info in buckets.values() if info["bytes"] > 0
+    )
+    if len(byte_counts) >= 2:
+        median = byte_counts[len(byte_counts) // 2]
+        if median > 0 and byte_counts[-1] > 4 * median:
+            findings.append(
+                (
+                    "BUCKET_SKEW",
+                    f"max bucket {byte_counts[-1]} B is >4x the median "
+                    f"{median} B: one task does several buckets' work; "
+                    "rebucket_table or revisit the key choice.",
+                )
+            )
+    no_stats = [b for b, info in buckets.items() if not info["has_file_stats"]]
+    if no_stats and fstats:  # mixed: some buckets profiled, some not
+        findings.append(
+            (
+                "NO_FILE_STATS",
+                f"{len(no_stats)} bucket(s) lack per-file zone maps "
+                "(pre-file-stats manifest); range reads scan those "
+                "dirs whole — any rewriting commit re-profiles.",
+            )
+        )
+    return {
+        "version": v,
+        "n_buckets": doc["n_buckets"],
+        "buckets": buckets,
+        "findings": findings,
+    }
