@@ -2708,3 +2708,58 @@ def test_analyze_table_flags_and_clears_maintenance_debt(spark, tmp_path):
     assert "TOMBSTONE_DEBT" not in after_codes
     # and the table still reads exactly
     assert read_table(spark, path).count() == 4000 + 4 - 16
+
+
+def test_streaming_cdf_through_conditional_put_store(spark, tmp_path):
+    """The WHOLE lifecycle off the POSIX commit primitive: a table
+    whose manifests publish through the conditional-put store (no
+    rename/link in the client protocol) must serve create → stream
+    drain → merge → incremental drain identically — including the
+    data-source runner process, which reads published entries as plain
+    files regardless of which store published them."""
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    register_log_store(str(tmp_path), ConditionalPutLogStore())
+    try:
+        path = str(tmp_path / "t")
+        out = str(tmp_path / "feed")
+        ckpt = str(tmp_path / "ckpt")
+        create_table(
+            spark.range(0, 25).select(F.col("id").alias("k")),
+            path,
+            ["k"],
+            4,
+        )
+        register_cdf_source(spark)
+
+        def drain():
+            q = (
+                spark.readStream.format("table_cdf")
+                .option("path", path)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            drain_or_raise(q, 120, "condput_cdf_drain")
+
+        drain()
+        assert spark.read.parquet(out).count() == 25
+        merge_table(
+            spark,
+            path,
+            spark.createDataFrame([(99, "I"), (3, "D")], ["k", "__op"]),
+        )
+        drain()
+        inc = spark.read.parquet(out).where("_commit_version = 2")
+        assert sorted(
+            (r["k"], r["_change_type"]) for r in inc.collect()
+        ) == [(3, "delete"), (99, "insert")]
+        assert sorted(
+            r["k"] for r in read_table(spark, path).collect()
+        ) == [k for k in range(25) if k != 3] + [99]
+    finally:
+        unregister_log_store(str(tmp_path))
