@@ -116,45 +116,34 @@ def splittable_mirror(sf_dir: str) -> str:
     # Exclusive build lock (ADVICE r7): bench.py and bench_compare.py
     # launched in the same window would otherwise race stage/rename and
     # one side silently falls back to the raw layout, skewing the
-    # engine-vs-engine ratio. os.mkdir is the atomic primitive; the
-    # loser WAITS for the winner's _READY instead of racing, and a lock
-    # older than the stale threshold is treated as a crashed builder.
-    os.makedirs(os.path.dirname(mirror), exist_ok=True)
-    lock = mirror + ".lock"
+    # engine-vs-engine ratio. flock, not a lock DIR: the kernel drops
+    # the lock when the holder exits — even on SIGKILL — so there is no
+    # staleness heuristic to get wrong (a slow-but-live builder can
+    # never be "stolen from" mid-write, and a crashed one blocks nobody).
+    import fcntl
     import time as _time
 
+    os.makedirs(os.path.dirname(mirror), exist_ok=True)
+    lock_fh = open(mirror + ".lock", "w")
     deadline = _time.time() + 600
-    while True:
-        try:
-            os.mkdir(lock)
-            break
-        except FileExistsError:
-            if built():
-                return mirror  # the other process finished the build
-            try:
-                stale = _time.time() - os.path.getmtime(lock) > 600
-            except FileNotFoundError:
-                continue  # lock just released; retry immediately
-            if stale:
-                try:
-                    os.rmdir(lock)
-                except FileNotFoundError:
-                    pass
-                continue
-            if _time.time() > deadline:
-                print(
-                    "# mirror lock wait timed out, using raw layout",
-                    file=sys.stderr,
-                )
-                return sf_dir
-            _time.sleep(0.5)
     try:
+        while True:
+            try:
+                fcntl.flock(lock_fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if built():
+                    return mirror  # the other process finished it
+                if _time.time() > deadline:
+                    print(
+                        "# mirror lock wait timed out, using raw layout",
+                        file=sys.stderr,
+                    )
+                    return sf_dir
+                _time.sleep(0.5)
         return _build_mirror(sf_dir, mirror, ready, fp, built)
     finally:
-        try:
-            os.rmdir(lock)
-        except FileNotFoundError:
-            pass
+        lock_fh.close()  # closing releases the flock
 
 
 def _build_mirror(

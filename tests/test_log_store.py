@@ -144,7 +144,8 @@ def test_hardlink_sweep_reclaims_aged_strays(tmp_path):
 def test_condput_strands_nothing_in_log(tmp_path):
     """The conditional-put store stages outside the log dir: after any
     mix of wins and losses the log contains exactly the published
-    entries (list_entries never needs filtering, sweep is a no-op)."""
+    entries (list_entries never needs filtering) and completed puts
+    leave no staging residue."""
     store = ConditionalPutLogStore()
     log = str(tmp_path / "_manifests")
     store.ensure_log(log)
@@ -168,22 +169,25 @@ def test_registry_longest_prefix_routing(tmp_path):
         unregister_log_store("/data/tables")
 
 
-def test_condput_steals_stale_mutex_from_crashed_writer(tmp_path):
-    """A writer that crashed between acquiring the simulated server
-    mutex and finishing its put must not wedge the log forever: a
-    contender treats a mutex older than the stale threshold as dead,
-    steals it, and completes its own conditional put."""
+def test_condput_crashed_put_strands_only_staging_and_sweeps(tmp_path):
+    """A put that crashes before publishing strands bytes ONLY in the
+    staging sibling (never a partial object in the log); sweep_stray
+    reclaims aged ones and spares young (possibly live) ones."""
     store = ConditionalPutLogStore()
     log = str(tmp_path / "_manifests")
     store.ensure_log(log)
-    # simulate the crash: the lock dir exists, its holder is gone
-    stale = os.path.join(log, ".putlock-v1.json")
-    os.mkdir(stale)
-    old = time.time() - 2 * ConditionalPutLogStore._MUTEX_STALE_SEC
-    os.utime(stale, (old, old))
-    store.put_if_absent(log, "v1.json", "recovered")
-    assert store.read_entry(log, "v1.json") == "recovered"
-    assert not os.path.exists(stale)
-    # and exclusivity still holds afterwards
+    store.put_if_absent(log, "v1.json", "{}")
+    # simulate the crash: a staging file whose writer died pre-publish
+    staging = ConditionalPutLogStore._staging(log)
+    os.makedirs(staging, exist_ok=True)
+    stray = os.path.join(staging, "put-deadbeef.json")
+    with open(stray, "w") as fh:
+        fh.write("{}")
+    assert store.list_entries(log) == ["v1.json"]  # log holds no stray
+    assert store.sweep_stray(log, min_age_sec=3600.0) == 0
+    assert os.path.exists(stray)
+    assert store.sweep_stray(log, min_age_sec=0.0) == 1
+    assert not os.path.exists(stray)
+    # exclusivity unaffected
     with pytest.raises(LogEntryExistsError):
         store.put_if_absent(log, "v1.json", "late")

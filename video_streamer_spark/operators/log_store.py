@@ -37,10 +37,11 @@ Two implementations ship:
   ``If-None-Match: *`` / GCS ``ifGenerationMatch=0`` / a catalog's
   unique-key insert: the STORE guarantees atomic publish-if-absent of
   a complete object server-side. (Locally that server-side guarantee
-  is simulated with an ``os.mkdir`` mutex + ``os.replace`` inside the
-  store — the point is the *client* protocol above never relies on
-  filesystem rename/link semantics, so the table format is provably
-  correct against any store offering the conditional-put primitive.)
+  is simulated inside the store with a same-filesystem staging write
+  + exclusive hard link — the point is the *client* protocol above
+  never relies on filesystem rename/link semantics, so the table
+  format is provably correct against any store offering the
+  conditional-put primitive.)
 
 Both stores persist entries as plain files at the same paths, so
 everything downstream that reads manifests WITHOUT the package on its
@@ -143,18 +144,30 @@ class HardLinkLogStore(LogStore):
 
 
 class ConditionalPutLogStore(LogStore):
-    """Object-store shaped: the client protocol is read / list /
-    delete / conditional-put ONLY — no rename, no link. The
-    server-side atomic conditional put (which S3/GCS/a catalog provide
-    natively) is simulated locally with a per-put ``os.mkdir`` mutex;
-    nothing in the *protocol* depends on that simulation. Staging
-    bytes live outside ``log_dir`` entirely (an object store's
-    multipart upload buffers server-side), so crashed writers strand
-    nothing in the log and ``sweep_stray`` is a true no-op."""
+    """Object-store shaped: the CLIENT protocol is read / list /
+    delete / conditional-put ONLY — no rename, no link, no
+    read-modify-write. The server-side atomic conditional put (which
+    S3 ``If-None-Match`` / GCS ``ifGenerationMatch=0`` / a catalog
+    unique-key insert provide natively) is simulated locally with the
+    strongest local primitive available — write to a staging sibling
+    on the SAME filesystem, then an exclusive hard link to the final
+    name — because the simulation must actually BE atomic + exclusive
+    + complete-or-absent, or the tests would prove nothing. (An
+    earlier mkdir-mutex simulation had a non-atomic stale-steal window
+    in which two writers could both 'win'; review caught it.) Nothing
+    in the *protocol* depends on the simulation's internals: the table
+    format's code path through this store never calls rename or link.
+    Staging bytes live OUTSIDE ``log_dir`` (an object store buffers
+    multipart uploads server-side), so the log itself never holds
+    partial objects; crashed writers strand bytes only in the staging
+    sibling, which ``sweep_stray`` reclaims."""
 
-    # how long one put may hold the simulated server-side mutex before
-    # a contender declares it dead (crash between mkdir and rmdir)
-    _MUTEX_STALE_SEC = 30.0
+    @staticmethod
+    def _staging(log_dir: str) -> str:
+        # a sibling of log_dir: same filesystem (os.link works, no
+        # EXDEV when the table lives off the TMPDIR mount), outside
+        # the log (list_entries never needs filtering)
+        return os.path.normpath(log_dir) + ".staging"
 
     def ensure_log(self, log_dir: str) -> None:
         os.makedirs(log_dir, exist_ok=True)
@@ -168,53 +181,41 @@ class ConditionalPutLogStore(LogStore):
 
     def put_if_absent(self, log_dir: str, name: str, payload: str) -> None:
         final = os.path.join(log_dir, name)
-        mutex = os.path.join(log_dir, f".putlock-{name}")
-        deadline = time.time() + self._MUTEX_STALE_SEC
-        while True:
-            try:
-                os.mkdir(mutex)  # the simulated server-side atomicity
-                break
-            except FileExistsError:
-                try:
-                    held = time.time() - os.path.getmtime(mutex)
-                except FileNotFoundError:
-                    continue  # holder just released; retry immediately
-                if held >= self._MUTEX_STALE_SEC:
-                    # holder crashed mid-put; steal the lock
-                    try:
-                        os.rmdir(mutex)
-                    except FileNotFoundError:
-                        pass
-                    continue
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        f"conditional put of {name} could not acquire "
-                        f"the store mutex within {self._MUTEX_STALE_SEC}s"
-                    )
-                time.sleep(0.005)
+        staging = self._staging(log_dir)
+        os.makedirs(staging, exist_ok=True)
+        tmp = os.path.join(staging, f"put-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            if os.path.exists(final):
-                raise LogEntryExistsError(name)
-            # write outside log_dir, publish complete-or-not-at-all:
-            # models the store materializing the object atomically
-            import tempfile
-
-            fd, tmp = tempfile.mkstemp(suffix=".json")
-            with os.fdopen(fd, "w") as fh:
-                fh.write(payload)
-                fh.flush()
-                os.fsync(fh.fileno())
-            os.replace(tmp, final)
+            os.link(tmp, final)  # the simulated server-side atomicity
+        except FileExistsError as exc:
+            raise LogEntryExistsError(name) from exc
         finally:
-            try:
-                os.rmdir(mutex)
-            except FileNotFoundError:
-                # a contender declared us stale and stole the mutex; a
-                # missing lock must not mask this put's real outcome
-                pass
+            os.unlink(tmp)
 
     def delete_entry(self, log_dir: str, name: str) -> None:
         os.remove(os.path.join(log_dir, name))
+
+    def sweep_stray(self, log_dir: str, min_age_sec: float) -> int:
+        """Reclaim aged staging files from crashed puts. The LOG never
+        holds strays (complete objects only); only the staging sibling
+        can accumulate them."""
+        staging = self._staging(log_dir)
+        if not os.path.isdir(staging):
+            return 0
+        now = time.time()
+        removed = 0
+        for f in os.listdir(staging):
+            full = os.path.join(staging, f)
+            try:
+                if now - os.path.getmtime(full) >= min_age_sec:
+                    os.remove(full)
+                    removed += 1
+            except FileNotFoundError:
+                pass  # a concurrent sweep got it first
+        return removed
 
 
 # ---------------------------------------------------------------- routing

@@ -127,12 +127,31 @@ def lint_plan(
     if "FlatMapCoGroupsInPandas" in r.text:
         import re as _re
 
-        blocks = {
-            int(b)
-            for b in _re.findall(
-                r"pmod\(xxhash64\([^)]*\),\s*(\d+)\)", r.text
-            )
-        }
+        def _pmod_block_counts(text: str) -> set[int]:
+            """Literal B from every ``pmod(xxhash64(<args>), B)`` in the
+            plan text. The hash args may themselves contain parentheses
+            (casts, NaN-normalization wrappers), so a balanced scan
+            finds xxhash64's closing paren — a ``[^)]*`` regex would
+            stop at the first inner close-paren and silently disable
+            the lint for exactly the wrapped-key plans."""
+            out: set[int] = set()
+            needle = "pmod(xxhash64("
+            i = text.find(needle)
+            while i >= 0:
+                k, depth = i + len(needle), 1
+                while k < len(text) and depth:
+                    if text[k] == "(":
+                        depth += 1
+                    elif text[k] == ")":
+                        depth -= 1
+                    k += 1
+                m = _re.match(r",\s*(\d+)\)", text[k:])
+                if m:
+                    out.add(int(m.group(1)))
+                i = text.find(needle, k)
+            return out
+
+        blocks = _pmod_block_counts(r.text)
         over = [b for b in blocks if b * (b + 1) // 2 > max_cogroup_grid]
         if over:
             b = max(over)

@@ -221,14 +221,25 @@ def _prebuilt_table(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
     queries/corpus._index_path)."""
     import os
 
+    import shutil
+    import uuid
+
     tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
     app = spark.sparkContext.applicationId
     path = f"/tmp/vss-benchtable/{app}-{tag}/{kind}"
-    marker = os.path.join(path, "_BUILT")
-    if not os.path.exists(marker):
-        build(path)
-        with open(marker, "w") as fh:
-            fh.write("ok")
+    # build into a private staging dir and RENAME into place: a build
+    # that dies halfway (interrupted optimize, OOM) must not wedge the
+    # (app, sf) slot — retrying create_table against a half-built table
+    # would raise VersionConflictError forever. The rename is atomic;
+    # a concurrent builder losing the rename race just discards its
+    # staging copy and reads the winner's.
+    if not os.path.exists(path):
+        stage = f"{path}.building-{uuid.uuid4().hex}"
+        build(stage)
+        try:
+            os.rename(stage, path)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)  # another won
     return path
 
 
