@@ -637,3 +637,46 @@ def winnowing_fingerprints(
         .distinct()
     )
     return sel
+
+
+# -- PII detection / redaction ---------------------------------------------
+
+# Patterns kept inside the RE2 ∩ Java-regex common subset (no
+# lookaround, no backreferences) so the SAME literal string behaves
+# identically in Spark's codegen'd regexp_* (java.util.regex) and in a
+# DuckDB oracle (RE2) — the property the x220 hash-parity check pins.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}[-.]\d{3}[-.]\d{4}",
+    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+}
+
+# redaction ORDER is part of the contract: emails first (an email can
+# contain digit runs a later pattern might clip), then phones, then
+# IPs — appliers and oracles must agree or redacted bytes diverge.
+PII_ORDER = ("email", "phone", "ipv4")
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Per-row PII counts + redacted text, entirely in codegen'd JVM
+    expressions (regexp_count / regexp_replace — no Python in the hot
+    path; at 100 TB this runs at scan speed). Appends one
+    ``n_<kind>`` count column per pattern and ``out_col`` with each
+    match replaced by ``<KIND>`` in :data:`PII_ORDER`.
+
+    Deliberately pattern-simple: production PII scrubbing layers
+    validation (TLD lists, phone libs) on top, but the *pipeline
+    shape* — count, redact, audit — is exactly this, and the counts
+    feed the same curation funnels as the quality scores."""
+    out = df
+    red = F.col(text_col)
+    for kind in PII_ORDER:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}",
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("int"),
+        )
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return out.withColumn(out_col, red)

@@ -495,3 +495,93 @@ def x219_zorder_2d_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_price"),
         )
     )
+
+
+# x220 — PII SCRUB AUDIT: the redaction pass every training-data
+# pipeline runs before anything ships. The corpus carries no PII by
+# construction, so each doc gets a DETERMINISTIC synthetic contact
+# line derived from doc_id (same construction stated in both engines —
+# the point under test is the regex machinery, not the generator):
+# every 3rd doc an email, every 5th a phone, every 7th an IPv4. Counts
+# come from regexp_count and the redacted text from sequential
+# regexp_replace in a FIXED order (operators/text.PII_ORDER); the
+# byte-exact hash compare of `redacted` pins that the same pattern
+# means the same thing in Java regex (Spark codegen) and RE2 (DuckDB)
+# — the cross-engine subset discipline PII_PATTERNS documents. Scale:
+# pure codegen expressions, runs at scan speed, no shuffle until the
+# final order-insensitive hash.
+@query(
+    "x220_pii_scrub_audit",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+        concat(
+          substr(text, 1, 40),
+          CASE WHEN doc_id % 3 = 0
+            THEN concat(' mail user', CAST(doc_id AS VARCHAR), '@example.com')
+            ELSE '' END,
+          CASE WHEN doc_id % 5 = 0
+            THEN concat(' call 555-01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), '-',
+                        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+            ELSE '' END,
+          CASE WHEN doc_id % 7 = 0
+            THEN concat(' host 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7')
+            ELSE '' END
+        ) AS text
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+      CAST(len(regexp_extract_all(text,
+        '\\d{3}[-.]\\d{3}[-.]\\d{4}')) AS INT) AS n_phone,
+      CAST(len(regexp_extract_all(text,
+        '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS INT) AS n_ipv4,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\\d{3}[-.]\\d{3}[-.]\\d{4}', '<PHONE>', 'g'),
+        '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IPV4>', 'g') AS redacted
+    FROM seeded
+    """,
+)
+def x220_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.text import pii_scrub
+
+    docs = table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" mail user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-01"),
+                    F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                    F.lit("-"),
+                    F.lpad(
+                        (F.col("doc_id") % 10000).cast("string"), 4, "0"
+                    ),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(seeded).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "redacted"
+    )
