@@ -2763,3 +2763,93 @@ def test_streaming_cdf_through_conditional_put_store(spark, tmp_path):
         ) == [k for k in range(25) if k != 3] + [99]
     finally:
         unregister_log_store(str(tmp_path))
+
+
+def test_streaming_cdf_bigint_nulls_stay_exact(spark, tmp_path):
+    """An int64 column carrying BOTH a >2^53 value and a NULL in the
+    same file must round-trip the feed bit-exactly: without a pyarrow
+    types_mapper the null forces a float64 detour that corrupts the
+    huge value before the nullable-Int64 cast can run (review r8)."""
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    big = 10**18 + 7  # unrepresentable in float64
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(1, big), (2, None), (3, big + 13)], "k bigint, val bigint"
+    )
+    create_table(base, path, ["k"], n_buckets=2)
+    register_cdf_source(spark)
+    q = (
+        spark.readStream.format("table_cdf")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, 120, "cdf_bigint_nulls")
+    got = {
+        r["k"]: r["val"] for r in spark.read.parquet(out).collect()
+    }
+    assert got == {1: big, 2: None, 3: big + 13}
+
+
+def test_streaming_cdf_timestamps_are_instants_in_any_session_tz(
+    spark, tmp_path
+):
+    """Feed timestamps must be INSTANTS: a consumer session running in
+    a non-UTC timezone must read the same unix micros the batch reader
+    does. The runner now stamps UTC on the naive wall times pyarrow
+    reads from Spark's INT96 files, so the instant no longer depends on
+    the data-source runner PROCESS timezone (review r8; on this UTC box
+    the old naive path is environment-masked, which is exactly why the
+    dependency had to go — correctness by construction, not by deploy
+    environment). This test pins the non-UTC-session contract."""
+    import datetime as dt
+
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    ts = dt.datetime(2024, 6, 1, 10, 0, 0, tzinfo=dt.timezone.utc)
+    base = spark.createDataFrame(
+        [(1, ts), (2, ts + dt.timedelta(hours=3))], "k bigint, ts timestamp"
+    )
+    create_table(base, path, ["k"], n_buckets=2)
+    register_cdf_source(spark)
+    want = {
+        r["k"]: r["us"]
+        for r in read_table(spark, path)
+        .select("k", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        q = (
+            spark.readStream.format("table_cdf")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 120, "cdf_tz_instants")
+        got = {
+            r["k"]: r["us"]
+            for r in spark.read.parquet(out)
+            .select("k", F.unix_micros("ts").alias("us"))
+            .collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert got == want

@@ -313,28 +313,44 @@ def _commit_blooms(
 
     df = spark.read.parquet(full)
     have = set(df.columns)
-    out: dict = {}
-    for col in cols:
-        if col not in have:
-            continue
-        h = df.where(F.col(col).isNotNull()).select(
-            F.col(BUCKET_COL).alias("pb"),
-            F.xxhash64(F.col(col)).alias("h1"),
-            F.xxhash64(F.col(col), F.lit(1)).alias("h2"),
-        )
+    present = [c for c in cols if c in have]
+    if not present:
+        return {}
+    # ONE scan for ALL bloom columns (review r8: the per-column loop
+    # re-read the whole commit once per column — 3 bloom columns meant
+    # 3 full commit reads on every merge/optimize/rebucket). Each
+    # column contributes its two hash streams plus a null flag (null
+    # rows must set no bits, and xxhash64(NULL) is a real value — the
+    # seed hash — so the flag, not the hash, carries nullness).
+    sel = [F.col(BUCKET_COL).alias("pb")]
+    for i, c in enumerate(present):
+        sel.append(F.xxhash64(F.col(c)).alias(f"h1_{i}"))
+        sel.append(F.xxhash64(F.col(c), F.lit(1)).alias(f"h2_{i}"))
+        sel.append(F.col(c).isNull().alias(f"nl_{i}"))
+    h = df.select(*sel)
+    n_cols = len(present)
 
-        def partial(batches):
-            import numpy as _np
-            import pandas as _pd
+    def partial(batches):
+        import numpy as _np
+        import pandas as _pd
 
-            acc: dict[int, _np.ndarray] = {}
-            for pdf in batches:
-                for pb, g in pdf.groupby("pb"):
+        acc: dict[tuple[int, int], _np.ndarray] = {}
+        for pdf in batches:
+            for pb, g in pdf.groupby("pb"):
+                for ci in range(n_cols):
+                    ok = ~g[f"nl_{ci}"].to_numpy(bool)
+                    if not ok.any():
+                        continue
                     bits = acc.setdefault(
-                        int(pb), _np.zeros(m // 8, dtype=_np.uint8)
+                        (int(pb), ci),
+                        _np.zeros(m // 8, dtype=_np.uint8),
                     )
-                    h1 = g["h1"].to_numpy(_np.int64).view(_np.uint64)
-                    h2 = g["h2"].to_numpy(_np.int64).view(_np.uint64)
+                    h1 = (
+                        g[f"h1_{ci}"].to_numpy(_np.int64)[ok].view(_np.uint64)
+                    )
+                    h2 = (
+                        g[f"h2_{ci}"].to_numpy(_np.int64)[ok].view(_np.uint64)
+                    )
                     for i in range(k):
                         pos = (h1 + _np.uint64(i) * h2) % _np.uint64(m)
                         _np.bitwise_or.at(
@@ -342,24 +358,29 @@ def _commit_blooms(
                             (pos // 8).astype(_np.int64),
                             (1 << (pos % 8)).astype(_np.uint8),
                         )
-            yield _pd.DataFrame(
-                {
-                    "pb": list(acc),
-                    "bloom": [a.tobytes() for a in acc.values()],
-                }
-            )
+        yield _pd.DataFrame(
+            {
+                "pb": [pb for pb, _ in acc],
+                "ci": [ci for _, ci in acc],
+                "bloom": [a.tobytes() for a in acc.values()],
+            }
+        )
 
-        for r in h.mapInPandas(partial, "pb int, bloom binary").collect():
-            cur = out.setdefault(str(r["pb"]), {})
-            if col in cur:
-                import numpy as np_
+    out: dict = {}
+    for r in h.mapInPandas(
+        partial, "pb int, ci int, bloom binary"
+    ).collect():
+        col = present[r["ci"]]
+        cur = out.setdefault(str(r["pb"]), {})
+        if col in cur:
+            import numpy as np_
 
-                a = np_.frombuffer(
-                    base64.b64decode(cur[col]), dtype=np_.uint8
-                ) | np_.frombuffer(r["bloom"], dtype=np_.uint8)
-                cur[col] = base64.b64encode(a.tobytes()).decode()
-            else:
-                cur[col] = base64.b64encode(r["bloom"]).decode()
+            a = np_.frombuffer(
+                base64.b64decode(cur[col]), dtype=np_.uint8
+            ) | np_.frombuffer(r["bloom"], dtype=np_.uint8)
+            cur[col] = base64.b64encode(a.tobytes()).decode()
+        else:
+            cur[col] = base64.b64encode(r["bloom"]).decode()
     return out
 
 
@@ -421,6 +442,14 @@ def create_table(
     buckets the bloom proves value-free — the unclustered-column
     complement to the min/max zone maps. Table-level property, fixed at
     creation like the key layout."""
+    if BUCKET_COL in df.columns:
+        # _bucketed would silently overwrite the user's values with the
+        # bucket hash and the partition write would then CONSUME the
+        # column (reads null-fill it forever) — refuse loudly instead
+        raise ValueError(
+            f"column name {BUCKET_COL!r} is reserved for the table's "
+            "bucket routing; rename it before create_table"
+        )
     log_store_for(path).ensure_log(_manifest_dir(path))
     rel, present, stats, file_stats = _write_commit_data(
         df, path, key_cols, n_buckets
@@ -493,6 +522,30 @@ def _read_buckets(
     return _minus_tombstones(spark, path, doc, bucket_ids, out)
 
 
+def _parquet_bytes(dirs: list[str]) -> int:
+    return sum(
+        os.path.getsize(os.path.join(d, f))
+        for d in dirs
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+
+
+def _dead_key_side(spark: SparkSession, dirs: list[str], key_cols):
+    """Tombstone-key build side for the readers' anti/semi joins: one
+    multi-dir scan, broadcast-hinted iff the on-disk bytes sit under
+    the gate. Shared by the snapshot reads AND the batch change feed so
+    the gate cannot drift between them (review r8). NO distinct: anti/
+    semi joins are duplicate-insensitive on this side, and a distinct's
+    hashpartitioning Exchange gets REPLICATED per union branch when
+    Catalyst pushes the join below the bucket union
+    (PushdownLeftSemiAntiJoin) — measured 8 extra Exchanges once."""
+    dead = spark.read.parquet(*dirs).select(*key_cols)
+    if _parquet_bytes(dirs) <= _TOMBSTONE_BROADCAST_MAX_BYTES:
+        dead = F.broadcast(dead)
+    return dead
+
+
 def _minus_tombstones(
     spark: SparkSession, path: str, doc: dict, bucket_ids, df: DataFrame
 ) -> DataFrame:
@@ -518,12 +571,7 @@ def _minus_tombstones(
     if not dirs:
         return df
     key_cols = doc["key_cols"]
-    on_disk = sum(
-        os.path.getsize(os.path.join(d, f))
-        for d in dirs
-        for f in os.listdir(d)
-        if f.endswith(".parquet")
-    )
+    on_disk = _parquet_bytes(dirs)
     # TINY delete sets (the common retention/GDPR case) fold into the
     # scan as a NOT-isin predicate instead of a join: Catalyst compiles
     # a large IN to an InSet hash probe inside whole-stage codegen, so
@@ -561,15 +609,9 @@ def _minus_tombstones(
                 return df
             c = F.col(key_cols[0])
             return df.where(c.isNull() | ~c.isin(keys))
-    # NO distinct: a left-anti join is duplicate-insensitive on its
-    # build side, and the distinct's hashpartitioning Exchange would be
-    # REPLICATED per union branch when Catalyst pushes the anti-join
-    # below the bucket union (PushdownLeftSemiAntiJoin) — measured 8
-    # shuffle exchanges on an 8-bucket read for zero semantic gain
-    dead = spark.read.parquet(*dirs).select(*key_cols)
-    if on_disk <= _TOMBSTONE_BROADCAST_MAX_BYTES:
-        dead = F.broadcast(dead)
-    return df.join(dead, key_cols, "left_anti")
+    return df.join(
+        _dead_key_side(spark, dirs, key_cols), key_cols, "left_anti"
+    )
 
 
 def read_table(
@@ -765,6 +807,13 @@ def read_table_where(
                 # times
                 return F.lit(x).cast("timestamp_ntz")
             if is_ts:
+                if isinstance(x, int):
+                    # an integer timestamp bound is unix MICROS — the
+                    # same unit the prune space resolved it as; running
+                    # it through to_timestamp would read SECONDS and
+                    # the residual filter would disagree with the skip
+                    # decision by a factor of 10^6 (review r8)
+                    return F.timestamp_micros(F.lit(x)).cast(field_type)
                 # same literal semantics as the prune-space resolution
                 return F.to_timestamp(F.lit(x)).cast(field_type)
             return F.lit(bound(x))
@@ -952,18 +1001,7 @@ def table_changes(
         eff_a = _read_buckets(
             spark, path, doc_a, tomb_only, target_schema=target
         )
-        # no distinct: semi joins are duplicate-insensitive (see
-        # _minus_tombstones — the distinct's Exchange replicates when
-        # the join is pushed below the bucket union)
-        dead = spark.read.parquet(*delta_dirs).select(*key_cols)
-        on_disk = sum(
-            os.path.getsize(os.path.join(d, f))
-            for d in delta_dirs
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
-        )
-        if on_disk <= _TOMBSTONE_BROADCAST_MAX_BYTES:
-            dead = F.broadcast(dead)
+        dead = _dead_key_side(spark, delta_dirs, key_cols)
         deletes = eff_a.join(dead, key_cols, "semi").select(
             *key_cols,
             *[F.col(c) for c in val_cols],
@@ -1373,6 +1411,10 @@ def optimize_table(
         from video_streamer_spark.operators.layout import zorder_value
 
         ca, cb = zorder_by
+        if "__z" in snap.columns:
+            raise ValueError(
+                "column name '__z' is reserved for the z-order rewrite"
+            )
         mm = snap.agg(
             F.min(ca).alias("__amin"), F.max(ca).alias("__amax"),
             F.min(cb).alias("__bmin"), F.max(cb).alias("__bmax"),

@@ -40,6 +40,7 @@ change capture at all — its sink writes once at EOS
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import sys
@@ -157,11 +158,44 @@ def _converter(dt):
         return lambda v: bool(v)
     if s == "binary":
         return lambda v: bytes(v)
-    if s in ("date", "timestamp", "timestamp_ntz"):
+    if s == "timestamp":
+        # an INSTANT column: Spark writes the UTC micros, but pyarrow
+        # reads the (INT96) value as a NAIVE wall time, and a naive
+        # datetime crossing the DataSource boundary is reinterpreted
+        # in the CONSUMER session's timezone — every instant would
+        # shift by the session offset for any non-UTC consumer (review
+        # r8). Stamp UTC on naive values; already-aware values (int64
+        # isAdjustedToUTC files) pass through.
+        def _to_utc_instant(v):
+            v = v.to_pydatetime() if hasattr(v, "to_pydatetime") else v
+            if isinstance(v, datetime.datetime) and v.tzinfo is None:
+                return v.replace(tzinfo=datetime.timezone.utc)
+            return v
+
+        return _to_utc_instant
+    if s in ("date", "timestamp_ntz"):
+        # wall-clock types: naive is CORRECT (no instant to preserve)
         return lambda v: v.to_pydatetime() if hasattr(v, "to_pydatetime") else v
     raise NotImplementedError(
         f"table_cdf supports atomic columns; got {s}"
     )
+
+
+def _arrow_types_mapper(t):
+    """pyarrow→pandas dtype mapper: integral columns land DIRECTLY in
+    nullable Int* dtypes. Without it, an int64 column that carries any
+    null detours through float64 BEFORE the later Int64 cast can run,
+    and values past 2^53 come back corrupted (verified off-by-7 at
+    10^18) — violating this module's exact-integers guarantee."""
+    import pandas as pd
+    import pyarrow as pa
+
+    return {
+        pa.int8(): pd.Int8Dtype(),
+        pa.int16(): pd.Int16Dtype(),
+        pa.int32(): pd.Int32Dtype(),
+        pa.int64(): pd.Int64Dtype(),
+    }.get(t)
 
 
 class _CdfPartition(InputPartition):
@@ -343,7 +377,12 @@ class _CdfStreamReader(DataSourceStreamReader):
         def load(dirs, tomb_dirs):
             frames = []
             for d in dirs:
-                df = pq.read_table(d).to_pandas()
+                # types_mapper: integral columns land directly in
+                # nullable Int* — never the lossy float64 detour a
+                # null-bearing int64 column would otherwise take
+                df = pq.read_table(d).to_pandas(
+                    types_mapper=_arrow_types_mapper
+                )
                 for c in names:  # null-backfill pre-evolution files
                     if c not in df.columns:
                         df[c] = None
@@ -353,22 +392,27 @@ class _CdfStreamReader(DataSourceStreamReader):
                 if frames
                 else pd.DataFrame(columns=names)
             )
-            # nullable Int64 so the outer merge cannot upcast integral
-            # columns to float64 — beyond 2^53 that round-trip is LOSSY
-            # (a bigint id near 10^18 would come back off by ~hundreds)
+            # nullable Int64 for backfilled (object-dtype) columns too,
+            # so the outer merge keeps integral semantics end to end
             for c in int_cols:
                 df[c] = df[c].astype("Int64")
             if tomb_dirs and len(df):
                 # merge-on-read deletes: this side's effective rows are
                 # its dirs minus its manifest's tombstoned keys (same
-                # anti-join the batch readers apply)
+                # anti-join the batch readers apply). dropna on the
+                # dead keys: pandas merges MATCH NA==NA where Spark's
+                # equality never does — a null tombstone key must kill
+                # nothing and a null-keyed data row must survive, like
+                # the batch anti-join (review r8)
                 dead = pd.concat(
                     [
-                        pq.read_table(d).to_pandas()[key_cols]
+                        pq.read_table(d).to_pandas(
+                            types_mapper=_arrow_types_mapper
+                        )[key_cols]
                         for d in tomb_dirs
                     ],
                     ignore_index=True,
-                ).drop_duplicates()
+                ).drop_duplicates().dropna(subset=key_cols)
                 for c in key_cols:
                     if c in int_cols:
                         dead[c] = dead[c].astype("Int64")
@@ -400,9 +444,14 @@ class _CdfStreamReader(DataSourceStreamReader):
             if not delta or not len(eff):
                 return
             dead = pd.concat(
-                [pq.read_table(d).to_pandas()[key_cols] for d in delta],
+                [
+                    pq.read_table(d).to_pandas(
+                        types_mapper=_arrow_types_mapper
+                    )[key_cols]
+                    for d in delta
+                ],
                 ignore_index=True,
-            ).drop_duplicates()
+            ).drop_duplicates().dropna(subset=key_cols)
             for c in key_cols:
                 if c in int_cols:
                     dead[c] = dead[c].astype("Int64")
@@ -432,8 +481,23 @@ class _CdfStreamReader(DataSourceStreamReader):
             )
             return
 
-        merged = load(partition.old_dirs, partition.old_tombs).merge(
-            load(partition.new_dirs, partition.new_tombs),
+        old_side = load(partition.old_dirs, partition.old_tombs)
+        new_side = load(partition.new_dirs, partition.new_tombs)
+        # NA-keyed rows never pair in Spark's full-outer equality (the
+        # batch table_changes semantics), but pandas merges MATCH
+        # NA==NA — split them out and emit them one-sided (old = a
+        # delete, new = an insert) so stream and batch agree on
+        # null-keyed rows (review r8)
+        if len(old_side):
+            na_o = old_side[key_cols].isna().any(axis=1)
+            yield from emit_frame(old_side[na_o], names, "delete")
+            old_side = old_side[~na_o]
+        if len(new_side):
+            na_n = new_side[key_cols].isna().any(axis=1)
+            yield from emit_frame(new_side[na_n], names, "insert")
+            new_side = new_side[~na_n]
+        merged = old_side.merge(
+            new_side,
             on=key_cols,
             how="outer",
             suffixes=("_o", "_n"),
