@@ -585,3 +585,48 @@ def x220_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(seeded).select(
         "doc_id", "n_email", "n_phone", "n_ipv4", "redacted"
     )
+
+
+# x221 — SALTED SKEW JOIN UNDER THE ORACLE: operators/skew.salted_join
+# finally earns a driver row (x135 covers salted AGGREGATION; the join
+# half had only the bench_skew harness). 150 users own 10k events —
+# the hot-key shape where a plain shuffle join serializes a key onto
+# one task; the salted form spreads each key over n_salts tasks by
+# replicating the (small) customer build side once per salt. The
+# oracle states the PLAIN join + aggregate, so the driver's hash check
+# certifies the salted plan is semantically invisible — the property
+# that makes it safe to reach for at 100 TB when AQE can't re-plan
+# (streaming joins, broadcast-ineligible build sides).
+@query(
+    "x221_salted_skew_join",
+    oracle="""
+    SELECT c.c_nationkey AS nation,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(floor(e.value * 100.0) AS BIGINT)) AS DOUBLE)
+        / 100.0 AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY nation
+    """,
+)
+def x221_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.skew import salted_join
+
+    events = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("bigint").alias("user_id"), "value"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    joined = salted_join(events, cust, ["user_id"], n_salts=8)
+    return joined.groupBy(
+        F.col("c_nationkey").alias("nation")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (
+            F.sum(F.floor(F.col("value") * 100.0).cast("bigint")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("total_value"),
+    )
