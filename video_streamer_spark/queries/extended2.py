@@ -1,7 +1,9 @@
-"""Round-7 late extension queries (x213+): perceptual image-hash
-near-duplicate detection over decoded pixels, bloom-filter data
-skipping on the versioned table, and token-balanced shard export
-planning — each scale-shaped and DuckDB-oracle checked under the same
+"""Late extension queries (x213+, rounds 7-8): perceptual image-hash
+near-dup over decoded pixels; the versioned table's bloom skipping,
+tombstone reads, prebuilt zone-map/Z-order reads; the LSH near-pair
+scale path under its own oracle; PII scrubbing with byte-exact
+redaction parity; and the salted skew join certified semantically
+invisible — each scale-shaped and DuckDB-oracle checked under the same
 exact-integer parity discipline as the rest of the registry.
 """
 
