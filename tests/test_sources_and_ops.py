@@ -2802,3 +2802,65 @@ def test_motion_estimation_survives_perturbation(spark):
     r = video.estimate_global_motion(df).collect()[0]
     assert (r["mv_dx_blocks"], r["mv_dy_blocks"]) == (-2, 1)
     assert r["sad_min"] > 0
+
+
+def test_pii_patterns_match_their_seeds():
+    """Every PII_PATTERNS entry must match the shape x220 seeds for it
+    (r8 shipped a 3-4-4 phone seed against a 3-3-4 pattern, so the
+    <PHONE> path was silently green-but-unexercised — ADVICE r9). The
+    patterns live in the Java∩RE2 subset, where Python `re` agrees."""
+    import re
+
+    from video_streamer_spark.operators.text import PII_PATTERNS
+
+    seeds = {
+        "email": "user123@example.com",      # doc_id % 3 seed
+        "phone": "555-042-0042",             # doc_id % 5 seed (3-3-4)
+        "ipv4": "10.0.42.7",                 # doc_id % 7 seed
+    }
+    assert set(seeds) == set(PII_PATTERNS)
+    for kind, seed in seeds.items():
+        m = re.search(PII_PATTERNS[kind], seed)
+        assert m is not None, f"{kind} pattern must match its seed {seed!r}"
+        assert m.group(0) == seed, (
+            f"{kind} pattern must consume the whole seed, "
+            f"got {m.group(0)!r} from {seed!r}"
+        )
+
+
+def test_pii_scrub_counts_match_redactions(spark):
+    """n_<kind> counts are staged on the progressively-redacted text,
+    so each count equals the number of <KIND> tokens actually emitted:
+    a phone-shaped digit run INSIDE an email is redacted as part of
+    the email and must not inflate n_phone (ADVICE r9)."""
+    import pandas as pd
+
+    from video_streamer_spark.operators.text import pii_scrub
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a@b.co then 555-123-4567 at 1.2.3.4",
+                # phone-shaped run inside the email local part:
+                # counted on raw text, but the email redaction
+                # swallows it — staged n_phone must be 0.
+                "reach 999-555-1234@mail.example.com ok",
+                # ipv4-shaped run inside the email domain.
+                "u@1.2.3.4.com trailing",
+            ],
+        }
+    )
+    got = {
+        r["doc_id"]: r
+        for r in pii_scrub(spark.createDataFrame(rows)).collect()
+    }
+    r1 = got[1]
+    assert (r1["n_email"], r1["n_phone"], r1["n_ipv4"]) == (1, 1, 1)
+    assert r1["redacted"] == "<EMAIL> then <PHONE> at <IPV4>"
+    r2 = got[2]
+    assert (r2["n_email"], r2["n_phone"], r2["n_ipv4"]) == (1, 0, 0)
+    assert r2["redacted"] == "reach <EMAIL> ok"
+    r3 = got[3]
+    assert (r3["n_email"], r3["n_ipv4"]) == (1, 0)
+    assert r3["redacted"] == "<EMAIL> trailing"

@@ -669,14 +669,21 @@ def pii_scrub(
     Deliberately pattern-simple: production PII scrubbing layers
     validation (TLD lists, phone libs) on top, but the *pipeline
     shape* — count, redact, audit — is exactly this, and the counts
-    feed the same curation funnels as the quality scores."""
+    feed the same curation funnels as the quality scores.
+
+    Each ``n_<kind>`` is counted on the PROGRESSIVELY-REDACTED text
+    (after the earlier patterns in :data:`PII_ORDER` have been
+    replaced), so the counts are exactly the number of ``<KIND>``
+    tokens that pattern emitted into ``out_col`` — a digit run inside
+    an already-redacted email is neither counted nor re-redacted.
+    Oracles must stage their counts the same way."""
     out = df
     red = F.col(text_col)
     for kind in PII_ORDER:
         pat = PII_PATTERNS[kind]
         out = out.withColumn(
             f"n_{kind}",
-            F.regexp_count(F.col(text_col), F.lit(pat)).cast("int"),
+            F.regexp_count(red, F.lit(pat)).cast("int"),
         )
         red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
     return out.withColumn(out_col, red)

@@ -504,9 +504,13 @@ def x219_zorder_2d_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # construction, so each doc gets a DETERMINISTIC synthetic contact
 # line derived from doc_id (same construction stated in both engines —
 # the point under test is the regex machinery, not the generator):
-# every 3rd doc an email, every 5th a phone, every 7th an IPv4. Counts
-# come from regexp_count and the redacted text from sequential
-# regexp_replace in a FIXED order (operators/text.PII_ORDER); the
+# every 3rd doc an email, every 5th a phone (3-3-4, the shape
+# PII_PATTERNS['phone'] requires — r8 shipped a 3-4-4 seed that never
+# matched, so the <PHONE> path was silently unexercised; ADVICE r9),
+# every 7th an IPv4. Counts come from regexp_count ON THE
+# PROGRESSIVELY-REDACTED text and the redacted text from sequential
+# regexp_replace in a FIXED order (operators/text.PII_ORDER), so each
+# n_<kind> equals the number of <KIND> tokens in the output; the
 # byte-exact hash compare of `redacted` pins that the same pattern
 # means the same thing in Java regex (Spark codegen) and RE2 (DuckDB)
 # — the cross-engine subset discipline PII_PATTERNS documents. Scale:
@@ -523,28 +527,35 @@ def x219_zorder_2d_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             THEN concat(' mail user', CAST(doc_id AS VARCHAR), '@example.com')
             ELSE '' END,
           CASE WHEN doc_id % 5 = 0
-            THEN concat(' call 555-01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), '-',
+            THEN concat(' call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
                         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
             ELSE '' END,
           CASE WHEN doc_id % 7 = 0
             THEN concat(' host 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7')
             ELSE '' END
         ) AS text
-      FROM documents)
+      FROM documents),
+    s1 AS (
+      SELECT doc_id, text,
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+          '<EMAIL>', 'g') AS t1
+      FROM seeded),
+    s2 AS (
+      SELECT doc_id, text, t1,
+        regexp_replace(t1, '\\d{3}[-.]\\d{3}[-.]\\d{4}',
+          '<PHONE>', 'g') AS t2
+      FROM s1)
     SELECT doc_id,
       CAST(len(regexp_extract_all(text,
         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
-      CAST(len(regexp_extract_all(text,
+      CAST(len(regexp_extract_all(t1,
         '\\d{3}[-.]\\d{3}[-.]\\d{4}')) AS INT) AS n_phone,
-      CAST(len(regexp_extract_all(text,
+      CAST(len(regexp_extract_all(t2,
         '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS INT) AS n_ipv4,
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(text,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-          '\\d{3}[-.]\\d{3}[-.]\\d{4}', '<PHONE>', 'g'),
+      regexp_replace(t2,
         '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IPV4>', 'g') AS redacted
-    FROM seeded
+    FROM s2
     """,
 )
 def x220_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,8 +577,8 @@ def x220_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.col("doc_id") % 5 == 0,
                 F.concat(
-                    F.lit(" call 555-01"),
-                    F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
                     F.lit("-"),
                     F.lpad(
                         (F.col("doc_id") % 10000).cast("string"), 4, "0"
