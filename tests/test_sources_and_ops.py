@@ -2864,3 +2864,63 @@ def test_pii_scrub_counts_match_redactions(spark):
     r3 = got[3]
     assert (r3["n_email"], r3["n_ipv4"]) == (1, 0)
     assert r3["redacted"] == "<EMAIL> trailing"
+
+
+def test_lifecycle_scratch_is_bounded_to_one_run(spark):
+    """x214/x215 build a fresh versioned table per invocation; the
+    round-8 VERDICT flagged that nothing deleted prior run dirs, so a
+    long-lived session leaked every historical table copy. Two
+    consecutive invocations must leave exactly ONE live run dir in the
+    (app, sf) slot, and a stale sibling app dir must be swept."""
+    import os
+    import time
+
+    from tests.conftest import SF_SMOKE
+    from video_streamer_spark.queries import QUERIES
+
+    app = spark.sparkContext.applicationId
+    tag = os.path.basename(SF_SMOKE)
+    for name, base in (
+        ("x214_bloom_pruned_lookup", "vss-bloom"),
+        ("x215_tombstone_delete_read", "vss-tomb"),
+    ):
+        root = f"/tmp/{base}"
+        # plant a dead-session dir, aged past the staleness horizon
+        stale = f"{root}/dead-app-{tag}"
+        os.makedirs(stale, exist_ok=True)
+        old = time.time() - 2 * 24 * 3600
+        os.utime(stale, (old, old))
+        for _ in range(2):
+            QUERIES[name](spark, SF_SMOKE).count()
+        slot = f"{root}/{app}-{tag}"
+        runs = sorted(os.listdir(slot))
+        assert len(runs) == 1, f"{name}: leaked run dirs {runs}"
+        assert not os.path.exists(stale), f"{name}: stale app dir not swept"
+
+
+def test_prebuilt_table_cleans_staging_on_failed_build(spark):
+    """A build(stage) that raises must not leak its .building-* staging
+    dir — a leaked half-built table wastes /tmp and confuses the next
+    reader of the slot listing (ADVICE r9)."""
+    import glob
+    import os
+
+    import pytest
+
+    from tests.conftest import SF_SMOKE
+    from video_streamer_spark.queries.extended2 import _prebuilt_table
+
+    app = spark.sparkContext.applicationId
+    tag = os.path.basename(SF_SMOKE)
+
+    def bad_build(stage: str) -> None:
+        os.makedirs(stage)
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        _prebuilt_table(spark, SF_SMOKE, "failkind-test", bad_build)
+    leaked = glob.glob(
+        f"/tmp/vss-benchtable/{app}-{tag}/failkind-test.building-*"
+    )
+    assert not leaked, f"staging dirs leaked: {leaked}"
+    assert not os.path.exists(f"/tmp/vss-benchtable/{app}-{tag}/failkind-test")

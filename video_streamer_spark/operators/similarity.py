@@ -684,6 +684,11 @@ def ivf_topk_pivots(
     )
 
 
+# Most-recent persisted LSH bucket table (bounded to 1): see the
+# eviction note inside embedding_near_pairs_lsh.
+_LSH_BUCKET_CACHE: list = []
+
+
 def embedding_near_pairs_lsh(
     embeddings: DataFrame,
     dim: int,
@@ -716,7 +721,19 @@ def embedding_near_pairs_lsh(
         n_tables,
         vec_col,
         fold_exact=fold_exact,
-    ).persist()  # both join sides read it; avoid recomputing the buckets
+    )
+    # Both join sides read the bucket table; persist so the plane dots
+    # compute once. The handle must outlive this call (the result is
+    # lazy), so the leak bound is session-wide: each call evicts the
+    # PREVIOUS call's cached buckets — a long-lived bench/driver loop
+    # holds at most one bucket table in executor storage (ADVICE r9).
+    while _LSH_BUCKET_CACHE:
+        try:
+            _LSH_BUCKET_CACHE.pop().unpersist()
+        except Exception:
+            pass  # session torn down between calls; nothing to evict
+    tagged = tagged.persist()
+    _LSH_BUCKET_CACHE.append(tagged)
     a = tagged.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("a_vec"),

