@@ -1,0 +1,407 @@
+"""Fault-injection for the LogStore commit protocol (round-8 VERDICT
+item 1). The OCC/crash/lifecycle tests prove the protocol correct when
+the store only ever tells the truth; these tests make the store LIE in
+the four ways real object stores do (``log_store.FaultyLogStore``):
+
+- a put fails before anything is durable,
+- a put fails AFTER the entry is durably published (lost 200 OK — the
+  ambiguous outcome that makes naive retry double-commit),
+- a listing omits the newest entry once (listing lag),
+- a read reports NotFound for an entry that exists (read raced a
+  delete / replication).
+
+Every test asserts BOTH that the end state matches a dict model exactly
+(no lost commit, no double-apply) AND that the scheduled faults really
+fired (``store.fired``), so nothing passes vacuously. Both underlying
+stores run: the POSIX hard-link store and the conditional-put store.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from video_streamer_spark.operators.log_store import (
+    ConditionalPutLogStore,
+    FaultInjected,
+    FaultyLogStore,
+    HardLinkLogStore,
+    register_log_store,
+    unregister_log_store,
+)
+from video_streamer_spark.operators.table_format import (
+    VersionConflictError,
+    _commit_manifest,
+    _read_manifest,
+    create_table,
+    current_version,
+    delete_keys,
+    history,
+    merge_table,
+    occ_retry,
+    optimize_table,
+    read_table,
+    rebucket_table,
+)
+
+
+@pytest.fixture(params=["posix", "condput"])
+def faulty(tmp_path, request):
+    inner = (
+        HardLinkLogStore()
+        if request.param == "posix"
+        else ConditionalPutLogStore()
+    )
+    store = FaultyLogStore(inner)
+    register_log_store(str(tmp_path), store)
+    try:
+        yield store, str(tmp_path / "t")
+    finally:
+        unregister_log_store(str(tmp_path))
+
+
+def _state(spark, path, version=None):
+    return {
+        r["k"]: r["v"]
+        for r in read_table(spark, path, version=version).collect()
+    }
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v double, __op string")
+
+
+def _base(spark, path):
+    rows = [(k, float(k * 10)) for k in range(0, 40, 2)]
+    create_table(
+        spark.createDataFrame(rows, "k bigint, v double"),
+        path,
+        ["k"],
+        n_buckets=4,
+    )
+    return dict(rows)
+
+
+def test_put_fail_before_publishes_nothing(spark, faulty):
+    store, path = faulty
+    model = _base(spark, path)
+    store.arm("put_fail_before")
+    with pytest.raises(FaultInjected):
+        merge_table(spark, path, _mk(spark, [(1, 1.0, "I")]))
+    assert ("put_fail_before", "v000000002.json") in store.fired
+    assert history(path) == [1], "failed put must publish nothing"
+    assert _state(spark, path) == model
+    # plain replay succeeds — a crashed commit left no wedge behind
+    merge_table(spark, path, _mk(spark, [(1, 1.0, "I")]))
+    model[1] = 1.0
+    assert _state(spark, path) == model
+    assert history(path) == [1, 2]
+
+
+def test_put_fail_after_durable_then_idempotent_replay(spark, faulty):
+    """The ambiguous outcome: the commit IS durable but the caller saw
+    an error. A replay with the same idempotency key must detect its
+    own commit in the manifest's txn log and no-op — applied exactly
+    once, exactly one new version."""
+    store, path = faulty
+    model = _base(spark, path)
+    store.arm("put_fail_after")
+    with pytest.raises(FaultInjected):
+        merge_table(
+            spark,
+            path,
+            _mk(spark, [(3, 33.0, "I"), (0, 0.5, "U")]),
+            idempotency_key="job:epoch-7",
+        )
+    assert ("put_fail_after", "v000000002.json") in store.fired
+    model.update({3: 33.0, 0: 0.5})
+    assert history(path) == [1, 2], "the payload was durable"
+    assert _state(spark, path) == model
+    # the retry the caller is contractually obliged to make:
+    got_v = merge_table(
+        spark,
+        path,
+        _mk(spark, [(3, 33.0, "I"), (0, 0.5, "U")]),
+        idempotency_key="job:epoch-7",
+    )
+    assert got_v == 2, "replay must recognize its own commit and no-op"
+    assert history(path) == [1, 2], "no duplicate version"
+    assert _state(spark, path) == model, "no double-apply"
+
+
+def test_commit_manifest_same_payload_retry_is_success(spark, faulty):
+    """Content-identity resolution at the commit point itself: retrying
+    the EXACT same manifest payload after an ambiguous failure is a
+    success (it was our durable put), while a different payload at the
+    same version is a genuine conflict."""
+    store, path = faulty
+    _base(spark, path)
+    doc = _read_manifest(path, 1)
+    doc["note"] = "retry-me"
+    _commit_manifest(path, 2, doc)
+    # identical retry: swallowed as our own durable put
+    _commit_manifest(path, 2, doc)
+    assert history(path) == [1, 2]
+    other = dict(doc)
+    other["note"] = "competitor"
+    with pytest.raises(VersionConflictError):
+        _commit_manifest(path, 2, other)
+
+
+def test_stale_list_conflict_retries_to_convergence(spark, faulty):
+    """A listing that omits the newest version makes the writer commit
+    from a stale base; the conditional put turns that into a
+    VersionConflictError (never a lost update), and occ_retry
+    converges on a fresh listing."""
+    store, path = faulty
+    model = _base(spark, path)
+    merge_table(spark, path, _mk(spark, [(5, 55.0, "I")]))
+    model[5] = 55.0
+    store.arm("stale_list")
+    occ_retry(
+        lambda: merge_table(spark, path, _mk(spark, [(7, 77.0, "I")])),
+        attempts=4,
+    )
+    model[7] = 77.0
+    assert any(kind == "stale_list" for kind, _ in store.fired)
+    assert _state(spark, path) == model
+    versions = history(path)
+    assert versions == list(range(1, len(versions) + 1)), (
+        "versions must stay contiguous — a gap is a phantom commit"
+    )
+
+
+def test_transient_read_not_found_is_absorbed(spark, faulty):
+    """A read that races a delete (NotFound for an entry the listing
+    shows) must be retried by _read_manifest, not surfaced; a version
+    that genuinely does not exist must still raise immediately."""
+    store, path = faulty
+    model = _base(spark, path)
+    store.arm("read_not_found")
+    assert _state(spark, path) == model  # absorbed, not raised
+    assert any(kind == "read_not_found" for kind, _ in store.fired)
+    with pytest.raises(FileNotFoundError):
+        _read_manifest(path, 99)  # a real phantom stays an error
+
+
+def test_lifecycle_model_survives_fault_storm(spark, faulty):
+    """The 12-step lifecycle model (merge / tombstone delete / optimize
+    / rebucket) with a fault armed before EVERY step, cycling through
+    all four classes. Callers retry the way production writers must
+    (same idempotency key for data ops); the end assertions are the
+    same as the fault-free model test: every recorded version reads
+    exactly the model state, versions are contiguous, and every
+    manifest in the log parses (no torn entry)."""
+    import random
+
+    store, path = faulty
+    rng = random.Random(0x5EED)
+    model = _base(spark, path)
+    checkpoints = [(1, dict(model))]
+    kinds = ["put_fail_before", "put_fail_after", "stale_list",
+             "read_not_found"]
+    keys = list(range(40))
+    n_buckets = 4
+
+    def converge(op):
+        for _ in range(8):
+            try:
+                return op()
+            except (FaultInjected, OSError):
+                continue
+            except VersionConflictError:
+                time.sleep(0.01)
+                continue
+        raise AssertionError("operation failed to converge under faults")
+
+    for step in range(12):
+        store.arm(kinds[step % len(kinds)])
+        roll = rng.random()
+        if roll < 0.45:
+            cs_rows = []
+            for k in rng.sample(keys, rng.randint(1, 6)):
+                op = rng.choice(["U", "I", "D"])
+                cs_rows.append((k, float(rng.randint(0, 999)), op))
+                if op == "D":
+                    model.pop(k, None)
+                else:
+                    model[k] = cs_rows[-1][1]
+            converge(
+                lambda rows=cs_rows, s=step: merge_table(
+                    spark,
+                    path,
+                    _mk(spark, rows),
+                    idempotency_key=f"storm:{s}",
+                    tombstone_pure_deletes=rng.random() < 0.5,
+                )
+            )
+        elif roll < 0.75:
+            dead = rng.sample(keys, rng.randint(1, 5)) + [999 + step]
+            converge(
+                lambda d=dead, s=step: delete_keys(
+                    spark,
+                    path,
+                    spark.createDataFrame([(k,) for k in d], "k bigint"),
+                    idempotency_key=f"storm-del:{s}",
+                )
+            )
+            for k in dead:
+                model.pop(k, None)
+        elif roll < 0.9:
+            # layout ops carry no changeset: an ambiguous-put retry may
+            # commit a second (equally valid) layout version
+            converge(lambda: optimize_table(spark, path, "v"))
+        else:
+            n_buckets = 8 if n_buckets == 4 else 4
+            converge(lambda n=n_buckets: rebucket_table(spark, path, n))
+        checkpoints.append((current_version(path), dict(model)))
+
+    assert len(store.fired) >= 10, (
+        f"the storm must actually fire: {store.fired}"
+    )
+    versions = history(path)
+    assert versions == list(range(1, len(versions) + 1)), (
+        "contiguous versions — no phantom, no gap"
+    )
+    for v in versions:
+        _read_manifest(path, v)  # parses completely — no torn entry
+    for v, want in checkpoints:
+        assert _state(spark, path, version=v) == want, (
+            f"version {v} diverged from the model under faults"
+        )
+
+
+def test_reader_never_observes_torn_or_phantom_version(spark, faulty):
+    """A reader polling (current_version → read) while a writer commits
+    through a lying store must only ever see exact committed prefix
+    states: version v is always the deterministic state after v-1
+    merges — never a blend, never a version that vanishes."""
+    store, path = faulty
+    create_table(
+        spark.createDataFrame([(0, 0.0)], "k bigint, v double"),
+        path,
+        ["k"],
+        n_buckets=2,
+    )
+    # deterministic expected state at every version: merge i inserts
+    # key i with value i*1.0
+    n_merges = 6
+    expected = {1: {0: 0.0}}
+    st = {0: 0.0}
+    for i in range(1, n_merges + 1):
+        st = dict(st)
+        st[i] = float(i)
+        expected[i + 1] = st
+
+    errors: list[str] = []
+    done = threading.Event()
+
+    def reader():
+        # The invariant is CONSISTENCY, not availability: a pocket of
+        # consecutive lies may exceed the protocol's bounded read
+        # retry and surface as a transient OSError — the reader polls
+        # again, exactly like a production reader. Only an
+        # inconsistent OBSERVATION (torn blend, phantom version) fails.
+        transients = 0
+        while not done.is_set():
+            try:
+                v = current_version(path)
+                got = _state(spark, path, version=v)
+            except (FaultInjected, OSError):
+                transients += 1
+                if transients > 50:
+                    errors.append("store wedged: 50 consecutive misses")
+                    return
+                time.sleep(0.01)
+                continue
+            transients = 0
+            if v not in expected or got != expected[v]:
+                errors.append(f"torn/unexpected state at v{v}: {got}")
+                return
+            time.sleep(0.02)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(1, n_merges + 1):
+            # storm the store around every commit
+            store.arm("stale_list")
+            store.arm("read_not_found")
+            if i % 2 == 0:
+                store.arm("put_fail_after")
+            else:
+                store.arm("put_fail_before")
+            for _ in range(6):
+                try:
+                    occ_retry(
+                        lambda i=i: merge_table(
+                            spark,
+                            path,
+                            _mk(spark, [(i, float(i), "I")]),
+                            idempotency_key=f"w:{i}",
+                        ),
+                        attempts=4,
+                    )
+                    break
+                except (FaultInjected, OSError):
+                    continue
+            else:
+                pytest.fail(f"merge {i} failed to converge")
+    finally:
+        done.set()
+        t.join(30)
+    assert not errors, errors
+    assert len(store.fired) >= n_merges, store.fired
+    assert _state(spark, path) == expected[n_merges + 1]
+    versions = history(path)
+    assert versions == list(range(1, n_merges + 2))
+
+
+def test_occ_liveness_eight_sustained_committers(spark, tmp_path):
+    """Safety tests prove one winner per version; this proves PROGRESS:
+    8 threads × 2 merges of disjoint key ranges all commit within a
+    bounded retry budget (occ_retry's jittered backoff de-synchronizes
+    the retry storm), and the final state is the exact union — no
+    starvation, no lost update (round-8 VERDICT item 6)."""
+    path = str(tmp_path / "t")
+    create_table(
+        spark.createDataFrame([(-1, 0.0)], "k bigint, v double"),
+        path,
+        ["k"],
+        n_buckets=4,
+    )
+    failures: list[str] = []
+
+    def worker(wid: int):
+        try:
+            for j in range(2):
+                base = 100 * wid + 10 * j
+                rows = [(base + r, float(base + r), "I") for r in range(3)]
+                occ_retry(
+                    lambda rows=rows: merge_table(spark, path, _mk(spark, rows)),
+                    attempts=12,
+                )
+        except Exception as exc:  # noqa: BLE001 — recorded for the assert
+            failures.append(f"worker {wid}: {exc!r}")
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert not failures, failures
+    want = {-1: 0.0}
+    for wid in range(8):
+        for j in range(2):
+            base = 100 * wid + 10 * j
+            for r in range(3):
+                want[base + r] = float(base + r)
+    got = {
+        r["k"]: r["v"] for r in read_table(spark, path).collect()
+    }
+    assert got == want
+    # 1 create + 16 merges, every one a distinct committed version
+    assert history(path) == list(range(1, 18))

@@ -218,6 +218,96 @@ class ConditionalPutLogStore(LogStore):
         return removed
 
 
+class FaultInjected(IOError):
+    """A :class:`FaultyLogStore`-scheduled fault. Subclasses IOError
+    deliberately: to a caller this is indistinguishable from any
+    transient store error (S3 500/503, dropped connection), which is
+    exactly how callers must treat it."""
+
+
+class FaultyLogStore(LogStore):
+    """Fault-injecting decorator over any :class:`LogStore` — the
+    object-store failure classes Delta's LogStore history documents
+    (round-8 VERDICT, What's missing 1). The wrapped store stays
+    correct; this wrapper makes the FAILURE REPORTING lie in the
+    specific ways real stores do:
+
+    - ``put_fail_before``: ``put_if_absent`` raises before anything is
+      durable (connection died mid-upload; the store discarded the
+      partial object server-side).
+    - ``put_fail_after``: the payload IS durably published, then the
+      call raises (the 200 OK was lost on the wire) — the ambiguous
+      outcome that makes naive retry double-commit and naive give-up
+      lose a commit.
+    - ``stale_list``: ``list_entries`` omits the single newest entry
+      once (eventual-consistency window / listing lag).
+    - ``read_not_found``: ``read_entry`` raises FileNotFoundError once
+      for an entry that exists (read raced replication or a delete).
+
+    Faults are armed by count via :meth:`arm` and consumed atomically
+    (thread-safe), so concurrent-writer tests can schedule exactly N
+    occurrences; every fired fault is recorded in :attr:`fired` so a
+    test can assert the schedule actually executed rather than passing
+    vacuously."""
+
+    def __init__(self, inner: LogStore):
+        import threading
+
+        self.inner = inner
+        self._armed: dict[str, int] = {
+            "put_fail_before": 0,
+            "put_fail_after": 0,
+            "stale_list": 0,
+            "read_not_found": 0,
+        }
+        self.fired: list[tuple[str, str]] = []
+        self._lock = threading.Lock()
+
+    def arm(self, kind: str, n: int = 1) -> None:
+        if kind not in self._armed:
+            raise ValueError(f"unknown fault kind {kind!r}")
+        with self._lock:
+            self._armed[kind] += n
+
+    def _take(self, kind: str, detail: str) -> bool:
+        with self._lock:
+            if self._armed[kind] > 0:
+                self._armed[kind] -= 1
+                self.fired.append((kind, detail))
+                return True
+        return False
+
+    # -- delegation with scheduled lies ----------------------------------
+
+    def ensure_log(self, log_dir: str) -> None:
+        self.inner.ensure_log(log_dir)
+
+    def list_entries(self, log_dir: str) -> list[str]:
+        names = self.inner.list_entries(log_dir)
+        if names and self._take("stale_list", log_dir):
+            names = sorted(names)[:-1]  # v%09d names: newest sorts last
+        return names
+
+    def read_entry(self, log_dir: str, name: str) -> str:
+        if self._take("read_not_found", name):
+            raise FileNotFoundError(name)
+        return self.inner.read_entry(log_dir, name)
+
+    def put_if_absent(self, log_dir: str, name: str, payload: str) -> None:
+        if self._take("put_fail_before", name):
+            raise FaultInjected(f"put_fail_before:{name}")
+        self.inner.put_if_absent(log_dir, name, payload)
+        # only a put that actually published can lose its 200 OK
+        if self._take("put_fail_after", name):
+            raise FaultInjected(f"put_fail_after:{name}")
+
+    def delete_entry(self, log_dir: str, name: str) -> None:
+        self.inner.delete_entry(log_dir, name)
+
+    def sweep_stray(self, log_dir: str, min_age_sec: float) -> int:
+        return self.inner.sweep_stray(log_dir, min_age_sec)
+
+
 # ---------------------------------------------------------------- routing
 
 _DEFAULT = HardLinkLogStore()
