@@ -2432,10 +2432,21 @@ def test_streaming_cdf_chaos_matches_batch_diff_per_commit(
     restart; one mid-lifecycle drain is additionally forced to cover a
     multi-commit window, exercising the netting contract), and the
     union of all feed windows replays to the final snapshot (round-7
-    VERDICT item 5)."""
+    VERDICT item 5).
+
+    SCHEMA EVOLUTION MID-STREAM (round-8 VERDICT item 2): one step is
+    an ``add_column`` whose drain is deliberately skipped, so the next
+    drain — a RESTART that picks up the evolved declared schema —
+    must net a window whose START manifest predates the evolution: the
+    classic CDC trap where the two endpoint manifests disagree on
+    columns. Old-side rows null-backfill the new column (matching the
+    r8 batch-side fix), post-evolution merges carry real values in it,
+    and every stream-vs-batch compare and the final replay include the
+    evolved column."""
     import random
 
     from video_streamer_spark.operators.table_format import (
+        add_column,
         delete_keys,
         optimize_table,
         rebucket_table,
@@ -2457,6 +2468,8 @@ def test_streaming_cdf_chaos_matches_batch_diff_per_commit(
         n_buckets=4,
     )
     register_cdf_source(spark)
+    evolve_at = 4  # the add_column step; its drain is skipped too
+    evolved = False
 
     def drain():
         q = (
@@ -2472,10 +2485,19 @@ def test_streaming_cdf_chaos_matches_batch_diff_per_commit(
         )
         drain_or_raise(q, 180, "cdf_chaos_drain")
 
+    def _with_w(df):
+        # pre-evolution parquet files / pre-evolution change windows
+        # have no w column; normalize both compare sides to (k, v, w)
+        if "w" not in df.columns:
+            df = df.withColumn("w", F.lit(None).cast("long"))
+        return df
+
     def feed_rows(v_from, v_to):
         return sorted(
-            (r["k"], r["v"], r["_change_type"])
-            for r in spark.read.parquet(out)
+            (r["k"], r["v"], r["w"], r["_change_type"])
+            for r in _with_w(
+                spark.read.option("mergeSchema", "true").parquet(out)
+            )
             .where(
                 (F.col("_commit_version") > v_from)
                 & (F.col("_commit_version") <= v_to)
@@ -2483,29 +2505,49 @@ def test_streaming_cdf_chaos_matches_batch_diff_per_commit(
             .collect()
         )
 
+    def batch_rows(v_from, v_to):
+        return sorted(
+            (r["k"], r["v"], r["w"], r["_change_type"])
+            for r in _with_w(
+                table_changes(spark, path, v_from, v_to)
+            ).collect()
+        )
+
     drain()  # initial snapshot window (0, 1]
     assert len(feed_rows(0, 1)) == len(base_rows)
-    model = dict(base_rows)
+    model = {k: (v, None) for k, v in base_rows}
     last_v = 1
     # one randomly chosen step skips its drain so the NEXT drain nets a
     # multi-commit window — the netting path a per-commit loop would
     # otherwise never exercise
     skip_drain_at = rng.randint(2, 9)
     for step in range(12):
+        if step == evolve_at:
+            add_column(path, "w", "bigint")
+            evolved = True
+            continue  # skip the drain: the next window SPANS the evolution
         roll = rng.random()
         if roll < 0.40:  # merge with mixed ops
             cs = []
+            with_w = evolved and rng.random() < 0.7
             for k in rng.sample(keys, rng.randint(1, 6)):
                 op = rng.choice(["U", "I", "D"])
-                cs.append((k, float(rng.randint(0, 99)), op))
+                w_val = rng.randint(0, 9) if with_w else None
+                row = (k, float(rng.randint(0, 99)))
+                cs.append(row + ((w_val, op) if with_w else (op,)))
                 if op == "D":
                     model.pop(k, None)
                 else:
-                    model[k] = cs[-1][1]
+                    model[k] = (row[1], w_val)
             merge_table(
                 spark,
                 path,
-                spark.createDataFrame(cs, "k bigint, v double, __op string"),
+                spark.createDataFrame(
+                    cs,
+                    "k bigint, v double, w bigint, __op string"
+                    if with_w
+                    else "k bigint, v double, __op string",
+                ),
             )
         elif roll < 0.65:  # tombstone deletes (incl. absent keys)
             dead = rng.sample(keys, rng.randint(1, 5))
@@ -2528,35 +2570,41 @@ def test_streaming_cdf_chaos_matches_batch_diff_per_commit(
         if step == skip_drain_at:
             continue  # leave this commit for the next drain to net
         drain()
-        got = feed_rows(last_v, new_v)
-        want = sorted(
-            (r["k"], r["v"], r["_change_type"])
-            for r in table_changes(spark, path, last_v, new_v).collect()
+        assert feed_rows(last_v, new_v) == batch_rows(last_v, new_v), (
+            step, last_v, new_v,
         )
-        assert got == want, (step, last_v, new_v)
         last_v = new_v
-    drain()  # pick up any tail left by the skipped step
+    drain()  # pick up tails left by the skipped step / the evolution
     final_v = current_version(path)
-    got = feed_rows(last_v, final_v)
-    want = sorted(
-        (r["k"], r["v"], r["_change_type"])
-        for r in table_changes(spark, path, last_v, final_v).collect()
-    )
-    assert got == want
-    # replaying every feed window reconstructs the final snapshot
+    assert feed_rows(last_v, final_v) == batch_rows(last_v, final_v)
+    # replaying every feed window reconstructs the final snapshot,
+    # evolved column included
     replay: dict = {}
     for r in sorted(
-        spark.read.parquet(out).collect(),
+        _with_w(
+            spark.read.option("mergeSchema", "true").parquet(out)
+        ).collect(),
         key=lambda r: r["_commit_version"],
     ):
         if r["_change_type"] == "delete":
             replay.pop(r["k"], None)
         else:
-            replay[r["k"]] = r["v"]
+            replay[r["k"]] = (r["v"], r["w"])
     assert replay == model
     assert {
-        r["k"]: r["v"] for r in read_table(spark, path).collect()
+        r["k"]: (r["v"], r["w"])
+        for r in read_table(spark, path).collect()
     } == model
+    # the evolution really was spanned by a netted window: some feed
+    # rows carry a real w (post-evolution merges fired with 70%
+    # probability over 7 steps — vanishing odds of all-None)
+    assert evolved
+    assert any(
+        r["w"] is not None
+        for r in _with_w(
+            spark.read.option("mergeSchema", "true").parquet(out)
+        ).collect()
+    ), "no post-evolution merge carried the new column"
 
 
 def test_multi_predicate_read_prunes_conjunctively(spark, tmp_path):

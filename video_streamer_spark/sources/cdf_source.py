@@ -247,12 +247,18 @@ class _CdfStreamReader(DataSourceStreamReader):
         # mid-stream would make updates touching ONLY the new column
         # invisible (both sides projected to the pinned columns compare
         # equal) — fail loudly and ask for a restart instead, the same
-        # contract as Delta's readChangeFeed on schema change
+        # contract as Delta's readChangeFeed on schema change. The
+        # check is DIRECTIONAL: only table columns MISSING from the
+        # declared schema are fatal. The declared schema exceeding the
+        # window's end manifest is normal and servable — a restarted
+        # stream re-validates its checkpointed last-seen offset, whose
+        # manifest may predate the evolution, and read() null-backfills
+        # pre-evolution files (same rule as the batch readers).
         declared = {f.name for f in self.table_fields}
         current = {
             f["name"] for f in json.loads(doc_b["schema"])["fields"]
         }
-        if current != declared:
+        if current - declared:
             raise RuntimeError(
                 f"table schema changed under the stream (declared "
                 f"{sorted(declared)}, now {sorted(current)}); restart "
