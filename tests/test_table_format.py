@@ -1985,11 +1985,17 @@ def test_random_merge_delete_layout_sequence_matches_dict_model(
     committed version (time travel re-reads full history), and
     table_changes over random version pairs must equal the model's
     netted key diff — regardless of how many tombstone/fold/layout
-    boundaries the window spans."""
+    boundaries the window spans. Two mid-sequence ``maintain_table``
+    calls interleave advisor-recommended maintenance to prove it never
+    changes any query result (round-8 VERDICT item 7); since
+    maintenance may add layout commits, the model is tracked as
+    (version, state) checkpoints rather than a 1:1 version list."""
     import random
 
     from video_streamer_spark.operators.table_format import (
+        analyze_table,
         delete_keys,
+        maintain_table,
         optimize_table,
         rebucket_table,
         table_changes,
@@ -2006,7 +2012,7 @@ def test_random_merge_delete_layout_sequence_matches_dict_model(
         n_buckets=4,
     )
     model = dict(base_rows)
-    states = [dict(model)]
+    checkpoints = [(1, dict(model))]
     n_buckets = 4
 
     for step in range(12):
@@ -2044,11 +2050,21 @@ def test_random_merge_delete_layout_sequence_matches_dict_model(
         else:  # layout: re-hash every key
             n_buckets = 8 if n_buckets == 4 else 4
             rebucket_table(spark, path, n_buckets)
-        states.append(dict(model))
+        checkpoints.append((current_version(path), dict(model)))
+        if step in (4, 9):
+            # advisor-recommended maintenance mid-lifecycle: whatever
+            # it decides to do must be semantically invisible
+            report = maintain_table(spark, path)
+            # a skew rebucket changes the layout under the sequence;
+            # resync so the next random rebucket stays a real change
+            n_buckets = analyze_table(path)["n_buckets"]
+            assert report["version_after"] >= report["version_before"]
+            checkpoints.append((current_version(path), dict(model)))
 
     versions = history(path)
-    assert len(versions) == len(states)
-    for v, want in zip(versions, states):
+    assert versions == list(range(1, len(versions) + 1))
+    assert {v for v, _ in checkpoints} <= set(versions)
+    for v, want in checkpoints:
         got = {
             r["k"]: r["v"]
             for r in read_table(spark, path, version=v).collect()
@@ -2057,8 +2073,10 @@ def test_random_merge_delete_layout_sequence_matches_dict_model(
 
     # netted change feed over random windows == model key diff
     for _ in range(6):
-        va, vb = sorted(rng.sample(range(len(versions)), 2))
-        a, b = states[va], states[vb]
+        ia, ib = sorted(rng.sample(range(len(checkpoints)), 2))
+        (va, a), (vb, b) = checkpoints[ia], checkpoints[ib]
+        if va == vb:
+            continue
         want_diff = {}
         for k in set(a) | set(b):
             if k not in a:
@@ -2069,13 +2087,9 @@ def test_random_merge_delete_layout_sequence_matches_dict_model(
                 want_diff[k] = ("update_postimage", b[k])
         got_diff = {
             r["k"]: (r["_change_type"], r["v"])
-            for r in table_changes(
-                spark, path, versions[va], versions[vb]
-            ).collect()
+            for r in table_changes(spark, path, va, vb).collect()
         }
-        assert got_diff == want_diff, (
-            f"window v{versions[va]}->v{versions[vb]} diverged"
-        )
+        assert got_diff == want_diff, f"window v{va}->v{vb} diverged"
 
 
 def test_merge_tombstone_pure_deletes_single_commit(spark, tmp_path):
@@ -2901,3 +2915,128 @@ def test_streaming_cdf_timestamps_are_instants_in_any_session_tz(
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert got == want
+
+
+def test_maintain_table_executes_advisor_recommendations(spark, tmp_path):
+    """maintain_table must run exactly the clearing action for each of
+    analyze_table's four finding families — and leave query results
+    untouched (round-8 VERDICT item 7)."""
+    from video_streamer_spark.operators.table_format import (
+        _commit_manifest,
+        _read_manifest,
+        analyze_table,
+        delete_keys,
+        maintain_table,
+    )
+
+    # -- SMALL_FILES + TOMBSTONE_DEBT → one optimize clears both ------
+    path = str(tmp_path / "debt")
+    create_table(
+        spark.range(0, 4000).selectExpr("id AS k", "id * 1.5 AS v"),
+        path,
+        ["k"],
+        n_buckets=2,
+    )
+    for i in range(4):
+        merge_table(
+            spark,
+            path,
+            spark.createDataFrame([(10_000 + i, 1.0)], "k bigint, v double"),
+        )
+    for i in range(8):
+        delete_keys(
+            spark,
+            path,
+            spark.createDataFrame([(i * 2,), (i * 2 + 1,)], "k bigint"),
+        )
+    before_rows = _rows(read_table(spark, path))
+    res = maintain_table(spark, path)
+    assert [a for a, _ in res["actions"]] == ["optimize"]
+    assert set(res["actions"][0][1]) == {"SMALL_FILES", "TOMBSTONE_DEBT"}
+    codes_after = {c for c, _ in res["findings_after"]}
+    assert not {"SMALL_FILES", "TOMBSTONE_DEBT"} & codes_after
+    assert _rows(read_table(spark, path)) == before_rows, (
+        "maintenance must be semantically invisible"
+    )
+    # vacuum as an opted-in action trims retained history
+    assert len(history(path)) > 2
+    res2 = maintain_table(spark, path, vacuum_keep_last=1,
+                          vacuum_min_age_sec=0.0)
+    assert ("vacuum", ["keep_last=1"]) in res2["actions"]
+    assert len(history(path)) == 1
+    assert _rows(read_table(spark, path)) == before_rows
+
+    # -- BUCKET_SKEW → one bounded rebucket ---------------------------
+    from video_streamer_spark.operators.merge import BUCKET_COL, _bucketed
+
+    skew = str(tmp_path / "skew")
+    base = spark.range(0, 3000).selectExpr(
+        "id AS k", "repeat(md5(cast(id AS string)), 8) AS pad"
+    )
+    routed = _bucketed(base, ["k"], 4)
+    # keep every row of bucket 0 plus a sliver of each other bucket:
+    # bytes become [big, small, small, small] → max > 4x median
+    # (incompressible md5 pad so parquet bytes track row counts)
+    hot = routed.where(F.col(BUCKET_COL) == 0)
+    cold = routed.where(
+        (F.col(BUCKET_COL) != 0) & (F.col("k") % 83 == 0)
+    )
+    skewed = hot.unionByName(cold).drop(BUCKET_COL)
+    create_table(skewed, skew, ["k"], n_buckets=4)
+    # normalize file counts first so the ONLY finding is the skew
+    from video_streamer_spark.operators.table_format import optimize_table
+
+    optimize_table(spark, skew, sort_by="k", files_per_bucket=1)
+    report = analyze_table(skew)
+    assert "BUCKET_SKEW" in {c for c, _ in report["findings"]}
+    before_rows = _rows(read_table(spark, skew))
+    res = maintain_table(spark, skew)
+    assert ("rebucket", ["BUCKET_SKEW"]) in res["actions"]
+    assert analyze_table(skew)["n_buckets"] == 8
+    assert _rows(read_table(spark, skew)) == before_rows
+    # one step per call, never a loop: a second call may flag again but
+    # must take at most one more rebucket, capped
+    res_cap = maintain_table(spark, skew, max_buckets=8)
+    assert ("rebucket", ["BUCKET_SKEW"]) not in res_cap["actions"], (
+        "at the cap, maintain must not rebucket"
+    )
+
+    # -- NO_FILE_STATS (pre-feature manifest) → optimize re-profiles --
+    nofs = str(tmp_path / "nofs")
+    create_table(
+        spark.range(0, 400).selectExpr("id AS k", "id * 2.0 AS v"),
+        nofs,
+        ["k"],
+        n_buckets=4,
+    )
+    doc = _read_manifest(nofs, 1)
+    assert doc["file_stats"], "create must profile per-file stats"
+    doctored = dict(doc)
+    doctored["file_stats"] = {
+        b: s for b, s in doc["file_stats"].items() if b != "0"
+    }
+    _commit_manifest(nofs, 2, doctored)  # simulate a pre-feature commit
+    assert "NO_FILE_STATS" in {
+        c for c, _ in analyze_table(nofs)["findings"]
+    }
+    before_rows = _rows(read_table(spark, nofs))
+    res = maintain_table(spark, nofs)
+    opt = [codes for a, codes in res["actions"] if a == "optimize"]
+    assert opt and "NO_FILE_STATS" in opt[0]
+    assert "NO_FILE_STATS" not in {c for c, _ in res["findings_after"]}
+    assert _rows(read_table(spark, nofs)) == before_rows
+
+    # -- healthy table → strict no-op ---------------------------------
+    # (create_table writes one file per shuffle task, so a fresh tiny
+    # table legitimately flags SMALL_FILES; compact once to health)
+    ok = str(tmp_path / "ok")
+    create_table(
+        spark.range(0, 2000).selectExpr("id AS k", "id * 1.0 AS v"),
+        ok,
+        ["k"],
+        n_buckets=4,
+    )
+    optimize_table(spark, ok, sort_by="k", files_per_bucket=1)
+    res = maintain_table(spark, ok)
+    assert res["actions"] == []
+    assert res["version_after"] == res["version_before"] == 2

@@ -1895,3 +1895,85 @@ def analyze_table(path: str, version: int | None = None) -> dict:
         "buckets": buckets,
         "findings": findings,
     }
+
+
+def maintain_table(
+    spark: SparkSession,
+    path: str,
+    rebucket_factor: int = 2,
+    max_buckets: int = 4096,
+    vacuum_keep_last: int | None = None,
+    vacuum_min_age_sec: float = 3600.0,
+) -> dict:
+    """Close the advisor loop: execute exactly the maintenance
+    ``analyze_table`` recommends, and NOTHING on a healthy table — the
+    scheduler-facing half of the metadata-only report (round-8 VERDICT
+    item 7). Semantically invisible by construction: every action is a
+    layout-only commit (OPTIMIZE / rebucket) or retention (vacuum), so
+    query results before and after are identical — the lifecycle model
+    test interleaves it to prove exactly that.
+
+    Actions, in dependency order:
+
+    - ``SMALL_FILES`` / ``TOMBSTONE_DEBT`` / ``NO_FILE_STATS`` → ONE
+      ``optimize_table`` value-sorted on the first key column: a single
+      rewrite compacts the churn, folds every tombstone, and profiles
+      per-file zone maps — running it once clears all three families.
+    - ``BUCKET_SKEW`` (re-analyzed AFTER the optimize, which may have
+      already rebalanced bytes) → ``rebucket_table`` to
+      ``rebucket_factor ×`` the current count, capped at
+      ``max_buckets``. Deliberately ONE step per call, never a loop: a
+      single hot KEY stays skewed at any bucket count, and a maintainer
+      that doubles forever chasing it is a runaway — persistent skew is
+      returned as a residual finding for a human key-choice review
+      instead.
+    - ``vacuum_keep_last`` (opt-in, since it trades away time travel) →
+      ``vacuum`` with the given retention.
+
+    Returns ``{"version_before", "version_after", "actions",
+    "findings_before", "findings_after"}`` where ``actions`` is the
+    ``(action, triggering_codes)`` list actually executed — empty, with
+    ``version_after == version_before``, on a healthy table."""
+    report = analyze_table(path)
+    v_before = report["version"]
+    codes = {c for c, _ in report["findings"]}
+    actions: list[tuple[str, list[str]]] = []
+    rewrite_codes = sorted(
+        {"SMALL_FILES", "TOMBSTONE_DEBT", "NO_FILE_STATS"} & codes
+    )
+    if rewrite_codes:
+        key0 = _read_manifest(path, v_before)["key_cols"][0]
+        # size the rewrite from the MEASURED bucket bytes against a
+        # ~128 MiB target file (the warehouse-standard compaction
+        # size): a small table compacts to one file per bucket instead
+        # of re-fragmenting straight back into a SMALL_FILES finding,
+        # while a 100 GiB bucket still splits for parallel scans
+        max_bytes = max(
+            (info["bytes"] for info in report["buckets"].values()),
+            default=0,
+        )
+        fpb = max(1, math.ceil(max_bytes / (128 << 20)))
+        optimize_table(spark, path, sort_by=key0, files_per_bucket=fpb)
+        actions.append(("optimize", rewrite_codes))
+    # skew is judged on the post-optimize layout: compaction already
+    # moved bytes, and acting on a stale report would double-treat
+    skew_report = analyze_table(path) if rewrite_codes else report
+    if any(c == "BUCKET_SKEW" for c, _ in skew_report["findings"]):
+        n_now = skew_report["n_buckets"]
+        target = min(n_now * rebucket_factor, max_buckets)
+        if target > n_now:
+            rebucket_table(spark, path, target)
+            actions.append(("rebucket", ["BUCKET_SKEW"]))
+    if vacuum_keep_last is not None:
+        vacuum(
+            path, keep_last=vacuum_keep_last, min_age_sec=vacuum_min_age_sec
+        )
+        actions.append(("vacuum", [f"keep_last={vacuum_keep_last}"]))
+    after = analyze_table(path)
+    return {
+        "version_before": v_before,
+        "version_after": after["version"],
+        "actions": actions,
+        "findings_before": report["findings"],
+        "findings_after": after["findings"],
+    }
