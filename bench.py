@@ -59,6 +59,12 @@ HEADLINE = [
     # whose pruning should at least break even with scanning.
     "x216_zonemap_range_read",
     "x217_tombstone_snapshot_read",
+    # the newest, most plan-fragile dedup family (8-gram inverted
+    # index → bounded fan-out pair join → gaps-and-islands span merge):
+    # benched every round so its multi-join plan can't drift silently
+    # the way the minhash/simhash rows are already pinned (r8 VERDICT
+    # item 5); bench_compare prices its DuckDB oracle automatically.
+    "x200_verbatim_span_dedup",
 ]
 
 

@@ -70,12 +70,18 @@ def x200_verbatim_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # slice(seq(1, max(n,1)), 1, max(n,0)): positions 1..n with
             # a SAFE empty array when n <= 0 — sequence(1, 0) would
             # yield the DESCENDING [1, 0] and slice(arr, 0, 8) throws,
-            # so a ≤7-token document must never reach the transform
+            # so a ≤7-token document must never reach the transform.
+            # xxhash64 over the joined gram, not md5: codegen'd, and
+            # the join/df-shuffle keys shrink 32-char strings → 8-byte
+            # longs. The ORACLE keeps md5 — neither engine exposes g,
+            # and equal grams hash equal within each engine, so the
+            # pair sets agree exactly (up to 64-bit collisions, ~1e-7
+            # at sf0.1 gram counts).
             F.expr(
                 "transform(slice(sequence(1, greatest(size(arr) - 7, 1)), "
                 "1, greatest(size(arr) - 7, 0)), "
                 "p -> struct(CAST(p AS BIGINT) AS pos, "
-                "md5(array_join(slice(arr, p, 8), ' ')) AS g))"
+                "xxhash64(array_join(slice(arr, p, 8), ' ')) AS g))"
             )
         ).alias("s"),
     ).select("doc_id", "s.pos", "s.g")
@@ -85,8 +91,16 @@ def x200_verbatim_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("df BETWEEN 2 AND 5")
         .select("g")
     )
-    a = grams.join(rare, "g")
-    b = grams.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+    # filter BOTH sides through the rare set before pairing: a.g ∈
+    # rare already implies b.g ∈ rare, so this is semantically free —
+    # but it keeps df>5 grams out of the pair join's shuffle entirely,
+    # and because the two join children become the IDENTICAL subplan
+    # (grams ⋈ rare, shuffled on g), Catalyst reuses one exchange for
+    # both sides: the gram transform and df filter run once, not twice
+    # (round-9: this halved the benched runtime at sf0.1)
+    tagged = grams.join(rare, "g")
+    a = tagged
+    b = tagged.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
         "pos", "pb"
     )
     matches = (
