@@ -688,3 +688,89 @@ def x221_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("total_value"),
     )
+
+
+# x222 — MAINTAIN_TABLE CERTIFIED SEMANTICALLY INVISIBLE: the advisor
+# loop (analyze_table → maintain_table, round-9) under the oracle, the
+# same certification shape x221 gave the salted join. The query builds
+# a versioned table, deliberately dirties it (four 1-row merges
+# fragment the buckets; a key-class delete builds tombstone debt), runs
+# maintain_table — which must CHOOSE to act (the query raises if the
+# advisor saw nothing, so the row can never pass vacuously) — and
+# returns the post-maintenance snapshot aggregate. The oracle states
+# the same aggregate over the raw rows + the construction's inserts
+# minus its deletes, so the driver's hash check certifies that
+# advisor-recommended compaction/folding changed NOTHING a query can
+# observe. Scale: maintenance is the 100 TB story — OPTIMIZE sized off
+# measured bucket bytes against a 128 MiB file target, rebucket
+# bounded to one step, all layout-only commits.
+@query(
+    "x222_maintain_invariance",
+    oracle="""
+    WITH ins AS (
+      SELECT 10000000 + i AS o_orderkey, 100.0 + CAST(i AS DOUBLE)
+        AS o_totalprice
+      FROM range(4) t(i)),
+    eff AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey % 16 <> 1
+      UNION ALL SELECT * FROM ins)
+    SELECT CAST(o_orderkey % 8 AS BIGINT) AS key_class,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+        / 100.0 AS total_price
+    FROM eff GROUP BY key_class
+    """,
+)
+def x222_maintain_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        delete_keys,
+        maintain_table,
+        merge_table,
+        read_table,
+    )
+
+    path = _fresh_run_dir(spark, sf_dir, "vss-maint")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    create_table(orders, path, ["o_orderkey"], n_buckets=8)
+    for i in range(4):  # fragment: four 1-row commits
+        merge_table(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(10_000_000 + i, 100.0 + i)],
+                "o_orderkey bigint, o_totalprice double",
+            ),
+        )
+    # four separate tombstone commits (union = o_orderkey % 16 == 1, so
+    # the oracle stays one predicate): each adds one ref to every
+    # bucket, reaching analyze_table's debt threshold (>= half the
+    # 8-ref fold cap) so the advisor must recommend a fold
+    for j in (1, 17, 33, 49):
+        delete_keys(
+            spark,
+            path,
+            orders.where(F.col("o_orderkey") % 64 == j).select(
+                "o_orderkey"
+            ),
+        )
+    res = maintain_table(spark, path)
+    if not res["actions"]:
+        raise RuntimeError(
+            "maintain_table saw nothing to do on a deliberately dirty "
+            f"table — the certification would be vacuous: {res}"
+        )
+    return read_table(spark, path).groupBy(
+        (F.col("o_orderkey") % 8).cast("bigint").alias("key_class")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0).cast("bigint")
+            ).cast("double")
+            / 100.0
+        ).alias("total_price"),
+    )
