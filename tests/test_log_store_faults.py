@@ -405,3 +405,28 @@ def test_occ_liveness_eight_sustained_committers(spark, tmp_path):
     assert got == want
     # 1 create + 16 merges, every one a distinct committed version
     assert history(path) == list(range(1, 18))
+
+
+def test_vacuum_under_stale_list_never_eats_the_newest_commit(
+    spark, faulty
+):
+    """A stale listing during vacuum is the data-loss shape: the newest
+    version's data dirs look unreferenced (its manifest was omitted),
+    and with a short retention age they would be deleted out from
+    under the live table. vacuum must re-list and keep them."""
+    store, path = faulty
+    model = _base(spark, path)
+    merge_table(spark, path, _mk(spark, [(5, 55.0, "I")]))
+    merge_table(spark, path, _mk(spark, [(7, 77.0, "I")]))
+    model.update({5: 55.0, 7: 77.0})
+    from video_streamer_spark.operators.table_format import vacuum
+
+    store.arm("stale_list")
+    report = vacuum(path, keep_last=2, min_age_sec=0.0)
+    assert any(kind == "stale_list" for kind, _ in store.fired)
+    # the newest version and its data survived; the table reads exactly
+    assert current_version(path) == 3
+    assert _state(spark, path) == model
+    # retention still did its job on the genuinely old version
+    assert report["manifests_removed"] >= 1
+    assert history(path)[0] > 1

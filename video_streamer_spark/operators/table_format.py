@@ -1673,6 +1673,15 @@ def vacuum(path: str, keep_last: int = 2, min_age_sec: float = 3600.0) -> dict:
     import time
 
     versions = history(path)
+    # list TWICE and union: a single stale listing (an object store's
+    # consistency window omitting the newest manifest) would otherwise
+    # make the current version's data dirs look unreferenced — and a
+    # vacuum with a short min_age_sec would delete the live table's
+    # data. One re-list heals the omit-once window; the age gate
+    # covers anything pathological beyond it. (FaultyLogStore test
+    # pins this: vacuum under a stale list must not eat the newest
+    # commit.)
+    versions = sorted(set(versions) | set(history(path)))
     keep = set(versions[-keep_last:])
     referenced: set[str] = set()
     for v in keep:
