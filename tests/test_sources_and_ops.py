@@ -2924,3 +2924,41 @@ def test_prebuilt_table_cleans_staging_on_failed_build(spark):
     )
     assert not leaked, f"staging dirs leaked: {leaked}"
     assert not os.path.exists(f"/tmp/vss-benchtable/{app}-{tag}/failkind-test")
+
+
+def test_lsh_bucket_cache_bounded_to_one(spark):
+    """embedding_near_pairs_lsh persists its bucket table for the two
+    join sides; repeated calls in a long-lived session must EVICT the
+    previous call's cache instead of accumulating storage (ADVICE r9):
+    at most one LSH bucket table is cached after any number of calls."""
+    import pandas as pd
+
+    from video_streamer_spark.operators import similarity
+
+    rows = pd.DataFrame(
+        {
+            "vec_id": range(40),
+            "embedding": [
+                [float((i * 7 + j) % 5) for j in range(8)] for i in range(40)
+            ],
+        }
+    )
+    evicted = []
+    for r in range(3):
+        # a DIFFERENT input per call: identical inputs share one
+        # canonicalized cache entry anyway — accumulation (the ADVICE
+        # leak) only happens across distinct plans
+        df = spark.createDataFrame(rows.assign(vec_id=rows.vec_id + 100 * r))
+        if similarity._LSH_BUCKET_CACHE:
+            evicted.append(similarity._LSH_BUCKET_CACHE[0])
+        similarity.embedding_near_pairs_lsh(
+            df, dim=8, threshold=0.9, n_planes=3, n_tables=2
+        ).count()
+    assert len(similarity._LSH_BUCKET_CACHE) == 1
+    live = similarity._LSH_BUCKET_CACHE[0]
+    assert live.storageLevel.useMemory or live.storageLevel.useDisk
+    for old in evicted:  # every prior call's table was unpersisted
+        lvl = old.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), (
+            "a previous LSH bucket table is still cached — eviction broken"
+        )
