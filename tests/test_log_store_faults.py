@@ -430,3 +430,75 @@ def test_vacuum_under_stale_list_never_eats_the_newest_commit(
     # retention still did its job on the genuinely old version
     assert report["manifests_removed"] >= 1
     assert history(path)[0] > 1
+
+
+def test_concurrent_writers_converge_under_fault_storm(spark, faulty):
+    """The strongest combined claim: 4 concurrent writers, each
+    committing twice with idempotency keys, while the store lies in all
+    four ways — every changeset lands EXACTLY once (ambiguous-put
+    replays no-op via the txn log; conflicts retry with backoff), the
+    final state is the exact union, and the version chain is gapless."""
+    store, path = faulty
+    create_table(
+        spark.createDataFrame([(-1, 0.0)], "k bigint, v double"),
+        path,
+        n_buckets=4,
+        key_cols=["k"],
+    )
+    # a generous storm: more armed faults than writers consume is fine —
+    # leftovers just mean later ops absorb them too
+    for kind in ("put_fail_before", "put_fail_after", "stale_list",
+                 "read_not_found"):
+        store.arm(kind, 4)
+    failures: list[str] = []
+
+    def worker(wid: int):
+        try:
+            for j in range(2):
+                base = 100 * wid + 10 * j
+                rows = [(base + r, float(base + r), "I") for r in range(2)]
+                key = f"storm-w{wid}:{j}"
+                for _ in range(10):
+                    try:
+                        occ_retry(
+                            lambda rows=rows, key=key: merge_table(
+                                spark,
+                                path,
+                                _mk(spark, rows),
+                                idempotency_key=key,
+                            ),
+                            attempts=8,
+                        )
+                        break
+                    except (FaultInjected, OSError):
+                        continue
+                    except VersionConflictError:
+                        # occ_retry's budget ran dry under 4-way
+                        # contention + faults; the outer budget keeps
+                        # going — idempotency makes every retry safe
+                        time.sleep(0.05)
+                        continue
+                else:
+                    raise AssertionError(f"w{wid}:{j} never converged")
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"worker {wid}: {exc!r}")
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert not failures, failures
+    assert len(store.fired) >= 8, store.fired
+    want = {-1: 0.0}
+    for wid in range(4):
+        for j in range(2):
+            base = 100 * wid + 10 * j
+            for r in range(2):
+                want[base + r] = float(base + r)
+    assert _state(spark, path) == want, "a changeset was lost or doubled"
+    versions = history(path)
+    assert versions == list(range(1, len(versions) + 1)), "gap = phantom"
+    assert len(versions) == 9, (
+        "1 create + 8 exactly-once merges — ambiguous replays must no-op"
+    )
