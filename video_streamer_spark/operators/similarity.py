@@ -685,8 +685,11 @@ def ivf_topk_pivots(
 
 
 # Most-recent persisted LSH bucket table (bounded to 1): see the
-# eviction note inside embedding_near_pairs_lsh.
+# eviction note inside embedding_near_pairs_lsh. Guarded by a lock —
+# driver threads building plans concurrently must not interleave the
+# pop/persist pair, or two tables stay cached and the bound breaks.
 _LSH_BUCKET_CACHE: list = []
+_LSH_BUCKET_LOCK = __import__("threading").Lock()
 
 
 def embedding_near_pairs_lsh(
@@ -727,13 +730,20 @@ def embedding_near_pairs_lsh(
     # lazy), so the leak bound is session-wide: each call evicts the
     # PREVIOUS call's cached buckets — a long-lived bench/driver loop
     # holds at most one bucket table in executor storage (ADVICE r9).
-    while _LSH_BUCKET_CACHE:
-        try:
-            _LSH_BUCKET_CACHE.pop().unpersist()
-        except Exception:
-            pass  # session torn down between calls; nothing to evict
-    tagged = tagged.persist()
-    _LSH_BUCKET_CACHE.append(tagged)
+    # Contract: construct-then-consume per call. Building pairs for
+    # MULTIPLE corpora before materializing any of them keeps every
+    # result CORRECT but silently forfeits the earlier calls' cache
+    # hit (their buckets recompute on both join sides) — materialize
+    # each result before requesting the next, as the registry and
+    # bench loops do.
+    with _LSH_BUCKET_LOCK:
+        while _LSH_BUCKET_CACHE:
+            try:
+                _LSH_BUCKET_CACHE.pop().unpersist()
+            except Exception:
+                pass  # session torn down between calls; nothing to evict
+        tagged = tagged.persist()
+        _LSH_BUCKET_CACHE.append(tagged)
     a = tagged.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("a_vec"),

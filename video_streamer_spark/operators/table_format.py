@@ -134,24 +134,29 @@ def current_version(path: str) -> int:
     return versions[-1]
 
 
-def _read_manifest(path: str, version: int) -> dict:
-    """Read one manifest, absorbing TRANSIENT store read anomalies
+def _read_entry_trusting_list(store, mdir: str, name: str) -> str:
+    """Read one log entry, absorbing TRANSIENT store read anomalies
     (a read racing a delete / replication lag — S3-class faults, see
     ``log_store.FaultyLogStore``): on FileNotFoundError, re-list; if
     the entry is still listed the miss was a lie, so retry briefly —
-    if it is NOT listed, the version is genuinely gone (vacuumed or
+    if it is NOT listed, the entry is genuinely gone (vacuumed or
     never committed) and the error is real."""
-    store = log_store_for(path)
-    mdir = _manifest_dir(path)
-    name = f"v{version:09d}.json"
     for attempt in range(3):
         try:
-            return json.loads(store.read_entry(mdir, name))
+            return store.read_entry(mdir, name)
         except FileNotFoundError:
             if name not in store.list_entries(mdir):
                 raise
             time.sleep(0.02 * (attempt + 1))
-    return json.loads(store.read_entry(mdir, name))
+    return store.read_entry(mdir, name)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    return json.loads(
+        _read_entry_trusting_list(
+            log_store_for(path), _manifest_dir(path), f"v{version:09d}.json"
+        )
+    )
 
 
 def _commit_manifest(path: str, version: int, doc: dict) -> None:
@@ -178,8 +183,13 @@ def _commit_manifest(path: str, version: int, doc: dict) -> None:
         )
     except LogEntryExistsError as exc:
         try:
-            existing = log_store_for(path).read_entry(
-                _manifest_dir(path), f"v{version:09d}.json"
+            # trust-the-list retry, same as every manifest read: a
+            # transient NotFound here would misreport OUR OWN durable
+            # commit as a competitor's win (review r9)
+            existing = _read_entry_trusting_list(
+                log_store_for(path),
+                _manifest_dir(path),
+                f"v{version:09d}.json",
             )
         except OSError:
             existing = None
@@ -202,6 +212,8 @@ def occ_retry(fn, attempts: int = 6, base_sleep: float = 0.05, rng=None):
     inside the call), so simply calling it again is a correct retry."""
     import random as _random
 
+    if attempts < 1:
+        raise ValueError(f"occ_retry needs attempts >= 1, got {attempts}")
     rng = rng if rng is not None else _random.Random()
     last: VersionConflictError | None = None
     for attempt in range(attempts):
@@ -1668,7 +1680,16 @@ def vacuum(path: str, keep_last: int = 2, min_age_sec: float = 3600.0) -> dict:
     publish a manifest whose files are gone. Only dirs older than the
     threshold are swept (Delta VACUUM's retention-window check, scaled
     down); crashed-commit garbage is reclaimed on the next vacuum after
-    it ages past the window."""
+    it ages past the window.
+
+    ``min_age_sec`` is ALSO the defense against listing lag: the
+    double-list below heals a transient one-shot omission, but on a
+    store whose listing consistency window is longer than the gap
+    between two list calls, only the age gate keeps a just-committed
+    version's data safe. Deployments must keep ``min_age_sec`` above
+    the store's documented consistency window (Delta's VACUUM retention
+    contract, same reasoning); ``min_age_sec=0`` is for tests on
+    strongly-consistent local filesystems only."""
     import shutil
     import time
 
@@ -1965,24 +1986,29 @@ def maintain_table(
         optimize_table(spark, path, sort_by=key0, files_per_bucket=fpb)
         actions.append(("optimize", rewrite_codes))
     # skew is judged on the post-optimize layout: compaction already
-    # moved bytes, and acting on a stale report would double-treat
-    skew_report = analyze_table(path) if rewrite_codes else report
-    if any(c == "BUCKET_SKEW" for c, _ in skew_report["findings"]):
-        n_now = skew_report["n_buckets"]
+    # moved bytes, and acting on a stale report would double-treat.
+    # `current` tracks the newest still-valid analysis so a healthy
+    # table pays exactly ONE metadata walk, not two (review r9) —
+    # vacuum never dirties it (it only removes UNreferenced dirs and
+    # old manifests; the current manifest and its file sizes are
+    # untouched), only a new commit does.
+    current = analyze_table(path) if rewrite_codes else report
+    if any(c == "BUCKET_SKEW" for c, _ in current["findings"]):
+        n_now = current["n_buckets"]
         target = min(n_now * rebucket_factor, max_buckets)
         if target > n_now:
             rebucket_table(spark, path, target)
             actions.append(("rebucket", ["BUCKET_SKEW"]))
+            current = analyze_table(path)
     if vacuum_keep_last is not None:
         vacuum(
             path, keep_last=vacuum_keep_last, min_age_sec=vacuum_min_age_sec
         )
         actions.append(("vacuum", [f"keep_last={vacuum_keep_last}"]))
-    after = analyze_table(path)
     return {
         "version_before": v_before,
-        "version_after": after["version"],
+        "version_after": current["version"],
         "actions": actions,
         "findings_before": report["findings"],
-        "findings_after": after["findings"],
+        "findings_after": current["findings"],
     }

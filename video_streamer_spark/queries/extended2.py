@@ -200,7 +200,15 @@ def _sweep_stale_scratch(root: str, keep: str) -> None:
     """Best-effort removal of sibling app dirs under ``root`` that are
     older than :data:`_SCRATCH_STALE_SECS` (a crashed or long-gone
     session's leftovers). Never touches ``keep`` (the live slot);
-    races with a concurrent sweeper are benign (ignore_errors)."""
+    races with a concurrent sweeper are benign (ignore_errors).
+
+    Staleness is judged by slot MTIME, which every session REFRESHES on
+    each use (``os.utime`` in the callers) — reads alone don't update a
+    directory's mtime, so without the explicit touch a >24 h soak
+    session would look dead to every newer session on the host (review
+    r9). Residual contract: a session idle on this query family for
+    longer than the horizon may lose its scratch to a sibling's sweep —
+    acceptable for /tmp bench scratch, rebuilt on next use."""
     import os
     import shutil
     import time
@@ -219,6 +227,17 @@ def _sweep_stale_scratch(root: str, keep: str) -> None:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             continue
+
+
+def _touch_slot(slot: str) -> None:
+    """Mark a scratch slot as live (see _sweep_stale_scratch)."""
+    import os
+
+    os.makedirs(slot, exist_ok=True)
+    try:
+        os.utime(slot)
+    except OSError:
+        pass
 
 
 def _fresh_run_dir(spark: SparkSession, sf_dir: str, base: str) -> str:
@@ -244,6 +263,7 @@ def _fresh_run_dir(spark: SparkSession, sf_dir: str, base: str) -> str:
             shutil.rmtree(os.path.join(slot, name), ignore_errors=True)
     except OSError:
         pass
+    _touch_slot(slot)  # keep a live session's slot out of the sweep
     _sweep_stale_scratch(root, keep=slot)
     return f"{slot}/run-{next(_RUN_SEQ)}"
 
@@ -274,6 +294,7 @@ def _prebuilt_table(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
     # would raise VersionConflictError forever. The rename is atomic;
     # a concurrent builder losing the rename race just discards its
     # staging copy and reads the winner's.
+    _touch_slot(f"/tmp/vss-benchtable/{app}-{tag}")
     _sweep_stale_scratch("/tmp/vss-benchtable", keep=f"/tmp/vss-benchtable/{app}-{tag}")
     if not os.path.exists(path):
         stage = f"{path}.building-{uuid.uuid4().hex}"
@@ -708,7 +729,7 @@ def x221_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x222_maintain_invariance",
     oracle="""
     WITH ins AS (
-      SELECT 10000000 + i AS o_orderkey, 100.0 + CAST(i AS DOUBLE)
+      SELECT -(1 + i) AS o_orderkey, 100.0 + CAST(i AS DOUBLE)
         AS o_totalprice
       FROM range(4) t(i)),
     eff AS (
@@ -741,7 +762,12 @@ def x222_maintain_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             path,
             spark.createDataFrame(
-                [(10_000_000 + i, 100.0 + i)],
+                # NEGATIVE keys: TPC-H orderkeys are positive at every
+                # scale factor, so the synthetic inserts can never
+                # collide with a real row (at sf>=1.7 a 10M+i key
+                # would — review r9). Both engines use C-style
+                # remainder, so key_class = -1 groups identically.
+                [(-(1 + i), 100.0 + i)],
                 "o_orderkey bigint, o_totalprice double",
             ),
         )
