@@ -502,3 +502,27 @@ def test_concurrent_writers_converge_under_fault_storm(spark, faulty):
     assert len(versions) == 9, (
         "1 create + 8 exactly-once merges — ambiguous replays must no-op"
     )
+
+
+def test_add_column_retry_after_ambiguous_commit_converges(spark, faulty):
+    """Schema evolution under the lost-acknowledgment fault: the
+    add_column commit IS durable, the caller retries, and the retry
+    must recognize the column as its own already-applied evolution
+    (same name + type → current version, no duplicate error) while a
+    conflicting type stays a loud error."""
+    from video_streamer_spark.operators.table_format import add_column
+
+    store, path = faulty
+    _base(spark, path)
+    store.arm("put_fail_after")
+    with pytest.raises(FaultInjected):
+        add_column(path, "w", "bigint")
+    assert history(path) == [1, 2], "the evolution was durable"
+    got_v = add_column(path, "w", "bigint")  # the obligatory retry
+    assert got_v == 2
+    assert history(path) == [1, 2], "no duplicate version"
+    with pytest.raises(ValueError, match="already exists with type"):
+        add_column(path, "w", "string")
+    # the evolved column reads as null-backfilled everywhere
+    rows = read_table(spark, path).collect()
+    assert all(r["w"] is None for r in rows) and len(rows) == 20

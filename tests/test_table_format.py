@@ -591,15 +591,21 @@ def test_add_column_is_metadata_only_and_null_backfilled(spark, tmp_path):
     ]
 
 
-def test_add_column_duplicate_name_rejected(spark, tmp_path):
+def test_add_column_duplicate_semantics(spark, tmp_path):
+    """Same name + same type is an idempotent repeat (returns the
+    current version, commits nothing — the retry-after-ambiguous-put
+    contract, review r9); same name + DIFFERENT type is a genuine
+    conflict and stays a loud error."""
     from video_streamer_spark.operators.table_format import add_column
 
     path = str(tmp_path / "t")
     create_table(
         spark.range(0, 10).select(F.col("id").alias("k")), path, ["k"], 4
     )
-    with pytest.raises(ValueError, match="already exists"):
-        add_column(path, "k", "bigint")
+    with pytest.raises(ValueError, match="already exists with type"):
+        add_column(path, "k", "string")
+    assert add_column(path, "k", "bigint") == 1  # idempotent, no commit
+    assert history(path) == [1]
 
 
 def test_streaming_cdf_source_delivers_snapshot_then_increments(spark, tmp_path):

@@ -1091,14 +1091,28 @@ def add_column(path: str, name: str, ddl_type: str) -> int:
 
     ``ddl_type`` is a Spark DDL type string (``"bigint"``,
     ``"string"``, ...). Rename/drop are not supported — resolution is
-    by name, the honest scope without Iceberg-style field ids."""
+    by name, the honest scope without Iceberg-style field ids.
+
+    IDEMPOTENT on exact repeats: if the column already exists WITH THE
+    SAME TYPE, this returns the current version instead of raising —
+    so a caller retrying after an ambiguous commit failure (the put
+    was durable, the acknowledgment lost; see ``_commit_manifest``)
+    converges instead of being told its own evolution is a duplicate.
+    A same-name DIFFERENT-type request still raises: that's a real
+    conflict, not a retry."""
     from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
     base_v = current_version(path)
     doc = _read_manifest(path, base_v)
     schema = _table_schema(doc)
-    if name in {f.name for f in schema.fields}:
-        raise ValueError(f"column {name!r} already exists")
+    existing = {f.name: f.dataType for f in schema.fields}
+    if name in existing:
+        if existing[name] == _parse_datatype_string(ddl_type):
+            return base_v  # retry of our own already-durable evolution
+        raise ValueError(
+            f"column {name!r} already exists with type "
+            f"{existing[name].simpleString()!r} (requested {ddl_type!r})"
+        )
     new_schema = StructType(
         list(schema.fields)
         + [StructField(name, _parse_datatype_string(ddl_type), True)]
