@@ -2962,3 +2962,38 @@ def test_lsh_bucket_cache_bounded_to_one(spark):
         assert not (lvl.useMemory or lvl.useDisk), (
             "a previous LSH bucket table is still cached — eviction broken"
         )
+
+
+def test_session_cache_footprint_is_bounded_across_repeats(spark):
+    """The round-9 persist audit: every operator that persists a
+    mid-plan table now routes through a session-bounded pool (or
+    retires its iteration caches), so REPEATED invocations — the bench
+    loop, the driver's 50-query sample — must not grow executor
+    storage. Before the fix each call of each site leaked one cached
+    table."""
+    from tests.conftest import SF_SMOKE
+    from video_streamer_spark.queries import QUERIES
+
+    names = [
+        "x02_dedup_minhash_pairs",      # pooled band table
+        "x165_rake_keywords",           # pooled phrase table
+        "x166_winnowing_fingerprints",  # pooled gram table
+        "x153_bpe_train_merges",        # iterative retire + pooled final
+        "x156_coverage_selection",      # fully-internal unpersist
+    ]
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_cached() -> int:
+        return len(jsc.getRDDStorageInfo())
+
+    for name in names:  # warm: fills each site's pool once
+        QUERIES[name](spark, SF_SMOKE).count()
+    base = n_cached()
+    for _ in range(2):
+        for name in names:
+            QUERIES[name](spark, SF_SMOKE).count()
+    after = n_cached()
+    assert after <= base, (
+        f"cached tables grew {base} -> {after} across repeats — a "
+        "persist site escaped the bounded pool"
+    )

@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from video_streamer_spark.catalog import scatter
+from video_streamer_spark.functions.caching import bounded_persist, pooled
 
 NUM_MINHASH = 8          # permutations (seeded md5 salts)
 MINHASH_BAND_ROWS = 2    # rows per LSH band → 4 bands
@@ -201,7 +202,7 @@ def minhash_candidate_pairs(
     bands = minhash_bands(
         minhash_signatures(docs, num_hashes=num_hashes, shingle_k=shingle_k),
         band_rows=band_rows,
-    ).persist()
+    ).transform(pooled("dedup-minhash-bands"))
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_val"
     )
@@ -288,7 +289,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     chunks = (
         fp.selectExpr("doc_id", "simhash", f"explode(array({structs})) AS c")
         .select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
-        .persist()
+        .transform(pooled("dedup-simhash-chunks"))
     )
     # persist: both join sides read chunks; unpersisted, the fingerprint
     # aggregation would run twice. 4 short rows per doc — tiny.
@@ -343,7 +344,7 @@ def ngram_jaccard_pairs(
     # consumers); recomputing the explode+distinct per consumer triples
     # the heaviest stage. At 100 TB this is the operator's working set —
     # a real deployment would materialize it as a bucketed table anyway.
-    sh = sh.persist()
+    sh = bounded_persist(sh, "dedup-jaccard-shingles")
     if max_doc_freq is not None:
         keep = (
             sh.groupBy("shingle")
@@ -662,7 +663,9 @@ def ngram_decontaminate(
         id_col,
         "__is_eval",
         F.explode(shingles_col(text_col, shingle_k)).alias("gram"),
-    ).select(id_col, "__is_eval", F.md5("gram").alias("gh")).persist()
+    ).select(id_col, "__is_eval", F.md5("gram").alias("gh")).transform(
+        pooled("dedup-decontaminate-grams")
+    )
     eval_grams = (
         grams.where(F.col("__is_eval")).select("gh").distinct()
     )
@@ -745,7 +748,7 @@ def source_overlap(
         )
         .select("grp", F.md5("gram").alias("gh"))
         .distinct()
-        .persist()
+        .transform(pooled("dedup-source-overlap"))
     )
     sizes = sh.groupBy("grp").agg(F.count("*").alias("set_size"))
     a = sh.select(F.col("grp").alias("source_a"), "gh")
@@ -804,7 +807,7 @@ def containment_pairs(
             F.explode(shingles_col(text_col, shingle_k)).alias("g"),
         )
         .distinct()
-        .persist()
+        .transform(pooled("dedup-containment-shingles"))
     )
     df_ = sh.groupBy("g").agg(F.count("*").alias("df"))
     rarest = (

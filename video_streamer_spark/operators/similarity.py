@@ -1226,6 +1226,8 @@ def mmr_rerank(
     spark = embeddings.sparkSession
     chosen: list[tuple[int, list, float]] = []  # (vec_id, vec, rel)
     out: list[tuple[int, int, float, float, int]] = []
+    # the result is driver-local rows, so `cand` is consumed entirely
+    # inside this loop — unpersist on every exit path (review r9)
     for rank in range(1, k + 1):
         pool_df = cand
         if chosen:
@@ -1267,6 +1269,7 @@ def mmr_rerank(
         out.append(
             (rank, int(b.vec_id), float(b.rel), float(b.div), int(b.mmr_micros))
         )
+    cand.unpersist()
     return spark.createDataFrame(
         out,
         "sel_rank int, vec_id bigint, rel double, div double, mmr_micros bigint",

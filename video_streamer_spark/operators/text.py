@@ -10,6 +10,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from video_streamer_spark.functions.caching import bounded_persist, pooled
 from video_streamer_spark.functions.parity import round2, round4
 from video_streamer_spark.operators.dedup import tokens_col
 
@@ -362,6 +363,12 @@ def _bpe_train(docs: DataFrame, n_merges: int = 3):
         .select("wc", F.split("token", "").alias("syms"))
         .persist()
     )
+    # each round's vocab is built FROM the previous round's, so the
+    # previous cache must stay live until the current round's collect
+    # materializes — then it retires. Without retirement every round
+    # leaked one cached table per call (review r9; the ADVICE leak
+    # class, iterative flavor).
+    rounds = [vocab]
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         pairs = (
@@ -386,6 +393,10 @@ def _bpe_train(docs: DataFrame, n_merges: int = 3):
         best = pairs.orderBy(
             F.col("n").desc(), F.col("l"), F.col("r")
         ).limit(1).collect()
+        # the collect materialized the CURRENT vocab's cache; every
+        # earlier round's cache is now dead weight
+        while len(rounds) > 1:
+            rounds.pop(0).unpersist()
         if not best:
             break
         a, b, n = best[0].l, best[0].r, best[0].n
@@ -407,6 +418,13 @@ def _bpe_train(docs: DataFrame, n_merges: int = 3):
                 ).otherwise(F.concat(acc, F.array(x))),
             ).alias("syms"),
         ).persist()
+        rounds.append(vocab)
+    while len(rounds) > 1:
+        rounds.pop(0).unpersist()
+    # the FINAL vocab escapes into the caller's lazy plan
+    # (bpe_segment_stats aggregates it), so its cache joins the
+    # session-bounded pool: the next training run evicts it
+    vocab = bounded_persist(vocab, "bpe-final-vocab")
     spark = docs.sparkSession
     merges_df = spark.createDataFrame(
         merges, "merge_rank int, l string, r string, merged string, n bigint"
@@ -481,28 +499,41 @@ def greedy_coverage_selection(
     covered = None  # DataFrame of distinct gh
     chosen: list[int] = []
     out: list[tuple[int, int, int, int]] = []
-    for rank in range(1, n_select + 1):
-        cand = sh
-        if chosen:
-            cand = cand.where(~F.col("doc_id").isin(chosen))
-        if covered is not None:
-            cand = cand.join(covered, "gh", "left_anti")
-        best = (
-            cand.groupBy("doc_id")
-            .agg(F.count("*").alias("gain"))
-            .orderBy(F.col("gain").desc(), F.col("doc_id"))
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        doc_id, gain = int(best[0].doc_id), int(best[0].gain)
-        chosen.append(doc_id)
-        add = sh.where(F.col("doc_id") == doc_id).select("gh")
-        covered = (
-            add if covered is None else covered.union(add).distinct()
-        ).persist()
-        out.append((rank, doc_id, gain, covered.count()))
+    # every persisted frame here is consumed INSIDE this function (the
+    # result is driver-local rows), so all caches drop before return;
+    # each round's covered-set retires once the next one materializes
+    # (review r9 — the iterative flavor of the ADVICE persist leak)
+    covered_rounds: list[DataFrame] = []
+    try:
+        for rank in range(1, n_select + 1):
+            cand = sh
+            if chosen:
+                cand = cand.where(~F.col("doc_id").isin(chosen))
+            if covered is not None:
+                cand = cand.join(covered, "gh", "left_anti")
+            best = (
+                cand.groupBy("doc_id")
+                .agg(F.count("*").alias("gain"))
+                .orderBy(F.col("gain").desc(), F.col("doc_id"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            doc_id, gain = int(best[0].doc_id), int(best[0].gain)
+            chosen.append(doc_id)
+            add = sh.where(F.col("doc_id") == doc_id).select("gh")
+            covered = (
+                add if covered is None else covered.union(add).distinct()
+            ).persist()
+            covered_rounds.append(covered)
+            out.append((rank, doc_id, gain, covered.count()))
+            while len(covered_rounds) > 1:
+                covered_rounds.pop(0).unpersist()
+    finally:
+        sh.unpersist()
+        while covered_rounds:
+            covered_rounds.pop().unpersist()
     return spark.createDataFrame(
         out, "sel_rank int, doc_id bigint, gain bigint, covered_total bigint"
     )
@@ -542,7 +573,9 @@ def rake_keywords(docs: DataFrame, top_n: int = 15) -> DataFrame:
         ),
         lambda p: F.size(p) > 0,
     )
-    ph = docs.select(F.explode(phrases).alias("p")).persist()
+    ph = docs.select(F.explode(phrases).alias("p")).transform(
+        pooled("rake-phrases")
+    )
     words = ph.select(
         F.explode("p").alias("w"), F.size("p").alias("plen")
     )
@@ -609,7 +642,7 @@ def winnowing_fingerprints(
             .cast("bigint")
             .alias("h"),
         )
-        .persist()
+        .transform(pooled("winnowing-grams"))
     )
     w_fwd = (
         Window.partitionBy("doc_id")

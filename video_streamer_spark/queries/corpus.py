@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from video_streamer_spark.catalog import table
+from video_streamer_spark.functions.caching import pooled
 from video_streamer_spark.queries import query
 from video_streamer_spark.queries.curation import (
     _R4,
@@ -518,7 +519,7 @@ def x147_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("rep_ok")
             & ~F.col("contaminated"),
         )
-        .persist()
+        .transform(pooled("x147-flagged"))
     )
     funnel = flagged.groupBy("source").agg(
         F.count("*").alias("n_raw"),
@@ -1714,7 +1715,7 @@ def x168_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned,
         {"train": 0.8, "val": 0.1, "test": 0.1},
         id_col="comp_id",
-    ).persist()
+    ).transform(pooled("x168-split"))
     spanning = (
         split.groupBy("comp_id")
         .agg(F.countDistinct("split").alias("ns"))
@@ -1804,7 +1805,7 @@ def x169_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     tk = docs.select(
         "doc_id", F.size(dedup.tokens_col("text")).cast("bigint").alias("n_tok")
-    ).persist()
+    ).transform(pooled("x169-tokens"))
 
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     exact_drop = (
@@ -2459,7 +2460,7 @@ def x178_corpus_health_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens_col("text")).cast("double").alias("n_tok"),
         quality_score_col().alias("q"),
         tokens_col("text").alias("toks"),
-    ).persist()
+    ).transform(pooled("x178-per-doc"))
     agg = per_doc.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
@@ -3468,7 +3469,7 @@ def x191_filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f_rep"),
             (F.coalesce("frac", F.lit(0.0)) > 0.1).alias("f_bp"),
         )
-        .persist()
+        .transform(pooled("x191-flags"))
     )
 
     def row(a: str, b: str, cond: F.Column) -> DataFrame:

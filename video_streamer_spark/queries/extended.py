@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from video_streamer_spark.catalog import table
+from video_streamer_spark.functions.caching import pooled
 from video_streamer_spark.queries import query
 
 
@@ -623,7 +624,9 @@ def x209_incremental_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_streamer_spark.operators import dedup
 
     docs = table(spark, sf_dir, "documents")
-    bands = dedup.minhash_bands(dedup.minhash_signatures(docs)).persist()
+    bands = dedup.minhash_bands(dedup.minhash_signatures(docs)).transform(
+        pooled("x209-band-index")
+    )
     new = (
         bands.where(F.col("doc_id") % 10 == 0)
         .withColumnRenamed("doc_id", "new_id")
