@@ -29,6 +29,7 @@ from video_streamer_spark.operators.log_store import (
     FaultInjected,
     FaultyLogStore,
     HardLinkLogStore,
+    LogEntryExistsError,
     register_log_store,
     unregister_log_store,
 )
@@ -526,3 +527,107 @@ def test_add_column_retry_after_ambiguous_commit_converges(spark, faulty):
     # the evolved column reads as null-backfilled everywhere
     rows = read_table(spark, path).collect()
     assert all(r["w"] is None for r in rows) and len(rows) == 20
+
+
+# ---------------------------------------------------------------------------
+# Protocol-level model check (no Spark): random op sequences with random
+# fault schedules against a dict model of the log. Fast enough for
+# hypothesis breadth — the Spark-level storm tests above pin the same
+# properties on real commits; this pins the STORE protocol itself.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_OP = st.one_of(
+    st.tuples(st.just("put"), st.integers(0, 5), st.sampled_from([None, "before", "after"])),
+    st.tuples(st.just("list"), st.booleans(), st.none()),
+    st.tuples(st.just("read"), st.integers(0, 5), st.booleans()),
+    st.tuples(st.just("delete"), st.integers(0, 5), st.none()),
+)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(store_kind=st.sampled_from(["posix", "condput"]), ops=st.lists(_OP, max_size=25))
+def test_log_store_protocol_matches_dict_model(tmp_path_factory, store_kind, ops):
+    """Every interleaving of put/list/read/delete with scheduled lies
+    must stay explainable by a dict model: a put either lands exactly
+    once or not at all (never torn), a stale list omits AT MOST the
+    newest entry, a lied-about read heals on retry, and no operation
+    can damage an entry it didn't target."""
+    import json
+
+    tmp = tmp_path_factory.mktemp("lsmodel")
+    inner = (
+        HardLinkLogStore() if store_kind == "posix" else ConditionalPutLogStore()
+    )
+    store = FaultyLogStore(inner)
+    log = str(tmp / "log")
+    store.ensure_log(log)
+    model: dict[str, str] = {}
+    seq = 0
+    for op, arg, flavor in ops:
+        name = f"v{arg:09d}.json"
+        if op == "put":
+            seq += 1
+            payload = json.dumps({"name": name, "seq": seq})
+            if flavor == "before":
+                store.arm("put_fail_before")
+            elif flavor == "after":
+                store.arm("put_fail_after")
+            try:
+                store.put_if_absent(log, name, payload)
+                assert name not in model, "exclusivity violated"
+                model[name] = payload
+            except LogEntryExistsError:
+                assert name in model, "phantom conflict"
+            except FaultInjected as exc:
+                if "after" in str(exc):
+                    # only a put that actually published can lose its
+                    # acknowledgment, so the name was free before it
+                    assert name not in model
+                    model[name] = payload  # durable despite the error
+                # a pre-durability fault changes nothing — it may hit a
+                # put whose name exists OR one whose name was free;
+                # either way the model is untouched
+        elif op == "list":
+            if arg:  # arm a stale listing
+                store.arm("stale_list")
+            listed = set(store.list_entries(log))
+            want = set(model)
+            if listed != want:
+                missing = want - listed
+                assert not (listed - want), "list invented an entry"
+                assert missing == {max(want)}, (
+                    "a stale list may omit only the newest entry"
+                )
+        elif op == "read":
+            if flavor:
+                store.arm("read_not_found")
+            try:
+                got = store.read_entry(log, name)
+                assert name in model and got == model[name], (
+                    "read returned torn or foreign bytes"
+                )
+            except FileNotFoundError:
+                # either the entry truly doesn't exist, or the armed
+                # lie fired; a lie must heal on the immediate retry
+                if name in model:
+                    assert store.read_entry(log, name) == model[name]
+        else:  # delete
+            try:
+                store.delete_entry(log, name)
+                assert name in model, "deleted a phantom"
+                del model[name]
+            except FileNotFoundError:
+                assert name not in model
+    # end the fault schedule (an armed stale_list aimed at an empty log
+    # never fired and would otherwise poison the audit), then audit
+    store.disarm_all()
+    assert set(store.list_entries(log)) == set(model)
+    for name, payload in model.items():
+        assert store.read_entry(log, name) == payload

@@ -269,6 +269,17 @@ class FaultyLogStore(LogStore):
         with self._lock:
             self._armed[kind] += n
 
+    def disarm_all(self) -> dict[str, int]:
+        """Clear every armed-but-unfired fault; returns what was left.
+        Lets a test end its fault schedule and audit the store
+        truthfully (an armed stale_list, for instance, only fires on a
+        non-empty listing and can outlive the op it was aimed at)."""
+        with self._lock:
+            leftover = dict(self._armed)
+            for k in self._armed:
+                self._armed[k] = 0
+        return leftover
+
     def _take(self, kind: str, detail: str) -> bool:
         with self._lock:
             if self._armed[kind] > 0:
