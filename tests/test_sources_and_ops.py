@@ -2943,19 +2943,20 @@ def test_lsh_bucket_cache_bounded_to_one(spark):
             ],
         }
     )
+    from video_streamer_spark.functions import caching
+
     evicted = []
     for r in range(3):
         # a DIFFERENT input per call: identical inputs share one
         # canonicalized cache entry anyway — accumulation (the ADVICE
         # leak) only happens across distinct plans
         df = spark.createDataFrame(rows.assign(vec_id=rows.vec_id + 100 * r))
-        if similarity._LSH_BUCKET_CACHE:
-            evicted.append(similarity._LSH_BUCKET_CACHE[0])
+        if "lsh-buckets" in caching._POOLS:
+            evicted.append(caching._POOLS["lsh-buckets"])
         similarity.embedding_near_pairs_lsh(
             df, dim=8, threshold=0.9, n_planes=3, n_tables=2
         ).count()
-    assert len(similarity._LSH_BUCKET_CACHE) == 1
-    live = similarity._LSH_BUCKET_CACHE[0]
+    live = caching._POOLS["lsh-buckets"]
     assert live.storageLevel.useMemory or live.storageLevel.useDisk
     for old in evicted:  # every prior call's table was unpersisted
         lvl = old.storageLevel

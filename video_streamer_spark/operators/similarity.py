@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from video_streamer_spark.functions.arrays import cosine_similarity
+from video_streamer_spark.functions.caching import bounded_persist
 from video_streamer_spark.functions.parity import round4
 
 LSH_PLANES_SEED = 42
@@ -684,14 +685,6 @@ def ivf_topk_pivots(
     )
 
 
-# Most-recent persisted LSH bucket table (bounded to 1): see the
-# eviction note inside embedding_near_pairs_lsh. Guarded by a lock —
-# driver threads building plans concurrently must not interleave the
-# pop/persist pair, or two tables stay cached and the bound breaks.
-_LSH_BUCKET_CACHE: list = []
-_LSH_BUCKET_LOCK = __import__("threading").Lock()
-
-
 def embedding_near_pairs_lsh(
     embeddings: DataFrame,
     dim: int,
@@ -727,23 +720,12 @@ def embedding_near_pairs_lsh(
     )
     # Both join sides read the bucket table; persist so the plane dots
     # compute once. The handle must outlive this call (the result is
-    # lazy), so the leak bound is session-wide: each call evicts the
-    # PREVIOUS call's cached buckets — a long-lived bench/driver loop
-    # holds at most one bucket table in executor storage (ADVICE r9).
-    # Contract: construct-then-consume per call. Building pairs for
-    # MULTIPLE corpora before materializing any of them keeps every
-    # result CORRECT but silently forfeits the earlier calls' cache
-    # hit (their buckets recompute on both join sides) — materialize
-    # each result before requesting the next, as the registry and
-    # bench loops do.
-    with _LSH_BUCKET_LOCK:
-        while _LSH_BUCKET_CACHE:
-            try:
-                _LSH_BUCKET_CACHE.pop().unpersist()
-            except Exception:
-                pass  # session torn down between calls; nothing to evict
-        tagged = tagged.persist()
-        _LSH_BUCKET_CACHE.append(tagged)
+    # lazy), so the leak bound is session-wide via the shared pool:
+    # each call evicts the previous call's cached buckets — a
+    # long-lived bench/driver loop holds at most one bucket table in
+    # executor storage (ADVICE r9; generalized in functions/caching,
+    # whose construct-then-consume contract applies here too).
+    tagged = bounded_persist(tagged, "lsh-buckets")
     a = tagged.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("a_vec"),
@@ -1227,49 +1209,52 @@ def mmr_rerank(
     chosen: list[tuple[int, list, float]] = []  # (vec_id, vec, rel)
     out: list[tuple[int, int, float, float, int]] = []
     # the result is driver-local rows, so `cand` is consumed entirely
-    # inside this loop — unpersist on every exit path (review r9)
-    for rank in range(1, k + 1):
-        pool_df = cand
-        if chosen:
-            pool_df = pool_df.where(
-                ~F.col("vec_id").isin([c[0] for c in chosen])
-            )
-            sel = spark.createDataFrame(
-                [(c[0], c[1]) for c in chosen],
-                f"sel_id bigint, s_vec {dict(cand.dtypes)['c_vec']}",
-            )
-            div_df = (
-                pool_df.crossJoin(F.broadcast(sel))
-                .select(
-                    "vec_id",
-                    "c_vec",
-                    "rel",
-                    round4(cosine_similarity("c_vec", "s_vec")).alias("s"),
+    # inside this loop — unpersist on EVERY exit path, including a
+    # failed collect (review r9, second pass)
+    try:
+        for rank in range(1, k + 1):
+            pool_df = cand
+            if chosen:
+                pool_df = pool_df.where(
+                    ~F.col("vec_id").isin([c[0] for c in chosen])
                 )
-                .groupBy("vec_id", "c_vec", "rel")
-                .agg(F.max("s").alias("div"))
+                sel = spark.createDataFrame(
+                    [(c[0], c[1]) for c in chosen],
+                    f"sel_id bigint, s_vec {dict(cand.dtypes)['c_vec']}",
+                )
+                div_df = (
+                    pool_df.crossJoin(F.broadcast(sel))
+                    .select(
+                        "vec_id",
+                        "c_vec",
+                        "rel",
+                        round4(cosine_similarity("c_vec", "s_vec")).alias("s"),
+                    )
+                    .groupBy("vec_id", "c_vec", "rel")
+                    .agg(F.max("s").alias("div"))
+                )
+            else:
+                div_df = pool_df.select(
+                    "vec_id", "c_vec", "rel", F.lit(0.0).alias("div")
+                )
+            scored = div_df.withColumn(
+                "mmr_micros",
+                F.floor(
+                    (F.col("rel") * 0.5 - F.col("div") * 0.5) * 1e6
+                ).cast("bigint"),
             )
-        else:
-            div_df = pool_df.select(
-                "vec_id", "c_vec", "rel", F.lit(0.0).alias("div")
+            best = scored.orderBy(
+                F.col("mmr_micros").desc(), F.col("vec_id")
+            ).limit(1).collect()
+            if not best:
+                break
+            b = best[0]
+            chosen.append((int(b.vec_id), b.c_vec, float(b.rel)))
+            out.append(
+                (rank, int(b.vec_id), float(b.rel), float(b.div), int(b.mmr_micros))
             )
-        scored = div_df.withColumn(
-            "mmr_micros",
-            F.floor(
-                (F.col("rel") * 0.5 - F.col("div") * 0.5) * 1e6
-            ).cast("bigint"),
-        )
-        best = scored.orderBy(
-            F.col("mmr_micros").desc(), F.col("vec_id")
-        ).limit(1).collect()
-        if not best:
-            break
-        b = best[0]
-        chosen.append((int(b.vec_id), b.c_vec, float(b.rel)))
-        out.append(
-            (rank, int(b.vec_id), float(b.rel), float(b.div), int(b.mmr_micros))
-        )
-    cand.unpersist()
+    finally:
+        cand.unpersist()
     return spark.createDataFrame(
         out,
         "sel_rank int, vec_id bigint, rel double, div double, mmr_micros bigint",

@@ -419,8 +419,16 @@ def _bpe_train(docs: DataFrame, n_merges: int = 3):
             ).alias("syms"),
         ).persist()
         rounds.append(vocab)
-    while len(rounds) > 1:
-        rounds.pop(0).unpersist()
+    if len(rounds) > 1:
+        # the LAST round's vocab was never materialized inside the loop
+        # (each collect materializes the vocab the round STARTED with);
+        # fill its cache in one step off the still-cached penultimate
+        # round BEFORE retiring — retiring first would force the
+        # caller's first action to recompute the whole merge chain
+        # (review r9, second pass). Vocab-sized count: cheap.
+        vocab.count()
+        while len(rounds) > 1:
+            rounds.pop(0).unpersist()
     # the FINAL vocab escapes into the caller's lazy plan
     # (bpe_segment_stats aggregates it), so its cache joins the
     # session-bounded pool: the next training run evicts it
