@@ -68,16 +68,19 @@ HEADLINE = [
 ]
 
 
-# The heavy five with a two-scale-point envelope in tests/test_scaling.py:
+# The heavy set with a two-scale-point envelope in tests/test_scaling.py:
 # the bench emits their sf0.01 numbers + big/small ratios as a "scale2"
 # block so the driver artifact archives the scaling evidence (VERDICT r6
-# item 8), not just one scale point.
+# item 8), not just one scale point. x200 joined in round 9 with its
+# HEADLINE row — the inverted-index family's growth is the one a lost
+# df-guard would bend first.
 SCALE2 = [
     "x02_dedup_minhash_pairs",
     "x03_dedup_simhash_pairs",
     "x05_embedding_near_pairs",
     "x10_quality_scores",
     "x33_grouped_minmax_scale",
+    "x200_verbatim_span_dedup",
 ]
 
 
