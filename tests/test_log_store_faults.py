@@ -631,3 +631,100 @@ def test_log_store_protocol_matches_dict_model(tmp_path_factory, store_kind, ops
     assert set(store.list_entries(log)) == set(model)
     for name, payload in model.items():
         assert store.read_entry(log, name) == payload
+
+
+def _bucket_of(spark, k: int, n_buckets: int) -> int:
+    from video_streamer_spark.operators import table_format as tf
+
+    return tf._bucketed(
+        spark.createDataFrame([(k,)], "k bigint"), ["k"], n_buckets
+    ).collect()[0][__import__(
+        "video_streamer_spark.operators.merge", fromlist=["BUCKET_COL"]
+    ).BUCKET_COL]
+
+
+def test_disjoint_conflict_rebases_without_redoing_data(spark, faulty):
+    """Conflict rebase: a writer whose stale base lost a version race
+    to a winner that touched DISJOINT buckets must land its
+    already-written data by rebasing the manifest — no
+    VersionConflictError, no second data commit, both changes visible
+    (round 9). The stale race is deterministic: an armed stale listing
+    makes the loser read the pre-winner version as current."""
+    import os
+
+    store, path = faulty
+    model = _base(spark, path)  # keys 0..38 even, 4 buckets
+    # two keys in different buckets: the winner touches one, the
+    # rebasing loser the other
+    buckets = {
+        k: _bucket_of(spark, k, 4) for k in (100, 101, 102, 103, 104, 105)
+    }
+    k_win = 100
+    k_lose = next(k for k, b in buckets.items() if b != buckets[k_win])
+    merge_table(spark, path, _mk(spark, [(k_win, 1.0, "I")]))  # v2
+    model[k_win] = 1.0
+    n_data_dirs = len(os.listdir(os.path.join(path, "data")))
+    store.arm("stale_list")  # loser's current_version sees v1
+    v = merge_table(spark, path, _mk(spark, [(k_lose, 2.0, "I")]))
+    model[k_lose] = 2.0
+    assert v == 3, "the rebase must land at the next version"
+    assert any(kind == "stale_list" for kind, _ in store.fired)
+    # exactly ONE new data dir: the loser's files were written once and
+    # reused by the rebase — no re-merge
+    assert len(os.listdir(os.path.join(path, "data"))) == n_data_dirs + 1
+    assert _state(spark, path) == model
+    # the change feed attributes each commit exactly
+    from video_streamer_spark.operators.table_format import table_changes
+
+    d23 = {
+        (r["k"], r["_change_type"])
+        for r in table_changes(spark, path, 2, 3).collect()
+    }
+    assert d23 == {(k_lose, "insert")}
+
+
+def test_overlapping_conflict_still_raises(spark, faulty):
+    """Rebase eligibility is bucket-disjointness: a loser touching a
+    bucket any winner changed must still get VersionConflictError —
+    its merged rows were computed against stale bucket contents."""
+    store, path = faulty
+    _base(spark, path)
+    merge_table(spark, path, _mk(spark, [(200, 1.0, "I")]))  # v2
+    store.arm("stale_list")
+    with pytest.raises(VersionConflictError):
+        # same key = same bucket: winner's bucket intersects loser's
+        merge_table(spark, path, _mk(spark, [(200, 2.0, "U")]))
+    assert current_version(path) == 2
+
+
+def test_layout_conflict_is_not_rebasable(spark, faulty):
+    """A concurrent rebucket invalidates the loser's key→bucket routing
+    entirely; the rebase must refuse and surface the conflict."""
+    store, path = faulty
+    _base(spark, path)
+    rebucket_table(spark, path, 8)  # v2 — layout change
+    store.arm("stale_list")  # loser still sees the 4-bucket v1
+    with pytest.raises(VersionConflictError):
+        merge_table(spark, path, _mk(spark, [(300, 1.0, "I")]))
+    assert current_version(path) == 2
+
+
+def test_tombstone_delete_rebases_over_disjoint_winner(spark, faulty):
+    """delete_keys commits rebase the same way: a tombstone-only commit
+    whose bucket set is disjoint from the winner's lands without
+    retrying the key routing."""
+    store, path = faulty
+    model = _base(spark, path)
+    buckets = {k: _bucket_of(spark, k, 4) for k in range(0, 40, 2)}
+    k_win, k_dead = 0, next(
+        k for k, b in buckets.items() if b != buckets[0]
+    )
+    merge_table(spark, path, _mk(spark, [(k_win, 9.0, "U")]))  # v2
+    model[k_win] = 9.0
+    store.arm("stale_list")
+    v = delete_keys(
+        spark, path, spark.createDataFrame([(k_dead,)], "k bigint")
+    )
+    model.pop(k_dead)
+    assert v == 3
+    assert _state(spark, path) == model

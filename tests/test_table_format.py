@@ -1783,8 +1783,11 @@ def test_delete_keys_occ_and_idempotency(spark, tmp_path, monkeypatch):
 
     # OCC: a REAL interleaved race — a merge commits between
     # delete_keys' manifest read and its manifest link (injected at the
-    # tombstone-routing step); the stale-base delete must lose loudly
-    # and leave no tombstones behind
+    # tombstone-routing step). Since round 9, a loser whose buckets are
+    # DISJOINT from the winner's REBASES and lands (see
+    # test_log_store_faults rebase coverage); to get a genuine loud
+    # conflict the race must touch the SAME bucket, so the racing merge
+    # upserts the very key the delete targets.
     orig = tf._bucketed
     state = {"raced": False}
 
@@ -1794,7 +1797,7 @@ def test_delete_keys_occ_and_idempotency(spark, tmp_path, monkeypatch):
             merge_table(
                 spark,
                 path,
-                spark.createDataFrame([(77, "race")], "k bigint, v string"),
+                spark.createDataFrame([(9, "race")], "k bigint, v string"),
             )
         return orig(df, key_cols, n)
 
@@ -1803,10 +1806,10 @@ def test_delete_keys_occ_and_idempotency(spark, tmp_path, monkeypatch):
         delete_keys(spark, path, spark.createDataFrame([(9,)], "k bigint"))
     monkeypatch.setattr(tf, "_bucketed", orig)
 
-    # the winner's row is live, the loser's delete never applied, and a
-    # clean retry (re-reading the new current version) succeeds
+    # the winner's upsert is live, the loser's delete never applied,
+    # and a clean retry (re-reading the new current version) succeeds
     snap = {r["k"]: r["v"] for r in read_table(spark, path).collect()}
-    assert snap[77] == "race" and 9 in snap
+    assert snap[9] == "race"
     v2 = delete_keys(spark, path, spark.createDataFrame([(9,)], "k bigint"))
     assert v2 == current_version(path)
     assert 9 not in {r["k"] for r in read_table(spark, path).collect()}
