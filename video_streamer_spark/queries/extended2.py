@@ -800,3 +800,117 @@ def x222_maintain_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("total_price"),
     )
+
+
+# x223 — CONFLICT REBASE CERTIFIED SEMANTICALLY EXACT: the round-9
+# commit-protocol feature under the oracle (the x221/x222 pattern).
+# The query builds a versioned table routed through a FaultyLogStore,
+# commits one merge normally, then arms a STALE LISTING so the second
+# merge reads the pre-winner version as its base — a deterministic
+# version race. The two changesets route to provably different buckets
+# (asserted at construction from the same hash the router uses), so
+# the loser must land by REBASING its already-written manifest delta
+# onto the winner instead of re-running the merge: the query raises
+# unless the race actually fired, the rebase landed at version 3, and
+# exactly one data dir exists per commit. The oracle states the plain
+# union of base + both changesets over raw rows, so the driver's hash
+# check certifies a rebased commit is indistinguishable from a clean
+# one. Scale: this is the 1000-writer story — disjoint work lands in
+# parallel, paying one manifest round instead of a full re-merge.
+@query(
+    "x223_rebase_invariance",
+    oracle="""
+    WITH eff AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 8 = 3
+      UNION ALL SELECT CAST(-1 AS BIGINT), CAST(11.0 AS DOUBLE)
+      UNION ALL SELECT CAST(-2 AS BIGINT), CAST(22.0 AS DOUBLE))
+    SELECT CAST(o_orderkey % 4 AS BIGINT) AS key_class,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE)
+        / 100.0 AS total_price
+    FROM eff GROUP BY key_class
+    """,
+)
+def x223_rebase_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from video_streamer_spark.operators.log_store import (
+        FaultyLogStore,
+        HardLinkLogStore,
+        register_log_store,
+        unregister_log_store,
+    )
+    from video_streamer_spark.operators.merge import BUCKET_COL, _bucketed
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        merge_table,
+        read_table,
+    )
+
+    path = _fresh_run_dir(spark, sf_dir, "vss-rebase")
+    # keys -1 and -2 route to different 8-bucket homes today; assert it
+    # from the router itself so a future hash change fails loudly
+    # instead of silently testing the non-rebase path
+    routed = {
+        r["k"]: r[BUCKET_COL]
+        for r in _bucketed(
+            spark.createDataFrame([(-1,), (-2,)], "k bigint"), ["k"], 8
+        ).collect()
+    }
+    if routed[-1] == routed[-2]:
+        raise RuntimeError(
+            "keys -1/-2 now share a bucket; pick disjoint keys or the "
+            f"race below stops exercising the rebase: {routed}"
+        )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    store = FaultyLogStore(HardLinkLogStore())
+    register_log_store(path, store)
+    try:
+        create_table(
+            orders.where(F.col("o_orderkey") % 8 == 3),
+            path,
+            ["o_orderkey"],
+            n_buckets=8,
+        )
+        merge_table(  # the winner
+            spark,
+            path,
+            spark.createDataFrame(
+                [(-1, 11.0)], "o_orderkey bigint, o_totalprice double"
+            ),
+        )
+        n_dirs = len(os.listdir(os.path.join(path, "data")))
+        store.arm("stale_list")  # the loser reads v1 as current
+        v = merge_table(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(-2, 22.0)], "o_orderkey bigint, o_totalprice double"
+            ),
+        )
+        if v != 3 or not any(k == "stale_list" for k, _ in store.fired):
+            raise RuntimeError(
+                f"the race never fired (v={v}, fired={store.fired}) — "
+                "the rebase certification would be vacuous"
+            )
+        if len(os.listdir(os.path.join(path, "data"))) != n_dirs + 1:
+            raise RuntimeError(
+                "the rebased commit wrote more than one data dir — the "
+                "merge re-ran instead of rebasing"
+            )
+        out = read_table(spark, path)
+    finally:
+        unregister_log_store(path)
+    return out.groupBy(
+        (F.col("o_orderkey") % 4).cast("bigint").alias("key_class")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0).cast("bigint")
+            ).cast("double")
+            / 100.0
+        ).alias("total_price"),
+    )
