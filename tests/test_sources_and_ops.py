@@ -1086,6 +1086,19 @@ def test_run_merge_upsert_sink_streaming(spark, tmp_path):
 
     change_file("f1.parquet", [(3, "U", "updated"), (42, "I", "inserted")])
     change_file("f2.parquet", [(42, "D", None), (4, "U", "later")])
+    # FileStreamSource orders a listing by modification time, with
+    # UNSPECIFIED tie-breaking when both files land in the same
+    # timestamp tick — the lexicographic-order assumption this test
+    # used to make flaked roughly one full-suite run in three (f2's
+    # delete of 42 processed before f1's insert lets 42 survive).
+    # Distinct mtimes make the intended order deterministic under both
+    # mtime- and path-ordering.
+    import os
+    import time as _time
+
+    now = _time.time()
+    os.utime(src / "f1.parquet", (now - 10, now - 10))
+    os.utime(src / "f2.parquet", (now - 5, now - 5))
 
     stream = (
         spark.readStream.schema("key long, __op string, val string")
@@ -1095,8 +1108,7 @@ def test_run_merge_upsert_sink_streaming(spark, tmp_path):
     M.run_merge_upsert_sink(stream, path, ["key"], n_buckets=4)
     got = {r["key"]: r["val"] for r in M.read_merge_table(spark, path).collect()}
     assert got[3] == "updated" and got[4] == "later"
-    # 42 was inserted then deleted; file order within availableNow is
-    # lexicographic so f1 precedes f2
+    # 42 was inserted (f1, older mtime) then deleted (f2, newer)
     assert 42 not in got
     assert len(got) == 10
 
