@@ -43,7 +43,7 @@ from video_streamer_spark.queries import query
       FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g) x
       WHERE df BETWEEN 2 AND 5),
     matches AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         a.pos AS pa, b.pos AS pb
       FROM grams a JOIN rare r ON a.g = r.g JOIN grams b ON a.g = b.g
       WHERE a.doc_id < b.doc_id),
@@ -104,15 +104,18 @@ def x200_verbatim_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = tagged.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
         "pos", "pb"
     )
-    matches = (
-        a.join(b, (a.g == b.g) & (a.doc_id < b.doc_b))
-        .select(
-            F.col("doc_id").alias("doc_a"),
-            "doc_b",
-            F.col("pos").alias("pa"),
-            "pb",
-        )
-        .distinct()
+    # no DISTINCT on matches (round-10): it is a provable no-op — a
+    # position (doc_id, pos) carries exactly ONE gram, `grams` has one
+    # row per (doc_id, pos) and `rare` one row per g, so the equi-join
+    # emits each (doc_a, pa, doc_b, pb) at most once; deduplicating it
+    # cost a full 4-column exchange of the match set. The oracle's
+    # matches CTE dropped its DISTINCT for the same reason — the
+    # algorithm never produces duplicates, in either engine.
+    matches = a.join(b, (a.g == b.g) & (a.doc_id < b.doc_b)).select(
+        F.col("doc_id").alias("doc_a"),
+        "doc_b",
+        F.col("pos").alias("pa"),
+        "pb",
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     islands = matches.withColumn("diag", F.col("pa") - F.col("pb")).withColumn(
