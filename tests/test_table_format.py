@@ -3049,3 +3049,172 @@ def test_maintain_table_executes_advisor_recommendations(spark, tmp_path):
     res = maintain_table(spark, ok)
     assert res["actions"] == []
     assert res["version_after"] == res["version_before"] == 2
+
+
+# ---------------------------------------------------------------------------
+# round 10: CDF pre-images + incremental view maintenance
+
+
+def test_table_changes_preimages_widen_updates_only(spark, tmp_path):
+    """include_preimages=True: each update emits BOTH images (old values
+    on the preimage row), inserts/deletes are unchanged, carried-over
+    and no-op-updated rows still emit nothing, and the default
+    three-type feed is untouched."""
+    from video_streamer_spark.operators.table_format import table_changes
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("val")
+    )
+    create_table(base, path, ["k"], n_buckets=8)
+    changes = spark.createDataFrame(
+        [
+            (3, 99, "U"),  # real update: 3%7=3 -> 99
+            (10, 10 % 7, "U"),  # no-op update: value unchanged
+            (100, 1, "I"),
+            (5, 0, "D"),
+        ],
+        ["k", "val", "__op"],
+    ).withColumn("val", F.col("val").cast("long"))
+    merge_table(spark, path, changes)
+
+    four = sorted(
+        (r["k"], r["val"], r["_change_type"])
+        for r in table_changes(
+            spark, path, 1, 2, include_preimages=True
+        ).collect()
+    )
+    assert four == [
+        (3, 3 % 7, "update_preimage"),
+        (3, 99, "update_postimage"),
+        (5, 5 % 7, "delete"),
+        (100, 1, "insert"),
+    ]
+    three = sorted(
+        (r["k"], r["val"], r["_change_type"])
+        for r in table_changes(spark, path, 1, 2).collect()
+    )
+    assert three == [
+        (3, 99, "update_postimage"),
+        (5, 5 % 7, "delete"),
+        (100, 1, "insert"),
+    ]
+
+
+def test_table_changes_preimages_through_tombstone_delete(spark, tmp_path):
+    """Tombstone-only windows (delete_keys: pointer unchanged, debt
+    grew) emit pre-image delete rows in BOTH modes — the four-type
+    feed is a strict superset only on updates."""
+    from video_streamer_spark.operators.table_format import (
+        delete_keys,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("val")
+    )
+    create_table(base, path, ["k"], n_buckets=4)
+    delete_keys(spark, path, spark.createDataFrame([(7,), (21,)], ["k"]))
+    for pre in (False, True):
+        got = sorted(
+            (r["k"], r["val"], r["_change_type"])
+            for r in table_changes(
+                spark, path, 1, 2, include_preimages=pre
+            ).collect()
+        )
+        assert got == [(7, 21, "delete"), (21, 63, "delete")]
+
+
+def test_incremental_agg_from_feed_equals_recompute(spark, tmp_path):
+    """IVM invariance: a materialized aggregate maintained ONLY from
+    the four-type feed (base at v1 + signed contributions) is bit-equal
+    to recomputing against the final snapshot — across updates that
+    move rows BETWEEN groups, inserts later updated, tombstone deletes,
+    and a layout-only OPTIMIZE commit in the window."""
+    from video_streamer_spark.operators.table_format import (
+        delete_keys,
+        optimize_table,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("grp"),
+        (F.col("id") * 10).alias("val"),
+    )
+    create_table(base, path, ["k"], n_buckets=8)
+    # commit 2: move k%5==0 rows to group 9 (group-changing update),
+    # insert 200..219 into group 1, delete k%7==1
+    moved = (
+        base.where("k % 5 = 0")
+        .withColumn("grp", F.lit(9).cast("long"))
+        .withColumn("__op", F.lit("U"))
+    )
+    ins = spark.range(200, 220).select(
+        F.col("id").alias("k"),
+        F.lit(1).cast("long").alias("grp"),
+        (F.col("id") + 5).alias("val"),
+        F.lit("I").alias("__op"),
+    )
+    dels = (
+        base.where("k % 7 = 1")
+        .withColumn("__op", F.lit("D"))
+        .select("k", "grp", "val", "__op")
+    )
+    merge_table(spark, path, moved.unionByName(ins).unionByName(dels))
+    # commit 3: layout-only — must contribute NOTHING to the feed
+    optimize_table(spark, path, "val", files_per_bucket=2)
+    # commit 4: tombstone-delete two of the fresh inserts
+    delete_keys(spark, path, spark.createDataFrame([(205,), (211,)], ["k"]))
+    # commit 5: bump every remaining inserted key's val (+1)
+    merge_table(
+        spark,
+        path,
+        spark.range(200, 220)
+        .where("id NOT IN (205, 211)")
+        .select(
+            F.col("id").alias("k"),
+            F.lit(1).cast("long").alias("grp"),
+            (F.col("id") + 6).alias("val"),
+            F.lit("U").alias("__op"),
+        ),
+    )
+
+    v_to = current_version(path)
+    basev1 = read_table(spark, path, version=1)
+    base_agg = basev1.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"), F.sum("val").alias("s")
+    )
+    feed = table_changes(spark, path, 1, v_to, include_preimages=True)
+    sign = (
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+    delta = feed.groupBy("grp").agg(
+        F.sum(sign).alias("dn"), F.sum(sign * F.col("val")).alias("ds")
+    )
+    maintained = (
+        base_agg.join(delta, "grp", "full_outer")
+        .select(
+            "grp",
+            (
+                F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))
+            ).alias("s"),
+        )
+        .where(F.col("n") > 0)
+    )
+    recomputed = (
+        read_table(spark, path)
+        .groupBy("grp")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("val").alias("s"))
+    )
+    assert _rows(maintained) == _rows(recomputed)

@@ -1103,11 +1103,26 @@ def read_table_for_keys(
 
 
 def table_changes(
-    spark: SparkSession, path: str, v_from: int, v_to: int
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    include_preimages: bool = False,
 ) -> DataFrame:
     """Change-data-feed read: the row-level delta between two committed
     snapshots, as the table columns plus ``_change_type`` in
     {'insert', 'delete', 'update_postimage'}.
+
+    ``include_preimages=True`` widens updates to the Delta-style
+    four-type feed: each updated key emits BOTH an ``update_preimage``
+    row (the old values) and an ``update_postimage`` row. Pre-images
+    are what downstream incremental consumers subtract — a materialized
+    aggregate maintains itself from the feed alone as
+    sum(signed contribution), +1 for insert/update_postimage, -1 for
+    delete/update_preimage (x224) — without re-reading the old
+    snapshot. Default stays post-image-only: the three-type feed is
+    the replication contract (apply = upsert ∪ delete) and its shape
+    is pinned by the x211 oracle.
 
     Pruning is manifest-level FIRST: a bucket whose data dir is
     byte-identical between the two manifests (dirs are immutable, so
@@ -1181,19 +1196,67 @@ def table_changes(
     joined = fingerprinted(old, "old").join(
         fingerprinted(new, "new"), key_cols, "full_outer"
     )
-    classified = joined.select(
-        *key_cols,
-        F.when(F.col("_fp_old").isNull(), F.lit("insert"))
-        .when(F.col("_fp_new").isNull(), F.lit("delete"))
-        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("update_postimage"))
-        .alias("_change_type"),
-        F.coalesce(F.col("_row_new"), F.col("_row_old")).alias("_row"),
-    ).filter(F.col("_change_type").isNotNull())
-    out = classified.select(
-        *key_cols,
-        *[F.col(f"_row.{c}").alias(c) for c in val_cols],
-        "_change_type",
-    )
+    if include_preimages:
+        # single pass over the outer join: each key classifies to an
+        # ARRAY of (type, row) structs — null for carried-over rows
+        # (explode drops nulls) — so the four-type feed never computes
+        # the bucket diff twice. An update contributes two array
+        # elements sharing the key's one joined row.
+        pair = (
+            F.when(
+                F.col("_fp_old").isNull(),
+                F.array(
+                    F.struct(
+                        F.lit("insert").alias("t"),
+                        F.col("_row_new").alias("r"),
+                    )
+                ),
+            )
+            .when(
+                F.col("_fp_new").isNull(),
+                F.array(
+                    F.struct(
+                        F.lit("delete").alias("t"),
+                        F.col("_row_old").alias("r"),
+                    )
+                ),
+            )
+            .when(
+                F.col("_fp_old") != F.col("_fp_new"),
+                F.array(
+                    F.struct(
+                        F.lit("update_preimage").alias("t"),
+                        F.col("_row_old").alias("r"),
+                    ),
+                    F.struct(
+                        F.lit("update_postimage").alias("t"),
+                        F.col("_row_new").alias("r"),
+                    ),
+                ),
+            )
+        )
+        out = joined.select(*key_cols, F.explode(pair).alias("_c")).select(
+            *key_cols,
+            *[F.col(f"_c.r.{c}").alias(c) for c in val_cols],
+            F.col("_c.t").alias("_change_type"),
+        )
+    else:
+        classified = joined.select(
+            *key_cols,
+            F.when(F.col("_fp_old").isNull(), F.lit("insert"))
+            .when(F.col("_fp_new").isNull(), F.lit("delete"))
+            .when(
+                F.col("_fp_old") != F.col("_fp_new"),
+                F.lit("update_postimage"),
+            )
+            .alias("_change_type"),
+            F.coalesce(F.col("_row_new"), F.col("_row_old")).alias("_row"),
+        ).filter(F.col("_change_type").isNotNull())
+        out = classified.select(
+            *key_cols,
+            *[F.col(f"_row.{c}").alias(c) for c in val_cols],
+            "_change_type",
+        )
     if tomb_only:
         delta_dirs = [
             os.path.join(path, rel)
