@@ -914,3 +914,132 @@ def x223_rebase_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("total_price"),
     )
+
+
+# x224 — CDF-DRIVEN INCREMENTAL AGGREGATE VIEW: the loop between the
+# versioned table (x210–x219) and incremental view maintenance (x204)
+# closed through the change feed itself. A per-priority revenue
+# aggregate is materialized against snapshot v1, two merge commits
+# mutate the table (the x211 scenario: deletes, doubled updates,
+# inserts later bumped), and the view is brought current WITHOUT
+# re-reading the table: table_changes(v1, v3, include_preimages=True)
+# emits the Delta-style four-type feed, and the maintained view is
+# base + sum(signed contribution) — +1/+cents for insert and
+# update_postimage, -1/-cents for delete and update_preimage. The
+# oracle computes the FINAL state closed-form from the raw rows, so
+# any defect in the feed (a missed pre-image, a no-op update leaking
+# through, a carried-over row classified as a change) lands as a
+# value mismatch, not a plausible-looking view. Contributions are
+# quantized to integer cents per row BEFORE summing, so base + delta
+# is bit-equal to recompute regardless of accumulation order. Scale:
+# the delta reads only buckets some commit actually rewrote
+# (manifest-level pruning) — at 100 TB the view refresh costs the
+# churn, not the table, which is the entire point of maintaining a
+# view incrementally.
+@query(
+    "x224_cdf_incremental_agg",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_orderpriority,
+                      CAST(o_totalprice AS DOUBLE) AS price FROM orders),
+    final AS (
+      SELECT o_orderpriority,
+        CASE WHEN o_orderkey % 16 = 8 THEN price * 2.0 ELSE price END
+          AS price
+      FROM o WHERE o_orderkey % 4 = 0 AND o_orderkey % 16 <> 0
+      UNION ALL
+      SELECT o_orderpriority, price + 1000.0 AS price
+      FROM o WHERE o_orderkey % 4 = 1)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(price * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+        AS total_price
+    FROM final GROUP BY o_orderpriority
+    """,
+)
+def x224_cdf_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        merge_table,
+        read_table,
+        table_changes,
+    )
+
+    path = _fresh_run_dir(spark, sf_dir, "vss-ivm")
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    create_table(
+        orders.where("o_orderkey % 4 = 0"), path, ["o_orderkey"], n_buckets=8
+    )
+    # commit 2: delete %16=0, double %16=8, no-op-update the rest of
+    # %4=0 (must contribute NOTHING to the delta), insert %4=1
+    cs1 = (
+        orders.where("o_orderkey % 4 IN (0, 1)")
+        .withColumn(
+            "__op",
+            F.when(F.col("o_orderkey") % 16 == 0, F.lit("D"))
+            .when(F.col("o_orderkey") % 4 == 1, F.lit("I"))
+            .otherwise(F.lit("U")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 16 == 8,
+                F.col("o_totalprice") * 2.0,
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    merge_table(spark, path, cs1)
+    # commit 3: bump every inserted key — the view must net base+1000,
+    # exercising pre-image subtraction of commit 2's own insert value
+    cs2 = (
+        orders.where("o_orderkey % 4 = 1")
+        .withColumn("__op", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    )
+    merge_table(spark, path, cs2)
+
+    cents = F.floor(F.col("o_totalprice") * 100.0).cast("bigint")
+    base = (
+        read_table(spark, path, version=1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(cents).alias("cents"),
+        )
+    )
+    feed = table_changes(spark, path, 1, 3, include_preimages=True)
+    sign = (
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+    )
+    delta = feed.groupBy("o_orderpriority").agg(
+        F.sum(sign).alias("dn"),
+        F.sum(sign * cents).alias("dcents"),
+    )
+    return (
+        base.join(delta, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce(F.col("n"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_rows"),
+            (
+                (
+                    F.coalesce(F.col("cents"), F.lit(0))
+                    + F.coalesce(F.col("dcents"), F.lit(0))
+                ).cast("double")
+                / 100.0
+            ).alias("total_price"),
+        )
+        .where(F.col("n_rows") > 0)
+    )
