@@ -227,11 +227,23 @@ class _CdfPartition(InputPartition):
 
 
 class _CdfStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, schema: StructType, start_version: int):
+    def __init__(
+        self,
+        path: str,
+        schema: StructType,
+        start_version: int,
+        preimages: bool = False,
+    ):
         self.path = path
         # declared output schema minus the two feed columns = table cols
         self.table_fields = schema.fields[:-2]
         self.start_version = start_version
+        # Delta-style four-type feed: updates emit BOTH images. The
+        # pre-image is what incremental consumers subtract (the
+        # streaming aggregate view maintains itself from signed
+        # contributions alone); default stays the three-type
+        # replication contract.
+        self.preimages = preimages
 
     def initialOffset(self) -> dict:  # noqa: N802
         return {"v": self.start_version}
@@ -530,9 +542,10 @@ class _CdfStreamReader(DataSourceStreamReader):
                 if eq.dtype == object or str(eq.dtype) == "boolean":
                     eq = eq.fillna(False)
                 neq |= ~((o.isna() & n.isna()) | eq)
-            yield from emit_frame(
-                both[neq.astype(bool)], n_cols, "update_postimage"
-            )
+            changed = both[neq.astype(bool)]
+            if self.preimages:
+                yield from emit_frame(changed, o_cols, "update_preimage")
+            yield from emit_frame(changed, n_cols, "update_postimage")
 
     def commit(self, end: dict) -> None:
         pass
@@ -545,7 +558,11 @@ class TableCdfDataSource(DataSource):
     integer starts after that committed version; the string "latest"
     subscribes to changes only — the stream's first window begins at
     the version current WHEN THE STREAM STARTS, Delta's
-    startingVersion=latest)."""
+    startingVersion=latest), ``preimages`` ("true" widens updates to
+    the four-type feed: each updated key also emits an
+    ``update_preimage`` row carrying the window-start values — what
+    incremental consumers subtract; default "false" keeps the
+    three-type replication contract)."""
 
     @classmethod
     def name(cls) -> str:
@@ -572,7 +589,11 @@ class TableCdfDataSource(DataSource):
             if isinstance(raw, str) and raw.strip().lower() == "latest"
             else int(raw)
         )
-        reader = _CdfStreamReader(path, schema, start)
+        preimages = (
+            str(self.options.get("preimages", "false")).strip().lower()
+            == "true"
+        )
+        reader = _CdfStreamReader(path, schema, start, preimages=preimages)
         doc = _load_manifest(path, _latest_version(path))
         reader.key_cols = doc["key_cols"]
         return reader
