@@ -170,6 +170,7 @@ def test_shipped_sink_bodies_are_clean():
     """Every foreachBatch body this repo ships passes its own lint."""
     from video_streamer_spark.operators.merge import run_merge_upsert_sink
     from video_streamer_spark.plans.advisor import lint_foreach_batch
+    from video_streamer_spark.streaming.agg_view import run_agg_view_pass
     from video_streamer_spark.streaming.incremental import (
         write_partial_batch,
     )
@@ -189,6 +190,7 @@ def test_shipped_sink_bodies_are_clean():
         index_ingest_stream,
         index_upsert_stream,
         write_partial_batch,
+        run_agg_view_pass,
     ):
         assert not lint_foreach_batch(fn), fn.__name__
 

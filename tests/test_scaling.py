@@ -406,7 +406,7 @@ def test_construction_job_sweep_is_exactly_the_allowlist(spark):
         "x212_optimized_pruned_range_read", "x214_bloom_pruned_lookup",
         "x215_tombstone_delete_read", "x216_zonemap_range_read",
         "x217_tombstone_snapshot_read", "x222_maintain_invariance",
-        "x223_rebase_invariance",
+        "x223_rebase_invariance", "x224_cdf_incremental_agg",
         # index builders / pivot quantizers (centroids-sized collects)
         "x32_ivf_topk", "x155_ivf_index_search", "x158_mmr_rerank",
         "x159_ivfpq_index_search", "x160_ann_recall_eval",

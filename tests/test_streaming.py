@@ -1219,3 +1219,180 @@ def test_end_to_end_ingest_dedup_acid_replicate(spark, tmp_path):
         sorted(tuple(r) for r in read_table(spark, replica).collect())
         == want
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: four-type streaming feed + maintained aggregate view
+
+
+def test_cdf_stream_preimages_equal_batch_four_type_feed(spark, tmp_path):
+    """option('preimages','true'): the streamed window equals the batch
+    table_changes(include_preimages=True) row-for-row — updates carry
+    both images, everything else is unchanged — and the default stream
+    still emits the three-type feed."""
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        merge_table,
+        table_changes,
+    )
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("val")
+    )
+    create_table(base, path, ["k"], n_buckets=4)
+    register_cdf_source(spark)
+
+    def drain(tag, start, **opts):
+        out = str(tmp_path / f"feed-{tag}")
+        reader = (
+            spark.readStream.format("table_cdf")
+            .option("path", path)
+            .option("startingVersion", start)
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt-{tag}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 120)
+        return spark.read.parquet(out)
+
+    changes = spark.createDataFrame(
+        [(3, 99, "U"), (60, 1, "I"), (5, 0, "D"), (10, 10 % 5, "U")],
+        ["k", "val", "__op"],
+    ).withColumn("val", F.col("val").cast("long"))
+    merge_table(spark, path, changes)
+
+    four = drain("pre", 1, preimages="true").select(
+        "k", "val", "_change_type"
+    )
+    batch = table_changes(spark, path, 1, 2, include_preimages=True)
+    assert rows_set(four) == rows_set(
+        batch.select("k", "val", "_change_type")
+    )
+    assert rows_set(
+        four.where("_change_type = 'update_preimage'")
+    ) == [(3, 3 % 5, "update_preimage")]
+    three = drain("post", 1).select("k", "val", "_change_type")
+    assert rows_set(three) == rows_set(
+        table_changes(spark, path, 1, 2).select("k", "val", "_change_type")
+    )
+
+
+def test_streaming_agg_view_tracks_recompute(spark, tmp_path):
+    """The maintained view equals recompute-at-current after EVERY
+    incremental pass — across the initial snapshot, group-moving
+    updates, inserts-then-updated, tombstone deletes, a group emptied
+    to zero (must vanish from the view), and a layout-only OPTIMIZE —
+    and an idle pass is a no-op poll (no version churn)."""
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        current_version,
+        delete_keys,
+        merge_table,
+        optimize_table,
+        read_table,
+    )
+    from video_streamer_spark.streaming.agg_view import (
+        create_agg_view,
+        run_agg_view_pass,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.range(0, 120).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("grp"),
+        (F.col("id") * 7).alias("val"),
+    )
+    create_table(base, src, ["k"], n_buckets=4)
+    create_agg_view(spark, view, ["grp"], ["val"], base, n_buckets=4)
+
+    def recompute():
+        return (
+            read_table(spark, src)
+            .groupBy("grp")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("val").cast("bigint").alias("sum_val"),
+            )
+        )
+
+    def check():
+        run_agg_view_pass(spark, src, view, ["grp"], ["val"], ckpt)
+        assert rows_set(read_table(spark, view)) == rows_set(recompute())
+
+    check()  # pass 1: initial snapshot folds in as inserts
+
+    # pass 2: move k%3==0 to group 9, insert 120..129 (grp 1), delete k%5==1
+    merge_table(
+        spark,
+        src,
+        base.where("k % 3 = 0")
+        .withColumn("grp", F.lit(9).cast("long"))
+        .withColumn("__op", F.lit("U"))
+        .unionByName(
+            spark.range(120, 130).select(
+                F.col("id").alias("k"),
+                F.lit(1).cast("long").alias("grp"),
+                (F.col("id") + 2).alias("val"),
+                F.lit("I").alias("__op"),
+            )
+        )
+        .unionByName(
+            base.where("k % 5 = 1")
+            .withColumn("__op", F.lit("D"))
+            .select("k", "grp", "val", "__op"),
+        ),
+    )
+    check()
+
+    # pass 3: layout-only OPTIMIZE + tombstone deletes + bump inserts
+    optimize_table(spark, src, "val", files_per_bucket=2)
+    delete_keys(spark, src, spark.createDataFrame([(123,), (127,)], ["k"]))
+    merge_table(
+        spark,
+        src,
+        spark.range(120, 130)
+        .where("id NOT IN (123, 127)")
+        .select(
+            F.col("id").alias("k"),
+            F.lit(1).cast("long").alias("grp"),
+            (F.col("id") + 3).alias("val"),
+            F.lit("U").alias("__op"),
+        ),
+    )
+    check()
+
+    # pass 4: empty group 9 entirely — it must VANISH from the view
+    dead = read_table(spark, src).where("grp = 9").select("k")
+    delete_keys(spark, src, dead)
+    check()
+    assert read_table(spark, view).where("grp = 9").count() == 0
+
+    # idle pass: nothing new — the view table must not churn versions
+    v_before = current_version(view)
+    run_agg_view_pass(spark, src, view, ["grp"], ["val"], ckpt)
+    assert current_version(view) == v_before
+
+
+def test_agg_view_refuses_non_integral_sums(spark, tmp_path):
+    from video_streamer_spark.streaming.agg_view import create_agg_view
+
+    t = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 1.5).alias("price")
+    )
+    with pytest.raises(ValueError, match="exact-integer"):
+        create_agg_view(
+            spark, str(tmp_path / "v"), ["k"], ["price"], t
+        )

@@ -1,0 +1,154 @@
+"""Continuously-maintained materialized aggregate view over the
+versioned table — the streaming twin of x224's batch IVM.
+
+``run_agg_view_pass`` drains the table's change feed (the ``table_cdf``
+DataSource with ``preimages=true``) and folds each micro-batch's SIGNED
+contributions into a keyed view table: +1/+value for ``insert`` and
+``update_postimage`` rows, -1/-value for ``delete`` and
+``update_preimage`` rows. The view is itself a versioned table keyed on
+the group columns, so every refresh is one atomic commit, replayed
+micro-batches no-op through the merge's idempotency key, and readers of
+the view get snapshot isolation for free.
+
+Why this is the 100 TB shape: a full recompute of a corpus-wide
+aggregate reads the corpus; this pass reads the CHANGE FEED, whose
+manifest-level pruning already bounds it to buckets some commit in the
+window actually rewrote — the refresh costs the churn. The reference's
+pipeline has no equivalent (its VDMS sink re-queries); the design
+follows Delta/Materialize-style incremental view maintenance re-stated
+in this table format's vocabulary.
+
+Exactness: sums are maintained over INTEGRAL columns only (callers
+quantize doubles first, the repo-wide oracle discipline) so base +
+signed deltas is bit-equal to recompute regardless of batch
+composition, replay, or commit interleaving — pinned by the
+stream-equals-recompute test in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from video_streamer_spark.sources.cdf_source import (
+    CHANGE_TYPE_COL,
+    register_cdf_source,
+)
+from video_streamer_spark.streaming.drain import drain_or_raise
+
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def create_agg_view(
+    spark: SparkSession,
+    view_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    template: DataFrame,
+    n_buckets: int = 8,
+) -> int:
+    """Materialize an EMPTY aggregate view table keyed on the group
+    columns: ``group_cols`` + ``n_rows`` + one ``sum_<c>`` per summed
+    column, all counts/sums bigint. ``template`` supplies the group
+    columns' types (any DataFrame with those columns — typically the
+    source table's schema); group values must be non-null (they become
+    the view's merge keys, and null never equals null in the keyed
+    outer join — the same rule merge_table applies)."""
+    from video_streamer_spark.operators.table_format import create_table
+
+    for c in sum_cols:
+        dt = dict(template.dtypes).get(c)
+        if dt not in _INTEGRAL:
+            raise ValueError(
+                f"sum column {c!r} has type {dt!r}; the maintained view "
+                "is exact-integer only — quantize to a bigint first"
+            )
+    empty = template.select(*group_cols).limit(0)
+    view = empty.select(
+        *group_cols,
+        F.lit(0).cast("bigint").alias("n_rows"),
+        *[F.lit(0).cast("bigint").alias(f"sum_{c}") for c in sum_cols],
+    )
+    return create_table(view, view_path, group_cols, n_buckets=n_buckets)
+
+
+def run_agg_view_pass(
+    spark: SparkSession,
+    src_path: str,
+    view_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> None:
+    """One incremental refresh pass: drain ``src``'s four-type change
+    feed into the view table. The stream checkpoint remembers the last
+    folded version, so repeated calls move only the NEW commits (a
+    no-change call is a metadata poll), and the merge's
+    ``checkpoint:epoch`` idempotency key makes replayed epochs no-ops —
+    the view converges to recompute-at-current exactly once per commit
+    even across crashes and re-drains. Groups whose row count reaches
+    zero are DELETED from the view (a recompute would not emit them)."""
+    from video_streamer_spark.operators.table_format import (
+        merge_table,
+        read_table,
+    )
+
+    register_cdf_source(spark)
+    feed = (
+        spark.readStream.format("table_cdf")
+        .option("path", src_path)
+        .option("preimages", "true")
+        .load()
+    )
+
+    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sgn = (
+            F.when(
+                F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+        )
+        delta = batch_df.groupBy(*group_cols).agg(
+            F.sum(sgn).alias("_dn"),
+            *[
+                F.sum(sgn * F.col(c).cast("bigint")).alias(f"_d_{c}")
+                for c in sum_cols
+            ],
+        )
+        # the view's CURRENT state is re-read every batch by design —
+        # it is the maintained accumulator, not a static dimension
+        # (the PER_BATCH_STATIC_READ lint is about the latter)
+        cur = read_table(spark, view_path)
+        joined = delta.join(cur, group_cols, "left")
+        new_n = F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("_dn")
+        changes = joined.select(
+            *group_cols,
+            new_n.alias("n_rows"),
+            *[
+                (
+                    F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                    + F.col(f"_d_{c}")
+                ).alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+            F.when(new_n <= 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("__op"),
+        )
+        merge_table(
+            spark,
+            view_path,
+            changes,
+            idempotency_key=f"{checkpoint_dir}:{epoch_id}",
+        )
+
+    q = (
+        feed.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, timeout_sec)
