@@ -3218,3 +3218,46 @@ def test_incremental_agg_from_feed_equals_recompute(spark, tmp_path):
         .agg(F.count("*").cast("long").alias("n"), F.sum("val").alias("s"))
     )
     assert _rows(maintained) == _rows(recomputed)
+
+
+def test_table_changes_preimages_across_schema_evolution(spark, tmp_path):
+    """A four-type window spanning add_column: the pre-image of an
+    update is the OLD row projected to the TARGET schema — the evolved
+    column null-backfilled — while the post-image carries the written
+    value; an insert after the evolution never emits a pre-image."""
+    from video_streamer_spark.operators.table_format import (
+        add_column,
+        table_changes,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+    )
+    create_table(base, path, ["k"], n_buckets=4)
+    add_column(path, "score", "double")
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(4, 8, 0.5, "U"), (99, 1, 0.25, "I")],
+            "k bigint, val bigint, score double, __op string",
+        ),
+    )
+    got = sorted(
+        (
+            (r["k"], r["val"], r["score"], r["_change_type"])
+            for r in table_changes(
+                spark, path, 1, 3, include_preimages=True
+            ).collect()
+        ),
+        key=repr,
+    )
+    assert got == sorted(
+        [
+            (4, 8, None, "update_preimage"),
+            (4, 8, 0.5, "update_postimage"),
+            (99, 1, 0.25, "insert"),
+        ],
+        key=repr,
+    )
