@@ -1,9 +1,11 @@
-"""Late extension queries (x213+, rounds 7-8): perceptual image-hash
+"""Late extension queries (x213+, rounds 7-10): perceptual image-hash
 near-dup over decoded pixels; the versioned table's bloom skipping,
 tombstone reads, prebuilt zone-map/Z-order reads; the LSH near-pair
 scale path under its own oracle; PII scrubbing with byte-exact
-redaction parity; and the salted skew join certified semantically
-invisible — each scale-shaped and DuckDB-oracle checked under the same
+redaction parity; the salted skew join, maintenance loop, conflict
+rebase, and the change-feed-maintained incremental aggregate view
+(x222–x224) each certified semantically invisible/exact by their
+oracles — all scale-shaped and DuckDB-oracle checked under the same
 exact-integer parity discipline as the rest of the registry.
 """
 
