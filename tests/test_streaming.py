@@ -1396,3 +1396,27 @@ def test_agg_view_refuses_non_integral_sums(spark, tmp_path):
         create_agg_view(
             spark, str(tmp_path / "v"), ["k"], ["price"], t
         )
+
+
+def test_agg_view_refuses_null_group_values(spark, tmp_path):
+    """A null group value would re-insert on every pass instead of
+    updating (null never equals null in the keyed merge join) — the
+    fold must refuse loudly rather than silently duplicate."""
+    from video_streamer_spark.operators.table_format import create_table
+    from video_streamer_spark.streaming.agg_view import (
+        create_agg_view,
+        run_agg_view_pass,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    base = spark.createDataFrame(
+        [(1, 0, 10), (2, None, 20), (3, 1, 30)],
+        "k bigint, grp bigint, val bigint",
+    )
+    create_table(base, src, ["k"], n_buckets=2)
+    create_agg_view(spark, view, ["grp"], ["val"], base, n_buckets=2)
+    with pytest.raises(Exception, match="null.*group|group.*null"):
+        run_agg_view_pass(
+            spark, src, view, ["grp"], ["val"], str(tmp_path / "ckpt")
+        )

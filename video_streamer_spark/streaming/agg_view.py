@@ -23,6 +23,15 @@ quantize doubles first, the repo-wide oracle discipline) so base +
 signed deltas is bit-equal to recompute regardless of batch
 composition, replay, or commit interleaving — pinned by the
 stream-equals-recompute test in tests/test_streaming.py.
+
+Scope: count and sum only — the ALGEBRAIC aggregates a delete can be
+subtracted from. min/max are deliberately absent: a deleted row that
+held the group's minimum forces re-reading the group (no inverse),
+which is a different operator (recompute dirty groups), not a signed
+fold. Null GROUP values are refused loudly per batch: they can never
+be merge keys (null never equals null in the keyed join), so a null
+group would re-insert on every pass instead of updating — silent
+duplication, the one failure the view could not self-detect.
 """
 
 from __future__ import annotations
@@ -118,6 +127,20 @@ def run_agg_view_pass(
                 for c in sum_cols
             ],
         )
+        # null group values can never be merge keys (null != null in
+        # the keyed join): they would re-insert every pass instead of
+        # updating — refuse loudly. One bounded job on the already-
+        # aggregated (groups-sized, never rows-sized) delta frame.
+        null_pred = None
+        for c in group_cols:
+            p = F.col(c).isNull()
+            null_pred = p if null_pred is None else (null_pred | p)
+        if delta.where(null_pred).limit(1).count():
+            raise ValueError(
+                f"null value in group column(s) {group_cols}: the "
+                "maintained view cannot key on null groups — coalesce "
+                "them to a sentinel in the source table first"
+            )
         # the view's CURRENT state is re-read every batch by design —
         # it is the maintained accumulator, not a static dimension
         # (the PER_BATCH_STATIC_READ lint is about the latter)
