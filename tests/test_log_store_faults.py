@@ -753,7 +753,7 @@ def test_agg_view_pass_converges_under_commit_faults(spark, faulty):
         (F.col("id") * 3).alias("val"),
     )
     create_table(base, src, ["k"], n_buckets=4)
-    create_agg_view(spark, view, ["grp"], ["val"], base, n_buckets=4)
+    create_agg_view(view, ["grp"], ["val"], base, n_buckets=4)
     run_agg_view_pass(spark, src, view, ["grp"], ["val"], ckpt)
 
     def recompute():

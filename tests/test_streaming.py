@@ -1316,7 +1316,7 @@ def test_streaming_agg_view_tracks_recompute(spark, tmp_path):
         (F.col("id") * 7).alias("val"),
     )
     create_table(base, src, ["k"], n_buckets=4)
-    create_agg_view(spark, view, ["grp"], ["val"], base, n_buckets=4)
+    create_agg_view(view, ["grp"], ["val"], base, n_buckets=4)
 
     def recompute():
         return (
@@ -1350,7 +1350,9 @@ def test_streaming_agg_view_tracks_recompute(spark, tmp_path):
             )
         )
         .unionByName(
-            base.where("k % 5 = 1")
+            # disjoint from the k%3=0 move set: one key must appear at
+            # most once in a changeset (apply_changeset's contract)
+            base.where("k % 5 = 1 AND k % 3 != 0")
             .withColumn("__op", F.lit("D"))
             .select("k", "grp", "val", "__op"),
         ),
@@ -1393,9 +1395,7 @@ def test_agg_view_refuses_non_integral_sums(spark, tmp_path):
         F.col("id").alias("k"), (F.col("id") * 1.5).alias("price")
     )
     with pytest.raises(ValueError, match="exact-integer"):
-        create_agg_view(
-            spark, str(tmp_path / "v"), ["k"], ["price"], t
-        )
+        create_agg_view(str(tmp_path / "v"), ["k"], ["price"], t)
 
 
 def test_agg_view_refuses_null_group_values(spark, tmp_path):
@@ -1415,7 +1415,7 @@ def test_agg_view_refuses_null_group_values(spark, tmp_path):
         "k bigint, grp bigint, val bigint",
     )
     create_table(base, src, ["k"], n_buckets=2)
-    create_agg_view(spark, view, ["grp"], ["val"], base, n_buckets=2)
+    create_agg_view(view, ["grp"], ["val"], base, n_buckets=2)
     with pytest.raises(Exception, match="null.*group|group.*null"):
         run_agg_view_pass(
             spark, src, view, ["grp"], ["val"], str(tmp_path / "ckpt")
@@ -1457,7 +1457,7 @@ def test_agg_view_chaos_tracks_recompute(spark, tmp_path):
         "k bigint, grp bigint, val bigint",
     )
     create_table(base, src, ["k"], n_buckets=4)
-    create_agg_view(spark, view, ["grp"], ["val"], base, n_buckets=4)
+    create_agg_view(view, ["grp"], ["val"], base, n_buckets=4)
     n_buckets = 4
 
     def recompute():

@@ -3159,7 +3159,9 @@ def test_incremental_agg_from_feed_equals_recompute(spark, tmp_path):
         F.lit("I").alias("__op"),
     )
     dels = (
-        base.where("k % 7 = 1")
+        # disjoint from the k%5=0 move set: one key must appear at
+        # most once in a changeset (apply_changeset's contract)
+        base.where("k % 7 = 1 AND k % 5 != 0")
         .withColumn("__op", F.lit("D"))
         .select("k", "grp", "val", "__op")
     )

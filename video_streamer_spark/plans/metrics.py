@@ -52,7 +52,15 @@ def shuffle_bytes(spark: SparkSession, action: Callable[[], object]) -> int:
     session would pollute the diff (don't call this from parallel
     drivers). Cached upstreams short-circuit shuffles — clear relevant
     caches first if the measurement must include them."""
+    bus = spark.sparkContext._jsc.sc().listenerBus()
+    # the AppStatusStore is fed by the ASYNC appStatus event queue —
+    # an action returns before its stage-completed events are
+    # processed, so both reads must drain the bus first or the diff
+    # under-counts (and a regression guard that under-counts passes
+    # green, defeating itself)
+    bus.waitUntilEmpty(30_000)
     before = set(_stage_rows(spark))
     action()
+    bus.waitUntilEmpty(30_000)
     after = _stage_rows(spark)
     return sum(v for k, v in after.items() if k not in before)

@@ -1012,15 +1012,10 @@ def x224_cdf_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).alias("cents"),
         )
     )
+    from video_streamer_spark.sources.cdf_source import signed_contribution
+
     feed = table_changes(spark, path, 1, 3, include_preimages=True)
-    sign = (
-        F.when(
-            F.col("_change_type").isin("insert", "update_postimage"),
-            F.lit(1),
-        )
-        .otherwise(F.lit(-1))
-        .cast("bigint")
-    )
+    sign = signed_contribution()
     delta = feed.groupBy("o_orderpriority").agg(
         F.sum(sign).alias("dn"),
         F.sum(sign * cents).alias("dcents"),

@@ -66,6 +66,27 @@ CHANGE_TYPE_COL = "_change_type"
 COMMIT_VERSION_COL = "_commit_version"
 
 
+def signed_contribution():
+    """The fold rule every incremental consumer of the four-type feed
+    shares: +1 for rows that ADD to an aggregate (``insert``,
+    ``update_postimage``), -1 for rows that REMOVE (``delete``,
+    ``update_preimage``). One definition so a future change type can
+    never be mis-signed at one of several call sites (the streaming
+    view sink and x224 both fold with this). Driver-side only (builds
+    a Column); imported lazily so the DataSource runner process never
+    needs it."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.when(
+            F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+    )
+
+
 # These three helpers DUPLICATE table_format's manifest accessors on
 # purpose: every DataSource method — schema(), streamReader(),
 # partitions(), read() — executes in Spark's Python data-source RUNNER

@@ -40,8 +40,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from video_streamer_spark.sources.cdf_source import (
-    CHANGE_TYPE_COL,
     register_cdf_source,
+    signed_contribution,
 )
 from video_streamer_spark.streaming.drain import drain_or_raise
 
@@ -49,7 +49,6 @@ _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
 
 
 def create_agg_view(
-    spark: SparkSession,
     view_path: str,
     group_cols: list[str],
     sum_cols: list[str],
@@ -112,14 +111,7 @@ def run_agg_view_pass(
     )
 
     def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        sgn = (
-            F.when(
-                F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"),
-                F.lit(1),
-            )
-            .otherwise(F.lit(-1))
-            .cast("bigint")
-        )
+        sgn = signed_contribution()
         delta = batch_df.groupBy(*group_cols).agg(
             F.sum(sgn).alias("_dn"),
             *[
@@ -127,46 +119,60 @@ def run_agg_view_pass(
                 for c in sum_cols
             ],
         )
-        # null group values can never be merge keys (null != null in
-        # the keyed join): they would re-insert every pass instead of
-        # updating — refuse loudly. One bounded job on the already-
-        # aggregated (groups-sized, never rows-sized) delta frame.
-        null_pred = None
-        for c in group_cols:
-            p = F.col(c).isNull()
-            null_pred = p if null_pred is None else (null_pred | p)
-        if delta.where(null_pred).limit(1).count():
-            raise ValueError(
-                f"null value in group column(s) {group_cols}: the "
-                "maintained view cannot key on null groups — coalesce "
-                "them to a sentinel in the source table first"
+        # persisted across the TWO actions below (null check + merge):
+        # delta's lineage is the whole window's change-feed diff, and
+        # without the pin the merge would recompute that diff from
+        # scratch — every refresh paying the window cost twice
+        delta = delta.persist()
+        try:
+            # null group values can never be merge keys (null != null
+            # in the keyed join): they would re-insert every pass
+            # instead of updating — refuse loudly. One bounded job on
+            # the already-aggregated (groups-sized) delta frame.
+            null_pred = None
+            for c in group_cols:
+                p = F.col(c).isNull()
+                null_pred = p if null_pred is None else (null_pred | p)
+            if delta.where(null_pred).limit(1).count():
+                raise ValueError(
+                    f"null value in group column(s) {group_cols} "
+                    "inside an already-committed change window: the "
+                    "maintained view cannot key on null groups. This "
+                    "stream is wedged — retries replay the same pinned "
+                    "window. Recover by fixing the SOURCE (coalesce "
+                    "null groups to a sentinel) and rebuilding the "
+                    "view from scratch: drop BOTH this checkpoint and "
+                    "the view table (a fresh checkpoint over the old "
+                    "view would double-fold history)."
+                )
+            # the view's CURRENT state is re-read every batch by
+            # design — it is the maintained accumulator, not a static
+            # dimension (the PER_BATCH_STATIC_READ lint's target)
+            cur = read_table(spark, view_path)
+            joined = delta.join(cur, group_cols, "left")
+            new_n = F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("_dn")
+            changes = joined.select(
+                *group_cols,
+                new_n.alias("n_rows"),
+                *[
+                    (
+                        F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                        + F.col(f"_d_{c}")
+                    ).alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+                F.when(new_n <= 0, F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("__op"),
             )
-        # the view's CURRENT state is re-read every batch by design —
-        # it is the maintained accumulator, not a static dimension
-        # (the PER_BATCH_STATIC_READ lint is about the latter)
-        cur = read_table(spark, view_path)
-        joined = delta.join(cur, group_cols, "left")
-        new_n = F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("_dn")
-        changes = joined.select(
-            *group_cols,
-            new_n.alias("n_rows"),
-            *[
-                (
-                    F.coalesce(F.col(f"sum_{c}"), F.lit(0))
-                    + F.col(f"_d_{c}")
-                ).alias(f"sum_{c}")
-                for c in sum_cols
-            ],
-            F.when(new_n <= 0, F.lit("D"))
-            .otherwise(F.lit("U"))
-            .alias("__op"),
-        )
-        merge_table(
-            spark,
-            view_path,
-            changes,
-            idempotency_key=f"{checkpoint_dir}:{epoch_id}",
-        )
+            merge_table(
+                spark,
+                view_path,
+                changes,
+                idempotency_key=f"{checkpoint_dir}:{epoch_id}",
+            )
+        finally:
+            delta.unpersist()
 
     q = (
         feed.writeStream.foreachBatch(fold_batch)
