@@ -37,6 +37,13 @@ BOUNDS = {
     "x05_embedding_near_pairs": (903_251, 4 * 1024 * 1024),
     "x200_verbatim_span_dedup": (564_303, 2_560 * 1024),
     "x45_dedup_components": (160_444, 700 * 1024),
+    # the ANN scale path shuffles embedding VECTORS through LSH
+    # buckets (payload-heavy by design); losing the plane-blocking
+    # reverts it to an all-pairs cogroup grid
+    "x218_lsh_near_pairs": (13_941_514, 56 * 1024 * 1024),
+    # banded pixel-hash pairs: losing the banding is all-pairs on
+    # 8-byte hashes
+    "x213_image_dhash_pairs": (471_841, 2 * 1024 * 1024),
 }
 
 
