@@ -35,7 +35,9 @@ BOUNDS = {
     "x02_dedup_minhash_pairs": (138_227, 600 * 1024),
     "x03_dedup_simhash_pairs": (159_327, 700 * 1024),
     "x05_embedding_near_pairs": (903_251, 4 * 1024 * 1024),
-    "x200_verbatim_span_dedup": (564_303, 2_560 * 1024),
+    # re-measured r11 after fusing df into the gram exchange (564_303
+    # before); bound kept — headroom still flags a lost df guard
+    "x200_verbatim_span_dedup": (443_372, 2_560 * 1024),
     "x45_dedup_components": (160_444, 700 * 1024),
     # the ANN scale path shuffles embedding VECTORS through LSH
     # buckets (payload-heavy by design); losing the plane-blocking
