@@ -1506,3 +1506,111 @@ def test_agg_view_chaos_tracks_recompute(spark, tmp_path):
             assert rows_set(read_table(spark, view)) == recompute(), (
                 f"view diverged from recompute after step {step}"
             )
+
+
+def test_minmax_view_tracks_recompute(spark, tmp_path):
+    """The min/max view (recompute-dirty-groups — the complementary
+    operator to the signed-fold sum view, for aggregates with no
+    inverse) equals recompute-at-current after EVERY pass — across the
+    initial snapshot, a DELETE OF THE GROUP EXTREMUM (the exact
+    mutation a signed fold cannot absorb), a group-moving update whose
+    pre-image must dirty the OLD group, a group emptied to zero (must
+    vanish from the view), and an idle pass (no version churn)."""
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        current_version,
+        delete_keys,
+        merge_table,
+        read_table,
+    )
+    from video_streamer_spark.streaming.agg_view import (
+        create_minmax_view,
+        run_minmax_view_pass,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.range(0, 120).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("grp"),
+        (F.col("id") * 7).alias("val"),
+    )
+    create_table(base, src, ["k"], n_buckets=4)
+    create_minmax_view(view, ["grp"], ["val"], base, n_buckets=4)
+
+    def recompute():
+        return (
+            read_table(spark, src)
+            .groupBy("grp")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.min("val").alias("min_val"),
+                F.max("val").alias("max_val"),
+            )
+        )
+
+    def check(tag):
+        run_minmax_view_pass(spark, src, view, ["grp"], ["val"], ckpt)
+        assert rows_set(read_table(spark, view)) == rows_set(recompute()), tag
+
+    check("initial snapshot")
+
+    # k=119 holds grp 3's max (833), k=0 holds grp 0's min (0): the
+    # deletes remove BOTH extrema — the view's fresh values must come
+    # from a re-read, not from any folded arithmetic
+    delete_keys(spark, src, spark.createDataFrame([(119,), (0,)], ["k"]))
+    check("extremum delete")
+
+    # move k%10==5 into a NEW group 7: the update's pre-image must
+    # dirty the old groups (their min/max may have moved with the row)
+    merge_table(
+        spark,
+        src,
+        base.where("k % 10 = 5")
+        .withColumn("grp", F.lit(7).cast("long"))
+        .withColumn("__op", F.lit("U")),
+    )
+    check("group-moving update")
+
+    # empty group 7 entirely — it must VANISH from the view
+    dead = read_table(spark, src).where("grp = 7").select("k")
+    delete_keys(spark, src, dead)
+    check("emptied group")
+    assert read_table(spark, view).where("grp = 7").count() == 0
+
+    v_before = current_version(view)
+    run_minmax_view_pass(spark, src, view, ["grp"], ["val"], ckpt)
+    assert current_version(view) == v_before, "idle pass churned versions"
+
+
+def test_minmax_view_refusals(spark, tmp_path):
+    """create_minmax_view refuses empty group/minmax cols and nested
+    (unorderable) tracked columns with named errors; the sum view's
+    integral-only rule does NOT apply (min/max never accumulate)."""
+    from video_streamer_spark.streaming.agg_view import create_minmax_view
+
+    t = spark.range(3).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("price"),
+        F.array(F.col("id")).alias("arr"),
+    )
+    with pytest.raises(ValueError, match="group_cols must be non-empty"):
+        create_minmax_view(str(tmp_path / "v1"), [], ["price"], t)
+    with pytest.raises(ValueError, match="minmax_cols must be non-empty"):
+        create_minmax_view(str(tmp_path / "v2"), ["k"], [], t)
+    with pytest.raises(ValueError, match="nested type"):
+        create_minmax_view(str(tmp_path / "v3"), ["k"], ["arr"], t)
+    with pytest.raises(ValueError, match="not in template"):
+        create_minmax_view(str(tmp_path / "v4"), ["k"], ["ghost"], t)
+    # DOUBLE is fine here (unlike create_agg_view): min/max select a
+    # value, they never accumulate
+    create_minmax_view(str(tmp_path / "v5"), ["k"], ["price"], t)
+
+
+def test_agg_view_refuses_empty_group_cols(spark, tmp_path):
+    from video_streamer_spark.streaming.agg_view import create_agg_view
+
+    t = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="group_cols must be non-empty"):
+        create_agg_view(str(tmp_path / "v"), [], ["v"], t)

@@ -23,25 +23,44 @@ from typing import Callable
 from pyspark.sql import SparkSession
 
 
+class SparkInternalsChanged(RuntimeError):
+    """The AppStatusStore access path (private Spark internals over
+    py4j) no longer matches this Spark build. Raised with the original
+    py4j error chained so an upgrade failure names its cause instead of
+    surfacing as a cryptic Py4JError deep inside a regression guard."""
+
+
 def _stage_rows(spark: SparkSession):
-    jvm = spark._jvm
-    gw = spark.sparkContext._gateway
-    store = spark.sparkContext._jsc.sc().statusStore()
-    lst = store.stageList(
-        jvm.java.util.ArrayList(),
-        False,
-        False,
-        gw.new_array(jvm.double, 0),
-        jvm.java.util.ArrayList(),
-    )
-    out = {}
-    it = lst.iterator()
-    while it.hasNext():
-        s = it.next()
-        # attempts share a stageId; keep the max-bytes attempt
-        prev = out.get(s.stageId(), 0)
-        out[s.stageId()] = max(prev, s.shuffleWriteBytes())
-    return out
+    try:
+        jvm = spark._jvm
+        gw = spark.sparkContext._gateway
+        store = spark.sparkContext._jsc.sc().statusStore()
+        lst = store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            gw.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+        out = {}
+        it = lst.iterator()
+        while it.hasNext():
+            s = it.next()
+            # attempts share a stageId; keep the max-bytes attempt
+            prev = out.get(s.stageId(), 0)
+            out[s.stageId()] = max(prev, s.shuffleWriteBytes())
+        return out
+    except Exception as exc:  # noqa: BLE001 — re-raise with provenance
+        raise SparkInternalsChanged(
+            "shuffle_bytes depends on private Spark internals "
+            "(SparkContext.statusStore().stageList with the 5-arg "
+            "signature (statuses, details, withSummaries, "
+            "unsortedQuantiles, taskStatus) and "
+            "StageData.shuffleWriteBytes); this Spark build "
+            f"({spark.version}) no longer matches. Update "
+            "plans/metrics.py for the new signature — the "
+            "shuffle-volume guard suite is down until then."
+        ) from exc
 
 
 def shuffle_bytes(spark: SparkSession, action: Callable[[], object]) -> int:
@@ -52,7 +71,16 @@ def shuffle_bytes(spark: SparkSession, action: Callable[[], object]) -> int:
     session would pollute the diff (don't call this from parallel
     drivers). Cached upstreams short-circuit shuffles — clear relevant
     caches first if the measurement must include them."""
-    bus = spark.sparkContext._jsc.sc().listenerBus()
+    try:
+        bus = spark.sparkContext._jsc.sc().listenerBus()
+    except Exception as exc:  # noqa: BLE001 — re-raise with provenance
+        raise SparkInternalsChanged(
+            "shuffle_bytes depends on the private "
+            "SparkContext.listenerBus() accessor; this Spark build "
+            f"({spark.version}) no longer exposes it. Update "
+            "plans/metrics.py — the shuffle-volume guard suite is "
+            "down until then."
+        ) from exc
     # the AppStatusStore is fed by the ASYNC appStatus event queue —
     # an action returns before its stage-completed events are
     # processed, so both reads must drain the bus first or the diff

@@ -994,8 +994,12 @@ def x224_cdf_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     merge_table(spark, path, cs1)
-    # commit 3: bump every inserted key — the view must net base+1000,
-    # exercising pre-image subtraction of commit 2's own insert value
+    # commit 3: bump every inserted key — the view must net base+1000.
+    # NOTE: this only exercises pre-image subtraction because the feed
+    # below is read as TWO windows (1→2, 2→3): an endpoint diff
+    # table_changes(1, 3) would collapse insert-then-update into a
+    # single 'insert' at the final value and never emit the pre-image
+    # (the r10 advisor's catch).
     cs2 = (
         orders.where("o_orderkey % 4 = 1")
         .withColumn("__op", F.lit("U"))
@@ -1014,7 +1018,13 @@ def x224_cdf_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from video_streamer_spark.sources.cdf_source import signed_contribution
 
-    feed = table_changes(spark, path, 1, 3, include_preimages=True)
+    # two per-commit windows, not one endpoint diff: the signed fold
+    # is linear, so summing both windows equals the 1→3 diff — but the
+    # 2→3 window emits commit 2's insert values as update_preimage
+    # rows, pinning the subtraction path the endpoint diff never hits
+    feed = table_changes(spark, path, 1, 2, include_preimages=True).unionByName(
+        table_changes(spark, path, 2, 3, include_preimages=True)
+    )
     sign = signed_contribution()
     delta = feed.groupBy("o_orderpriority").agg(
         F.sum(sign).alias("dn"),
@@ -1039,4 +1049,111 @@ def x224_cdf_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_price"),
         )
         .where(F.col("n_rows") > 0)
+    )
+
+
+# x225 — MIN/MAX VIEW BY RECOMPUTE-DIRTY-GROUPS: the complementary IVM
+# operator to x224's signed fold, for aggregates with NO inverse (the
+# r10 verdict's capability gap). A per-priority (n_rows, min, max)
+# price view is maintained across three commits — the middle one
+# DELETES each group's argmax row, the exact mutation signed
+# arithmetic cannot absorb: a folded view would keep the dead maximum
+# forever, silently. Instead each pass marks the feed's touched group
+# keys dirty and re-aggregates ONLY those groups against the current
+# snapshot (zone-map-enveloped read + broadcast semi-join); clean
+# groups keep their materialized values, and a pass runs after EVERY
+# commit so the incremental path (not one final recompute) is what the
+# oracle checks. The third commit MOVES keys between groups, so the
+# old group's freshness rides entirely on the feed's update_preimage
+# rows dirtying it. The oracle computes the final state closed-form
+# from the raw rows (same argmax tiebreak), so a stale extremum, a
+# missed pre-image, or an undeleted emptied group lands as a value
+# mismatch. Scale: refresh cost is (churned groups' data) + one
+# churn-sized broadcast — never a corpus-wide re-aggregate.
+@query(
+    "x225_minmax_dirty_groups",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 4 = 0),
+    dropped AS (
+      SELECT o_orderkey FROM (
+        SELECT o_orderkey, ROW_NUMBER() OVER (
+          PARTITION BY o_orderpriority
+          ORDER BY price DESC, o_orderkey) AS rn FROM base)
+      WHERE rn = 1),
+    final AS (
+      SELECT CASE WHEN o_orderkey % 16 = 4 THEN '9-MOVED'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             price
+      FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dropped))
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(price) AS min_price, MAX(price) AS max_price
+    FROM final GROUP BY o_orderpriority
+    """,
+)
+def x225_minmax_dirty_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        delete_keys,
+        merge_table,
+        read_table,
+    )
+    from video_streamer_spark.streaming.agg_view import (
+        create_minmax_view,
+        run_minmax_view_pass,
+    )
+
+    root = _fresh_run_dir(spark, sf_dir, "vss-minmax")
+    src, view, ckpt = f"{root}/src", f"{root}/view", f"{root}/ckpt"
+
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    ).where("o_orderkey % 4 = 0")
+    create_table(base, src, ["o_orderkey"], n_buckets=8)
+    create_minmax_view(view, ["o_orderpriority"], ["price"], base, n_buckets=8)
+
+    def one_pass() -> None:
+        run_minmax_view_pass(
+            spark, src, view, ["o_orderpriority"], ["price"], ckpt
+        )
+
+    one_pass()  # v1: every group dirty, initial materialization
+
+    # commit 2: delete each group's argmax row (price DESC, key ASC
+    # tiebreak — mirrored in the oracle) — the extremum delete a
+    # signed fold cannot absorb
+    rn = F.row_number().over(
+        Window.partitionBy("o_orderpriority").orderBy(
+            F.col("price").desc(), F.col("o_orderkey")
+        )
+    )
+    argmax = (
+        base.withColumn("rn", rn).where("rn = 1").select("o_orderkey")
+    )
+    delete_keys(spark, src, argmax)
+    one_pass()
+
+    # commit 3: move surviving %16=4 keys to a brand-new group — the
+    # OLD groups' refresh rides on the feed's update_preimage rows
+    movers = (
+        read_table(spark, src)
+        .where("o_orderkey % 16 = 4")
+        .withColumn("o_orderpriority", F.lit("9-MOVED"))
+        .withColumn("__op", F.lit("U"))
+    )
+    merge_table(spark, src, movers)
+    one_pass()
+
+    return read_table(spark, view).select(
+        "o_orderpriority",
+        "n_rows",
+        F.col("min_price").alias("min_price"),
+        F.col("max_price").alias("max_price"),
     )

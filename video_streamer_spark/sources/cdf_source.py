@@ -72,9 +72,13 @@ def signed_contribution():
     ``update_postimage``), -1 for rows that REMOVE (``delete``,
     ``update_preimage``). One definition so a future change type can
     never be mis-signed at one of several call sites (the streaming
-    view sink and x224 both fold with this). Driver-side only (builds
-    a Column); imported lazily so the DataSource runner process never
-    needs it."""
+    view sink and x224 both fold with this) — and BOTH sides are
+    enumerated: a fifth change type this function has never heard of
+    raises at evaluation time instead of being silently folded as a
+    removal (the r10 advisor's catch: a bare ``otherwise(-1)`` would
+    have mis-signed exactly the rows the docstring promised it
+    couldn't). Driver-side only (builds a Column); imported lazily so
+    the DataSource runner process never needs it."""
     from pyspark.sql import functions as F
 
     return (
@@ -82,7 +86,23 @@ def signed_contribution():
             F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"),
             F.lit(1),
         )
-        .otherwise(F.lit(-1))
+        .when(
+            F.col(CHANGE_TYPE_COL).isin("delete", "update_preimage"),
+            F.lit(-1),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "signed_contribution: unknown change type "
+                    ),
+                    F.col(CHANGE_TYPE_COL),
+                    F.lit(
+                        " — add it to the enumerated add/remove sets"
+                    ),
+                )
+            ).cast("int")
+        )
         .cast("bigint")
     )
 
