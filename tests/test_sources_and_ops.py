@@ -3010,3 +3010,26 @@ def test_session_cache_footprint_is_bounded_across_repeats(spark):
         f"cached tables grew {base} -> {after} across repeats — a "
         "persist site escaped the bounded pool"
     )
+
+
+def test_brute_topk_guards_query_side(spark):
+    """brute_topk broadcasts its whole query side — above
+    max_query_rows it must refuse with a pointer to the ANN paths
+    (the max_exact_rows precedent), and max_query_rows=None opts into
+    the cost explicitly."""
+    import pytest as _pytest
+
+    from video_streamer_spark.operators.similarity import brute_topk
+
+    vecs = spark.range(0, 50).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 4), i -> cast((id + 1) * i AS double)) AS embedding",
+    )
+    with _pytest.raises(ValueError, match="max_query_rows"):
+        brute_topk(vecs, vecs, k=3, max_query_rows=10)
+    # under the guard and with the explicit opt-out it still works
+    assert brute_topk(vecs, vecs.limit(5), k=3).count() == 15
+    assert (
+        brute_topk(vecs, vecs.limit(12), k=1, max_query_rows=None).count()
+        == 12
+    )

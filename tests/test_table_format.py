@@ -3263,3 +3263,96 @@ def test_table_changes_preimages_across_schema_evolution(spark, tmp_path):
         ],
         key=repr,
     )
+
+
+def test_vacuumed_version_reads_raise_named_error(spark, store_path):
+    """A version behind the retention window raises the NAMED
+    VersionVacuumedError — time travel, pruned reads, and BOTH
+    table_changes endpoints — with the retained range in the message.
+    A never-committed version stays a raw FileNotFoundError (corrupt
+    log ≠ retention), and windows inside the retained range still
+    work. (r10 verdict item: never read through a vacuum hole.)"""
+    from video_streamer_spark.operators.table_format import (
+        VersionVacuumedError,
+        read_table_where,
+        table_changes,
+        vacuum,
+    )
+
+    path = store_path
+    base = _orders(spark).where("o_orderkey % 4 = 0")
+    create_table(base, path, ["o_orderkey"], n_buckets=4)
+    for i in range(3):
+        merge_table(
+            spark,
+            path,
+            base.limit(10 * (i + 1)).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 1.0
+            ).withColumn("__op", F.lit("U")),
+        )
+    assert history(path) == [1, 2, 3, 4]
+    vacuum(path, keep_last=2, min_age_sec=0.0)
+
+    with pytest.raises(VersionVacuumedError, match="removed by vacuum"):
+        read_table(spark, path, version=1)
+    with pytest.raises(VersionVacuumedError, match=r"retained versions are 3\.\.4"):
+        read_table_where(
+            spark, path, "o_orderkey", lo=0, hi=100, version=2
+        )
+    # both endpoints of a change window are user-addressed versions
+    with pytest.raises(VersionVacuumedError, match="removed by vacuum"):
+        table_changes(spark, path, 1, 4)
+    with pytest.raises(VersionVacuumedError, match="removed by vacuum"):
+        table_changes(spark, path, 2, 4)
+    # inside the retained range the feed still serves
+    assert table_changes(spark, path, 3, 4).count() > 0
+    # a version that never existed is NOT blamed on vacuum
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path, version=99)
+
+
+def test_stream_checkpoint_behind_retention_fails_loudly(spark, tmp_path):
+    """A table_cdf stream whose CHECKPOINTED offset fell behind vacuum
+    retention must fail with the named start-offset-vacuumed error on
+    its next trigger — never compute a window through the hole. (The
+    Delta 'startingVersion vacuumed' trap; minimum-retention contract
+    documented on vacuum().)"""
+    from video_streamer_spark.operators.table_format import vacuum
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    path = str(tmp_path / "t")
+    out = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("val")
+    )
+    create_table(base, path, ["k"], n_buckets=4)
+    register_cdf_source(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("table_cdf")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 120, "cdf_drain")
+
+    drain()  # checkpoint now holds offset v=1
+    for bump in (100, 200):
+        merge_table(
+            spark,
+            path,
+            base.limit(8)
+            .withColumn("val", F.col("val") + bump)
+            .withColumn("__op", F.lit("U")),
+        )
+    vacuum(path, keep_last=1, min_age_sec=0.0)  # drops v1, v2
+    with pytest.raises(Exception, match="removed by vacuum"):
+        drain()

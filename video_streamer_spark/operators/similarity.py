@@ -85,8 +85,34 @@ def brute_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    max_query_rows: int | None = 10_000,
 ) -> DataFrame:
-    """Exact cosine top-k per query. Returns (query_id, vec_id, sim, rank)."""
+    """Exact cosine top-k per query. Returns (query_id, vec_id, sim, rank).
+
+    The plan is a deliberate broadcast cross join: the query side is
+    broadcast to every corpus partition, so cost is linear in the
+    corpus but linear-TIMES-|queries| in compare work and the whole
+    query side must fit in one broadcast. ``max_query_rows`` is the
+    guard (same foot-gun class as ``embedding_near_pairs``'s
+    ``max_exact_rows``, r10 verdict hygiene item 1): above it this
+    refuses with a pointer to the ANN family (``ivf_topk`` /
+    ``ivfpq_topk``) — a large query set against a large corpus is a
+    similarity JOIN, not a broadcast scan — or pass
+    ``max_query_rows=None`` to own the cost explicitly."""
+    n_q = (
+        None
+        if max_query_rows is None
+        else _memoized_count(queries.select(id_col))
+    )
+    if n_q is not None and n_q > max_query_rows:
+        raise ValueError(
+            f"brute_topk broadcasts the ENTIRE query side: {n_q:,} "
+            f"query rows exceeds the max_query_rows={max_query_rows:,} "
+            "guard (compare work is |corpus| x |queries| and the "
+            "broadcast must fit in executor memory). Use the ANN "
+            "paths (ivf_topk / ivfpq_topk) for large query sets, or "
+            "pass max_query_rows=None to accept the cost."
+        )
     q = _prepped(queries, id_col, vec_col, "q").withColumnsRenamed(
         {"q_id": "query_id"}
     )

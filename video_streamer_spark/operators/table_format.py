@@ -114,6 +114,17 @@ class VersionConflictError(RuntimeError):
     """Another writer committed from the same base version first."""
 
 
+class VersionVacuumedError(RuntimeError):
+    """The requested version's manifest was dropped by ``vacuum`` —
+    the version is older than the table's retention window. Raised by
+    time travel and ``table_changes`` so a reader can tell "history
+    traded for space, pick a retained version" apart from a genuinely
+    corrupt table (raw FileNotFoundError). The streaming twin is the
+    table_cdf reader's named start-offset-vacuumed error
+    (``sources/cdf_source.py``) — same contract: never read through a
+    hole, always name the remedy."""
+
+
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_manifests")
 
@@ -157,6 +168,32 @@ def _read_manifest(path: str, version: int) -> dict:
             log_store_for(path), _manifest_dir(path), f"v{version:09d}.json"
         )
     )
+
+
+def _read_retained_manifest(path: str, version: int) -> dict:
+    """Manifest read for USER-ADDRESSED versions (time travel,
+    ``table_changes`` endpoints): a miss that is explained by vacuum —
+    the version predates the oldest retained manifest — raises the
+    named :class:`VersionVacuumedError` with the retained range, so
+    callers never mistake retention for corruption. A miss NOT
+    explained by retention (version inside or past the retained range)
+    stays a raw FileNotFoundError: that is a never-committed version or
+    a genuinely damaged log, and dressing it up as vacuum would point
+    the operator at the wrong remedy."""
+    try:
+        return _read_manifest(path, version)
+    except FileNotFoundError:
+        hist = history(path)
+        if hist and version < hist[0]:
+            raise VersionVacuumedError(
+                f"version {version} of {path} was removed by vacuum; "
+                f"retained versions are {hist[0]}..{hist[-1]}. Re-read "
+                "from a retained version (a CDF consumer should "
+                "re-baseline from a snapshot), or raise vacuum's "
+                "keep_last so addressed versions outlive the readers "
+                "that hold them."
+            ) from None
+        raise
 
 
 def _commit_manifest(path: str, version: int, doc: dict) -> None:
@@ -826,7 +863,7 @@ def read_table(
     ``version=None`` reads the current version; an explicit version is
     time travel (valid until ``vacuum`` drops it)."""
     v = current_version(path) if version is None else version
-    doc = _read_manifest(path, v)
+    doc = _read_retained_manifest(path, v)
     return _read_buckets(spark, path, doc, list(doc["buckets"]))
 
 
@@ -874,7 +911,7 @@ def read_table_where(
             "read_table_where needs col=/lo=/hi= or where=[(col, lo, hi), ...]"
         )
     v = current_version(path) if version is None else version
-    doc = _read_manifest(path, v)
+    doc = _read_retained_manifest(path, v)
     schema = _table_schema(doc)
     field_types = {f.name: f.dataType.simpleString() for f in schema.fields}
 
@@ -1047,7 +1084,7 @@ def read_table_for_keys(
     buckets regardless of table size. The residual semi join against
     the broadcast key set keeps the result exact."""
     v = current_version(path) if version is None else version
-    doc = _read_manifest(path, v)
+    doc = _read_retained_manifest(path, v)
     key_cols, n_buckets = doc["key_cols"], doc["n_buckets"]
     # cast lookup keys to the table's declared key types before
     # hashing — xxhash64 is type-sensitive, and an int literal probing
@@ -1132,8 +1169,8 @@ def table_changes(
     bucket, a full outer join on the key classifies each key, and an
     md5-of-row comparison drops carried-over rows that were rewritten
     byte-identically (a bucket rewrite copies untouched keys)."""
-    doc_a = _read_manifest(path, v_from)
-    doc_b = _read_manifest(path, v_to)
+    doc_a = _read_retained_manifest(path, v_from)
+    doc_b = _read_retained_manifest(path, v_to)
     if doc_a["key_cols"] != doc_b["key_cols"]:
         raise ValueError("key_cols changed between versions")
     key_cols = doc_a["key_cols"]
@@ -1909,7 +1946,21 @@ def vacuum(path: str, keep_last: int = 2, min_age_sec: float = 3600.0) -> dict:
     version's data safe. Deployments must keep ``min_age_sec`` above
     the store's documented consistency window (Delta's VACUUM retention
     contract, same reasoning); ``min_age_sec=0`` is for tests on
-    strongly-consistent local filesystems only."""
+    strongly-consistent local filesystems only.
+
+    **Minimum-retention contract for change-feed consumers**: a CDF
+    reader addresses manifests by version — a batch
+    ``table_changes(v_from, ...)`` holds ``v_from`` until it runs, and
+    a streaming table_cdf checkpoint holds its last-seen offset across
+    restarts. ``keep_last`` must therefore exceed the number of
+    commits that can land between a consumer's two reads (for a
+    stream: commits per trigger interval × the longest outage you
+    intend to restart across). A consumer whose held version falls
+    behind retention fails LOUDLY and by name — batch raises
+    :class:`VersionVacuumedError`, the stream raises its
+    start-offset-vacuumed error — never silently reading through the
+    hole; the remedy is re-baselining from a snapshot (or a fresh
+    checkpoint), not a retry."""
     import shutil
     import time
 
@@ -2055,7 +2106,7 @@ def analyze_table(path: str, version: int | None = None) -> dict:
       commit (merge/OPTIMIZE) re-profiles them.
     """
     v = current_version(path) if version is None else version
-    doc = _read_manifest(path, v)
+    doc = _read_retained_manifest(path, v)
     tombs = doc.get("tombstones", {})
     fstats = doc.get("file_stats", {})
     buckets: dict = {}

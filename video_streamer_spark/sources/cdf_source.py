@@ -295,7 +295,23 @@ class _CdfStreamReader(DataSourceStreamReader):
     def partitions(  # noqa: N802
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
-        doc_b = _load_manifest(self.path, end["v"])
+        try:
+            doc_b = _load_manifest(self.path, end["v"])
+        except FileNotFoundError as exc:
+            # a restarted stream REPLAYS its last WAL'd batch before
+            # planning new ones — if vacuum dropped that batch's end
+            # manifest while the stream was down, the replay (not a
+            # fresh window) is what hits the hole. Same contract as
+            # the start-offset case below: fail by name, never read
+            # through.
+            raise RuntimeError(
+                f"table_cdf end offset v{end['v']} at {self.path} "
+                "was removed by vacuum; the checkpointed window can "
+                "no longer be replayed. Restart the stream with a "
+                "FRESH checkpoint (and a startingVersion within the "
+                "retained history), or raise vacuum's keep_last so "
+                "the feed's offsets outlive its trigger interval"
+            ) from exc
         # the declared schema is pinned at stream start; an add_column
         # mid-stream would make updates touching ONLY the new column
         # invisible (both sides projected to the pinned columns compare
