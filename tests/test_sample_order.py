@@ -95,3 +95,27 @@ def test_evidence_reader_is_resilient():
     assert ev, "no correctness artifacts found at repo root"
     for name, (rnd, green) in ev.items():
         assert isinstance(rnd, int) and isinstance(green, bool)
+
+
+def test_tail_rotates_oldest_evidence_first():
+    """Beyond the head (red / never-verified / changed), queries order
+    by the AGE of their newest driver evidence, oldest round first —
+    so the stalest slice of the registry rotates back through the
+    driver's 50-row sample instead of aging indefinitely (r10 verdict
+    item 5)."""
+    ev = latest_driver_evidence()
+    verified = load_verified_hashes()
+    order = derived_sample_order(QUERIES, ORACLES)
+    head = {
+        n
+        for n in order
+        if n not in ev
+        or not ev[n][1]
+        or query_source_hash(n, QUERIES[n], ORACLES.get(n))
+        != verified.get(n)
+    }
+    tail = [n for n in order if n not in head]
+    rounds = [ev[n][0] for n in tail]
+    assert rounds == sorted(rounds), (
+        "tail band must be oldest-evidence first"
+    )
