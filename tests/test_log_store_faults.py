@@ -807,3 +807,120 @@ def test_agg_view_pass_converges_under_commit_faults(spark, faulty):
     run_agg_view_pass(spark, src, view, ["grp"], ["val"], ckpt)
     assert view_rows() == recompute()
     assert current_version(view) == v_before + 1
+
+
+def test_eight_writer_storm_rebases_disjoint_losers(spark, faulty):
+    """x223's deterministic race + the convergence storm, combined at
+    higher contention (r10 verdict item 7): EIGHT concurrent writers,
+    each pinned to its OWN bucket (every pairwise conflict is
+    rebase-eligible), with stale listings and lying reads armed. Must
+    hold: exact final state, gapless versions, at least one conflict
+    landed via REBASE (not a full retry), and the data-dir ledger
+    balances — one dir per merge INVOCATION, so a landed rebase
+    provably reused its files instead of re-running the merge.
+
+    Ambiguous-put faults are deliberately NOT armed here: their
+    recovery path re-runs the data write before the txn log no-ops the
+    commit, which orphans a dir by design and would dissolve the
+    one-dir-per-invocation accounting this test exists to pin (they
+    are covered by test_concurrent_writers_converge_under_fault_storm).
+    """
+    import os
+
+    from video_streamer_spark.operators.table_format import rebases_fired
+
+    store, path = faulty
+    n_buckets = 8
+    create_table(
+        spark.createDataFrame([(-1, 0.0)], "k bigint, v double"),
+        path,
+        key_cols=["k"],
+        n_buckets=n_buckets,
+    )
+    # one bucket per writer: batch-compute key->bucket routing, then
+    # give each writer keys that hash ONLY to its bucket
+    from video_streamer_spark.operators import table_format as tf
+    from video_streamer_spark.operators.merge import BUCKET_COL
+
+    cand = tf._bucketed(
+        spark.range(1000, 1400).select(F.col("id").alias("k")),
+        ["k"],
+        n_buckets,
+    ).collect()
+    by_bucket: dict[int, list[int]] = {}
+    for r in cand:
+        by_bucket.setdefault(r[BUCKET_COL], []).append(r["k"])
+    assert len(by_bucket) == n_buckets, "need all buckets represented"
+    writer_keys = {w: sorted(by_bucket[b])[:4] for w, b in enumerate(sorted(by_bucket))}
+
+    rebases_before = rebases_fired()
+    store.arm("stale_list", 6)
+    store.arm("read_not_found", 4)
+    invocations = threading.Semaphore(0)  # counted: one release per merge run
+    failures: list[str] = []
+
+    def worker(wid: int):
+        try:
+            ks = writer_keys[wid]
+            for j in range(2):
+                rows = [(k, float(k), "I") for k in ks[2 * j : 2 * j + 2]]
+                key = f"storm8-w{wid}:{j}"
+
+                def attempt(rows=rows, key=key):
+                    invocations.release()
+                    return merge_table(
+                        spark, path, _mk(spark, rows), idempotency_key=key
+                    )
+
+                for _ in range(10):
+                    try:
+                        occ_retry(attempt, attempts=10)
+                        break
+                    except (FaultInjected, OSError):
+                        # a lying read/listing surfaced raw (e.g. a
+                        # stale list hiding the ONLY committed version
+                        # reads as an empty table) — idempotency keys
+                        # make the re-run safe
+                        continue
+                else:
+                    raise AssertionError(f"w{wid}:{j} never converged")
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"worker {wid}: {exc!r}")
+
+    threads = [
+        threading.Thread(target=worker, args=(w,)) for w in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(600)
+    assert not failures, failures
+
+    want = {-1: 0.0}
+    for ks in writer_keys.values():
+        for k in ks:
+            want[k] = float(k)
+    assert _state(spark, path) == want, "a changeset was lost or doubled"
+    versions = history(path)
+    assert versions == list(range(1, 18)), "1 create + 16 merges, gapless"
+    # the cheap path fired: >=1 loser landed by rebasing its manifest
+    n_rebases = rebases_fired() - rebases_before
+    assert n_rebases >= 1, (
+        "eight disjoint writers under stale listings produced no "
+        "rebase — every conflict took the full-retry path"
+    )
+    # ledger: a merge INVOCATION writes AT MOST one data dir (an
+    # attempt a lying read aborts pre-write contributes none), and the
+    # 16 committed merges wrote at least one each (plus the create).
+    # The UPPER bound is the rebase-reuse claim: a rebase that re-ran
+    # its data work would write a second dir inside one invocation and
+    # burst the per-invocation ceiling.
+    n_invocations = 0
+    while invocations.acquire(blocking=False):
+        n_invocations += 1
+    n_dirs = len(os.listdir(os.path.join(path, "data")))
+    assert 17 <= n_dirs <= 1 + n_invocations, (
+        f"{n_dirs} data dirs vs 1 create + {n_invocations} merge "
+        "invocations (16 committed) — a rebase re-ran data work or a "
+        "dir leaked"
+    )

@@ -56,6 +56,7 @@ import datetime
 import json
 import math
 import os
+import threading
 import time
 import uuid
 
@@ -256,6 +257,28 @@ def _buckets_changed_between(a: dict, b: dict) -> set[str]:
     return out
 
 
+# Observability: how many conflict rebases have landed in this process
+# (a writer whose stale base lost a version race re-committing WITHOUT
+# re-running its data work). Operationally the number to watch under
+# multi-writer load — rebases scaling with writer count is healthy OCC;
+# full VersionConflictError retries scaling with it is serialization —
+# and what lets tests assert the cheap path actually fired rather than
+# every loser silently falling back to a full re-merge.
+_REBASE_LOCK = threading.Lock()
+_REBASES_FIRED = 0
+
+
+def rebases_fired() -> int:
+    """Process-wide count of landed conflict rebases (monotonic)."""
+    return _REBASES_FIRED
+
+
+def _note_rebase() -> None:
+    global _REBASES_FIRED
+    with _REBASE_LOCK:
+        _REBASES_FIRED += 1
+
+
 def _commit_with_rebase(
     path: str,
     base_v: int,
@@ -298,9 +321,12 @@ def _commit_with_rebase(
     in the current manifest's txn log and the commit no-ops."""
     doc = dict(new_doc)
     version = base_v + 1
+    rebased_yet = False
     for _ in range(max_rebases + 1):
         try:
             _commit_manifest(path, version, doc)
+            if rebased_yet:
+                _note_rebase()
             return version
         except VersionConflictError:
             cur_v = current_version(path)
@@ -368,6 +394,7 @@ def _commit_with_rebase(
             else:
                 rebased.pop("txns", None)
             doc, version = rebased, cur_v + 1
+            rebased_yet = True
     raise VersionConflictError(
         f"rebase at {path} lost {max_rebases + 1} straight version races; "
         "re-read the table and re-apply the changeset"
