@@ -924,3 +924,50 @@ def test_eight_writer_storm_rebases_disjoint_losers(spark, faulty):
         "invocations (16 committed) — a rebase re-ran data work or a "
         "dir leaked"
     )
+
+
+def test_merge_into_rebases_when_winner_is_disjoint(spark, faulty):
+    """merge_into pins classification and commit to ONE base version:
+    a winner landing in between surfaces as a conflict and REBASES
+    when its buckets are disjoint (rebase eligibility proves the
+    winner never touched the classified buckets, so the matched set
+    is still exact) — and the clause result is what a serial run
+    would produce."""
+    from video_streamer_spark.operators.table_format import (
+        merge_into,
+        rebases_fired,
+    )
+
+    store, path = faulty
+    model = _base(spark, path)  # keys 0..38 even
+    buckets = {k: _bucket_of(spark, k, 4) for k in (100, 101, 102, 103)}
+    k_win = 100
+    k_lose = next(k for k, b in buckets.items() if b != buckets[k_win])
+    merge_table(spark, path, _mk(spark, [(k_win, 1.0, "I")]))  # v2
+    model[k_win] = 1.0
+    # the matched key must also avoid the winner's bucket, or the
+    # conflict is genuinely non-rebasable
+    k_upd = next(
+        k
+        for k in range(0, 40, 2)
+        if _bucket_of(spark, k, 4) != buckets[k_win]
+    )
+    before = rebases_fired()
+    store.arm("stale_list")  # merge_into's current_version sees v1
+    src = spark.createDataFrame(
+        [(k_lose, 5.0), (k_upd, 7.0)], "k bigint, v double"
+    )
+    v = merge_into(
+        spark,
+        path,
+        src,
+        when_matched_update={"v": "t.v + s.v"},
+        when_not_matched_insert="all",
+    )
+    assert v == 3, "the rebase must land at the next version"
+    assert rebases_fired() == before + 1
+    # serial-equivalent result: the matched key updated additively;
+    # k_lose inserted; the winner's key survives
+    model[k_upd] = model[k_upd] + 7.0
+    model[k_lose] = 5.0
+    assert _state(spark, path) == model

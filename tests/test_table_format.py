@@ -3356,3 +3356,271 @@ def test_stream_checkpoint_behind_retention_fails_loudly(spark, tmp_path):
     vacuum(path, keep_last=1, min_age_sec=0.0)  # drops v1, v2
     with pytest.raises(Exception, match="removed by vacuum"):
         drain()
+
+
+def test_merge_into_clause_semantics(spark, store_path):
+    """merge_into (Delta MERGE INTO in this format's vocabulary):
+    delete clause wins over update on matched rows, unconditioned
+    matched rows carry over untouched, unassigned columns keep target
+    values, inserts null-backfill nothing here ('all' passthrough),
+    and the insert condition filters the not-matched side."""
+    from video_streamer_spark.operators.table_format import merge_into
+
+    path = store_path
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("cat"),
+        (F.col("id") * 10.0).alias("price"),
+    )
+    create_table(base, path, ["k"], n_buckets=4)
+    src = spark.range(10, 30).select(
+        F.col("id").alias("k"),
+        F.lit(9).cast("long").alias("cat"),
+        (F.col("id") * 100.0).alias("price"),
+    )
+    v = merge_into(
+        spark,
+        path,
+        src,
+        when_matched_update={"price": "t.price + s.price"},
+        when_matched_update_condition="s.k % 2 = 0",
+        when_matched_delete_condition="s.k = 11",
+        when_not_matched_insert="all",
+        when_not_matched_insert_condition="s.k < 25",
+    )
+    assert v == 2
+    got = {
+        r["k"]: (r["cat"], r["price"])
+        for r in read_table(spark, path).collect()
+    }
+    want = {k: (k % 3, k * 10.0) for k in range(20)}
+    del want[11]  # matched + delete condition
+    for k in range(10, 20):
+        if k != 11 and k % 2 == 0:
+            # update assigns price only; cat keeps the TARGET value
+            want[k] = (k % 3, k * 10.0 + k * 100.0)
+    for k in range(20, 25):  # not matched + insert condition
+        want[k] = (9, k * 100.0)
+    assert got == want
+    # the change feed attributes the clauses exactly: 1 delete,
+    # 5 updates (12..18 even minus nothing = 10,12,14,16,18), 5 inserts
+    from video_streamer_spark.operators.table_format import table_changes
+
+    kinds = {}
+    for r in table_changes(spark, path, 1, 2).collect():
+        kinds.setdefault(r["_change_type"], set()).add(r["k"])
+    assert kinds["delete"] == {11}
+    assert kinds["update_postimage"] == {10, 12, 14, 16, 18}
+    assert kinds["insert"] == {20, 21, 22, 23, 24}
+
+
+def test_merge_into_refusals(spark, store_path):
+    from video_streamer_spark.operators.table_format import merge_into
+
+    path = store_path
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_table(base, path, ["k"], n_buckets=2)
+    src = spark.range(5, 15).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    with pytest.raises(ValueError, match="at least one WHEN clause"):
+        merge_into(spark, path, src, when_not_matched_insert=None)
+    with pytest.raises(ValueError, match="multiple source rows"):
+        merge_into(spark, path, src.unionByName(src.limit(1)))
+    with pytest.raises(ValueError, match="key column"):
+        merge_into(
+            spark, path, src, when_matched_update={"k": "s.k + 100"}
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        merge_into(
+            spark, path, src, when_matched_update={"ghost": "1"}
+        )
+    with pytest.raises(ValueError, match="lacks key column"):
+        merge_into(spark, path, src.select(F.col("v")))
+    with pytest.raises(ValueError, match="needs every table column"):
+        merge_into(
+            spark,
+            path,
+            src.select("k"),
+            when_matched_update="all",
+            when_not_matched_insert=None,
+        )
+    # default: plain upsert ('all' insert + no matched clause is fine)
+    merge_into(spark, path, src.where("k >= 10"))
+    assert read_table(spark, path).count() == 15
+
+
+def test_shallow_clone_cow_and_isolation(spark, store_path, tmp_path):
+    """clone_table: zero-copy snapshot (no data dirs), copy-on-write
+    localizes exactly the touched buckets, mutations are isolated in
+    BOTH directions, pruned reads and the change feed work over
+    absolute refs, and vacuum on the clone can never eat source data."""
+    import os
+
+    from video_streamer_spark.operators.table_format import (
+        clone_table,
+        delete_keys,
+        optimize_table,
+        table_changes,
+        vacuum,
+    )
+
+    src = store_path
+    dst = str(tmp_path / "clone")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    create_table(base, src, ["k"], n_buckets=4)
+    delete_keys(spark, src, spark.createDataFrame([(7,)], ["k"]))
+    clone_table(src, dst)
+
+    def rows(p):
+        return {r["k"]: r["v"] for r in read_table(spark, p).collect()}
+
+    model = {k: k * 2.0 for k in range(100)}
+    del model[7]  # the clone sees through the source's tombstones
+    assert rows(dst) == model
+    assert os.listdir(os.path.join(dst, "data")) == [], "zero-copy"
+
+    # COW on the clone: one local commit dir, source untouched
+    merge_table(
+        spark,
+        dst,
+        spark.createDataFrame(
+            [(3, 99.0, "U"), (200, 1.0, "I")],
+            "k bigint, v double, __op string",
+        ),
+    )
+    model_c = dict(model)
+    model_c[3] = 99.0
+    model_c[200] = 1.0
+    assert rows(dst) == model_c
+    assert rows(src) == model
+    assert len(os.listdir(os.path.join(dst, "data"))) == 1
+
+    # source mutation after the clone: the clone's pinned refs hold
+    merge_table(
+        spark,
+        src,
+        spark.createDataFrame([(5, -5.0, "U")], "k bigint, v double, __op string"),
+    )
+    model[5] = -5.0
+    assert rows(src) == model
+    assert rows(dst) == model_c
+
+    # pruned read + change feed resolve absolute refs
+    from video_streamer_spark.operators.table_format import read_table_where
+
+    assert {
+        r["k"] for r in read_table_where(spark, dst, "k", lo=10, hi=20).collect()
+    } == set(range(10, 21))
+    d12 = {
+        (r["k"], r["_change_type"])
+        for r in table_changes(spark, dst, 1, 2).collect()
+    }
+    assert d12 == {(3, "update_postimage"), (200, "insert")}
+
+    # vacuum on the CLONE sweeps only local dirs — source unharmed
+    vacuum(dst, keep_last=1, min_age_sec=0.0)
+    assert rows(dst) == model_c
+    assert rows(src) == model
+
+    # OPTIMIZE localizes every ref; source vacuum is then harmless
+    optimize_table(spark, dst, "k", files_per_bucket=1)
+    vacuum(src, keep_last=1, min_age_sec=0.0)
+    assert rows(dst) == model_c
+
+
+def test_shallow_clone_source_vacuum_hazard_is_loud(spark, store_path, tmp_path):
+    """The inherited Delta caveat: vacuum on the SOURCE may drop dirs a
+    non-localized clone still references. The clone's read must then
+    fail LOUDLY (the scan lists exact dirs) — never return silently
+    partial rows."""
+    from video_streamer_spark.operators.table_format import (
+        clone_table,
+        vacuum,
+    )
+
+    src = store_path
+    dst = str(tmp_path / "clone")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_table(base, src, ["k"], n_buckets=4)
+    clone_table(src, dst)
+    # rewrite every bucket in the source, then drop the old dirs the
+    # clone still points at
+    merge_table(
+        spark,
+        src,
+        base.withColumn("v", F.col("v") + 1.0).withColumn("__op", F.lit("U")),
+    )
+    vacuum(src, keep_last=1, min_age_sec=0.0)
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist|Path"):
+        read_table(spark, dst).collect()
+
+
+def test_restore_table_roundtrip_and_feed(spark, store_path):
+    """restore_table commits a NEW version with the old content
+    (metadata-only; bad commits stay for audit), the change feed
+    across the restore diffs CONTENTS (a shrunken tombstone list — a
+    deleted key coming back — takes the exact outer-join path, not the
+    growth-only shortcut), restore-to-present no-ops, and restoring to
+    a vacuumed version is refused by name."""
+    from video_streamer_spark.operators.table_format import (
+        VersionVacuumedError,
+        delete_keys,
+        restore_table,
+        table_changes,
+        vacuum,
+    )
+
+    path = store_path
+    base = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_table(base, path, ["k"], n_buckets=4)  # v1
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(3, 99.0, "U"), (100, 1.0, "I")],
+            "k bigint, v double, __op string",
+        ),
+    )  # v2
+    delete_keys(spark, path, spark.createDataFrame([(5,)], ["k"]))  # v3
+
+    def rows(v=None):
+        return {
+            r["k"]: r["v"] for r in read_table(spark, path, version=v).collect()
+        }
+
+    v1 = rows(1)
+    assert restore_table(path, 1) == 4
+    assert history(path) == [1, 2, 3, 4], "history is append-only"
+    assert rows() == v1
+    # the feed across the restore: 3 reverts (update), 100 vanishes
+    # (delete), tombstoned 5 comes BACK (insert — the shrunken-list case)
+    d34 = {
+        (r["k"], r["_change_type"])
+        for r in table_changes(spark, path, 3, 4).collect()
+    }
+    assert d34 == {
+        (3, "update_postimage"),
+        (100, "delete"),
+        (5, "insert"),
+    }
+    assert restore_table(path, 4) == 4, "restore-to-present no-ops"
+    assert history(path) == [1, 2, 3, 4]
+
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame([(0, 7.0, "U")], "k bigint, v double, __op string"),
+    )  # v5
+    vacuum(path, keep_last=2, min_age_sec=0.0)  # retains 4, 5
+    with pytest.raises(VersionVacuumedError):
+        restore_table(path, 2)
+    assert rows(4) == v1, "the retained restored snapshot still reads"

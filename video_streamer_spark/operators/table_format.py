@@ -130,6 +130,18 @@ def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_manifests")
 
 
+def _abs_ref(path: str, rel: str) -> str:
+    """Resolve a manifest data ref to a filesystem path. Refs this
+    table wrote are table-relative (``data/commit-.../pb=N``); a
+    SHALLOW CLONE's manifest (``clone_table``) instead carries
+    ABSOLUTE refs into its source table's layout — zero bytes copied,
+    the clone owns metadata only until copy-on-write gives it local
+    dirs. Every consumer of ``doc["buckets"]`` / ``doc["tombstones"]``
+    refs must resolve through here; writers always mint relative refs
+    under their own table root."""
+    return rel if os.path.isabs(rel) else os.path.join(path, rel)
+
+
 def history(path: str) -> list[int]:
     """Committed versions, ascending. A manifest file IS a commit."""
     return sorted(
@@ -781,7 +793,7 @@ def _read_buckets(
     evolution)."""
     schema = target_schema if target_schema is not None else _table_schema(doc)
     dirs = [
-        os.path.join(path, doc["buckets"][b])
+        _abs_ref(path, doc["buckets"][b])
         for b in sorted(bucket_ids, key=int)
         if b in doc["buckets"]
     ]
@@ -833,7 +845,7 @@ def _minus_tombstones(
     broadcast if runtime stats allow)."""
     tombs = doc.get("tombstones", {})
     dirs = [
-        os.path.join(path, rel)
+        _abs_ref(path, rel)
         for b in bucket_ids
         for rel in tombs.get(str(b), [])
     ]
@@ -1039,7 +1051,7 @@ def read_table_where(
         ):
             continue  # bloom skip: value provably not in this bucket
         read_buckets.append(b)
-        bdir = os.path.join(path, doc["buckets"][b])
+        bdir = _abs_ref(path, doc["buckets"][b])
         fmap = fstats.get(b)
         if not fmap:  # pre-file-stats manifest → whole dir
             paths.append(bdir)
@@ -1233,11 +1245,17 @@ def table_changes(
     # the window). Their diff is EXACTLY the delta tombstones' keys —
     # read the bucket once and semi-join the (tiny) key delta instead
     # of outer-joining the bucket against itself.
+    # ... and the window's tombstone change must be GENUINE GROWTH:
+    # a restore_table commit can repoint a bucket to a manifest whose
+    # tombstone list is SHORTER (deleted keys coming back), which the
+    # delta-tombstones shortcut cannot express — such buckets take the
+    # full outer-join path, whose content diff is exact for any shape
     tomb_only = [
         b
         for b in changed
         if doc_a["buckets"].get(b) is not None
         and doc_a["buckets"].get(b) == doc_b["buckets"].get(b)
+        and set(tomb_a.get(b, [])) < set(tomb_b.get(b, []))
     ]
     changed = [b for b in changed if b not in set(tomb_only)]
     # both sides project to the TARGET schema, so a diff across an
@@ -1323,7 +1341,7 @@ def table_changes(
         )
     if tomb_only:
         delta_dirs = [
-            os.path.join(path, rel)
+            _abs_ref(path, rel)
             for b in tomb_only
             for rel in tomb_b.get(b, [])
             if rel not in set(tomb_a.get(b, []))
@@ -1397,6 +1415,7 @@ def merge_table(
     op_col: str = OP_COL,
     idempotency_key: str | None = None,
     tombstone_pure_deletes: bool = False,
+    base_version: int | None = None,
 ) -> int:
     """MERGE the changeset in ONE atomic commit.
 
@@ -1430,8 +1449,18 @@ def merge_table(
     is forced through the rewrite path (folding all of them), so a
     delete-heavy feed pays one bucket rewrite every cap-th batch —
     amortized O(1), the LSM-compaction trigger shape — and pure deletes
-    against data-less buckets commit nothing at all."""
-    base_v = current_version(path)
+    against data-less buckets commit nothing at all.
+
+    ``base_version`` pins the OCC base the changeset was COMPUTED
+    against (``merge_into`` classifies matched/unmatched at a specific
+    snapshot): a writer that landed between that read and this commit
+    then surfaces as a version conflict — rebased when disjoint,
+    re-raised when it touched the classified buckets — instead of the
+    merge silently basing on a manifest newer than its own
+    classification. Default None keeps the read-current behavior for
+    self-contained changesets (their content doesn't depend on a
+    snapshot)."""
+    base_v = current_version(path) if base_version is None else base_version
     doc = _read_manifest(path, base_v)
     txns = doc.get("txns", [])
     if idempotency_key is not None and idempotency_key in txns:
@@ -1641,6 +1670,301 @@ def merge_table(
         {str(b) for b in touched},
         idempotency_key,
     )
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    when_matched_update: dict[str, str] | str | None = None,
+    when_matched_update_condition: str | None = None,
+    when_matched_delete_condition: str | None = None,
+    when_not_matched_insert: dict[str, str] | str | None = "all",
+    when_not_matched_insert_condition: str | None = None,
+    idempotency_key: str | None = None,
+    tombstone_pure_deletes: bool = False,
+) -> int:
+    """Conditional MERGE (Delta's ``MERGE INTO`` in this format's
+    vocabulary): classify each source row as matched/not-matched
+    against the CURRENT snapshot, apply the clause expressions, and
+    land the result as ONE atomic ``merge_table`` changeset.
+
+    The ON condition is implicitly equality on the table's KEY columns
+    — deliberately: the key hash is the physical layout, so a key-ON
+    merge classifies by reading ONLY the buckets the source keys route
+    to (``read_table_for_keys``), a churn-sized cost at any table
+    size. An arbitrary theta-ON merge cannot route and would scan the
+    table; that is a join-then-overwrite pipeline, not this operator.
+
+    Clause expressions are SQL strings over two row aliases — ``s.``
+    (source) and ``t.`` (target, null-padded for not-matched rows):
+
+    - ``when_matched_update``: ``{col: sql_expr}`` assignments, or
+      ``"all"`` (every non-key column takes the source's value; source
+      must then carry every table column). Gated by
+      ``when_matched_update_condition`` (default: all matched rows).
+    - ``when_matched_delete_condition``: matched rows satisfying it
+      become deletes. Evaluated BEFORE the update clause (fixed order,
+      documented — Delta instead honors clause order; with one of each
+      the semantics differ only on rows both conditions accept).
+    - ``when_not_matched_insert``: ``{col: sql_expr}`` or ``"all"``
+      (source columns pass through, table columns the source lacks
+      null-backfill), gated by its condition. ``None`` = no inserts.
+
+    Matched rows no clause accepts carry over untouched (their bucket
+    may still rewrite if other keys touch it — changeset economics,
+    same as any merge). Duplicate source KEYS are refused loudly (the
+    Delta ``multiple source rows matched`` error): two source rows
+    updating one target row is order-dependent, and silently picking
+    one would make the merge non-deterministic.
+
+    Concurrency: classification and commit share one pinned
+    ``base_version``. A writer landing in between surfaces as a
+    version conflict — rebased when it touched disjoint buckets (the
+    classification is still exact: rebase eligibility PROVES the
+    winners never touched the classified buckets), re-raised for the
+    caller's full ``occ_retry`` re-run when it did.
+
+    Reference parity: the reference's pipeline has no conditional
+    upsert (its VDMS sink is add-only); this is the Delta/Iceberg
+    MERGE surface a training-data pipeline needs for label fixes and
+    late-arriving corrections at 100 TB — priced as churn, never a
+    table rewrite."""
+    if (
+        when_matched_update is None
+        and when_matched_delete_condition is None
+        and when_not_matched_insert is None
+    ):
+        raise ValueError("merge_into needs at least one WHEN clause")
+    base_v = current_version(path)
+    doc = _read_retained_manifest(path, base_v)
+    key_cols = doc["key_cols"]
+    schema = _table_schema(doc)
+    table_cols = [f.name for f in schema.fields]
+    non_key_cols = [c for c in table_cols if c not in key_cols]
+    missing_keys = [k for k in key_cols if k not in source.columns]
+    if missing_keys:
+        raise ValueError(
+            f"source lacks key column(s) {missing_keys}; the MERGE ON "
+            "condition is equality on the table key"
+        )
+    if when_matched_update == "all" or when_not_matched_insert == "all":
+        lacking = [
+            c
+            for c in (
+                non_key_cols
+                if when_matched_update == "all"
+                else []
+            )
+            if c not in source.columns
+        ]
+        if lacking:
+            raise ValueError(
+                f"when_matched_update='all' needs every table column "
+                f"in the source; missing {lacking}"
+            )
+    for clause_name, clause in (
+        ("when_matched_update", when_matched_update),
+        ("when_not_matched_insert", when_not_matched_insert),
+    ):
+        if isinstance(clause, dict):
+            bad = sorted(set(clause) - set(table_cols))
+            overwrote_key = sorted(set(clause) & set(key_cols))
+            if bad:
+                raise ValueError(
+                    f"{clause_name} assigns unknown column(s) {bad}"
+                )
+            if overwrote_key:
+                raise ValueError(
+                    f"{clause_name} may not assign key column(s) "
+                    f"{overwrote_key}: the key IS the row identity "
+                    "(and its bucket routing) — delete+insert instead"
+                )
+
+    # one bounded job on the churn-sized source: duplicate keys would
+    # make the merge order-dependent — refuse, never pick silently
+    dup = (
+        source.groupBy(*key_cols)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "multiple source rows share a key: a MERGE applying two "
+            "changes to one target row is non-deterministic. "
+            "Pre-aggregate the source to one row per key."
+        )
+
+    target = read_table_for_keys(
+        spark, path, source.select(*key_cols), version=base_v
+    )
+    s = source.alias("s")
+    t = target.alias("t")
+    on = None
+    for k in key_cols:
+        p = F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
+        on = p if on is None else (on & p)
+    j = s.join(t, on, "left")
+    matched = F.col(f"t.{key_cols[0]}").isNotNull()
+
+    def _value(col: str, clause, default: F.Column) -> F.Column:
+        if clause == "all":
+            return F.col(f"s.{col}") if col in source.columns else default
+        if isinstance(clause, dict) and col in clause:
+            return F.expr(clause[col])
+        return default
+
+    branches = []
+    if when_matched_delete_condition is not None:
+        branches.append(
+            j.where(matched & F.expr(when_matched_delete_condition)).select(
+                *[F.col(f"s.{k}").alias(k) for k in key_cols],
+                *[F.col(f"t.{c}").alias(c) for c in non_key_cols],
+                F.lit("D").alias(OP_COL),
+            )
+        )
+    if when_matched_update is not None:
+        upd = matched
+        if when_matched_delete_condition is not None:
+            upd = upd & ~F.expr(when_matched_delete_condition)
+        if when_matched_update_condition is not None:
+            upd = upd & F.expr(when_matched_update_condition)
+        branches.append(
+            j.where(upd).select(
+                *[F.col(f"s.{k}").alias(k) for k in key_cols],
+                *[
+                    _value(c, when_matched_update, F.col(f"t.{c}")).alias(c)
+                    for c in non_key_cols
+                ],
+                F.lit("U").alias(OP_COL),
+            )
+        )
+    if when_not_matched_insert is not None:
+        ins = ~matched
+        if when_not_matched_insert_condition is not None:
+            ins = ins & F.expr(when_not_matched_insert_condition)
+        branches.append(
+            j.where(ins).select(
+                *[F.col(f"s.{k}").alias(k) for k in key_cols],
+                *[
+                    _value(
+                        c,
+                        when_not_matched_insert,
+                        F.lit(None).cast(
+                            {f.name: f.dataType for f in schema.fields}[c]
+                        ),
+                    ).alias(c)
+                    for c in non_key_cols
+                ],
+                F.lit("I").alias(OP_COL),
+            )
+        )
+    changes = branches[0]
+    for b in branches[1:]:
+        changes = changes.unionByName(b)
+    return merge_table(
+        spark,
+        path,
+        changes,
+        idempotency_key=idempotency_key,
+        tombstone_pure_deletes=tombstone_pure_deletes,
+        base_version=base_v,
+    )
+
+
+def restore_table(path: str, version: int) -> int:
+    """RESTORE (Delta's ``RESTORE TABLE ... TO VERSION``): commit a NEW
+    version whose content is the chosen retained snapshot — time travel
+    made actionable. Metadata-only: the new manifest copies the target
+    manifest's refs (dirs are immutable, so repointing IS restoring);
+    no data moves, the bad commits stay in history for audit, and the
+    change feed across the restore shows exactly the rows that came
+    back / went away (it diffs contents, not intentions).
+
+    Restoring to a VACUUMED version raises the named
+    :class:`VersionVacuumedError` (its files may already be gone —
+    silently committing a manifest full of holes would be data loss
+    deferred to read time). The current ``txns`` idempotency keys are
+    carried FORWARD (not the target's): streaming writers' replay
+    guards witness the log's recent history, which the restore extends
+    rather than rewrites."""
+    cur_v = current_version(path)
+    if version == cur_v:
+        return cur_v  # restoring to the present is a no-op, not churn
+    doc = _read_retained_manifest(path, version)
+    cur = _read_retained_manifest(path, cur_v)
+    new_doc = dict(doc)
+    new_doc["version"] = cur_v + 1
+    new_doc.pop("layout_only", None)
+    if cur.get("txns"):
+        new_doc["txns"] = cur["txns"]
+    else:
+        new_doc.pop("txns", None)
+    new_doc["restored_from"] = version
+    _commit_manifest(path, cur_v + 1, new_doc)
+    return cur_v + 1
+
+
+def clone_table(
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+) -> int:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``): the
+    destination's version 1 is a metadata-only copy of the source's
+    chosen manifest with every data ref — bucket dirs and tombstone
+    refs — rewritten ABSOLUTE into the source's layout. Zero bytes of
+    data move, so cloning a 100 TB table is one manifest write: the
+    zero-copy experimentation branch (try a risky backfill, benchmark
+    a migration, hand a team a frozen snapshot) that would otherwise
+    cost a full copy.
+
+    Copy-on-write from then on: any merge/delete/OPTIMIZE on the clone
+    writes its rewritten buckets under the CLONE's own ``data/`` and
+    repoints just those entries; untouched buckets keep referencing
+    the source (``_abs_ref`` resolves both shapes everywhere).
+    Mutating the SOURCE after the clone cannot affect it — source
+    commits mint fresh dirs and the clone's refs pin the old immutable
+    ones.
+
+    The one shared-fate hazard is Delta's documented shallow-clone
+    caveat, inherited deliberately: ``vacuum`` on the SOURCE does not
+    know about foreign manifests, so it may delete dirs the clone
+    still references — clone reads then fail loudly with the missing
+    path (never silently partial: the scan lists exact dirs). Keep the
+    source's retention ≥ the clone's lifetime, or OPTIMIZE the clone
+    (one linear rewrite localizes every ref) to cut the dependency.
+    ``vacuum`` on the CLONE is always safe for the source: it sweeps
+    only dirs under the clone's own ``data/``, and absolute refs never
+    match them.
+
+    The source's ``txns`` idempotency keys are dropped: they witness
+    commits against the SOURCE's history, and carrying them would make
+    a consumer's first replayed batch against the clone silently no-op.
+    Provenance (``cloned_from``/``cloned_version``) is recorded in the
+    manifest for lineage audits."""
+    v = current_version(src_path) if version is None else version
+    doc = _read_retained_manifest(src_path, v)
+    new_doc = dict(doc)
+    new_doc["version"] = 1
+    new_doc["buckets"] = {
+        b: _abs_ref(src_path, rel) for b, rel in doc["buckets"].items()
+    }
+    if doc.get("tombstones"):
+        new_doc["tombstones"] = {
+            b: [_abs_ref(src_path, r) for r in refs]
+            for b, refs in doc["tombstones"].items()
+        }
+    new_doc.pop("txns", None)
+    new_doc.pop("layout_only", None)
+    new_doc["cloned_from"] = src_path
+    new_doc["cloned_version"] = v
+    os.makedirs(os.path.join(dst_path, "data"), exist_ok=True)
+    os.makedirs(_manifest_dir(dst_path), exist_ok=True)
+    _commit_manifest(dst_path, 1, new_doc)
+    return 1
 
 
 def delete_keys(
@@ -2138,7 +2462,7 @@ def analyze_table(path: str, version: int | None = None) -> dict:
     fstats = doc.get("file_stats", {})
     buckets: dict = {}
     for b, rel in doc["buckets"].items():
-        full = os.path.join(path, rel)
+        full = _abs_ref(path, rel)
         try:
             sizes = [
                 os.path.getsize(os.path.join(full, f))

@@ -1157,3 +1157,272 @@ def x225_minmax_dirty_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_price").alias("min_price"),
         F.col("max_price").alias("max_price"),
     )
+
+
+# x226 — CONDITIONAL MERGE (MERGE INTO): the Delta-style three-clause
+# upsert compiled onto the changeset protocol. The reference's sink is
+# add-only (gst-detection-tf.py:339-344 pushes detections into VDMS,
+# never corrects them); a training-data pipeline at 100 TB needs the
+# correction surface — label fixes, late-arriving dedup verdicts,
+# retention deletes — priced as churn. merge_into classifies the
+# source against ONE pinned snapshot by reading ONLY the buckets the
+# source keys route to (read_table_for_keys — a k-key classification
+# against a 100 TB table touches at most k buckets), applies SQL
+# clause expressions over s./t. row aliases, and lands everything in
+# one atomic commit; a concurrent disjoint winner rebases, an
+# overlapping one re-raises. The oracle computes the final state
+# closed-form (the delete / update / conditioned-insert arithmetic
+# restated in SQL), so a mis-classified row, a clause applied to the
+# wrong side, or a lost carried column is a value mismatch.
+@query(
+    "x226_merge_into_clauses",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 4 = 0),
+    kept AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 8 = 0 THEN price * 2.0
+                  ELSE price END AS price
+      FROM base WHERE o_orderkey % 16 <> 4),
+    ins AS (
+      SELECT o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) + 5000.0 AS price
+      FROM orders WHERE o_orderkey % 8 = 1),
+    final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(price * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+        AS total_price
+    FROM final GROUP BY o_orderpriority
+    """,
+)
+def x226_merge_into_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        merge_into,
+        read_table,
+    )
+
+    path = _fresh_run_dir(spark, sf_dir, "vss-mergeinto")
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    create_table(
+        orders.where("o_orderkey % 4 = 0"), path, ["o_orderkey"], n_buckets=8
+    )
+    # one source, three clauses: matched %16=4 rows delete; matched
+    # %8=0 rows double additively (t.price + s.price with s == base
+    # value); everything else matched carries over untouched; the
+    # unmatched side (%4 in 1,2,3) inserts only %8=1 at price+5000
+    src = orders.where("o_orderkey % 4 IN (0, 1)").withColumn(
+        "price",
+        F.when(
+            F.col("o_orderkey") % 4 == 1, F.col("price") + 5000.0
+        ).otherwise(F.col("price")),
+    )
+    merge_into(
+        spark,
+        path,
+        src,
+        when_matched_update={"price": "t.price + s.price"},
+        when_matched_update_condition="s.o_orderkey % 8 = 0",
+        when_matched_delete_condition="s.o_orderkey % 16 = 4",
+        when_not_matched_insert="all",
+        when_not_matched_insert_condition="s.o_orderkey % 8 = 1",
+    )
+    cents = F.floor(F.col("price") * 100.0).cast("bigint")
+    return (
+        read_table(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.sum(cents).cast("double") / 100.0).alias("total_price"),
+        )
+    )
+
+
+# x227 — SHALLOW CLONE + COPY-ON-WRITE DIVERGENCE: the zero-copy
+# branch (Delta's SHALLOW CLONE) certified by aggregating BOTH tables
+# after they diverge. The clone's v1 is one manifest write whose data
+# refs point absolutely into the source layout; a merge on the clone
+# localizes only its touched buckets, and a delete on the SOURCE after
+# the clone cannot reach it (the clone's refs pin immutable dirs the
+# source's new manifests merely stop referencing). The result unions
+# per-priority aggregates of the diverged tables under a `side` tag,
+# and the oracle restates both sides closed-form from the raw rows —
+# a clone that leaked a source mutation, a COW that dropped a carried
+# bucket, or an absolute ref resolved against the wrong root each land
+# as a value mismatch on one specific side. Scale: cloning a 100 TB
+# table costs one manifest write; the branch pays only for what it
+# changes.
+@query(
+    "x227_clone_divergence",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 4 = 0),
+    src_final AS (
+      SELECT o_orderpriority, price FROM base WHERE o_orderkey % 16 <> 8),
+    clone_final AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 16 = 0 THEN price * 2.0
+                  ELSE price END AS price
+      FROM base
+      UNION ALL
+      SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) + 2000.0
+      FROM orders WHERE o_orderkey % 4 = 1),
+    tagged AS (
+      SELECT 'source' AS side, * FROM src_final
+      UNION ALL
+      SELECT 'clone' AS side, * FROM clone_final)
+    SELECT side, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(price * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+        AS total_price
+    FROM tagged GROUP BY side, o_orderpriority
+    """,
+)
+def x227_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.table_format import (
+        clone_table,
+        create_table,
+        delete_keys,
+        merge_table,
+        read_table,
+    )
+
+    root = _fresh_run_dir(spark, sf_dir, "vss-clone")
+    src, dst = f"{root}/src", f"{root}/clone"
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    base = orders.where("o_orderkey % 4 = 0")
+    create_table(base, src, ["o_orderkey"], n_buckets=8)
+    clone_table(src, dst)
+
+    # diverge the CLONE: double %16=0 prices, insert the %4=1 keys
+    merge_table(
+        spark,
+        dst,
+        base.where("o_orderkey % 16 = 0")
+        .withColumn("price", F.col("price") * 2.0)
+        .withColumn("__op", F.lit("U"))
+        .unionByName(
+            orders.where("o_orderkey % 4 = 1")
+            .withColumn("price", F.col("price") + 2000.0)
+            .withColumn("__op", F.lit("I"))
+        ),
+    )
+    # diverge the SOURCE after the clone: delete %16=8 — the clone's
+    # pinned refs must not see it
+    delete_keys(
+        spark, src, base.where("o_orderkey % 16 = 8").select("o_orderkey")
+    )
+
+    cents = F.floor(F.col("price") * 100.0).cast("bigint")
+
+    def agg(p: str, side: str) -> DataFrame:
+        return (
+            read_table(spark, p)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                (F.sum(cents).cast("double") / 100.0).alias("total_price"),
+            )
+            .select(
+                F.lit(side).alias("side"),
+                "o_orderpriority",
+                "n_rows",
+                "total_price",
+            )
+        )
+
+    return agg(src, "source").unionByName(agg(dst, "clone"))
+
+
+# x228 — RESTORE THEN DIVERGE: time travel made actionable (Delta's
+# RESTORE TO VERSION) and certified by the final state. A bad-commit
+# story in four commits: create → a "bad" doubling update → a "bad"
+# delete → restore_table back to v1 — a metadata-only commit that
+# repoints at v1's immutable dirs (no data moves, the bad commits stay
+# in history for audit) — then a legitimate post-restore update lands
+# on top. The oracle states the final table closed-form from the raw
+# rows as if the bad commits never happened plus the post-restore
+# update; a restore that leaked either bad commit (a doubled price, a
+# missing %16=8 row) or lost the follow-up mutation is a value
+# mismatch. The feed across a restore is diffed by CONTENT, including
+# deleted keys COMING BACK (pinned in tests — the one shape the
+# append-only tombstone shortcut cannot express). Scale: restoring a
+# 100 TB table is one manifest write.
+@query(
+    "x228_restore_divergence",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 4 = 0),
+    final AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 8 = 4 THEN price + 1000.0
+                  ELSE price END AS price
+      FROM base)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(price * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+        AS total_price
+    FROM final GROUP BY o_orderpriority
+    """,
+)
+def x228_restore_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        delete_keys,
+        merge_table,
+        read_table,
+        restore_table,
+    )
+
+    path = _fresh_run_dir(spark, sf_dir, "vss-restore")
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    base = orders.where("o_orderkey % 4 = 0")
+    create_table(base, path, ["o_orderkey"], n_buckets=8)  # v1
+    # two "bad" commits the restore must fully revert
+    merge_table(
+        spark,
+        path,
+        base.where("o_orderkey % 16 = 0")
+        .withColumn("price", F.col("price") * 2.0)
+        .withColumn("__op", F.lit("U")),
+    )  # v2
+    delete_keys(
+        spark, path, base.where("o_orderkey % 16 = 8").select("o_orderkey")
+    )  # v3
+    restore_table(path, 1)  # v4 == v1 content
+    # legitimate post-restore work lands on the restored base
+    merge_table(
+        spark,
+        path,
+        base.where("o_orderkey % 8 = 4")
+        .withColumn("price", F.col("price") + 1000.0)
+        .withColumn("__op", F.lit("U")),
+    )  # v5
+    cents = F.floor(F.col("price") * 100.0).cast("bigint")
+    return (
+        read_table(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.sum(cents).cast("double") / 100.0).alias("total_price"),
+        )
+    )

@@ -129,6 +129,14 @@ def _load_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _abs_ref(path: str, rel: str) -> str:
+    """Resolve a manifest data ref (keep in lockstep with
+    table_format._abs_ref): table-relative for dirs this table wrote,
+    ABSOLUTE for a shallow clone's source-table refs. Self-contained
+    (stdlib only) — this runs in the DataSource runner process."""
+    return rel if os.path.isabs(rel) else os.path.join(path, rel)
+
+
 def _latest_version(path: str) -> int:
     mdir = os.path.join(path, "_manifests")
     versions = [
@@ -392,21 +400,21 @@ class _CdfStreamReader(DataSourceStreamReader):
                 return [
                     _CdfPartition(
                         [
-                            os.path.join(self.path, d)
+                            _abs_ref(self.path, d)
                             for d in buckets_a.values()
                         ],
                         [
-                            os.path.join(self.path, d)
+                            _abs_ref(self.path, d)
                             for d in buckets_b.values()
                         ],
                         end["v"],
                         old_tombs=[
-                            os.path.join(self.path, r)
+                            _abs_ref(self.path, r)
                             for refs in tombs_a.values()
                             for r in refs
                         ],
                         new_tombs=[
-                            os.path.join(self.path, r)
+                            _abs_ref(self.path, r)
                             for refs in tombs_b.values()
                             for r in refs
                         ],
@@ -414,19 +422,19 @@ class _CdfStreamReader(DataSourceStreamReader):
                 ]
         return [
             _CdfPartition(
-                [os.path.join(self.path, buckets_a[b])]
+                [_abs_ref(self.path, buckets_a[b])]
                 if b in buckets_a
                 else [],
-                [os.path.join(self.path, buckets_b[b])]
+                [_abs_ref(self.path, buckets_b[b])]
                 if b in buckets_b
                 else [],
                 end["v"],
                 old_tombs=[
-                    os.path.join(self.path, r)
+                    _abs_ref(self.path, r)
                     for r in tombs_a.get(b, [])
                 ],
                 new_tombs=[
-                    os.path.join(self.path, r)
+                    _abs_ref(self.path, r)
                     for r in tombs_b.get(b, [])
                 ],
             )
