@@ -3033,3 +3033,59 @@ def test_brute_topk_guards_query_side(spark):
         brute_topk(vecs, vecs.limit(12), k=1, max_query_rows=None).count()
         == 12
     )
+
+
+def test_pack_sequences_matches_local_greedy(spark):
+    """pack_sequences: every stream's assignment equals the local
+    greedy reference (order-defined semantics survive the grouped-map
+    hop), no sequence exceeds capacity unless it holds exactly one
+    oversize document, ids are dense per stream, and no document is
+    lost or duplicated."""
+    from video_streamer_spark.operators.grouped import pack_sequences
+
+    cap = 100
+    rows = []
+    # three streams incl. an oversize doc (180 > cap) and a boundary
+    # exact-fill (60 + 40 == cap stays; +1 overflows)
+    sizes = {
+        "a": [60, 40, 1, 99, 2],
+        "b": [180, 10, 95, 10],
+        "c": [7],
+    }
+    i = 0
+    for s, ns in sizes.items():
+        for n in ns:
+            rows.append((i, s, n))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, n_tokens bigint")
+    got = {
+        (r["stream"], r["doc_id"]): r["seq_id"]
+        for r in pack_sequences(docs, capacity=cap).collect()
+    }
+
+    def local(ns):
+        out, seq, fill = [], 0, 0
+        for n in ns:
+            if fill > 0 and fill + n > cap:
+                seq, fill = seq + 1, 0
+            fill += n
+            out.append(seq)
+        return out
+
+    i = 0
+    for s, ns in sizes.items():
+        want = local(ns)
+        for j, n in enumerate(ns):
+            assert got[(s, i)] == want[j], (s, i, n)
+            i += 1
+    # capacity invariant: oversize docs sit alone
+    from collections import defaultdict
+
+    fills = defaultdict(list)
+    i = 0
+    for s, ns in sizes.items():
+        for n in ns:
+            fills[(s, got[(s, i)])].append(n)
+            i += 1
+    for (s, q), ns in fills.items():
+        assert sum(ns) <= cap or len(ns) == 1, (s, q, ns)

@@ -61,3 +61,57 @@ def median_per_group(
     return events.groupBy(group_col).agg(
         median_udaf(F.col(value_col)).alias("median_value")
     )
+
+
+PACKED_SCHEMA = "stream string, doc_id bigint, n_tokens bigint, seq_id bigint"
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int,
+    stream_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy training-sequence packing (the LLM-pipeline "sample
+    packing" step): within each STREAM, documents in ``id_col`` order
+    fill sequences of at most ``capacity`` tokens — a document that
+    would overflow the open sequence starts the next one, and a
+    document larger than ``capacity`` alone occupies its own (the
+    first-fit-on-a-sorted-stream rule; deterministic, so the DuckDB
+    oracle re-derives the identical assignment with a recursive CTE).
+
+    Greedy packing is ORDER-DEFINED, hence inherently sequential — but
+    only per stream: streams pack in parallel (one grouped-map Arrow
+    task each), so at 100 TB the stream key is the parallelism dial.
+    ``lang`` is demo-sized; production packs per (source, shard) so no
+    single task sees more than a shard's docs. The per-task work is a
+    single cumulative pass over ints — the Arrow transfer, not the
+    loop, is the cost.
+
+    Reference contrast: the reference pipeline has no notion of
+    training batches; this is part of the LLM-data extension surface
+    (SURVEY §2's curation family) alongside dedup and quality filters.
+    """
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        seqs = []
+        seq = 0
+        fill = 0
+        for n in pdf[tokens_col]:
+            if fill > 0 and fill + n > capacity:
+                seq += 1
+                fill = 0
+            fill += int(n)
+            seqs.append(seq)
+        out = pdf[["stream", id_col, tokens_col]].copy()
+        out["seq_id"] = seqs
+        return out
+
+    src = docs.select(
+        F.col(stream_col).cast("string").alias("stream"),
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col(tokens_col).cast("bigint").alias(tokens_col),
+    )
+    return src.groupBy("stream").applyInPandas(_pack, PACKED_SCHEMA)

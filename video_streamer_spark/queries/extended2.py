@@ -1426,3 +1426,65 @@ def x228_restore_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents).cast("double") / 100.0).alias("total_price"),
         )
     )
+
+
+# x229 — TRAINING-SEQUENCE PACKING: the LLM-pipeline "sample packing"
+# step (fill fixed-capacity training sequences with whole documents so
+# batch tokens aren't wasted on padding). Greedy first-fit over each
+# lang stream in doc_id order — order-defined, hence sequential PER
+# STREAM and parallel ACROSS streams (one grouped-map Arrow task per
+# stream; production uses a (source, shard) stream key so no task
+# exceeds a shard). The oracle re-derives the identical assignment
+# with a recursive CTE walking each stream row-by-row — the strongest
+# available check for an order-defined algorithm: any divergence in
+# the overflow rule, the ordering, or a lost document shifts every
+# later sequence id and lands as a value mismatch. Token counts use
+# the corpus-wide tokenizer contract (split on single space, drop
+# empties — lockstep with operators/dedup.tokens_col).
+@query(
+    "x229_sequence_packing",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS BIGINT) AS n
+      FROM documents),
+    ord AS (
+      SELECT lang, doc_id, n,
+        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM toks),
+    packed AS (
+      SELECT lang, rn, n, CAST(0 AS BIGINT) AS seq_id, n AS fill
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.lang, o.rn, o.n,
+        CASE WHEN p.fill > 0 AND p.fill + o.n > 512
+             THEN p.seq_id + 1 ELSE p.seq_id END,
+        CASE WHEN p.fill > 0 AND p.fill + o.n > 512
+             THEN o.n ELSE p.fill + o.n END
+      FROM packed p JOIN ord o ON o.lang = p.lang AND o.rn = p.rn + 1)
+    SELECT lang, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n) AS BIGINT) AS seq_tokens
+    FROM packed GROUP BY lang, seq_id
+    """,
+)
+def x229_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.dedup import tokens_col
+    from video_streamer_spark.operators.grouped import pack_sequences
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(tokens_col("text")).cast("bigint").alias("n_tokens"),
+    )
+    packed = pack_sequences(docs, capacity=512, stream_col="lang")
+    return (
+        packed.groupBy("stream", "seq_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+        )
+        .select(
+            F.col("stream").alias("lang"), "seq_id", "n_docs", "seq_tokens"
+        )
+    )
