@@ -3624,3 +3624,55 @@ def test_restore_table_roundtrip_and_feed(spark, store_path):
     with pytest.raises(VersionVacuumedError):
         restore_table(path, 2)
     assert rows(4) == v1, "the retained restored snapshot still reads"
+
+
+def test_sync_table_mirrors_exactly_and_prices_churn(spark, store_path):
+    """sync_table: final state == source exactly; the change feed
+    carries ONLY genuinely-changed rows (fingerprint diff — identical
+    carried rows never enter the changeset); an unchanged re-sync
+    commits NOTHING; the wipe guard refuses a truncated source; a
+    narrower source is refused by name."""
+    from video_streamer_spark.operators.table_format import (
+        sync_table,
+        table_changes,
+    )
+
+    path = store_path
+    base = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_table(base, path, ["k"], n_buckets=4)
+    src = (
+        base.where("k % 10 <> 0")
+        .withColumn(
+            "v",
+            F.when(F.col("k") % 10 == 5, F.col("v") + 100.0).otherwise(
+                F.col("v")
+            ),
+        )
+        .unionByName(
+            spark.range(100, 105).select(
+                F.col("id").alias("k"), F.lit(-1.0).alias("v")
+            )
+        )
+    )
+    assert sync_table(spark, path, src) == 2
+    got = {r["k"]: r["v"] for r in read_table(spark, path).collect()}
+    want = {r["k"]: r["v"] for r in src.collect()}
+    assert got == want
+    from collections import Counter
+
+    c = Counter(
+        r["_change_type"] for r in table_changes(spark, path, 1, 2).collect()
+    )
+    assert c == {"delete": 6, "update_postimage": 6, "insert": 5}, c
+    # unchanged mirror: no version churn
+    assert sync_table(spark, path, src) == 2
+    assert history(path) == [1, 2]
+    with pytest.raises(ValueError, match="max_delete_fraction"):
+        sync_table(spark, path, src.limit(3))
+    with pytest.raises(ValueError, match="lacks table column"):
+        sync_table(spark, path, src.select("k"))
+    # intentional mass delete: the override works and the state follows
+    assert sync_table(spark, path, src.limit(3), max_delete_fraction=1.0) == 3
+    assert read_table(spark, path).count() == 3

@@ -1874,6 +1874,124 @@ def merge_into(
     )
 
 
+def sync_table(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    idempotency_key: str | None = None,
+    max_delete_fraction: float = 0.5,
+) -> int:
+    """Make the table's content EXACTLY ``source`` in one atomic
+    commit — the CDC snapshot-sync (Delta's ``MERGE ... WHEN NOT
+    MATCHED BY SOURCE THEN DELETE``, as its own operator because its
+    cost class differs from ``merge_into``: discovering ABSENCE
+    requires looking at every table key, so the classification is one
+    full key+fingerprint scan, never bucket-routed).
+
+    The COMMIT is still churn-priced: both sides are fingerprinted
+    (md5 over the full row in declared column order) and the changeset
+    carries only rows that genuinely differ — new/changed keys as
+    upserts, table keys the source lacks as deletes
+    (``tombstone_pure_deletes``, so delete-only buckets tombstone
+    instead of rewriting). A sync that finds NOTHING different commits
+    NOTHING (no version churn) — repeated syncs of an unchanged mirror
+    are free, and the change feed after a sync shows only real
+    changes, never carried-over rows.
+
+    ``max_delete_fraction`` is the partial-extract guard: a truncated
+    source fed to an unguarded sync would happily delete most of the
+    table (the classic mirror-job catastrophe). If the delete side
+    exceeds this fraction of the table's keys the sync refuses loudly;
+    raise it explicitly for intentional mass deletes. Duplicate source
+    keys are refused for the same reason as ``merge_into``."""
+    base_v = current_version(path)
+    doc = _read_retained_manifest(path, base_v)
+    key_cols = doc["key_cols"]
+    schema = _table_schema(doc)
+    table_cols = [f.name for f in schema.fields]
+    types = {f.name: f.dataType for f in schema.fields}
+    missing = [c for c in table_cols if c not in source.columns]
+    if missing:
+        raise ValueError(
+            f"sync_table source lacks table column(s) {missing}: a "
+            "sync REPLACES content, so a narrower source would "
+            "null-overwrite those columns everywhere. Project the "
+            "table's full schema (or use merge_into for partial "
+            "updates)."
+        )
+    src = source.select(
+        *[F.col(c).cast(types[c]).alias(c) for c in table_cols]
+    )
+    dup = (
+        src.groupBy(*key_cols).count().where(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "multiple source rows share a key: the synced state would "
+            "be non-deterministic. Pre-aggregate the source."
+        )
+    fp = F.md5(
+        F.to_json(F.struct(*[F.col(c) for c in table_cols]))
+    )
+    cur = read_table(spark, path, version=base_v).select(
+        *table_cols
+    ).withColumn("__fp", fp)
+    want = src.withColumn("__fp", fp)
+    j = want.alias("s").join(
+        cur.select(*key_cols, "__fp").alias("t"),
+        [F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}")) for k in key_cols],
+        "left",
+    )
+    upserts = j.where(
+        F.col(f"t.{key_cols[0]}").isNull()
+        | (F.col("s.__fp") != F.col("t.__fp"))
+    ).select(
+        *[F.col(f"s.{c}").alias(c) for c in table_cols],
+        F.lit("U").alias(OP_COL),
+    )
+    dels = (
+        cur.alias("t")
+        .join(
+            want.select(*key_cols).alias("s"),
+            [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in key_cols],
+            "left_anti",
+        )
+        .select(
+            *[F.col(c) for c in table_cols],
+            F.lit("D").alias(OP_COL),
+        )
+    )
+    # one bounded pass prices the guard AND detects the no-op (both
+    # counts ride a single aggregate over the pinned changeset)
+    changes = upserts.unionByName(dels).persist()
+    try:
+        counts = changes.groupBy(OP_COL).count().collect()
+        n_up = sum(r["count"] for r in counts if r[OP_COL] == "U")
+        n_del = sum(r["count"] for r in counts if r[OP_COL] == "D")
+        if n_up == 0 and n_del == 0:
+            return base_v  # mirror already exact: no version churn
+        if n_del:
+            n_table = cur.count()
+            if n_del > max_delete_fraction * n_table:
+                raise ValueError(
+                    f"sync_table would delete {n_del:,} of {n_table:,} "
+                    f"keys (> max_delete_fraction={max_delete_fraction})"
+                    " — a truncated/partial source is the usual cause. "
+                    "Pass a higher max_delete_fraction to delete "
+                    "intentionally."
+                )
+        return merge_table(
+            spark,
+            path,
+            changes,
+            idempotency_key=idempotency_key,
+            tombstone_pure_deletes=True,
+            base_version=base_v,
+        )
+    finally:
+        changes.unpersist()
+
+
 def restore_table(path: str, version: int) -> int:
     """RESTORE (Delta's ``RESTORE TABLE ... TO VERSION``): commit a NEW
     version whose content is the chosen retained snapshot — time travel

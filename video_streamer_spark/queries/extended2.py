@@ -1488,3 +1488,73 @@ def x229_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("stream").alias("lang"), "seq_id", "n_docs", "seq_tokens"
         )
     )
+
+
+# x230 — SNAPSHOT SYNC: make the table exactly equal an arbitrary
+# source frame in one atomic commit (the CDC mirror job; Delta's WHEN
+# NOT MATCHED BY SOURCE THEN DELETE). Classification is one full
+# key+fingerprint scan BY DEFINITION (absence is a table-wide
+# property), but the COMMIT is churn-priced: both sides fingerprint
+# (md5 over the full row) and only genuinely-different rows enter the
+# changeset — carried-identical rows never rewrite their buckets, an
+# unchanged re-sync commits nothing, and pure-delete buckets tombstone
+# instead of rewriting. The wipe guard (max_delete_fraction) refuses
+# the truncated-extract catastrophe. The oracle states the final
+# mirror closed-form; a leaked carried row, a missed delete, or a
+# fingerprint collision on a changed row is a value mismatch.
+@query(
+    "x230_snapshot_sync",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 16 = 8
+                  THEN CAST(o_totalprice AS DOUBLE) * 2.0
+                  WHEN o_orderkey % 4 = 1
+                  THEN CAST(o_totalprice AS DOUBLE) + 3000.0
+                  ELSE CAST(o_totalprice AS DOUBLE) END AS price
+      FROM orders
+      WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 16 <> 0)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(price * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+        AS total_price
+    FROM src GROUP BY o_orderpriority
+    """,
+)
+def x230_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        read_table,
+        sync_table,
+    )
+
+    path = _fresh_run_dir(spark, sf_dir, "vss-sync")
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    create_table(
+        orders.where("o_orderkey % 4 = 0"), path, ["o_orderkey"], n_buckets=8
+    )
+    # the mirror: drop %16=0, double %16=8, keep the rest of %4=0
+    # byte-identical (must NOT rewrite), add %4=1 at price+3000
+    src = (
+        orders.where("o_orderkey % 4 IN (0, 1) AND o_orderkey % 16 <> 0")
+        .withColumn(
+            "price",
+            F.when(F.col("o_orderkey") % 16 == 8, F.col("price") * 2.0)
+            .when(F.col("o_orderkey") % 4 == 1, F.col("price") + 3000.0)
+            .otherwise(F.col("price")),
+        )
+    )
+    sync_table(spark, path, src)
+    cents = F.floor(F.col("price") * 100.0).cast("bigint")
+    return (
+        read_table(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.sum(cents).cast("double") / 100.0).alias("total_price"),
+        )
+    )
