@@ -522,3 +522,55 @@ def test_pruned_multi_predicate_read_equals_brute_filter(
         for r in read_table_where(spark, path, where=bounds).collect()
     )
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    streams=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=25),
+        min_size=1,
+        max_size=3,
+    ),
+    cap=st.integers(min_value=1, max_value=150),
+)
+def test_pack_sequences_matches_reference_greedy(spark, streams, cap):
+    """pack_sequences equals the sequential reference greedy on
+    arbitrary streams and capacities — including zero-token documents,
+    oversize documents, and capacity 1 (every doc its own sequence
+    unless zero-width)."""
+    from video_streamer_spark.operators.grouped import pack_sequences
+
+    rows, i = [], 0
+    for s, ns in sorted(streams.items()):
+        for n in ns:
+            rows.append((i, s, n))
+            i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, n_tokens bigint"
+    )
+    got = {
+        (r["stream"], r["doc_id"]): r["seq_id"]
+        for r in pack_sequences(docs, capacity=cap).collect()
+    }
+    assert len(got) == len(rows), "a document was lost or duplicated"
+
+    def reference(ns):
+        out, seq, fill = [], 0, 0
+        for n in ns:
+            if fill > 0 and fill + n > cap:
+                seq, fill = seq + 1, 0
+            fill += n
+            out.append(seq)
+        return out
+
+    i = 0
+    for s, ns in sorted(streams.items()):
+        want = reference(ns)
+        for j in range(len(ns)):
+            assert got[(s, i)] == want[j], (s, i, cap)
+            i += 1
