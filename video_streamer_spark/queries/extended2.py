@@ -1558,3 +1558,66 @@ def x230_snapshot_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents).cast("double") / 100.0).alias("total_price"),
         )
     )
+
+
+# x231 — TOKEN-WINDOW CHUNKING: split each document into overlapping
+# token windows (size 32, stride 16) — the RAG/embedding-prep step
+# between cleaning and encoding. Entirely built-in expressions
+# (split → sequence of start offsets → slice per window), so it runs
+# at scan speed inside whole-stage codegen with ZERO shuffles before
+# the final presentation aggregate — the 100 TB shape is "explode in
+# place, never move". Every document yields at least one (possibly
+# short) window, windows step by stride until the last full window's
+# start, and each window is certified by md5 over its joined tokens —
+# the oracle re-derives every window with DuckDB list slicing, so an
+# off-by-one in start offsets, slice length, or the tail rule is a
+# hash mismatch on specific rows, not a plausible count.
+@query(
+    "x231_token_window_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(len(t) - 32 + 1, 1) + 1, 16))
+               AS s
+      FROM toks),
+    chunks AS (
+      SELECT doc_id,
+             CAST((s - 1) / 16 AS BIGINT) AS chunk_idx,
+             t[s : s + 31] AS w
+      FROM starts)
+    SELECT doc_id, chunk_idx,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           md5(array_to_string(w, ' ')) AS chunk_md5
+    FROM chunks
+    """,
+)
+def x231_token_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.dedup import tokens_col
+
+    W, S = 32, 16
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col("text").alias("t")
+    )
+    starts = docs.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("t") - F.lit(W - 1), F.lit(1)),
+                F.lit(S),
+            )
+        ).alias("s"),
+    )
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / S).cast("bigint").alias("chunk_idx"),
+        F.size(F.slice("t", F.col("s"), W)).cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(F.slice("t", F.col("s"), W), " ")).alias(
+            "chunk_md5"
+        ),
+    )
