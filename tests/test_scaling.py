@@ -407,6 +407,9 @@ def test_construction_job_sweep_is_exactly_the_allowlist(spark):
         "x215_tombstone_delete_read", "x216_zonemap_range_read",
         "x217_tombstone_snapshot_read", "x222_maintain_invariance",
         "x223_rebase_invariance", "x224_cdf_incremental_agg",
+        "x225_minmax_dirty_groups", "x226_merge_into_clauses",
+        "x227_clone_divergence", "x228_restore_divergence",
+        "x230_snapshot_sync",
         # index builders / pivot quantizers (centroids-sized collects)
         "x32_ivf_topk", "x155_ivf_index_search", "x158_mmr_rerank",
         "x159_ivfpq_index_search", "x160_ann_recall_eval",
