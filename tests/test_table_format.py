@@ -3676,3 +3676,55 @@ def test_sync_table_mirrors_exactly_and_prices_churn(spark, store_path):
     # intentional mass delete: the override works and the state follows
     assert sync_table(spark, path, src.limit(3), max_delete_fraction=1.0) == 3
     assert read_table(spark, path).count() == 3
+
+
+def test_clone_compositions_keep_refs_sound(spark, store_path, tmp_path):
+    """The management surface COMPOSES: a clone of a clone copies
+    already-absolute refs verbatim (still pointing at the original
+    data), restore works ON a clone (metadata-only, abs refs
+    preserved), and merge_into classifies correctly against a clone's
+    mixed local/absolute buckets."""
+    from video_streamer_spark.operators.table_format import (
+        clone_table,
+        merge_into,
+        restore_table,
+    )
+
+    src = store_path
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_table(base, src, ["k"], n_buckets=4)
+    clone_table(src, a)
+
+    def rows(p):
+        return {r["k"]: r["v"] for r in read_table(spark, p).collect()}
+
+    model = {k: k * 1.0 for k in range(40)}
+    # COW one bucket on clone A, then clone A -> B: B must see A's
+    # state through a MIX of A-local and original-src refs
+    merge_table(
+        spark,
+        a,
+        spark.createDataFrame([(1, 11.0, "U")], "k bigint, v double, __op string"),
+    )
+    model_a = dict(model)
+    model_a[1] = 11.0
+    clone_table(a, b)
+    assert rows(b) == model_a
+    # B's own COW leaves both ancestors untouched
+    merge_into(
+        spark,
+        b,
+        spark.createDataFrame([(2, 5.0)], "k bigint, v double"),
+        when_matched_update={"v": "t.v + s.v"},
+    )
+    assert rows(b) == {**model_a, 2: 7.0}
+    assert rows(a) == model_a
+    assert rows(src) == model
+    # restore ON a clone: B back to its v1 (== A's state), history kept
+    assert restore_table(b, 1) == 3
+    assert rows(b) == model_a
+    assert history(b) == [1, 2, 3]
