@@ -3728,3 +3728,35 @@ def test_clone_compositions_keep_refs_sound(spark, store_path, tmp_path):
     assert restore_table(b, 1) == 3
     assert rows(b) == model_a
     assert history(b) == [1, 2, 3]
+
+
+def test_vacuum_dry_run_reports_without_touching(spark, store_path):
+    """dry_run names exactly what a real pass would remove and changes
+    NOTHING; the subsequent real pass removes exactly the reported
+    set."""
+    from video_streamer_spark.operators.table_format import vacuum
+
+    path = store_path
+    base = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_table(base, path, ["k"], n_buckets=4)
+    for i in range(2):
+        merge_table(
+            spark,
+            path,
+            base.limit(5)
+            .withColumn("v", F.col("v") + 1.0 + i)
+            .withColumn("__op", F.lit("U")),
+        )
+    report = vacuum(path, keep_last=1, min_age_sec=0.0, dry_run=True)
+    assert report["dry_run"] is True
+    assert report["doomed_versions"] == [1, 2]
+    assert report["data_dirs_removed"] >= 1
+    # nothing moved: every version still reads
+    assert history(path) == [1, 2, 3]
+    assert read_table(spark, path, version=1).count() == 30
+    real = vacuum(path, keep_last=1, min_age_sec=0.0)
+    assert real["doomed_dirs"] == report["doomed_dirs"]
+    assert real["doomed_versions"] == report["doomed_versions"]
+    assert history(path) == [3]

@@ -2393,7 +2393,12 @@ def rebucket_table(
     return base_v + 1
 
 
-def vacuum(path: str, keep_last: int = 2, min_age_sec: float = 3600.0) -> dict:
+def vacuum(
+    path: str,
+    keep_last: int = 2,
+    min_age_sec: float = 3600.0,
+    dry_run: bool = False,
+) -> dict:
     """Delete data dirs no retained manifest references, and manifests
     older than the retention window. Readers of RETAINED versions are
     unaffected (their files survive); time travel beyond the window is
@@ -2416,6 +2421,13 @@ def vacuum(path: str, keep_last: int = 2, min_age_sec: float = 3600.0) -> dict:
     the store's documented consistency window (Delta's VACUUM retention
     contract, same reasoning); ``min_age_sec=0`` is for tests on
     strongly-consistent local filesystems only.
+
+    ``dry_run=True`` reports exactly what a real pass WOULD remove
+    (``doomed_dirs`` / ``doomed_versions``) and touches nothing — the
+    operational pre-flight for a retention change, since the one thing
+    vacuum cannot know about is a foreign reader (a shallow clone's
+    manifest, a long-running external job) still holding the dirs it
+    is about to drop.
 
     **Minimum-retention contract for change-feed consumers**: a CDF
     reader addresses manifests by version — a batch
@@ -2455,28 +2467,39 @@ def vacuum(path: str, keep_last: int = 2, min_age_sec: float = 3600.0) -> dict:
     data_dir = os.path.join(path, "data")
     removed = 0
     now = time.time()
+    doomed_dirs: list[str] = []
     for d in os.listdir(data_dir):
         rel = f"data/{d}"
         full = os.path.join(data_dir, d)
         if rel not in referenced and (
             now - os.path.getmtime(full) >= min_age_sec
         ):
-            shutil.rmtree(full)
+            doomed_dirs.append(rel)
+            if not dry_run:
+                shutil.rmtree(full)
             removed += 1
     store = log_store_for(path)
     dropped_manifests = 0
-    for v in versions:
-        if v not in keep:
+    doomed_versions = [v for v in versions if v not in keep]
+    if not dry_run:
+        for v in doomed_versions:
             store.delete_entry(_manifest_dir(path), f"v{v:09d}.json")
             dropped_manifests += 1
-    # crashed writers may strand store-private staging files (the
-    # POSIX store's .tmp-*.json between link and unlink, ADVICE r7);
-    # reclaim aged ones under the same in-flight-writer age gate
-    stray = store.sweep_stray(_manifest_dir(path), min_age_sec)
+        # crashed writers may strand store-private staging files (the
+        # POSIX store's .tmp-*.json between link and unlink, ADVICE
+        # r7); reclaim aged ones under the same in-flight-writer age
+        # gate
+        stray = store.sweep_stray(_manifest_dir(path), min_age_sec)
+    else:
+        dropped_manifests = len(doomed_versions)
+        stray = 0
     return {
         "data_dirs_removed": removed,
         "manifests_removed": dropped_manifests,
         "stray_log_files_removed": stray,
+        "dry_run": dry_run,
+        "doomed_dirs": sorted(doomed_dirs),
+        "doomed_versions": doomed_versions,
     }
 
 
