@@ -971,3 +971,65 @@ def test_merge_into_rebases_when_winner_is_disjoint(spark, faulty):
     model[k_upd] = model[k_upd] + 7.0
     model[k_lose] = 5.0
     assert _state(spark, path) == model
+
+
+def test_sync_and_merge_into_replay_idempotently_after_ambiguous_put(
+    spark, faulty
+):
+    """The new write paths honor the ambiguous-outcome contract: a
+    sync_table / merge_into whose commit WAS durable but whose ack was
+    lost must, on retry with the same idempotency key, recognize its
+    own commit and no-op — state applied exactly once, no version
+    churn."""
+    store, path = faulty
+    model = _base(spark, path)
+
+    from video_streamer_spark.operators.table_format import (
+        merge_into,
+        sync_table,
+    )
+
+    # sync: replace with a mirror that drops key 0 and bumps key 2
+    mirror = spark.createDataFrame(
+        [(k, v + (2.0 if k == 2 else 0.0)) for k, v in model.items() if k != 0],
+        "k bigint, v double",
+    )
+    store.arm("put_fail_after")
+    with pytest.raises(FaultInjected):
+        sync_table(spark, path, mirror, idempotency_key="sync:1")
+    model = {k: v + (2.0 if k == 2 else 0.0) for k, v in model.items() if k != 0}
+    assert _state(spark, path) == model, "the payload was durable"
+    v_after = current_version(path)
+    assert (
+        sync_table(spark, path, mirror, idempotency_key="sync:1") == v_after
+    )
+    assert current_version(path) == v_after, "replay must no-op"
+    assert _state(spark, path) == model
+
+    # merge_into: additive update on key 4 — a replayed double-apply
+    # would show as v+8 instead of v+4
+    src = spark.createDataFrame([(4, 4.0)], "k bigint, v double")
+    store.arm("put_fail_after")
+    with pytest.raises(FaultInjected):
+        merge_into(
+            spark,
+            path,
+            src,
+            when_matched_update={"v": "t.v + s.v"},
+            idempotency_key="mi:1",
+        )
+    model[4] = model[4] + 4.0
+    assert _state(spark, path) == model
+    v_after = current_version(path)
+    assert (
+        merge_into(
+            spark,
+            path,
+            src,
+            when_matched_update={"v": "t.v + s.v"},
+            idempotency_key="mi:1",
+        )
+        == v_after
+    )
+    assert current_version(path) == v_after
+    assert _state(spark, path) == model, "no double-apply"

@@ -1614,3 +1614,107 @@ def test_agg_view_refuses_empty_group_cols(spark, tmp_path):
     t = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("v"))
     with pytest.raises(ValueError, match="group_cols must be non-empty"):
         create_agg_view(str(tmp_path / "v"), [], ["v"], t)
+
+
+def test_minmax_view_chaos_tracks_recompute(spark, tmp_path):
+    """CHAOS for the min/max view, with the round's NEW commit types in
+    the mix: seeded-random merges (group-moving updates included),
+    tombstone deletes, OPTIMIZE, REBUCKET (forces the CDF global-diff
+    fallback), RESTORE (deleted extrema come BACK — the mutation class
+    this view exists for, arriving through the feed as inserts), and
+    SNAPSHOT SYNC (arbitrary mirror replacement). After every pass the
+    view must equal recompute-at-current."""
+    import random
+
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        current_version,
+        delete_keys,
+        merge_table,
+        optimize_table,
+        read_table,
+        rebucket_table,
+        restore_table,
+        sync_table,
+    )
+    from video_streamer_spark.streaming.agg_view import (
+        create_minmax_view,
+        run_minmax_view_pass,
+    )
+
+    rng = random.Random(0xB17B)
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    keys = list(range(80))
+    base = spark.createDataFrame(
+        [(k, k % 5, k * 3) for k in keys if k % 4 != 3],
+        "k bigint, grp bigint, val bigint",
+    )
+    create_table(base, src, ["k"], n_buckets=4)
+    create_minmax_view(view, ["grp"], ["val"], base, n_buckets=4)
+    n_buckets = 4
+
+    def recompute():
+        return rows_set(
+            read_table(spark, src)
+            .groupBy("grp")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.min("val").alias("min_val"),
+                F.max("val").alias("max_val"),
+            )
+        )
+
+    for step in range(12):
+        roll = rng.random()
+        if roll < 0.4:
+            rows = []
+            for k in rng.sample(keys, rng.randint(2, 8)):
+                op = rng.choice(["U", "I", "D"])
+                rows.append((k, rng.randint(0, 5), rng.randint(0, 500), op))
+            merge_table(
+                spark,
+                src,
+                spark.createDataFrame(
+                    rows, "k bigint, grp bigint, val bigint, __op string"
+                ),
+                idempotency_key=f"mm-chaos:{step}",
+            )
+        elif roll < 0.55:
+            dead = rng.sample(keys, rng.randint(1, 4))
+            delete_keys(
+                spark,
+                src,
+                spark.createDataFrame([(k,) for k in dead], "k bigint"),
+                idempotency_key=f"mm-chaos-del:{step}",
+            )
+        elif roll < 0.68:
+            optimize_table(spark, src, "val", files_per_bucket=2)
+        elif roll < 0.8:
+            n_buckets = 8 if n_buckets == 4 else 4
+            rebucket_table(spark, src, n_buckets)
+        elif roll < 0.9:
+            # restore to a random retained version: deleted extrema
+            # come back through the feed as inserts
+            v = rng.randint(1, current_version(src))
+            restore_table(src, v)
+        else:
+            # mirror replacement: a random subset with re-rolled values
+            kept = rng.sample(keys, rng.randint(30, 60))
+            mirror = spark.createDataFrame(
+                [(k, k % 5, rng.randint(0, 500)) for k in sorted(kept)],
+                "k bigint, grp bigint, val bigint",
+            )
+            sync_table(
+                spark,
+                src,
+                mirror,
+                idempotency_key=f"mm-chaos-sync:{step}",
+                max_delete_fraction=1.0,
+            )
+        if step % 3 == 2 or step == 11:
+            run_minmax_view_pass(spark, src, view, ["grp"], ["val"], ckpt)
+            assert rows_set(read_table(spark, view)) == recompute(), (
+                f"minmax view diverged after step {step}"
+            )
