@@ -3760,3 +3760,60 @@ def test_vacuum_dry_run_reports_without_touching(spark, store_path):
     assert real["doomed_dirs"] == report["doomed_dirs"]
     assert real["doomed_versions"] == report["doomed_versions"]
     assert history(path) == [3]
+
+
+def test_describe_history_infers_op_classes(spark, store_path, tmp_path):
+    """describe_history classifies every commit from manifest shape
+    alone: create/merge/delete/optimize/rebucket/restore on the
+    source, clone on a clone's v1, retention-base after vacuum."""
+    from video_streamer_spark.operators.table_format import (
+        add_column,
+        clone_table,
+        delete_keys,
+        describe_history,
+        optimize_table,
+        rebucket_table,
+        restore_table,
+        vacuum,
+    )
+
+    path = store_path
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_table(base, path, ["k"], n_buckets=4)                      # v1
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame([(50, 5.0, "I")], "k bigint, v double, __op string"),
+    )                                                                  # v2
+    delete_keys(spark, path, spark.createDataFrame([(3,)], ["k"]))     # v3
+    optimize_table(spark, path, "k", files_per_bucket=1)               # v4
+    rebucket_table(spark, path, 8)                                     # v5
+    restore_table(path, 2)                                             # v6
+    add_column(path, "w", "bigint")                                    # v7
+    ops = {r["version"]: r["op"] for r in describe_history(path)}
+    assert ops == {
+        1: "create",
+        2: "merge",
+        3: "delete",
+        4: "optimize",
+        5: "rebucket",
+        6: "restore",
+        7: "schema",
+    }, ops
+    # a clone's v1 carries its provenance
+    dst = str(tmp_path / "clone")
+    clone_table(path, dst)
+    crow = describe_history(dst)[0]
+    assert crow["op"] == "clone" and crow["cloned_from"] == path
+    # provenance survives retention: the restore commit stays
+    # classifiable even as the oldest retained version...
+    vacuum(path, keep_last=2, min_age_sec=0.0)
+    ops2 = [r["op"] for r in describe_history(path)]
+    assert ops2 == ["restore", "schema"], ops2
+    # ...while a provenance-free oldest version is honest about its
+    # unknowable predecessor
+    vacuum(path, keep_last=1, min_age_sec=0.0)
+    ops3 = [r["op"] for r in describe_history(path)]
+    assert ops3 == ["retention-base"], ops3

@@ -366,6 +366,7 @@ def _commit_with_rebase(
             rebased = dict(cur)
             rebased["version"] = cur_v + 1
             rebased.pop("layout_only", None)  # this commit changes rows
+            rebased.pop("restored_from", None)
             for fam in ("buckets", "stats", "file_stats"):
                 dst = dict(cur.get(fam, {}))
                 src = new_doc.get(fam, {})
@@ -1404,6 +1405,10 @@ def add_column(path: str, name: str, ddl_type: str) -> int:
     # a stale flag from a preceding optimize_table commit must not
     # label this METADATA commit as a layout rewrite
     new_doc.pop("layout_only", None)
+    # restore/clone provenance describes ONE commit; carrying it
+    # forward would misattribute every later commit in DESCRIBE
+    # HISTORY
+    new_doc.pop("restored_from", None)
     _commit_manifest(path, base_v + 1, new_doc)
     return base_v + 1
 
@@ -1874,6 +1879,67 @@ def merge_into(
     )
 
 
+def describe_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one row per retained version, with the
+    operation CLASS inferred from manifest shape — no write-path
+    metadata needed, so it works on any table this format ever wrote
+    (and stays honest: it reports what a commit DID, not what its
+    caller claimed). Classes:
+
+    - ``create`` (version 1 with no provenance), ``clone`` (v1 with
+      ``cloned_from``), ``restore`` (``restored_from``),
+    - ``optimize`` / ``rebucket`` (``layout_only``, split on
+      ``n_buckets`` changing),
+    - ``delete`` (no bucket repointed; tombstone lists grew),
+    - ``merge`` (anything that repointed buckets / changed rows),
+    - ``schema`` (columns changed, nothing else did).
+
+    Each row carries (version, op, n_buckets, n_data_buckets,
+    n_tombstone_refs, and any provenance fields). Cost: one manifest
+    read per retained version — metadata only."""
+    out: list[dict] = []
+    prev: dict | None = None
+    for v in history(path):
+        doc = _read_manifest(path, v)
+        n_tombs = sum(len(r) for r in doc.get("tombstones", {}).values())
+        row = {
+            "version": v,
+            "n_buckets": doc.get("n_buckets"),
+            "n_data_buckets": len(doc.get("buckets", {})),
+            "n_tombstone_refs": n_tombs,
+        }
+        if doc.get("cloned_from") is not None and v == 1:
+            row["op"] = "clone"
+            row["cloned_from"] = doc["cloned_from"]
+            row["cloned_version"] = doc.get("cloned_version")
+        elif doc.get("restored_from") is not None:
+            row["op"] = "restore"
+            row["restored_from"] = doc["restored_from"]
+        elif prev is None:
+            # after vacuum the oldest retained version may not be v1 —
+            # with no predecessor manifest its class is unknowable
+            row["op"] = "create" if v == 1 else "retention-base"
+        elif doc.get("layout_only"):
+            row["op"] = (
+                "rebucket"
+                if doc.get("n_buckets") != prev.get("n_buckets")
+                else "optimize"
+            )
+        elif doc.get("buckets") == prev.get("buckets") and doc.get(
+            "tombstones", {}
+        ) != prev.get("tombstones", {}):
+            row["op"] = "delete"
+        elif doc.get("schema") != prev.get("schema") and doc.get(
+            "buckets"
+        ) == prev.get("buckets"):
+            row["op"] = "schema"
+        else:
+            row["op"] = "merge"
+        out.append(row)
+        prev = doc
+    return out
+
+
 def sync_table(
     spark: SparkSession,
     path: str,
@@ -2016,6 +2082,10 @@ def restore_table(path: str, version: int) -> int:
     new_doc = dict(doc)
     new_doc["version"] = cur_v + 1
     new_doc.pop("layout_only", None)
+    # restore/clone provenance describes ONE commit; carrying it
+    # forward would misattribute every later commit in DESCRIBE
+    # HISTORY
+    new_doc.pop("restored_from", None)
     if cur.get("txns"):
         new_doc["txns"] = cur["txns"]
     else:
@@ -2077,6 +2147,10 @@ def clone_table(
         }
     new_doc.pop("txns", None)
     new_doc.pop("layout_only", None)
+    # restore/clone provenance describes ONE commit; carrying it
+    # forward would misattribute every later commit in DESCRIBE
+    # HISTORY
+    new_doc.pop("restored_from", None)
     new_doc["cloned_from"] = src_path
     new_doc["cloned_version"] = v
     os.makedirs(os.path.join(dst_path, "data"), exist_ok=True)
@@ -2152,6 +2226,10 @@ def delete_keys(
     # rows changed: a stale flag from a preceding OPTIMIZE must not
     # hide this commit from the change feed
     new_doc.pop("layout_only", None)
+    # restore/clone provenance describes ONE commit; carrying it
+    # forward would misattribute every later commit in DESCRIBE
+    # HISTORY
+    new_doc.pop("restored_from", None)
     if idempotency_key is not None:
         new_doc["txns"] = (txns + [idempotency_key])[-TXN_KEEP:]
     return _commit_with_rebase(
