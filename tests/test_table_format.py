@@ -3817,3 +3817,56 @@ def test_describe_history_infers_op_classes(spark, store_path, tmp_path):
     vacuum(path, keep_last=1, min_age_sec=0.0)
     ops3 = [r["op"] for r in describe_history(path)]
     assert ops3 == ["retention-base"], ops3
+
+
+def test_drop_column_retires_name_and_strips_skipping(spark, store_path):
+    """drop_column: metadata-only removal (reads project the new
+    schema; no file touched), the NAME is permanently retired (re-add
+    refused — by-name resolution would resurrect pre-drop values),
+    dropping is retry-idempotent, key columns are refused, skipping
+    metadata for the ghost column is stripped (a range read naming it
+    fails at resolution, loudly), the change feed projects the
+    post-drop schema, and DESCRIBE HISTORY classes it as schema."""
+    from video_streamer_spark.operators.table_format import (
+        add_column,
+        describe_history,
+        drop_column,
+        read_table_where,
+        table_changes,
+    )
+
+    path = store_path
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+        (F.col("id") % 7).alias("w"),
+    )
+    create_table(base, path, ["k"], n_buckets=4, bloom_cols=["w"])
+    assert drop_column(path, "w") == 2
+    df = read_table(spark, path)
+    assert df.columns == ["k", "v"] and df.count() == 40
+    assert drop_column(path, "w") == 2, "retry of a durable drop no-ops"
+    with pytest.raises(ValueError, match="does not exist"):
+        drop_column(path, "ghost")
+    with pytest.raises(ValueError, match="key column"):
+        drop_column(path, "k")
+    with pytest.raises(ValueError, match="permanently retired"):
+        add_column(path, "w", "bigint")
+    # life goes on under a fresh name; post-drop files never write w
+    add_column(path, "w2", "bigint")
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, 9.0, 5, "U")], "k bigint, v double, w2 bigint, __op string"
+        ),
+    )
+    got = {r["k"]: (r["v"], r["w2"]) for r in read_table(spark, path).collect()}
+    assert got[1] == (9.0, 5) and got[2] == (2.0, None)
+    # skipping never consults the ghost: naming it fails at resolution
+    with pytest.raises(Exception, match="UNRESOLVED_COLUMN|cannot be resolved"):
+        read_table_where(spark, path, "w", lo=0, hi=3).collect()
+    d = table_changes(spark, path, 2, 4)
+    assert "w" not in d.columns and "w2" in d.columns
+    ops = {r["version"]: r["op"] for r in describe_history(path)}
+    assert ops[2] == "schema" and ops[4] == "merge"

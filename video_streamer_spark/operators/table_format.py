@@ -1372,8 +1372,13 @@ def add_column(path: str, name: str, ddl_type: str) -> int:
     bucket materializes real values and zone-map stats for it.
 
     ``ddl_type`` is a Spark DDL type string (``"bigint"``,
-    ``"string"``, ...). Rename/drop are not supported — resolution is
-    by name, the honest scope without Iceberg-style field ids.
+    ``"string"``, ...). Rename is not supported — resolution is by
+    name, the honest scope without Iceberg-style field ids. Drop IS
+    supported (``drop_column``) under the same honesty rule: a dropped
+    NAME is permanently retired, because re-adding it would resurrect
+    stale values from files written before the drop (the by-name
+    hazard Iceberg's field ids exist to solve; refusing is strictly
+    safer than Delta-without-column-mapping, which resurrects).
 
     IDEMPOTENT on exact repeats: if the column already exists WITH THE
     SAME TYPE, this returns the current version instead of raising —
@@ -1395,6 +1400,13 @@ def add_column(path: str, name: str, ddl_type: str) -> int:
             f"column {name!r} already exists with type "
             f"{existing[name].simpleString()!r} (requested {ddl_type!r})"
         )
+    if name in doc.get("retired_columns", []):
+        raise ValueError(
+            f"column name {name!r} was dropped from this table and is "
+            "permanently retired: files written before the drop still "
+            "carry values under that name, and by-name resolution "
+            "would resurrect them. Pick a new name."
+        )
     new_schema = StructType(
         list(schema.fields)
         + [StructField(name, _parse_datatype_string(ddl_type), True)]
@@ -1408,6 +1420,83 @@ def add_column(path: str, name: str, ddl_type: str) -> int:
     # restore/clone provenance describes ONE commit; carrying it
     # forward would misattribute every later commit in DESCRIBE
     # HISTORY
+    new_doc.pop("restored_from", None)
+    _commit_manifest(path, base_v + 1, new_doc)
+    return base_v + 1
+
+
+def drop_column(path: str, name: str) -> int:
+    """Schema evolution: DROP a non-key column as a METADATA-ONLY
+    commit. No data file is touched — readers project to the manifest
+    schema by name (explicit-schema scan), so old files' bytes for the
+    column are simply never selected; a later bucket rewrite stops
+    writing them physically.
+
+    The dropped NAME is permanently retired (recorded in the
+    manifest's ``retired_columns``): re-adding it would resurrect
+    stale values from pre-drop files under by-name resolution — the
+    hazard Iceberg's field ids exist to solve; refusing re-use is the
+    honest by-name answer. The column's zone-map / file-stat / bloom
+    entries are stripped in the same commit, so data skipping never
+    consults a ghost column (a later range read naming it fails at
+    predicate resolution, loudly).
+
+    IDEMPOTENT on exact repeats: dropping a column that is absent but
+    RETIRED returns the current version (the ambiguous-retry
+    convergence contract, mirroring ``add_column``); dropping a column
+    the table never had raises."""
+    base_v = current_version(path)
+    doc = _read_manifest(path, base_v)
+    schema = _table_schema(doc)
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        if name in doc.get("retired_columns", []):
+            return base_v  # retry of our own already-durable drop
+        raise ValueError(f"column {name!r} does not exist")
+    if name in doc["key_cols"]:
+        raise ValueError(
+            f"column {name!r} is a key column: the key is the row "
+            "identity and its bucket routing — it cannot be dropped"
+        )
+    from pyspark.sql.types import StructType
+
+    new_schema = StructType([f for f in schema.fields if f.name != name])
+    new_doc = dict(doc)
+    new_doc["version"] = base_v + 1
+    new_doc["schema"] = new_schema.json()
+    new_doc["retired_columns"] = sorted(
+        set(doc.get("retired_columns", [])) | {name}
+    )
+    # strip the column's skipping metadata: stats, per-file stats,
+    # bloom membership — pruning must never consult a ghost
+    if doc.get("stats"):
+        new_doc["stats"] = {
+            b: {c: v for c, v in cols.items() if c != name}
+            for b, cols in doc["stats"].items()
+        }
+    if doc.get("file_stats"):
+        new_doc["file_stats"] = {
+            b: {
+                f: {c: v for c, v in cols.items() if c != name}
+                for f, cols in files.items()
+            }
+            for b, files in doc["file_stats"].items()
+        }
+    bloom = doc.get("bloom")
+    if bloom and name in bloom.get("cols", []):
+        new_cols = [c for c in bloom["cols"] if c != name]
+        if new_cols:
+            new_doc["bloom"] = {
+                **bloom,
+                "cols": new_cols,
+                "buckets": {
+                    b: {c: v for c, v in per.items() if c != name}
+                    for b, per in bloom.get("buckets", {}).items()
+                },
+            }
+        else:
+            new_doc.pop("bloom", None)
+    new_doc.pop("layout_only", None)
     new_doc.pop("restored_from", None)
     _commit_manifest(path, base_v + 1, new_doc)
     return base_v + 1
