@@ -84,6 +84,49 @@ SCALE2 = [
 ]
 
 
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def duckdb_timings(
+    run_dir: str, names: list[str], threads: int | None = None
+) -> dict[str, float]:
+    """Time each query's ORACLE SQL on DuckDB over the same layout —
+    min-of-3 after a warmup rep (bench_compare.py's protocol, shared
+    so the standalone tool and the in-artifact half can never drift).
+    Queries without an oracle are skipped."""
+    import duckdb
+
+    from video_streamer_spark.queries import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        f"SET threads = {threads or os.environ.get('SPARK_GRAFT_CPUS', 32)}"
+    )
+    for t in TABLES:
+        path = f"{run_dir}/{t}.parquet"
+        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')"
+        )
+    timings: dict[str, float] = {}
+    for name in names:
+        sql = ORACLES.get(name)
+        if sql is None:
+            continue
+        con.execute(sql).fetchall()  # warmup
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(min(reps), 3)
+    con.close()
+    return timings
+
+
 def splittable_mirror(sf_dir: str) -> str:
     """A layout-fixed mirror of ``sf_dir``: any table stored as ONE row
     group in one file cannot be scan-parallelized (parquet splits at
@@ -377,6 +420,22 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Same-window DuckDB half (round-11 VERDICT item 6): the 2x gate's
+    # denominator rides in the SAME artifact as the Spark numbers, so
+    # the judge's ratio is self-contained instead of reconstructed from
+    # a separate bench_compare run minutes or hours away (box-load
+    # asymmetry was the recurring confound in r10/r11 adjudication).
+    # Runs immediately after the measured Spark pass — the closest
+    # window available. Totals are over the COMMON query set on both
+    # sides; per-query DuckDB seconds go to stderr (the ~2 kB stdout
+    # capture budget holds the one JSON line). SPARK_GRAFT_DUCK=0 skips.
+    duck: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_DUCK", "1") != "0":
+        try:
+            duck = duckdb_timings(run_dir, headline)
+        except Exception as exc:  # noqa: BLE001 - ratio omitted, not fatal
+            print(f"# duckdb half failed (ratio omitted): {exc}", file=sys.stderr)
+
     # Second scale point for the heavy five: sf0.01 timings + big/small
     # ratios, archived in the same artifact (two measured decades, not
     # one). min-of-2 after a warm rep — the block exists to evidence the
@@ -432,9 +491,17 @@ def main() -> None:
     }
     if scale2:
         doc["scale2"] = scale2
+    if duck:
+        print(f"# duck_json: {json.dumps(duck)}", file=sys.stderr)
+        common = sorted(set(duck) & set(timings))
+        duck_total = round(sum(duck[k] for k in common), 3)
+        spark_common = round(sum(timings[k] for k in common), 3)
+        doc["duckdb_common_total"] = duck_total
+        doc["spark_common_total"] = spark_common
+        doc["ratio"] = round(spark_common / max(duck_total, 1e-9), 2)
     line = json.dumps(
         doc,
-        separators=(",", ":"),  # ~1.6 kB with scale2 — under the ~2 kB cap
+        separators=(",", ":"),  # ~1.7 kB with scale2+ratio — under ~2 kB
     )
     print(line)
     spark.stop()

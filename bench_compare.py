@@ -22,19 +22,15 @@ import json
 import os
 import re
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import duckdb  # noqa: E402
-
-from bench import HEADLINE, splittable_mirror  # noqa: E402
-from video_streamer_spark.queries import ORACLES  # noqa: E402
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+from bench import (  # noqa: E402
+    HEADLINE,
+    TABLES,  # noqa: F401 - re-exported for callers that imported it here
+    duckdb_timings,
+    splittable_mirror,
+)
 
 
 def load_bench_artifact(path: str) -> dict:
@@ -105,26 +101,9 @@ def main() -> None:
     # group file caps BOTH engines' scan parallelism — the layout fix is
     # engine-neutral, so the ratio stays apples-to-apples).
     run_dir = splittable_mirror(sf_dir)
-    con = duckdb.connect()
-    con.execute(f"SET threads = {os.environ.get('SPARK_GRAFT_CPUS', 32)}")
-    for t in TABLES:
-        path = f"{run_dir}/{t}.parquet"
-        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')"
-        )
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        sql = ORACLES.get(name)
-        if sql is None:
-            continue
-        con.execute(sql).fetchall()  # warmup
-        reps = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            reps.append(time.perf_counter() - t0)
-        timings[name] = round(min(reps), 3)
+    # shared timing core (bench.duckdb_timings) so the standalone tool
+    # and bench.py's in-artifact same-window half can never drift
+    timings = duckdb_timings(run_dir, list(HEADLINE))
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "duckdb_oracle_total_runtime",

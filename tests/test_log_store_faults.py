@@ -973,6 +973,44 @@ def test_merge_into_rebases_when_winner_is_disjoint(spark, faulty):
     assert _state(spark, path) == model
 
 
+def test_merge_into_reraises_when_winner_touched_read_bucket(spark, faulty):
+    """Serializable classification (ADVICE r11): a winner that changed
+    a bucket merge_into READ but did not WRITE must re-raise the
+    conflict, not rebase past it. The write-skew shape: the source has
+    a not-matched key whose only clause is WHEN MATCHED — had the
+    winner (which INSERTS that key) landed first, the serial merge
+    would have updated it; a write-disjoint rebase would silently skip
+    it, so rebase eligibility must check the full read set."""
+    from video_streamer_spark.operators.table_format import merge_into
+
+    store, path = faulty
+    _base(spark, path)  # keys 0..38 even, 4 buckets
+    # winner inserts k_skew (key not yet in the table)
+    k_skew = next(
+        k for k in range(41, 200, 2) if _bucket_of(spark, k, 4) == 0
+    )
+    merge_table(spark, path, _mk(spark, [(k_skew, 1.0, "I")]))  # v2
+    # loser's WRITTEN bucket differs from the winner's (write-disjoint,
+    # so pre-fix this rebased); its READ set includes k_skew's bucket
+    k_upd = next(
+        k for k in range(0, 40, 2) if _bucket_of(spark, k, 4) != 0
+    )
+    store.arm("stale_list")  # merge_into classifies at v1
+    src = spark.createDataFrame(
+        [(k_skew, 5.0), (k_upd, 7.0)], "k bigint, v double"
+    )
+    with pytest.raises(VersionConflictError):
+        merge_into(
+            spark,
+            path,
+            src,
+            when_matched_update={"v": "t.v + s.v"},
+        )
+    # nothing landed: the caller's occ_retry re-run is the recovery
+    assert current_version(path) == 2
+    assert _state(spark, path)[k_skew] == 1.0
+
+
 def test_sync_and_merge_into_replay_idempotently_after_ambiguous_put(
     spark, faulty
 ):
@@ -1033,3 +1071,156 @@ def test_sync_and_merge_into_replay_idempotently_after_ambiguous_put(
     )
     assert current_version(path) == v_after
     assert _state(spark, path) == model, "no double-apply"
+
+
+def test_streaming_curation_chain_survives_fault_storm(spark, faulty):
+    """x233's whole chain under a fault storm (round-11 VERDICT item
+    7): frame stream → in-stream inference → per-epoch merge_into with
+    idempotency keys → change-feed min/max view → relabel MERGE →
+    retention delete — with the log store throwing put failures
+    (including the ambiguous durable-put-lost-ack), stale listings and
+    read anomalies at every commit boundary. Recovery is the
+    production shape: a failed stream RESTARTS from its checkpoint
+    (replayed epochs no-op via their keys), batch operators retry to
+    convergence. The final view must equal the clean-path expectation
+    computed from the stub model directly — exactly-once end state
+    across the whole composition, not per operator."""
+    from video_streamer_spark.operators.inference import (
+        DETECTION_SCHEMA,
+        infer_detections,
+    )
+    from video_streamer_spark.operators.table_format import merge_into
+    from video_streamer_spark.streaming.agg_view import (
+        create_minmax_view,
+        run_minmax_view_pass,
+    )
+    from video_streamer_spark.streaming.drain import drain_or_raise
+    from video_streamer_spark.streaming.pipeline import stream_dir
+
+    store, root = faulty
+    frames_dir = f"{root}-frames"  # plain parquet: outside the store
+    det, view, ckpt = f"{root}/det", f"{root}/view", f"{root}/ckpt"
+
+    frames = spark.range(0, 30).select(
+        F.col("id").alias("frame_id"),
+        F.encode(
+            F.concat(F.lit("frame-"), F.col("id").cast("string")), "UTF-8"
+        ).alias("payload"),
+    )
+    for i in range(3):
+        frames.where(F.col("frame_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(frames_dir)
+
+    template = spark.createDataFrame([], DETECTION_SCHEMA)
+    create_table(template, det, ["frame_id", "box_idx"], n_buckets=4)
+    create_minmax_view(view, ["label_id"], ["score"], template, n_buckets=2)
+
+    def sink(batch_df, epoch_id):
+        merge_into(
+            batch_df.sparkSession,
+            det,
+            batch_df,
+            when_not_matched_insert="all",
+            idempotency_key=f"x233-storm:ins:{epoch_id}",
+        )
+
+    kinds = ["put_fail_before", "put_fail_after", "stale_list",
+             "read_not_found"]
+    # the stream restarts from its checkpoint after each injected crash
+    attempts = 0
+    while True:
+        if attempts < 3:
+            store.arm(kinds[attempts % len(kinds)])
+        q = (
+            infer_detections(
+                stream_dir(spark, frames_dir, frames.schema,
+                           max_files_per_trigger=1)
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{ckpt}/ingest")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            drain_or_raise(q, 300, "x233_storm_ingest")
+            break
+        except Exception:
+            attempts += 1
+            assert attempts < 10, "stream failed to converge under faults"
+
+    from pyspark.errors import StreamingQueryException
+
+    def converge(op):
+        # StreamingQueryException: the view pass runs the CDF feed as a
+        # stream, so an injected commit fault surfaces wrapped — the
+        # retry resumes from the pass's checkpoint (replayed epochs
+        # no-op via their idempotency keys)
+        for _ in range(8):
+            try:
+                return op()
+            except (FaultInjected, OSError, StreamingQueryException):
+                continue
+            except VersionConflictError:
+                time.sleep(0.01)
+                continue
+        raise AssertionError("operation failed to converge under faults")
+
+    def one_pass():
+        run_minmax_view_pass(
+            spark, det, view, ["label_id"], ["score"], f"{ckpt}/view"
+        )
+
+    store.arm("put_fail_after")
+    converge(one_pass)
+    movers = read_table(spark, det).where("label_id % 20 = 0").select(
+        "frame_id", "box_idx"
+    )
+    store.arm("stale_list")
+    converge(
+        lambda: merge_into(
+            spark, det, movers,
+            when_matched_update={"label_id": "t.label_id + 1"},
+            idempotency_key="x233-storm:relabel",
+        )
+    )
+    store.arm("put_fail_before")
+    converge(
+        lambda: delete_keys(
+            spark, det,
+            read_table(spark, det).where("score <= 0.2").select(
+                "frame_id", "box_idx"
+            ),
+            idempotency_key="x233-storm:retention",
+        )
+    )
+    store.arm("read_not_found")
+    converge(one_pass)
+
+    assert len(store.fired) >= 4, f"storm must fire: {store.fired}"
+    # clean-path expectation straight from the stub model (no table)
+    expected = {
+        (r["label_id"], r["n_rows"], r["min_score"], r["max_score"])
+        for r in infer_detections(frames)
+        .where("score > 0.2")
+        .withColumn(
+            "label_id",
+            F.when(
+                F.col("label_id") % 20 == 0, F.col("label_id") + 1
+            ).otherwise(F.col("label_id")),
+        )
+        .groupBy("label_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .collect()
+    }
+    got = {
+        (r["label_id"], r["n_rows"], r["min_score"], r["max_score"])
+        for r in read_table(spark, view).collect()
+    }
+    assert got == expected
+    versions = history(det)
+    assert versions == list(range(1, len(versions) + 1))

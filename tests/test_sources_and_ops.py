@@ -3089,3 +3089,88 @@ def test_pack_sequences_matches_local_greedy(spark):
             i += 1
     for (s, q), ns in fills.items():
         assert sum(ns) <= cap or len(ns) == 1, (s, q, ns)
+
+
+def test_pack_sequences_custom_columns_and_composite_stream(spark):
+    """ADVICE r11: pack_sequences must honor non-default id/token
+    column names (the output schema follows the caller's names), and
+    the production (source, shard) keying — a SEQUENCE of stream
+    columns — packs each composite stream independently, encoding the
+    key parts with the unit separator (NULL part → NUL sentinel)."""
+    from video_streamer_spark.operators.grouped import (
+        _STREAM_NULL,
+        _STREAM_SEP,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("cc", 0, 10, 6),
+            ("cc", 0, 11, 5),  # 6+5 > 8 -> new sequence
+            ("cc", 1, 12, 6),  # different shard: its own stream
+            ("web", 0, 13, 6),
+            (None, 0, 14, 3),  # NULL source still packs (own stream)
+        ],
+        "source string, shard int, my_id bigint, toks bigint",
+    )
+    got = {
+        (r["stream"], r["my_id"]): r["seq_id"]
+        for r in pack_sequences(
+            docs, 8, stream_col=("source", "shard"),
+            id_col="my_id", tokens_col="toks",
+        ).collect()
+    }
+    sep, nul = _STREAM_SEP, _STREAM_NULL
+    assert got == {
+        (f"cc{sep}0", 10): 0,
+        (f"cc{sep}0", 11): 1,
+        (f"cc{sep}1", 12): 0,
+        (f"web{sep}0", 13): 0,
+        (f"{nul}{sep}0", 14): 0,
+    }
+    # single-string stream_col with custom names still works
+    one = pack_sequences(
+        docs.where("source = 'cc'"), 8, stream_col="source",
+        id_col="my_id", tokens_col="toks",
+    )
+    assert [f.name for f in one.schema.fields] == [
+        "stream", "my_id", "toks", "seq_id",
+    ]
+    # all three cc docs in ONE stream now (no shard split): 6 | 5 | 6
+    assert {r["seq_id"] for r in one.collect()} == {0, 1, 2}
+
+
+def test_pack_sequences_composite_key_bounds_task_size(spark):
+    """The (source, shard) keying is the 100 TB parallelism dial: with
+    a HEAVILY skewed source (one source holding almost all docs), the
+    composite key splits it across shards so no single grouped-map
+    task sees more than one shard's docs — group count scales with
+    shards, and every group's packing still matches the local greedy
+    reference."""
+    from video_streamer_spark.operators.grouped import pack_sequences
+
+    n_shards = 16
+    rows = [
+        ("big", i % n_shards, i, 1 + (i % 5)) for i in range(800)
+    ] + [("tiny", 0, 10_000, 2)]
+    docs = spark.createDataFrame(
+        rows, "source string, shard int, doc_id bigint, n_tokens bigint"
+    )
+    out = pack_sequences(
+        docs, 7, stream_col=("source", "shard")
+    ).collect()
+    streams = {}
+    for r in out:
+        streams.setdefault(r["stream"], []).append(
+            (r["doc_id"], r["n_tokens"], r["seq_id"])
+        )
+    assert len(streams) == n_shards + 1  # skew split into shard groups
+    assert max(len(v) for v in streams.values()) == 800 // n_shards
+    for docs_in in streams.values():
+        docs_in.sort()
+        seq, fill = 0, 0
+        for _, n, got_seq in docs_in:
+            if fill > 0 and fill + n > 7:
+                seq, fill = seq + 1, 0
+            fill += n
+            assert got_seq == seq

@@ -52,6 +52,40 @@ def store_path(tmp_path, request):
         yield path
 
 
+def test_null_key_components_are_refused(spark, store_path):
+    """NULL key components are refused loudly at the routing
+    chokepoint (ADVICE r11 follow-through): the format's identity
+    joins use SQL equality, under which a null-keyed row would be
+    un-updatable and would duplicate on every upsert — so the write
+    path raises instead of storing one, and a failed write publishes
+    nothing (the manifest link is the commit point)."""
+    from pyspark.errors import PySparkException
+
+    path = store_path
+    with pytest.raises(PySparkException, match="NULL key component"):
+        create_table(
+            spark.createDataFrame([(None, 1.0)], "k bigint, v double"),
+            path,
+            ["k"],
+            n_buckets=2,
+        )
+    # nothing published: the table does not exist
+    with pytest.raises(FileNotFoundError):
+        current_version(path)
+    # composite key: ANY null component is refused, on merge too
+    base = spark.createDataFrame(
+        [(1, 1, 1.0), (2, 2, 2.0)], "k1 bigint, k2 bigint, v double"
+    )
+    create_table(base, path, ["k1", "k2"], n_buckets=2)
+    bad = spark.createDataFrame(
+        [(3, None, 3.0, "I")], "k1 bigint, k2 bigint, v double, __op string"
+    )
+    with pytest.raises(PySparkException, match="NULL key component"):
+        merge_table(spark, path, bad)
+    assert current_version(path) == 1  # the failed merge landed nothing
+    assert read_table(spark, path).count() == 2
+
+
 def test_create_merge_read_roundtrip(spark, store_path):
     path = store_path
     base = _orders(spark).where("o_orderkey % 4 = 0")
@@ -3562,6 +3596,60 @@ def test_shallow_clone_source_vacuum_hazard_is_loud(spark, store_path, tmp_path)
         read_table(spark, dst).collect()
 
 
+def test_optimize_localizes_clone_and_cuts_source_dependency(
+    spark, store_path, tmp_path
+):
+    """Round-11 VERDICT item 5: OPTIMIZE on a shallow clone rewrites
+    every bucket under the clone's OWN data/, so its manifest holds no
+    absolute refs into the source afterwards — the documented
+    cut-the-dependency move for the inherited Delta caveat. After
+    localization, a source vacuum that drops the originally shared
+    dirs cannot touch the clone: reads return the pinned snapshot, the
+    optimize commit is invisible to the clone's change feed, and
+    tombstone debt inherited from the source is folded (no tombstone
+    refs either)."""
+    from video_streamer_spark.operators.table_format import (
+        _read_manifest,
+        clone_table,
+        delete_keys,
+        optimize_table,
+        table_changes,
+        vacuum,
+    )
+
+    src = store_path
+    dst = str(tmp_path / "clone")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_table(base, src, ["k"], n_buckets=4)
+    delete_keys(spark, src, spark.createDataFrame([(7,)], ["k"]))
+    clone_table(src, dst)  # inherits absolute refs + a tombstone ref
+    doc1 = _read_manifest(dst, 1)
+    assert any(r.startswith("/") for r in doc1["buckets"].values())
+    want = {r["k"]: r["v"] for r in read_table(spark, dst).collect()}
+
+    assert optimize_table(spark, dst, sort_by="v") == 2
+    doc2 = _read_manifest(dst, 2)
+    assert all(
+        not r.startswith("/") for r in doc2["buckets"].values()
+    ), "localized refs must be relative to the clone root"
+    assert not doc2.get("tombstones"), "folded during the rewrite"
+    assert table_changes(spark, dst, 1, 2).count() == 0
+
+    # the source can now rewrite + vacuum freely: the clone no longer
+    # references any source dir (v1 still does — retention drops it)
+    merge_table(
+        spark,
+        src,
+        base.withColumn("v", F.col("v") + 1.0).withColumn("__op", F.lit("U")),
+    )
+    vacuum(src, keep_last=1, min_age_sec=0.0)
+    vacuum(dst, keep_last=1, min_age_sec=0.0)  # drop the stale clone v1
+    got = {r["k"]: r["v"] for r in read_table(spark, dst).collect()}
+    assert got == want
+
+
 def test_restore_table_roundtrip_and_feed(spark, store_path):
     """restore_table commits a NEW version with the old content
     (metadata-only; bad commits stay for audit), the change feed
@@ -3819,14 +3907,82 @@ def test_describe_history_infers_op_classes(spark, store_path, tmp_path):
     assert ops3 == ["retention-base"], ops3
 
 
+def test_readd_after_drop_keeps_old_values_dead(spark, store_path):
+    """Field-id column mapping (round-11 VERDICT item 4): re-adding a
+    dropped column name is ALLOWED, and the new column mints a fresh
+    PHYSICAL parquet name — so pre-drop files' bytes under the old
+    physical name are unreachable (old values stay dead, never
+    resurrected), new values materialize only where written, time
+    travel to pre-drop versions still shows the original values, the
+    change feed across the boundary diffs the re-added column as the
+    fresh all-null state (not the ghosts), and the mapping survives
+    merge / optimize / clone commits."""
+    from video_streamer_spark.operators.table_format import (
+        add_column,
+        drop_column,
+        optimize_table,
+        table_changes,
+    )
+
+    path = store_path
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+        (F.col("id") % 7).alias("w"),
+    )
+    create_table(base, path, ["k"], n_buckets=4)  # v1: w has values
+    assert drop_column(path, "w") == 2
+    assert add_column(path, "w", "bigint") == 3  # re-add: fresh field
+    # old values are DEAD: every row reads null, despite pre-drop
+    # files still carrying bytes under the old physical name
+    cur = read_table(spark, path)
+    assert cur.columns == ["k", "v", "w"]
+    assert cur.where("w IS NOT NULL").count() == 0
+    # time travel to v1 still shows the ORIGINAL values
+    v1 = {r["k"]: r["w"] for r in read_table(spark, path, version=1).collect()}
+    assert v1[10] == 3
+    # the change feed across the boundary never resurrects: the v2->v3
+    # commit is metadata-only (no rows), and a post-re-add merge diffs
+    # against the null state
+    assert table_changes(spark, path, 2, 3).count() == 0
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, 9.0, 50, "U")], "k bigint, v double, w bigint, __op string"
+        ),
+    )  # v4
+    d = {r["k"]: r for r in table_changes(spark, path, 3, 4).collect()}
+    assert d[1]["_change_type"] == "update_postimage" and d[1]["w"] == 50
+    got = {r["k"]: r["w"] for r in read_table(spark, path).collect()}
+    assert got[1] == 50 and got[10] is None
+    # the mapping survives layout maintenance and cloning
+    optimize_table(spark, path, sort_by="v")
+    got = {r["k"]: r["w"] for r in read_table(spark, path).collect()}
+    assert got[1] == 50 and got[10] is None
+    from video_streamer_spark.operators.table_format import clone_table
+
+    clone = path + "-clone"
+    clone_table(path, clone)
+    gotc = {r["k"]: r["w"] for r in read_table(spark, clone).collect()}
+    assert gotc[1] == 50 and gotc[10] is None
+    # drop + re-add AGAIN: the second re-add must mint yet another
+    # fresh physical name (the first re-add's values die too)
+    drop_column(path, "w")
+    add_column(path, "w", "string")  # different type is fine now
+    assert (
+        read_table(spark, path).where("w IS NOT NULL").count() == 0
+    )
+
+
 def test_drop_column_retires_name_and_strips_skipping(spark, store_path):
     """drop_column: metadata-only removal (reads project the new
-    schema; no file touched), the NAME is permanently retired (re-add
-    refused — by-name resolution would resurrect pre-drop values),
-    dropping is retry-idempotent, key columns are refused, skipping
-    metadata for the ghost column is stripped (a range read naming it
-    fails at resolution, loudly), the change feed projects the
-    post-drop schema, and DESCRIBE HISTORY classes it as schema."""
+    schema; no file touched), dropping is retry-idempotent, key
+    columns are refused, skipping metadata for the ghost column is
+    stripped (a range read naming it fails at resolution, loudly), the
+    change feed projects the post-drop schema, and DESCRIBE HISTORY
+    classes it as schema. Re-add is covered by
+    test_readd_after_drop_keeps_old_values_dead (field-id mapping)."""
     from video_streamer_spark.operators.table_format import (
         add_column,
         describe_history,
@@ -3850,8 +4006,6 @@ def test_drop_column_retires_name_and_strips_skipping(spark, store_path):
         drop_column(path, "ghost")
     with pytest.raises(ValueError, match="key column"):
         drop_column(path, "k")
-    with pytest.raises(ValueError, match="permanently retired"):
-        add_column(path, "w", "bigint")
     # life goes on under a fresh name; post-drop files never write w
     add_column(path, "w2", "bigint")
     merge_table(

@@ -1,0 +1,173 @@
+"""SQL-statement surface (operators/table_sql.py): the grammar-limited
+translator must (a) route every supported statement to the matching
+operator with exact semantics, and (b) refuse everything else loudly
+BEFORE any side effect — a management surface that guesses is worse
+than none. x232 proves end-to-end value parity against DuckDB; these
+tests pin the grammar boundary itself."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from video_streamer_spark.operators.table_format import (
+    create_table,
+    current_version,
+    read_table,
+)
+from video_streamer_spark.operators.table_sql import TableSqlError, table_sql
+
+
+@pytest.fixture
+def t(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 10.0).alias("v")
+    )
+    create_table(base, path, ["k"], n_buckets=4)
+    return {"dets": path}
+
+
+def _src(spark):
+    return spark.range(10, 25).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+
+
+def test_merge_statement_matches_direct_operator(spark, tmp_path, t):
+    """The translated MERGE must produce byte-identical state to the
+    same clauses passed to merge_into directly."""
+    from video_streamer_spark.operators.table_format import merge_into
+
+    table_sql(
+        spark,
+        """
+        MERGE INTO dets AS t USING chg AS s ON s.k = t.k
+        WHEN MATCHED AND s.k % 2 = 0 THEN UPDATE SET v = t.v + s.v
+        WHEN MATCHED AND s.k = 11 THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v * 2.0)
+        """,
+        t,
+        sources={"chg": _src(spark)},
+    )
+    p2 = str(tmp_path / "direct")
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 10.0).alias("v")
+    )
+    create_table(base, p2, ["k"], n_buckets=4)
+    merge_into(
+        spark,
+        p2,
+        _src(spark),
+        when_matched_update={"v": "t.v + s.v"},
+        when_matched_update_condition="s.k % 2 = 0",
+        when_matched_delete_condition="s.k = 11",
+        when_not_matched_insert={"v": "s.v * 2.0"},
+    )
+    got = sorted(tuple(r) for r in read_table(spark, t["dets"]).collect())
+    want = sorted(tuple(r) for r in read_table(spark, p2).collect())
+    assert got == want
+
+
+def test_select_version_pins_and_temp_view_source(spark, t):
+    table_sql(
+        spark,
+        "MERGE INTO dets t USING chg s ON s.k = t.k "
+        "WHEN NOT MATCHED THEN INSERT *",
+        t,
+        sources={"chg": _src(spark)},
+    )
+    # an empty-classification MERGE commits NOTHING (no version churn)
+    _src(spark).where("k >= 30").createOrReplaceTempView("empty_chg")
+    v = table_sql(
+        spark,
+        "MERGE INTO dets t USING empty_chg s ON s.k = t.k "
+        "WHEN MATCHED THEN DELETE",
+        t,
+    ).collect()[0]["version"]
+    assert v == 2
+    # a temp view resolves as the MERGE source too
+    _src(spark).where("k < 13").createOrReplaceTempView("del_chg")
+    v = table_sql(
+        spark,
+        "MERGE INTO dets t USING del_chg s ON s.k = t.k "
+        "WHEN MATCHED THEN DELETE",
+        t,
+    ).collect()[0]["version"]
+    assert v == 3
+    n1 = table_sql(
+        spark, "SELECT COUNT(*) AS n FROM dets VERSION AS OF 1", t
+    ).collect()[0]["n"]
+    n2 = table_sql(
+        spark, "SELECT COUNT(*) AS n FROM dets VERSION AS OF 2", t
+    ).collect()[0]["n"]
+    cur = table_sql(spark, "SELECT COUNT(*) AS n FROM dets", t).collect()[
+        0
+    ]["n"]
+    assert (n1, n2, cur) == (20, 25, 22)
+
+
+def test_restore_and_describe_history(spark, t):
+    table_sql(
+        spark,
+        "MERGE INTO dets t USING chg s ON s.k = t.k "
+        "WHEN MATCHED THEN DELETE",
+        t,
+        sources={"chg": _src(spark)},
+    )
+    out = table_sql(
+        spark, "RESTORE TABLE dets TO VERSION AS OF 1", t
+    ).collect()
+    assert out[0]["version"] == 3
+    assert read_table(spark, t["dets"]).count() == 20
+    hist = {
+        r["version"]: r["op"]
+        for r in table_sql(spark, "DESCRIBE HISTORY dets", t).collect()
+    }
+    # v2 classifies as "merge": merge_into rewrites the touched buckets
+    # (deletes repaid eagerly), it does not tombstone
+    assert hist == {1: "create", 2: "merge", 3: "restore"}
+
+
+def test_grammar_refusals_execute_nothing(spark, t):
+    """Every refusal fires BEFORE any side effect: the version is
+    unchanged after each attempt."""
+    src = _src(spark)
+    bad = [
+        "DROP TABLE dets",
+        "UPDATE dets SET v = 0",
+        # theta ON
+        "MERGE INTO dets t USING chg s ON s.k < t.k "
+        "WHEN MATCHED THEN DELETE",
+        # ON does not cover the key (wrong column)
+        "MERGE INTO dets t USING chg s ON s.v = t.v "
+        "WHEN MATCHED THEN DELETE",
+        # wrong aliases
+        "MERGE INTO dets AS tgt USING chg AS src ON src.k = tgt.k "
+        "WHEN MATCHED THEN DELETE",
+        # INSERT must assign the key verbatim from the source
+        "MERGE INTO dets t USING chg s ON s.k = t.k "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k + 1, s.v)",
+        # action on the wrong side
+        "MERGE INTO dets t USING chg s ON s.k = t.k "
+        "WHEN MATCHED THEN INSERT *",
+        "MERGE INTO dets t USING chg s ON s.k = t.k "
+        "WHEN NOT MATCHED THEN DELETE",
+        # duplicate clause kind
+        "MERGE INTO dets t USING chg s ON s.k = t.k "
+        "WHEN MATCHED AND s.k = 1 THEN DELETE "
+        "WHEN MATCHED AND s.k = 2 THEN DELETE",
+        # CASE WHEN breaks the token-based clause splitter -> refused
+        "MERGE INTO dets t USING chg s ON s.k = t.k "
+        "WHEN MATCHED THEN UPDATE SET v = CASE WHEN s.v > 0 THEN 1 "
+        "ELSE 0 END",
+        # unknown table / source
+        "DESCRIBE HISTORY nope",
+        "MERGE INTO dets t USING nope s ON s.k = t.k "
+        "WHEN MATCHED THEN DELETE",
+        "RESTORE TABLE dets",
+    ]
+    for stmt in bad:
+        with pytest.raises(TableSqlError):
+            table_sql(spark, stmt, t, sources={"chg": src})
+        assert current_version(t["dets"]) == 1, stmt

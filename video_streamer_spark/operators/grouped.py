@@ -65,11 +65,18 @@ def median_per_group(
 
 PACKED_SCHEMA = "stream string, doc_id bigint, n_tokens bigint, seq_id bigint"
 
+# composite-stream encoding: unit separator between parts, a sentinel
+# for NULL parts — both outside the testdata alphabet, so the encoding
+# is injective on real keys and the oracle can reproduce it with
+# concat_ws/coalesce.
+_STREAM_SEP = "\x1f"
+_STREAM_NULL = "\x00"
+
 
 def pack_sequences(
     docs: DataFrame,
     capacity: int,
-    stream_col: str = "lang",
+    stream_col="lang",
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
 ) -> DataFrame:
@@ -84,10 +91,13 @@ def pack_sequences(
     Greedy packing is ORDER-DEFINED, hence inherently sequential — but
     only per stream: streams pack in parallel (one grouped-map Arrow
     task each), so at 100 TB the stream key is the parallelism dial.
-    ``lang`` is demo-sized; production packs per (source, shard) so no
-    single task sees more than a shard's docs. The per-task work is a
-    single cumulative pass over ints — the Arrow transfer, not the
-    loop, is the cost.
+    ``stream_col`` accepts either one column name or a SEQUENCE of
+    names — pass ``("source", "shard")`` for the production keying so
+    no single Arrow task sees more than one shard's docs; the parts
+    are concat_ws-joined with a unit separator (NULL → NUL sentinel)
+    into the output ``stream`` column, an encoding the SQL oracle
+    reproduces verbatim. The per-task work is a single cumulative pass
+    over ints — the Arrow transfer, not the loop, is the cost.
 
     Reference contrast: the reference pipeline has no notion of
     training batches; this is part of the LLM-data extension surface
@@ -109,9 +119,23 @@ def pack_sequences(
         out["seq_id"] = seqs
         return out
 
+    if isinstance(stream_col, str):
+        stream_expr = F.col(stream_col).cast("string")
+    else:
+        stream_expr = F.concat_ws(
+            _STREAM_SEP,
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit(_STREAM_NULL))
+                for c in stream_col
+            ],
+        )
+    # output schema follows the caller's column names — a hardcoded
+    # schema would make applyInPandas fail on any non-default id/token
+    # column (pandas labels must match the declared fields exactly)
+    schema = f"stream string, {id_col} bigint, {tokens_col} bigint, seq_id bigint"
     src = docs.select(
-        F.col(stream_col).cast("string").alias("stream"),
+        stream_expr.alias("stream"),
         F.col(id_col).cast("bigint").alias(id_col),
         F.col(tokens_col).cast("bigint").alias(tokens_col),
     )
-    return src.groupBy("stream").applyInPandas(_pack, PACKED_SCHEMA)
+    return src.groupBy("stream").applyInPandas(_pack, schema)

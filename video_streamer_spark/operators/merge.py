@@ -71,9 +71,42 @@ def apply_changeset(
 
 
 def _bucketed(df: DataFrame, key_cols: list[str], n_buckets: int) -> DataFrame:
+    """Route every row to its key-hash bucket — and REFUSE null key
+    components at this chokepoint (every table write, changeset and
+    point-lookup passes through here).
+
+    The key is the row identity (PRIMARY KEY semantics): the format's
+    identity joins (``apply_changeset``'s anti join, the point-lookup
+    semi join, the change-feed full outer, tombstone anti joins) use
+    SQL equality, under which NULL never matches — so a null-keyed row
+    would be un-updatable, un-deletable, and would duplicate on every
+    upsert of "the same" key. xxhash64 additionally SKIPS null inputs,
+    so (NULL, x) and a different-arity key could even share routing.
+    Raising inside the projection costs no extra pass (it rides the
+    write/lookup job itself), and a mid-write raise publishes nothing:
+    the manifest link is the commit point."""
+    null_key = None
+    for k in key_cols:
+        c = F.col(k).isNull()
+        null_key = c if null_key is None else (null_key | c)
     return df.withColumn(
         BUCKET_COL,
-        F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
+        F.when(
+            null_key,
+            F.raise_error(
+                F.lit(
+                    "NULL key component: key columns are the row "
+                    "identity (PRIMARY KEY semantics) and must be "
+                    "non-null — filter or coalesce upstream"
+                )
+            ).cast("int"),
+        )
+        .otherwise(
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in key_cols]),
+                F.lit(n_buckets),
+            )
+        )
         .cast("int"),
     )
 
