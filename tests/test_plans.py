@@ -60,10 +60,16 @@ def test_q04_aggregates_before_join(spark):
 
 
 def test_q20_theta_join_is_equi_on_user(spark):
-    """The range condition must ride on an equi join (user_id), not force
-    a nested-loop cross product."""
+    """Round-12 plan: the interval self-join is a range-frame WINDOW —
+    one scan, no join of any kind, and exactly two Exchanges (hash on
+    user for the window, hash on event_type for the final aggregate).
+    A regression back to the join formulation shows up as a join node
+    or a third exchanged copy."""
     r = plan_report(QUERIES["q20_theta_self_join"](spark, SF_ORACLE))
     assert r.n_bnl_joins == 0, r.text
+    assert r.n_sortmerge_joins == 0, r.text
+    assert "Window" in r.text, r.text
+    assert r.n_exchanges <= 2, r.text
 
 
 def test_x28_asof_join_single_shuffle_per_side(spark):

@@ -410,6 +410,10 @@ def test_construction_job_sweep_is_exactly_the_allowlist(spark):
         "x225_minmax_dirty_groups", "x226_merge_into_clauses",
         "x227_clone_divergence", "x228_restore_divergence",
         "x230_snapshot_sync",
+        # r12: x232 drives commits through the SQL statement surface;
+        # x233 drains a frame stream into per-epoch merges and runs two
+        # view passes — construction IS the pipeline for both
+        "x232_table_sql_statements", "x233_streaming_curation_pipeline",
         # index builders / pivot quantizers (centroids-sized collects)
         "x32_ivf_topk", "x155_ivf_index_search", "x158_mmr_rerank",
         "x159_ivfpq_index_search", "x160_ann_recall_eval",

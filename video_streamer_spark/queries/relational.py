@@ -423,49 +423,39 @@ def q13_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q20_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range self-join with a SKEW-BOUNDED key: the equi-key is
-    (user, 5-minute time bucket), not user alone. A pair with
-    ts2 ∈ [ts1, ts1+5min] always lands in bucket1 or bucket1+1, so the
-    probe side emits both keys and every qualifying pair matches on
-    EXACTLY one of them (bucket2 is single-valued per row — no dedup
-    step). At 100 TB a single hot user no longer concentrates one
-    shuffle key: per-key cardinality is bounded by the user's events in
-    a 10-minute span, which is also the true pair neighborhood — any
-    remaining quadratic blowup is output-inherent, not partitioning
-    skew. Costs one extra copy of the probe side in the shuffle (2×
-    rows), the classic interval-bucket trade."""
+    """Interval self-join recast as ONE range-frame WINDOW (round-12:
+    retires the r6–r11 interval-bucket join plan). The pair count per
+    anchor event e1 is |{e2 : same user, ts2 ∈ [ts1, ts1+5min],
+    e2 ≠ e1}| = (rows in the range frame) − 1: the frame
+    ``RANGE BETWEEN CURRENT ROW AND 300s FOLLOWING`` over
+    unix_micros(ts) is value-based, so tied timestamps count each
+    other symmetrically and COUNT(*)−1 excludes exactly the self-pair
+    — bit-identical to the join formulation (verified at sf0.01/0.1
+    and a ×10 sf1-equivalent replica, PLANS.md round-12).
+
+    Plan: one scan, ONE Exchange (hash on user) + WindowExec, versus
+    the join's two scans, THREE exchanged copies (probe side exploded
+    ×2) and a sort-merge join — measured 2.7× faster at the
+    sf1-equivalent point (0.46 s vs 1.23 s) where the join's ratio to
+    DuckDB had stopped amortizing. Skew: one hot user is one task's
+    window sort — WindowExec's sort is spillable, and the frame walk
+    is linear (two pointers), so a hot user costs its own event count,
+    not its pair count. For regimes where a single user exceeds a
+    task's sort budget, the skew-bounded (user, 5-min bucket)
+    interval-bucket JOIN variant remains the fallback — kept working
+    and equivalence-tested in
+    tests/test_sources_and_ops.py::test_q20_bucketed_join_bounds_hot_user_and_matches_plain."""
+    from pyspark.sql import Window
+
     e = table(spark, sf_dir, "events")
-    bucket_us = 300 * 1_000_000  # 5 minutes in unix_micros units
-    e1 = e.select(
-        F.col("event_id").alias("id1"),
-        F.col("user_id").alias("u1"),
-        F.col("ts").alias("ts1"),
-        F.col("event_type").alias("event_type"),
-    ).withColumn(
-        "jb1",
-        F.explode(
-            F.array(
-                F.expr(f"unix_micros(cast(ts1 as timestamp)) div {bucket_us}"),
-                F.expr(f"unix_micros(cast(ts1 as timestamp)) div {bucket_us}") + 1,
-            )
-        ),
-    )
-    e2 = e.select(
-        F.col("event_id").alias("id2"),
-        F.col("user_id").alias("u2"),
-        F.col("ts").alias("ts2"),
-    ).withColumn(
-        "jb2", F.expr(f"unix_micros(cast(ts2 as timestamp)) div {bucket_us}")
-    )
-    joined = e1.join(
-        e2,
-        (F.col("u1") == F.col("u2"))
-        & (F.col("jb1") == F.col("jb2"))
-        & (F.col("ts2") >= F.col("ts1"))
-        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 5 MINUTES"))
-        & (F.col("id1") != F.col("id2")),
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(0, 300 * 1_000_000)
     )
     return (
-        joined.groupBy("event_type")
-        .agg(F.count("*").alias("n_pairs"))
+        e.withColumn("n_following", F.count("*").over(w) - 1)
+        .groupBy("event_type")
+        .agg(F.sum("n_following").cast("bigint").alias("n_pairs"))
+        .where(F.col("n_pairs") > 0)
     )
