@@ -326,6 +326,27 @@ def write_verified_hashes(queries: dict, oracles: dict[str, str]) -> int:
     return n_hashes
 
 
+def evidence_age_table(queries) -> str:
+    """Markdown table: round -> count of registered queries whose
+    LATEST driver CORRECTNESS row is that round (round-11 VERDICT item
+    9 — the staleness dashboard). Regenerate alongside the round-start
+    ``--write`` ritual and paste into COVERAGE.md; 'never' counts
+    queries with no driver row in any round yet."""
+    ev = latest_driver_evidence()
+    counts: dict[str, int] = {}
+    for name in queries:
+        rnd = ev.get(name)
+        key = f"r{rnd[0]}" if rnd else "never"
+        counts[key] = counts.get(key, 0) + 1
+    lines = ["| latest driver evidence | queries |", "|---|---|"]
+    for key in sorted(
+        counts, key=lambda k: -1 if k == "never" else int(k[1:])
+    ):
+        lines.append(f"| {key} | {counts[key]} |")
+    lines.append(f"| **total** | **{len(queries)}** |")
+    return "\n".join(lines)
+
+
 if __name__ == "__main__":
     import sys
 
@@ -334,6 +355,8 @@ if __name__ == "__main__":
     if "--write" in sys.argv:
         n = write_verified_hashes(QUERIES, ORACLES)
         print(f"recorded {n} verified hashes -> {_VERIFIED}")
+    elif "--evidence" in sys.argv:
+        print(evidence_age_table(QUERIES))
     else:
         order = derived_sample_order(QUERIES, ORACLES)
         for name in order[:60]:
