@@ -135,7 +135,12 @@ def test_grammar_refusals_execute_nothing(spark, t):
     src = _src(spark)
     bad = [
         "DROP TABLE dets",
-        "UPDATE dets SET v = 0",
+        "TRUNCATE TABLE dets",
+        "ALTER TABLE dets ADD COLUMN x int",
+        # malformed DML skeletons (the verbs are in-grammar; the
+        # statements are not)
+        "UPDATE dets v = 0",
+        "DELETE dets WHERE k = 1",
         # theta ON
         "MERGE INTO dets t USING chg s ON s.k < t.k "
         "WHEN MATCHED THEN DELETE",
@@ -171,3 +176,61 @@ def test_grammar_refusals_execute_nothing(spark, t):
         with pytest.raises(TableSqlError):
             table_sql(spark, stmt, t, sources={"chg": src})
         assert current_version(t["dets"]) == 1, stmt
+
+
+def test_update_delete_statements_and_serializable_read_set(spark, t):
+    """UPDATE compiles to a pinned 'U' changeset whose expressions see
+    the PRE-update row; DELETE FROM compiles to tombstones; a WHERE-less
+    DELETE is the explicit truncate; key assignment is refused."""
+    v = table_sql(
+        spark, "UPDATE dets SET v = v + k WHERE k < 5", t
+    ).collect()[0]["version"]
+    assert v == 2
+    got = {r["k"]: r["v"] for r in read_table(spark, t["dets"]).collect()}
+    assert got[3] == 33.0 and got[7] == 70.0
+    with pytest.raises(TableSqlError, match="key column"):
+        table_sql(spark, "UPDATE dets SET k = k + 1", t)
+    with pytest.raises(TableSqlError, match="unknown column"):
+        table_sql(spark, "UPDATE dets SET nope = 1", t)
+    table_sql(spark, "DELETE FROM dets WHERE k >= 10", t)
+    assert read_table(spark, t["dets"]).count() == 10
+    table_sql(spark, "DELETE FROM dets", t)  # explicit truncate
+    assert read_table(spark, t["dets"]).count() == 0
+    assert current_version(t["dets"]) == 4
+
+
+def test_timestamp_as_of_and_maintenance_statements(spark, t):
+    """TIMESTAMP AS OF resolves to the latest commit at-or-before the
+    stamp (manifest committed_at, stamped retry-stably); OPTIMIZE and
+    VACUUM route to the maintenance operators; a timestamp older than
+    the oldest retained commit is refused loudly."""
+    import time as _time
+
+    t1 = _time.time()
+    _time.sleep(0.02)
+    table_sql(spark, "UPDATE dets SET v = v * 2.0", t)  # v2
+    t2 = _time.time()
+    _time.sleep(0.02)
+    table_sql(spark, "DELETE FROM dets WHERE k = 0", t)  # v3
+    n1 = table_sql(
+        spark, f"SELECT COUNT(*) AS n FROM dets TIMESTAMP AS OF '{t1}'", t
+    ).collect()[0]["n"]
+    s2 = table_sql(
+        spark,
+        f"SELECT SUM(v) AS s FROM dets TIMESTAMP AS OF '{t2}'",
+        t,
+    ).collect()[0]["s"]
+    assert n1 == 20 and s2 == sum(k * 20.0 for k in range(20))
+    table_sql(spark, f"RESTORE TABLE dets TO TIMESTAMP AS OF '{t1}'", t)
+    assert read_table(spark, t["dets"]).count() == 20
+    with pytest.raises(ValueError, match="as old as timestamp"):
+        table_sql(
+            spark, "SELECT COUNT(*) AS n FROM dets TIMESTAMP AS OF '1.5'", t
+        )
+    v = table_sql(spark, "OPTIMIZE dets SORT BY v", t).collect()[0]["version"]
+    assert v == 5
+    rep = table_sql(
+        spark, "VACUUM dets RETAIN 2 VERSIONS DRY RUN", t
+    ).collect()[0]
+    assert rep["dry_run"] and rep["n_doomed_versions"] >= 1
+    assert current_version(t["dets"]) == 5, "dry run commits nothing"

@@ -231,7 +231,19 @@ def _commit_manifest(path: str, version: int, doc: dict) -> None:
     while different bytes mean a competitor really did win the
     version. Payloads are commit-unique in practice (each commit's doc
     references fresh ``commit-<uuid>`` data dirs), so identity cannot
-    confuse two independent writers."""
+    confuse two independent writers.
+
+    Commit timestamps (``committed_at``, for ``TIMESTAMP AS OF``) are
+    stamped HERE, exactly once per (doc, version): the ``_ts_v``
+    sentinel keeps a within-process retry of the same doc byte-identical
+    (the ambiguous-outcome resolution above depends on that), while a
+    doc COPIED from an older manifest (restore/clone/rebase/evolution
+    all start from ``dict(old_doc)``) carries a stale sentinel and is
+    re-stamped — inheriting the source commit's wall time would corrupt
+    time-travel resolution for every copying commit class."""
+    if doc.get("_ts_v") != version:
+        doc["committed_at"] = time.time()
+        doc["_ts_v"] = version
     payload = json.dumps(doc)
     try:
         log_store_for(path).put_if_absent(
@@ -2202,6 +2214,7 @@ def describe_history(path: str) -> list[dict]:
             "n_buckets": doc.get("n_buckets"),
             "n_data_buckets": len(doc.get("buckets", {})),
             "n_tombstone_refs": n_tombs,
+            "committed_at": doc.get("committed_at"),
         }
         if doc.get("cloned_from") is not None and v == 1:
             row["op"] = "clone"
@@ -2400,6 +2413,37 @@ def restore_table(path: str, version: int) -> int:
     new_doc["restored_from"] = version
     _commit_manifest(path, cur_v + 1, new_doc)
     return cur_v + 1
+
+
+def version_at_timestamp(path: str, ts: float) -> int:
+    """Resolve ``TIMESTAMP AS OF``: the LATEST retained version whose
+    ``committed_at`` is ≤ ``ts`` (Delta's rule). Metadata-only — one
+    manifest read per retained version.
+
+    Loud edges: a timestamp before the oldest retained commit raises
+    (there is no state to serve — the honest answer after vacuum too);
+    a retained manifest WITHOUT a stamp (written before this feature)
+    raises by name rather than guessing its age. Wall-clock skew
+    between writers can make stamps locally non-monotonic; taking the
+    max qualifying VERSION (not the max timestamp) keeps resolution
+    deterministic and supremum-correct under skew."""
+    best = None
+    for v in history(path):
+        at = _read_manifest(path, v).get("committed_at")
+        if at is None:
+            raise ValueError(
+                f"version {v} at {path} has no committed_at stamp "
+                "(written before timestamp support): TIMESTAMP AS OF "
+                "cannot resolve against it — use VERSION AS OF"
+            )
+        if at <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no retained version at {path} is as old as timestamp "
+            f"{ts} (oldest retained commit is newer, or was vacuumed)"
+        )
+    return best
 
 
 def clone_table(

@@ -20,8 +20,14 @@ Grammar (keywords case-insensitive, ``<n>`` a decimal integer,
 
     DESCRIBE HISTORY <ident>
     RESTORE TABLE <ident> TO VERSION [AS OF] <n>
-    SELECT … FROM … <ident> [VERSION AS OF <n>] …   -- any SELECT; each
-        registered table name may carry a version pin
+    RESTORE TABLE <ident> TO TIMESTAMP AS OF '<ts>'
+    UPDATE <ident> SET c = expr, … [WHERE cond]
+    DELETE FROM <ident> [WHERE cond]
+    OPTIMIZE <ident> SORT BY <col> | ZORDER BY (a, b)
+    VACUUM <ident> [RETAIN <n> VERSIONS] [DRY RUN]
+    SELECT … FROM … <ident> [VERSION AS OF <n>
+        | TIMESTAMP AS OF '<ts>'] …   -- any SELECT; each registered
+        table name may carry a version or timestamp pin
     MERGE INTO <ident> [AS] t USING <source> [AS] s ON <on-cond>
         [WHEN MATCHED [AND <cond>] THEN DELETE]
         [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = e, …]
@@ -60,14 +66,20 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from video_streamer_spark.operators.table_format import (
     _read_retained_manifest,
     current_version,
+    delete_keys,
     describe_history,
     merge_into,
+    merge_table,
+    optimize_table,
     read_table,
     restore_table,
+    vacuum,
+    version_at_timestamp,
 )
 
 
@@ -294,22 +306,51 @@ def _merge(
     return _version_df(spark, v)
 
 
+def _parse_ts(text: str) -> float:
+    """'YYYY-MM-DD[ HH:MM:SS[.ffffff]]' (naive = UTC) or a raw unix
+    epoch number → epoch seconds."""
+    from datetime import datetime, timezone
+
+    t = text.strip()
+    try:
+        return float(t)
+    except ValueError:
+        pass
+    try:
+        dt = datetime.fromisoformat(t)
+    except ValueError:
+        raise TableSqlError(
+            f"unparseable timestamp {text!r}: use ISO-8601 "
+            "('2026-01-01 12:00:00', naive = UTC) or epoch seconds"
+        ) from None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
 def _select(
     spark: SparkSession, stmt: str, tables: dict[str, str]
 ) -> DataFrame:
-    """Register each referenced table (at its pinned version, if any)
-    as a temp view, rewrite the statement to the view names, and let
-    Spark SQL run the rest — projection, joins, aggregation all stay
-    Catalyst-planned over the snapshot scan."""
+    """Register each referenced table (at its pinned version or
+    timestamp, if any) as a temp view, rewrite the statement to the
+    view names, and let Spark SQL run the rest — projection, joins,
+    aggregation all stay Catalyst-planned over the snapshot scan."""
     rewritten = stmt
     for name, path in tables.items():
         pat = re.compile(
-            rf"\b{re.escape(name)}\b(\s+VERSION\s+AS\s+OF\s+(\d+))?",
+            rf"\b{re.escape(name)}\b"
+            rf"(\s+VERSION\s+AS\s+OF\s+(\d+)"
+            rf"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?",
             re.IGNORECASE,
         )
 
-        def _sub(m: re.Match) -> str:
-            v = int(m.group(2)) if m.group(2) else None
+        def _sub(m: re.Match, path=path, name=name) -> str:
+            if m.group(3):
+                v = version_at_timestamp(path, _parse_ts(m.group(3)))
+            elif m.group(2):
+                v = int(m.group(2))
+            else:
+                v = None
             view = f"vss_sql_{name}_v{'cur' if v is None else v}"
             read_table(spark, path, version=v).createOrReplaceTempView(
                 view
@@ -318,6 +359,148 @@ def _select(
 
         rewritten = pat.sub(_sub, rewritten)
     return spark.sql(rewritten)
+
+
+def _update(
+    spark: SparkSession, stmt: str, tables: dict[str, str]
+) -> DataFrame:
+    """UPDATE <tbl> SET c = expr, … [WHERE cond] — expressions see the
+    PRE-update row (SQL semantics). Compiles to a 'U' changeset merged
+    at the pinned read version with the FULL bucket read set, so a
+    concurrent writer conflicts instead of the update silently basing
+    on rows it never classified (same serializable posture as
+    sync_table: the WHERE scan reads the whole table)."""
+    m = re.fullmatch(
+        rf"UPDATE\s+({_IDENT})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise TableSqlError(
+            "supported form: UPDATE <table> SET c = expr, … [WHERE cond]"
+        )
+    path = _resolve(tables, m.group(1))
+    base_v = current_version(path)
+    doc = _read_retained_manifest(path, base_v)
+    key_cols = doc["key_cols"]
+    sets: dict[str, str] = {}
+    for a in _split_top(m.group(2), ","):
+        am = re.fullmatch(rf"({_IDENT})\s*=\s*(.+)", a, re.DOTALL)
+        if not am:
+            raise TableSqlError(
+                f"unsupported SET assignment {a!r}: use `<col> = <expr>`"
+            )
+        if am.group(1) in key_cols:
+            raise TableSqlError(
+                f"UPDATE may not assign key column {am.group(1)!r}: the "
+                "key is the row identity — delete + insert instead"
+            )
+        sets[am.group(1)] = am.group(2).strip()
+    snap = read_table(spark, path, version=base_v)
+    cols = snap.columns
+    bad = sorted(set(sets) - set(cols))
+    if bad:
+        raise TableSqlError(f"UPDATE assigns unknown column(s) {bad}")
+    matched = snap.where(m.group(3)) if m.group(3) else snap
+    changes = matched.select(
+        *[
+            F.expr(sets[c]).alias(c) if c in sets else F.col(c)
+            for c in cols
+        ],
+        F.lit("U").alias("__op"),
+    )
+    v = merge_table(
+        spark,
+        path,
+        changes,
+        base_version=base_v,
+        read_buckets=set(range(doc["n_buckets"])),
+    )
+    return _version_df(spark, v)
+
+
+def _delete(
+    spark: SparkSession, stmt: str, tables: dict[str, str]
+) -> DataFrame:
+    """DELETE FROM <tbl> [WHERE cond] — resolves the matching keys at
+    the current snapshot and commits merge-on-read tombstones
+    (``delete_keys``): churn-priced, no bucket rewrite. A WHERE-less
+    DELETE FROM is SQL's truncate — allowed, explicit, and still one
+    atomic commit."""
+    m = re.fullmatch(
+        rf"DELETE\s+FROM\s+({_IDENT})(?:\s+WHERE\s+(.+))?",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise TableSqlError(
+            "supported form: DELETE FROM <table> [WHERE cond]"
+        )
+    path = _resolve(tables, m.group(1))
+    doc = _read_retained_manifest(path, current_version(path))
+    snap = read_table(spark, path)
+    keys = (snap.where(m.group(2)) if m.group(2) else snap).select(
+        *doc["key_cols"]
+    )
+    return _version_df(spark, delete_keys(spark, path, keys))
+
+
+def _optimize(
+    spark: SparkSession, stmt: str, tables: dict[str, str]
+) -> DataFrame:
+    m = re.fullmatch(
+        rf"OPTIMIZE\s+({_IDENT})\s+"
+        rf"(?:SORT\s+BY\s+({_IDENT})"
+        rf"|ZORDER\s+BY\s*\(\s*({_IDENT})\s*,\s*({_IDENT})\s*\))",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise TableSqlError(
+            "supported forms: OPTIMIZE <table> SORT BY <col> | "
+            "OPTIMIZE <table> ZORDER BY (a, b) — the rewrite needs a "
+            "declared clustering (a bare OPTIMIZE would rewrite the "
+            "table for no skipping gain)"
+        )
+    path = _resolve(tables, m.group(1))
+    if m.group(2):
+        v = optimize_table(spark, path, sort_by=m.group(2))
+    else:
+        v = optimize_table(
+            spark, path, zorder_by=(m.group(3), m.group(4))
+        )
+    return _version_df(spark, v)
+
+
+def _vacuum(
+    spark: SparkSession, stmt: str, tables: dict[str, str]
+) -> DataFrame:
+    m = re.fullmatch(
+        rf"VACUUM\s+({_IDENT})"
+        r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?",
+        stmt,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise TableSqlError(
+            "supported form: VACUUM <table> [RETAIN <n> VERSIONS] "
+            "[DRY RUN]"
+        )
+    path = _resolve(tables, m.group(1))
+    kwargs: dict = {"dry_run": bool(m.group(3))}
+    if m.group(2):
+        kwargs["keep_last"] = int(m.group(2))
+    rep = vacuum(path, **kwargs)
+    return spark.createDataFrame(
+        [
+            (
+                len(rep.get("doomed_dirs", [])),
+                len(rep.get("doomed_versions", [])),
+                bool(rep.get("dry_run")),
+            )
+        ],
+        "n_doomed_dirs int, n_doomed_versions int, dry_run boolean",
+    )
 
 
 def table_sql(
@@ -347,25 +530,40 @@ def table_sql(
         return _history_df(spark, _resolve(tables, m.group(1)))
     if first == "RESTORE":
         m = re.fullmatch(
-            rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+"
-            r"(?:AS\s+OF\s+)?(\d+)",
+            rf"RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+"
+            r"(?:VERSION\s+(?:AS\s+OF\s+)?(\d+)"
+            r"|TIMESTAMP\s+AS\s+OF\s+'([^']+)')",
             stmt,
             re.IGNORECASE,
         )
         if not m:
             raise TableSqlError(
-                "supported form: RESTORE TABLE <table> TO VERSION "
-                "[AS OF] <n>"
+                "supported forms: RESTORE TABLE <table> TO VERSION "
+                "[AS OF] <n> | TO TIMESTAMP AS OF '<ts>'"
             )
-        v = restore_table(_resolve(tables, m.group(1)), int(m.group(2)))
-        return _version_df(spark, v)
+        path = _resolve(tables, m.group(1))
+        v = (
+            version_at_timestamp(path, _parse_ts(m.group(3)))
+            if m.group(3)
+            else int(m.group(2))
+        )
+        return _version_df(spark, restore_table(path, v))
     if first == "MERGE":
         return _merge(spark, stmt, tables, sources or {})
+    if first == "UPDATE":
+        return _update(spark, stmt, tables)
+    if first == "DELETE":
+        return _delete(spark, stmt, tables)
+    if first == "OPTIMIZE":
+        return _optimize(spark, stmt, tables)
+    if first == "VACUUM":
+        return _vacuum(spark, stmt, tables)
     if first == "SELECT" or first == "WITH":
         return _select(spark, stmt, tables)
     raise TableSqlError(
         f"unsupported statement {first!r}: this surface executes "
-        "DESCRIBE HISTORY / RESTORE TABLE / MERGE INTO / SELECT "
-        "(optionally with VERSION AS OF) — everything else belongs to "
-        "the Python operators"
+        "DESCRIBE HISTORY / RESTORE TABLE / MERGE INTO / UPDATE / "
+        "DELETE FROM / OPTIMIZE / VACUUM / SELECT (with VERSION or "
+        "TIMESTAMP AS OF) — everything else belongs to the Python "
+        "operators"
     )

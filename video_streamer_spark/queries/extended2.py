@@ -1884,3 +1884,89 @@ def x233_streaming_curation_pipeline(
         F.col("min_score").alias("min_score"),
         F.col("max_score").alias("max_score"),
     )
+
+
+# x234 — DML + TIME-TRAVEL STATEMENTS (round 12, extending x232): the
+# remaining statements a table user types — UPDATE … SET … WHERE,
+# DELETE FROM … WHERE, OPTIMIZE … SORT BY, and TIMESTAMP AS OF reads
+# (manifests now carry retry-stable ``committed_at`` stamps; the
+# resolver picks the latest version at-or-before the timestamp, Delta's
+# rule) — driven through operators/table_sql.py. UPDATE compiles to a
+# pinned-snapshot 'U' changeset carrying the FULL bucket read set
+# (sync_table's serializable posture: the WHERE scan classified every
+# bucket); DELETE compiles to merge-on-read tombstones; OPTIMIZE is in
+# the chain to prove layout maintenance is invisible through the
+# statement surface too. The oracle restates all three states
+# closed-form; the TIMESTAMP AS OF row resolving to the wrong version
+# (off-by-one in the stamp rule, a copied-manifest timestamp
+# inherited) would land as a value mismatch on the 'upd' tag. Scale:
+# UPDATE is churn-priced (only matched buckets rewrite), DELETE is
+# metadata+keys, timestamp resolution is one manifest read per
+# retained version.
+@query(
+    "x234_dml_time_travel_statements",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 = 0),
+    upd AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 9 = 0 THEN price * 2.0
+                  ELSE price END AS price
+      FROM base),
+    final AS (SELECT * FROM upd WHERE o_orderkey % 6 <> 3)
+    SELECT 'v1' AS tag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(price * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+        AS total
+    FROM base
+    UNION ALL
+    SELECT 'upd', CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(CAST(floor(price * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+    FROM upd
+    UNION ALL
+    SELECT 'cur', CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(CAST(floor(price * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+    FROM final
+    """,
+)
+def x234_dml_time_travel_statements(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import time as _time
+
+    from video_streamer_spark.operators.table_format import create_table
+    from video_streamer_spark.operators.table_sql import table_sql
+
+    path = _fresh_run_dir(spark, sf_dir, "vss-dmlsql")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    create_table(
+        orders.where("o_orderkey % 3 = 0"), path, ["o_orderkey"], n_buckets=8
+    )
+    T = {"tt": path}
+    table_sql(
+        spark, "UPDATE tt SET price = price * 2.0 WHERE o_orderkey % 9 = 0", T
+    )
+    t_after_update = _time.time()
+    _time.sleep(0.02)  # the next commit must stamp strictly later
+    table_sql(spark, "DELETE FROM tt WHERE o_orderkey % 6 = 3", T)
+    table_sql(spark, "OPTIMIZE tt SORT BY price", T)  # invisible
+
+    def agg(tag: str, suffix: str) -> DataFrame:
+        return table_sql(
+            spark,
+            f"""
+            SELECT '{tag}' AS tag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(FLOOR(price * 100.0) AS BIGINT)) AS DOUBLE)
+                / 100.0 AS total
+            FROM tt{suffix}
+            """,
+            T,
+        )
+
+    return (
+        agg("v1", " VERSION AS OF 1")
+        .unionByName(agg("upd", f" TIMESTAMP AS OF '{t_after_update}'"))
+        .unionByName(agg("cur", ""))
+    )
