@@ -234,3 +234,28 @@ def test_timestamp_as_of_and_maintenance_statements(spark, t):
     ).collect()[0]
     assert rep["dry_run"] and rep["n_doomed_versions"] >= 1
     assert current_version(t["dets"]) == 5, "dry run commits nothing"
+
+
+def test_create_table_as_select_statement(spark, tmp_path, t):
+    """CTAS materializes a SELECT (version pins included — a
+    one-statement historical snapshot) as a NEW table; an existing
+    table is refused (CREATE is v1, never a replace), as is a KEY
+    column the SELECT doesn't produce."""
+    t = dict(t, snap=str(tmp_path / "snap"))
+    table_sql(spark, "UPDATE dets SET v = v * 2.0", t)
+    table_sql(
+        spark,
+        "CREATE TABLE snap KEY (k) BUCKETS 2 AS "
+        "SELECT k, v FROM dets VERSION AS OF 1",
+        t,
+    )
+    got = {r["k"]: r["v"] for r in read_table(spark, t["snap"]).collect()}
+    assert got == {k: k * 10.0 for k in range(20)}, "pre-update snapshot"
+    with pytest.raises(TableSqlError, match="already exists"):
+        table_sql(spark, "CREATE TABLE snap KEY (k) AS SELECT k, v FROM dets", t)
+    with pytest.raises(TableSqlError, match="not in the SELECT"):
+        table_sql(
+            spark,
+            "CREATE TABLE other KEY (nope) AS SELECT k FROM dets",
+            dict(t, other=str(tmp_path / "other")),
+        )

@@ -18,6 +18,7 @@ grammar-limited.
 Grammar (keywords case-insensitive, ``<n>`` a decimal integer,
 ``<ident>`` a name registered in the ``tables`` mapping)::
 
+    CREATE TABLE <ident> KEY (c, …) [BUCKETS <n>] AS <select>
     DESCRIBE HISTORY <ident>
     RESTORE TABLE <ident> TO VERSION [AS OF] <n>
     RESTORE TABLE <ident> TO TIMESTAMP AS OF '<ts>'
@@ -472,6 +473,57 @@ def _optimize(
     return _version_df(spark, v)
 
 
+def _create(
+    spark: SparkSession, stmt: str, tables: dict[str, str]
+) -> DataFrame:
+    """CREATE TABLE <tbl> KEY (c, …) [BUCKETS <n>] AS <select> — the
+    lifecycle statement: materialize a SELECT (which may itself read
+    other registered tables, including VERSION/TIMESTAMP AS OF pins —
+    a one-statement historical snapshot) as a NEW versioned table at
+    the name's registered path. Refuses an already-created table
+    loudly: this format's CREATE is v1, never an implicit replace."""
+    m = re.fullmatch(
+        rf"CREATE\s+TABLE\s+({_IDENT})\s+KEY\s*\(([^)]+)\)\s*"
+        r"(?:BUCKETS\s+(\d+)\s+)?AS\s+(.+)",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise TableSqlError(
+            "supported form: CREATE TABLE <table> KEY (c, …) "
+            "[BUCKETS <n>] AS SELECT …"
+        )
+    from video_streamer_spark.operators.table_format import create_table
+
+    path = _resolve(tables, m.group(1))
+    try:
+        current_version(path)
+    except FileNotFoundError:
+        pass
+    else:
+        raise TableSqlError(
+            f"table {m.group(1)!r} already exists at {path}: CREATE is "
+            "version 1, never a replace — RESTORE/MERGE/UPDATE mutate, "
+            "or pick a fresh path"
+        )
+    key_cols = [c.strip() for c in m.group(2).split(",")]
+    body = m.group(4).strip()
+    if body.split(None, 1)[0].upper() not in ("SELECT", "WITH"):
+        raise TableSqlError("CREATE TABLE … AS takes a SELECT body")
+    df = _select(spark, body, tables)
+    missing = [k for k in key_cols if k not in df.columns]
+    if missing:
+        raise TableSqlError(
+            f"KEY column(s) {missing} not in the SELECT output "
+            f"{df.columns}"
+        )
+    v = create_table(
+        df, path, key_cols,
+        **({"n_buckets": int(m.group(3))} if m.group(3) else {}),
+    )
+    return _version_df(spark, v)
+
+
 def _vacuum(
     spark: SparkSession, stmt: str, tables: dict[str, str]
 ) -> DataFrame:
@@ -550,6 +602,8 @@ def table_sql(
         return _version_df(spark, restore_table(path, v))
     if first == "MERGE":
         return _merge(spark, stmt, tables, sources or {})
+    if first == "CREATE":
+        return _create(spark, stmt, tables)
     if first == "UPDATE":
         return _update(spark, stmt, tables)
     if first == "DELETE":
@@ -562,8 +616,9 @@ def table_sql(
         return _select(spark, stmt, tables)
     raise TableSqlError(
         f"unsupported statement {first!r}: this surface executes "
-        "DESCRIBE HISTORY / RESTORE TABLE / MERGE INTO / UPDATE / "
-        "DELETE FROM / OPTIMIZE / VACUUM / SELECT (with VERSION or "
+        "CREATE TABLE … AS / DESCRIBE HISTORY / RESTORE TABLE / MERGE "
+        "INTO / UPDATE / DELETE FROM / OPTIMIZE / VACUUM / SELECT "
+        "(with VERSION or "
         "TIMESTAMP AS OF) — everything else belongs to the Python "
         "operators"
     )

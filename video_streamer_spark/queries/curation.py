@@ -1742,3 +1742,98 @@ def x79_hierarchy_depth_pointer_jump(
     return ptr.select(
         "node", F.col("d").cast("int").alias("depth")
     ).orderBy("node")
+
+
+# x236 — SEMANTIC DEDUP (SemDeDup-style, cluster-blocked): the
+# embedding-space near-dup pass production pipelines run where exact /
+# minhash dedup can't see paraphrases. Vectors are assigned to their
+# nearest PIVOT (pivots = the deterministic vec_id % 127 == 0 slice, so
+# both engines rebuild the identical "clustering" — a seeded k-means
+# would put an untestable RNG inside the oracle), and only WITHIN a
+# cluster are pairs scored; a vector is a semantic duplicate if some
+# LOWER-id cluster-mate has rounded cosine ≥ 0.35 (the min-id-anchor
+# rule: deterministic, order-free, and the keep-set is exactly the
+# non-flagged rows). Plan shape: K pivots broadcast to every vector
+# (one scan, no shuffle for assignment — argmax via max(struct)), then
+# the quadratic work is cluster-bounded (the IVF-blocking story: at
+# 100 TB the cluster key is the fan-out dial, and the self-join
+# shuffles on pivot_id instead of exploding corpus²). Rounding rides
+# functions/parity.round4 on BOTH the assignment argmax and the dup
+# threshold so 1e-16 float noise can't flip a cluster or a verdict.
+@query(
+    "x236_semantic_dedup",
+    oracle=f"""
+    WITH piv AS (
+      SELECT vec_id AS pivot_id, embedding AS p_emb
+      FROM embeddings WHERE vec_id % 127 = 0),
+    assigned AS (
+      SELECT e.vec_id, e.embedding,
+        (SELECT p.pivot_id FROM piv p
+         ORDER BY {_R4.format(_sql_cos('e.embedding', 'p.p_emb'))} DESC,
+                  p.pivot_id
+         LIMIT 1) AS pivot_id
+      FROM embeddings e),
+    dups AS (
+      SELECT b.vec_id, b.pivot_id,
+        CAST(COUNT(*) AS BIGINT) AS n_lower_neighbors,
+        MAX({_R4.format(_sql_cos('a.embedding', 'b.embedding'))}) AS max_sim
+      FROM assigned a JOIN assigned b
+        ON a.pivot_id = b.pivot_id AND a.vec_id < b.vec_id
+      WHERE {_R4.format(_sql_cos('a.embedding', 'b.embedding'))} >= 0.35
+      GROUP BY b.vec_id, b.pivot_id)
+    SELECT vec_id, pivot_id, n_lower_neighbors, max_sim FROM dups
+    """,
+)
+def x236_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.functions.arrays import cosine_similarity
+    from video_streamer_spark.functions.parity import round4
+
+    emb = table(spark, sf_dir, "embeddings")
+    piv = emb.where(F.col("vec_id") % 127 == 0).select(
+        F.col("vec_id").alias("pivot_id"), F.col("embedding").alias("p_emb")
+    )
+    # assignment: K pivots broadcast against every vector; argmax by
+    # (rounded sim DESC, pivot_id ASC) via max(struct(sim, -pivot)).
+    # The argmax exchange carries only (vec_id, sim, pivot) — slim
+    # rows, K per vector — and the embedding joins back afterwards on
+    # vec_id (one co-partitioned join) instead of riding the exchange
+    # K times over.
+    scored = emb.crossJoin(F.broadcast(piv)).select(
+        "vec_id",
+        "pivot_id",
+        round4(cosine_similarity("embedding", "p_emb")).alias("sim"),
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("sim"), (-F.col("pivot_id")).alias("np")))
+            .alias("best")
+        )
+        .select("vec_id", (-F.col("best.np")).alias("pivot_id"))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+    )
+    # the self-join consumes the assignment TWICE — persisted, or both
+    # sides re-run the K-pivot scoring and the argmax exchange
+    from video_streamer_spark.functions.caching import bounded_persist
+
+    assigned = bounded_persist(assigned, "semdedup-assigned")
+    a = assigned.select(
+        F.col("pivot_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = assigned.select(
+        F.col("pivot_id"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = a.join(b, "pivot_id").where(F.col("id_a") < F.col("vec_id"))
+    sims = pairs.select(
+        "vec_id",
+        "pivot_id",
+        round4(cosine_similarity("emb_a", "emb_b")).alias("sim"),
+    ).where(F.col("sim") >= 0.35)
+    return sims.groupBy("vec_id", "pivot_id").agg(
+        F.count("*").cast("bigint").alias("n_lower_neighbors"),
+        F.max("sim").alias("max_sim"),
+    )

@@ -1970,3 +1970,91 @@ def x234_dml_time_travel_statements(
         .unionByName(agg("upd", f" TIMESTAMP AS OF '{t_after_update}'"))
         .unionByName(agg("cur", ""))
     )
+
+
+# x235 — BENCHMARK CONTAMINATION CHECK: the eval-leakage scan every
+# serious training-data pipeline runs before a model sees the corpus
+# (deduplicating-training-data / GPT-3 appendix-C style): flag corpus
+# documents sharing any word-8-gram with a held-out benchmark set.
+# The benchmark here is the deterministic doc_id % 50 == 0 slice (≈2%)
+# so both engines rebuild the identical split. Plan: grams built once
+# (same codegen'd xxhash64 construction as x200), the benchmark's
+# DISTINCT gram set is BROADCAST to the corpus-gram side (eval suites
+# are KB–MB scale against a 100 TB corpus — the defining asymmetry of
+# this operator; no shuffle of the corpus on the gram key at all), and
+# the per-doc tally rides one exchange on doc_id. A dropped distinct
+# (double-counting a repeated gram), a semi-join instead of the
+# left-join tally (losing the denominator), or a hash mismatch in the
+# gram construction all land as value mismatches.
+@query(
+    "x235_benchmark_contamination",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    grams AS (
+      SELECT doc_id, md5(array_to_string(arr[pos:pos+7], ' ')) AS g
+      FROM (SELECT doc_id, arr,
+              unnest(range(1, greatest(len(arr) - 6, 1))) AS pos
+            FROM arrs) p),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    corpus AS (
+      SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 50 <> 0),
+    per AS (
+      SELECT c.doc_id, COUNT(*) AS n_grams,
+        SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM corpus c LEFT JOIN bench b ON c.g = b.g
+      GROUP BY c.doc_id)
+    SELECT doc_id, CAST(n_hit AS BIGINT) AS n_hit_grams,
+      CAST(n_grams AS BIGINT) AS n_grams,
+      CAST(n_hit AS DOUBLE) / n_grams AS contamination_rate
+    FROM per WHERE n_hit > 0
+    """,
+)
+def x235_benchmark_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    arrs = docs.select("doc_id", F.split("text", " ").alias("arr"))
+    grams = arrs.select(
+        "doc_id",
+        F.explode(
+            # same safe-empty construction as x200 (≤7-token docs emit
+            # no grams); xxhash64 gram keys, md5 in the oracle — g is
+            # never exposed, only membership, so the engines agree
+            F.expr(
+                "transform(slice(sequence(1, greatest(size(arr) - 7, 1)), "
+                "1, greatest(size(arr) - 7, 0)), "
+                "p -> xxhash64(array_join(slice(arr, p, 8), ' ')))"
+            )
+        ).alias("g"),
+    )
+    bench_g = (
+        grams.where(F.col("doc_id") % 50 == 0).select("g").distinct()
+    )
+    corpus = (
+        grams.where(F.col("doc_id") % 50 != 0)
+        .select("doc_id", "g")
+        .distinct()
+    )
+    per = (
+        corpus.join(
+            F.broadcast(bench_g.withColumn("__hit", F.lit(1))),
+            "g",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hit_grams"),
+        )
+    )
+    return per.where(F.col("n_hit_grams") > 0).select(
+        "doc_id",
+        "n_hit_grams",
+        "n_grams",
+        (
+            F.col("n_hit_grams").cast("double") / F.col("n_grams")
+        ).alias("contamination_rate"),
+    )
