@@ -1718,3 +1718,74 @@ def test_minmax_view_chaos_tracks_recompute(spark, tmp_path):
             assert rows_set(read_table(spark, view)) == recompute(), (
                 f"minmax view diverged after step {step}"
             )
+
+
+def test_cdf_stream_starting_timestamp(spark, tmp_path):
+    """option('startingTimestamp', ts): the stream's first window
+    begins after the latest commit at-or-before ts (Delta's
+    startingTimestamp in this source's vocabulary) — a ts captured
+    between v1 and v2 skips the initial snapshot and streams exactly
+    the v2+v3 changes; combining it with startingVersion is refused;
+    a timestamp older than the oldest retained commit is loud."""
+    import time as _time
+
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        merge_table,
+        table_changes,
+    )
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("val")
+    )
+    create_table(base, path, ["k"], n_buckets=4)  # v1
+    t_mid = _time.time()
+    _time.sleep(0.02)
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame([(3, 99, "U")], ["k", "val", "__op"])
+        .withColumn("val", F.col("val").cast("long")),
+    )  # v2
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame([(40, 1, "I")], ["k", "val", "__op"])
+        .withColumn("val", F.col("val").cast("long")),
+    )  # v3
+    register_cdf_source(spark)
+
+    def drain(tag, **opts):
+        out = str(tmp_path / f"feed-{tag}")
+        reader = spark.readStream.format("table_cdf").option("path", path)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt-{tag}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_or_raise(q, 120)
+        return spark.read.parquet(out)
+
+    got = drain("ts", startingTimestamp=str(t_mid)).select(
+        "k", "val", "_change_type"
+    )
+    want = table_changes(spark, path, 1, 3).select(
+        "k", "val", "_change_type"
+    )
+    assert rows_set(got) == rows_set(want)
+    assert rows_set(got.where("_change_type = 'insert'")) == [
+        (40, 1, "insert")
+    ]
+    with pytest.raises(Exception, match="mutually exclusive"):
+        drain("both", startingTimestamp=str(t_mid), startingVersion=1)
+    with pytest.raises(Exception, match="as old as timestamp"):
+        drain("old", startingTimestamp="1.5")

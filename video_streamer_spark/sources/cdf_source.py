@@ -149,6 +149,51 @@ def _latest_version(path: str) -> int:
     return max(versions)
 
 
+def _version_at_timestamp(path: str, ts: float) -> int:
+    """Latest retained version with ``committed_at`` ≤ ts — a local
+    copy of table_format.version_at_timestamp's rule, because this
+    module runs in the DataSource RUNNER process and must stay
+    self-contained (stdlib only; the round-7 verify gotcha)."""
+    mdir = os.path.join(path, "_manifests")
+    versions = sorted(
+        int(f.removeprefix("v").removesuffix(".json"))
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    best = None
+    for v in versions:
+        at = _load_manifest(path, v).get("committed_at")
+        if at is None:
+            raise ValueError(
+                f"version {v} at {path} has no committed_at stamp "
+                "(written before timestamp support): use "
+                "startingVersion instead of startingTimestamp"
+            )
+        if at <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no retained version at {path} is as old as timestamp "
+            f"{ts} (oldest retained commit is newer, or was vacuumed)"
+        )
+    return best
+
+
+def _parse_ts_option(text: str) -> float:
+    """ISO-8601 (naive = UTC) or epoch seconds → epoch seconds."""
+    from datetime import datetime, timezone
+
+    t = str(text).strip()
+    try:
+        return float(t)
+    except ValueError:
+        pass
+    dt = datetime.fromisoformat(t)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
 class _BucketLayoutChanged(Exception):
     """The window spans a rebucket_table commit (n_buckets varies), so
     bucket ids are not comparable across it — self-contained twin of
@@ -623,7 +668,10 @@ class TableCdfDataSource(DataSource):
     integer starts after that committed version; the string "latest"
     subscribes to changes only — the stream's first window begins at
     the version current WHEN THE STREAM STARTS, Delta's
-    startingVersion=latest), ``preimages`` ("true" widens updates to
+    startingVersion=latest), ``startingTimestamp`` (ISO-8601, naive =
+    UTC, or epoch seconds: start after the latest commit at-or-before
+    the timestamp — Delta's startingTimestamp; mutually exclusive with
+    startingVersion), ``preimages`` ("true" widens updates to
     the four-type feed: each updated key also emits an
     ``update_preimage`` row carrying the window-start values — what
     incremental consumers subtract; default "false" keeps the
@@ -648,12 +696,25 @@ class TableCdfDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:  # noqa: N802
         path = self.options["path"]
-        raw = self.options.get("startingVersion", 0)
-        start = (
-            _latest_version(path)
-            if isinstance(raw, str) and raw.strip().lower() == "latest"
-            else int(raw)
-        )
+        raw_ts = self.options.get("startingTimestamp")
+        if raw_ts is not None and "startingVersion" in self.options:
+            raise ValueError(
+                "startingVersion and startingTimestamp are mutually "
+                "exclusive — they both name the stream's start point"
+            )
+        if raw_ts is not None:
+            # Delta's startingTimestamp in this source's vocabulary:
+            # the stream's first window begins AFTER the latest commit
+            # at-or-before the timestamp — "resume from where the
+            # table stood at time ts"
+            start = _version_at_timestamp(path, _parse_ts_option(raw_ts))
+        else:
+            raw = self.options.get("startingVersion", 0)
+            start = (
+                _latest_version(path)
+                if isinstance(raw, str) and raw.strip().lower() == "latest"
+                else int(raw)
+            )
         preimages = (
             str(self.options.get("preimages", "false")).strip().lower()
             == "true"
