@@ -414,7 +414,7 @@ def test_construction_job_sweep_is_exactly_the_allowlist(spark):
         # x233 drains a frame stream into per-epoch merges and runs two
         # view passes — construction IS the pipeline for both
         "x232_table_sql_statements", "x233_streaming_curation_pipeline",
-        "x234_dml_time_travel_statements",
+        "x234_dml_time_travel_statements", "x237_check_constraints",
         # index builders / pivot quantizers (centroids-sized collects)
         "x32_ivf_topk", "x155_ivf_index_search", "x158_mmr_rerank",
         "x159_ivfpq_index_search", "x160_ann_recall_eval",

@@ -4024,3 +4024,95 @@ def test_drop_column_retires_name_and_strips_skipping(spark, store_path):
     assert "w" not in d.columns and "w2" in d.columns
     ops = {r["version"]: r["op"] for r in describe_history(path)}
     assert ops[2] == "schema" and ops[4] == "merge"
+
+
+def test_check_constraints_enforced_at_write(spark, store_path):
+    """CHECK constraints (ALTER TABLE … ADD CONSTRAINT): validated
+    over existing rows at add time (refused on violations), enforced
+    executor-side on every later upsert (a violating write raises and
+    publishes NOTHING — atomicity intact), exempt for deletes, NULL
+    predicate results refused (stricter than SQL's unknown-passes,
+    by design), carried across merge/optimize/clone commits, and
+    dropped columns they reference are refused by name."""
+    from video_streamer_spark.operators.table_format import (
+        add_constraint,
+        clone_table,
+        drop_column,
+        drop_constraint,
+        optimize_table,
+    )
+
+    path = store_path
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_table(base, path, ["k"], n_buckets=4)
+    assert add_constraint(spark, path, "v_nonneg", "v >= 0") == 2
+    assert add_constraint(spark, path, "v_nonneg", "v >= 0") == 2, (
+        "retry of a durable add no-ops"
+    )
+    with pytest.raises(ValueError, match="different expression"):
+        add_constraint(spark, path, "v_nonneg", "v >= 1")
+    with pytest.raises(ValueError, match="existing rows violate"):
+        add_constraint(spark, path, "v_big", "v >= 100")
+    # violating upsert: raises, nothing published
+    with pytest.raises(Exception, match="CHECK constraint"):
+        merge_table(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(3, -1.0, "U")], "k bigint, v double, __op string"
+            ),
+        )
+    assert current_version(path) == 2
+    # NULL predicate result = violation (a null v cannot prove v >= 0)
+    with pytest.raises(Exception, match="CHECK constraint"):
+        merge_table(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(3, None, "U")], "k bigint, v double, __op string"
+            ),
+        )
+    # deletes are exempt; passing upserts land
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(3, 5.0, "U"), (4, None, "D")],
+            "k bigint, v double, __op string",
+        ),
+    )
+    assert current_version(path) == 3
+    # survives layout maintenance (merge built a fresh manifest; the
+    # evolution carry keeps the constraint alive) and cloning
+    optimize_table(spark, path, sort_by="v")
+    with pytest.raises(Exception, match="CHECK constraint"):
+        merge_table(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(5, -9.0, "U")], "k bigint, v double, __op string"
+            ),
+        )
+    clone = path + "-ccl"
+    clone_table(path, clone)
+    with pytest.raises(Exception, match="CHECK constraint"):
+        merge_table(
+            spark,
+            clone,
+            spark.createDataFrame(
+                [(5, -9.0, "U")], "k bigint, v double, __op string"
+            ),
+        )
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        drop_column(path, "v")
+    v = drop_constraint(path, "v_nonneg")
+    assert drop_constraint(path, "v_nonneg") == v, "absent drop no-ops"
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(5, -9.0, "U")], "k bigint, v double, __op string"
+        ),
+    )  # unconstrained again

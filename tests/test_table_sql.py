@@ -136,9 +136,9 @@ def test_grammar_refusals_execute_nothing(spark, t):
     bad = [
         "DROP TABLE dets",
         "TRUNCATE TABLE dets",
-        "ALTER TABLE dets ADD COLUMN x int",
-        # malformed DML skeletons (the verbs are in-grammar; the
+        # malformed DML/DDL skeletons (the verbs are in-grammar; the
         # statements are not)
+        "ALTER TABLE dets RENAME COLUMN v TO w",
         "UPDATE dets v = 0",
         "DELETE dets WHERE k = 1",
         # theta ON

@@ -872,6 +872,7 @@ def _carry_evolution(new_doc: dict, doc: dict) -> None:
         "used_physical",
         "max_field_id",
         "retired_columns",
+        "constraints",
     ):
         if doc.get(k) is not None:
             new_doc[k] = doc[k]
@@ -1510,6 +1511,110 @@ def table_changes(
     return out
 
 
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """CHECK constraint (Delta's ``ALTER TABLE … ADD CONSTRAINT name
+    CHECK (expr)``): a named SQL predicate every row must satisfy,
+    recorded in the manifest and ENFORCED at the write chokepoint —
+    every subsequent changeset upsert/insert evaluates it inside the
+    write job (``merge_table``'s guard projection; a violating row
+    raises executor-side before any manifest links, so a failed write
+    publishes nothing). Existing rows are validated HERE, with one
+    bounded scan (violations refuse the constraint — Delta's ADD
+    CONSTRAINT contract: a constraint never holds vacuously over data
+    that already breaks it). The commit itself is metadata-only.
+
+    NULL predicate results count as violations (stricter than SQL
+    CHECK's unknown-passes rule, deliberately: a constraint whose
+    expression cannot evaluate on a row is not evidence the row is
+    fine — and silent unknown-passes is how bad rows leak through
+    half-typed predicates)."""
+    base_v = current_version(path)
+    doc = _read_manifest(path, base_v)
+    cons = dict(doc.get("constraints", {}))
+    if name in cons:
+        if cons[name] == expr:
+            return base_v  # retry of our own durable add: converge
+        raise ValueError(
+            f"constraint {name!r} already exists with a different "
+            f"expression ({cons[name]!r})"
+        )
+    bad = (
+        read_table(spark, path, version=base_v)
+        .where(~F.coalesce(F.expr(expr), F.lit(False)))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"existing rows violate CHECK ({expr}): a constraint must "
+            "hold over the data it is declared on — clean up first "
+            "(UPDATE/DELETE), then add it"
+        )
+    new_doc = dict(doc)
+    new_doc["version"] = base_v + 1
+    new_doc["constraints"] = {**cons, name: expr}
+    new_doc.pop("layout_only", None)
+    new_doc.pop("restored_from", None)
+    _commit_manifest(path, base_v + 1, new_doc)
+    return base_v + 1
+
+
+def drop_constraint(path: str, name: str) -> int:
+    """Remove a named CHECK constraint (metadata-only commit).
+    Dropping an absent name no-ops at the current version (the
+    ambiguous-retry convergence contract)."""
+    base_v = current_version(path)
+    doc = _read_manifest(path, base_v)
+    cons = dict(doc.get("constraints", {}))
+    if name not in cons:
+        return base_v
+    del cons[name]
+    new_doc = dict(doc)
+    new_doc["version"] = base_v + 1
+    if cons:
+        new_doc["constraints"] = cons
+    else:
+        new_doc.pop("constraints", None)
+    new_doc.pop("layout_only", None)
+    new_doc.pop("restored_from", None)
+    _commit_manifest(path, base_v + 1, new_doc)
+    return base_v + 1
+
+
+def _constraint_guard(doc: dict, df: DataFrame, op_col: str) -> DataFrame:
+    """Wrap a changeset with the manifest's CHECK constraints: any
+    non-delete row failing (or nulling) a predicate raises executor-
+    side, riding the write job itself — zero extra passes, and a
+    mid-write raise publishes nothing (the manifest link is the commit
+    point)."""
+    cons = doc.get("constraints") or {}
+    if not cons:
+        return df
+    guard = None
+    for name, expr in sorted(cons.items()):
+        ok = F.coalesce(F.expr(expr), F.lit(False))
+        failed = F.when(
+            (F.col(op_col) != F.lit("D")) & ~ok,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"CHECK constraint {name!r} violated "
+                        f"(({expr}) is not true) for row key="
+                    ),
+                    F.to_json(F.struct(*[F.col(c) for c in df.columns])),
+                )
+            ),
+        )
+        guard = failed if guard is None else F.coalesce(guard, failed)
+    # the guard column is all-null when every row passes; it must be
+    # SELECTED so codegen evaluates it, then dropped before the write
+    return df.withColumn("__check", guard).where(
+        F.col("__check").isNull()
+    ).drop("__check")
+
+
 def add_column(path: str, name: str, ddl_type: str) -> int:
     """Schema evolution: append a nullable column as a METADATA-ONLY
     commit — no data file is touched (the manifest's buckets and stats
@@ -1620,6 +1725,17 @@ def drop_column(path: str, name: str) -> int:
             f"column {name!r} is a key column: the key is the row "
             "identity and its bucket routing — it cannot be dropped"
         )
+    # conservative word-boundary scan of CHECK expressions: dropping a
+    # referenced column would make every later write fail at predicate
+    # resolution — refuse HERE with the constraint named instead
+    import re as _re
+
+    for cname, cexpr in (doc.get("constraints") or {}).items():
+        if _re.search(rf"\b{_re.escape(name)}\b", cexpr):
+            raise ValueError(
+                f"column {name!r} is referenced by CHECK constraint "
+                f"{cname!r} (({cexpr})): drop_constraint first"
+            )
     from pyspark.sql.types import StructType
 
     new_schema = StructType([f for f in schema.fields if f.name != name])
@@ -1775,6 +1891,10 @@ def merge_table(
             for c in changes.columns
         ]
     )
+    # CHECK constraints ride the changeset evaluation itself (raise
+    # executor-side on the first violating upsert — before any
+    # manifest links); deletes are exempt by definition
+    changes = _constraint_guard(doc, changes, op_col)
     # the changeset feeds up to three actions (flags collect, rewrite
     # write, tombstone write): pin it so the upstream lineage — often a
     # foreachBatch compaction — computes once

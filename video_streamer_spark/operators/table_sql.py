@@ -19,6 +19,8 @@ Grammar (keywords case-insensitive, ``<n>`` a decimal integer,
 ``<ident>`` a name registered in the ``tables`` mapping)::
 
     CREATE TABLE <ident> KEY (c, …) [BUCKETS <n>] AS <select>
+    ALTER TABLE <ident> ADD COLUMN <c> <type> | DROP COLUMN <c>
+        | ADD CONSTRAINT <n> CHECK (<expr>) | DROP CONSTRAINT <n>
     DESCRIBE HISTORY <ident>
     RESTORE TABLE <ident> TO VERSION [AS OF] <n>
     RESTORE TABLE <ident> TO TIMESTAMP AS OF '<ts>'
@@ -524,6 +526,48 @@ def _create(
     return _version_df(spark, v)
 
 
+def _alter(
+    spark: SparkSession, stmt: str, tables: dict[str, str]
+) -> DataFrame:
+    """ALTER TABLE routing: ADD/DROP COLUMN (metadata-only schema
+    evolution with field-id re-add semantics) and ADD/DROP CONSTRAINT
+    (CHECK predicates enforced at every later write; ADD validates
+    existing rows with one bounded scan and refuses on violations)."""
+    from video_streamer_spark.operators.table_format import (
+        add_column,
+        add_constraint,
+        drop_column,
+        drop_constraint,
+    )
+
+    forms = (
+        rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMN\s+({_IDENT})\s+(.+)",
+        rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+({_IDENT})",
+        rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+({_IDENT})\s+"
+        r"CHECK\s*\((.+)\)",
+        rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+({_IDENT})",
+    )
+    for i, pat in enumerate(forms):
+        m = re.fullmatch(pat, stmt, re.IGNORECASE | re.DOTALL)
+        if not m:
+            continue
+        path = _resolve(tables, m.group(1))
+        if i == 0:
+            v = add_column(path, m.group(2), m.group(3).strip())
+        elif i == 1:
+            v = drop_column(path, m.group(2))
+        elif i == 2:
+            v = add_constraint(spark, path, m.group(2), m.group(3).strip())
+        else:
+            v = drop_constraint(path, m.group(2))
+        return _version_df(spark, v)
+    raise TableSqlError(
+        "supported forms: ALTER TABLE <t> ADD COLUMN <c> <type> | "
+        "DROP COLUMN <c> | ADD CONSTRAINT <n> CHECK (<expr>) | "
+        "DROP CONSTRAINT <n>"
+    )
+
+
 def _vacuum(
     spark: SparkSession, stmt: str, tables: dict[str, str]
 ) -> DataFrame:
@@ -604,6 +648,8 @@ def table_sql(
         return _merge(spark, stmt, tables, sources or {})
     if first == "CREATE":
         return _create(spark, stmt, tables)
+    if first == "ALTER":
+        return _alter(spark, stmt, tables)
     if first == "UPDATE":
         return _update(spark, stmt, tables)
     if first == "DELETE":
@@ -616,7 +662,8 @@ def table_sql(
         return _select(spark, stmt, tables)
     raise TableSqlError(
         f"unsupported statement {first!r}: this surface executes "
-        "CREATE TABLE … AS / DESCRIBE HISTORY / RESTORE TABLE / MERGE "
+        "CREATE TABLE … AS / ALTER TABLE / DESCRIBE HISTORY / RESTORE "
+        "TABLE / MERGE "
         "INTO / UPDATE / DELETE FROM / OPTIMIZE / VACUUM / SELECT "
         "(with VERSION or "
         "TIMESTAMP AS OF) — everything else belongs to the Python "

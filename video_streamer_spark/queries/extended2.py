@@ -2058,3 +2058,80 @@ def x235_benchmark_contamination(
             F.col("n_hit_grams").cast("double") / F.col("n_grams")
         ).alias("contamination_rate"),
     )
+
+
+# x237 — CHECK CONSTRAINTS (ALTER TABLE … ADD/DROP CONSTRAINT): the
+# write-time data-quality gate Delta ships and a curation pipeline
+# leans on (schema evolution's sibling: evolution changes what columns
+# MEAN, constraints pin what values are LEGAL). Lifecycle under the
+# statement surface: add CHECK (validated over existing rows with one
+# bounded scan), a VIOLATING statement-UPDATE raises executor-side and
+# publishes NOTHING (the query swallows the exception — if enforcement
+# ever silently let it through, the oracle's final state would
+# mismatch on the poisoned rows, so the driver row IS the assertion),
+# a passing UPDATE lands, DROP CONSTRAINT re-opens the gate and the
+# formerly-refused write lands. The oracle restates the surviving
+# mutation sequence closed-form. Scale: enforcement rides the
+# changeset write job itself (zero extra passes); the add-time
+# validation is one scan, priced like any full read.
+@query(
+    "x237_check_constraints",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 5 = 0),
+    final AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 25 = 0 THEN -5.0
+             WHEN o_orderkey % 10 = 0 THEN price + 1000.0
+             ELSE price END AS price
+      FROM base)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(price * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+        AS total,
+      CAST(SUM(CASE WHEN price < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_negative
+    FROM final
+    """,
+)
+def x237_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.table_format import create_table
+    from video_streamer_spark.operators.table_sql import table_sql
+
+    path = _fresh_run_dir(spark, sf_dir, "vss-checks")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    create_table(
+        orders.where("o_orderkey % 5 = 0"), path, ["o_orderkey"], n_buckets=8
+    )
+    T = {"tt": path}
+    table_sql(
+        spark, "ALTER TABLE tt ADD CONSTRAINT price_pos CHECK (price >= 0)", T
+    )
+    try:
+        table_sql(
+            spark, "UPDATE tt SET price = -1.0 WHERE o_orderkey % 25 = 0", T
+        )
+    except Exception:
+        pass  # enforcement: refused, nothing published (oracle-proved)
+    table_sql(
+        spark,
+        "UPDATE tt SET price = price + 1000.0 WHERE o_orderkey % 10 = 0",
+        T,
+    )
+    table_sql(spark, "ALTER TABLE tt DROP CONSTRAINT price_pos", T)
+    table_sql(
+        spark, "UPDATE tt SET price = -5.0 WHERE o_orderkey % 25 = 0", T
+    )
+    return table_sql(
+        spark,
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CAST(FLOOR(price * 100.0) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS total,
+          CAST(SUM(IF(price < 0, 1, 0)) AS BIGINT) AS n_negative
+        FROM tt
+        """,
+        T,
+    )
