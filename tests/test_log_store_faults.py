@@ -1224,3 +1224,59 @@ def test_streaming_curation_chain_survives_fault_storm(spark, faulty):
     assert got == expected
     versions = history(det)
     assert versions == list(range(1, len(versions) + 1))
+
+
+def test_rebase_reraises_on_concurrent_constraint_or_mapping_change(
+    spark, faulty
+):
+    """Review r12 finding: rebase eligibility must also compare
+    constraints and column mapping. A concurrent metadata-only ADD
+    CONSTRAINT changes NO buckets, so the bucket-set checks can never
+    catch it — but the loser's rows were never guarded against it, so
+    rebasing past it would commit unvalidated data under an active
+    CHECK. The loser must re-raise instead."""
+    from video_streamer_spark.operators.table_format import add_constraint
+
+    store, path = faulty
+    _base(spark, path)  # keys 0..38 even, values k*10 (all >= 0)
+    add_constraint(spark, path, "v_nonneg", "v >= 0")  # v2
+    store.arm("stale_list")  # the writer plans against v1
+    with pytest.raises(VersionConflictError):
+        merge_table(spark, path, _mk(spark, [(100, 1.0, "I")]))
+    assert current_version(path) == 2, "nothing may land past the add"
+    # ... and the caller's occ_retry recovery converges (the retry
+    # replans at v2, where the constraint guard applies — and passes)
+    occ_retry(
+        lambda: merge_table(spark, path, _mk(spark, [(100, 1.0, "I")])),
+        attempts=4,
+    )
+    assert _state(spark, path)[100] == 1.0
+
+
+def test_statement_delete_reraises_when_winner_touches_read_bucket(
+    spark, faulty
+):
+    """Review r12 finding: the DELETE statement classifies its keys by
+    scanning a snapshot, so its read set is EVERY bucket — a winner
+    landing between the scan and the tombstone commit must re-raise
+    (stale-classified keys must never be tombstoned), even when the
+    winner's bucket is disjoint from the keys being deleted."""
+    from video_streamer_spark.operators.table_sql import table_sql
+
+    store, path = faulty
+    _base(spark, path)
+    k_del = 2
+    b_del = _bucket_of(spark, k_del, 4)
+    k_win = next(
+        k for k in range(101, 200) if _bucket_of(spark, k, 4) != b_del
+    )
+    merge_table(spark, path, _mk(spark, [(k_win, 1.0, "I")]))  # v2
+    store.arm("stale_list")  # the DELETE classifies at v1
+    with pytest.raises(VersionConflictError):
+        table_sql(
+            spark,
+            f"DELETE FROM tt WHERE k = {k_del}",
+            {"tt": path},
+        )
+    assert current_version(path) == 2
+    assert k_del in _state(spark, path), "no stale-classified tombstone"

@@ -4116,3 +4116,135 @@ def test_check_constraints_enforced_at_write(spark, store_path):
             [(5, -9.0, "U")], "k bigint, v double, __op string"
         ),
     )  # unconstrained again
+
+
+def test_cdf_stream_sees_readded_column_values(spark, store_path, tmp_path):
+    """Review r12 finding: the table_cdf STREAM must resolve the
+    field-id column mapping — after drop+re-add, a merge writing the
+    re-added column must stream its real values (not NULL), and
+    pre-drop files' dead bytes must never resurrect through the feed."""
+    from video_streamer_spark.operators.table_format import (
+        add_column,
+        drop_column,
+    )
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    path = store_path
+    base = spark.range(0, 12).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+        (F.col("id") % 7).alias("w"),
+    )
+    create_table(base, path, ["k"], n_buckets=2)  # v1: w has values
+    drop_column(path, "w")  # v2
+    add_column(path, "w", "bigint")  # v3: fresh physical name
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, 9.0, 50, "U")], "k bigint, v double, w bigint, __op string"
+        ),
+    )  # v4
+    register_cdf_source(spark)
+    out = str(tmp_path / "feed")
+    q = (
+        spark.readStream.format("table_cdf")
+        .option("path", path)
+        .option("startingVersion", 3)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, 120, "cdf_mapping")
+    rows = {r["k"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[1]["w"] == 50, "re-added column's value lost in the feed"
+    assert rows[1]["_change_type"] == "update_postimage"
+    # the bucket rewrite carried key 0's row with w=NULL (dead bytes
+    # must not resurrect); carried-identical rows net out, so only the
+    # genuinely changed row appears — and nothing carries old w values
+    assert all(r["w"] in (None, 50) for r in rows.values())
+
+
+def test_constraint_allows_narrow_preevolution_changeset(spark, store_path):
+    """Review r12 finding: the CHECK guard evaluates the POST-MERGE
+    relation, so a changeset written before an add_column (missing the
+    constrained column) stays valid — updates are tested at their true
+    post-merge values (backfilled from the BASE, not NULL), and
+    delete-only narrow changesets pass untouched."""
+    from video_streamer_spark.operators.table_format import (
+        add_column,
+        add_constraint,
+    )
+
+    path = store_path
+    create_table(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        path,
+        ["k"],
+        n_buckets=2,
+    )
+    add_column(path, "w", "bigint")
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, 1.0, 7, "U")], "k bigint, v double, w bigint, __op string"
+        ),
+    )  # k=1 holds w=7
+    add_constraint(spark, path, "w_ok", "w IS NULL OR w > 0")
+    # narrow changeset (no w): the update must keep k=1's w=7 and pass
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, 5.0, "U"), (2, None, "D")], "k bigint, v double, __op string"
+        ),
+    )
+    got = {r["k"]: (r["v"], r["w"]) for r in read_table(spark, path).collect()}
+    assert got[1] == (5.0, 7) and 2 not in got
+    # and the guard still bites when a wide changeset violates
+    with pytest.raises(Exception, match="CHECK constraint"):
+        merge_table(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(3, 1.0, -4, "U")],
+                "k bigint, v double, w bigint, __op string",
+            ),
+        )
+
+
+def test_clone_gets_fresh_commit_timestamp(spark, store_path, tmp_path):
+    """Review r12 finding: a clone of a VERSION-1 source must not
+    inherit the source's committed_at (the _ts_v sentinel collides at
+    version 1) — TIMESTAMP AS OF against the clone for a time before
+    its creation must raise, not resolve."""
+    import time as _time
+
+    from video_streamer_spark.operators.table_format import (
+        clone_table,
+        version_at_timestamp,
+    )
+
+    src = store_path
+    create_table(
+        spark.range(0, 5).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        src,
+        ["k"],
+        n_buckets=2,
+    )
+    t_between = _time.time()
+    _time.sleep(0.02)
+    dst = str(tmp_path / "clone")
+    clone_table(src, dst)
+    assert version_at_timestamp(src, t_between) == 1
+    with pytest.raises(ValueError, match="as old as timestamp"):
+        version_at_timestamp(dst, t_between)

@@ -259,3 +259,45 @@ def test_create_table_as_select_statement(spark, tmp_path, t):
             "CREATE TABLE other KEY (nope) AS SELECT k FROM dets",
             dict(t, other=str(tmp_path / "other")),
         )
+
+
+def test_select_rewrite_respects_literals_and_qualifiers(spark, t):
+    """Review r12 finding: string LITERALS are never rewritten (a
+    literal equal to a table name survives verbatim), dotted
+    occurrences are never treated as table references (alias to
+    qualify), TIMESTAMP AS OF pins still work across the quote split,
+    and a clauseless MERGE is refused before any work."""
+    import time as _time
+
+    # a literal equal to the registered name must stay a literal
+    rows = table_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM dets WHERE 'dets' = 'dets'",
+        t,
+    ).collect()
+    assert rows[0]["n"] == 20
+    rows = table_sql(
+        spark,
+        "SELECT 'dets' AS tag, COUNT(*) AS n FROM dets",
+        t,
+    ).collect()
+    assert rows[0]["tag"] == "dets" and rows[0]["n"] == 20
+    # alias-qualified columns resolve; TS pin works despite the quote
+    t1 = _time.time()
+    _time.sleep(0.02)
+    table_sql(spark, "DELETE FROM dets WHERE k = 0", t)
+    rows = table_sql(
+        spark,
+        f"SELECT COUNT(*) AS n FROM dets TIMESTAMP AS OF '{t1}' AS d "
+        "WHERE d.k >= 0",
+        t,
+    ).collect()
+    assert rows[0]["n"] == 20
+    with pytest.raises(TableSqlError, match="at least one WHEN"):
+        table_sql(
+            spark,
+            "MERGE INTO dets t USING chg s ON s.k = t.k",
+            t,
+            sources={"chg": _src(spark)},
+        )
+    assert current_version(t["dets"]) == 2  # only the DELETE landed

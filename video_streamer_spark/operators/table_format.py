@@ -377,6 +377,14 @@ def _commit_with_rebase(
                 cur.get("n_buckets") == base_doc.get("n_buckets")
                 and cur.get("key_cols") == base_doc.get("key_cols")
                 and cur.get("schema") == base_doc.get("schema")
+                # a concurrent ADD CONSTRAINT is metadata-only (changes
+                # no buckets) but the loser's rows were never guarded
+                # against it; a concurrent drop+re-add can leave the
+                # schema byte-identical while the physical mapping
+                # moved — both must re-raise, never rebase
+                and cur.get("constraints") == base_doc.get("constraints")
+                and cur.get("column_mapping")
+                == base_doc.get("column_mapping")
                 and {
                     k: cur.get("bloom", {}).get(k)
                     for k in ("cols", "m", "k")
@@ -1583,12 +1591,12 @@ def drop_constraint(path: str, name: str) -> int:
     return base_v + 1
 
 
-def _constraint_guard(doc: dict, df: DataFrame, op_col: str) -> DataFrame:
-    """Wrap a changeset with the manifest's CHECK constraints: any
-    non-delete row failing (or nulling) a predicate raises executor-
-    side, riding the write job itself — zero extra passes, and a
-    mid-write raise publishes nothing (the manifest link is the commit
-    point)."""
+def _constraint_guard(doc: dict, df: DataFrame) -> DataFrame:
+    """Wrap the post-merge relation with the manifest's CHECK
+    constraints: any surviving row failing (or nulling) a predicate
+    raises executor-side, riding the write job itself — zero extra
+    passes, and a mid-write raise publishes nothing (the manifest link
+    is the commit point). Deletes never reach this relation."""
     cons = doc.get("constraints") or {}
     if not cons:
         return df
@@ -1596,7 +1604,7 @@ def _constraint_guard(doc: dict, df: DataFrame, op_col: str) -> DataFrame:
     for name, expr in sorted(cons.items()):
         ok = F.coalesce(F.expr(expr), F.lit(False))
         failed = F.when(
-            (F.col(op_col) != F.lit("D")) & ~ok,
+            ~ok,
             F.raise_error(
                 F.concat(
                     F.lit(
@@ -1891,10 +1899,6 @@ def merge_table(
             for c in changes.columns
         ]
     )
-    # CHECK constraints ride the changeset evaluation itself (raise
-    # executor-side on the first violating upsert — before any
-    # manifest links); deletes are exempt by definition
-    changes = _constraint_guard(doc, changes, op_col)
     # the changeset feeds up to three actions (flags collect, rewrite
     # write, tombstone write): pin it so the upstream lineage — often a
     # foreachBatch compaction — computes once
@@ -1986,6 +1990,15 @@ def merge_table(
                 )
             )
         merged = apply_changeset(base, proj, key_cols, op_col=op_col)
+        # CHECK constraints guard the POST-MERGE relation (riding the
+        # rewrite job itself — raise executor-side before any manifest
+        # links): updates are tested at their true post-merge values
+        # (a narrow pre-evolution changeset backfills missing columns
+        # from the BASE, not NULL), inserts at theirs, and deletes are
+        # exempt by construction (apply_changeset drops them). Carried
+        # rows re-check for free — they passed at their own write or
+        # at add_constraint's validation scan.
+        merged = _constraint_guard(doc, merged)
         rel, present, stats, file_stats = _write_commit_data(
             merged, path, key_cols, n_buckets, mapping=_col_mapping(doc)
         )
@@ -2219,13 +2232,13 @@ def merge_into(
         for r in _bucketed(
             source.select(
                 *[F.col(k).cast(types[k]).alias(k) for k in key_cols]
-            ).distinct(),
+            ),
             key_cols,
             doc["n_buckets"],
         )
         .select(BUCKET_COL)
-        .distinct()
-        .collect()
+        .distinct()  # bucket-level only: a key-level distinct first
+        .collect()   # would be a full extra exchange for nothing
     }
     # Matched-detection uses an explicit join-hit marker, NOT key
     # nullness: with eqNullSafe a target row whose first key column is
@@ -2622,6 +2635,12 @@ def clone_table(
     # forward would misattribute every later commit in DESCRIBE
     # HISTORY
     new_doc.pop("restored_from", None)
+    # force a fresh committed_at: a VERSION-1 source's _ts_v sentinel
+    # equals the clone's own version 1, so without the pop the clone
+    # would inherit the source's commit time and TIMESTAMP AS OF /
+    # startingTimestamp would claim the clone predates its creation
+    new_doc.pop("_ts_v", None)
+    new_doc.pop("committed_at", None)
     new_doc["cloned_from"] = src_path
     new_doc["cloned_version"] = v
     os.makedirs(os.path.join(dst_path, "data"), exist_ok=True)
@@ -2635,6 +2654,8 @@ def delete_keys(
     path: str,
     keys: DataFrame,
     idempotency_key: str | None = None,
+    base_version: int | None = None,
+    read_buckets: set[int] | None = None,
 ) -> int:
     """MERGE-ON-READ delete: commit a TOMBSTONE file of keys instead of
     rewriting the touched buckets — Delta's deletion-vector / Iceberg's
@@ -2658,8 +2679,16 @@ def delete_keys(
     identical before and after the fold). Deleting a key the table
     never held is a no-op, like MERGE's D of an absent key. OCC, crash
     safety and ``idempotency_key`` replay behave exactly as in
-    ``merge_table`` (nothing is visible before the manifest link)."""
-    base_v = current_version(path)
+    ``merge_table`` (nothing is visible before the manifest link).
+
+    ``base_version``/``read_buckets`` mirror ``merge_table``'s OCC
+    contract for CLASSIFYING callers (a ``DELETE … WHERE`` resolves its
+    keys by scanning a snapshot): pin the snapshot the keys were
+    classified against, and gate rebase eligibility on the buckets
+    that classification READ — a winner landing in between then
+    re-raises instead of the delete silently tombstoning
+    stale-classified keys."""
+    base_v = current_version(path) if base_version is None else base_version
     doc = _read_manifest(path, base_v)
     txns = doc.get("txns", [])
     if idempotency_key is not None and idempotency_key in txns:
@@ -2704,7 +2733,17 @@ def delete_keys(
     if idempotency_key is not None:
         new_doc["txns"] = (txns + [idempotency_key])[-TXN_KEEP:]
     return _commit_with_rebase(
-        path, base_v, doc, new_doc, set(touched), idempotency_key
+        path,
+        base_v,
+        doc,
+        new_doc,
+        set(touched),
+        idempotency_key,
+        read_buckets=(
+            {str(b) for b in read_buckets}
+            if read_buckets is not None
+            else None
+        ),
     )
 
 

@@ -177,6 +177,11 @@ def _merge(
             "to t (target) and s (source), the names clause "
             "expressions reference"
         )
+    if not clause_texts:
+        raise TableSqlError(
+            "MERGE needs at least one WHEN clause — a clauseless MERGE "
+            "has no effect to apply"
+        )
     tbl, src_name, on_text = m.group(1), m.group(2), m.group(3)
     path = _resolve(tables, tbl)
     if src_name in sources:
@@ -337,31 +342,58 @@ def _select(
     """Register each referenced table (at its pinned version or
     timestamp, if any) as a temp view, rewrite the statement to the
     view names, and let Spark SQL run the rest — projection, joins,
-    aggregation all stay Catalyst-planned over the snapshot scan."""
-    rewritten = stmt
+    aggregation all stay Catalyst-planned over the snapshot scan.
+
+    Rewrite discipline (fail-loud contract): string LITERALS are never
+    rewritten (the statement is split on single-quoted segments and
+    only unquoted text is substituted), and a dotted occurrence
+    (``t.col`` qualifiers, ``db.t`` references) is never treated as a
+    table reference — qualify through an alias (``FROM t VERSION AS OF
+    3 AS x`` … ``x.col``) instead; an unaliased ``t.col`` then fails
+    at resolution (loudly) rather than resolving against the wrong
+    snapshot."""
+    # odd segments are quoted literals ('' is the SQL escape) — left
+    # verbatim; substitution touches only the even (unquoted) segments
+    segs = re.split(r"('(?:[^']|'')*')", stmt)
+
+    def _view_for(name: str, path: str, v: int | None) -> str:
+        view = f"vss_sql_{name}_v{'cur' if v is None else v}"
+        read_table(spark, path, version=v).createOrReplaceTempView(view)
+        return view
+
+    # pass 1 — TIMESTAMP AS OF pins: the quoted timestamp is the ODD
+    # segment right after an even segment ending `<name> TIMESTAMP AS
+    # OF`, so the pin straddles a segment boundary and must be resolved
+    # before the in-segment rewrite (which would otherwise rewrite the
+    # bare name as an unpinned reference)
+    for name, path in tables.items():
+        tail = re.compile(
+            rf"(?<![.\w]){re.escape(name)}(?![\w.])"
+            r"\s+TIMESTAMP\s+AS\s+OF\s*$",
+            re.IGNORECASE,
+        )
+        for i in range(0, len(segs) - 1, 2):
+            m = tail.search(segs[i])
+            if m:
+                ts = segs[i + 1][1:-1].replace("''", "'")
+                v = version_at_timestamp(path, _parse_ts(ts))
+                segs[i] = segs[i][: m.start()] + _view_for(name, path, v)
+                segs[i + 1] = ""
+    # pass 2 — VERSION AS OF pins and bare references, per segment
     for name, path in tables.items():
         pat = re.compile(
-            rf"\b{re.escape(name)}\b"
-            rf"(\s+VERSION\s+AS\s+OF\s+(\d+)"
-            rf"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?",
+            rf"(?<![.\w]){re.escape(name)}(?![\w.])"
+            r"(\s+VERSION\s+AS\s+OF\s+(\d+))?",
             re.IGNORECASE,
         )
 
         def _sub(m: re.Match, path=path, name=name) -> str:
-            if m.group(3):
-                v = version_at_timestamp(path, _parse_ts(m.group(3)))
-            elif m.group(2):
-                v = int(m.group(2))
-            else:
-                v = None
-            view = f"vss_sql_{name}_v{'cur' if v is None else v}"
-            read_table(spark, path, version=v).createOrReplaceTempView(
-                view
-            )
-            return view
+            v = int(m.group(2)) if m.group(2) else None
+            return _view_for(name, path, v)
 
-        rewritten = pat.sub(_sub, rewritten)
-    return spark.sql(rewritten)
+        for i in range(0, len(segs), 2):
+            segs[i] = pat.sub(_sub, segs[i])
+    return spark.sql("".join(segs))
 
 
 def _update(
@@ -440,12 +472,25 @@ def _delete(
             "supported form: DELETE FROM <table> [WHERE cond]"
         )
     path = _resolve(tables, m.group(1))
-    doc = _read_retained_manifest(path, current_version(path))
-    snap = read_table(spark, path)
+    base_v = current_version(path)
+    doc = _read_retained_manifest(path, base_v)
+    snap = read_table(spark, path, version=base_v)
     keys = (snap.where(m.group(2)) if m.group(2) else snap).select(
         *doc["key_cols"]
     )
-    return _version_df(spark, delete_keys(spark, path, keys))
+    # pinned snapshot + full-bucket read set: the WHERE scan classified
+    # every bucket, so a concurrent writer must conflict, never be
+    # rebased past (same serializable posture as _update / sync_table)
+    return _version_df(
+        spark,
+        delete_keys(
+            spark,
+            path,
+            keys,
+            base_version=base_v,
+            read_buckets=set(range(doc["n_buckets"])),
+        ),
+    )
 
 
 def _optimize(

@@ -309,6 +309,7 @@ class _CdfPartition(InputPartition):
         end_version: int,
         old_tombs: list[str] | None = None,
         new_tombs: list[str] | None = None,
+        mapping: dict | None = None,
     ):
         self.old_dirs = old_dirs
         self.new_dirs = new_dirs
@@ -318,6 +319,12 @@ class _CdfPartition(InputPartition):
         # readers apply), so a delete_keys commit diffs as deletes
         self.old_tombs = old_tombs or []
         self.new_tombs = new_tombs or []
+        # field-id column mapping (logical -> PHYSICAL parquet name)
+        # from the window's END manifest: physical names are assigned
+        # once and never change, so it is valid against both sides'
+        # files. Without it a re-added column's values would read as
+        # NULL (the by-name backfill can't see the fresh physical name)
+        self.mapping = mapping or {}
 
 
 class _CdfStreamReader(DataSourceStreamReader):
@@ -463,6 +470,7 @@ class _CdfStreamReader(DataSourceStreamReader):
                             for refs in tombs_b.values()
                             for r in refs
                         ],
+                        mapping=doc_b.get("column_mapping"),
                     )
                 ]
         return [
@@ -482,6 +490,7 @@ class _CdfStreamReader(DataSourceStreamReader):
                     _abs_ref(self.path, r)
                     for r in tombs_b.get(b, [])
                 ],
+                mapping=doc_b.get("column_mapping"),
             )
             for b in candidates
         ]
@@ -493,6 +502,7 @@ class _CdfStreamReader(DataSourceStreamReader):
 
         names = [f.name for f in self.table_fields]
         convs = [_converter(f.dataType) for f in self.table_fields]
+        back = {p: l for l, p in (partition.mapping or {}).items()}
         key_cols = self.key_cols
         vals = [c for c in names if c not in key_cols]
         int_cols = [
@@ -511,6 +521,17 @@ class _CdfStreamReader(DataSourceStreamReader):
                 df = pq.read_table(d).to_pandas(
                     types_mapper=_arrow_types_mapper
                 )
+                if back:
+                    # field-id mapping: a pre-drop file may carry dead
+                    # bytes under a remapped column's LOGICAL name —
+                    # drop those first (they must backfill NULL), then
+                    # surface the live physical columns as logical
+                    df = df.drop(
+                        columns=[
+                            c for c in df.columns if c in set(back.values())
+                        ],
+                        errors="ignore",
+                    ).rename(columns=back)
                 for c in names:  # null-backfill pre-evolution files
                     if c not in df.columns:
                         df[c] = None
