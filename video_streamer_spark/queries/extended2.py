@@ -2135,3 +2135,61 @@ def x237_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         T,
     )
+
+
+# x238 — SHARDED SEQUENCE PACKING: x229's greedy packing under the
+# PRODUCTION stream keying (round-11 VERDICT item 8's variant as its
+# own driver row): the composite (lang, doc_id % 8) key splits each
+# language across 8 shards so no single grouped-map Arrow task packs
+# more than a shard — the parallelism dial the operator docstring
+# promises at 100 TB (one skewed source stops being one task). The
+# composite key is concat_ws-encoded with the unit separator; the
+# oracle reproduces the encoding verbatim (chr(31)) and re-derives the
+# identical greedy assignment per composite stream with a recursive
+# CTE, so a wrong shard split, a broken encoding, or a non-greedy
+# assignment all land as value mismatches.
+@query(
+    "x238_sequence_packing_sharded",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+        lang || chr(31) || CAST(doc_id % 8 AS VARCHAR) AS stream,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS BIGINT) AS n
+      FROM documents),
+    ord AS (
+      SELECT stream, doc_id, n,
+        ROW_NUMBER() OVER (PARTITION BY stream ORDER BY doc_id) AS rn
+      FROM toks),
+    packed AS (
+      SELECT stream, rn, n, CAST(0 AS BIGINT) AS seq_id, n AS fill
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.stream, o.rn, o.n,
+        CASE WHEN p.fill > 0 AND p.fill + o.n > 512
+             THEN p.seq_id + 1 ELSE p.seq_id END,
+        CASE WHEN p.fill > 0 AND p.fill + o.n > 512
+             THEN o.n ELSE p.fill + o.n END
+      FROM packed p JOIN ord o ON o.stream = p.stream AND o.rn = p.rn + 1)
+    SELECT stream, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n) AS BIGINT) AS seq_tokens
+    FROM packed GROUP BY stream, seq_id
+    """,
+)
+def x238_sequence_packing_sharded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from video_streamer_spark.operators.dedup import tokens_col
+    from video_streamer_spark.operators.grouped import pack_sequences
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        F.size(tokens_col("text")).cast("bigint").alias("n_tokens"),
+    )
+    packed = pack_sequences(docs, capacity=512, stream_col=("lang", "shard"))
+    return packed.groupBy("stream", "seq_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+    )
