@@ -7,7 +7,10 @@ must front-load exactly the queries whose evidence is missing or stale.
 import json
 
 from video_streamer_spark.queries import ORACLES, QUERIES
+from video_streamer_spark.queries import sample_order
 from video_streamer_spark.queries.sample_order import (
+    _CHANGED_CAP,
+    _SAMPLE_SIZE,
     _VERIFIED,
     derived_sample_order,
     latest_driver_evidence,
@@ -24,23 +27,33 @@ def test_registry_order_is_the_derived_order():
 
 
 def test_derived_order_front_loads_missing_and_stale_evidence():
-    """Every query with no driver CORRECTNESS row, every latest-red
-    query, and every query whose source hash changed since its newest
-    green row appears BEFORE every query with current green evidence."""
+    """Every query with no driver CORRECTNESS row and every latest-red
+    query appears BEFORE everything else; changed-since-green queries
+    follow immediately, quota'd to _CHANGED_CAP inside the driver's
+    _SAMPLE_SIZE-row sample (round-12 VERDICT item 1)."""
     ev = latest_driver_evidence()
     verified = load_verified_hashes()
     reg = list(QUERIES)
-    needs = {
+    red_never = {n for n in reg if n not in ev or not ev[n][1]}
+    changed = {
         n
         for n in reg
-        if n not in ev
-        or not ev[n][1]
-        or query_source_hash(n, QUERIES[n], ORACLES.get(n))
+        if n in ev
+        and ev[n][1]
+        and query_source_hash(n, QUERIES[n], ORACLES.get(n))
         != verified.get(n)
     }
     order = derived_sample_order(QUERIES, ORACLES)
     assert set(order) == set(reg)
-    assert set(order[: len(needs)]) == needs
+    k = len(red_never)
+    assert set(order[:k]) == red_never
+    in_quota = min(_CHANGED_CAP, len(changed))
+    assert all(n in changed for n in order[k : k + in_quota])
+    # the quota holds inside the sample window
+    assert (
+        sum(1 for n in order[:_SAMPLE_SIZE] if n in changed)
+        <= _CHANGED_CAP
+    )
 
 
 def test_never_verified_precede_changed():
@@ -95,6 +108,60 @@ def test_evidence_reader_is_resilient():
     assert ev, "no correctness artifacts found at repo root"
     for name, (rnd, green) in ev.items():
         assert isinstance(rnd, int) and isinstance(green, bool)
+
+
+def test_changed_band_quota_interleaves_stale_tail(monkeypatch):
+    """When the changed band exceeds _CHANGED_CAP (the table-format
+    churn case from the r12 VERDICT), the sample window holds exactly
+    _CHANGED_CAP changed rows and the remaining slots go to the
+    OLDEST-evidence tail rows; changed overflow lands immediately after
+    the sample boundary, ahead of the younger-evidence tail."""
+    n_changed, n_rest = 80, 100
+    queries = {f"c{i:03d}": (lambda s, d: None) for i in range(n_changed)}
+    queries.update(
+        {f"t{i:03d}": (lambda s, d: None) for i in range(n_rest)}
+    )
+    # all green; changed rows have fresh (r12) evidence, tail rows age
+    # from r2 upward so oldest-first ordering is observable
+    ev = {f"c{i:03d}": (12, True) for i in range(n_changed)}
+    ev.update(
+        {f"t{i:03d}": (2 + i % 5, True) for i in range(n_rest)}
+    )
+    monkeypatch.setattr(
+        sample_order, "latest_driver_evidence", lambda: ev
+    )
+    monkeypatch.setattr(
+        sample_order,
+        "query_source_hash",
+        lambda name, fn, oracle: f"now-{name}",
+    )
+    # tail rows' hashes match (verified), changed rows' don't
+    monkeypatch.setattr(
+        sample_order,
+        "load_verified_hashes",
+        lambda: {
+            **{f"c{i:03d}": "stale" for i in range(n_changed)},
+            **{f"t{i:03d}": f"now-t{i:03d}" for i in range(n_rest)},
+        },
+    )
+    monkeypatch.setattr(sample_order, "_changed_modules", lambda: set())
+    order = sample_order.derived_sample_order(queries, {})
+    sample = order[:_SAMPLE_SIZE]
+    changed_in_sample = [n for n in sample if n.startswith("c")]
+    assert len(changed_in_sample) == _CHANGED_CAP
+    fill = [n for n in sample if n.startswith("t")]
+    assert len(fill) == _SAMPLE_SIZE - _CHANGED_CAP
+    fill_rounds = [ev[n][0] for n in fill]
+    assert fill_rounds == sorted(fill_rounds)
+    # the sample's fill really is the OLDEST slice of the tail
+    all_tail_sorted = sorted(
+        (n for n in queries if n.startswith("t")),
+        key=lambda n: (ev[n][0], list(queries).index(n)),
+    )
+    assert fill == all_tail_sorted[: len(fill)]
+    # overflow changed rows come right after the sample boundary
+    overflow = order[_SAMPLE_SIZE : _SAMPLE_SIZE + (n_changed - _CHANGED_CAP)]
+    assert all(n.startswith("c") for n in overflow)
 
 
 def test_tail_rotates_oldest_evidence_first():

@@ -34,6 +34,22 @@ This module derives the order from the evidence itself:
 4. **Everything else**, oldest green evidence first, so long-stale
    rows rotate back through the sample.
 
+**Changed-band quota (round-12 VERDICT item 1):** the changed band is
+capped at ``_CHANGED_CAP`` rows inside the driver's
+``_SAMPLE_SIZE``-row sample. Module-level closure hashing over-flags
+(touching ``operators/table_format.py`` re-queues its whole ~30-query
+family every round it's edited), and changed rows already get
+same-session external-cwd pre-verification by the builder — so letting
+the full changed band occupy the sample spends driver slots re-buying
+evidence that exists while the oldest-evidence tail starves (in r12 the
+r2–r5 tail was 105 queries and shrank by ~11). The sample is therefore
+interleaved: red + never-verified first (uncapped — those rows have NO
+current evidence), then at most ``_CHANGED_CAP`` changed rows (highest
+module-touch-count first, i.e. the likeliest real behavior changes),
+then oldest-evidence rows fill the remaining sample slots; changed-band
+overflow lands immediately after the sample boundary, ahead of the
+remaining (younger-evidence) tail.
+
 The derivation reads the correctness artifacts at the repo root via
 ``__file__``-relative paths, so it works from any cwd (the driver's
 included). If no artifact exists (a fresh clone), every query is
@@ -255,22 +271,31 @@ def _iter_package_modules():
         yield ".".join(parts), f
 
 
+# The driver hash-checks the FIRST _SAMPLE_SIZE registered queries per
+# round; _CHANGED_CAP bounds how many changed-band rows may occupy that
+# sample (round-12 VERDICT item 1 — see module docstring).
+_SAMPLE_SIZE = 50
+_CHANGED_CAP = 25
+
+
 def derived_sample_order(
     queries: dict, oracles: dict[str, str]
 ) -> list[str]:
-    """The four-band order documented in the module docstring. Ties
-    break by registration order (dict insertion order), so the result
-    is deterministic for a given repo state.
+    """The four-band order documented in the module docstring, with the
+    changed band quota'd to ``_CHANGED_CAP`` rows inside the first
+    ``_SAMPLE_SIZE`` positions. Ties break by registration order (dict
+    insertion order), so the result is deterministic for a given repo
+    state.
 
     Within the CHANGED band, queries sort by how many of their closure
     modules actually changed since the snapshot, DESCENDING: the
     module-level closure hash deliberately over-flags (one edited
-    shared module re-queues every importer), and when the over-flagged
-    band exceeds the driver's 50-row sample the queries most likely to
-    have genuinely changed behavior — those sitting on several edited
-    modules, e.g. the table-format family after a table_format +
-    cdf_source + log_store round — must land INSIDE the sample, not
-    behind a hundred importers of a one-line shared edit."""
+    shared module re-queues every importer), and since at most
+    ``_CHANGED_CAP`` changed rows fit the sample the queries most
+    likely to have genuinely changed behavior — those sitting on
+    several edited modules, e.g. the table-format family after a
+    table_format + cdf_source + log_store round — must land INSIDE the
+    sample, not behind a hundred importers of a one-line shared edit."""
     ev = latest_driver_evidence()
     verified = load_verified_hashes()
     reg = list(queries)
@@ -292,12 +317,21 @@ def derived_sample_order(
         return len(closure & mods_changed)
 
     changed.sort(key=lambda n: (-_touch_count(n), reg.index(n)))
-    head = set(red) | set(never) | set(changed)
+    head_set = set(red) | set(never) | set(changed)
     rest = sorted(
-        (n for n in reg if n not in head),
+        (n for n in reg if n not in head_set),
         key=lambda n: (ev[n][0], reg.index(n)),
     )
-    return red + never + changed + rest
+    # Interleave: red/never uncapped, changed quota'd, oldest-evidence
+    # rows fill the sample's remaining slots; changed overflow sits
+    # just past the sample boundary (it still holds green evidence and
+    # gets same-session pre-verification, so it outranks nothing that
+    # lacks evidence — only younger-evidence tail rows).
+    head = red + never + changed[:_CHANGED_CAP]
+    fill_n = max(0, _SAMPLE_SIZE - len(head))
+    return (
+        head + rest[:fill_n] + changed[_CHANGED_CAP:] + rest[fill_n:]
+    )
 
 
 def write_verified_hashes(queries: dict, oracles: dict[str, str]) -> int:
