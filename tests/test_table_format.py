@@ -4248,3 +4248,153 @@ def test_clone_gets_fresh_commit_timestamp(spark, store_path, tmp_path):
     assert version_at_timestamp(src, t_between) == 1
     with pytest.raises(ValueError, match="as old as timestamp"):
         version_at_timestamp(dst, t_between)
+
+
+def test_not_null_declared_and_enforced_at_write(spark, store_path):
+    """Declared NOT NULL (ALTER COLUMN … SET NOT NULL, round-12
+    VERDICT item 6): validated over existing rows at declaration
+    (refused on violations), enforced executor-side on every later
+    upsert/insert (a violating write raises and publishes NOTHING),
+    exempt for deletes, satisfied by narrow pre-evolution changesets
+    whose BASE value is non-null, carried across merge/optimize/clone,
+    refused on key columns (implicitly null-free already), and dead
+    after a drop+re-add of the column (field-id semantics: the
+    re-added column is a NEW, nullable column)."""
+    from video_streamer_spark.operators.table_format import (
+        add_column,
+        clone_table,
+        drop_column,
+        drop_not_null,
+        optimize_table,
+        set_not_null,
+    )
+
+    path = store_path
+    base = spark.range(0, 12).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+        F.when(F.col("id") < 6, F.col("id")).alias("w"),  # w null for k>=6
+    )
+    create_table(base, path, ["k"], n_buckets=2)
+    # key columns are implicitly NOT NULL — declaring one is refused
+    with pytest.raises(ValueError, match="implicitly NOT NULL"):
+        set_not_null(spark, path, "k")
+    with pytest.raises(ValueError, match="not in the table schema"):
+        set_not_null(spark, path, "nope")
+    # existing nulls refuse the declaration
+    with pytest.raises(ValueError, match="existing rows hold NULL"):
+        set_not_null(spark, path, "w")
+    assert set_not_null(spark, path, "v") == 2
+    assert set_not_null(spark, path, "v") == 2, "retry converges"
+    # violating upsert raises, publishes nothing
+    with pytest.raises(Exception, match="NOT NULL constraint"):
+        merge_table(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(3, None, 1, "U")],
+                "k bigint, v double, w bigint, __op string",
+            ),
+        )
+    assert current_version(path) == 2
+    # deletes are exempt (their columns never reach the guard)
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(4, None, None, "D")],
+            "k bigint, v double, w bigint, __op string",
+        ),
+    )
+    assert current_version(path) == 3
+    # narrow pre-evolution changeset: v backfills from the BASE value
+    # (non-null) and passes; an insert of a NEW key via a narrow
+    # changeset null-backfills and must REFUSE
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame([(5, 50, "U")], "k bigint, w bigint, __op string"),
+    )
+    assert current_version(path) == 4
+    with pytest.raises(Exception, match="NOT NULL constraint"):
+        merge_table(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(100, 1, "U")], "k bigint, w bigint, __op string"
+            ),
+        )
+    assert current_version(path) == 4
+    # survives layout maintenance and cloning (evolution carry)
+    optimize_table(spark, path, sort_by="v")
+    with pytest.raises(Exception, match="NOT NULL constraint"):
+        merge_table(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(6, None, 1, "U")],
+                "k bigint, v double, w bigint, __op string",
+            ),
+        )
+    clone = path + "-nncl"
+    clone_table(path, clone)
+    with pytest.raises(Exception, match="NOT NULL constraint"):
+        merge_table(
+            spark,
+            clone,
+            spark.createDataFrame(
+                [(6, None, 1, "U")],
+                "k bigint, v double, w bigint, __op string",
+            ),
+        )
+    # dropping the column drops its declaration; re-add starts nullable
+    drop_column(path, "v")
+    add_column(path, "v", "double")
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(7, None, 1, "U")], "k bigint, v double, w bigint, __op string"
+        ),
+    )  # no raise: the re-added v is a NEW nullable column
+    # drop_not_null lifts enforcement; absent drop no-ops
+    p2 = clone
+    v = drop_not_null(p2, "v")
+    assert drop_not_null(p2, "v") == v
+    merge_table(
+        spark,
+        p2,
+        spark.createDataFrame(
+            [(6, None, 1, "U")], "k bigint, v double, w bigint, __op string"
+        ),
+    )  # unconstrained again
+
+
+def test_concurrent_set_not_null_conflicts_stale_merge(spark, store_path):
+    """Rebase eligibility treats a NOT NULL declaration like a CHECK
+    constraint: a merge classified BEFORE a concurrent SET NOT NULL
+    landed must re-raise VersionConflictError (its rows were never
+    guarded against the new declaration), never rebase past it."""
+    from video_streamer_spark.operators.table_format import set_not_null
+
+    path = store_path
+    create_table(
+        spark.range(0, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ),
+        path,
+        ["k"],
+        n_buckets=2,
+    )
+    base_v = current_version(path)
+    set_not_null(spark, path, "v")  # the concurrent winner
+    with pytest.raises(VersionConflictError):
+        merge_table(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1, 2.0, "U")], "k bigint, v double, __op string"
+            ),
+            base_version=base_v,
+            read_buckets=set(),
+        )

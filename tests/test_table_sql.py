@@ -162,10 +162,6 @@ def test_grammar_refusals_execute_nothing(spark, t):
         "MERGE INTO dets t USING chg s ON s.k = t.k "
         "WHEN MATCHED AND s.k = 1 THEN DELETE "
         "WHEN MATCHED AND s.k = 2 THEN DELETE",
-        # CASE WHEN breaks the token-based clause splitter -> refused
-        "MERGE INTO dets t USING chg s ON s.k = t.k "
-        "WHEN MATCHED THEN UPDATE SET v = CASE WHEN s.v > 0 THEN 1 "
-        "ELSE 0 END",
         # unknown table / source
         "DESCRIBE HISTORY nope",
         "MERGE INTO dets t USING nope s ON s.k = t.k "
@@ -301,3 +297,136 @@ def test_select_rewrite_respects_literals_and_qualifiers(spark, t):
             sources={"chg": _src(spark)},
         )
     assert current_version(t["dets"]) == 2  # only the DELETE landed
+
+
+def test_merge_without_not_matched_clause_inserts_nothing(spark, t):
+    """SQL MERGE semantics (r12 ADVICE, high): a MERGE whose clauses
+    are matched-only must NOT insert unmatched source keys — the
+    operator-level insert-all default applies to direct merge_into
+    calls, never to a translated statement."""
+    # source carries matched keys (10..19) AND unmatched keys (20..24)
+    v = table_sql(
+        spark,
+        "MERGE INTO dets t USING chg s ON s.k = t.k "
+        "WHEN MATCHED AND s.k < 12 THEN DELETE",
+        t,
+        sources={"chg": _src(spark)},
+    ).collect()[0]["version"]
+    assert v == 2
+    keys = {
+        r["k"] for r in read_table(spark, t["dets"]).collect()
+    }
+    assert keys == set(range(20)) - {10, 11}, (
+        "unmatched source keys must not appear"
+    )
+
+
+def test_case_when_legal_in_merge_and_update_expressions(spark, t):
+    """The clause splitter is CASE-aware (r12 VERDICT item 3): CASE
+    WHEN … THEN … END works inside MERGE conditions, SET assignments,
+    VALUES expressions, and UPDATE SET — and matches the IF() spelling
+    bit-for-bit."""
+    table_sql(
+        spark,
+        "MERGE INTO dets t USING chg s ON s.k = t.k "
+        "WHEN MATCHED AND CASE WHEN s.k < 12 THEN true ELSE false END "
+        "THEN UPDATE SET v = CASE WHEN s.v > 11 THEN -1.0 ELSE -2.0 END "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES "
+        "(s.k, CASE WHEN s.k % 2 = 0 THEN 0.5 ELSE 1.5 END)",
+        t,
+        sources={"chg": _src(spark)},
+    )
+    got = {r["k"]: r["v"] for r in read_table(spark, t["dets"]).collect()}
+    assert got[10] == -2.0 and got[11] == -2.0  # s.v = k*1.0 <= 11
+    assert got[12] == 120.0  # condition false -> untouched
+    assert got[20] == 0.5 and got[21] == 1.5  # inserted via CASE
+    table_sql(
+        spark,
+        "UPDATE dets SET v = CASE WHEN k < 2 THEN 99.0 ELSE v END",
+        t,
+    )
+    got = {r["k"]: r["v"] for r in read_table(spark, t["dets"]).collect()}
+    assert got[0] == 99.0 and got[1] == 99.0 and got[5] == 50.0
+
+
+def test_uppercase_alias_gets_targeted_refusal(spark, t):
+    """r12 ADVICE (low): `AS T USING … AS S` must name the REAL
+    problem — fixed lowercase aliases — not a misleading ON error."""
+    with pytest.raises(TableSqlError, match="LOWERCASE t"):
+        table_sql(
+            spark,
+            "MERGE INTO dets AS T USING chg AS S ON s.k = t.k "
+            "WHEN MATCHED THEN DELETE",
+            t,
+            sources={"chg": _src(spark)},
+        )
+
+
+def test_insert_into_values_and_select(spark, t):
+    """INSERT INTO appends NEW rows atomically: VALUES and SELECT
+    bodies, positional column binding, null-backfill of omitted
+    non-key columns, and loud refusals for existing keys, duplicate
+    source keys, unknown/missing-key column lists, and arity
+    mismatches — each refusal leaving the version untouched."""
+    v = table_sql(
+        spark, "INSERT INTO dets VALUES (100, 1.5), (101, 2.5)", t
+    ).collect()[0]["version"]
+    assert v == 2
+    got = {r["k"]: r["v"] for r in read_table(spark, t["dets"]).collect()}
+    assert got[100] == 1.5 and got[101] == 2.5 and len(got) == 22
+    # SELECT body + explicit column list (k only -> v null-backfills)
+    table_sql(
+        spark,
+        "INSERT INTO dets (k) SELECT k + 200 FROM dets VERSION AS OF 1",
+        t,
+    )
+    got = {r["k"]: r["v"] for r in read_table(spark, t["dets"]).collect()}
+    assert got[205] is None and len(got) == 42
+    before = current_version(t["dets"])
+    for stmt, msg in [
+        ("INSERT INTO dets VALUES (100, 9.9)", "duplicate existing key"),
+        ("INSERT INTO dets VALUES (300, 1.0), (300, 2.0)", "share a key"),
+        ("INSERT INTO dets (k, nope) VALUES (1, 2)", "unknown column"),
+        ("INSERT INTO dets (v) VALUES (1.0)", "key column"),
+        ("INSERT INTO dets (k, v) VALUES (1, 2, 3)", "INSERT lists 2"),
+        ("INSERT INTO dets (k, k) VALUES (1, 2)", "duplicates"),
+        ("INSERT INTO nope VALUES (1, 2)", "unknown table"),
+    ]:
+        with pytest.raises(TableSqlError):
+            table_sql(spark, stmt, t)
+        assert current_version(t["dets"]) == before, stmt
+
+
+def test_show_create_table_is_self_describing(spark, t):
+    """SHOW CREATE TABLE surfaces schema, key, NOT NULL, constraints,
+    column mapping, and retired names from SQL alone (r12 VERDICT
+    item 7) — introspection a user needs before typing a MERGE."""
+    table_sql(spark, "ALTER TABLE dets ALTER COLUMN v SET NOT NULL", t)
+    table_sql(
+        spark, "ALTER TABLE dets ADD CONSTRAINT v_ok CHECK (v >= 0)", t
+    )
+    table_sql(spark, "ALTER TABLE dets ADD COLUMN w bigint", t)
+    table_sql(spark, "ALTER TABLE dets DROP COLUMN w", t)
+    table_sql(spark, "ALTER TABLE dets ADD COLUMN w bigint", t)  # fresh fid
+    rows = {
+        (r["element"], r["name"]): r["value"]
+        for r in table_sql(spark, "SHOW CREATE TABLE dets", t).collect()
+    }
+    assert rows[("column", "k")] == "bigint"
+    assert rows[("column", "v")] == "double"
+    assert rows[("column", "w")] == "bigint"
+    assert rows[("key", "k")] == "0"
+    assert ("not_null", "v") in rows
+    assert rows[("constraint", "v_ok")] == "v >= 0"
+    assert rows[("column_mapping", "w")].startswith("w__fid")
+    assert ("retired_column", "w") in rows
+    assert rows[("property", "n_buckets")] == "4"
+    # the NOT NULL statement round-trips: violating insert refused.
+    # (drop the CHECK first — its NULL-is-violation rule fires on the
+    # same row and would mask which guard we're proving)
+    table_sql(spark, "ALTER TABLE dets DROP CONSTRAINT v_ok", t)
+    with pytest.raises(Exception, match="NOT NULL constraint"):
+        table_sql(spark, "INSERT INTO dets (k, v) VALUES (500, NULL)", t)
+    table_sql(spark, "ALTER TABLE dets ALTER COLUMN v DROP NOT NULL", t)
+    table_sql(spark, "INSERT INTO dets (k, v) VALUES (500, NULL)", t)
+    assert read_table(spark, t["dets"]).where("k = 500").count() == 1

@@ -377,12 +377,14 @@ def _commit_with_rebase(
                 cur.get("n_buckets") == base_doc.get("n_buckets")
                 and cur.get("key_cols") == base_doc.get("key_cols")
                 and cur.get("schema") == base_doc.get("schema")
-                # a concurrent ADD CONSTRAINT is metadata-only (changes
-                # no buckets) but the loser's rows were never guarded
-                # against it; a concurrent drop+re-add can leave the
-                # schema byte-identical while the physical mapping
-                # moved — both must re-raise, never rebase
+                # a concurrent ADD CONSTRAINT / SET NOT NULL is
+                # metadata-only (changes no buckets) but the loser's
+                # rows were never guarded against it; a concurrent
+                # drop+re-add can leave the schema byte-identical while
+                # the physical mapping moved — all must re-raise,
+                # never rebase
                 and cur.get("constraints") == base_doc.get("constraints")
+                and cur.get("not_null") == base_doc.get("not_null")
                 and cur.get("column_mapping")
                 == base_doc.get("column_mapping")
                 and {
@@ -881,6 +883,7 @@ def _carry_evolution(new_doc: dict, doc: dict) -> None:
         "max_field_id",
         "retired_columns",
         "constraints",
+        "not_null",
     ):
         if doc.get(k) is not None:
             new_doc[k] = doc[k]
@@ -1357,7 +1360,18 @@ def table_changes(
     so its cost tracks the churn, not the table. Within a rewritten
     bucket, a full outer join on the key classifies each key, and an
     md5-of-row comparison drops carried-over rows that were rewritten
-    byte-identically (a bucket rewrite copies untouched keys)."""
+    byte-identically (a bucket rewrite copies untouched keys).
+
+    Field-id semantics across a DROP + re-ADD of the same logical
+    name (deliberate, matching the format's column mapping): a window
+    spanning both commits reads the v_from side of that column as NULL
+    — the re-added column is a NEW column whose fresh physical name is
+    absent from pre-drop files, so pre-drop values are NOT its
+    pre-images (they belong to a column that no longer exists). A
+    consumer that needs the dropped column's final values must read a
+    window ENDING at or before the drop; the spanning window's
+    pre-images/updates for the re-added name start from NULL, exactly
+    as for any column added mid-window."""
     doc_a = _read_retained_manifest(path, v_from)
     doc_b = _read_retained_manifest(path, v_to)
     if doc_a["key_cols"] != doc_b["key_cols"]:
@@ -1591,14 +1605,94 @@ def drop_constraint(path: str, name: str) -> int:
     return base_v + 1
 
 
+def set_not_null(spark: SparkSession, path: str, col: str) -> int:
+    """Declare a non-key column NOT NULL (Delta's ``ALTER TABLE …
+    ALTER COLUMN c SET NOT NULL``): recorded in the manifest and
+    ENFORCED at the write chokepoint — every later changeset
+    upsert/insert that would land a NULL in the column raises
+    executor-side inside the write job, publishing nothing (same
+    ``_constraint_guard`` rail as CHECK constraints; deletes are exempt
+    by construction, and a narrow pre-evolution changeset passes when
+    the BASE value it preserves is non-null). Existing rows are
+    validated here with one bounded scan; violations refuse the
+    declaration (a NOT NULL never holds vacuously over data that
+    already breaks it). The commit itself is metadata-only.
+
+    Key columns are refused: the key is already null-free by
+    construction (``_bucketed`` raises on any null key component), so a
+    declared NOT NULL there would be dead weight that still costs a
+    validation scan. Repeating an existing declaration returns the
+    current version (ambiguous-retry convergence, same contract as
+    ``add_constraint``)."""
+    base_v = current_version(path)
+    doc = _read_manifest(path, base_v)
+    schema_cols = [f.name for f in _table_schema(doc).fields]
+    if col not in schema_cols:
+        raise ValueError(
+            f"column {col!r} is not in the table schema {schema_cols}"
+        )
+    if col in doc["key_cols"]:
+        raise ValueError(
+            f"key column {col!r} is implicitly NOT NULL (null key "
+            "components are refused at the bucket routing); declaring "
+            "it is not supported"
+        )
+    declared = list(doc.get("not_null", []))
+    if col in declared:
+        return base_v  # retry of our own durable declaration: converge
+    bad = (
+        read_table(spark, path, version=base_v)
+        .where(F.col(col).isNull())
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"existing rows hold NULL in {col!r}: NOT NULL must hold "
+            "over the data it is declared on — clean up first "
+            "(UPDATE/DELETE), then declare it"
+        )
+    new_doc = dict(doc)
+    new_doc["version"] = base_v + 1
+    new_doc["not_null"] = sorted(declared + [col])
+    new_doc.pop("layout_only", None)
+    new_doc.pop("restored_from", None)
+    _commit_manifest(path, base_v + 1, new_doc)
+    return base_v + 1
+
+
+def drop_not_null(path: str, col: str) -> int:
+    """Remove a NOT NULL declaration (metadata-only commit). Dropping
+    an undeclared column no-ops at the current version (the
+    ambiguous-retry convergence contract)."""
+    base_v = current_version(path)
+    doc = _read_manifest(path, base_v)
+    declared = list(doc.get("not_null", []))
+    if col not in declared:
+        return base_v
+    declared.remove(col)
+    new_doc = dict(doc)
+    new_doc["version"] = base_v + 1
+    if declared:
+        new_doc["not_null"] = declared
+    else:
+        new_doc.pop("not_null", None)
+    new_doc.pop("layout_only", None)
+    new_doc.pop("restored_from", None)
+    _commit_manifest(path, base_v + 1, new_doc)
+    return base_v + 1
+
+
 def _constraint_guard(doc: dict, df: DataFrame) -> DataFrame:
     """Wrap the post-merge relation with the manifest's CHECK
-    constraints: any surviving row failing (or nulling) a predicate
-    raises executor-side, riding the write job itself — zero extra
-    passes, and a mid-write raise publishes nothing (the manifest link
-    is the commit point). Deletes never reach this relation."""
+    constraints and declared NOT NULL columns: any surviving row
+    failing (or nulling) a predicate, or carrying NULL in a NOT NULL
+    column, raises executor-side, riding the write job itself — zero
+    extra passes, and a mid-write raise publishes nothing (the manifest
+    link is the commit point). Deletes never reach this relation."""
     cons = doc.get("constraints") or {}
-    if not cons:
+    not_null = doc.get("not_null") or []
+    if not cons and not not_null:
         return df
     guard = None
     for name, expr in sorted(cons.items()):
@@ -1610,6 +1704,20 @@ def _constraint_guard(doc: dict, df: DataFrame) -> DataFrame:
                     F.lit(
                         f"CHECK constraint {name!r} violated "
                         f"(({expr}) is not true) for row key="
+                    ),
+                    F.to_json(F.struct(*[F.col(c) for c in df.columns])),
+                )
+            ),
+        )
+        guard = failed if guard is None else F.coalesce(guard, failed)
+    for col in not_null:
+        failed = F.when(
+            F.col(col).isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"NOT NULL constraint violated: column "
+                        f"{col!r} is null for row key="
                     ),
                     F.to_json(F.struct(*[F.col(c) for c in df.columns])),
                 )
@@ -1759,6 +1867,15 @@ def drop_column(path: str, name: str) -> int:
     # the physical name stays reserved forever; the mapping entry dies
     # with the logical column
     new_doc["used_physical"] = sorted(_used_physical(doc))
+    # a NOT NULL declaration dies with its column (a re-added same-name
+    # column is a NEW column under field-id semantics — it starts
+    # nullable, like any add_column)
+    if name in (doc.get("not_null") or []):
+        remaining_nn = [c for c in doc["not_null"] if c != name]
+        if remaining_nn:
+            new_doc["not_null"] = remaining_nn
+        else:
+            new_doc.pop("not_null", None)
     mapping = doc.get("column_mapping") or {}
     if name in mapping:
         remaining = {k: v for k, v in mapping.items() if k != name}

@@ -21,9 +21,13 @@ Grammar (keywords case-insensitive, ``<n>`` a decimal integer,
     CREATE TABLE <ident> KEY (c, …) [BUCKETS <n>] AS <select>
     ALTER TABLE <ident> ADD COLUMN <c> <type> | DROP COLUMN <c>
         | ADD CONSTRAINT <n> CHECK (<expr>) | DROP CONSTRAINT <n>
+        | ALTER COLUMN <c> SET NOT NULL | ALTER COLUMN <c> DROP NOT NULL
+    SHOW CREATE TABLE <ident>
     DESCRIBE HISTORY <ident>
     RESTORE TABLE <ident> TO VERSION [AS OF] <n>
     RESTORE TABLE <ident> TO TIMESTAMP AS OF '<ts>'
+    INSERT INTO <ident> [(c, …)] VALUES (e, …)[, (e, …) …]
+    INSERT INTO <ident> [(c, …)] <select>
     UPDATE <ident> SET c = expr, … [WHERE cond]
     DELETE FROM <ident> [WHERE cond]
     OPTIMIZE <ident> SORT BY <col> | ZORDER BY (a, b)
@@ -37,24 +41,39 @@ Grammar (keywords case-insensitive, ``<n>`` a decimal integer,
         [WHEN NOT MATCHED [AND <cond>] THEN INSERT * |
              INSERT (c, …) VALUES (e, …)]
 
-MERGE constraints carried over from ``merge_into`` (each refused
-loudly, never reinterpreted): the target alias must be ``t`` and the
-source alias ``s`` (clause expressions reference those two names, same
-contract as the operator); the ON condition must be key equality —
-a conjunction of ``s.<k> = t.<k>`` covering the table key exactly
-(anything else is a theta-merge the bucket routing cannot serve); at
-most one clause of each kind; DELETE evaluates before UPDATE whatever
-the clause order (the operator's fixed order — Delta instead honors
-clause order; the two differ only on rows both conditions accept, and
-the docstring of ``merge_into`` documents the same). ``INSERT (…)
-VALUES (…)`` must assign every key column verbatim from the source
-(``s.<k>``) — the key IS the row identity, so any other key expression
-is refused.
+    A MERGE with no WHEN NOT MATCHED clause inserts NOTHING (SQL MERGE
+    semantics): unmatched source rows are simply not applied — the
+    operator-level default of insert-all applies only to direct
+    ``merge_into`` calls, never to a translated statement.
 
-Statement texts must not contain the bare keyword ``WHEN`` inside an
-expression (e.g. ``CASE WHEN``): the clause splitter is token-based,
-not a parser. Use ``IF(cond, a, b)`` in SET/VALUES expressions instead
-— violations fail loudly at the skeleton check, never silently.
+    INSERT INTO refuses keys that already exist at the pinned snapshot
+    (this format's key IS the row identity — a keyed table cannot hold
+    duplicates, so SQL append semantics degrade to upsert-or-error and
+    silent upsert is the one thing an INSERT must not do; use MERGE or
+    UPDATE for upserts). Columns the list omits null-backfill, subject
+    to the table's NOT NULL declarations at write time; the key columns
+    must all be listed (or the list omitted entirely).
+
+MERGE constraints carried over from ``merge_into`` (each refused
+loudly, never reinterpreted): the target alias must be lowercase ``t``
+and the source alias lowercase ``s`` (clause expressions reference
+those two exact names, same contract as the operator); the ON
+condition must be key equality — a conjunction of ``s.<k> = t.<k>``
+covering the table key exactly (anything else is a theta-merge the
+bucket routing cannot serve); at most one clause of each kind; DELETE
+evaluates before UPDATE whatever the clause order (the operator's
+fixed order — Delta instead honors clause order; the two differ only
+on rows both conditions accept, and the docstring of ``merge_into``
+documents the same). ``INSERT (…) VALUES (…)`` must assign every key
+column verbatim from the source (``s.<k>``) — the key IS the row
+identity, so any other key expression is refused.
+
+Clause splitting is quote-, paren-, and CASE-aware (``_scan_keywords``
+walks the statement tracking string literals, parenthesis depth, and
+``CASE … END`` nesting), so ``CASE WHEN … THEN … END`` is legal inside
+MERGE conditions, SET assignments, and VALUES expressions — only a
+top-level ``WHEN`` starts a merge clause and only a top-level ``THEN``
+ends its condition.
 
 Reference contrast: the reference pipeline (gst-detection-tf.py) has
 no SQL surface at all — its sink is driven by hard-coded Python. This
@@ -71,8 +90,10 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from video_streamer_spark.operators.merge import BUCKET_COL, _bucketed
 from video_streamer_spark.operators.table_format import (
     _read_retained_manifest,
+    _table_schema,
     current_version,
     delete_keys,
     describe_history,
@@ -80,6 +101,7 @@ from video_streamer_spark.operators.table_format import (
     merge_table,
     optimize_table,
     read_table,
+    read_table_for_keys,
     restore_table,
     vacuum,
     version_at_timestamp,
@@ -123,6 +145,55 @@ def _split_top(s: str, sep: str) -> list[str]:
     return [p.strip() for p in parts]
 
 
+def _scan_keywords(
+    s: str, keywords: frozenset[str] | set[str]
+) -> list[tuple[int, int, str]]:
+    """(start, end, WORD) for every TOP-LEVEL occurrence of a keyword:
+    outside string literals (single/double/backtick), at parenthesis
+    depth zero, and outside any ``CASE … END`` expression. This is what
+    lets ``CASE WHEN … THEN … END`` live inside MERGE clause
+    expressions while the clause structure still splits on the real
+    WHEN/THEN tokens."""
+    out: list[tuple[int, int, str]] = []
+    depth = case_depth = 0
+    quote: str | None = None
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            quote = ch
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            i += 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (s[j].isalnum() or s[j] == "_"):
+                j += 1
+            word = s[i:j].upper()
+            if word == "CASE":
+                case_depth += 1
+            elif word == "END" and case_depth:
+                case_depth -= 1
+            elif word in keywords and depth == 0 and case_depth == 0:
+                out.append((i, j, word))
+            i = j
+            continue
+        i += 1
+    return out
+
+
 def _resolve(tables: dict[str, str], name: str) -> str:
     if name not in tables:
         raise TableSqlError(
@@ -160,15 +231,23 @@ def _merge(
     tables: dict[str, str],
     sources: dict[str, DataFrame],
 ) -> DataFrame:
-    # clause split is token-based — refuse statements whose expressions
-    # would confuse it (documented grammar limit, loud by construction)
-    pieces = re.split(r"(?i)\bWHEN\b", stmt)
-    head, clause_texts = pieces[0], pieces[1:]
+    # quote/paren/CASE-aware clause split: only TOP-LEVEL WHEN tokens
+    # start a clause, so CASE WHEN is legal inside every expression
+    whens = _scan_keywords(stmt, {"WHEN"})
+    head = stmt[: whens[0][0]] if whens else stmt
+    clause_texts = [
+        stmt[whens[k][1] : (whens[k + 1][0] if k + 1 < len(whens) else None)]
+        for k in range(len(whens))
+    ]
+    # keywords match any case; the two alias TOKENS are captured
+    # case-sensitively and checked below, so `AS T` gets the real
+    # refusal (fixed lowercase aliases), not a misleading ON error
     m = re.fullmatch(
-        rf"\s*MERGE\s+INTO\s+({_IDENT})\s+(?:AS\s+)?t\s+"
-        rf"USING\s+({_IDENT})\s+(?:AS\s+)?s\s+ON\s+(.+?)\s*",
+        rf"\s*(?i:MERGE\s+INTO)\s+({_IDENT})\s+(?:(?i:AS)\s+)?({_IDENT})\s+"
+        rf"(?i:USING)\s+({_IDENT})\s+(?:(?i:AS)\s+)?({_IDENT})\s+"
+        r"(?i:ON)\s+(.+?)\s*",
         head,
-        re.IGNORECASE | re.DOTALL,
+        re.DOTALL,
     )
     if not m:
         raise TableSqlError(
@@ -177,12 +256,18 @@ def _merge(
             "to t (target) and s (source), the names clause "
             "expressions reference"
         )
+    if m.group(2) != "t" or m.group(4) != "s":
+        raise TableSqlError(
+            f"MERGE aliases must be LOWERCASE t (target) and s "
+            f"(source) — got {m.group(2)!r} / {m.group(4)!r}; clause "
+            "expressions reference exactly `t.` and `s.`"
+        )
     if not clause_texts:
         raise TableSqlError(
             "MERGE needs at least one WHEN clause — a clauseless MERGE "
             "has no effect to apply"
         )
-    tbl, src_name, on_text = m.group(1), m.group(2), m.group(3)
+    tbl, src_name, on_text = m.group(1), m.group(3), m.group(5)
     path = _resolve(tables, tbl)
     if src_name in sources:
         source = sources[src_name]
@@ -227,21 +312,38 @@ def _merge(
 
     kwargs: dict = {}
     for text in clause_texts:
-        c = _norm(text)
+        # the clause condition may itself contain CASE WHEN … THEN:
+        # split on the first TOP-LEVEL THEN only
+        thens = _scan_keywords(text, {"THEN"})
+        if not thens:
+            raise TableSqlError(
+                f"unsupported MERGE clause `WHEN {_norm(text)}`: "
+                "supported forms are WHEN MATCHED [AND cond] THEN "
+                "DELETE | UPDATE SET … and WHEN NOT MATCHED [AND cond] "
+                "THEN INSERT …"
+            )
+        pre, action_text = text[: thens[0][0]], text[thens[0][1] :]
         cm = re.fullmatch(
-            r"(?i)(NOT\s+MATCHED|MATCHED)\s*(?:AND\s+(.*?))?\s*"
-            r"THEN\s+(DELETE|UPDATE\s+SET\s+.*|INSERT\s+.*)",
-            c,
+            r"(?i)\s*(NOT\s+MATCHED|MATCHED)\s*(?:\bAND\s+(.+?))?\s*",
+            pre,
             re.DOTALL,
         )
         if not cm:
             raise TableSqlError(
-                f"unsupported MERGE clause `WHEN {c}`: supported forms "
-                "are WHEN MATCHED [AND cond] THEN DELETE | UPDATE SET "
-                "… and WHEN NOT MATCHED [AND cond] THEN INSERT …"
+                f"unsupported MERGE clause `WHEN {_norm(text)}`: "
+                "supported forms are WHEN MATCHED [AND cond] THEN "
+                "DELETE | UPDATE SET … and WHEN NOT MATCHED [AND cond] "
+                "THEN INSERT …"
             )
-        matched = cm.group(1).upper() == "MATCHED"
-        cond, action = cm.group(2), _norm(cm.group(3))
+        matched = "NOT" not in cm.group(1).upper()
+        cond, action = cm.group(2), _norm(action_text)
+        if not re.match(
+            r"(?i)(DELETE$|UPDATE\s+SET\s+|INSERT\b)", action
+        ):
+            raise TableSqlError(
+                f"unsupported MERGE action `{action}`: supported are "
+                "DELETE, UPDATE SET …, INSERT …"
+            )
         act = action.upper()
         if matched and act == "DELETE":
             if "when_matched_delete_condition" in kwargs:
@@ -310,6 +412,12 @@ def _merge(
                 "WHEN NOT MATCHED supports only INSERT; WHEN MATCHED "
                 f"supports only UPDATE/DELETE (got `{action}`)"
             )
+    # SQL MERGE semantics: no WHEN NOT MATCHED clause means unmatched
+    # source rows are NOT applied. merge_into's signature default
+    # (insert-all) is an operator-level ergonomic for direct calls —
+    # letting it leak through here made `WHEN MATCHED THEN DELETE`
+    # silently INSERT every unmatched source key (r12 ADVICE, high).
+    kwargs.setdefault("when_not_matched_insert", None)
     v = merge_into(spark, path, source, **kwargs)
     return _version_df(spark, v)
 
@@ -493,6 +601,169 @@ def _delete(
     )
 
 
+def _insert(
+    spark: SparkSession, stmt: str, tables: dict[str, str]
+) -> DataFrame:
+    """INSERT INTO <tbl> [(c, …)] VALUES (…)[, (…)…] | <select> —
+    appends NEW rows in one atomic commit. Existing keys are refused
+    (this table's key is the row identity; SQL append semantics cannot
+    duplicate it, and silently upserting would be a data-loss hazard —
+    MERGE/UPDATE are the upsert spellings). The column list binds the
+    source POSITIONALLY (SQL standard); omitted non-key columns
+    null-backfill, subject to NOT NULL declarations at write time; the
+    key columns must all be bound.
+
+    Concurrency: the not-exists check and the commit share one pinned
+    ``base_version`` and the commit carries every key-routed bucket as
+    its READ set — a concurrent writer landing in between surfaces as
+    a version conflict (serializable, same posture as ``merge_into``),
+    never as a silent overwrite of the row it inserted."""
+    m = re.fullmatch(
+        rf"(?i:INSERT\s+INTO)\s+({_IDENT})\s*"
+        rf"(?:\(([^()]*)\)\s*)?(.+)",
+        stmt,
+        re.DOTALL,
+    )
+    if not m:
+        raise TableSqlError(
+            "supported forms: INSERT INTO <table> [(c, …)] "
+            "VALUES (e, …)[, (e, …) …] | INSERT INTO <table> "
+            "[(c, …)] SELECT …"
+        )
+    path = _resolve(tables, m.group(1))
+    base_v = current_version(path)
+    doc = _read_retained_manifest(path, base_v)
+    key_cols = list(doc["key_cols"])
+    schema = _table_schema(doc)
+    table_cols = [f.name for f in schema.fields]
+    cols = (
+        [c.strip() for c in _split_top(m.group(2), ",")]
+        if m.group(2)
+        else table_cols
+    )
+    unknown = [c for c in cols if c not in table_cols]
+    if unknown:
+        raise TableSqlError(
+            f"INSERT lists unknown column(s) {unknown}; the table "
+            f"schema is {table_cols}"
+        )
+    if len(set(cols)) != len(cols):
+        raise TableSqlError("INSERT column list has duplicates")
+    missing_keys = [k for k in key_cols if k not in cols]
+    if missing_keys:
+        raise TableSqlError(
+            f"INSERT must bind every key column; missing "
+            f"{missing_keys} (the key is the row identity)"
+        )
+    body = m.group(3).strip()
+    first = body.split(None, 1)[0].upper()
+    if first == "VALUES":
+        rows = spark.sql(body)  # VALUES is a standalone Spark query
+    elif first in ("SELECT", "WITH"):
+        rows = _select(spark, body, tables)
+    else:
+        raise TableSqlError(
+            "INSERT INTO takes a VALUES list or a SELECT body "
+            f"(got {first!r})"
+        )
+    if len(rows.columns) != len(cols):
+        raise TableSqlError(
+            f"INSERT binds {len(cols)} column(s) but the source "
+            f"produces {len(rows.columns)}"
+        )
+    changes = rows.toDF(*cols)
+    # duplicate keys inside the insert set are as non-deterministic as
+    # in a MERGE source — refuse, never pick silently
+    dup = (
+        changes.groupBy(*key_cols)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise TableSqlError(
+            "INSERT rows share a key: a keyed table holds one row per "
+            "key — deduplicate the source first"
+        )
+    clash = read_table_for_keys(
+        spark, path, changes.select(*key_cols), version=base_v
+    ).select(*key_cols)
+    hits = clash.limit(3).collect()
+    if hits:
+        raise TableSqlError(
+            f"INSERT would duplicate existing key(s) "
+            f"{[tuple(r) for r in hits]}…: the key is the row "
+            "identity — use MERGE INTO or UPDATE to change existing "
+            "rows"
+        )
+    # the commit's READ set: every bucket an incoming key routes to,
+    # so the not-exists check above stays provably exact under OCC
+    types = {f.name: f.dataType for f in schema.fields}
+    read_buckets = {
+        r[BUCKET_COL]
+        for r in _bucketed(
+            changes.select(
+                *[F.col(k).cast(types[k]).alias(k) for k in key_cols]
+            ),
+            key_cols,
+            doc["n_buckets"],
+        )
+        .select(BUCKET_COL)
+        .distinct()
+        .collect()
+    }
+    v = merge_table(
+        spark,
+        path,
+        changes,
+        base_version=base_v,
+        read_buckets=read_buckets,
+    )
+    return _version_df(spark, v)
+
+
+def _show(
+    spark: SparkSession, stmt: str, tables: dict[str, str]
+) -> DataFrame:
+    """SHOW CREATE TABLE <tbl> — the table's full declared shape as
+    (element, name, value) rows: columns (value = DDL type), key
+    columns (value = ordinal), NOT NULL declarations, CHECK
+    constraints (value = predicate), column-mapping entries (value =
+    physical parquet name), retired logical names, and the layout
+    properties. This makes the format self-describing from SQL — the
+    introspection twin of DESCRIBE HISTORY, metadata-priced (one
+    manifest read, no data I/O at any table size)."""
+    m = re.fullmatch(
+        rf"(?i:SHOW\s+CREATE\s+TABLE)\s+({_IDENT})", stmt
+    )
+    if not m:
+        raise TableSqlError("supported form: SHOW CREATE TABLE <table>")
+    path = _resolve(tables, m.group(1))
+    v = current_version(path)
+    doc = _read_retained_manifest(path, v)
+    schema = _table_schema(doc)
+    rows: list[tuple[str, str, str]] = []
+    for f in schema.fields:
+        rows.append(("column", f.name, f.dataType.simpleString()))
+    for i, k in enumerate(doc["key_cols"]):
+        rows.append(("key", k, str(i)))
+    for c in doc.get("not_null", []) or []:
+        rows.append(("not_null", c, ""))
+    for name, expr in sorted((doc.get("constraints") or {}).items()):
+        rows.append(("constraint", name, expr))
+    mapping = doc.get("column_mapping") or {}
+    for logical, physical in sorted(mapping.items()):
+        rows.append(("column_mapping", logical, physical))
+    for name in doc.get("retired_columns", []) or []:
+        rows.append(("retired_column", name, ""))
+    rows.append(("property", "n_buckets", str(doc["n_buckets"])))
+    rows.append(("property", "version", str(v)))
+    return spark.createDataFrame(
+        rows, "element string, name string, value string"
+    )
+
+
 def _optimize(
     spark: SparkSession, stmt: str, tables: dict[str, str]
 ) -> DataFrame:
@@ -583,6 +854,8 @@ def _alter(
         add_constraint,
         drop_column,
         drop_constraint,
+        drop_not_null,
+        set_not_null,
     )
 
     forms = (
@@ -591,6 +864,10 @@ def _alter(
         rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+({_IDENT})\s+"
         r"CHECK\s*\((.+)\)",
         rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+({_IDENT})",
+        rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+"
+        r"SET\s+NOT\s+NULL",
+        rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+"
+        r"DROP\s+NOT\s+NULL",
     )
     for i, pat in enumerate(forms):
         m = re.fullmatch(pat, stmt, re.IGNORECASE | re.DOTALL)
@@ -603,13 +880,18 @@ def _alter(
             v = drop_column(path, m.group(2))
         elif i == 2:
             v = add_constraint(spark, path, m.group(2), m.group(3).strip())
-        else:
+        elif i == 3:
             v = drop_constraint(path, m.group(2))
+        elif i == 4:
+            v = set_not_null(spark, path, m.group(2))
+        else:
+            v = drop_not_null(path, m.group(2))
         return _version_df(spark, v)
     raise TableSqlError(
         "supported forms: ALTER TABLE <t> ADD COLUMN <c> <type> | "
         "DROP COLUMN <c> | ADD CONSTRAINT <n> CHECK (<expr>) | "
-        "DROP CONSTRAINT <n>"
+        "DROP CONSTRAINT <n> | ALTER COLUMN <c> SET NOT NULL | "
+        "ALTER COLUMN <c> DROP NOT NULL"
     )
 
 
@@ -695,6 +977,10 @@ def table_sql(
         return _create(spark, stmt, tables)
     if first == "ALTER":
         return _alter(spark, stmt, tables)
+    if first == "SHOW":
+        return _show(spark, stmt, tables)
+    if first == "INSERT":
+        return _insert(spark, stmt, tables)
     if first == "UPDATE":
         return _update(spark, stmt, tables)
     if first == "DELETE":
@@ -707,10 +993,9 @@ def table_sql(
         return _select(spark, stmt, tables)
     raise TableSqlError(
         f"unsupported statement {first!r}: this surface executes "
-        "CREATE TABLE … AS / ALTER TABLE / DESCRIBE HISTORY / RESTORE "
-        "TABLE / MERGE "
-        "INTO / UPDATE / DELETE FROM / OPTIMIZE / VACUUM / SELECT "
-        "(with VERSION or "
-        "TIMESTAMP AS OF) — everything else belongs to the Python "
-        "operators"
+        "CREATE TABLE … AS / ALTER TABLE / SHOW CREATE TABLE / "
+        "DESCRIBE HISTORY / RESTORE TABLE / MERGE INTO / INSERT INTO / "
+        "UPDATE / DELETE FROM / OPTIMIZE / VACUUM / SELECT (with "
+        "VERSION or TIMESTAMP AS OF) — everything else belongs to the "
+        "Python operators"
     )
