@@ -415,6 +415,14 @@ def test_construction_job_sweep_is_exactly_the_allowlist(spark):
         # view passes — construction IS the pipeline for both
         "x232_table_sql_statements", "x233_streaming_curation_pipeline",
         "x234_dml_time_travel_statements", "x237_check_constraints",
+        # r13: statement-surface lifecycles — INSERT INTO/CASE WHEN
+        # (x239), NOT NULL declarations (x240), and the SHOW CREATE
+        # TABLE evolution sequence (x241) all commit at construction
+        "x239_insert_case_statements", "x240_not_null_statements",
+        "x241_show_create_table",
+        # r13: x242 builds + mutates a table, then reads through the
+        # batch snapshot DataSource — construction IS the lifecycle
+        "x242_snapshot_datasource_read",
         # index builders / pivot quantizers (centroids-sized collects)
         "x32_ivf_topk", "x155_ivf_index_search", "x158_mmr_rerank",
         "x159_ivfpq_index_search", "x160_ann_recall_eval",

@@ -2193,3 +2193,351 @@ def x238_sequence_packing_sharded(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
     )
+
+
+# x239 — INSERT INTO + CASE WHEN STATEMENTS (round-12 VERDICT item 3):
+# the two statement-surface gaps closed and proven in one lifecycle.
+# INSERT INTO lands NEW rows atomically from both body forms (a SELECT
+# over a temp view, positional column binding; a literal VALUES list)
+# and refuses existing keys — this format's key is the row identity,
+# so SQL append semantics cannot duplicate it (the refusal is
+# exercised in tests; here the oracle proves the surviving state).
+# CASE WHEN is legal inside UPDATE SET, MERGE SET, and MERGE VALUES
+# expressions because the clause splitter is quote/paren/CASE-aware
+# (_scan_keywords) — only top-level WHEN/THEN tokens shape the
+# statement. The oracle re-derives every branch closed-form with the
+# SAME per-row floating-op order, so a mis-split clause, a wrong CASE
+# branch, or an insert bound to the wrong column lands as a value
+# mismatch. Scale: INSERT is churn-priced (key-routed buckets only,
+# not-exists check rides the same point-lookup pruning as MERGE).
+@query(
+    "x239_insert_case_statements",
+    oracle="""
+    WITH g0 AS (
+      SELECT o_orderkey AS k,
+        CAST(o_totalprice AS DOUBLE) + 1000.0 AS p1
+      FROM orders WHERE o_orderkey % 6 = 0),
+    g0f AS (
+      SELECT k,
+        CASE WHEN k % 12 = 0 THEN
+          CASE WHEN p1 > 100000.0 THEN p1 - 3.0 ELSE p1 + 7.0 END
+        ELSE p1 END AS price
+      FROM g0),
+    g1 AS (
+      SELECT o_orderkey AS k,
+        CAST(o_totalprice AS DOUBLE) + 100.0 AS price
+      FROM orders WHERE o_orderkey % 6 = 1),
+    g2 AS (
+      SELECT o_orderkey AS k,
+        CASE WHEN o_orderkey % 12 = 2
+             THEN CAST(o_totalprice AS DOUBLE) + 10.0
+             ELSE CAST(o_totalprice AS DOUBLE) + 20.0 END AS price
+      FROM orders WHERE o_orderkey % 6 = 2),
+    lits AS (
+      SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 11.5),
+                            (CAST(-2 AS BIGINT), 22.5)) v(k, price)),
+    allr AS (
+      SELECT * FROM g0f UNION ALL SELECT * FROM g1
+      UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM lits)
+    SELECT CASE WHEN k < 0 THEN 'lit'
+                ELSE CAST(k % 6 AS VARCHAR) END AS grp,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(price * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+        AS total
+    FROM allr GROUP BY 1
+    """,
+)
+def x239_insert_case_statements(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from video_streamer_spark.operators.table_format import create_table
+    from video_streamer_spark.operators.table_sql import table_sql
+
+    path = _fresh_run_dir(spark, sf_dir, "vss-inssql")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    create_table(
+        orders.where("o_orderkey % 6 = 0"), path, ["o_orderkey"], n_buckets=8
+    )
+    T = {"tt": path}
+    orders.createOrReplaceTempView("x239_raw")
+    # INSERT via SELECT body (positional binding) and via VALUES
+    table_sql(
+        spark,
+        "INSERT INTO tt (o_orderkey, price) "
+        "SELECT o_orderkey, price + 100.0 FROM x239_raw "
+        "WHERE o_orderkey % 6 = 1",
+        T,
+    )
+    table_sql(spark, "INSERT INTO tt VALUES (-1, 11.5), (-2, 22.5)", T)
+    # CASE WHEN inside a statement-UPDATE SET expression
+    table_sql(
+        spark,
+        "UPDATE tt SET price = CASE WHEN o_orderkey % 2 = 0 "
+        "THEN price + 1000.0 ELSE price END WHERE o_orderkey >= 0",
+        T,
+    )
+    # CASE WHEN inside MERGE SET and VALUES expressions
+    table_sql(
+        spark,
+        """
+        MERGE INTO tt AS t USING chg AS s ON s.o_orderkey = t.o_orderkey
+        WHEN MATCHED AND s.o_orderkey % 12 = 0 THEN UPDATE SET
+          price = CASE WHEN t.price > 100000.0 THEN t.price - 3.0
+                       ELSE t.price + 7.0 END
+        WHEN NOT MATCHED THEN INSERT (o_orderkey, price) VALUES
+          (s.o_orderkey, CASE WHEN s.o_orderkey % 12 = 2
+                              THEN s.price + 10.0
+                              ELSE s.price + 20.0 END)
+        """,
+        T,
+        sources={"chg": orders.where("o_orderkey % 6 IN (0, 2)")},
+    )
+    return table_sql(
+        spark,
+        """
+        SELECT CASE WHEN o_orderkey < 0 THEN 'lit'
+                    ELSE CAST(o_orderkey % 6 AS STRING) END AS grp,
+          CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CAST(FLOOR(price * 100.0) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS total
+        FROM tt GROUP BY CASE WHEN o_orderkey < 0 THEN 'lit'
+                              ELSE CAST(o_orderkey % 6 AS STRING) END
+        """,
+        T,
+    )
+
+
+# x240 — DECLARED NOT NULL (round-12 VERDICT item 6): the third
+# integrity leg beside key-null refusal (implicit, _bucketed) and
+# CHECK constraints (x237). ALTER COLUMN … SET NOT NULL validates
+# existing rows with one bounded scan, then every later write is
+# guarded executor-side at the same _constraint_guard chokepoint the
+# CHECKs ride — a violating INSERT or UPDATE raises and publishes
+# NOTHING (the query swallows the refusals; if enforcement ever let
+# one through, the oracle's n_nulls/total would mismatch). DROP NOT
+# NULL re-opens the gate and the formerly-refused insert lands as a
+# real NULL. Scale: enforcement is zero extra passes; declaration is
+# metadata-only after its one validation scan.
+@query(
+    "x240_not_null_statements",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 5 = 0),
+    upd AS (
+      SELECT k, CASE WHEN k % 10 = 0 AND k > 0 THEN price + 500.0
+                     ELSE price END AS price
+      FROM base),
+    allr AS (
+      SELECT * FROM upd
+      UNION ALL SELECT CAST(-8 AS BIGINT), 42.0
+      UNION ALL SELECT CAST(-7 AS BIGINT), CAST(NULL AS DOUBLE))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(COALESCE(price, 0.0) * 100.0) AS BIGINT))
+        AS DOUBLE) / 100.0 AS total,
+      CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_nulls
+    FROM allr
+    """,
+)
+def x240_not_null_statements(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from video_streamer_spark.operators.table_format import create_table
+    from video_streamer_spark.operators.table_sql import table_sql
+
+    path = _fresh_run_dir(spark, sf_dir, "vss-notnull")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    create_table(
+        orders.where("o_orderkey % 5 = 0"), path, ["o_orderkey"], n_buckets=8
+    )
+    T = {"tt": path}
+    table_sql(spark, "ALTER TABLE tt ALTER COLUMN price SET NOT NULL", T)
+    try:  # narrow insert null-backfills price -> refused, nothing lands
+        table_sql(spark, "INSERT INTO tt (o_orderkey) VALUES (-7)", T)
+    except Exception:
+        pass
+    table_sql(spark, "INSERT INTO tt VALUES (-8, 42.0)", T)
+    try:  # explicit NULL through UPDATE -> refused at the write job
+        table_sql(
+            spark,
+            "UPDATE tt SET price = NULL "
+            "WHERE o_orderkey % 10 = 0 AND o_orderkey > 0",
+            T,
+        )
+    except Exception:
+        pass
+    table_sql(
+        spark,
+        "UPDATE tt SET price = price + 500.0 "
+        "WHERE o_orderkey % 10 = 0 AND o_orderkey > 0",
+        T,
+    )
+    table_sql(spark, "ALTER TABLE tt ALTER COLUMN price DROP NOT NULL", T)
+    table_sql(spark, "INSERT INTO tt (o_orderkey) VALUES (-7)", T)
+    return table_sql(
+        spark,
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CAST(FLOOR(COALESCE(price, 0.0) * 100.0) AS BIGINT))
+            AS DOUBLE) / 100.0 AS total,
+          CAST(SUM(IF(price IS NULL, 1, 0)) AS BIGINT) AS n_nulls
+        FROM tt
+        """,
+        T,
+    )
+
+
+# x241 — SHOW CREATE TABLE (round-12 VERDICT item 7): the format is
+# self-describing from SQL — one metadata-priced statement surfaces
+# columns (DDL types), key ordinals, NOT NULL declarations, CHECK
+# constraints, field-id column-mapping entries, retired logical names,
+# and layout properties. The lifecycle below exercises every element
+# class: schema evolution with a drop + re-add (minting the
+# deterministic fresh physical name w__fid4 — create reserves 3
+# identity names, so the re-add takes field id 4), a CHECK constraint,
+# and a NOT NULL declaration; the oracle restates the expected
+# introspection rows as literals, so a lost mapping entry, a dropped
+# constraint, or a wrong version/ordinal lands as a value mismatch.
+@query(
+    "x241_show_create_table",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('column', 'o_orderkey', 'bigint'),
+      ('column', 'price', 'double'),
+      ('column', 'w', 'bigint'),
+      ('key', 'o_orderkey', '0'),
+      ('not_null', 'price', ''),
+      ('constraint', 'price_pos', 'price >= 0'),
+      ('column_mapping', 'w', 'w__fid4'),
+      ('retired_column', 'w', ''),
+      ('property', 'n_buckets', '8'),
+      ('property', 'version', '6')
+    ) v(element, name, value)
+    """,
+)
+def x241_show_create_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.table_format import create_table
+    from video_streamer_spark.operators.table_sql import table_sql
+
+    path = _fresh_run_dir(spark, sf_dir, "vss-showddl")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    create_table(
+        orders.where("o_orderkey % 7 = 0"), path, ["o_orderkey"], n_buckets=8
+    )
+    T = {"tt": path}
+    table_sql(spark, "ALTER TABLE tt ADD COLUMN w bigint", T)   # v2
+    table_sql(spark, "ALTER TABLE tt DROP COLUMN w", T)         # v3
+    table_sql(spark, "ALTER TABLE tt ADD COLUMN w bigint", T)   # v4: fid4
+    table_sql(
+        spark,
+        "ALTER TABLE tt ADD CONSTRAINT price_pos CHECK (price >= 0)",
+        T,
+    )                                                           # v5
+    table_sql(spark, "ALTER TABLE tt ALTER COLUMN price SET NOT NULL", T)
+    return table_sql(spark, "SHOW CREATE TABLE tt", T)          # v6
+
+
+# x242 — BATCH SNAPSHOT DATASOURCE (round-12 VERDICT item 2): the
+# catalog-compatibility surface — spark.read.format("table_snapshot")
+# .option("path", t).option("version"/"timestamp", …) serves a pinned
+# snapshot to PLAIN spark.read / spark.sql with no registry dict. The
+# lifecycle builds a table, mutates it (update + new key), deletes a
+# key (merge-on-read tombstone), then reads v1 BY VERSION, v1 BY
+# TIMESTAMP (captured between the commits), and the CURRENT snapshot —
+# each through the DataSource, aggregated and unioned. The oracle
+# restates both states closed-form, so a tombstone leaking through the
+# DataSource's anti-join, a version pin served from the wrong
+# manifest, or a timestamp resolved to the wrong commit lands as a
+# value mismatch. Scale: one InputPartition per bucket (row work
+# task-side, Arrow batches across the Python boundary); the optimized
+# path (read_table: native scan, zone-map/bloom pruning) stays the
+# fast spelling — this row certifies the compatibility spelling.
+@query(
+    "x242_snapshot_datasource_read",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 9 = 0),
+    cur AS (
+      SELECT k, CASE WHEN k % 18 = 0 THEN price + 111.0
+                     ELSE price END AS price
+      FROM base WHERE k % 27 <> 9
+      UNION ALL SELECT CAST(-3 AS BIGINT), 77.0)
+    SELECT 'v1' AS tag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(price * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+        AS total
+    FROM base
+    UNION ALL
+    SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(CAST(floor(price * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+    FROM base
+    UNION ALL
+    SELECT 'cur', CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(CAST(floor(price * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+    FROM cur
+    """,
+)
+def x242_snapshot_datasource_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import time
+
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        delete_keys,
+        merge_into,
+    )
+    from video_streamer_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    path = _fresh_run_dir(spark, sf_dir, "vss-snapds")
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    create_table(
+        orders.where("k % 9 = 0"), path, ["k"], n_buckets=8
+    )  # v1
+    t_mid = time.time()
+    time.sleep(0.05)  # commit stamps are second-scale floats
+    chg = orders.where("k % 9 = 0 AND k % 18 = 0").select(
+        "k", (F.col("price") + 111.0).alias("price")
+    ).unionByName(
+        spark.createDataFrame([(-3, 77.0)], "k bigint, price double")
+    )
+    merge_into(
+        spark, path, chg, when_matched_update="all"
+    )  # v2: updates + one insert
+    delete_keys(
+        spark,
+        path,
+        orders.where("k % 27 = 9").select("k"),
+    )  # v3: merge-on-read tombstones on the k % 27 = 9 stripe
+    register_snapshot_source(spark)
+
+    def snap(tag: str, **opts) -> DataFrame:
+        r = spark.read.format("table_snapshot").option("path", path)
+        for k, v in opts.items():
+            r = r.option(k, str(v))
+        return r.load().agg(
+            F.lit(tag).alias("tag"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            (
+                F.sum(F.floor(F.col("price") * 100.0).cast("bigint"))
+                .cast("double") / 100.0
+            ).alias("total"),
+        ).select("tag", "n_rows", "total")
+
+    return (
+        snap("v1", version=1)
+        .unionByName(snap("ts", timestamp=t_mid))
+        .unionByName(snap("cur"))
+    )
