@@ -2541,3 +2541,34 @@ def x242_snapshot_datasource_read(
         .unionByName(snap("ts", timestamp=t_mid))
         .unionByName(snap("cur"))
     )
+
+
+# x243 — SKEW-BOUNDED INTERVAL JOIN VARIANT (round-12 VERDICT item 5):
+# the q20 family's fallback plan under its own oracle. The (user,
+# 5-min-bucket) exploded equi-join caps every join-key group at
+# events-per-bucket instead of events-per-user — the plan the AUTO
+# router (operators/intervals.py) selects when a sampled probe finds a
+# user past the one-task sort budget (routing + bit-equality with the
+# window plan pinned by tests/test_intervals.py; this row pins the
+# join variant's VALUES against the same theta-join oracle as q20, so
+# the two plans' driver evidence brackets the router's both outcomes).
+@query(
+    "x243_interval_join_variant",
+    oracle="""
+    SELECT e1.event_type, COUNT(*) AS n_pairs
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts BETWEEN e1.ts AND e1.ts + INTERVAL 5 MINUTE
+     AND e1.event_id <> e2.event_id
+    GROUP BY e1.event_type
+    """,
+)
+def x243_interval_join_variant(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from video_streamer_spark.operators.intervals import (
+        interval_pair_counts,
+    )
+
+    e = table(spark, sf_dir, "events")
+    return interval_pair_counts(e, interval_sec=300, mode="join")

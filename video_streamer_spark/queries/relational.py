@@ -440,22 +440,17 @@ def q20_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB had stopped amortizing. Skew: one hot user is one task's
     window sort — WindowExec's sort is spillable, and the frame walk
     is linear (two pointers), so a hot user costs its own event count,
-    not its pair count. For regimes where a single user exceeds a
-    task's sort budget, the skew-bounded (user, 5-min bucket)
-    interval-bucket JOIN variant remains the fallback — kept working
-    and equivalence-tested in
-    tests/test_sources_and_ops.py::test_q20_bucketed_join_bounds_hot_user_and_matches_plain."""
-    from pyspark.sql import Window
+    not its pair count. Both plans now live in
+    ``operators/intervals.py`` with an AUTO skew router (round-12
+    VERDICT item 5: a sampled max-per-user probe picks the
+    skew-bounded (user, 5-min bucket) join variant above the one-task
+    sort-budget threshold; routing + bit-equality pinned by
+    tests/test_intervals.py, the join variant's values by the x243
+    oracle). This benched query PINS mode="window" so its measured
+    plan never depends on a sampling job."""
+    from video_streamer_spark.operators.intervals import (
+        interval_pair_counts,
+    )
 
     e = table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
-        .rangeBetween(0, 300 * 1_000_000)
-    )
-    return (
-        e.withColumn("n_following", F.count("*").over(w) - 1)
-        .groupBy("event_type")
-        .agg(F.sum("n_following").cast("bigint").alias("n_pairs"))
-        .where(F.col("n_pairs") > 0)
-    )
+    return interval_pair_counts(e, interval_sec=300, mode="window")
