@@ -84,6 +84,25 @@ SCALE2 = [
 ]
 
 
+# The upward scale decade IN THE ARTIFACT (round-12 VERDICT item 4):
+# ×10 sf1-equivalent replicas of the heaviest dedup rows + q20, with
+# same-window Spark AND DuckDB seconds + ratios, so the crossover
+# evidence (x200 0.47-0.76x, q20 0.87x at the next decades up —
+# PLANS.md rounds 11-12) ships in BENCH_r{N} instead of prose. Keys in
+# the emitted block are SHORTENED (x02, q20, ...) to keep the one
+# stdout JSON line inside the driver's ~2 kB capture window. x05 is
+# deliberately absent: its DuckDB oracle is the exact all-pairs
+# compare, whose ×16 work at this decade would add minutes to the
+# artifact run for a denominator — its upward envelope is pinned by
+# tests/test_scaling.py::test_second_scale_point_heavy_five instead.
+SCALE3 = [
+    "x02_dedup_minhash_pairs",
+    "x03_dedup_simhash_pairs",
+    "x200_verbatim_span_dedup",
+    "q20_theta_self_join",
+]
+
+
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -91,12 +110,15 @@ TABLES = (
 
 
 def duckdb_timings(
-    run_dir: str, names: list[str], threads: int | None = None
+    run_dir: str,
+    names: list[str],
+    threads: int | None = None,
+    reps: int = 3,
 ) -> dict[str, float]:
     """Time each query's ORACLE SQL on DuckDB over the same layout —
-    min-of-3 after a warmup rep (bench_compare.py's protocol, shared
-    so the standalone tool and the in-artifact half can never drift).
-    Queries without an oracle are skipped."""
+    min-of-``reps`` after a warmup rep (bench_compare.py's protocol,
+    shared so the standalone tool and the in-artifact half can never
+    drift). Queries without an oracle are skipped."""
     import duckdb
 
     from video_streamer_spark.queries import ORACLES
@@ -117,14 +139,123 @@ def duckdb_timings(
         if sql is None:
             continue
         con.execute(sql).fetchall()  # warmup
-        reps = []
-        for _ in range(3):
+        rep_secs = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
-            reps.append(time.perf_counter() - t0)
-        timings[name] = round(min(reps), 3)
+            rep_secs.append(time.perf_counter() - t0)
+        timings[name] = round(min(rep_secs), 3)
     con.close()
     return timings
+
+
+def x10_replica(spark, sf_dir: str) -> str:
+    """Deterministic sf1-equivalent blow-up of ``sf_dir`` for the
+    scale3 block, cached per source fingerprint under /tmp (same
+    flock + fingerprint discipline as ``splittable_mirror``):
+
+    - documents ×10, every token salted with its replica id — each
+      replica is an independent shard, so planted dup clusters keep
+      their size and candidate volume grows near-linearly (a naive
+      copy would grow every cluster 10× and pair output 100×, testing
+      the data, not the operator);
+    - events ×10 with fresh event/user ids per replica — group count
+      scales, per-group pair structure is preserved;
+    - embeddings ×4 with fresh ids — compare work (the quantity under
+      test) grows exactly 16×;
+    - every other table symlinked.
+
+    This is the recipe the two-scale-point suite measures
+    (tests/test_scaling.py::test_second_scale_point_heavy_five) and
+    the PLANS.md crossover studies used — the bench just persists it
+    so the DuckDB half prices the identical layout."""
+    import fcntl
+    import hashlib
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from video_streamer_spark.catalog import table as _table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = "/tmp/vss-bench-x10"
+    mirror = f"{root}/{tag}"
+    ready = os.path.join(mirror, "_READY")
+    fp = hashlib.sha256(
+        "\n".join(
+            sorted(
+                f"{os.path.realpath(sf_dir)}/{f}:"
+                f"{os.path.getsize(os.path.join(sf_dir, f))}:"
+                f"{os.path.getmtime(os.path.join(sf_dir, f))}"
+                for f in os.listdir(sf_dir)
+                if f.endswith(".parquet")
+            )
+        ).encode()
+    ).hexdigest()
+
+    def built() -> bool:
+        try:
+            with open(ready) as fh:
+                return fh.read().strip() == fp
+        except OSError:
+            return False
+
+    if built():
+        return mirror
+    os.makedirs(root, exist_ok=True)
+    lock_fh = open(mirror + ".lock", "w")
+    try:
+        fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        if built():
+            return mirror
+        if os.path.exists(mirror):
+            shutil.rmtree(mirror)
+        os.makedirs(mirror)
+        reps = spark.range(10).select(F.col("id").cast("int").alias("r"))
+        docs = _table(spark, sf_dir, "documents")
+        docs.crossJoin(F.broadcast(reps)).select(
+            (F.col("doc_id") * 10 + F.col("r")).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda t: F.concat(
+                        t, F.lit("~"), F.col("r").cast("string")
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        ).write.mode("overwrite").parquet(f"{mirror}/documents.parquet")
+        ev = _table(spark, sf_dir, "events")
+        ev.crossJoin(F.broadcast(reps)).select(
+            (F.col("event_id") * 10 + F.col("r")).alias("event_id"),
+            "ts",
+            (F.col("user_id") * 10 + F.col("r")).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        ).write.mode("overwrite").parquet(f"{mirror}/events.parquet")
+        reps4 = spark.range(4).select(F.col("id").cast("int").alias("r"))
+        emb = _table(spark, sf_dir, "embeddings")
+        emb.crossJoin(F.broadcast(reps4)).select(
+            (F.col("vec_id") * 4 + F.col("r")).alias("vec_id"),
+            "embedding",
+            "label",
+        ).write.mode("overwrite").parquet(f"{mirror}/embeddings.parquet")
+        for f in os.listdir(sf_dir):
+            if f.endswith(".parquet") and not os.path.exists(
+                os.path.join(mirror, f)
+            ):
+                os.symlink(
+                    os.path.join(sf_dir, f), os.path.join(mirror, f)
+                )
+        with open(ready, "w") as fh:
+            fh.write(fp)
+        return mirror
+    finally:
+        lock_fh.close()
 
 
 def splittable_mirror(sf_dir: str) -> str:
@@ -458,6 +589,49 @@ def main() -> None:
             },
         }
 
+    # Third scale point — the decade ABOVE the target SF (round-12
+    # VERDICT item 4): Spark seconds on the ×10 replica, measured here
+    # (min-of-2 after a warmup rep — at multi-second runtimes rep
+    # noise is proportionally small, and the block evidences the
+    # RATIO's direction, not an absolute floor); the same-window
+    # DuckDB half runs in the duck block below (all DuckDB work last —
+    # its buffer pool measurably inflates any Spark work after it).
+    # Only at the standard target SF (the replica recipe and its
+    # measured envelopes assume sf0.1 input); SPARK_GRAFT_SCALE3=0
+    # skips.
+    scale3_spark: dict[str, float] = {}
+    big_dir = None
+    s3 = [n for n in SCALE3 if n in timings]
+    if (
+        s3
+        and abs(sf - 0.1) < 1e-9
+        and os.environ.get("SPARK_GRAFT_SCALE3", "1") != "0"
+    ):
+        try:
+            big_dir = x10_replica(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 - block omitted, not fatal
+            print(f"# scale3 replica build failed: {exc}", file=sys.stderr)
+        if big_dir:
+            for rep in range(3):
+                for name in list(s3):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    try:
+                        QUERIES[name](spark, big_dir).toPandas()
+                    except Exception as exc:  # noqa: BLE001 - diagnostic
+                        print(
+                            f"# SCALE3 FAILED {name}: {exc}",
+                            file=sys.stderr,
+                        )
+                        s3.remove(name)
+                        scale3_spark.pop(name, None)
+                        continue
+                    dt = time.perf_counter() - t0
+                    if rep:  # rep 0 is warmup
+                        scale3_spark[name] = min(
+                            scale3_spark.get(name, dt), dt
+                        )
+
     # Same-window DuckDB half (round-11 VERDICT item 6): the 2x gate's
     # denominator rides in the SAME artifact as the Spark numbers, so
     # the judge's ratio is self-contained instead of reconstructed from
@@ -471,11 +645,22 @@ def main() -> None:
     # DuckDB seconds go to stderr (the ~2 kB stdout capture budget
     # holds the one JSON line). SPARK_GRAFT_DUCK=0 skips.
     duck: dict[str, float] = {}
+    duck_scale3: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_DUCK", "1") != "0":
         try:
             duck = duckdb_timings(run_dir, headline)
         except Exception as exc:  # noqa: BLE001 - ratio omitted, not fatal
             print(f"# duckdb half failed (ratio omitted): {exc}", file=sys.stderr)
+        if big_dir and scale3_spark:
+            try:
+                # min-of-1 after warmup: multi-second denominators,
+                # and two full reps of the ×10 oracles would double a
+                # block that already dominates the artifact's tail
+                duck_scale3 = duckdb_timings(
+                    big_dir, list(scale3_spark), reps=1
+                )
+            except Exception as exc:  # noqa: BLE001
+                print(f"# duckdb scale3 failed: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # Per-rep record goes to STDERR: the driver captures only the last
@@ -494,6 +679,26 @@ def main() -> None:
     }
     if scale2:
         doc["scale2"] = scale2
+    if scale3_spark:
+        short = lambda n: n.split("_")[0]  # noqa: E731
+        s3_doc: dict = {
+            "sf": "x10",
+            "sec": {
+                short(n): round(v, 3) for n, v in scale3_spark.items()
+            },
+        }
+        if duck_scale3:
+            s3_doc["duck"] = {
+                short(n): round(v, 3) for n, v in duck_scale3.items()
+            }
+            s3_doc["ratio"] = {
+                short(n): round(
+                    scale3_spark[n] / max(duck_scale3[n], 1e-9), 2
+                )
+                for n in scale3_spark
+                if n in duck_scale3
+            }
+        doc["scale3"] = s3_doc
     if duck:
         print(f"# duck_json: {json.dumps(duck)}", file=sys.stderr)
         common = sorted(set(duck) & set(timings))
@@ -504,7 +709,8 @@ def main() -> None:
         doc["ratio"] = round(spark_common / max(duck_total, 1e-9), 2)
     line = json.dumps(
         doc,
-        separators=(",", ":"),  # ~1.7 kB with scale2+ratio — under ~2 kB
+        separators=(",", ":"),  # ~1.9 kB with scale2+scale3(short
+        # keys)+ratio — still under the driver's ~2 kB stdout capture
     )
     print(line)
     spark.stop()

@@ -430,3 +430,36 @@ def test_show_create_table_is_self_describing(spark, t):
     table_sql(spark, "ALTER TABLE dets ALTER COLUMN v DROP NOT NULL", t)
     table_sql(spark, "INSERT INTO dets (k, v) VALUES (500, NULL)", t)
     assert read_table(spark, t["dets"]).where("k = 500").count() == 1
+
+
+def test_merge_set_unknown_and_key_columns_refused(spark, t):
+    """r12 ADVICE (medium): `UPDATE SET k = 99` (key) and `SET pric =
+    x` (typo) through the statement MERGE must refuse loudly, never
+    no-op — enforcement lives in merge_into's clause validation, and
+    these pins keep the statement path wired to it."""
+    src = _src(spark)
+    with pytest.raises(ValueError, match="key column"):
+        table_sql(
+            spark,
+            "MERGE INTO dets t USING chg s ON s.k = t.k "
+            "WHEN MATCHED THEN UPDATE SET k = 99",
+            t,
+            sources={"chg": src},
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        table_sql(
+            spark,
+            "MERGE INTO dets t USING chg s ON s.k = t.k "
+            "WHEN MATCHED THEN UPDATE SET pric = s.v",
+            t,
+            sources={"chg": src},
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        table_sql(
+            spark,
+            "MERGE INTO dets t USING chg s ON s.k = t.k "
+            "WHEN NOT MATCHED THEN INSERT (k, pric) VALUES (s.k, s.v)",
+            t,
+            sources={"chg": src},
+        )
+    assert current_version(t["dets"]) == 1
