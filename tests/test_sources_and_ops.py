@@ -3174,3 +3174,37 @@ def test_pack_sequences_composite_key_bounds_task_size(spark):
                 seq, fill = seq + 1, 0
             fill += n
             assert got_seq == seq
+
+
+def test_bigram_lm_nll_hand_computed(spark):
+    """CCNet-style bigram NLL on a crafted 2-doc corpus where every
+    count is hand-checkable: corpus tokens = [a b a b] + [a c], so
+    V = 3, c1(a) = 3, c1(b) = 2, c1(c) = 1; bigrams: 'a b'x2, 'b a'x1,
+    'a c'x1. Doc 1 terms: ln(3+3)-ln(2+1), ln(2+3)-ln(1+1),
+    ln(3+3)-ln(2+1); doc 2: ln(3+3)-ln(1+1)."""
+    import math
+
+    from video_streamer_spark.operators.text import bigram_lm_nll
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"])
+        for r in bigram_lm_nll(docs).collect()
+    }
+    # doc 3 has one token -> no bigram -> absent
+    assert set(got) == {1, 2}
+
+    def q6(x):  # the qdec6 quantization: round-half-up at 6 dp
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    d1 = (
+        (q6(math.log(6)) - q6(math.log(3)))
+        + (q6(math.log(5)) - q6(math.log(2)))
+        + (q6(math.log(6)) - q6(math.log(3)))
+    ) / 3
+    d2 = q6(math.log(6)) - q6(math.log(2))
+    assert got[1][0] == 3 and abs(got[1][1] - d1) < 1e-6
+    assert got[2][0] == 1 and abs(got[2][1] - d2) < 1e-6

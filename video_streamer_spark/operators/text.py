@@ -197,6 +197,90 @@ def tf_idf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def bigram_lm_nll(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style n-gram LM scoring: per-document mean negative
+    log-likelihood under an add-one-smoothed bigram model trained on
+    the corpus itself — the canonical perplexity screen an LLM data
+    pipeline runs before training (CCNet trains KenLM on a clean
+    corpus and drops high-perplexity documents; here the model is the
+    corpus's own bigram counts, the engine-shaped equivalent).
+
+    Per bigram (w1, w2): NLL term = ln(c1(w1) + V) − ln(c2(w1 w2) + 1),
+    i.e. −ln of the smoothed conditional; per doc: mean over its
+    bigrams. ln() only ever sees INTEGERS (counts + smoothing), so the
+    x195 parity recipe applies: each ln is qdec6 guard-digit
+    quantized, per-doc sums are exact DECIMAL, and the final mean is a
+    round6 DOUBLE on both engines.
+
+    100 TB shape: bigram construction is codegen (zip_with over two
+    array slices, no join); the two count tables are partial-
+    aggregable shuffles (map-side combine collapses each partition to
+    its distinct grams); scoring is two equi-joins against those
+    counts — stop-bigram keys are the skew to watch, which AQE's
+    skew-join split handles (the count side is already one row per
+    gram, so only the probe side fans out). The vocab size is ONE
+    aggregated row cross-joined broadcast — no collect, no UDF.
+    Returns (id_col, n_bigrams, nll); documents with < 2 tokens carry
+    no bigram and are absent (they have no conditional likelihood).
+    """
+    from video_streamer_spark.functions.parity import qdec6, round6
+
+    toks = docs.select(
+        F.col(id_col), tokens_col(text_col).alias("__toks")
+    ).where(F.size("__toks") >= 2)
+    tok = toks.select(
+        id_col, F.explode("__toks").alias("__w")
+    )
+    c1 = tok.groupBy("__w").agg(F.count("*").alias("__c1"))
+    vocab = tok.agg(F.countDistinct("__w").alias("__v"))
+    bi = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.expr("slice(__toks, 1, size(__toks) - 1)"),
+                F.expr("slice(__toks, 2, size(__toks) - 1)"),
+                lambda a, b: F.struct(
+                    a.alias("w1"),
+                    F.concat(a, F.lit(" "), b).alias("bg"),
+                ),
+            )
+        ).alias("__p"),
+    ).select(id_col, F.col("__p.w1").alias("__w1"), F.col("__p.bg").alias("__bg"))
+    c2 = bi.groupBy("__bg").agg(F.count("*").alias("__c2"))
+    terms = (
+        bi.join(c2, "__bg")
+        .join(c1, bi["__w1"] == c1["__w"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            qdec6(F.log((F.col("__c2") + 1).cast("double"))).alias(
+                "__lp_num"
+            ),
+            qdec6(
+                F.log((F.col("__c1") + F.col("__v")).cast("double"))
+            ).alias("__lp_den"),
+        )
+    )
+    per_doc = terms.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("__lp_num").alias("__s_num"),
+        F.sum("__lp_den").alias("__s_den"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        round6(
+            (
+                F.col("__s_den").cast("double")
+                - F.col("__s_num").cast("double")
+            )
+            / F.col("n_bigrams").cast("double")
+        ).alias("nll"),
+    )
+
+
 # GPT-2-style pretokenizer pattern, restricted to the RE2 ∩ Java-regex
 # subset (no lookahead): contraction suffixes, letter runs, digit runs,
 # punctuation runs — each optionally preceded by one space.

@@ -2572,3 +2572,63 @@ def x243_interval_join_variant(
 
     e = table(spark, sf_dir, "events")
     return interval_pair_counts(e, interval_sec=300, mode="join")
+
+
+# x244 — BIGRAM LM PERPLEXITY SCREEN (CCNet-style): per-document mean
+# negative log-likelihood under an add-one-smoothed bigram model
+# trained on the corpus itself — the canonical quality gate an LLM
+# data pipeline applies before training (high-NLL docs are boilerplate
+# / binary spill / wrong-language; CCNet's KenLM filter in the
+# engine's own vocabulary). ln() only ever sees integers (counts +
+# smoothing constants), so the x195 parity recipe holds: qdec6
+# guard-digit quantization per term, exact DECIMAL per-doc sums,
+# round6 DOUBLE mean — value-exact across engines. Scale: bigram
+# construction is codegen (zip_with over two array slices), count
+# tables are partial-aggregable shuffles, scoring is two equi-joins
+# (AQE splits the stop-bigram skew), vocab is one aggregated broadcast
+# row. Complements x195 (char entropy), x09/x10 (heuristic quality),
+# x143 (repetition): this is the distributional model screen.
+def _x244_oracle() -> str:
+    from video_streamer_spark.functions.parity import (
+        sql_qdec6,
+        sql_round6,
+    )
+
+    lp_num = sql_qdec6("ln(CAST(c2.c + 1 AS DOUBLE))")
+    lp_den = sql_qdec6("ln(CAST(c1.c + v.v AS DOUBLE))")
+    nll = sql_round6(
+        "(CAST(SUM(lp_den) AS DOUBLE) - CAST(SUM(lp_num) AS DOUBLE))"
+        " / CAST(COUNT(*) AS DOUBLE)"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    c1 AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+    bi AS (
+      SELECT doc_id,
+        t[CAST(g.i AS INT)] AS w1,
+        t[CAST(g.i AS INT)] || ' ' || t[CAST(g.i AS INT) + 1] AS bg
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2),
+    c2 AS (SELECT bg, COUNT(*) AS c FROM bi GROUP BY bg),
+    terms AS (
+      SELECT b.doc_id,
+        {lp_num} AS lp_num,
+        {lp_den} AS lp_den
+      FROM bi b JOIN c2 ON b.bg = c2.bg
+      JOIN c1 ON b.w1 = c1.w CROSS JOIN v)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      {nll} AS nll
+    FROM terms GROUP BY doc_id
+    """
+
+
+@query("x244_bigram_lm_nll", oracle=_x244_oracle())
+def x244_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.text import bigram_lm_nll
+
+    return bigram_lm_nll(table(spark, sf_dir, "documents"))
