@@ -423,6 +423,8 @@ def test_construction_job_sweep_is_exactly_the_allowlist(spark):
         # r13: x242 builds + mutates a table, then reads through the
         # batch snapshot DataSource — construction IS the lifecycle
         "x242_snapshot_datasource_read",
+        # r13: x245 creates, widens, and merges a table at construction
+        "x245_type_widening",
         # index builders / pivot quantizers (centroids-sized collects)
         "x32_ivf_topk", "x155_ivf_index_search", "x158_mmr_rerank",
         "x159_ivfpq_index_search", "x160_ann_recall_eval",

@@ -131,3 +131,27 @@ def test_snapshot_refusals_are_loud(spark, t):
     vacuum(t, keep_last=2)
     with pytest.raises(Exception, match="not retained"):
         _snap(spark, t, version=1).collect()
+
+
+def test_snapshot_reads_widened_types(spark, t):
+    """After widen_column_type, the DataSource's Arrow cast upcasts
+    old narrow files to the widened declared schema exactly."""
+    from video_streamer_spark.operators.table_format import (
+        merge_table,
+        widen_column_type,
+    )
+
+    widen_column_type(t, "tag", "bigint")
+    merge_table(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(1, 1.0, 1 << 40, "U")],
+            "k bigint, v double, tag bigint, __op string",
+        ),
+    )
+    got = {r["k"]: r["tag"] for r in _snap(spark, t).collect()}
+    assert got[1] == (1 << 40) and got[4] == 1
+    assert dict(_snap(spark, t).dtypes)["tag"] == "bigint"
+    # the pre-widen pin keeps the narrow schema
+    assert dict(_snap(spark, t, version=1).dtypes)["tag"] == "int"

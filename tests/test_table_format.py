@@ -4398,3 +4398,137 @@ def test_concurrent_set_not_null_conflicts_stale_merge(spark, store_path):
             base_version=base_v,
             read_buckets=set(),
         )
+
+
+def test_widen_column_type_lifecycle(spark, store_path, tmp_path):
+    """Type widening (schema-evolution leg 3): metadata-only commit,
+    old narrow files read exactly under the widened schema, post-widen
+    writes land wide values past the old type's range, time travel to
+    the pre-widen version keeps the narrow schema, the change feed
+    diffs across the boundary without phantom updates, and the
+    refusals hold (key column, bloom column, narrowing, lossy pairs,
+    unknown column); repeat-widening converges (retry contract)."""
+    from video_streamer_spark.operators.table_format import (
+        table_changes,
+        widen_column_type,
+    )
+
+    path = store_path
+    base = spark.range(0, 12).select(
+        F.col("id").cast("bigint").alias("k"),
+        (F.col("id") * 10).cast("int").alias("n"),
+        (F.col("id") * 0.5).cast("float").alias("x"),
+    )
+    create_table(base, path, ["k"], n_buckets=2)  # v1
+    with pytest.raises(ValueError, match="key column"):
+        widen_column_type(path, "k", "double")
+    with pytest.raises(ValueError, match="not lossless"):
+        widen_column_type(path, "n", "smallint")  # narrowing
+    with pytest.raises(ValueError, match="not lossless"):
+        widen_column_type(path, "n", "double")  # not in the ladder
+    with pytest.raises(ValueError, match="not in the table schema"):
+        widen_column_type(path, "nope", "bigint")
+    assert widen_column_type(path, "n", "bigint") == 2
+    assert widen_column_type(path, "n", "bigint") == 2, "retry converges"
+    assert widen_column_type(path, "x", "double") == 3
+    # old (narrow) files read exactly under the widened schema
+    snap = read_table(spark, path)
+    assert dict(snap.dtypes)["n"] == "bigint"
+    assert dict(snap.dtypes)["x"] == "double"
+    got = {r["k"]: (r["n"], r["x"]) for r in snap.collect()}
+    assert got[3] == (30, 1.5)
+    # post-widen write: a value far past int32 lands
+    big = 1 << 40
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, big, 9.25, "U")],
+            "k bigint, n bigint, x double, __op string",
+        ),
+    )  # v4
+    assert {
+        r["n"] for r in read_table(spark, path).where("k = 1").collect()
+    } == {big}
+    # time travel: the pre-widen version keeps its narrow schema
+    v1 = read_table(spark, path, version=1)
+    assert dict(v1.dtypes)["n"] == "int"
+    assert v1.where("k = 1").collect()[0]["n"] == 10
+    # the change feed across the widening boundary: exactly one update
+    # (the merged key), no phantom diffs from the upcast re-read
+    feed = table_changes(spark, path, 1, 4)
+    rows = {(r["k"], r["_change_type"]) for r in feed.collect()}
+    assert rows == {(1, "update_postimage")}
+    # bloom-column refusal: a bloom's hash streams were computed at
+    # the old type, so widening the column would veto real keys
+    from video_streamer_spark.operators.table_format import create_table as ct
+
+    p2 = str(tmp_path / "bloomed")
+    ct(
+        spark.range(0, 8).select(
+            F.col("id").alias("k"), F.col("id").cast("int").alias("n")
+        ),
+        p2,
+        ["k"],
+        n_buckets=2,
+        bloom_cols=["n"],
+    )
+    with pytest.raises(ValueError, match="bloom"):
+        widen_column_type(p2, "n", "bigint")
+
+
+def test_cdf_stream_fails_loudly_on_mid_stream_widening(
+    spark, store_path, tmp_path
+):
+    """A table_cdf stream whose declared schema predates a
+    widen_column_type must fail BY NAME when the next window planning
+    sees the widened manifest — emitting wide values through the
+    pinned narrow type would overflow or silently coerce (same
+    restart contract as the add_column guard)."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from video_streamer_spark.operators.table_format import (
+        widen_column_type,
+    )
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    path = store_path
+    create_table(
+        spark.range(0, 6).select(
+            F.col("id").alias("k"), F.col("id").cast("int").alias("n")
+        ),
+        path,
+        ["k"],
+        n_buckets=2,
+    )
+    register_cdf_source(spark)
+    feed = (
+        spark.readStream.format("table_cdf").option("path", path).load()
+    )  # declared schema pinned NARROW here
+    out, ck = str(tmp_path / "o"), str(tmp_path / "c")
+    q = (
+        feed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, 120, "widen_guard_warm")
+    widen_column_type(path, "n", "bigint")
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, 1 << 40, "U")], "k bigint, n bigint, __op string"
+        ),
+    )
+    q2 = (
+        feed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="type changed"):
+        q2.awaitTermination()

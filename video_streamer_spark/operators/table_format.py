@@ -1806,6 +1806,93 @@ def add_column(path: str, name: str, ddl_type: str) -> int:
     return base_v + 1
 
 
+# Lossless widenings only (the Iceberg type-promotion set plus the
+# small-int ladder): every value representable in the old type is
+# exactly representable in the new, so old data files read under the
+# widened schema are value-identical (Spark's parquet reader upcasts
+# natively — probed on int32→int64/float32→float64 files). bigint →
+# double is deliberately ABSENT (lossy past 2^53), as is any
+# narrowing.
+_SAFE_WIDENINGS = {
+    "tinyint": {"smallint", "int", "bigint"},
+    "smallint": {"int", "bigint"},
+    "int": {"bigint"},
+    "float": {"double"},
+}
+
+
+def widen_column_type(path: str, name: str, new_type: str) -> int:
+    """Schema evolution leg 3: widen a non-key column's type as a
+    METADATA-ONLY commit (Iceberg's type promotion / Delta's type
+    widening). No data file is touched — readers state the widened
+    schema explicitly and Spark's parquet scan upcasts old files'
+    narrower physical values natively; buckets rewritten later
+    materialize the wide type. Only the lossless ladder is legal
+    (``_SAFE_WIDENINGS``); narrowing and lossy pairs refuse.
+
+    Key columns refuse: the key hash IS the physical layout and
+    ``xxhash64`` is type-sensitive, so widening a key would re-route
+    every existing key to a different bucket (the same reason bloom
+    columns refuse — their hash streams were computed at the old
+    type; drop the bloom first, widen, re-declare).
+
+    IDEMPOTENT on exact repeats (column already AT ``new_type``
+    returns the current version — ambiguous-retry convergence, same
+    contract as ``add_column``). Readers on the OLD schema: time
+    travel to a pre-widening version reads with that version's
+    narrower schema against files that are all narrow at that version
+    — exact; the streaming CDF's pinned declared schema detects the
+    type change and fails loudly asking for a restart."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    base_v = current_version(path)
+    doc = _read_manifest(path, base_v)
+    schema = _table_schema(doc)
+    fields = {f.name: f for f in schema.fields}
+    if name not in fields:
+        raise ValueError(
+            f"column {name!r} is not in the table schema "
+            f"{[f.name for f in schema.fields]}"
+        )
+    if name in doc["key_cols"]:
+        raise ValueError(
+            f"key column {name!r} cannot be widened: the key hash is "
+            "the bucket layout and xxhash64 is type-sensitive — every "
+            "existing key would re-route"
+        )
+    bloom_cols = set((doc.get("bloom") or {}).get("cols", []))
+    if name in bloom_cols:
+        raise ValueError(
+            f"column {name!r} carries a bloom filter built at its "
+            "current type (xxhash64 is type-sensitive): drop the bloom "
+            "first, widen, then re-declare it"
+        )
+    old = fields[name].dataType.simpleString()
+    target = _parse_datatype_string(new_type)
+    new = target.simpleString()
+    if new == old:
+        return base_v  # retry of our own durable widening: converge
+    if new not in _SAFE_WIDENINGS.get(old, set()):
+        raise ValueError(
+            f"widening {old} -> {new} is not lossless; legal "
+            f"promotions: {_SAFE_WIDENINGS}"
+        )
+    new_schema = StructType(
+        [
+            StructField(f.name, target if f.name == name else f.dataType,
+                        f.nullable)
+            for f in schema.fields
+        ]
+    )
+    new_doc = dict(doc)
+    new_doc["version"] = base_v + 1
+    new_doc["schema"] = new_schema.json()
+    new_doc.pop("layout_only", None)
+    new_doc.pop("restored_from", None)
+    _commit_manifest(path, base_v + 1, new_doc)
+    return base_v + 1
+
+
 def drop_column(path: str, name: str) -> int:
     """Schema evolution: DROP a non-key column as a METADATA-ONLY
     commit. No data file is touched — readers project to the manifest

@@ -22,6 +22,7 @@ Grammar (keywords case-insensitive, ``<n>`` a decimal integer,
     ALTER TABLE <ident> ADD COLUMN <c> <type> | DROP COLUMN <c>
         | ADD CONSTRAINT <n> CHECK (<expr>) | DROP CONSTRAINT <n>
         | ALTER COLUMN <c> SET NOT NULL | ALTER COLUMN <c> DROP NOT NULL
+        | ALTER COLUMN <c> TYPE <type>   -- lossless widening only
     SHOW CREATE TABLE <ident>
     DESCRIBE HISTORY <ident>
     RESTORE TABLE <ident> TO VERSION [AS OF] <n>
@@ -856,6 +857,7 @@ def _alter(
         drop_constraint,
         drop_not_null,
         set_not_null,
+        widen_column_type,
     )
 
     forms = (
@@ -868,6 +870,8 @@ def _alter(
         r"SET\s+NOT\s+NULL",
         rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+"
         r"DROP\s+NOT\s+NULL",
+        rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+"
+        rf"TYPE\s+({_IDENT})",
     )
     for i, pat in enumerate(forms):
         m = re.fullmatch(pat, stmt, re.IGNORECASE | re.DOTALL)
@@ -884,14 +888,16 @@ def _alter(
             v = drop_constraint(path, m.group(2))
         elif i == 4:
             v = set_not_null(spark, path, m.group(2))
-        else:
+        elif i == 5:
             v = drop_not_null(path, m.group(2))
+        else:
+            v = widen_column_type(path, m.group(2), m.group(3))
         return _version_df(spark, v)
     raise TableSqlError(
         "supported forms: ALTER TABLE <t> ADD COLUMN <c> <type> | "
         "DROP COLUMN <c> | ADD CONSTRAINT <n> CHECK (<expr>) | "
         "DROP CONSTRAINT <n> | ALTER COLUMN <c> SET NOT NULL | "
-        "ALTER COLUMN <c> DROP NOT NULL"
+        "ALTER COLUMN <c> DROP NOT NULL | ALTER COLUMN <c> TYPE <type>"
     )
 
 

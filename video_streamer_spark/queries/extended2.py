@@ -2632,3 +2632,73 @@ def x244_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_streamer_spark.operators.text import bigram_lm_nll
 
     return bigram_lm_nll(table(spark, sf_dir, "documents"))
+
+
+# x245 — TYPE WIDENING (schema evolution leg 3, Iceberg's type
+# promotion / Delta's type widening): ALTER COLUMN … TYPE widens a
+# non-key column losslessly as a METADATA-ONLY commit — old narrow
+# parquet files read exactly under the widened schema (Spark's scan
+# upcasts natively; no rewrite at any table size), later writes land
+# values past the old type's range, and time travel keeps each
+# version's own schema. The lifecycle: create with an int metric,
+# widen to bigint via the statement surface, merge a value past 2^31,
+# then aggregate the final state alongside the pre-widen snapshot. The
+# oracle restates both states closed-form; a lossy upcast, a
+# mis-scoped widening, or a pre-widen read through the wrong schema
+# lands as a value mismatch. Refusals (key/bloom columns — xxhash64 is
+# type-sensitive; narrowing; lossy pairs) are pinned by
+# tests/test_table_format.py::test_widen_column_type_lifecycle.
+@query(
+    "x245_type_widening",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+        CAST(o_orderkey % 1000000 AS BIGINT) AS metric
+      FROM orders WHERE o_orderkey % 11 = 0),
+    cur AS (
+      SELECT k, CASE WHEN k % 22 = 0
+                     THEN metric + 1099511627776 ELSE metric END AS metric
+      FROM base)
+    SELECT 'v1' AS tag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(metric) AS BIGINT) AS total
+    FROM base
+    UNION ALL
+    SELECT 'cur', CAST(COUNT(*) AS BIGINT), CAST(SUM(metric) AS BIGINT)
+    FROM cur
+    """,
+)
+def x245_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        merge_into,
+        read_table,
+    )
+    from video_streamer_spark.operators.table_sql import table_sql
+
+    path = _fresh_run_dir(spark, sf_dir, "vss-widen")
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 1000000).cast("int").alias("metric"),
+    )
+    create_table(
+        orders.where("k % 11 = 0"), path, ["k"], n_buckets=8
+    )  # v1: metric is INT
+    T = {"tt": path}
+    table_sql(spark, "ALTER TABLE tt ALTER COLUMN metric TYPE bigint", T)
+    chg = orders.where("k % 22 = 0").select(
+        "k",
+        (F.col("metric").cast("bigint") + F.lit(1 << 40)).alias("metric"),
+    )
+    merge_into(spark, path, chg, when_matched_update="all",
+               when_not_matched_insert=None)
+
+    def agg(tag: str, version: int | None) -> DataFrame:
+        return read_table(spark, path, version=version).agg(
+            F.lit(tag).alias("tag"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("metric").cast("bigint")).cast("bigint").alias(
+                "total"
+            ),
+        ).select("tag", "n_rows", "total")
+
+    return agg("v1", 1).unionByName(agg("cur", None))

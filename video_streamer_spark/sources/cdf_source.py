@@ -393,6 +393,34 @@ class _CdfStreamReader(DataSourceStreamReader):
                 f"{sorted(declared)}, now {sorted(current)}); restart "
                 "the table_cdf stream to pick up the evolved schema"
             )
+        # a TYPE change (widen_column_type) under the pinned schema is
+        # as fatal as a new column: emitting wide values through the
+        # narrow declared type would overflow or silently coerce —
+        # fail by name, ask for a restart (same Delta readChangeFeed
+        # contract as the name check above)
+        declared_types = {
+            f.name: f.dataType.simpleString() for f in self.table_fields
+        }
+        # parse the manifest schema (its raw JSON spells types "long"/
+        # "integer"; simpleString spells "bigint"/"int" — compare like
+        # with like or every column flags as retyped)
+        current_types = {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromJson(
+                json.loads(doc_b["schema"])
+            ).fields
+        }
+        retyped = sorted(
+            n
+            for n, t in current_types.items()
+            if n in declared_types and declared_types[n] != t
+        )
+        if retyped:
+            raise RuntimeError(
+                f"column type changed under the stream for {retyped} "
+                "(widen_column_type); restart the table_cdf stream to "
+                "pick up the widened schema"
+            )
         try:
             doc_a = (
                 None
