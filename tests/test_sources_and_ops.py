@@ -3177,11 +3177,12 @@ def test_pack_sequences_composite_key_bounds_task_size(spark):
 
 
 def test_bigram_lm_nll_hand_computed(spark):
-    """CCNet-style bigram NLL on a crafted 2-doc corpus where every
-    count is hand-checkable: corpus tokens = [a b a b] + [a c], so
-    V = 3, c1(a) = 3, c1(b) = 2, c1(c) = 1; bigrams: 'a b'x2, 'b a'x1,
-    'a c'x1. Doc 1 terms: ln(3+3)-ln(2+1), ln(2+3)-ln(1+1),
-    ln(3+3)-ln(2+1); doc 2: ln(3+3)-ln(1+1)."""
+    """CCNet-style bigram NLL on a crafted corpus where every count is
+    hand-checkable: tokens = [a b a b] + [a c] + [solo] — the model
+    trains on ALL tokens (the 1-token doc contributes vocabulary), so
+    V = 4, c1(a) = 3, c1(b) = 2, c1(c) = 1; scored bigrams: 'a b'x2,
+    'b a'x1, 'a c'x1. Doc 1 terms: ln(3+4)-ln(2+1), ln(2+4)-ln(1+1),
+    ln(3+4)-ln(2+1); doc 2: ln(3+4)-ln(1+1); doc 3 scores nothing."""
     import math
 
     from video_streamer_spark.operators.text import bigram_lm_nll
@@ -3201,10 +3202,10 @@ def test_bigram_lm_nll_hand_computed(spark):
         return math.floor(x * 1e6 + 0.5) / 1e6
 
     d1 = (
-        (q6(math.log(6)) - q6(math.log(3)))
-        + (q6(math.log(5)) - q6(math.log(2)))
-        + (q6(math.log(6)) - q6(math.log(3)))
+        (q6(math.log(7)) - q6(math.log(3)))
+        + (q6(math.log(6)) - q6(math.log(2)))
+        + (q6(math.log(7)) - q6(math.log(3)))
     ) / 3
-    d2 = q6(math.log(6)) - q6(math.log(2))
+    d2 = q6(math.log(7)) - q6(math.log(2))
     assert got[1][0] == 3 and abs(got[1][1] - d1) < 1e-6
     assert got[2][0] == 1 and abs(got[2][1] - d2) < 1e-6

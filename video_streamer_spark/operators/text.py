@@ -221,21 +221,29 @@ def bigram_lm_nll(
     counts — stop-bigram keys are the skew to watch, which AQE's
     skew-join split handles (the count side is already one row per
     gram, so only the probe side fans out). The vocab size is ONE
-    aggregated row cross-joined broadcast — no collect, no UDF.
-    Returns (id_col, n_bigrams, nll); documents with < 2 tokens carry
-    no bigram and are absent (they have no conditional likelihood).
+    aggregated row (a row-count over the unigram table — V is by
+    definition |c1|, so no extra pass) cross-joined broadcast — no
+    collect, no UDF. The bigram projection is pool-persisted so the
+    corpus is scanned ONCE, not once per count table (plan audit:
+    4 FileScans → 1). Returns (id_col, n_bigrams, nll); documents
+    with < 2 tokens carry no bigram and are absent (they have no
+    conditional likelihood).
     """
+    from video_streamer_spark.functions.caching import bounded_persist
     from video_streamer_spark.functions.parity import qdec6, round6
 
-    toks = docs.select(
-        F.col(id_col), tokens_col(text_col).alias("__toks")
-    ).where(F.size("__toks") >= 2)
-    tok = toks.select(
-        id_col, F.explode("__toks").alias("__w")
+    # the MODEL trains on every token (a 1-token doc still contributes
+    # unigram mass and vocabulary); only the SCORED bigrams need >= 2
+    toks = bounded_persist(
+        docs.select(
+            F.col(id_col), tokens_col(text_col).alias("__toks")
+        ).where(F.size("__toks") >= 1),
+        "bigram-lm-toks",
     )
+    tok = toks.select(id_col, F.explode("__toks").alias("__w"))
     c1 = tok.groupBy("__w").agg(F.count("*").alias("__c1"))
-    vocab = tok.agg(F.countDistinct("__w").alias("__v"))
-    bi = toks.select(
+    vocab = c1.agg(F.count("*").alias("__v"))
+    bi = toks.where(F.size("__toks") >= 2).select(
         F.col(id_col),
         F.explode(
             F.zip_with(
