@@ -425,6 +425,8 @@ def test_construction_job_sweep_is_exactly_the_allowlist(spark):
         "x242_snapshot_datasource_read",
         # r13: x245 creates, widens, and merges a table at construction
         "x245_type_widening",
+        # r13: x246 runs the three-family MERGE at construction
+        "x246_merge_by_source",
         # index builders / pivot quantizers (centroids-sized collects)
         "x32_ivf_topk", "x155_ivf_index_search", "x158_mmr_rerank",
         "x159_ivfpq_index_search", "x160_ann_recall_eval",

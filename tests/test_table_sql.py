@@ -463,3 +463,87 @@ def test_merge_set_unknown_and_key_columns_refused(spark, t):
             sources={"chg": src},
         )
     assert current_version(t["dets"]) == 1
+
+
+def test_merge_not_matched_by_source_clauses(spark, t):
+    """Delta's third clause family through the statement surface:
+    target rows no source key matches can be deleted or updated
+    (t.-expressions only, fixed DELETE-before-UPDATE order); INSERT
+    and SET * are refused there; plain NOT MATCHED [BY TARGET] keeps
+    its meaning. The classification is a full anti-join, so the
+    commit's read set covers every bucket (serializable)."""
+    # dets keys 0..19 (v = k*10); source covers 10..24
+    v = table_sql(
+        spark,
+        "MERGE INTO dets t USING chg s ON s.k = t.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED BY TARGET THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND t.k < 3 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE AND CASE WHEN t.k < 6 THEN true "
+        "ELSE false END THEN UPDATE SET v = -t.v",
+        t,
+        sources={"chg": _src(spark)},
+    ).collect()[0]["version"]
+    assert v == 2
+    got = {r["k"]: r["v"] for r in read_table(spark, t["dets"]).collect()}
+    # 0,1,2 deleted; 3,4,5 negated; 6..9 untouched; 10..19 updated to
+    # source values; 20..24 inserted
+    assert set(got) == set(range(3, 25))
+    assert got[3] == -30.0 and got[5] == -50.0
+    assert got[7] == 70.0
+    assert got[12] == 12.0 and got[24] == 24.0
+    # refusals: INSERT / SET * on the by-source side
+    for stmt, msg in [
+        (
+            "MERGE INTO dets t USING chg s ON s.k = t.k "
+            "WHEN NOT MATCHED BY SOURCE THEN INSERT *",
+            "only DELETE",
+        ),
+        (
+            "MERGE INTO dets t USING chg s ON s.k = t.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+            "no source row",
+        ),
+    ]:
+        with pytest.raises(TableSqlError, match=msg):
+            table_sql(spark, stmt, t, sources={"chg": _src(spark)})
+    assert current_version(t["dets"]) == 2
+
+
+def test_merge_by_source_widens_occ_read_set(spark, t):
+    """A BY SOURCE merge classified before ANY concurrent write must
+    re-raise — its classification read every bucket, so no winner is
+    rebasable past it."""
+    from video_streamer_spark.operators.table_format import (
+        VersionConflictError,
+        merge_into,
+        merge_table,
+    )
+
+    path = t["dets"]
+    src = _src(spark).where("k < 12")  # matched-only keys
+    # pin classification at v1, then land a concurrent writer touching
+    # a bucket the source keys do NOT route to
+    import video_streamer_spark.operators.table_format as tf
+
+    base_v = current_version(path)
+    # concurrent winner: update key 19 (likely a different bucket)
+    merge_table(
+        spark,
+        path,
+        spark.createDataFrame([(19, 0.5, "U")], "k bigint, v double, __op string"),
+    )
+    # a by-source merge computed against the stale base must conflict:
+    # simulate by calling the operator with base pinned via monkey
+    # construction — the public path recomputes current_version, so
+    # drive merge_table directly with the stale base + full read set
+    with pytest.raises(VersionConflictError):
+        merge_table(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(0, 1.0, "D")], "k bigint, v double, __op string"
+            ),
+            base_version=base_v,
+            read_buckets=set(range(4)),
+        )

@@ -2301,6 +2301,9 @@ def merge_into(
     when_matched_delete_condition: str | None = None,
     when_not_matched_insert: dict[str, str] | str | None = "all",
     when_not_matched_insert_condition: str | None = None,
+    when_not_matched_by_source_update: dict[str, str] | None = None,
+    when_not_matched_by_source_update_condition: str | None = None,
+    when_not_matched_by_source_delete_condition: str | None = None,
     idempotency_key: str | None = None,
     tombstone_pure_deletes: bool = False,
 ) -> int:
@@ -2308,6 +2311,21 @@ def merge_into(
     vocabulary): classify each source row as matched/not-matched
     against the CURRENT snapshot, apply the clause expressions, and
     land the result as ONE atomic ``merge_table`` changeset.
+
+    ``when_not_matched_by_source_*`` (Delta 2.4's third clause family)
+    acts on TARGET rows no source key matches — the sync-job surface
+    (retire rows absent from today's extract, flag rows a feed stopped
+    covering). Expressions and conditions reference ``t.`` only (there
+    is no source row, Delta's own restriction); the update takes a
+    ``{col: sql_expr}`` dict (never ``"all"``); DELETE evaluates
+    before UPDATE (the fixed clause order, as for matched). COST
+    CLASS: discovering ABSENCE requires reading every table key, so
+    any BY SOURCE clause turns the classification into one full
+    snapshot anti-join and the commit's read set into EVERY bucket
+    (still serializable; still one atomic commit; the WRITE stays
+    churn-priced — only rows a clause actually touches enter the
+    changeset). ``sync_table`` remains the whole-table replace
+    spelling; this is the conditional form.
 
     The ON condition is implicitly equality on the table's KEY columns
     — deliberately: the key hash is the physical layout, so a key-ON
@@ -2358,8 +2376,15 @@ def merge_into(
         when_matched_update is None
         and when_matched_delete_condition is None
         and when_not_matched_insert is None
+        and when_not_matched_by_source_update is None
+        and when_not_matched_by_source_delete_condition is None
     ):
         raise ValueError("merge_into needs at least one WHEN clause")
+    if when_not_matched_by_source_update == "all":
+        raise ValueError(
+            "when_not_matched_by_source_update cannot be 'all': there "
+            "is no source row to copy — pass {col: sql_expr} over t."
+        )
     base_v = current_version(path)
     doc = _read_retained_manifest(path, base_v)
     key_cols = doc["key_cols"]
@@ -2390,6 +2415,10 @@ def merge_into(
     for clause_name, clause in (
         ("when_matched_update", when_matched_update),
         ("when_not_matched_insert", when_not_matched_insert),
+        (
+            "when_not_matched_by_source_update",
+            when_not_matched_by_source_update,
+        ),
     ):
         if isinstance(clause, dict):
             bad = sorted(set(clause) - set(table_cols))
@@ -2509,6 +2538,63 @@ def merge_into(
                 F.lit("I").alias(OP_COL),
             )
         )
+    by_source = (
+        when_not_matched_by_source_update is not None
+        or when_not_matched_by_source_delete_condition is not None
+    )
+    if by_source:
+        # Absence discovery is table-priced by nature: one full
+        # snapshot anti-join against the (churn-sized, broadcastable)
+        # source key set. The commit's read set widens to EVERY bucket
+        # — the classification looked at all of them, so a concurrent
+        # writer anywhere must conflict, never be rebased past.
+        snap = read_table(spark, path, version=base_v)
+        skeys = source.select(
+            *[F.col(k).cast(types[k]).alias(k) for k in key_cols]
+        ).distinct()
+        anti_on = None
+        for k in key_cols:
+            p = F.col(f"t.{k}").eqNullSafe(F.col(f"sk.{k}"))
+            anti_on = p if anti_on is None else (anti_on & p)
+        unmatched_t = snap.alias("t").join(
+            F.broadcast(skeys.alias("sk")), anti_on, "left_anti"
+        )
+        if when_not_matched_by_source_delete_condition is not None:
+            branches.append(
+                unmatched_t.where(
+                    F.expr(when_not_matched_by_source_delete_condition)
+                ).select(
+                    *[F.col(f"t.{k}").alias(k) for k in key_cols],
+                    *[F.col(f"t.{c}").alias(c) for c in non_key_cols],
+                    F.lit("D").alias(OP_COL),
+                )
+            )
+        if when_not_matched_by_source_update is not None:
+            upd_bs = F.lit(True)
+            if when_not_matched_by_source_delete_condition is not None:
+                upd_bs = ~F.expr(
+                    when_not_matched_by_source_delete_condition
+                )
+            if when_not_matched_by_source_update_condition is not None:
+                upd_bs = upd_bs & F.expr(
+                    when_not_matched_by_source_update_condition
+                )
+            clause_bs = when_not_matched_by_source_update
+            branches.append(
+                unmatched_t.where(upd_bs).select(
+                    *[F.col(f"t.{k}").alias(k) for k in key_cols],
+                    *[
+                        (
+                            F.expr(clause_bs[c])
+                            if c in clause_bs
+                            else F.col(f"t.{c}")
+                        ).alias(c)
+                        for c in non_key_cols
+                    ],
+                    F.lit("U").alias(OP_COL),
+                )
+            )
+        read_buckets = set(range(doc["n_buckets"]))
     changes = branches[0]
     for b in branches[1:]:
         changes = changes.unionByName(b)

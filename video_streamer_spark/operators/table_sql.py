@@ -39,8 +39,12 @@ Grammar (keywords case-insensitive, ``<n>`` a decimal integer,
     MERGE INTO <ident> [AS] t USING <source> [AS] s ON <on-cond>
         [WHEN MATCHED [AND <cond>] THEN DELETE]
         [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = e, …]
-        [WHEN NOT MATCHED [AND <cond>] THEN INSERT * |
+        [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT * |
              INSERT (c, …) VALUES (e, …)]
+        [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
+        [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET
+             c = e, …]   -- t.-expressions only; table-priced
+                         -- classification (full anti-join)
 
     A MERGE with no WHEN NOT MATCHED clause inserts NOTHING (SQL MERGE
     semantics): unmatched source rows are simply not applied — the
@@ -325,7 +329,8 @@ def _merge(
             )
         pre, action_text = text[: thens[0][0]], text[thens[0][1] :]
         cm = re.fullmatch(
-            r"(?i)\s*(NOT\s+MATCHED|MATCHED)\s*(?:\bAND\s+(.+?))?\s*",
+            r"(?i)\s*(MATCHED|NOT\s+MATCHED(?:\s+BY\s+(SOURCE|TARGET))?)"
+            r"\s*(?:\bAND\s+(.+?))?\s*",
             pre,
             re.DOTALL,
         )
@@ -333,11 +338,13 @@ def _merge(
             raise TableSqlError(
                 f"unsupported MERGE clause `WHEN {_norm(text)}`: "
                 "supported forms are WHEN MATCHED [AND cond] THEN "
-                "DELETE | UPDATE SET … and WHEN NOT MATCHED [AND cond] "
-                "THEN INSERT …"
+                "DELETE | UPDATE SET …, WHEN NOT MATCHED [BY TARGET] "
+                "[AND cond] THEN INSERT …, and WHEN NOT MATCHED BY "
+                "SOURCE [AND cond] THEN DELETE | UPDATE SET …"
             )
         matched = "NOT" not in cm.group(1).upper()
-        cond, action = cm.group(2), _norm(action_text)
+        by_source = (cm.group(2) or "").upper() == "SOURCE"
+        cond, action = cm.group(3), _norm(action_text)
         if not re.match(
             r"(?i)(DELETE$|UPDATE\s+SET\s+|INSERT\b)", action
         ):
@@ -346,6 +353,58 @@ def _merge(
                 "DELETE, UPDATE SET …, INSERT …"
             )
         act = action.upper()
+
+        def _parse_sets(body: str) -> dict[str, str]:
+            sets: dict[str, str] = {}
+            for a in _split_top(body, ","):
+                am = re.fullmatch(
+                    rf"(?:t\.)?({_IDENT})\s*=\s*(.+)", a, re.DOTALL
+                )
+                if not am:
+                    raise TableSqlError(
+                        f"unsupported SET assignment {a!r}: use "
+                        "`[t.]<col> = <expr>`"
+                    )
+                sets[am.group(1)] = am.group(2).strip()
+            return sets
+
+        if by_source:
+            # Delta 2.4's third clause family: target rows no source
+            # key matches. Expressions reference t. only (no source
+            # row exists); INSERT is meaningless here.
+            if act == "DELETE":
+                if "when_not_matched_by_source_delete_condition" in kwargs:
+                    raise TableSqlError(
+                        "duplicate WHEN NOT MATCHED BY SOURCE … DELETE"
+                    )
+                kwargs["when_not_matched_by_source_delete_condition"] = (
+                    cond or "TRUE"
+                )
+            elif act.startswith("UPDATE SET"):
+                if "when_not_matched_by_source_update" in kwargs:
+                    raise TableSqlError(
+                        "duplicate WHEN NOT MATCHED BY SOURCE … UPDATE"
+                    )
+                body = action[len("UPDATE SET") :].strip()
+                if body == "*":
+                    raise TableSqlError(
+                        "WHEN NOT MATCHED BY SOURCE cannot UPDATE SET *"
+                        " — there is no source row to copy; assign "
+                        "explicit `t.`-expressions"
+                    )
+                kwargs["when_not_matched_by_source_update"] = _parse_sets(
+                    body
+                )
+                if cond:
+                    kwargs[
+                        "when_not_matched_by_source_update_condition"
+                    ] = cond
+            else:
+                raise TableSqlError(
+                    "WHEN NOT MATCHED BY SOURCE supports only DELETE "
+                    f"and UPDATE SET … (got `{action}`)"
+                )
+            continue
         if matched and act == "DELETE":
             if "when_matched_delete_condition" in kwargs:
                 raise TableSqlError("duplicate WHEN MATCHED … DELETE")
@@ -358,18 +417,7 @@ def _merge(
             if body == "*":
                 kwargs["when_matched_update"] = "all"
             else:
-                sets = {}
-                for a in _split_top(body, ","):
-                    am = re.fullmatch(
-                        rf"(?:t\.)?({_IDENT})\s*=\s*(.+)", a, re.DOTALL
-                    )
-                    if not am:
-                        raise TableSqlError(
-                            f"unsupported SET assignment {a!r}: use "
-                            "`[t.]<col> = <expr>`"
-                        )
-                    sets[am.group(1)] = am.group(2).strip()
-                kwargs["when_matched_update"] = sets
+                kwargs["when_matched_update"] = _parse_sets(body)
             if cond:
                 kwargs["when_matched_update_condition"] = cond
         elif not matched and act.startswith("INSERT"):

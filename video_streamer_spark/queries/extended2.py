@@ -2702,3 +2702,79 @@ def x245_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("tag", "n_rows", "total")
 
     return agg("v1", 1).unionByName(agg("cur", None))
+
+
+# x246 — THREE-FAMILY MERGE (Delta 2.4's WHEN NOT MATCHED BY SOURCE):
+# one statement exercises all three clause families — matched update,
+# not-matched-by-target insert, and the by-source delete + update that
+# a sync job types to retire rows its extract stopped covering. The
+# by-source classification is table-priced by nature (absence is a
+# full anti-join) and the commit's read set widens to every bucket
+# (serializable — a concurrent writer anywhere conflicts); the WRITE
+# stays churn-priced. The oracle re-derives the surviving state
+# closed-form per k % 42 stripe, so a mis-classified row in any family
+# (matched row hitting a by-source clause, unmatched row inserted by a
+# matched-only statement, wrong DELETE-before-UPDATE order) lands as a
+# value mismatch.
+@query(
+    "x246_merge_by_source",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p
+      FROM orders WHERE o_orderkey % 7 = 0),
+    ins AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) + 1.0 AS p
+      FROM orders WHERE o_orderkey % 7 = 3),
+    cur AS (
+      SELECT k, CASE WHEN k % 14 = 0 THEN p + p
+                     WHEN k % 21 = 14 THEN 0.0 - p
+                     ELSE p END AS p
+      FROM base WHERE NOT (k % 14 <> 0 AND k % 21 = 7)
+      UNION ALL SELECT k, p FROM ins)
+    SELECT CAST(k % 42 AS BIGINT) AS grp,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(p * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+        AS total
+    FROM cur GROUP BY 1
+    """,
+)
+def x246_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark.operators.table_format import create_table
+    from video_streamer_spark.operators.table_sql import table_sql
+
+    path = _fresh_run_dir(spark, sf_dir, "vss-bysource")
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    create_table(
+        orders.where("k % 7 = 0"), path, ["k"], n_buckets=8
+    )
+    T = {"tt": path}
+    table_sql(
+        spark,
+        """
+        MERGE INTO tt AS t USING chg AS s ON s.k = t.k
+        WHEN MATCHED THEN UPDATE SET price = t.price + s.price
+        WHEN NOT MATCHED BY TARGET THEN
+          INSERT (k, price) VALUES (s.k, s.price + 1.0)
+        WHEN NOT MATCHED BY SOURCE AND t.k % 21 = 7 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE AND t.k % 21 = 14 THEN
+          UPDATE SET price = 0.0 - t.price
+        """,
+        T,
+        sources={
+            "chg": orders.where("k % 14 = 0 OR k % 7 = 3")
+        },
+    )
+    return table_sql(
+        spark,
+        """
+        SELECT CAST(k % 42 AS BIGINT) AS grp,
+          CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CAST(FLOOR(price * 100.0) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS total
+        FROM tt GROUP BY CAST(k % 42 AS BIGINT)
+        """,
+        T,
+    )
