@@ -547,3 +547,31 @@ def test_merge_by_source_widens_occ_read_set(spark, t):
             base_version=base_v,
             read_buckets=set(range(4)),
         )
+
+
+def test_create_table_shallow_clone_statement(spark, t, tmp_path):
+    """CREATE TABLE … SHALLOW CLONE routes to clone_table, honors
+    version/timestamp pins, and refuses an existing destination."""
+    import time as _time
+
+    t1 = _time.time()
+    _time.sleep(0.05)
+    table_sql(spark, "DELETE FROM dets WHERE k >= 10", t)  # v2
+    T = {**t, "cl": str(tmp_path / "cl"), "cl2": str(tmp_path / "cl2")}
+    v = table_sql(
+        spark, "CREATE TABLE cl SHALLOW CLONE dets", T
+    ).collect()[0]["version"]
+    assert v == 1
+    assert read_table(spark, T["cl"]).count() == 10  # current state
+    table_sql(
+        spark,
+        f"CREATE TABLE cl2 SHALLOW CLONE dets TIMESTAMP AS OF '{t1}'",
+        T,
+    )
+    assert read_table(spark, T["cl2"]).count() == 20  # pre-delete pin
+    with pytest.raises(TableSqlError, match="already exists"):
+        table_sql(spark, "CREATE TABLE cl SHALLOW CLONE dets", T)
+    # version pin through a fresh name
+    T["cl3"] = str(tmp_path / "cl3")
+    table_sql(spark, "CREATE TABLE cl3 SHALLOW CLONE dets VERSION AS OF 1", T)
+    assert read_table(spark, T["cl3"]).count() == 20

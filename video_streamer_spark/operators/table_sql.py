@@ -19,6 +19,8 @@ Grammar (keywords case-insensitive, ``<n>`` a decimal integer,
 ``<ident>`` a name registered in the ``tables`` mapping)::
 
     CREATE TABLE <ident> KEY (c, …) [BUCKETS <n>] AS <select>
+    CREATE TABLE <ident> SHALLOW CLONE <ident>
+        [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
     ALTER TABLE <ident> ADD COLUMN <c> <type> | DROP COLUMN <c>
         | ADD CONSTRAINT <n> CHECK (<expr>) | DROP CONSTRAINT <n>
         | ALTER COLUMN <c> SET NOT NULL | ALTER COLUMN <c> DROP NOT NULL
@@ -849,6 +851,33 @@ def _create(
     a one-statement historical snapshot) as a NEW versioned table at
     the name's registered path. Refuses an already-created table
     loudly: this format's CREATE is v1, never an implicit replace."""
+    cm = re.fullmatch(
+        rf"CREATE\s+TABLE\s+({_IDENT})\s+SHALLOW\s+CLONE\s+({_IDENT})"
+        r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+        r"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?",
+        stmt,
+        re.IGNORECASE,
+    )
+    if cm:
+        from video_streamer_spark.operators.table_format import clone_table
+
+        dst = _resolve(tables, cm.group(1))
+        src = _resolve(tables, cm.group(2))
+        try:
+            current_version(dst)
+        except FileNotFoundError:
+            pass
+        else:
+            raise TableSqlError(
+                f"table {cm.group(1)!r} already exists at {dst}: "
+                "CREATE is version 1, never a replace"
+            )
+        v = (
+            version_at_timestamp(src, _parse_ts(cm.group(4)))
+            if cm.group(4)
+            else (int(cm.group(3)) if cm.group(3) else None)
+        )
+        return _version_df(spark, clone_table(src, dst, version=v))
     m = re.fullmatch(
         rf"CREATE\s+TABLE\s+({_IDENT})\s+KEY\s*\(([^)]+)\)\s*"
         r"(?:BUCKETS\s+(\d+)\s+)?AS\s+(.+)",
@@ -857,8 +886,9 @@ def _create(
     )
     if not m:
         raise TableSqlError(
-            "supported form: CREATE TABLE <table> KEY (c, …) "
-            "[BUCKETS <n>] AS SELECT …"
+            "supported forms: CREATE TABLE <table> KEY (c, …) "
+            "[BUCKETS <n>] AS SELECT … | CREATE TABLE <table> SHALLOW "
+            "CLONE <src> [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']"
         )
     from video_streamer_spark.operators.table_format import create_table
 
