@@ -155,3 +155,21 @@ def test_snapshot_reads_widened_types(spark, t):
     assert dict(_snap(spark, t).dtypes)["tag"] == "bigint"
     # the pre-widen pin keeps the narrow schema
     assert dict(_snap(spark, t, version=1).dtypes)["tag"] == "int"
+
+
+def test_unpinned_read_is_pinned_at_load(spark, t):
+    """An option-less (current-version) load serves its LOAD-TIME
+    version at every later action — a concurrent commit must not let
+    one DataFrame pair a new manifest's buckets/mapping with the
+    load-time schema (review r13). A fresh load sees the new version."""
+    df = _snap(spark, t)
+    assert df.count() == 24
+    merge_table(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(99, 9.0, 1, "U")], "k bigint, v double, tag int, __op string"
+        ),
+    )
+    assert df.count() == 24, "loaded frame must stay pinned"
+    assert _snap(spark, t).count() == 25

@@ -4532,3 +4532,63 @@ def test_cdf_stream_fails_loudly_on_mid_stream_widening(
     )
     with pytest.raises(StreamingQueryException, match="type changed"):
         q2.awaitTermination()
+
+
+def test_cdf_type_guard_is_directional(spark, store_path):
+    """The mid-stream type guard must be DIRECTIONAL: a reader whose
+    declared schema is WIDER than a window's end manifest (the
+    restart-replaying-a-pre-widen-batch shape) is servable — a
+    symmetric check would wedge the very restart the error message
+    prescribes (review r13). Only manifest-wider-than-declared raises."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from video_streamer_spark.sources.cdf_source import (
+        CHANGE_TYPE_COL,
+        COMMIT_VERSION_COL,
+        _CdfStreamReader,
+    )
+
+    path = store_path
+    create_table(
+        spark.range(0, 6).select(
+            F.col("id").alias("k"), F.col("id").cast("int").alias("n")
+        ),
+        path,
+        ["k"],
+        n_buckets=2,
+    )  # v1: n is INT
+    wide = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("n", LongType()),  # declared WIDER than v1
+            StructField(CHANGE_TYPE_COL, StringType()),
+            StructField(COMMIT_VERSION_COL, LongType()),
+        ]
+    )
+    r = _CdfStreamReader(path, wide, 0)
+    r.key_cols = ["k"]
+    parts = r.partitions({"v": 0}, {"v": 1})  # must NOT raise
+    assert parts, "initial snapshot window should plan partitions"
+    narrow = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("n", IntegerType()),
+            StructField(CHANGE_TYPE_COL, StringType()),
+            StructField(COMMIT_VERSION_COL, LongType()),
+        ]
+    )
+    from video_streamer_spark.operators.table_format import (
+        widen_column_type,
+    )
+
+    widen_column_type(path, "n", "bigint")  # v2: manifest wider
+    r2 = _CdfStreamReader(path, narrow, 0)
+    r2.key_cols = ["k"]
+    with pytest.raises(RuntimeError, match="type changed"):
+        r2.partitions({"v": 0}, {"v": 2})

@@ -388,11 +388,11 @@ def test_insert_into_values_and_select(spark, t):
         ("INSERT INTO dets VALUES (300, 1.0), (300, 2.0)", "share a key"),
         ("INSERT INTO dets (k, nope) VALUES (1, 2)", "unknown column"),
         ("INSERT INTO dets (v) VALUES (1.0)", "key column"),
-        ("INSERT INTO dets (k, v) VALUES (1, 2, 3)", "INSERT lists 2"),
+        ("INSERT INTO dets (k, v) VALUES (1, 2, 3)", "INSERT binds 2"),
         ("INSERT INTO dets (k, k) VALUES (1, 2)", "duplicates"),
         ("INSERT INTO nope VALUES (1, 2)", "unknown table"),
     ]:
-        with pytest.raises(TableSqlError):
+        with pytest.raises(TableSqlError, match=msg):
             table_sql(spark, stmt, t)
         assert current_version(t["dets"]) == before, stmt
 

@@ -47,12 +47,33 @@ def _interval_us(interval_sec: int) -> int:
     return int(interval_sec) * 1_000_000
 
 
+def _pairable(
+    events: DataFrame, user_col: str, ts_col: str, id_col: str
+) -> DataFrame:
+    """Rows that can participate in a pair at all: non-null user, time,
+    AND id — applied IDENTICALLY by both plans. Under the theta-join
+    contract (`u1 = u2 AND ts2 BETWEEN … AND id1 <> id2`) a null in
+    any of the three excludes the row from every pair (SQL equality
+    and <> never hold on NULL), but the two physical plans would treat
+    them differently without this filter: the window plan groups NULL
+    users into one partition and its COUNT(*) frame ignores ids
+    entirely, while the join plan's conditions drop them — so
+    mode="auto"'s routing would silently change results on null rows
+    (review r13). Filtering is the oracle-exact semantics for both."""
+    return events.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    )
+
+
 def window_pair_counts(
     events: DataFrame,
     interval_sec: int = 300,
     user_col: str = "user_id",
     ts_col: str = "ts",
     group_col: str = "event_type",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """The one-exchange window plan (see module docstring). Tied
     timestamps count each other symmetrically (value-based RANGE
@@ -60,6 +81,7 @@ def window_pair_counts(
     bit-identical to the theta-join formulation."""
     from pyspark.sql import Window
 
+    events = _pairable(events, user_col, ts_col, id_col)
     w = (
         Window.partitionBy(user_col)
         .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
@@ -88,6 +110,7 @@ def join_pair_counts(
     probe matches exactly one of an anchor's two exploded rows (its
     own bucket), so no pair double-counts."""
     us = _interval_us(interval_sec)
+    events = _pairable(events, user_col, ts_col, id_col)
     e1 = events.select(
         F.col(id_col).alias("__id1"),
         F.col(user_col).alias("__u1"),
@@ -191,4 +214,5 @@ def interval_pair_counts(
         user_col=user_col,
         ts_col=ts_col,
         group_col=group_col,
+        id_col=id_col,
     )

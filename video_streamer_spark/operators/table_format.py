@@ -2544,10 +2544,13 @@ def merge_into(
     )
     if by_source:
         # Absence discovery is table-priced by nature: one full
-        # snapshot anti-join against the (churn-sized, broadcastable)
-        # source key set. The commit's read set widens to EVERY bucket
-        # — the classification looked at all of them, so a concurrent
-        # writer anywhere must conflict, never be rebased past.
+        # snapshot anti-join against the churn-sized source key set.
+        # No forced broadcast: Catalyst/AQE picks BHJ when the key set
+        # fits the threshold and falls back to a shuffled anti-join
+        # when a bulk load's keys would OOM the driver. The commit's
+        # read set widens to EVERY bucket — the classification looked
+        # at all of them, so a concurrent writer anywhere must
+        # conflict, never be rebased past.
         snap = read_table(spark, path, version=base_v)
         skeys = source.select(
             *[F.col(k).cast(types[k]).alias(k) for k in key_cols]
@@ -2557,7 +2560,7 @@ def merge_into(
             p = F.col(f"t.{k}").eqNullSafe(F.col(f"sk.{k}"))
             anti_on = p if anti_on is None else (anti_on & p)
         unmatched_t = snap.alias("t").join(
-            F.broadcast(skeys.alias("sk")), anti_on, "left_anti"
+            skeys.alias("sk"), anti_on, "left_anti"
         )
         if when_not_matched_by_source_delete_condition is not None:
             branches.append(

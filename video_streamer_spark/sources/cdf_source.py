@@ -394,10 +394,17 @@ class _CdfStreamReader(DataSourceStreamReader):
                 "the table_cdf stream to pick up the evolved schema"
             )
         # a TYPE change (widen_column_type) under the pinned schema is
-        # as fatal as a new column: emitting wide values through the
-        # narrow declared type would overflow or silently coerce —
-        # fail by name, ask for a restart (same Delta readChangeFeed
-        # contract as the name check above)
+        # fatal only in ONE direction — the window's manifest being
+        # WIDER than the declared schema (emitting wide values through
+        # the narrow declared type would overflow or silently coerce).
+        # The declared schema being wider is SERVABLE and must not
+        # raise: a restarted stream replays its WAL'd batch first, and
+        # that batch's end manifest may PREDATE the widening — a
+        # symmetric check would wedge the restart the error message
+        # prescribes (review r13; same directionality as the
+        # missing-column check above). Narrow manifest values read
+        # exactly under the wider declared type (the same lossless
+        # ladder widen_column_type enforces).
         declared_types = {
             f.name: f.dataType.simpleString() for f in self.table_fields
         }
@@ -410,10 +417,20 @@ class _CdfStreamReader(DataSourceStreamReader):
                 json.loads(doc_b["schema"])
             ).fields
         }
+        # declared-can-represent-current map (lockstep with
+        # table_format._SAFE_WIDENINGS; self-contained — runner rule)
+        safe_wide = {
+            "tinyint": {"smallint", "int", "bigint"},
+            "smallint": {"int", "bigint"},
+            "int": {"bigint"},
+            "float": {"double"},
+        }
         retyped = sorted(
             n
-            for n, t in current_types.items()
-            if n in declared_types and declared_types[n] != t
+            for n, cur in current_types.items()
+            if n in declared_types
+            and declared_types[n] != cur
+            and declared_types[n] not in safe_wide.get(cur, set())
         )
         if retyped:
             raise RuntimeError(

@@ -301,16 +301,28 @@ class TableSnapshotDataSource(DataSource):
     def name(cls) -> str:
         return "table_snapshot"
 
+    def _pinned(self) -> int:
+        """Resolve the version ONCE per DataSource instance: schema()
+        and reader() (and reader() re-invocations at later plannings
+        of the same loaded DataFrame) must all serve the SAME version,
+        or an unpinned "current" read racing a writer would pair a new
+        manifest's buckets/mapping with the load-time schema (review
+        r13). Pinning at first resolution matches read_table's
+        semantics: 'current' means current AT LOAD."""
+        v = getattr(self, "_pinned_version", None)
+        if v is None:
+            v = _resolve_version(self.options["path"], self.options)
+            self._pinned_version = v
+        return v
+
     def schema(self) -> StructType:
-        path = self.options["path"]
-        v = _resolve_version(path, self.options)
-        doc = _load_manifest(path, v)
+        doc = _load_manifest(self.options["path"], self._pinned())
         return StructType.fromJson(json.loads(doc["schema"]))
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        path = self.options["path"]
-        v = _resolve_version(path, self.options)
-        return _SnapshotReader(path, schema, v)
+        return _SnapshotReader(
+            self.options["path"], schema, self._pinned()
+        )
 
 
 def register_snapshot_source(spark) -> None:
