@@ -575,3 +575,33 @@ def test_create_table_shallow_clone_statement(spark, t, tmp_path):
     T["cl3"] = str(tmp_path / "cl3")
     table_sql(spark, "CREATE TABLE cl3 SHALLOW CLONE dets VERSION AS OF 1", T)
     assert read_table(spark, T["cl3"]).count() == 20
+
+
+def test_insert_overwrite_is_sync(spark, t):
+    """INSERT OVERWRITE replaces content atomically via sync_table:
+    removed keys tombstone, changed keys update, new keys insert; an
+    unchanged overwrite commits NOTHING; arity mismatches refuse."""
+    spark.range(0, 5).selectExpr(
+        "id AS k", "id * 2.0 AS v"
+    ).createOrReplaceTempView("ow_src")
+    v = table_sql(
+        spark, "INSERT OVERWRITE dets SELECT * FROM ow_src", t
+    ).collect()[0]["version"]
+    assert v == 2
+    got = {r["k"]: r["v"] for r in read_table(spark, t["dets"]).collect()}
+    assert got == {i: i * 2.0 for i in range(5)}
+    # unchanged overwrite: no version churn
+    v2 = table_sql(
+        spark, "INSERT OVERWRITE dets SELECT * FROM ow_src", t
+    ).collect()[0]["version"]
+    assert v2 == 2
+    # VALUES body
+    v3 = table_sql(
+        spark, "INSERT OVERWRITE dets VALUES (1, 5.0), (9, 9.0)", t
+    ).collect()[0]["version"]
+    assert v3 == 3
+    got = {r["k"]: r["v"] for r in read_table(spark, t["dets"]).collect()}
+    assert got == {1: 5.0, 9: 9.0}
+    with pytest.raises(TableSqlError, match="every table column"):
+        table_sql(spark, "INSERT OVERWRITE dets VALUES (1)", t)
+    assert current_version(t["dets"]) == 3

@@ -31,6 +31,10 @@ Grammar (keywords case-insensitive, ``<n>`` a decimal integer,
     RESTORE TABLE <ident> TO TIMESTAMP AS OF '<ts>'
     INSERT INTO <ident> [(c, …)] VALUES (e, …)[, (e, …) …]
     INSERT INTO <ident> [(c, …)] <select>
+    INSERT OVERWRITE <ident> VALUES (e, …)[, …] | <select>
+        -- content REPLACE: routes to sync_table (fingerprint diff, so
+        -- an unchanged overwrite commits nothing; deletes tombstone);
+        -- the source must produce every table column, positionally
     UPDATE <ident> SET c = expr, … [WHERE cond]
     DELETE FROM <ident> [WHERE cond]
     OPTIMIZE <ident> SORT BY <col> | ZORDER BY (a, b)
@@ -652,6 +656,60 @@ def _delete(
     )
 
 
+def _insert_overwrite(
+    spark: SparkSession, stmt: str, tables: dict[str, str]
+) -> DataFrame:
+    """INSERT OVERWRITE <tbl> VALUES … | <select> — make the table's
+    content exactly the source, in one atomic commit: the SQL spelling
+    of ``sync_table``. The commit is fingerprint-diffed (an unchanged
+    overwrite commits NOTHING; removed keys tombstone, changed/new
+    keys upsert), and ``max_delete_fraction=1.0`` because an OVERWRITE
+    is an explicit full replace — the partial-extract guard exists for
+    implicit mirror jobs, not for a statement whose verb says
+    'replace'. The source binds POSITIONALLY to the full table schema
+    (sync semantics need every column; a narrower source would
+    null-overwrite, which sync_table refuses loudly)."""
+    from video_streamer_spark.operators.table_format import sync_table
+
+    m = re.fullmatch(
+        rf"(?i:INSERT\s+OVERWRITE)\s+({_IDENT})\s+(.+)",
+        stmt,
+        re.DOTALL,
+    )
+    if not m:
+        raise TableSqlError(
+            "supported form: INSERT OVERWRITE <table> VALUES (e, …)"
+            "[, …] | SELECT …"
+        )
+    path = _resolve(tables, m.group(1))
+    base_v = current_version(path)
+    table_cols = [
+        f.name
+        for f in _table_schema(_read_retained_manifest(path, base_v)).fields
+    ]
+    body = m.group(2).strip()
+    first = body.split(None, 1)[0].upper()
+    if first == "VALUES":
+        rows = spark.sql(body)
+    elif first in ("SELECT", "WITH"):
+        rows = _select(spark, body, tables)
+    else:
+        raise TableSqlError(
+            "INSERT OVERWRITE takes a VALUES list or a SELECT body "
+            f"(got {first!r})"
+        )
+    if len(rows.columns) != len(table_cols):
+        raise TableSqlError(
+            f"INSERT OVERWRITE must produce every table column "
+            f"({len(table_cols)}: {table_cols}); the source produces "
+            f"{len(rows.columns)}"
+        )
+    v = sync_table(
+        spark, path, rows.toDF(*table_cols), max_delete_fraction=1.0
+    )
+    return _version_df(spark, v)
+
+
 def _insert(
     spark: SparkSession, stmt: str, tables: dict[str, str]
 ) -> DataFrame:
@@ -1064,6 +1122,9 @@ def table_sql(
     if first == "SHOW":
         return _show(spark, stmt, tables)
     if first == "INSERT":
+        second = stmt.split(None, 2)[1].upper() if " " in stmt else ""
+        if second == "OVERWRITE":
+            return _insert_overwrite(spark, stmt, tables)
         return _insert(spark, stmt, tables)
     if first == "UPDATE":
         return _update(spark, stmt, tables)
