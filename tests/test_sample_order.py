@@ -47,12 +47,16 @@ def test_derived_order_front_loads_missing_and_stale_evidence():
     assert set(order) == set(reg)
     k = len(red_never)
     assert set(order[:k]) == red_never
-    in_quota = min(_CHANGED_CAP, len(changed))
+    # the effective quota shrinks to keep _TAIL_MIN tail slots
+    eff = min(
+        _CHANGED_CAP,
+        max(0, _SAMPLE_SIZE - k - sample_order._TAIL_MIN),
+    )
+    in_quota = min(eff, len(changed))
     assert all(n in changed for n in order[k : k + in_quota])
     # the quota holds inside the sample window
     assert (
-        sum(1 for n in order[:_SAMPLE_SIZE] if n in changed)
-        <= _CHANGED_CAP
+        sum(1 for n in order[:_SAMPLE_SIZE] if n in changed) <= eff
     )
 
 
@@ -186,3 +190,49 @@ def test_tail_rotates_oldest_evidence_first():
     assert rounds == sorted(rounds), (
         "tail band must be oldest-evidence first"
     )
+
+
+def test_tail_reservation_squeezes_changed_quota(monkeypatch):
+    """When a round mints never-verified queries, the changed quota —
+    never the red/never band — gives up sample slots so at least
+    _TAIL_MIN oldest-evidence rows still rotate through (the r12
+    done-criterion: >=20 stale rows re-verified per round)."""
+    from video_streamer_spark.queries.sample_order import _TAIL_MIN
+
+    n_never, n_changed, n_rest = 8, 80, 100
+    queries = {f"n{i:03d}": (lambda s, d: None) for i in range(n_never)}
+    queries.update(
+        {f"c{i:03d}": (lambda s, d: None) for i in range(n_changed)}
+    )
+    queries.update(
+        {f"t{i:03d}": (lambda s, d: None) for i in range(n_rest)}
+    )
+    ev = {f"c{i:03d}": (12, True) for i in range(n_changed)}
+    ev.update({f"t{i:03d}": (2 + i % 4, True) for i in range(n_rest)})
+    monkeypatch.setattr(
+        sample_order, "latest_driver_evidence", lambda: ev
+    )
+    monkeypatch.setattr(
+        sample_order,
+        "query_source_hash",
+        lambda name, fn, oracle: f"now-{name}",
+    )
+    monkeypatch.setattr(
+        sample_order,
+        "load_verified_hashes",
+        lambda: {
+            **{f"c{i:03d}": "stale" for i in range(n_changed)},
+            **{f"t{i:03d}": f"now-t{i:03d}" for i in range(n_rest)},
+        },
+    )
+    monkeypatch.setattr(sample_order, "_changed_modules", lambda: set())
+    order = sample_order.derived_sample_order(queries, {})
+    sample = order[:_SAMPLE_SIZE]
+    assert [n for n in sample[:n_never]] == sorted(
+        n for n in queries if n.startswith("n")
+    )
+    tail = [n for n in sample if n.startswith("t")]
+    assert len(tail) >= _TAIL_MIN
+    changed_in = [n for n in sample if n.startswith("c")]
+    assert len(changed_in) == _SAMPLE_SIZE - n_never - len(tail)
+    assert len(changed_in) < _CHANGED_CAP, "quota must have shrunk"

@@ -48,7 +48,10 @@ current evidence), then at most ``_CHANGED_CAP`` changed rows (highest
 module-touch-count first, i.e. the likeliest real behavior changes),
 then oldest-evidence rows fill the remaining sample slots; changed-band
 overflow lands immediately after the sample boundary, ahead of the
-remaining (younger-evidence) tail.
+remaining (younger-evidence) tail. ``_TAIL_MIN`` slots are reserved
+for the oldest-evidence tail: when a round mints many never-verified
+queries, the CHANGED quota (never the red/never band) gives up slots,
+so the stale tail keeps rotating at ≥ ``_TAIL_MIN`` rows per round.
 
 The derivation reads the correctness artifacts at the repo root via
 ``__file__``-relative paths, so it works from any cwd (the driver's
@@ -273,9 +276,15 @@ def _iter_package_modules():
 
 # The driver hash-checks the FIRST _SAMPLE_SIZE registered queries per
 # round; _CHANGED_CAP bounds how many changed-band rows may occupy that
-# sample (round-12 VERDICT item 1 — see module docstring).
+# sample, and _TAIL_MIN slots are RESERVED for oldest-evidence tail
+# rows — the effective changed quota shrinks when red/never rows (which
+# always go first) would otherwise squeeze the tail below its floor
+# (round-12 VERDICT item 1's done-criterion: each round's sample must
+# rotate >20 stale-evidence rows — 22 reserved for margin — whatever
+# else the round minted).
 _SAMPLE_SIZE = 50
 _CHANGED_CAP = 25
+_TAIL_MIN = 22
 
 
 def derived_sample_order(
@@ -316,22 +325,37 @@ def derived_sample_order(
         closure = _import_closure(target.__module__) - _CLOSURE_EXCLUDE
         return len(closure & mods_changed)
 
-    changed.sort(key=lambda n: (-_touch_count(n), reg.index(n)))
+    # Oldest driver evidence FIRST within the changed band, module
+    # touch count as the tiebreak (round 13): when a shared-module
+    # edit over-flags most of the registry (238/268 this round), the
+    # quota'd changed slots must maximize information gain — a changed
+    # row whose last driver row is r2 is both least-recently-checked
+    # AND changed, so re-verifying it shrinks the stale-evidence band
+    # at the same time. Rows the round genuinely churned hardest
+    # (highest touch count) win ties, and every changed row still gets
+    # same-session in-suite parity + the builder's external pre-verify
+    # regardless of sample membership.
+    changed.sort(
+        key=lambda n: (ev[n][0], -_touch_count(n), reg.index(n))
+    )
     head_set = set(red) | set(never) | set(changed)
     rest = sorted(
         (n for n in reg if n not in head_set),
         key=lambda n: (ev[n][0], reg.index(n)),
     )
-    # Interleave: red/never uncapped, changed quota'd, oldest-evidence
-    # rows fill the sample's remaining slots; changed overflow sits
-    # just past the sample boundary (it still holds green evidence and
-    # gets same-session pre-verification, so it outranks nothing that
-    # lacks evidence — only younger-evidence tail rows).
-    head = red + never + changed[:_CHANGED_CAP]
-    fill_n = max(0, _SAMPLE_SIZE - len(head))
-    return (
-        head + rest[:fill_n] + changed[_CHANGED_CAP:] + rest[fill_n:]
+    # Interleave: red/never uncapped, changed quota'd (and further
+    # squeezed so _TAIL_MIN oldest-evidence rows always make the
+    # sample), tail rows fill the remaining slots; changed overflow
+    # sits just past the sample boundary (it still holds green
+    # evidence and gets same-session pre-verification, so it outranks
+    # nothing that lacks evidence — only younger-evidence tail rows).
+    cap = min(
+        _CHANGED_CAP,
+        max(0, _SAMPLE_SIZE - len(red) - len(never) - _TAIL_MIN),
     )
+    head = red + never + changed[:cap]
+    fill_n = max(0, _SAMPLE_SIZE - len(head))
+    return head + rest[:fill_n] + changed[cap:] + rest[fill_n:]
 
 
 def write_verified_hashes(queries: dict, oracles: dict[str, str]) -> int:
