@@ -200,9 +200,23 @@ def annotate_frames(
     )
 
     from video_streamer_spark.functions.shipping import ship_module
+    from video_streamer_spark.operators import multimodal
     from video_streamer_spark.operators.multimodal import decode_frame
 
     ship_module(sys.modules[__name__])
+    # draw() closes over decode_frame, which cloudpickle serializes BY
+    # REFERENCE to multimodal unless that module is also registered —
+    # an external-cwd worker then dies with ModuleNotFoundError, but
+    # ONLY when no earlier query in the process shipped multimodal
+    # first (order-dependent; caught by the r13 head pre-verify when
+    # the sample reshuffle moved the image family behind x44).
+    # multimodal's decode path in turn references the jpeg module at
+    # ITS module level, so the transitive dep ships too (same pair
+    # imagehash/video ship).
+    ship_module(multimodal)
+    from video_streamer_spark.operators import jpeg as _jpeg_dep
+
+    ship_module(_jpeg_dep)
 
     boxes = det.groupBy(F.col(id_col)).agg(
         F.collect_list(

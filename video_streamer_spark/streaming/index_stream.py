@@ -26,12 +26,19 @@ from pyspark.sql.types import LongType
 
 from video_streamer_spark.functions.shipping import ship_module
 from video_streamer_spark.streaming.drain import drain_or_raise
+from video_streamer_spark.operators import similarity as _sim
 from video_streamer_spark.operators.similarity import (
     _pivot_quantizer,
     _routing_scores,
 )
 
 ship_module(sys.modules[__name__])
+# assign_cell (worker-side) closes over _routing_scores, which
+# cloudpickle serializes BY REFERENCE to operators.similarity unless
+# that module is registered too — external-cwd workers then die with
+# ModuleNotFoundError, but only when no earlier query in the process
+# shipped similarity first (the r13 x44 bug class, caught by audit)
+ship_module(_sim)
 
 
 def index_ingest_stream(
