@@ -54,9 +54,15 @@ def test_derived_order_front_loads_missing_and_stale_evidence():
     )
     in_quota = min(eff, len(changed))
     assert all(n in changed for n in order[k : k + in_quota])
-    # the quota holds inside the sample window
+    # the quota holds inside the sample window — except that when the
+    # REST band is smaller than the fill (nearly the whole registry
+    # flagged changed), overflow changed rows legitimately re-enter:
+    # there is nothing better to fill the sample with
+    n_rest = len(reg) - k - len(changed)
+    fill = max(0, _SAMPLE_SIZE - k - in_quota)
+    allowed = in_quota + max(0, fill - n_rest)
     assert (
-        sum(1 for n in order[:_SAMPLE_SIZE] if n in changed) <= eff
+        sum(1 for n in order[:_SAMPLE_SIZE] if n in changed) <= allowed
     )
 
 
