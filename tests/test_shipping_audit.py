@@ -54,12 +54,19 @@ def _in_pkg_bindings(tree: ast.AST) -> dict[str, str]:
     return out
 
 
-def _free_names(fn: ast.FunctionDef) -> set[str]:
-    """Names loaded inside ``fn`` but not bound inside it (approx)."""
-    bound: set[str] = set()
-    for sub in ast.walk(fn):
-        if isinstance(sub, (ast.FunctionDef, ast.Lambda)):
-            a = sub.args
+def _free_names(fn: ast.AST) -> set[str]:
+    """Names free in ``fn``, with PROPER scope nesting: a name STORED
+    inside an inner helper must not mask the same name loaded free at
+    the closure's own level (review r13 — the flat walk under-reported
+    exactly the class this audit exists for). free(scope) =
+    (loads(scope) − bound(scope)) ∪ (free(child) − bound(scope))."""
+
+    def scope_free(node: ast.AST) -> set[str]:
+        bound: set[str] = set()
+        loads: set[str] = set()
+        children: list[ast.AST] = []
+        if isinstance(node, (ast.FunctionDef, ast.Lambda)):
+            a = node.args
             for arg in (
                 a.args + a.kwonlyargs + getattr(a, "posonlyargs", [])
             ):
@@ -68,17 +75,46 @@ def _free_names(fn: ast.FunctionDef) -> set[str]:
                 bound.add(a.vararg.arg)
             if a.kwarg:
                 bound.add(a.kwarg.arg)
-        if isinstance(sub, ast.Name) and isinstance(sub.ctx, ast.Store):
-            bound.add(sub.id)
-        if isinstance(sub, (ast.Import, ast.ImportFrom)):
-            for al in sub.names:
-                bound.add((al.asname or al.name).split(".")[0])
-    loads = {
-        sub.id
+
+        def visit(n: ast.AST) -> None:
+            for c in ast.iter_child_nodes(n):
+                if isinstance(c, (ast.FunctionDef, ast.Lambda)):
+                    children.append(c)
+                    if isinstance(c, ast.FunctionDef):
+                        bound.add(c.name)
+                    continue  # its body is a separate scope
+                if isinstance(c, ast.Name):
+                    (
+                        loads
+                        if isinstance(c.ctx, ast.Load)
+                        else bound
+                    ).add(c.id)
+                if isinstance(c, (ast.Import, ast.ImportFrom)):
+                    for al in c.names:
+                        bound.add((al.asname or al.name).split(".")[0])
+                visit(c)
+
+        visit(node)
+        free = loads - bound
+        for ch in children:
+            free |= scope_free(ch) - bound
+        return free
+
+    return scope_free(fn)
+
+
+def _attrs_on(fn: ast.AST, name: str) -> set[str]:
+    """Attributes accessed as ``name.<attr>`` anywhere inside ``fn`` —
+    the attribute-style spelling of a cross-module reference
+    (``multimodal.decode_frame(...)``), which the by-name transitive
+    check alone would miss (review r13)."""
+    return {
+        sub.attr
         for sub in ast.walk(fn)
-        if isinstance(sub, ast.Name) and isinstance(sub.ctx, ast.Load)
+        if isinstance(sub, ast.Attribute)
+        and isinstance(sub.value, ast.Name)
+        and sub.value.id == name
     }
-    return loads - bound
 
 
 def _ship_args(scope: ast.AST) -> set[str]:
@@ -146,6 +182,11 @@ def test_udf_closures_ship_their_cross_module_references():
             and getattr(node.value.func, "id", "") == "ship_module"
             for a in _ship_args(node)
         }
+        top_defs = {
+            n.name: n
+            for n in tree.body
+            if isinstance(n, ast.FunctionDef)
+        }
         for outer in ast.walk(tree):
             if not isinstance(outer, ast.FunctionDef):
                 continue
@@ -160,31 +201,54 @@ def test_udf_closures_ship_their_cross_module_references():
                 mod_name if s == "sys.modules[__name__]" else binds.get(s, s)
                 for s in ships
             }
-            for nested in (
-                n
+            # candidate worker-side closures: every nested def/lambda
+            # PLUS any MODULE-LEVEL function handed to a UDF call by
+            # name (review r13 — applyInPandas(_module_level_fn, …)
+            # was invisible to the nested-only walk)
+            candidates: list[tuple[str, ast.AST]] = [
+                (n.name, n)
                 for n in ast.walk(outer)
                 if isinstance(n, ast.FunctionDef) and n is not outer
-            ):
+            ] + [
+                ("<lambda>", n)
+                for n in ast.walk(outer)
+                if isinstance(n, ast.Lambda)
+            ]
+            for call in ast.walk(outer):
+                if (
+                    isinstance(call, ast.Call)
+                    and isinstance(call.func, ast.Attribute)
+                    and call.func.attr in UDF_CALLS
+                ):
+                    for a in call.args:
+                        if isinstance(a, ast.Name) and a.id in top_defs:
+                            candidates.append((a.id, top_defs[a.id]))
+            for cname, nested in candidates:
                 for name in _free_names(nested) & set(binds):
                     owner = binds[name]
                     if owner in shipped_modules:
                         # one precise hop deeper: the referenced
                         # function's OWN free names may pull a third
                         # module (x44: detections shipped multimodal,
-                        # whose decode_frame calls the jpeg module)
-                        for dep in _transitive_refs(owner, name):
+                        # whose decode_frame calls the jpeg module) —
+                        # checked for BOTH spellings, `from m import
+                        # fn` and attribute access `m.fn(...)`
+                        hops = _transitive_refs(owner, name)
+                        for attr in _attrs_on(nested, name):
+                            hops |= _transitive_refs(owner, attr)
+                        for dep in hops:
                             if (
                                 dep not in shipped_modules
                                 and dep != owner
                             ):
                                 offenders.append(
-                                    f"{f}:{outer.name}/{nested.name}: "
+                                    f"{f}:{outer.name}/{cname}: "
                                     f"ships {owner} but {name} there "
                                     f"references un-shipped {dep}"
                                 )
                         continue
                     offenders.append(
-                        f"{f}:{outer.name}/{nested.name}: closes over "
+                        f"{f}:{outer.name}/{cname}: closes over "
                         f"{name} from {owner}, which is not "
                         f"ship_module'd in scope "
                         f"(ships={sorted(shipped_modules)})"

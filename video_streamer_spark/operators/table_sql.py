@@ -656,6 +656,23 @@ def _delete(
     )
 
 
+def _source_rows(
+    spark: SparkSession, body: str, tables: dict[str, str], verb: str
+) -> DataFrame:
+    """Shared INSERT-body dispatch: a VALUES list (a standalone Spark
+    query) or a SELECT/WITH body (through ``_select``, so registered
+    tables and version pins resolve). One definition for INSERT INTO
+    and INSERT OVERWRITE — body-routing fixes can't diverge."""
+    first = body.split(None, 1)[0].upper() if body else ""
+    if first == "VALUES":
+        return spark.sql(body)
+    if first in ("SELECT", "WITH"):
+        return _select(spark, body, tables)
+    raise TableSqlError(
+        f"{verb} takes a VALUES list or a SELECT body (got {first!r})"
+    )
+
+
 def _insert_overwrite(
     spark: SparkSession, stmt: str, tables: dict[str, str]
 ) -> DataFrame:
@@ -688,16 +705,12 @@ def _insert_overwrite(
         for f in _table_schema(_read_retained_manifest(path, base_v)).fields
     ]
     body = m.group(2).strip()
-    first = body.split(None, 1)[0].upper()
-    if first == "VALUES":
-        rows = spark.sql(body)
-    elif first in ("SELECT", "WITH"):
-        rows = _select(spark, body, tables)
-    else:
-        raise TableSqlError(
-            "INSERT OVERWRITE takes a VALUES list or a SELECT body "
-            f"(got {first!r})"
-        )
+    rows = _source_rows(spark, body, tables, "INSERT OVERWRITE")
+    # note: the column list read above and sync_table's own pinned
+    # base may straddle a concurrent evolution — benign: sync_table
+    # re-validates the full schema at ITS base and refuses loudly on
+    # any mismatch, so the race can only change which error message
+    # names the problem, never land a mis-bound overwrite
     if len(rows.columns) != len(table_cols):
         raise TableSqlError(
             f"INSERT OVERWRITE must produce every table column "
@@ -765,16 +778,7 @@ def _insert(
             f"{missing_keys} (the key is the row identity)"
         )
     body = m.group(3).strip()
-    first = body.split(None, 1)[0].upper()
-    if first == "VALUES":
-        rows = spark.sql(body)  # VALUES is a standalone Spark query
-    elif first in ("SELECT", "WITH"):
-        rows = _select(spark, body, tables)
-    else:
-        raise TableSqlError(
-            "INSERT INTO takes a VALUES list or a SELECT body "
-            f"(got {first!r})"
-        )
+    rows = _source_rows(spark, body, tables, "INSERT INTO")
     if len(rows.columns) != len(cols):
         raise TableSqlError(
             f"INSERT binds {len(cols)} column(s) but the source "
@@ -1122,7 +1126,8 @@ def table_sql(
     if first == "SHOW":
         return _show(spark, stmt, tables)
     if first == "INSERT":
-        second = stmt.split(None, 2)[1].upper() if " " in stmt else ""
+        parts = stmt.split(None, 2)  # any whitespace, not just ' '
+        second = parts[1].upper() if len(parts) > 1 else ""
         if second == "OVERWRITE":
             return _insert_overwrite(spark, stmt, tables)
         return _insert(spark, stmt, tables)

@@ -50,8 +50,13 @@ then oldest-evidence rows fill the remaining sample slots; changed-band
 overflow lands immediately after the sample boundary, ahead of the
 remaining (younger-evidence) tail. ``_TAIL_MIN`` slots are reserved
 for the oldest-evidence tail: when a round mints many never-verified
-queries, the CHANGED quota (never the red/never band) gives up slots,
-so the stale tail keeps rotating at ≥ ``_TAIL_MIN`` rows per round.
+queries, the CHANGED quota (never the red/never band) gives up slots.
+The floor is BEST-EFFORT, not guaranteed — red/never rows always
+outrank it (a round with > ``_SAMPLE_SIZE − _TAIL_MIN`` red rows eats
+into the reservation, as it must: rows with NO current evidence come
+first by definition), and when nearly the whole registry is flagged
+changed the rest band itself may hold fewer than ``_TAIL_MIN`` rows,
+in which case changed overflow fills the remainder.
 
 The derivation reads the correctness artifacts at the repo root via
 ``__file__``-relative paths, so it works from any cwd (the driver's
