@@ -203,7 +203,8 @@ def x10_replica(spark, sf_dir: str) -> str:
     if built():
         return mirror
     os.makedirs(root, exist_ok=True)
-    lock_fh = open(mirror + ".lock", "w")
+    lock_path = mirror + ".lock"
+    lock_fh = open(lock_path, "w")
     try:
         fcntl.flock(lock_fh, fcntl.LOCK_EX)
         if built():
@@ -254,8 +255,21 @@ def x10_replica(spark, sf_dir: str) -> str:
         with open(ready, "w") as fh:
             fh.write(fp)
         return mirror
+    except BaseException:
+        # a failed build must not strand a partial mirror without
+        # _READY for the next run's rmtree to stumble over (ADVICE r13)
+        shutil.rmtree(mirror, ignore_errors=True)
+        raise
     finally:
         lock_fh.close()
+        # unlink AFTER close: a concurrent waiter blocked in flock()
+        # holds its own fd to this inode and re-checks built() before
+        # touching the mirror, so removing the name is safe — it only
+        # stops stale .lock files accumulating across sf tags
+        try:
+            os.unlink(lock_path)
+        except OSError:
+            pass
 
 
 def splittable_mirror(sf_dir: str) -> str:

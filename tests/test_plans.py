@@ -340,6 +340,34 @@ def test_sort_elision_boundary_rules(spark):
     ).rstrip().endswith("GROUP BY a")
 
 
+def test_sort_elision_survives_broken_jvm_seam(spark, monkeypatch, capsys):
+    """The elision rides private Spark internals; a Spark upgrade that
+    moves them must degrade to keep-the-Sort (correct, slower) with a
+    one-time warning — never an error that takes every registered
+    query down (r13 VERDICT what's-wrong item 2)."""
+    import video_streamer_spark.queries as qpkg
+
+    df = spark.range(100).withColumnRenamed("id", "v").orderBy("v")
+
+    # simulate the upgrade: the private accessor path raises (a class
+    # property shadows the instance attribute for every DataFrame)
+    def _boom(self):
+        raise RuntimeError("private API moved")
+
+    monkeypatch.setattr(type(df), "_jdf", property(_boom), raising=False)
+    monkeypatch.setattr(qpkg, "_ELIDE_SEAM_WARNED", False)
+    try:
+        out = qpkg._elide_presentation_sort(df)
+        out2 = qpkg._elide_presentation_sort(df)
+    finally:
+        monkeypatch.undo()
+    # fallback returns the ORIGINAL (still-sorted, correct) frame
+    assert out is df and out2 is df
+    warned = capsys.readouterr().err
+    assert warned.count("_elide_presentation_sort") == 1  # one-time
+    assert [r.v for r in df.limit(3).collect()] == [0, 1, 2]
+
+
 def test_x151_x152_pq_codebook_broadcasts(spark):
     """PQ's codebook/LUT sides are dimension-sized and must broadcast;
     the corpus must never shuffle for the join (only the vec_id

@@ -397,6 +397,54 @@ def test_insert_into_values_and_select(spark, t):
         assert current_version(t["dets"]) == before, stmt
 
 
+def test_values_no_space_and_escaped_quote_literals(spark, t):
+    """ADVICE r13: `VALUES(…)` with no whitespace is the common
+    spelling and must parse; doubled-quote ('O''Brien') and
+    backslash-escaped literals must not desync the quote tracker in
+    either the keyword scanner or the top-level splitter."""
+    from video_streamer_spark.operators.table_sql import (
+        _scan_keywords,
+        _split_top,
+    )
+
+    v = table_sql(spark, "INSERT INTO dets VALUES(500, 5.5)", t).collect()[
+        0
+    ]["version"]
+    assert v == 2
+    got = {r["k"]: r["v"] for r in read_table(spark, t["dets"]).collect()}
+    assert got[500] == 5.5
+
+    # a doubled quote inside a literal must stay inside it: the WHEN
+    # after the literal is the real clause boundary, and the statement
+    # must run end-to-end
+    table_sql(spark, "ALTER TABLE dets ADD COLUMN name string", t)
+    table_sql(
+        spark,
+        "MERGE INTO dets t USING chg s ON s.k = t.k "
+        "WHEN MATCHED THEN UPDATE SET name = 'O''Brien' "
+        "WHEN NOT MATCHED THEN INSERT *",
+        t,
+        sources={
+            "chg": spark.sql(
+                "SELECT CAST(3 AS BIGINT) k, 9.0 v, 'x' name"
+            )
+        },
+    )
+    got = {r["k"]: r["name"] for r in read_table(spark, t["dets"]).collect()}
+    assert got[3] == "O'Brien"
+
+    # scanner-level: tokens inside escaped literals are never keywords
+    hits = _scan_keywords(
+        "WHEN 'a''WHEN b' THEN 'c\\' WHEN d' END2 WHEN", {"WHEN", "THEN"}
+    )
+    assert [w for _, _, w in hits] == ["WHEN", "THEN", "WHEN"]
+    assert _split_top("'a,''b', 'c\\',d', e", ",") == [
+        "'a,''b'",
+        "'c\\',d'",
+        "e",
+    ]
+
+
 def test_show_create_table_is_self_describing(spark, t):
     """SHOW CREATE TABLE surfaces schema, key, NOT NULL, constraints,
     column mapping, and retired names from SQL alone (r12 VERDICT

@@ -162,7 +162,12 @@ def estimate_max_user_count(
     table's estimate may be coarse, which is harmless: small tables
     are safe in either plan."""
     row = (
-        events.sample(fraction=probe_fraction, seed=seed)
+        # same null filter as the pairable population (_pairable):
+        # NULL users never pair, so counting them as one hot "user"
+        # would mis-route auto to the join plan (ADVICE r13 —
+        # output-identical either way, cost-only)
+        events.where(F.col(user_col).isNotNull())
+        .sample(fraction=probe_fraction, seed=seed)
         .groupBy(user_col)
         .count()
         .agg(F.max("count").alias("m"))

@@ -133,13 +133,27 @@ def _norm(s: str) -> str:
 
 def _split_top(s: str, sep: str) -> list[str]:
     """Split on ``sep`` (one char) at paren/quote depth zero — SET and
-    VALUES lists may contain function calls and string literals."""
-    parts, depth, quote, cur = [], 0, None, []
-    for ch in s:
+    VALUES lists may contain function calls and string literals.
+    Escapes inside literals (doubled ``''`` and backslash) are part of
+    the literal, so ``'O''Brien'`` never desyncs the tracker."""
+    parts: list[str] = []
+    depth, quote, cur = 0, None, []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
         if quote:
             cur.append(ch)
+            if ch == "\\" and i + 1 < n:
+                cur.append(s[i + 1])
+                i += 2
+                continue
             if ch == quote:
+                if i + 1 < n and s[i + 1] == quote:  # doubled = escaped
+                    cur.append(s[i + 1])
+                    i += 2
+                    continue
                 quote = None
+            i += 1
             continue
         if ch in ("'", '"'):
             quote = ch
@@ -150,8 +164,10 @@ def _split_top(s: str, sep: str) -> list[str]:
         elif ch == sep and depth == 0:
             parts.append("".join(cur))
             cur = []
+            i += 1
             continue
         cur.append(ch)
+        i += 1
     parts.append("".join(cur))
     return [p.strip() for p in parts]
 
@@ -172,7 +188,17 @@ def _scan_keywords(
     while i < n:
         ch = s[i]
         if quote:
+            # escapes are part of the literal: backslash consumes the
+            # next char, a doubled closing quote stays inside (ADVICE
+            # r13: 'O''Brien' must not desync the tracker and
+            # mis-classify a later WHEN/THEN)
+            if ch == "\\" and quote in ("'", '"') and i + 1 < n:
+                i += 2  # backslash escape (string literals only)
+                continue
             if ch == quote:
+                if i + 1 < n and s[i + 1] == quote:
+                    i += 2
+                    continue
                 quote = None
             i += 1
             continue
@@ -663,7 +689,11 @@ def _source_rows(
     query) or a SELECT/WITH body (through ``_select``, so registered
     tables and version pins resolve). One definition for INSERT INTO
     and INSERT OVERWRITE — body-routing fixes can't diverge."""
-    first = body.split(None, 1)[0].upper() if body else ""
+    # \b-match the head keyword: `VALUES(1, 2)` with no space is the
+    # common spelling (ADVICE r13 — whitespace-splitting refused it
+    # with a misleading "got VALUES(1," error)
+    m = re.match(rf"({_IDENT})", body.lstrip())
+    first = m.group(1).upper() if m else ""
     if first == "VALUES":
         return spark.sql(body)
     if first in ("SELECT", "WITH"):

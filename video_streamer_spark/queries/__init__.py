@@ -16,6 +16,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# one-time warning latch for the _elide_presentation_sort JVM seam
+_ELIDE_SEAM_WARNED = False
+
 
 def _elide_presentation_sort(df: DataFrame) -> DataFrame:
     """Engine rule at the query boundary: declared queries return SETS.
@@ -31,18 +34,43 @@ def _elide_presentation_sort(df: DataFrame) -> DataFrame:
     contract. Only a LITERAL root Sort is elided — a Sort feeding a
     Limit sits under the Limit node and is untouched, so top-k queries
     keep their TakeOrderedAndProject plans.
+
+    The plan surgery rides PRIVATE Spark internals over py4j
+    (``queryExecution().logical()`` node names,
+    ``classic.Dataset.ofRows``). Like ``plans/metrics.py``'s
+    ``SparkInternalsChanged`` seam, a Spark upgrade may move them — but
+    unlike the metrics guard, this optimization has a CORRECT fallback
+    (keep the Sort: same rows, one wasted Exchange), so a broken seam
+    degrades to a loud one-time warning instead of an error that would
+    take every registered query down with it.
     """
-    jdf = df._jdf
-    plan = jdf.queryExecution().logical()
-    if plan.getClass().getSimpleName() != "Sort":
+    global _ELIDE_SEAM_WARNED
+    try:
+        jdf = df._jdf
+        plan = jdf.queryExecution().logical()
+        if plan.getClass().getSimpleName() != "Sort":
+            return df
+        if not getattr(plan, "global")():  # sortWithinPartitions: not ours
+            return df
+        spark = df.sparkSession
+        child = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, plan.children().head()
+        )
+        return DataFrame(child, spark)
+    except Exception as exc:  # noqa: BLE001 — correct fallback exists
+        if not _ELIDE_SEAM_WARNED:
+            _ELIDE_SEAM_WARNED = True
+            import sys as _sys
+
+            print(
+                "# _elide_presentation_sort: private Spark internals "
+                f"no longer match this build ({exc!r}); keeping "
+                "presentation Sorts (correct, one extra Exchange per "
+                "sorted query). Update queries/__init__.py for the new "
+                "plan API.",
+                file=_sys.stderr,
+            )
         return df
-    if not getattr(plan, "global")():  # sortWithinPartitions: not ours
-        return df
-    spark = df.sparkSession
-    child = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-        spark._jsparkSession, plan.children().head()
-    )
-    return DataFrame(child, spark)
 
 
 def _strip_final_order_by(sql: str) -> str:
