@@ -427,6 +427,13 @@ def test_construction_job_sweep_is_exactly_the_allowlist(spark):
         "x245_type_widening",
         # r13: x246 runs the three-family MERGE at construction
         "x246_merge_by_source",
+        # r14: x247 builds + mutates a nested-column table, then reads
+        # through the snapshot DataSource (construction IS the
+        # lifecycle); its brute_topk query side runs a memoized count
+        "x247_snapshot_nested_embeddings",
+        # r14: x248 runs the whole catalog statement sequence
+        # (CREATE/UPDATE/MERGE) at construction
+        "x248_catalog_statements",
         # index builders / pivot quantizers (centroids-sized collects)
         "x32_ivf_topk", "x155_ivf_index_search", "x158_mmr_rerank",
         "x159_ivfpq_index_search", "x160_ann_recall_eval",

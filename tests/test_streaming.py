@@ -1288,6 +1288,83 @@ def test_cdf_stream_preimages_equal_batch_four_type_feed(spark, tmp_path):
     )
 
 
+def test_cdf_stream_serves_nested_columns(spark, tmp_path):
+    """array/struct/map payload columns flow through the table_cdf
+    stream with exact values (null cells, null ELEMENTS, NaN) and
+    correct change classification: a changed array is an update, an
+    identical rewrite is carried-over (no event), NaN→NaN is unchanged
+    (Spark equality semantics), and the four-type feed's pre-image
+    carries the OLD nested value (r13 VERDICT item 2's cdf half)."""
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        merge_table,
+    )
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    path = str(tmp_path / "t")
+    base = spark.sql(
+        """
+        SELECT id AS k,
+          CASE WHEN id = 4 THEN NULL
+               WHEN id = 5 THEN array(CAST(1.5 AS FLOAT), NULL)
+               WHEN id = 6 THEN array(CAST('NaN' AS FLOAT))
+               ELSE array(CAST(id AS FLOAT)) END AS emb,
+          named_struct('a', CAST(id AS INT)) AS meta,
+          map('m', id) AS props
+        FROM range(0, 8)
+        """
+    )
+    create_table(base, path, ["k"], n_buckets=2)
+    register_cdf_source(spark)
+    # v2: change k=0's array; rewrite k=6's NaN array IDENTICALLY
+    # (must emit nothing); insert k=20 with a null element
+    merge_table(
+        spark,
+        path,
+        spark.sql(
+            """
+            SELECT 0 AS k, array(CAST(9.5 AS FLOAT)) AS emb,
+                   named_struct('a', 0) AS meta, map('m', CAST(0 AS BIGINT)) AS props,
+                   'U' AS __op
+            UNION ALL
+            SELECT 6, array(CAST('NaN' AS FLOAT)),
+                   named_struct('a', 6), map('m', CAST(6 AS BIGINT)), 'U'
+            UNION ALL
+            SELECT 20, array(CAST(2.5 AS FLOAT), NULL),
+                   named_struct('a', 20), map('m', CAST(20 AS BIGINT)), 'I'
+            """
+        ),
+    )
+    out = str(tmp_path / "feed")
+    q = (
+        spark.readStream.format("table_cdf")
+        .option("path", path)
+        .option("startingVersion", 1)
+        .option("preimages", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, 120)
+    feed = spark.read.parquet(out).collect()
+    by = {(r["k"], r["_change_type"]): r for r in feed}
+    assert set(by) == {
+        (0, "update_preimage"),
+        (0, "update_postimage"),
+        (20, "insert"),
+    }, f"got {sorted(by)}"
+    assert by[(0, "update_preimage")]["emb"] == [0.0]
+    assert by[(0, "update_postimage")]["emb"] == [9.5]
+    ins = by[(20, "insert")]
+    assert ins["emb"][1] is None and ins["meta"]["a"] == 20
+    assert ins["props"] == {"m": 20}
+
+
 def test_streaming_agg_view_tracks_recompute(spark, tmp_path):
     """The maintained view equals recompute-at-current after EVERY
     incremental pass — across the initial snapshot, group-moving

@@ -147,8 +147,8 @@ def test_grammar_refusals_execute_nothing(spark, t):
         # ON does not cover the key (wrong column)
         "MERGE INTO dets t USING chg s ON s.v = t.v "
         "WHEN MATCHED THEN DELETE",
-        # wrong aliases
-        "MERGE INTO dets AS tgt USING chg AS src ON src.k = tgt.k "
+        # aliases must be distinct (case-insensitively)
+        "MERGE INTO dets AS x USING chg AS X ON x.k = x.k "
         "WHEN MATCHED THEN DELETE",
         # INSERT must assign the key verbatim from the source
         "MERGE INTO dets t USING chg s ON s.k = t.k "
@@ -349,13 +349,53 @@ def test_case_when_legal_in_merge_and_update_expressions(spark, t):
     assert got[0] == 99.0 and got[1] == 99.0 and got[5] == 50.0
 
 
-def test_uppercase_alias_gets_targeted_refusal(spark, t):
-    """r12 ADVICE (low): `AS T USING … AS S` must name the REAL
-    problem — fixed lowercase aliases — not a misleading ON error."""
-    with pytest.raises(TableSqlError, match="LOWERCASE t"):
+def test_free_merge_aliases_normalize(spark, t, tmp_path):
+    """r13 VERDICT item 5: MERGE aliases are free identifiers — every
+    dotted reference normalizes (case-insensitively, quote-aware,
+    swap-safe) to the internal t/s, byte-equal to the canonical
+    spelling. Same-name aliases refuse."""
+    from video_streamer_spark.operators.table_format import create_table
+
+    def fresh(name):
+        p = str(tmp_path / name)
+        base = spark.range(0, 20).select(
+            F.col("id").alias("k"), (F.col("id") * 10.0).alias("v")
+        )
+        create_table(base, p, ["k"], n_buckets=4)
+        return p
+
+    variants = [
+        # uppercase aliases, mixed-case references
+        "MERGE INTO dets AS T USING chg AS S ON T.k = S.k "
+        "WHEN MATCHED AND S.k % 2 = 0 THEN UPDATE SET v = t.v + S.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (S.k, s.v)",
+        # arbitrary names; alias-shaped text inside a literal untouched
+        "MERGE INTO dets AS tgt USING chg AS src ON src.k = tgt.k "
+        "WHEN MATCHED AND src.k % 2 = 0 THEN "
+        "UPDATE SET v = tgt.v + src.v + length('src. tgt.') * 0 "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)",
+        # SWAPPED t/s: the user's s is the TARGET
+        "MERGE INTO dets AS s USING chg AS t ON t.k = s.k "
+        "WHEN MATCHED AND t.k % 2 = 0 THEN UPDATE SET v = s.v + t.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (t.k, t.v)",
+    ]
+    canon = (
+        "MERGE INTO dets t USING chg s ON s.k = t.k "
+        "WHEN MATCHED AND s.k % 2 = 0 THEN UPDATE SET v = t.v + s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
+    )
+    p0 = fresh("canon")
+    table_sql(spark, canon, {"dets": p0}, sources={"chg": _src(spark)})
+    want = sorted(tuple(r) for r in read_table(spark, p0).collect())
+    for i, stmt in enumerate(variants):
+        p = fresh(f"var{i}")
+        table_sql(spark, stmt, {"dets": p}, sources={"chg": _src(spark)})
+        got = sorted(tuple(r) for r in read_table(spark, p).collect())
+        assert got == want, stmt
+    with pytest.raises(TableSqlError, match="must differ"):
         table_sql(
             spark,
-            "MERGE INTO dets AS T USING chg AS S ON s.k = t.k "
+            "MERGE INTO dets AS a USING chg AS A ON a.k = a.k "
             "WHEN MATCHED THEN DELETE",
             t,
             sources={"chg": _src(spark)},
@@ -653,3 +693,65 @@ def test_insert_overwrite_is_sync(spark, t):
     with pytest.raises(TableSqlError, match="every table column"):
         table_sql(spark, "INSERT OVERWRITE dets VALUES (1)", t)
     assert current_version(t["dets"]) == 3
+
+
+def test_session_catalog_resolves_statements(spark, tmp_path):
+    """r13 VERDICT item 3: register a name ONCE in vss_catalog, then
+    run statements with NO tables dict; an explicit dict overrides the
+    catalog per name; MERGE USING a registered table reads its current
+    snapshot; unknown names name both candidate sets; unregister
+    forgets the binding."""
+    from video_streamer_spark import vss_catalog
+    from video_streamer_spark.operators.table_format import create_table
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    create_table(base, a, ["k"], n_buckets=2)
+    create_table(
+        base.select("k", (F.col("v") + 100.0).alias("v")),
+        b,
+        ["k"],
+        n_buckets=2,
+    )
+    vss_catalog.register("cat_a", a)
+    vss_catalog.register("cat_b", b)
+    try:
+        # statements with no tables dict at all
+        n = table_sql(
+            spark, "SELECT COUNT(*) AS n FROM cat_a"
+        ).collect()[0]["n"]
+        assert n == 10
+        table_sql(spark, "UPDATE cat_a SET v = v + 1.0 WHERE k < 3")
+        hist = table_sql(spark, "DESCRIBE HISTORY cat_a").collect()
+        assert max(r["version"] for r in hist) == 2
+        # MERGE USING a registered table name: cat_b's snapshot
+        table_sql(
+            spark,
+            "MERGE INTO cat_a t USING cat_b s ON s.k = t.k "
+            "WHEN MATCHED AND s.k >= 8 THEN UPDATE SET v = s.v",
+        )
+        got = {r["k"]: r["v"] for r in read_table(spark, a).collect()}
+        assert got[9] == 109.0 and got[0] == 1.0
+        # explicit dict OVERRIDES the catalog for that name
+        n = table_sql(
+            spark,
+            "SELECT COUNT(*) AS n FROM cat_a WHERE v >= 100",
+            {"cat_a": b},
+        ).collect()[0]["n"]
+        assert n == 10
+        # load_snapshot bridge: pinned DataSource read by name
+        v1 = vss_catalog.load_snapshot(spark, "cat_a", version=1)
+        assert {r["k"]: r["v"] for r in v1.collect()}[0] == 0.0
+        with pytest.raises(TableSqlError, match="vss_catalog"):
+            table_sql(spark, "DESCRIBE HISTORY nope")
+    finally:
+        vss_catalog.unregister("cat_a")
+        vss_catalog.unregister("cat_b")
+    with pytest.raises(TableSqlError):
+        table_sql(spark, "DESCRIBE HISTORY cat_a")
+    with pytest.raises(KeyError):
+        vss_catalog.unregister("cat_a")
+    with pytest.raises(ValueError, match="identifier"):
+        vss_catalog.register("not a name", a)

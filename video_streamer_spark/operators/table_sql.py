@@ -42,7 +42,9 @@ Grammar (keywords case-insensitive, ``<n>`` a decimal integer,
     SELECT … FROM … <ident> [VERSION AS OF <n>
         | TIMESTAMP AS OF '<ts>'] …   -- any SELECT; each registered
         table name may carry a version or timestamp pin
-    MERGE INTO <ident> [AS] t USING <source> [AS] s ON <on-cond>
+    MERGE INTO <ident> [AS <alias>] USING <source> [AS <alias>]
+        ON <on-cond>   -- aliases are free identifiers (default t / s);
+                       -- dotted references normalize case-insensitively
         [WHEN MATCHED [AND <cond>] THEN DELETE]
         [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = e, …]
         [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT * |
@@ -66,9 +68,10 @@ Grammar (keywords case-insensitive, ``<n>`` a decimal integer,
     must all be listed (or the list omitted entirely).
 
 MERGE constraints carried over from ``merge_into`` (each refused
-loudly, never reinterpreted): the target alias must be lowercase ``t``
-and the source alias lowercase ``s`` (clause expressions reference
-those two exact names, same contract as the operator); the ON
+loudly, never reinterpreted): the two aliases must be distinct
+identifiers (clause expressions reference them dotted; the translator
+normalizes every reference to the operator's internal ``t.``/``s.``
+before parsing, quote-aware and swap-safe); the ON
 condition must be key equality — a conjunction of ``s.<k> = t.<k>``
 covering the table key exactly (anything else is a theta-merge the
 bucket routing cannot serve); at most one clause of each kind; DELETE
@@ -231,11 +234,58 @@ def _scan_keywords(
     return out
 
 
+def _rewrite_alias_refs(text: str, ta: str, sa: str) -> str:
+    """Normalize dotted MERGE alias references to the internal t / s
+    the downstream parsers and operators use. Case-insensitive (SQL
+    identifier semantics), quote-aware (alias-shaped tokens inside
+    string literals / backticks are untouched), and swap-safe (a
+    statement aliasing the TARGET as s and the SOURCE as t rewrites
+    through a placeholder, never double-substitutes)."""
+    if (ta, sa) == ("t", "s"):
+        return text
+
+    def _sub(seg: str) -> str:
+        seg = re.sub(rf"(?i)\b{re.escape(ta)}\s*\.", "\x00.", seg)
+        seg = re.sub(rf"(?i)\b{re.escape(sa)}\s*\.", "s.", seg)
+        return seg.replace("\x00.", "t.")
+
+    out: list[str] = []
+    i, n, seg_start = 0, len(text), 0
+    quote: str | None = None
+    while i < n:
+        ch = text[i]
+        if quote:
+            if ch == "\\" and quote in ("'", '"') and i + 1 < n:
+                i += 2
+                continue
+            if ch == quote:
+                if i + 1 < n and text[i + 1] == quote:
+                    i += 2
+                    continue
+                quote = None
+                i += 1
+                out.append(text[seg_start:i])  # literal, verbatim
+                seg_start = i
+                continue
+            i += 1
+            continue
+        if ch in ("'", '"', "`"):
+            out.append(_sub(text[seg_start:i]))
+            seg_start = i
+            quote = ch
+        i += 1
+    # trailing segment: verbatim if an unterminated literal
+    tail = text[seg_start:]
+    out.append(tail if quote else _sub(tail))
+    return "".join(out)
+
+
 def _resolve(tables: dict[str, str], name: str) -> str:
     if name not in tables:
         raise TableSqlError(
             f"unknown table {name!r}: register its path in the "
-            f"`tables` mapping (known: {sorted(tables)})"
+            "`tables` mapping or once in vss_catalog.register "
+            f"(known: {sorted(tables)})"
         )
     return tables[name]
 
@@ -276,9 +326,11 @@ def _merge(
         stmt[whens[k][1] : (whens[k + 1][0] if k + 1 < len(whens) else None)]
         for k in range(len(whens))
     ]
-    # keywords match any case; the two alias TOKENS are captured
-    # case-sensitively and checked below, so `AS T` gets the real
-    # refusal (fixed lowercase aliases), not a misleading ON error
+    # keywords match any case; the alias TOKENS are arbitrary
+    # identifiers (r13 VERDICT item 5) — every dotted alias reference
+    # in the ON condition and clause expressions is normalized to the
+    # internal t (target) / s (source) before parsing, so `USING src
+    # AS S … ON T.k = S.k` works like any SQL engine's MERGE
     m = re.fullmatch(
         rf"\s*(?i:MERGE\s+INTO)\s+({_IDENT})\s+(?:(?i:AS)\s+)?({_IDENT})\s+"
         rf"(?i:USING)\s+({_IDENT})\s+(?:(?i:AS)\s+)?({_IDENT})\s+"
@@ -288,23 +340,26 @@ def _merge(
     )
     if not m:
         raise TableSqlError(
-            "MERGE skeleton must be `MERGE INTO <table> [AS] t USING "
-            "<source> [AS] s ON <cond> WHEN …` — the aliases are fixed "
-            "to t (target) and s (source), the names clause "
-            "expressions reference"
+            "MERGE skeleton must be `MERGE INTO <table> [AS <alias>] "
+            "USING <source> [AS <alias>] ON <cond> WHEN …` (aliases "
+            "default to t / s)"
         )
-    if m.group(2) != "t" or m.group(4) != "s":
+    ta, sa = m.group(2), m.group(4)
+    if ta.lower() == sa.lower():
         raise TableSqlError(
-            f"MERGE aliases must be LOWERCASE t (target) and s "
-            f"(source) — got {m.group(2)!r} / {m.group(4)!r}; clause "
-            "expressions reference exactly `t.` and `s.`"
+            f"MERGE target and source aliases must differ (SQL "
+            f"identifiers are case-insensitive); got {ta!r} / {sa!r}"
         )
     if not clause_texts:
         raise TableSqlError(
             "MERGE needs at least one WHEN clause — a clauseless MERGE "
             "has no effect to apply"
         )
-    tbl, src_name, on_text = m.group(1), m.group(3), m.group(5)
+    tbl, src_name = m.group(1), m.group(3)
+    on_text = _rewrite_alias_refs(m.group(5), ta, sa)
+    clause_texts = [
+        _rewrite_alias_refs(c, ta, sa) for c in clause_texts
+    ]
     path = _resolve(tables, tbl)
     if src_name in sources:
         source = sources[src_name]
@@ -312,10 +367,16 @@ def _merge(
         try:
             source = spark.table(src_name)
         except Exception:
-            raise TableSqlError(
-                f"unknown MERGE source {src_name!r}: pass it in the "
-                "`sources` mapping or register it as a temp view"
-            ) from None
+            if src_name in tables:
+                # a registered format TABLE as the merge source: its
+                # current snapshot (table-to-table sync spelling)
+                source = read_table(spark, tables[src_name])
+            else:
+                raise TableSqlError(
+                    f"unknown MERGE source {src_name!r}: pass it in "
+                    "the `sources` mapping, register it as a temp "
+                    "view, or register its table in the catalog"
+                ) from None
 
     # ON: conjunction of s.<k> = t.<k> covering the key exactly
     key_cols = list(
@@ -1105,17 +1166,23 @@ def _vacuum(
 def table_sql(
     spark: SparkSession,
     statement: str,
-    tables: dict[str, str],
+    tables: dict[str, str] | None = None,
     sources: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Execute one management statement against format tables.
 
-    ``tables`` maps SQL identifiers to table paths; ``sources`` maps
-    MERGE source identifiers to DataFrames (temp views also resolve).
-    Returns a DataFrame: the SELECT result, the history rows, or a
-    one-row ``version`` frame for MERGE/RESTORE (the committed
-    version). Statements outside the module grammar raise
-    :class:`TableSqlError` before any side effect."""
+    ``tables`` maps SQL identifiers to table paths — optional since
+    r14: names registered once in :mod:`video_streamer_spark.
+    vss_catalog` resolve without it, and an explicit dict OVERRIDES
+    the catalog per name. ``sources`` maps MERGE source identifiers to
+    DataFrames (temp views and registered/`tables` table names also
+    resolve, in that order). Returns a DataFrame: the SELECT result,
+    the history rows, or a one-row ``version`` frame for MERGE/RESTORE
+    (the committed version). Statements outside the module grammar
+    raise :class:`TableSqlError` before any side effect."""
+    from video_streamer_spark import vss_catalog
+
+    tables = {**vss_catalog.registered(), **(tables or {})}
     stmt = statement.strip().rstrip(";").strip()
     first = stmt.split(None, 1)[0].upper() if stmt else ""
     if first == "DESCRIBE":

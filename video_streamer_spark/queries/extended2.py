@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from video_streamer_spark.catalog import table
 from video_streamer_spark.queries import query
+from video_streamer_spark.queries.curation import _R4, _sql_cos
 
 
 # x213 — IMAGE dHASH NEAR-DUP: the multimodal twin of SimHash dedup.
@@ -2778,3 +2779,166 @@ def x246_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         T,
     )
+
+
+# x247 — NESTED COLUMNS THROUGH THE CATALOG SURFACE (round-13 VERDICT
+# item 2): an embeddings table — array<float>, the LLM pipeline's core
+# datatype — lives in the versioned table format and is served to
+# PLAIN spark.read through the table_snapshot DataSource, then queried
+# with the q18 cosine-top-k. The lifecycle exercises every nested-type
+# seam the r13 sources refused: create with an array payload,
+# merge_into rewriting arrays (to_json fingerprints classify nested
+# change), merge-on-read tombstones over a nested bucket (the Arrow
+# keep-mask path — no pandas round-trip, so NaN payloads and list
+# cells survive exactly), and the DataSource's recursive Arrow schema.
+# The update REVERSES the stripe's vectors (cosine is scale-invariant,
+# so a doubled vector would be invisible to the ranking — reversal
+# shifts sims, making a missed update land as a value mismatch; a
+# leaked tombstone surfaces as an extra ranked row). Scale: one
+# InputPartition per bucket, Arrow batches across the boundary, and
+# the ranking itself is the q18 broadcast-cross-join plan — corpus
+# scan times a 1-row broadcast query side.
+@query(
+    "x247_snapshot_nested_embeddings",
+    oracle=f"""
+    WITH cur AS (
+      SELECT vec_id,
+        CASE WHEN vec_id % 17 = 5 THEN list_reverse(embedding)
+             ELSE embedding END AS embedding
+      FROM embeddings WHERE vec_id % 17 <> 3),
+    q AS (SELECT embedding FROM cur WHERE vec_id = 0),
+    scored AS (
+      SELECT c.vec_id,
+        {_R4.format(_sql_cos('c.embedding', 'q.embedding'))} AS sim
+      FROM cur c, q),
+    ranked AS (
+      SELECT vec_id, sim,
+        CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INT)
+          AS rank
+      FROM scored)
+    SELECT vec_id, sim, rank FROM ranked WHERE rank <= 50
+    """,
+)
+def x247_snapshot_nested_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from video_streamer_spark.operators.similarity import brute_topk
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        delete_keys,
+        merge_into,
+    )
+    from video_streamer_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    path = _fresh_run_dir(spark, sf_dir, "vss-nestsnap")
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    create_table(emb, path, ["vec_id"], n_buckets=8)          # v1
+    delete_keys(                                              # v2
+        spark, path, emb.where("vec_id % 17 = 3").select("vec_id")
+    )
+    merge_into(                                               # v3
+        spark,
+        path,
+        emb.where("vec_id % 17 = 5").select(
+            "vec_id", F.reverse("embedding").alias("embedding"), "label"
+        ),
+        when_matched_update="all",
+        when_not_matched_insert=None,
+    )
+    register_snapshot_source(spark)
+    snap = (
+        spark.read.format("table_snapshot").option("path", path).load()
+    )
+    return brute_topk(
+        snap,
+        snap.where(F.col("vec_id") == 0),
+        k=50,
+        exclude_self=False,
+    ).select("vec_id", "sim", "rank")
+
+
+# x248 — SESSION CATALOG STATEMENTS (round-13 VERDICT item 3): the
+# register-once name→path catalog (video_streamer_spark.vss_catalog)
+# removes the last registry-dict ergonomic from the statement surface.
+# Every statement below runs with NO tables= argument — names resolve
+# from the catalog (explicit dicts remain per-name overrides, pinned
+# by tests/test_table_sql.py). The sequence also certifies two r14
+# surfaces under driver evidence: MERGE USING a REGISTERED TABLE as
+# the source (its current snapshot — the table-to-table sync
+# spelling), and free-form MERGE aliases (`AS M … AS A`, mixed-case
+# dotted references normalized to the operator's t/s; r13 VERDICT
+# item 5). The oracle restates the final state closed-form per k%3
+# class, so a statement resolving the wrong path, an alias rewrite
+# touching a literal, or a MERGE reading a stale source snapshot
+# lands as a value mismatch. Scale: catalog resolution is driver-side
+# dict lookup; every statement stays metadata- or churn-priced.
+@query(
+    "x248_catalog_statements",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 13 = 0),
+    fin AS (
+      SELECT k, CASE WHEN k % 39 = 0 THEN price + 1000.0
+                     WHEN k % 26 = 0 THEN price + 5.0
+                     ELSE price END AS price
+      FROM src)
+    SELECT CAST(k % 3 AS BIGINT) AS grp,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(price * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+        AS total
+    FROM fin GROUP BY 1
+    """,
+)
+def x248_catalog_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from video_streamer_spark import vss_catalog
+    from video_streamer_spark.operators.table_sql import table_sql
+
+    main = _fresh_run_dir(spark, sf_dir, "vss-catmain")
+    adj = _fresh_run_dir(spark, sf_dir, "vss-catadj")
+    table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    ).where("k % 13 = 0").createOrReplaceTempView("x248_src")
+    vss_catalog.register("x248_main", main)
+    vss_catalog.register("x248_adj", adj)
+    try:
+        table_sql(
+            spark,
+            "CREATE TABLE x248_main KEY (k) BUCKETS 8 "
+            "AS SELECT k, price FROM x248_src",
+        )
+        table_sql(
+            spark,
+            "UPDATE x248_main SET price = price + 5.0 WHERE k % 26 = 0",
+        )
+        table_sql(
+            spark,
+            "CREATE TABLE x248_adj KEY (k) AS "
+            "SELECT k, price + 1000.0 AS price FROM x248_src "
+            "WHERE k % 39 = 0",
+        )
+        # registered table as MERGE source + free aliases (M / A)
+        table_sql(
+            spark,
+            "MERGE INTO x248_main AS M USING x248_adj AS A "
+            "ON A.k = M.k "
+            "WHEN MATCHED THEN UPDATE SET price = A.price",
+        )
+        return table_sql(
+            spark,
+            """
+            SELECT CAST(k % 3 AS BIGINT) AS grp,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CAST(FLOOR(price * 100.0) AS BIGINT)) AS DOUBLE)
+                / 100.0 AS total
+            FROM x248_main GROUP BY CAST(k % 3 AS BIGINT)
+            """,
+        )
+    finally:
+        vss_catalog.unregister("x248_main")
+        vss_catalog.unregister("x248_adj")

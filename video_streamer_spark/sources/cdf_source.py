@@ -270,9 +270,73 @@ def _converter(dt):
     if s in ("date", "timestamp_ntz"):
         # wall-clock types: naive is CORRECT (no instant to preserve)
         return lambda v: v.to_pydatetime() if hasattr(v, "to_pydatetime") else v
+
+    # nested payload columns (round-13 VERDICT item 2): cells arrive as
+    # exact python values (list / dict / list-of-pairs) because
+    # _arrow_types_mapper lands nested arrow columns in pd.ArrowDtype —
+    # never the lossy numpy detour that conflates null elements with
+    # NaN. Key columns stay atomic (create_table enforces it).
+    from pyspark.sql.types import ArrayType, MapType
+    from pyspark.sql.types import StructType as _SparkStruct
+
+    if isinstance(dt, ArrayType):
+        ec = _converter(dt.elementType)
+        return lambda v: [None if e is None else ec(e) for e in v]
+    if isinstance(dt, _SparkStruct):
+        fcs = [(f.name, _converter(f.dataType)) for f in dt.fields]
+        return lambda v: {
+            name: (None if v.get(name) is None else c(v[name]))
+            for name, c in fcs
+        }
+    if isinstance(dt, MapType):
+        kc, vc = _converter(dt.keyType), _converter(dt.valueType)
+        return lambda v: {
+            kc(k): (None if val is None else vc(val))
+            for k, val in (v.items() if isinstance(v, dict) else v)
+        }
     raise NotImplementedError(
-        f"table_cdf supports atomic columns; got {s}"
+        "table_cdf supports the table format's atomic columns plus "
+        f"array/struct/map over them; got {s}"
     )
+
+
+def _isna_cell(v) -> bool:
+    """Scalar-safe null check: a nested cell (list / dict / ndarray)
+    is never 'missing' even though ``pd.isna`` on it is elementwise or
+    raises."""
+    import pandas as pd
+
+    if isinstance(v, (list, dict, tuple)) or hasattr(v, "__array__"):
+        return False
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
+def _canon_cell(v):
+    """Order- and NaN-canonical hashable form of a nested cell for
+    change detection: lists→tuples, dicts/maps→key-sorted tuples,
+    float NaN→a sentinel (Spark's join/equality semantics treat
+    NaN = NaN as true, so a NaN→NaN 'update' must read as unchanged)."""
+    if _isna_cell(v):
+        return None
+    if isinstance(v, float) and v != v:
+        return "__nan__"
+    if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+        seq = v.tolist() if hasattr(v, "tolist") else v
+        # a map cell surfaces as a list of (key, value) pairs — order
+        # is storage order, not identity; sort pairs for comparison
+        if seq and all(
+            isinstance(e, tuple) and len(e) == 2 for e in seq
+        ):
+            return tuple(
+                sorted((k, _canon_cell(val)) for k, val in seq)
+            )
+        return tuple(_canon_cell(e) for e in seq)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_cell(val)) for k, val in v.items()))
+    return v
 
 
 def _arrow_types_mapper(t):
@@ -280,10 +344,22 @@ def _arrow_types_mapper(t):
     nullable Int* dtypes. Without it, an int64 column that carries any
     null detours through float64 BEFORE the later Int64 cast can run,
     and values past 2^53 come back corrupted (verified off-by-7 at
-    10^18) — violating this module's exact-integers guarantee."""
+    10^18) — violating this module's exact-integers guarantee.
+
+    Nested columns land in ``pd.ArrowDtype`` for the same reason:
+    the default numpy detour turns null list elements into NaN and
+    struct cells into opaque numpy records; ArrowDtype cells surface
+    as exact python lists/dicts with null preserved."""
     import pandas as pd
     import pyarrow as pa
 
+    if (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_struct(t)
+        or pa.types.is_map(t)
+    ):
+        return pd.ArrowDtype(t)
     return {
         pa.int8(): pd.Int8Dtype(),
         pa.int16(): pd.Int16Dtype(),
@@ -619,7 +695,7 @@ class _CdfStreamReader(DataSourceStreamReader):
         def emit_frame(df, cols, change):
             for row in df[cols].itertuples(index=False, name=None):
                 yield tuple(
-                    None if pd.isna(v) else conv(v)
+                    None if _isna_cell(v) else conv(v)
                     for v, conv in zip(row, convs)
                 ) + (change, partition.end_version)
 
@@ -707,9 +783,26 @@ class _CdfStreamReader(DataSourceStreamReader):
         )
         both = merged[merged["_merge"] == "both"]
         if vals and len(both):
+            from pyspark.sql.types import ArrayType, MapType
+            from pyspark.sql.types import StructType as _SparkStruct
+
+            nested = {
+                f.name
+                for f in self.table_fields
+                if isinstance(
+                    f.dataType, (ArrayType, _SparkStruct, MapType)
+                )
+            }
             neq = pd.Series(False, index=both.index)
             for c in vals:
                 o, n = both[f"{c}_o"], both[f"{c}_n"]
+                if c in nested:
+                    # elementwise == on list/dict cells is undefined —
+                    # compare canonical hashable forms instead (object
+                    # dtype; None for null cells, NaN→sentinel so
+                    # NaN→NaN reads unchanged, Spark equality style)
+                    o = o.map(_canon_cell, na_action=None)
+                    n = n.map(_canon_cell, na_action=None)
                 # (o == n) is pd.NA when exactly one side is null
                 # (nullable dtypes) — fillna(False) makes null↔value a
                 # CHANGE and keeps the mask pure-boolean (an NA mask
