@@ -100,6 +100,16 @@ SCALE3 = [
     "x03_dedup_simhash_pairs",
     "x200_verbatim_span_dedup",
     "q20_theta_self_join",
+    # table format at the decades (r13 VERDICT item 6): the replica
+    # scales orders ×100 and the mirror tag de-collides the prebuilt
+    # slot, so the warmup rep builds a genuinely scaled versioned
+    # table (create + delete_keys over 15M rows) and the measured reps
+    # price the manifest-walk + tombstone anti-join + snapshot scan.
+    # NOTE the denominator asymmetry, documented rather than hidden:
+    # x217's oracle is a plain `% 7 <> 0` filter — DuckDB never pays a
+    # merge-on-read anti-join — so parity (1.0×) is not the neutral
+    # point for this row the way it is for the dedup rows.
+    "x217_tombstone_snapshot_read",
 ]
 
 
@@ -163,6 +173,8 @@ def x10_replica(spark, sf_dir: str) -> str:
       scales, per-group pair structure is preserved;
     - embeddings ×4 with fresh ids — compare work (the quantity under
       test) grows exactly 16×;
+    - orders ×10 with fresh order keys (r14: feeds x217's prebuilt
+      versioned table, the scale3 table-format row);
     - every other table symlinked.
 
     This is the recipe the two-scale-point suite measures
@@ -179,7 +191,13 @@ def x10_replica(spark, sf_dir: str) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = "/tmp/vss-bench-x10"
-    mirror = f"{root}/{tag}"
+    # the "-x10" suffix is load-bearing: _prebuilt_table keys its
+    # once-per-(app, sf) versioned-table slot on basename(sf_dir), so
+    # a mirror named exactly like the source tag would silently REUSE
+    # the small-scale prebuilt table for the x10 measurement (r13
+    # VERDICT item 6 — the x217 scale3 row needs a genuinely scaled
+    # build)
+    mirror = f"{root}/{tag}-x10"
     ready = os.path.join(mirror, "_READY")
     fp = hashlib.sha256(
         "\n".join(
@@ -238,6 +256,25 @@ def x10_replica(spark, sf_dir: str) -> str:
             "value",
             "props",
         ).write.mode("overwrite").parquet(f"{mirror}/events.parquet")
+        # orders ×100 with fresh order keys (customer refs unchanged —
+        # no scale3 row joins through them): feeds the x217 prebuilt
+        # versioned table so the table-format decade point measures a
+        # genuinely scaled manifest-walk + tombstone-anti-join + scan.
+        # ×100 (not ×10) because the versioned-table read carries a
+        # fixed scheduling/anti-join floor that still dominates 1.5M
+        # rows (measured 6.2× vs DuckDB's plain-filter oracle at ×10,
+        # 3.0× at ×100 — the curve the block exists to show); the
+        # mirror write is fingerprint-cached, so the ~15 s build is
+        # once per box, not per run
+        reps100 = spark.range(100).select(
+            F.col("id").cast("int").alias("r")
+        )
+        od = _table(spark, sf_dir, "orders")
+        od_rest = [c for c in od.columns if c != "o_orderkey"]
+        od.crossJoin(F.broadcast(reps100)).select(
+            (F.col("o_orderkey") * 100 + F.col("r")).alias("o_orderkey"),
+            *od_rest,
+        ).write.mode("overwrite").parquet(f"{mirror}/orders.parquet")
         reps4 = spark.range(4).select(F.col("id").cast("int").alias("r"))
         emb = _table(spark, sf_dir, "embeddings")
         emb.crossJoin(F.broadcast(reps4)).select(

@@ -2454,6 +2454,36 @@ def test_bpe_merge_rule_non_overlapping_and_tiebreak(spark):
     assert (out[2].l, out[2].r, out[2].n) == ("a", "b", 1)
 
 
+def test_greedy_round_budget_refuses_loudly(spark):
+    """r13 VERDICT item 7: each greedy round is one driver-blocking
+    Spark job, so a k=10⁴ caller must get a loud refusal BEFORE any
+    job runs — not a 10⁴-job driver loop. max_rounds overrides the
+    budget explicitly."""
+    import pytest
+
+    from video_streamer_spark.operators.text import (
+        MAX_GREEDY_ROUNDS,
+        bpe_train_merges,
+        greedy_coverage_selection,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="driver-blocking"):
+        bpe_train_merges(docs, n_merges=MAX_GREEDY_ROUNDS + 1)
+    with pytest.raises(ValueError, match="driver-blocking"):
+        greedy_coverage_selection(docs, n_select=10_000)
+    # explicit override owns the cost (degenerate corpus ends round 1)
+    assert (
+        bpe_train_merges(
+            docs, n_merges=MAX_GREEDY_ROUNDS + 1,
+            max_rounds=MAX_GREEDY_ROUNDS + 1,
+        ).count()
+        == 0
+    )
+
+
 def test_iterative_model_ops_survive_degenerate_inputs(spark):
     """BPE, coverage selection, and MMR must return well-formed (possibly
     short) results when the corpus can't sustain every round — no

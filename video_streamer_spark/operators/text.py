@@ -432,7 +432,32 @@ def repetition_signals(docs: DataFrame, top2_max_frac: float = 0.2) -> DataFrame
     )
 
 
-def _bpe_train(docs: DataFrame, n_merges: int = 3):
+#: Driver-loop budget for the greedy selection operators (BPE merge
+#: rounds, coverage selection): each round is ONE bounded Spark job
+#: (vocab-/candidate-sized aggregation + a 1-row TakeOrdered collect),
+#: so the loop costs rounds × job-latency on the DRIVER's clock — fine
+#: at the tens these operators are designed for, pathological at 10⁴
+#: (a tokenizer-scale merge list belongs in a dedicated trainer, not a
+#: per-query driver loop). Callers above the budget are refused loudly
+#: (r13 VERDICT item 7); pass a bigger ``max_rounds`` to own the cost.
+MAX_GREEDY_ROUNDS = 256
+
+
+def _check_greedy_rounds(requested: int, param: str, max_rounds: int) -> None:
+    if requested > max_rounds:
+        raise ValueError(
+            f"{param}={requested:,} exceeds max_rounds={max_rounds:,}: "
+            "each greedy round is one driver-blocking Spark job, so "
+            f"this call would run {requested:,} sequential jobs. Use a "
+            "bounded selection here, or pass max_rounds explicitly to "
+            "own the driver-loop cost (MAX_GREEDY_ROUNDS documents the "
+            "default budget)."
+        )
+
+
+def _bpe_train(
+    docs: DataFrame, n_merges: int = 3, max_rounds: int = MAX_GREEDY_ROUNDS
+):
     """BPE tokenizer training (Sennrich et al. 2016): iteratively find
     the highest-count adjacent symbol pair and merge it everywhere,
     ``n_merges`` times; returns the merge table — (rank, left, right,
@@ -446,8 +471,11 @@ def _bpe_train(docs: DataFrame, n_merges: int = 3):
     centroid convention), then a codegen'd left-fold merge of the
     symbol arrays — left-to-right non-overlapping, the BPE rule.
     Ties break (count desc, left asc, right asc) so the merge sequence
-    is engine-exact.
+    is engine-exact. Per-round cost: one vocab-sized shuffle + one
+    1-row collect, sequential on the driver — ``max_rounds`` bounds it
+    (see ``MAX_GREEDY_ROUNDS``).
     """
+    _check_greedy_rounds(n_merges, "n_merges", max_rounds)
     vocab = (
         token_explode(docs)
         .groupBy("token")
@@ -532,10 +560,15 @@ def _bpe_train(docs: DataFrame, n_merges: int = 3):
     return merges_df, vocab
 
 
-def bpe_train_merges(docs: DataFrame, n_merges: int = 3) -> DataFrame:
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 3,
+    max_rounds: int = MAX_GREEDY_ROUNDS,
+) -> DataFrame:
     """The merge table from ``n_merges`` BPE training rounds — (rank,
-    left, right, merged, count); see `_bpe_train` for semantics."""
-    merges_df, _ = _bpe_train(docs, n_merges)
+    left, right, merged, count); see `_bpe_train` for semantics and
+    the per-round driver-job cost (``max_rounds`` bounds it)."""
+    merges_df, _ = _bpe_train(docs, n_merges, max_rounds=max_rounds)
     return merges_df
 
 
@@ -566,7 +599,10 @@ def bpe_segment_stats(docs: DataFrame, n_merges: int = 3) -> DataFrame:
 
 
 def greedy_coverage_selection(
-    docs: DataFrame, n_select: int = 3, shingle_k: int = 3
+    docs: DataFrame,
+    n_select: int = 3,
+    shingle_k: int = 3,
+    max_rounds: int = MAX_GREEDY_ROUNDS,
 ) -> DataFrame:
     """Submodular (coverage-maximizing) document selection — lazy-greedy
     facility location over shingle coverage: each round picks the doc
@@ -578,9 +614,11 @@ def greedy_coverage_selection(
     index (one corpus shuffle, persisted) and the covered-shingle set
     (grows by ≤ one doc's shingles per round). Each round is one
     anti-join + count + 1-row TakeOrdered collect (the selection is the
-    model output, the BPE/centroid convention). Returns (sel_rank,
-    doc_id, gain, covered_total).
+    model output, the BPE/centroid convention) — sequential on the
+    driver, so ``max_rounds`` bounds the loop (``MAX_GREEDY_ROUNDS``).
+    Returns (sel_rank, doc_id, gain, covered_total).
     """
+    _check_greedy_rounds(n_select, "n_select", max_rounds)
     from video_streamer_spark.operators.dedup import shingles_col
 
     from video_streamer_spark.catalog import scatter
