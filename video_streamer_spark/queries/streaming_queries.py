@@ -191,3 +191,111 @@ def x196_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_streamer_spark.streaming.incremental import incremental_rollup
 
     return incremental_rollup(spark, sf_dir)
+
+
+# x249: NESTED COLUMNS THROUGH THE STREAMING CHANGE FEED (the cdf half
+# of r13 VERDICT item 2, r14): a versioned table whose payload is the
+# embeddings array<float> takes one merge commit mixing inserts,
+# reversed-array updates, and deletes, and the table_cdf stream (four-
+# type feed) is drained and aggregated per change type with an
+# element-level checksum. This pins the r14 nested cdf machinery under
+# driver evidence — ArrowDtype cell transport (null elements never
+# NaN-conflated), recursive converters, and the canonical-form change
+# comparison (a reversed array must classify as update; rows the
+# changeset rewrote identically must emit NOTHING). The oracle
+# restates the feed closed-form from the raw embeddings, so a missed
+# pre-image, a no-op update leaking through, or an element lost in the
+# Arrow boundary lands as a checksum mismatch. Scale: the feed reads
+# only rewritten buckets (manifest pruning); the checksum is a codegen
+# fold, no UDF.
+_X249_ORACLE = """
+    WITH v1 AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    ins AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 1),
+    del AS (SELECT vec_id, embedding FROM v1 WHERE vec_id % 15 = 10),
+    upd AS (
+      SELECT vec_id, embedding FROM v1
+      WHERE vec_id % 10 = 0 AND vec_id % 15 <> 10),
+    feed AS (
+      SELECT 'insert' AS change_type, embedding FROM ins
+      UNION ALL SELECT 'delete', embedding FROM del
+      UNION ALL SELECT 'update_preimage', embedding FROM upd
+      UNION ALL SELECT 'update_postimage', list_reverse(embedding)
+        FROM upd)
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(list_sum(list_transform(embedding,
+        (e, i) -> CAST(floor(CAST(e AS DOUBLE) * 100.0) AS BIGINT)
+                  * CAST(i AS BIGINT)))
+        AS BIGINT)) AS BIGINT) AS checksum
+    FROM feed GROUP BY change_type
+"""
+
+
+@query("x249_cdf_stream_nested", oracle=_X249_ORACLE)
+def x249_cdf_stream_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from video_streamer_spark.catalog import table
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        merge_table,
+    )
+    from video_streamer_spark.queries.extended2 import _fresh_run_dir
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+
+    path = _fresh_run_dir(spark, sf_dir, "vss-nestcdf")
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    create_table(
+        emb.where("vec_id % 5 = 0"), path, ["vec_id"], n_buckets=4
+    )  # v1
+    changes = (
+        emb.where("vec_id % 5 IN (0, 1)")
+        .where("vec_id % 5 = 1 OR vec_id % 10 = 0 OR vec_id % 15 = 10")
+        .withColumn(
+            "__op",
+            F.when(F.col("vec_id") % 15 == 10, F.lit("D"))
+            .when(F.col("vec_id") % 5 == 1, F.lit("I"))
+            .otherwise(F.lit("U")),
+        )
+        .withColumn(
+            "embedding",
+            F.when(
+                (F.col("vec_id") % 10 == 0) & (F.col("vec_id") % 15 != 10),
+                F.reverse("embedding"),
+            ).otherwise(F.col("embedding")),
+        )
+    )
+    merge_table(spark, path, changes)  # v2
+    register_cdf_source(spark)
+    feed = (
+        spark.readStream.format("table_cdf")
+        .option("path", path)
+        .option("startingVersion", 1)
+        .option("preimages", "true")
+        .load()
+    )
+    name = _drain(feed, "x249_sink", "append")
+    # POSITION-WEIGHTED element checksum (1-based, mirroring DuckDB's
+    # indexed lambda): the update rewrites arrays by REVERSAL, which
+    # preserves an unweighted element sum — weighting by position is
+    # what makes a pre/post image swap, or an element landing at the
+    # wrong index across the Arrow boundary, a value mismatch
+    cs = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x, i: F.floor(x.cast("double") * 100.0).cast("bigint")
+            * (i + F.lit(1)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        spark.table(name)
+        .select(F.col("_change_type").alias("change_type"), cs.alias("cs"))
+        .groupBy("change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cs").cast("bigint").alias("checksum"),
+        )
+    )
