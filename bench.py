@@ -173,8 +173,9 @@ def x10_replica(spark, sf_dir: str) -> str:
       scales, per-group pair structure is preserved;
     - embeddings ×4 with fresh ids — compare work (the quantity under
       test) grows exactly 16×;
-    - orders ×10 with fresh order keys (r14: feeds x217's prebuilt
-      versioned table, the scale3 table-format row);
+    - orders ×100 with fresh order keys (r14: feeds x217's prebuilt
+      versioned table, the scale3 table-format row — ×100 because the
+      versioned read's fixed floor still dominates at ×10);
     - every other table symlinked.
 
     This is the recipe the two-scale-point suite measures
@@ -222,9 +223,22 @@ def x10_replica(spark, sf_dir: str) -> str:
         return mirror
     os.makedirs(root, exist_ok=True)
     lock_path = mirror + ".lock"
-    lock_fh = open(lock_path, "w")
-    try:
+    # flock + unlink needs inode revalidation: after acquiring, the
+    # NAME may already point at a fresh inode (a finished holder
+    # unlinked ours), and holding a lock on an orphaned inode excludes
+    # nobody — loop until the locked fd IS the live file (review r14;
+    # the naive unlink allowed two concurrent builders).
+    while True:
+        lock_fh = open(lock_path, "a")
         fcntl.flock(lock_fh, fcntl.LOCK_EX)
+        try:
+            live = os.stat(lock_path).st_ino
+        except FileNotFoundError:
+            live = None
+        if os.fstat(lock_fh.fileno()).st_ino == live:
+            break
+        lock_fh.close()  # stale inode — retry on the current name
+    try:
         if built():
             return mirror
         if os.path.exists(mirror):
@@ -298,15 +312,16 @@ def x10_replica(spark, sf_dir: str) -> str:
         shutil.rmtree(mirror, ignore_errors=True)
         raise
     finally:
-        lock_fh.close()
-        # unlink AFTER close: a concurrent waiter blocked in flock()
-        # holds its own fd to this inode and re-checks built() before
-        # touching the mirror, so removing the name is safe — it only
-        # stops stale .lock files accumulating across sf tags
+        # unlink BEFORE releasing, while we still hold the live inode
+        # (checked above): waiters blocked on this inode re-validate
+        # against the name after acquiring and retry, so exclusion
+        # survives the cleanup (ADVICE r13's stale-lock accumulation,
+        # done without the review-r14 double-builder race)
         try:
             os.unlink(lock_path)
         except OSError:
             pass
+        lock_fh.close()
 
 
 def splittable_mirror(sf_dir: str) -> str:

@@ -1365,6 +1365,53 @@ def test_cdf_stream_serves_nested_columns(spark, tmp_path):
     assert ins["props"] == {"m": 20}
 
 
+def test_cdf_stream_null_double_cell_stays_null(spark, tmp_path):
+    """A NULL double cell must stream as NULL, not NaN: numpy float
+    scalars implement __array__, so a sequence check keyed on it would
+    misroute every null float cell past the missing-value guard (r14
+    review of the nested-cell work)."""
+    from video_streamer_spark.operators.table_format import (
+        create_table,
+        merge_table,
+    )
+    from video_streamer_spark.sources.cdf_source import register_cdf_source
+    from video_streamer_spark.streaming.drain import drain_or_raise
+
+    path = str(tmp_path / "t")
+    create_table(
+        spark.sql("SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(4)"),
+        path,
+        ["k"],
+        n_buckets=2,
+    )
+    register_cdf_source(spark)
+    merge_table(
+        spark,
+        path,
+        spark.sql(
+            "SELECT CAST(9 AS BIGINT) AS k, CAST(NULL AS DOUBLE) AS v, "
+            "'I' AS __op"
+        ),
+    )
+    out = str(tmp_path / "feed")
+    q = (
+        spark.readStream.format("table_cdf")
+        .option("path", path)
+        .option("startingVersion", 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_or_raise(q, 120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0]["k"] == 9
+    assert rows[0]["v"] is None, f"NULL double leaked as {rows[0]['v']!r}"
+
+
 def test_streaming_agg_view_tracks_recompute(spark, tmp_path):
     """The maintained view equals recompute-at-current after EVERY
     incremental pass — across the initial snapshot, group-moving

@@ -400,6 +400,44 @@ def test_free_merge_aliases_normalize(spark, t, tmp_path):
             t,
             sources={"chg": _src(spark)},
         )
+    # alias-LESS merge: the [AS <alias>] really is optional (r14
+    # review — the refusal text promised defaults the regex refused)
+    p_free = fresh("aliasless")
+    table_sql(
+        spark,
+        "MERGE INTO dets USING chg ON s.k = t.k "
+        "WHEN MATCHED AND s.k % 2 = 0 THEN UPDATE SET v = t.v + s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)",
+        {"dets": p_free},
+        sources={"chg": _src(spark)},
+    )
+    got = sorted(tuple(r) for r in read_table(spark, p_free).collect())
+    assert got == want
+    # an undeclared internal name must refuse, never silently bind
+    with pytest.raises(TableSqlError, match="undeclared alias"):
+        table_sql(
+            spark,
+            "MERGE INTO dets AS tgt USING chg AS src ON src.k = tgt.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v",
+            t,
+            sources={"chg": _src(spark)},
+        )
+
+
+def test_alias_rewrite_is_path_safe(spark):
+    """A struct FIELD named like an alias must survive the rewrite:
+    only path-LEADING tokens are alias references (r14 review)."""
+    from video_streamer_spark.operators.table_sql import (
+        _rewrite_alias_refs,
+    )
+
+    out = _rewrite_alias_refs(
+        "UPDATE SET v = tgt.payload.src.amount + src.w", "tgt", "src"
+    )
+    assert out == "UPDATE SET v = t.payload.src.amount + s.w"
+    # swapped internals still path-safe
+    out2 = _rewrite_alias_refs("s.meta.t.x + t.meta.s.y", "s", "t")
+    assert out2 == "t.meta.t.x + s.meta.s.y"
 
 
 def test_insert_into_values_and_select(spark, t):

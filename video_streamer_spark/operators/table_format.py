@@ -802,13 +802,27 @@ def create_table(
     rel, present, stats, file_stats = _write_commit_data(
         df, path, key_cols, n_buckets
     )
+    from pyspark.sql.types import StructField, StructType
+
     doc = {
         "version": 1,
         "n_buckets": n_buckets,
         "key_cols": key_cols,
         # the row schema, so an empty version (all rows deleted) stays
-        # readable as an empty relation instead of erroring
-        "schema": df.schema.json(),
+        # readable as an empty relation instead of erroring. Fields are
+        # recorded NULLABLE regardless of the source expression's
+        # incidental nullability: the format's null contract is the
+        # DECLARED constraint surface (set_not_null, enforced at every
+        # write) — recording a spark.range-derived nullable=false
+        # would let a later legal null-bearing merge produce files a
+        # strict reader crashes on ("Value at index is null",
+        # review r14). Key nulls are refused at _bucketed either way.
+        "schema": StructType(
+            [
+                StructField(f.name, f.dataType, True, f.metadata)
+                for f in df.schema.fields
+            ]
+        ).json(),
         "buckets": {str(b): f"{rel}/{BUCKET_COL}={b}" for b in present},
         "stats": stats,
         "file_stats": file_stats,

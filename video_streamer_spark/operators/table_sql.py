@@ -238,16 +238,34 @@ def _rewrite_alias_refs(text: str, ta: str, sa: str) -> str:
     """Normalize dotted MERGE alias references to the internal t / s
     the downstream parsers and operators use. Case-insensitive (SQL
     identifier semantics), quote-aware (alias-shaped tokens inside
-    string literals / backticks are untouched), and swap-safe (a
-    statement aliasing the TARGET as s and the SOURCE as t rewrites
-    through a placeholder, never double-substitutes)."""
+    string literals / backticks are untouched), swap-safe (a statement
+    aliasing the TARGET as s and the SOURCE as t rewrites through
+    placeholders, never double-substitutes), and path-safe (only a
+    PATH-LEADING token is an alias ref — ``tgt.payload.src.amount``
+    keeps its struct field named ``src``; review r14). References to
+    the internal names t./s. when NEITHER alias declares them are
+    refused, not silently reinterpreted (a typo'd alias must error
+    like any SQL engine, review r14)."""
     if (ta, sa) == ("t", "s"):
         return text
+    declared = {ta.lower(), sa.lower()}
+    # (?<![\w.]) — not mid-identifier AND not a struct-path segment
+    head = r"(?<![\w.])"
 
     def _sub(seg: str) -> str:
-        seg = re.sub(rf"(?i)\b{re.escape(ta)}\s*\.", "\x00.", seg)
-        seg = re.sub(rf"(?i)\b{re.escape(sa)}\s*\.", "s.", seg)
-        return seg.replace("\x00.", "t.")
+        seg = re.sub(rf"(?i){head}{re.escape(ta)}\s*\.", "\x00.", seg)
+        seg = re.sub(rf"(?i){head}{re.escape(sa)}\s*\.", "\x01.", seg)
+        for internal in ("t", "s"):
+            if internal not in declared and re.search(
+                rf"(?i){head}{internal}\s*\.", seg
+            ):
+                raise TableSqlError(
+                    f"expression references `{internal}.` but this "
+                    f"MERGE declares aliases {ta!r} / {sa!r} — "
+                    "undeclared alias references are refused, never "
+                    "reinterpreted"
+                )
+        return seg.replace("\x00.", "t.").replace("\x01.", "s.")
 
     out: list[str] = []
     i, n, seg_start = 0, len(text), 0
@@ -332,8 +350,10 @@ def _merge(
     # internal t (target) / s (source) before parsing, so `USING src
     # AS S … ON T.k = S.k` works like any SQL engine's MERGE
     m = re.fullmatch(
-        rf"\s*(?i:MERGE\s+INTO)\s+({_IDENT})\s+(?:(?i:AS)\s+)?({_IDENT})\s+"
-        rf"(?i:USING)\s+({_IDENT})\s+(?:(?i:AS)\s+)?({_IDENT})\s+"
+        rf"\s*(?i:MERGE\s+INTO)\s+({_IDENT})"
+        rf"(?:\s+(?:(?i:AS)\s+)?(?!(?i:USING)\b)({_IDENT}))?\s+"
+        rf"(?i:USING)\s+({_IDENT})"
+        rf"(?:\s+(?:(?i:AS)\s+)?(?!(?i:ON)\b)({_IDENT}))?\s+"
         r"(?i:ON)\s+(.+?)\s*",
         head,
         re.DOTALL,
@@ -344,7 +364,7 @@ def _merge(
             "USING <source> [AS <alias>] ON <cond> WHEN …` (aliases "
             "default to t / s)"
         )
-    ta, sa = m.group(2), m.group(4)
+    ta, sa = m.group(2) or "t", m.group(4) or "s"
     if ta.lower() == sa.lower():
         raise TableSqlError(
             f"MERGE target and source aliases must differ (SQL "

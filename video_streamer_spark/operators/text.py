@@ -572,14 +572,18 @@ def bpe_train_merges(
     return merges_df
 
 
-def bpe_segment_stats(docs: DataFrame, n_merges: int = 3) -> DataFrame:
+def bpe_segment_stats(
+    docs: DataFrame,
+    n_merges: int = 3,
+    max_rounds: int = MAX_GREEDY_ROUNDS,
+) -> DataFrame:
     """Corpus segmentation report after applying the trained merges:
     one row with total word occurrences, symbols before (= chars) and
     after merging, and the compression ratio — the number a tokenizer
     team watches while growing the merge list. Aggregates the
     frequency-weighted vocab table (vocab-sized input, exact BIGINT
     sums)."""
-    _, vocab = _bpe_train(docs, n_merges)
+    _, vocab = _bpe_train(docs, n_merges, max_rounds=max_rounds)
     agg = vocab.agg(
         F.sum("wc").cast("bigint").alias("n_words"),
         F.sum(F.col("wc") * F.aggregate(

@@ -225,7 +225,8 @@ _X249_ORACLE = """
         FROM upd)
     SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
       CAST(SUM(CAST(list_sum(list_transform(embedding,
-        (e, i) -> CAST(floor(CAST(e AS DOUBLE) * 100.0) AS BIGINT)
+        (e, i) -> COALESCE(
+          CAST(floor(CAST(e AS DOUBLE) * 100.0) AS BIGINT), 0)
                   * CAST(i AS BIGINT)))
         AS BIGINT)) AS BIGINT) AS checksum
     FROM feed GROUP BY change_type
@@ -280,11 +281,17 @@ def x249_cdf_stream_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     # indexed lambda): the update rewrites arrays by REVERSAL, which
     # preserves an unweighted element sum — weighting by position is
     # what makes a pre/post image swap, or an element landing at the
-    # wrong index across the Arrow boundary, a value mismatch
+    # wrong index across the Arrow boundary, a value mismatch. NULL
+    # elements fold as 0 on BOTH sides (coalesce here, COALESCE in the
+    # oracle — DuckDB's list_sum skips nulls while Spark's aggregate
+    # would propagate them; review r14)
     cs = F.aggregate(
         F.transform(
             "embedding",
-            lambda x, i: F.floor(x.cast("double") * 100.0).cast("bigint")
+            lambda x, i: F.coalesce(
+                F.floor(x.cast("double") * 100.0).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            )
             * (i + F.lit(1)).cast("bigint"),
         ),
         F.lit(0).cast("bigint"),

@@ -303,10 +303,15 @@ def _converter(dt):
 def _isna_cell(v) -> bool:
     """Scalar-safe null check: a nested cell (list / dict / ndarray)
     is never 'missing' even though ``pd.isna`` on it is elementwise or
-    raises."""
+    raises. The sequence test is dimensional (``ndim``), NOT
+    ``__array__`` — numpy float SCALARS implement ``__array__``, and
+    treating them as sequences would emit NULL double cells as NaN
+    (review r14). Scalar NaN stays 'missing' here, exactly the
+    pre-nested behavior: float columns ride plain float64 through the
+    outer merge, where NULL and NaN are already one value."""
     import pandas as pd
 
-    if isinstance(v, (list, dict, tuple)) or hasattr(v, "__array__"):
+    if isinstance(v, (list, dict, tuple)) or getattr(v, "ndim", 0) > 0:
         return False
     try:
         return bool(pd.isna(v))
