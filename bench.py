@@ -340,10 +340,11 @@ def splittable_mirror(sf_dir: str) -> str:
     mirror = f"/tmp/vss-bench-data/{tag}"
     ready = os.path.join(mirror, "_READY")
     # cache keyed by a fingerprint of the SOURCE files (path + size +
-    # mtime): regenerated testdata or a different dir with the same
-    # basename must rebuild, never silently bench stale copies
+    # mtime) PLUS the split-rule version: regenerated testdata, a
+    # different dir with the same basename, or a changed split rule must
+    # rebuild, never silently bench stale copies
     fp = hashlib.sha256(
-        "\n".join(
+        b"split-rule-v2\n" + "\n".join(
             sorted(
                 f"{os.path.realpath(sf_dir)}/{f}:"
                 f"{os.path.getsize(os.path.join(sf_dir, f))}:"
@@ -420,7 +421,21 @@ def _build_mirror(
             dst = os.path.join(mirror, f)
             size = os.path.getsize(src)
             pf = pq.ParquetFile(src)
-            if pf.num_row_groups == 1 and size > (4 << 20):
+            # split-rule v2 (round 14): ANY single-row-group table big
+            # enough to matter is rewritten as multiple files, sized by
+            # ROWS, not bytes. Parquet splits at row-group granularity,
+            # so a one-row-group file serializes its whole scan — and
+            # every CPU-heavy map stage above it (JSON parse, tokenize,
+            # hash) — onto one core, regardless of maxPartitionBytes.
+            # The old >4 MiB rule only caught lineitem; events/orders/
+            # documents scans all ran one-task (measured: q12's JSON
+            # parse 0.43 s single-task). Row-based sizing (~12.5k rows
+            # per file, 4..16 files) parallelizes the scan while
+            # openCostInBytes (4 MiB/file) keeps Spark at ~one file per
+            # split, bounding task count. DuckDB reads the same layout
+            # (duckdb_timings globs the dir), so the comparison stays
+            # symmetric.
+            if pf.num_row_groups == 1 and size > (128 << 10):
                 # stage + rename: a crash mid-rewrite must not leave a
                 # PARTIAL table dir that a later run would skip over and
                 # then mark _READY (benching against truncated data)
@@ -430,7 +445,7 @@ def _build_mirror(
 
                     shutil.rmtree(stage)
                 tbl = pq.read_table(src)
-                n_files = max(2, min(16, size >> 20))
+                n_files = max(4, min(16, tbl.num_rows // 12500))
                 per = -(-tbl.num_rows // n_files)
                 os.makedirs(stage)
                 for i in range(n_files):

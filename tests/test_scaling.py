@@ -58,8 +58,14 @@ def test_x05_block_pair_fanout_formula(spark):
     df = embedding_near_pairs(
         emb, threshold=0.35, block_rows=block_rows, n_rows=n
     )
+    import math
+
     par = spark.sparkContext.defaultParallelism
-    n_blocks = max(1, -(-n // block_rows), min(par, n // 64))
+    # r14 optimization: the busy floor counts block PAIRS (the task
+    # unit), so the smallest B with B(B+1)/2 >= par replaces B >= par —
+    # same coverage of the n×n compare with ~(par/B)× less replication
+    b_par = math.ceil((math.sqrt(8 * par + 1) - 1) / 2)
+    n_blocks = max(1, -(-n // block_rows), min(b_par, n // 64))
     expect_pairs = n_blocks * (n_blocks + 1) // 2
     # count the cogroup groups actually formed (one per block pair)
     plan = df._jdf.queryExecution().analyzed().toString()
@@ -68,7 +74,8 @@ def test_x05_block_pair_fanout_formula(spark):
     from pyspark.sql import Row  # noqa: F401
 
     assert expect_pairs <= (n_blocks * (n_blocks + 1)) // 2
-    assert n_blocks >= min(par, n // 64)
+    # the pair-task count must still cover cluster parallelism
+    assert expect_pairs >= min(par, max(1, n // 64))
 
 
 def _timed(fn, *args) -> float:

@@ -82,6 +82,26 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int:
+    """Row count from parquet footer metadata (zero Spark jobs) — the
+    stand-in for the table statistics a 100 TB catalog would supply.
+    Handles both a single ``<name>.parquet`` file and a multi-file
+    ``<name>.parquet/`` directory (the bench's splittable mirror, any
+    real warehouse layout)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(p):
+        return sum(
+            pq.read_metadata(os.path.join(p, f)).num_rows
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(p).num_rows
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all driver tables as temp views so ``spark.sql`` works."""
     for name in TABLES:

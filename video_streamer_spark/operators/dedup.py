@@ -195,14 +195,59 @@ def minhash_candidate_pairs(
     hot bucket (boilerplate docs) is the skew risk; AQE skew-join splits
     it, and a bucket-width cap would bound the worst case.
     """
+    if num_hashes % band_rows != 0:
+        raise ValueError(
+            f"band_rows={band_rows} must divide num_hashes={num_hashes}; "
+            "a remainder would silently drop trailing signature columns "
+            "and quietly degrade candidate recall"
+        )
+    # FUSED signature→band construction (r14): the minhash_bands(
+    # minhash_signatures(...)) composition plans the identical
+    # aggregate, but pays 32 F.expr parse round trips plus two extra
+    # DataFrame analysis layers of construction latency per bench rep.
+    # Building the band array directly inside the aggregate —
+    # concat_ws over the same min(g_s) aggregates, one F.expr — yields
+    # byte-identical (doc_id, band_idx, band_val) rows (min() values
+    # and band grouping unchanged; the public operators stay the
+    # composable API and their parity is pinned by tests).
+    exploded = scatter(docs).select(
+        F.col("doc_id"),
+        F.explode(shingles_col("text", shingle_k)).alias("shingle"),
+    )
+    slices_per_hash = 4
+    g_exprs = []
+    for s in range(num_hashes):
+        seed, piece = divmod(s, slices_per_hash)
+        g_exprs.append(
+            f"CAST(conv(substring(sha2(concat('{seed}:', shingle), 256),"
+            f" {1 + piece * 14}, 14), 16, 10) AS BIGINT) AS g_{s}"
+        )
+    # the g_s projection stays a separate Project so whole-stage
+    # codegen's subexpression elimination computes each sha2 ONCE for
+    # its four slices (inlining it under min() would rely on aggregate-
+    # side CSE instead)
+    hashed = exploded.selectExpr("doc_id", *g_exprs)
+    n_bands = num_hashes // band_rows
+    band_arr = ", ".join(
+        "concat_ws('|', "
+        + ", ".join(
+            f"min(g_{b * band_rows + r})" for r in range(band_rows)
+        )
+        + ")"
+        for b in range(n_bands)
+    )
     # persist: bands feeds BOTH sides of the self-join; without it Spark
     # recomputes the whole shingle→signature subtree twice (no cross-join
     # common-subexpression reuse). The band table is tiny (n_docs ×
     # n_bands short rows) at any corpus scale.
-    bands = minhash_bands(
-        minhash_signatures(docs, num_hashes=num_hashes, shingle_k=shingle_k),
-        band_rows=band_rows,
-    ).transform(pooled("dedup-minhash-bands"))
+    bands = (
+        hashed.groupBy("doc_id")
+        .agg(F.expr(f"array({band_arr})").alias("__bands"))
+        .selectExpr(
+            "doc_id", "posexplode(__bands) AS (band_idx, band_val)"
+        )
+        .transform(pooled("dedup-minhash-bands"))
+    )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_val"
     )
@@ -245,27 +290,27 @@ def simhash_fingerprints(
         "doc_id",
         "CAST(conv(substring(md5(token), 1, 8), 16, 10) AS BIGINT) AS v",
     )
-    # SQL-string aggs + one fingerprint expression: the Column-op loop
-    # version of these 32 votes + 32 CASE terms was ~0.6 s of Py4J
-    # driver latency per construction (profiled; most of x03's bench
-    # time) for the identical analyzed plan.
-    vote_aggs = []
+    # ONE aggregate expression building the fingerprint directly: the
+    # Column-op loop version of these 32 votes + 32 CASE terms was
+    # ~0.6 s of Py4J driver latency per construction (profiled; most of
+    # x03's bench time), the r13 form still paid 32 F.expr parse round
+    # trips (~70 ms) plus an extra projection layer's analysis. A
+    # single F.expr over the summed terms is one gateway round trip and
+    # one DataFrame — Catalyst plans the identical 32 partial sums
+    # (each CASE references its own sum()), so the physical aggregate
+    # and the results are unchanged.
+    terms = []
     for p in range(8):
         for b in range(4):
             k = 4 * p + b          # simhash bit position
             j = 4 * (7 - p) + b    # bit position within integer v
-            vote_aggs.append(
-                F.expr(f"sum((shiftright(v, {j}) & 1) * 2 - 1)").alias(
-                    f"v_{k}"
-                )
+            terms.append(
+                f"(CASE WHEN sum((shiftright(v, {j}) & 1) * 2 - 1) >= 0"
+                f" THEN {1 << k} ELSE 0 END)"
             )
-    votes = hashed.groupBy("doc_id").agg(*vote_aggs)
-    fingerprint = " + ".join(
-        f"(CASE WHEN v_{k} >= 0 THEN {1 << k} ELSE 0 END)"
-        for k in range(SIMHASH_BITS)
-    )
-    return votes.selectExpr(
-        "doc_id", f"CAST({fingerprint} AS BIGINT) AS simhash"
+    fingerprint = " + ".join(terms)
+    return hashed.groupBy("doc_id").agg(
+        F.expr(f"CAST({fingerprint} AS BIGINT)").alias("simhash")
     )
 
 

@@ -393,10 +393,20 @@ def embedding_near_pairs(
         )
     # block count: bounded per-task memory (n/block_rows) but never fewer
     # blocks than what keeps the cluster busy — a small corpus must not
-    # collapse to one cogroup task while cores sit idle. 64 rows/block
-    # floor keeps the BLAS tiles from degenerating.
+    # collapse to one cogroup task while cores sit idle. The busy floor
+    # counts block PAIRS, the actual task unit: B blocks make B(B+1)/2
+    # cogroup tasks, so the smallest B with B(B+1)/2 >= parallelism
+    # already fills every core. (The earlier floor of B >= parallelism
+    # made ~par²/2 tiny tiles — at par=32 that is 528 Arrow tasks of
+    # ~n/32 rows each, pure Python/cogroup overhead, and each row is
+    # shuffled to (B+1)/2 ≈ 16 tasks instead of ~4.) 64 rows/block
+    # floor keeps the BLAS tiles from degenerating. Result set is
+    # invariant to B: the block pairs tile the full n×n compare.
+    import math
+
     par = spark.sparkContext.defaultParallelism
-    n_blocks = max(1, -(-n // block_rows), min(par, n // 64))
+    b_par = math.ceil((math.sqrt(8 * par + 1) - 1) / 2)
+    n_blocks = max(1, -(-n // block_rows), min(b_par, n // 64))
     pairs_idx = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "blk_a: int, blk_b: int",

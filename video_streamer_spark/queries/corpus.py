@@ -2032,10 +2032,11 @@ def x172_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(shingles_col("text", 3)).alias("g"),
     )
     # table stat from the parquet footer (zero Spark jobs at plan
-    # construction — the x05 catalog-statistics convention)
-    import pyarrow.parquet as pq
+    # construction — the x05 catalog-statistics convention; handles
+    # multi-file table dirs too)
+    from video_streamer_spark.catalog import parquet_row_count
 
-    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_docs = parquet_row_count(sf_dir, "documents")
     dfq = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
     bp = dfq.where(
         F.col("df").cast("double") / F.lit(float(n_docs)) > 0.05
@@ -3418,14 +3419,14 @@ def x190_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x191_filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pyarrow.parquet as pq
     from pyspark.sql.window import Window
 
+    from video_streamer_spark.catalog import parquet_row_count
     from video_streamer_spark.operators.dedup import shingles_col, tokens_col
     from video_streamer_spark.operators.text import quality_score_col
 
     docs = table(spark, sf_dir, "documents")
-    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_docs = parquet_row_count(sf_dir, "documents")
 
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     base = docs.select(

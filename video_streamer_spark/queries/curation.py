@@ -290,11 +290,12 @@ def x04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x05_embed_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # row count from the parquet footer (pure metadata, zero Spark jobs)
-    # stands in for the table statistics a 100 TB catalog would supply
-    import pyarrow.parquet as pq
+    # row count from the parquet footer(s) (pure metadata, zero Spark
+    # jobs) stands in for the table statistics a 100 TB catalog would
+    # supply; handles the bench mirror's multi-file layout too
+    from video_streamer_spark.catalog import parquet_row_count
 
-    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    n_rows = parquet_row_count(sf_dir, "embeddings")
     return similarity.embedding_near_pairs(
         table(spark, sf_dir, "embeddings"), threshold=0.35, n_rows=n_rows
     )
