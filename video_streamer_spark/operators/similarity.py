@@ -407,9 +407,16 @@ def embedding_near_pairs(
     par = spark.sparkContext.defaultParallelism
     b_par = math.ceil((math.sqrt(8 * par + 1) - 1) / 2)
     n_blocks = max(1, -(-n // block_rows), min(b_par, n // 64))
-    pairs_idx = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "blk_a: int, blk_b: int",
+    # the pair index as a SQL VALUES literal, not createDataFrame: the
+    # python-list path parallelizes into a defaultParallelism-slice RDD,
+    # so EVERY broadcast of this ≤ B(B+1)/2-row table ran a 32-task job
+    # (two per query — measured most of the JVM-side floor); a VALUES
+    # LocalRelation broadcast-collects driver-side with zero jobs.
+    pair_vals = ", ".join(
+        f"({i},{j})" for i in range(n_blocks) for j in range(i, n_blocks)
+    )
+    pairs_idx = spark.sql(
+        f"SELECT blk_a, blk_b FROM (VALUES {pair_vals}) AS t(blk_a, blk_b)"
     )
     blocked = src.withColumn(
         "blk", F.pmod(F.xxhash64("vid"), F.lit(n_blocks)).cast("int")

@@ -979,7 +979,9 @@ def _parquet_bytes(dirs: list[str]) -> int:
     )
 
 
-def _dead_key_side(spark: SparkSession, dirs: list[str], key_cols):
+def _dead_key_side(
+    spark: SparkSession, dirs: list[str], key_cols, doc: dict | None = None
+):
     """Tombstone-key build side for the readers' anti/semi joins: one
     multi-dir scan, broadcast-hinted iff the on-disk bytes sit under
     the gate. Shared by the snapshot reads AND the batch change feed so
@@ -987,8 +989,22 @@ def _dead_key_side(spark: SparkSession, dirs: list[str], key_cols):
     semi joins are duplicate-insensitive on this side, and a distinct's
     hashpartitioning Exchange gets REPLICATED per union branch when
     Catalyst pushes the join below the bucket union
-    (PushdownLeftSemiAntiJoin) — measured 8 extra Exchanges once."""
-    dead = spark.read.parquet(*dirs).select(*key_cols)
+    (PushdownLeftSemiAntiJoin) — measured 8 extra Exchanges once.
+
+    ``doc`` (when the caller has the manifest) supplies the key
+    columns' types so the scan states its schema explicitly — schema
+    inference otherwise footer-reads every tombstone dir on EVERY plan
+    construction (driver-side fixed cost per snapshot read; key-col
+    types never drift from the manifest, which validates them at
+    create_table)."""
+    if doc is not None:
+        from pyspark.sql.types import StructType
+
+        fields = {f.name: f for f in _table_schema(doc).fields}
+        key_schema = StructType([fields[k] for k in key_cols])
+        dead = spark.read.schema(key_schema).parquet(*dirs)
+    else:
+        dead = spark.read.parquet(*dirs).select(*key_cols)
     if _parquet_bytes(dirs) <= _TOMBSTONE_BROADCAST_MAX_BYTES:
         dead = F.broadcast(dead)
     return dead
@@ -1032,6 +1048,7 @@ def _minus_tombstones(
     # struct-isin that codegen handles far worse than the join.
     if len(key_cols) == 1 and on_disk <= _TOMBSTONE_INLINE_MAX_BYTES:
         import pyarrow.dataset as pads
+        import pyarrow.parquet as _pq
 
         files = [
             os.path.join(d, f)
@@ -1040,11 +1057,21 @@ def _minus_tombstones(
             if f.endswith(".parquet")
         ]
         try:
+            # footer-count pre-gate (r14): decide inline-vs-join from
+            # metadata BEFORE materializing the keys — a delete set just
+            # under the byte gate but over the key gate otherwise pays a
+            # full driver-side key read on every plan construction only
+            # to be thrown away (measured ~40 ms per snapshot read)
+            n_keys = sum(
+                _pq.read_metadata(f).num_rows for f in files
+            )
             keys = (
                 pads.dataset(files, format="parquet")
                 .to_table(columns=key_cols)
                 .column(0)
                 .to_pylist()
+                if n_keys <= _TOMBSTONE_INLINE_MAX_KEYS
+                else None
             )
         except Exception:  # unreadable → fall through to the join path
             keys = None
@@ -1058,7 +1085,7 @@ def _minus_tombstones(
             c = F.col(key_cols[0])
             return df.where(c.isNull() | ~c.isin(keys))
     return df.join(
-        _dead_key_side(spark, dirs, key_cols), key_cols, "left_anti"
+        _dead_key_side(spark, dirs, key_cols, doc=doc), key_cols, "left_anti"
     )
 
 
@@ -1537,7 +1564,7 @@ def table_changes(
             spark, path, doc_a, tomb_only, target_schema=target,
             target_mapping=tmap,
         )
-        dead = _dead_key_side(spark, delta_dirs, key_cols)
+        dead = _dead_key_side(spark, delta_dirs, key_cols, doc=doc_b)
         deletes = eff_a.join(dead, key_cols, "semi").select(
             *key_cols,
             *[F.col(c) for c in val_cols],
