@@ -63,34 +63,41 @@ def asof_join(
     # caller-supplied identifiers ride in backticks — asof_join is a
     # generic operator, and an unquoted name with a dash/space/keyword
     # would misparse (review finding on the SQL-string rewrite)
+    # ONE projection per side, in the SAME column order, feeding a
+    # positional union (r14: the previous shape projected each side
+    # twice and unioned by name — two extra Dataset analysis layers per
+    # construction for the identical analyzed plan, ~40 ms on the x28
+    # bench row). NULL casts use DataType OBJECTS built from the
+    # fetched schemas (Column-API cast), not a type-string round-trip:
+    # simpleString() of a struct containing an awkward field name
+    # ("my-col") is not re-parseable.
+    from pyspark.sql.types import StructField, StructType
+
     struct_fields = ", ".join(
         [f"`{right_ts}` AS __rt", *[f"`{p}`" for p in payload]]
     )
-    r = right.selectExpr(
-        *[f"`{k}`" for k in keys],
-        f"`{right_ts}` AS __t",
-        "0 AS __side",
-        f"struct({struct_fields}) AS __r",
-    )
-    # NULL casts use DataType OBJECTS (Column-API cast), not a type
-    # string round-trip: simpleString() of a struct containing an
-    # awkward field name ("my-col") is not re-parseable
-    r_type = r.schema["__r"].dataType
+    right_schema = {f.name: f.dataType for f in right.schema.fields}
     left_schema = {f.name: f.dataType for f in left.schema.fields}
+    r_type = StructType(
+        [StructField("__rt", right_schema[right_ts])]
+        + [StructField(p, right_schema[p]) for p in payload]
+    )
+    non_keys = [c for c in left.columns if c not in keys]
+    r = right.select(
+        *[F.lit(None).cast(left_schema[c]).alias(c) for c in non_keys],
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.expr(f"struct({struct_fields})").cast(r_type).alias("__r"),
+    )
     l = left.select(
-        *left.columns,
+        *non_keys,
+        *keys,
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(r_type).alias("__r"),
     )
-    non_keys = [c for c in left.columns if c not in keys]
-    merged = r.select(
-        *[F.lit(None).cast(left_schema[c]).alias(c) for c in non_keys],
-        *keys,
-        "__t",
-        "__side",
-        "__r",
-    ).unionByName(l.select(*non_keys, *keys, "__t", "__side", "__r"))
+    merged = r.union(l)
 
     # One shuffle: partition by key, order by (t, side, r) so that at
     # equal timestamps right rows (side=0) sort before the left row and
@@ -110,18 +117,22 @@ def asof_join(
         "__match", F.last("__r", ignorenulls=True).over(w)
     ).where(F.col("__side") == 1)
 
+    # tolerance folds into the output projection (one less Dataset
+    # layer): the gated struct expression repeats per output field, but
+    # Catalyst's subexpression elimination evaluates it once per row
+    # and the when() is deterministic, so results are unchanged
+    match = F.col("__match")
     if tolerance_seconds is not None:
-        carried = carried.withColumn(
-            "__match",
-            F.when(
-                F.col("__t").cast("double")
-                - F.col("__match.__rt").cast("double")
-                <= float(tolerance_seconds),
-                F.col("__match"),
-            ),
+        match = F.when(
+            F.col("__t").cast("double")
+            - F.col("__match.__rt").cast("double")
+            <= float(tolerance_seconds),
+            F.col("__match"),
         )
 
     out_cols = [F.col(c) for c in left.columns]
-    out_cols.append(F.col("__match.__rt").alias(f"{right_ts}{suffix}"))
-    out_cols.extend(F.col(f"__match.{p}").alias(f"{p}{suffix}") for p in payload)
+    out_cols.append(match.getField("__rt").alias(f"{right_ts}{suffix}"))
+    out_cols.extend(
+        match.getField(p).alias(f"{p}{suffix}") for p in payload
+    )
     return carried.select(*out_cols)
