@@ -114,8 +114,8 @@ def x200_verbatim_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("dr", "df")
     )
     a = tagged
-    b = tagged.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-        "pos", "pb"
+    b = tagged.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g"
     )
     # no DISTINCT on matches (round-10): it is a provable no-op — a
     # position (doc_id, pos) carries exactly ONE gram, `grams` has one
@@ -124,14 +124,20 @@ def x200_verbatim_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost a full 4-column exchange of the match set. The oracle's
     # matches CTE dropped its DISTINCT for the same reason — the
     # algorithm never produces duplicates, in either engine.
-    matches = a.join(b, (a.g == b.g) & (a.doc_id < b.doc_b)).select(
-        F.col("doc_id").alias("doc_a"),
+    # diag is built in the SAME projection as the pair columns (r14:
+    # one less Dataset analysis layer than select + withColumn). It
+    # must stay a MATERIALIZED column before the window — an expression
+    # partition key (pos - pb inline in the OVER clause) plans its own
+    # internal projection whose attribute the downstream groupBy can't
+    # match, costing an extra Exchange (measured 5 -> 6).
+    matches = a.join(b, (a.g == b.g) & (a.doc_id < b.doc_b)).selectExpr(
+        "doc_id AS doc_a",
         "doc_b",
-        F.col("pos").alias("pa"),
-        "pb",
+        "pos AS pa",
+        "pos - pb AS diag",
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    islands = matches.withColumn("diag", F.col("pa") - F.col("pb")).withColumn(
+    islands = matches.withColumn(
         "isl", F.col("pa") - F.row_number().over(w)
     )
     spans = islands.groupBy("doc_a", "doc_b", "diag", "isl").agg(
