@@ -236,29 +236,43 @@ def minhash_candidate_pairs(
         + ")"
         for b in range(n_bands)
     )
-    # persist: bands feeds BOTH sides of the self-join; without it Spark
-    # recomputes the whole shingle→signature subtree twice (no cross-join
-    # common-subexpression reuse). The band table is tiny (n_docs ×
-    # n_bands short rows) at any corpus scale.
-    bands = (
+    # Bucket-grouped pair expansion, not a self-join (r14): group the
+    # band rows by bucket, collect the bucket's sorted doc ids ONCE,
+    # and expand in-bucket pairs with two streamed Generates. The
+    # previous persist + self-join form paid three extra jobs per run
+    # (persist materialization, broadcast build, and the join read-back
+    # through the cache) for the identical pair set — and at real scale
+    # the band table outgrows any broadcast, so the join degrades to
+    # TWO exchanges of the band rows plus a sort, where this shape
+    # shuffles them once. Pair semantics are unchanged: each bucket
+    # holds a doc at most once (one row per (doc, band_idx)), sorted
+    # expansion emits exactly the doc_a < doc_b pairs, and the final
+    # count per pair is the number of shared buckets. Peak memory per
+    # bucket is the id array (k elements), not k² — the pair stream
+    # comes from nested Generates, and the k² OUTPUT rows are inherent
+    # to LSH banding (same as the join form), bounded in practice by
+    # bucket width; a hot boilerplate bucket is AQE-skew / width-cap
+    # territory in both shapes.
+    pairs = (
         hashed.groupBy("doc_id")
         .agg(F.expr(f"array({band_arr})").alias("__bands"))
         .selectExpr(
             "doc_id", "posexplode(__bands) AS (band_idx, band_val)"
         )
-        .transform(pooled("dedup-minhash-bands"))
+        .groupBy("band_idx", "band_val")
+        .agg(F.expr("sort_array(collect_list(doc_id))").alias("ids"))
+        # slice(ids, 1, size-1) is empty for single-doc buckets, so
+        # posexplode drops them without a separate filter layer
+        .selectExpr(
+            "ids",
+            "posexplode(slice(ids, 1, size(ids) - 1)) AS (i, doc_a)",
+        )
+        .selectExpr(
+            "doc_a", "explode(slice(ids, i + 2, size(ids) - i - 1)) AS doc_b"
+        )
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_val"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_val"
-    )
-    return (
-        a.join(b, ["band_idx", "band_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("bigint").alias("n_shared_bands"))
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").cast("bigint").alias("n_shared_bands")
     )
 
 
@@ -324,42 +338,47 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """
     fp = simhash_fingerprints(docs)
     # pigeonhole blocking: hamming ≤ 3 ⇒ at least one of the 4 bytes
-    # equal (one selectExpr: the Column-op build of these 4 structs was
-    # ~25 Py4J round-trips of construction latency)
-    structs = ", ".join(
-        f"struct({i} AS chunk_idx, shiftright(simhash, {i * 8}) & 255"
-        " AS chunk_val)"
-        for i in range(4)
+    # equal. posexplode of the 4 byte values yields (chunk_idx,
+    # chunk_val) directly — no struct packing, one selectExpr.
+    vals = ", ".join(
+        f"shiftright(simhash, {i * 8}) & 255" for i in range(4)
     )
-    chunks = (
-        fp.selectExpr("doc_id", "simhash", f"explode(array({structs})) AS c")
-        .select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
-        .transform(pooled("dedup-simhash-chunks"))
-    )
-    # persist: both join sides read chunks; unpersisted, the fingerprint
-    # aggregation would run twice. 4 short rows per doc — tiny.
-    a = chunks.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("sh_a"),
-        "chunk_idx",
-        "chunk_val",
-    )
-    b = chunks.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("sh_b"),
-        "chunk_idx",
-        "chunk_val",
-    )
-    # hamming filter BEFORE the pair dedup: bit_count is a codegen'd
-    # scalar on the join output, so the distinct shuffle only carries
-    # surviving pairs (≤ (k+1)× the result) instead of every chunk hit
+    # Bucket-grouped pair expansion, not a self-join (r14, same
+    # rewrite as minhash_candidate_pairs): group chunk rows by bucket,
+    # collect the bucket's sorted (doc_id, simhash) structs once, and
+    # expand in-bucket pairs with two streamed Generates. Replaces the
+    # persist + two-sided join (three extra jobs per run locally; two
+    # exchanges + sort at any scale where the chunk table outgrows a
+    # broadcast) with ONE exchange of the chunk rows. sort_array
+    # orders by doc_id (unique per bucket), so expansion emits exactly
+    # the doc_a < doc_b pairs. The hamming filter still runs BEFORE
+    # the pair-dedup shuffle, so that exchange only carries surviving
+    # pairs; every surviving copy of a pair has the same hamming, so
+    # dropDuplicates stays value-deterministic.
     return (
-        a.join(b, ["chunk_idx", "chunk_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select(
+        fp.selectExpr(
+            "doc_id",
+            "simhash",
+            f"posexplode(array({vals})) AS (chunk_idx, chunk_val)",
+        )
+        .groupBy("chunk_idx", "chunk_val")
+        .agg(
+            F.expr(
+                "sort_array(collect_list(struct(doc_id, simhash)))"
+            ).alias("ms")
+        )
+        .selectExpr(
+            "ms", "posexplode(slice(ms, 1, size(ms) - 1)) AS (i, a)"
+        )
+        .selectExpr(
+            "a.doc_id AS doc_a",
+            "a.simhash AS sh_a",
+            "explode(slice(ms, i + 2, size(ms) - i - 1)) AS b",
+        )
+        .selectExpr(
             "doc_a",
-            "doc_b",
-            F.expr("bit_count(sh_a ^ sh_b)").cast("int").alias("hamming"),
+            "b.doc_id AS doc_b",
+            "CAST(bit_count(sh_a ^ b.simhash) AS INT) AS hamming",
         )
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
