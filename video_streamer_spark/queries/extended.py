@@ -113,28 +113,44 @@ def x200_verbatim_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("df BETWEEN 2 AND 5")
         .drop("dr", "df")
     )
-    a = tagged
-    b = tagged.select(
-        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g"
-    )
-    # no DISTINCT on matches (round-10): it is a provable no-op — a
-    # position (doc_id, pos) carries exactly ONE gram, `grams` has one
-    # row per (doc_id, pos) and `rare` one row per g, so the equi-join
-    # emits each (doc_a, pa, doc_b, pb) at most once; deduplicating it
-    # cost a full 4-column exchange of the match set. The oracle's
-    # matches CTE dropped its DISTINCT for the same reason — the
-    # algorithm never produces duplicates, in either engine.
-    # diag is built in the SAME projection as the pair columns (r14:
-    # one less Dataset analysis layer than select + withColumn). It
-    # must stay a MATERIALIZED column before the window — an expression
-    # partition key (pos - pb inline in the OVER clause) plans its own
-    # internal projection whose attribute the downstream groupBy can't
-    # match, costing an extra Exchange (measured 5 -> 6).
-    matches = a.join(b, (a.g == b.g) & (a.doc_id < b.doc_b)).selectExpr(
-        "doc_id AS doc_a",
-        "doc_b",
-        "pos AS pa",
-        "pos - pb AS diag",
+    # Bucket-grouped pair expansion, not a self-join (r14, the
+    # x02/x03 rewrite applied here): tagged leaves the window pipeline
+    # already hash-partitioned by g, so groupBy(g) plans NO new
+    # exchange — the surviving occurrences (df BETWEEN 2 AND 5, so at
+    # most 5 docs per gram) collect into one small sorted array per
+    # gram and in-bucket cross-doc pairs stream out of two Generates.
+    # The previous self-join ran the whole Sort+Window+Filter pipeline
+    # TWICE (ReusedExchange shares only the gram exchange; the
+    # broadcast side re-sorted and re-windowed the full gram stream,
+    # plus a broadcast-build job per run). Degenerate-gram safety is
+    # unchanged: the df filter runs in the spillable window BEFORE any
+    # collect, so boilerplate grams never reach an array. Pair
+    # semantics are identical — one row per (doc, pos), sorted
+    # (doc_id, pos) expansion emits each cross-doc (doc_a < doc_b)
+    # position pair exactly once, same as the a.g = b.g join.
+    # diag stays a MATERIALIZED column before the window — an
+    # expression partition key (pa - pb inline in the OVER clause)
+    # plans an internal projection whose attribute the downstream
+    # groupBy cannot match, costing an extra Exchange (measured 5->6).
+    matches = (
+        tagged.groupBy("g")
+        .agg(
+            F.expr("sort_array(collect_list(struct(doc_id, pos)))").alias(
+                "ms"
+            )
+        )
+        .selectExpr(
+            "ms", "posexplode(slice(ms, 1, size(ms) - 1)) AS (i, a)"
+        )
+        .selectExpr(
+            "a.doc_id AS doc_a",
+            "a.pos AS pa",
+            "explode(slice(ms, i + 2, size(ms) - i - 1)) AS b",
+        )
+        .where("doc_a < b.doc_id")
+        .selectExpr(
+            "doc_a", "b.doc_id AS doc_b", "pa", "pa - b.pos AS diag"
+        )
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     islands = matches.withColumn(
