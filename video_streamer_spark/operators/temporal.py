@@ -58,46 +58,31 @@ def asof_join(
     # into ONE struct makes the carry-forward a single last() and gives a
     # total, deterministic tiebreak (struct ordering) for equal timestamps.
     # SQL-string projections (one gateway round-trip per select, not one
-    # per column — round-6 floor study, PLANS.md); schemas are fetched
-    # once for the NULL casts.
+    # per column — round-6 floor study, PLANS.md).
     # caller-supplied identifiers ride in backticks — asof_join is a
     # generic operator, and an unquoted name with a dash/space/keyword
     # would misparse (review finding on the SQL-string rewrite)
-    # ONE projection per side, in the SAME column order, feeding a
-    # positional union (r14: the previous shape projected each side
-    # twice and unioned by name — two extra Dataset analysis layers per
-    # construction for the identical analyzed plan, ~40 ms on the x28
-    # bench row). NULL casts use DataType OBJECTS built from the
-    # fetched schemas (Column-API cast), not a type-string round-trip:
-    # simpleString() of a struct containing an awkward field name
-    # ("my-col") is not re-parseable.
-    from pyspark.sql.types import StructField, StructType
-
+    # ONE projection per side + unionByName(allowMissingColumns) (r14):
+    # the analyzer null-backfills each side's missing columns with
+    # correctly-typed NULLs, so neither side's SCHEMA is fetched and no
+    # per-column NULL-cast trees are built driver-side (two schema JSON
+    # round-trips + ~20 Column calls per construction in the previous
+    # shape — the analyzed plan is the same Project + Union).
     struct_fields = ", ".join(
         [f"`{right_ts}` AS __rt", *[f"`{p}`" for p in payload]]
     )
-    right_schema = {f.name: f.dataType for f in right.schema.fields}
-    left_schema = {f.name: f.dataType for f in left.schema.fields}
-    r_type = StructType(
-        [StructField("__rt", right_schema[right_ts])]
-        + [StructField(p, right_schema[p]) for p in payload]
+    r = right.selectExpr(
+        *[f"`{k}`" for k in keys],
+        f"`{right_ts}` AS __t",
+        "0 AS __side",
+        f"struct({struct_fields}) AS __r",
     )
-    non_keys = [c for c in left.columns if c not in keys]
-    r = right.select(
-        *[F.lit(None).cast(left_schema[c]).alias(c) for c in non_keys],
-        *[F.col(k) for k in keys],
-        F.col(right_ts).alias("__t"),
-        F.lit(0).alias("__side"),
-        F.expr(f"struct({struct_fields})").cast(r_type).alias("__r"),
+    l = left.selectExpr(
+        *[f"`{c}`" for c in left.columns],
+        f"`{left_ts}` AS __t",
+        "1 AS __side",
     )
-    l = left.select(
-        *non_keys,
-        *keys,
-        F.col(left_ts).alias("__t"),
-        F.lit(1).alias("__side"),
-        F.lit(None).cast(r_type).alias("__r"),
-    )
-    merged = r.union(l)
+    merged = r.unionByName(l, allowMissingColumns=True)
 
     # One shuffle: partition by key, order by (t, side, r) so that at
     # equal timestamps right rows (side=0) sort before the left row and
