@@ -108,6 +108,22 @@ def test_x02_minhash_no_extra_distinct_shuffle(spark):
     assert r.n_exchanges <= 6, r.text
 
 
+def test_lsh_pair_expansion_is_joinless(spark):
+    """r14: the LSH pair families generate in-bucket pairs by grouped
+    expansion (sorted collect_list + streamed Generates) in ONE linear
+    job. A Join or BroadcastExchange reappearing means the old
+    persisted-self-join shape is back: three extra jobs per run
+    locally, and a band table no broadcast can hold at real scale."""
+    for name in (
+        "x02_dedup_minhash_pairs",
+        "x03_dedup_simhash_pairs",
+        "x200_verbatim_span_dedup",
+    ):
+        r = plan_report(QUERIES[name](spark, SF_ORACLE))
+        assert "Join" not in r.text, f"{name}: join reappeared\n{r.text}"
+        assert "BroadcastExchange" not in r.text, name
+
+
 def test_join_strategy_hints_are_honored(spark):
     """The capability matrix promises joins 'broadcast vs sort-merge vs
     shuffled-hash via hints' — assert each hint actually flips the
