@@ -113,11 +113,21 @@ def brute_topk(
             "paths (ivf_topk / ivfpq_topk) for large query sets, or "
             "pass max_query_rows=None to accept the cost."
         )
-    q = _prepped(queries, id_col, vec_col, "q").withColumnsRenamed(
-        {"q_id": "query_id"}
+    # ONE selectExpr per side (r14): the _prepped + withColumnsRenamed
+    # composition pays three eager analysis passes per side for a plan
+    # CollapseProject flattens anyway (the norm's vec reference is
+    # inlined into the collapsed Project either way, and codegen CSE
+    # computes the transform once). Same optimized plan, 6 → 2 layers.
+    vec = f"transform(`{vec_col}`, x -> cast(x AS double))"
+    q = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"{vec} AS q_vec",
+        f"sqrt(aggregate({vec}, 0.0d, (acc, x) -> acc + x * x)) AS q_norm",
     )
-    c = _prepped(corpus, id_col, vec_col, "c").withColumnsRenamed(
-        {"c_id": "vec_id"}
+    c = corpus.selectExpr(
+        f"`{id_col}` AS vec_id",
+        f"{vec} AS c_vec",
+        f"sqrt(aggregate({vec}, 0.0d, (acc, x) -> acc + x * x)) AS c_norm",
     )
     scored = c.crossJoin(F.broadcast(q))
     if exclude_self:

@@ -107,11 +107,14 @@ def x200_verbatim_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # buffer — the 100 TB-safe shape for this side-channel df.
     wg_rank = Window.partitionBy("g").orderBy("doc_id")
     wg_all = Window.partitionBy("g")
+    # no .drop() layer: the bucket groupBy below references only
+    # (g, doc_id, pos), so column pruning removes dr/df from the
+    # physical plan either way — the drop only cost one more eager
+    # analysis pass per construction (r14)
     tagged = (
         grams.withColumn("dr", F.dense_rank().over(wg_rank))
         .withColumn("df", F.max("dr").over(wg_all))
         .where("df BETWEEN 2 AND 5")
-        .drop("dr", "df")
     )
     # Bucket-grouped pair expansion, not a self-join (r14, the
     # x02/x03 rewrite applied here): tagged leaves the window pipeline
