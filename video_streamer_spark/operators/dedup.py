@@ -253,26 +253,38 @@ def minhash_candidate_pairs(
     # to LSH banding (same as the join form), bounded in practice by
     # bucket width; a hot boilerplate bucket is AQE-skew / width-cap
     # territory in both shapes.
-    pairs = (
-        hashed.groupBy("doc_id")
-        .agg(F.expr(f"array({band_arr})").alias("__bands"))
-        .selectExpr(
-            "doc_id", "posexplode(__bands) AS (band_idx, band_val)"
+    # ONE spark.sql pass for the whole expansion (r14): the six-layer
+    # chain re-ran the analyzer over the 32-min aggregate tree once per
+    # layer; a single CTE chain analyzes once and plans identically.
+    # slice(ids, 1, size-1) is empty for single-doc buckets, so
+    # posexplode drops them without a separate filter layer.
+    return hashed.sparkSession.sql(
+        f"""
+        WITH bands AS (
+          SELECT doc_id, array({band_arr}) AS __bands
+          FROM {{hashed}} GROUP BY doc_id
+        ),
+        band_rows AS (
+          SELECT doc_id, posexplode(__bands) AS (band_idx, band_val)
+          FROM bands
+        ),
+        buckets AS (
+          SELECT sort_array(collect_list(doc_id)) AS ids
+          FROM band_rows GROUP BY band_idx, band_val
+        ),
+        lefts AS (
+          SELECT ids, posexplode(slice(ids, 1, size(ids) - 1)) AS (i, doc_a)
+          FROM buckets
+        ),
+        pairs AS (
+          SELECT doc_a,
+            explode(slice(ids, i + 2, size(ids) - i - 1)) AS doc_b
+          FROM lefts
         )
-        .groupBy("band_idx", "band_val")
-        .agg(F.expr("sort_array(collect_list(doc_id))").alias("ids"))
-        # slice(ids, 1, size-1) is empty for single-doc buckets, so
-        # posexplode drops them without a separate filter layer
-        .selectExpr(
-            "ids",
-            "posexplode(slice(ids, 1, size(ids) - 1)) AS (i, doc_a)",
-        )
-        .selectExpr(
-            "doc_a", "explode(slice(ids, i + 2, size(ids) - i - 1)) AS doc_b"
-        )
-    )
-    return pairs.groupBy("doc_a", "doc_b").agg(
-        F.count("*").cast("bigint").alias("n_shared_bands")
+        SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared_bands
+        FROM pairs GROUP BY doc_a, doc_b
+        """,
+        hashed=hashed,
     )
 
 
@@ -355,33 +367,44 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     # the pair-dedup shuffle, so that exchange only carries surviving
     # pairs; every surviving copy of a pair has the same hamming, so
     # dropDuplicates stays value-deterministic.
-    return (
-        fp.selectExpr(
-            "doc_id",
-            "simhash",
-            f"posexplode(array({vals})) AS (chunk_idx, chunk_val)",
+    # ONE spark.sql pass (r14): the seven-layer selectExpr chain
+    # re-ran the analyzer over the whole tree (including the 32-term
+    # fingerprint aggregate below it) once per layer — most of this
+    # operator's construction latency. A single CTE chain analyzes
+    # once and plans the identical expansion. first(hamming) GROUP BY
+    # (doc_a, doc_b) is exactly what dropDuplicates rewrites to
+    # (ReplaceDeduplicateWithAggregate), and every surviving copy of a
+    # pair carries the same hamming, so it stays value-deterministic.
+    return fp.sparkSession.sql(
+        f"""
+        WITH chunks AS (
+          SELECT doc_id, simhash,
+            posexplode(array({vals})) AS (chunk_idx, chunk_val)
+          FROM {{fp}}
+        ),
+        buckets AS (
+          SELECT sort_array(collect_list(struct(doc_id, simhash))) AS ms
+          FROM chunks GROUP BY chunk_idx, chunk_val
+        ),
+        lefts AS (
+          SELECT ms, posexplode(slice(ms, 1, size(ms) - 1)) AS (i, a)
+          FROM buckets
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, a.simhash AS sh_a,
+            explode(slice(ms, i + 2, size(ms) - i - 1)) AS b
+          FROM lefts
+        ),
+        ham AS (
+          SELECT doc_a, b.doc_id AS doc_b,
+            CAST(bit_count(sh_a ^ b.simhash) AS INT) AS hamming
+          FROM pairs
         )
-        .groupBy("chunk_idx", "chunk_val")
-        .agg(
-            F.expr(
-                "sort_array(collect_list(struct(doc_id, simhash)))"
-            ).alias("ms")
-        )
-        .selectExpr(
-            "ms", "posexplode(slice(ms, 1, size(ms) - 1)) AS (i, a)"
-        )
-        .selectExpr(
-            "a.doc_id AS doc_a",
-            "a.simhash AS sh_a",
-            "explode(slice(ms, i + 2, size(ms) - i - 1)) AS b",
-        )
-        .selectExpr(
-            "doc_a",
-            "b.doc_id AS doc_b",
-            "CAST(bit_count(sh_a ^ b.simhash) AS INT) AS hamming",
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["doc_a", "doc_b"])
+        SELECT doc_a, doc_b, first(hamming) AS hamming
+        FROM ham WHERE hamming <= {int(max_hamming)}
+        GROUP BY doc_a, doc_b
+        """,
+        fp=fp,
     )
 
 

@@ -61,8 +61,10 @@ def synthetic_detections(events: DataFrame) -> DataFrame:
 
 
 def threshold_filter(det: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
-    """Confidence predicate (strict >), pushed down to the scan by Catalyst."""
-    return det.where(F.col("score") > threshold)
+    """Confidence predicate (strict >), pushed down to the scan by
+    Catalyst. The D suffix keeps the literal a DOUBLE (a bare 0.5
+    would parse as DECIMAL and change the comparison's tree)."""
+    return det.where(f"score > {float(threshold)!r}D")
 
 
 def scale_boxes(
@@ -87,17 +89,13 @@ def with_labels(det: DataFrame, labels: DataFrame) -> DataFrame:
 
 
 def per_label_counts(det_labeled: DataFrame) -> DataFrame:
-    return (
-        det_labeled.groupBy("label_id", "label_name")
-        .agg(F.count("*").alias("n_detections"))
+    return det_labeled.groupBy("label_id", "label_name").agg(
+        F.expr("count(*) AS n_detections")
     )
 
 
 def per_frame_counts(det: DataFrame) -> DataFrame:
-    return (
-        det.groupBy("frame_id")
-        .agg(F.count("*").alias("n_boxes"))
-    )
+    return det.groupBy("frame_id").agg(F.expr("count(*) AS n_boxes"))
 
 
 def nms(

@@ -61,9 +61,8 @@ def _pairable(
     mode="auto"'s routing would silently change results on null rows
     (review r13). Filtering is the oracle-exact semantics for both."""
     return events.where(
-        F.col(user_col).isNotNull()
-        & F.col(ts_col).isNotNull()
-        & F.col(id_col).isNotNull()
+        f"(`{user_col}` IS NOT NULL) AND (`{ts_col}` IS NOT NULL) "
+        f"AND (`{id_col}` IS NOT NULL)"
     )
 
 
@@ -79,19 +78,20 @@ def window_pair_counts(
     timestamps count each other symmetrically (value-based RANGE
     frame) and the −1 removes exactly the self-pair, so the result is
     bit-identical to the theta-join formulation."""
-    from pyspark.sql import Window
-
     events = _pairable(events, user_col, ts_col, id_col)
-    w = (
-        Window.partitionBy(user_col)
-        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
-        .rangeBetween(0, _interval_us(interval_sec))
-    )
+    # string OVER clause (r14): identical one-exchange Window plan,
+    # ~180 fewer gateway round-trips per construction
     return (
-        events.withColumn("__n_following", F.count("*").over(w) - 1)
+        events.selectExpr(
+            "*",
+            f"count(*) OVER (PARTITION BY `{user_col}` "
+            f"ORDER BY unix_micros(CAST(`{ts_col}` AS TIMESTAMP)) "
+            f"RANGE BETWEEN CURRENT ROW AND {_interval_us(interval_sec)} "
+            "FOLLOWING) - 1 AS __n_following",
+        )
         .groupBy(group_col)
-        .agg(F.sum("__n_following").cast("bigint").alias("n_pairs"))
-        .where(F.col("n_pairs") > 0)
+        .agg(F.expr("CAST(sum(__n_following) AS BIGINT) AS n_pairs"))
+        .where("n_pairs > 0")
     )
 
 

@@ -491,7 +491,7 @@ def documents_as_payloads(docs: DataFrame) -> DataFrame:
     Stands in for real media bytes so the binary plumbing is exercised
     end-to-end on driver-provided data only.
     """
-    return docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return docs.selectExpr("doc_id", "encode(text, 'UTF-8') AS payload")
 
 
 def sample_every_n(
@@ -500,7 +500,7 @@ def sample_every_n(
     """Frame sampling: keep every n-th record by id (the reference
     processes every frame; a training-data pipeline subsamples). Pure
     predicate — pushes down to the scan, no UDF, no shuffle."""
-    return frames.where(F.pmod(F.col(id_col), F.lit(n)) == 0)
+    return frames.where(f"pmod(`{id_col}`, {int(n)}) = 0")
 
 
 def resize_payloads(
@@ -516,16 +516,12 @@ def resize_payloads(
     built-ins (substring/rpad), no Python; the fixed output size is what
     matters for downstream batch shape."""
     target = width * height
-    resized = F.rpad(
-        F.substring(F.col(bin_col), 1, target).cast("binary"),
-        target,
-        bytes([0]),
-    )
-    return frames.select(
-        F.col(id_col),
-        resized.alias(bin_col),
-        F.lit(width).cast("int").alias("width"),
-        F.lit(height).cast("int").alias("height"),
+    return frames.selectExpr(
+        f"`{id_col}`",
+        f"rpad(CAST(substring(`{bin_col}`, 1, {target}) AS BINARY), "
+        f"{target}, X'00') AS `{bin_col}`",
+        f"CAST({int(width)} AS INT) AS width",
+        f"CAST({int(height)} AS INT) AS height",
     )
 
 

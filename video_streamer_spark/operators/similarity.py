@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from video_streamer_spark.functions.arrays import cosine_similarity
 from video_streamer_spark.functions.caching import bounded_persist
-from video_streamer_spark.functions.parity import round4
+from video_streamer_spark.functions.parity import round4, sql_round4
 
 LSH_PLANES_SEED = 42
 
@@ -131,22 +131,24 @@ def brute_topk(
     )
     scored = c.crossJoin(F.broadcast(q))
     if exclude_self:
-        scored = scored.where(F.col("vec_id") != F.col("query_id"))
+        scored = scored.where("vec_id != query_id")
     # rank on the ROUNDED similarity: near-ties collapse to equal and
-    # break on vec_id, so top-k selection is engine-independent
-    scored = scored.select(
-        "query_id",
-        "vec_id",
-        round4(_dot("c_vec", "q_vec") / (F.col("c_norm") * F.col("q_norm"))).alias(
-            "sim"
-        ),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("vec_id")
+    # break on vec_id, so top-k selection is engine-independent.
+    # All-string projections (r14): the round4/_dot/Window Column
+    # chain cost ~150 gateway round-trips; the string forms parse
+    # JVM-side to the identical plan.
+    sim = sql_round4(
+        "aggregate(zip_with(c_vec, q_vec, (x, y) -> x * y),"
+        " 0.0d, (acc, x) -> acc + x) / (c_norm * q_norm)"
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
+        scored.selectExpr("query_id", "vec_id", f"{sim} AS sim")
+        .selectExpr(
+            "*",
+            "CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY sim DESC, vec_id) AS INT) AS rank",
+        )
+        .where(f"rank <= {int(k)}")
         .select("query_id", "vec_id", "sim", "rank")
     )
 
@@ -375,8 +377,10 @@ def embedding_near_pairs(
     ship_module(sys.modules[__name__])
 
     spark = embeddings.sparkSession
-    src = embeddings.select(
-        F.col(id_col).cast("long").alias("vid"), F.col(vec_col).alias("vec")
+    # string projections throughout the construction (r14): one gateway
+    # round-trip per select instead of one per Column object
+    src = embeddings.selectExpr(
+        f"CAST(`{id_col}` AS LONG) AS vid", f"`{vec_col}` AS vec"
     )
     # block sizing needs only an APPROXIMATE row count. Take the caller's
     # hint (e.g. parquet footer metadata — zero jobs); else one count,
@@ -428,23 +432,22 @@ def embedding_near_pairs(
     pairs_idx = spark.sql(
         f"SELECT blk_a, blk_b FROM (VALUES {pair_vals}) AS t(blk_a, blk_b)"
     )
-    blocked = src.withColumn(
-        "blk", F.pmod(F.xxhash64("vid"), F.lit(n_blocks)).cast("int")
+    blocked = src.selectExpr(
+        "*", f"CAST(pmod(xxhash64(vid), {n_blocks}) AS INT) AS blk"
     )
     left = blocked.join(
-        F.broadcast(pairs_idx), F.col("blk") == F.col("blk_a")
+        F.broadcast(pairs_idx), F.expr("blk = blk_a")
     ).select("blk_a", "blk_b", "vid", "vec")
     # fresh aliases on the right side: both cogroup sides descend from the
     # same `blocked` subtree, and identical attribute ids would trip
     # Spark's ambiguous-self-join detection
-    right = (
-        blocked.join(F.broadcast(pairs_idx), F.col("blk") == F.col("blk_b"))
-        .select(
-            F.col("blk_a").alias("rblk_a"),
-            F.col("blk_b").alias("rblk_b"),
-            F.col("vid").alias("rvid"),
-            F.col("vec").alias("rvec"),
-        )
+    right = blocked.join(
+        F.broadcast(pairs_idx), F.expr("blk = blk_b")
+    ).selectExpr(
+        "blk_a AS rblk_a",
+        "blk_b AS rblk_b",
+        "vid AS rvid",
+        "vec AS rvec",
     )
 
     # margin ≫ matmul-vs-sequential summation error (≲ dim·ε ≈ 1e-14)
@@ -509,8 +512,8 @@ def embedding_near_pairs(
         .cogroup(right.groupBy("rblk_a", "rblk_b"))
         .applyInPandas(score, out_schema)
     )
-    return pairs.select(
-        "vec_a", "vec_b", round4("sim_raw").alias("sim")
+    return pairs.selectExpr(
+        "vec_a", "vec_b", sql_round4("sim_raw") + " AS sim"
     )
 
 

@@ -93,31 +93,35 @@ def asof_join(
     # (measured ~25% faster at sf0.1, bit-identical output). The __r
     # tiebreak in the sort keeps equal-timestamp right rows in struct
     # order so "last" stays the deterministic struct-max winner.
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__t"), F.col("__side"), F.col("__r"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # SQL-string window + projections (r14): the Window/F.Column chain
+    # built ~30 JVM Column objects per construction (one gateway
+    # round-trip each); the string forms parse JVM-side in one call per
+    # select and plan the identical Window → Filter → Project. The D
+    # suffix keeps the tolerance a DOUBLE literal (bare 7200.0 would
+    # parse as DECIMAL and change the comparison's expression tree).
+    part = ", ".join(f"`{k}`" for k in keys)
+    win = (
+        f"last(__r, true) OVER (PARTITION BY {part} "
+        "ORDER BY __t, __side, __r "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    carried = merged.withColumn(
-        "__match", F.last("__r", ignorenulls=True).over(w)
-    ).where(F.col("__side") == 1)
+    carried = merged.selectExpr("*", f"{win} AS __match").where(
+        "__side = 1"
+    )
 
     # tolerance folds into the output projection (one less Dataset
     # layer): the gated struct expression repeats per output field, but
     # Catalyst's subexpression elimination evaluates it once per row
-    # and the when() is deterministic, so results are unchanged
-    match = F.col("__match")
+    # and the CASE is deterministic, so results are unchanged
     if tolerance_seconds is not None:
-        match = F.when(
-            F.col("__t").cast("double")
-            - F.col("__match.__rt").cast("double")
-            <= float(tolerance_seconds),
-            F.col("__match"),
+        match = (
+            "CASE WHEN CAST(__t AS DOUBLE) - "
+            "CAST(__match.__rt AS DOUBLE) <= "
+            f"{float(tolerance_seconds)!r}D THEN __match END"
         )
-
-    out_cols = [F.col(c) for c in left.columns]
-    out_cols.append(match.getField("__rt").alias(f"{right_ts}{suffix}"))
-    out_cols.extend(
-        match.getField(p).alias(f"{p}{suffix}") for p in payload
-    )
-    return carried.select(*out_cols)
+    else:
+        match = "__match"
+    out = [f"`{c}`" for c in left.columns]
+    out.append(f"({match}).__rt AS `{right_ts}{suffix}`")
+    out.extend(f"({match}).`{p}` AS `{p}{suffix}`" for p in payload)
+    return carried.selectExpr(*out)

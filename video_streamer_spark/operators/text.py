@@ -34,7 +34,7 @@ def top_tokens(docs: DataFrame, k: int = 10) -> DataFrame:
     return (
         token_explode(docs)
         .groupBy("token")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.expr("count(*) AS cnt"))
         .orderBy(F.col("cnt").desc(), F.col("token"))
         .limit(k)
     )
@@ -118,21 +118,36 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     length, stopword ratio. Composite = capped-length * 0.5 +
     stopword-signal * 0.5, all in double with parity rounding at the end.
     """
-    toks = tokens_col("text")
-    avg_tok_len = F.expr(
+    # one string projection (r14): the SQL fragments mirror the F.expr
+    # trees exactly (D-suffixed DOUBLE literals), one gateway round
+    # trip for the whole select
+    from video_streamer_spark.functions.parity import (
+        sql_round2,
+        sql_round4,
+    )
+
+    stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    avg_tok_len = (
         f"CASE WHEN size({_TOKS_SQL}) > 0 THEN "
         f"aggregate({_TOKS_SQL}, 0.0D, (acc, t) -> acc +"
         " CAST(length(t) AS DOUBLE))"
         f" / CAST(size({_TOKS_SQL}) AS DOUBLE) ELSE 0.0D END"
     )
-    stop_ratio = _stopword_ratio()
-    score = quality_score_col()
-    return docs.select(
+    stop_ratio = (
+        f"CASE WHEN size({_TOKS_SQL}) > 0 THEN "
+        f"CAST(size(filter({_TOKS_SQL}, t -> t IN ({stops}))) AS DOUBLE)"
+        f" / CAST(size({_TOKS_SQL}) AS DOUBLE) ELSE 0.0D END"
+    )
+    score = (
+        f"least(CAST(size({_TOKS_SQL}) AS DOUBLE), 200.0D) / 200.0D * 0.5D"
+        f" + least(({stop_ratio}) * 10.0D, 1.0D) * 0.5D"
+    )
+    return docs.selectExpr(
         "doc_id",
-        F.size(toks).cast("int").alias("n_tokens"),
-        round2(avg_tok_len).alias("avg_token_len"),
-        round4(stop_ratio).alias("stopword_ratio"),
-        round4(score).alias("quality_score"),
+        f"CAST(size({_TOKS_SQL}) AS INT) AS n_tokens",
+        sql_round2(avg_tok_len) + " AS avg_token_len",
+        sql_round4(stop_ratio) + " AS stopword_ratio",
+        sql_round4(score) + " AS quality_score",
     )
 
 

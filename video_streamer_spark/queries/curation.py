@@ -518,10 +518,12 @@ def x31_sampled_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = multimodal.documents_as_payloads(docs)
     sampled = multimodal.sample_every_n(payloads, 5)
     resized = multimodal.resize_payloads(sampled, width=32, height=24)
-    return (
-        multimodal.payload_stats(resized)
-        .withColumn("width", F.lit(32).cast("int"))
-        .withColumn("height", F.lit(24).cast("int"))
+    return multimodal.payload_stats(resized).selectExpr(
+        "doc_id",
+        "n_bytes",
+        "byte_sum",
+        "CAST(32 AS INT) AS width",
+        "CAST(24 AS INT) AS height",
     )
 
 

@@ -64,28 +64,29 @@ from video_streamer_spark.queries import query
 )
 def x200_verbatim_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    arrs = docs.select("doc_id", F.split("text", " ").alias("arr"))
-    grams = arrs.select(
-        "doc_id",
-        F.explode(
-            # slice(seq(1, max(n,1)), 1, max(n,0)): positions 1..n with
-            # a SAFE empty array when n <= 0 — sequence(1, 0) would
-            # yield the DESCENDING [1, 0] and slice(arr, 0, 8) throws,
-            # so a ≤7-token document must never reach the transform.
-            # xxhash64 over the joined gram, not md5: codegen'd, and
-            # the join/df-shuffle keys shrink 32-char strings → 8-byte
-            # longs. The ORACLE keeps md5 — neither engine exposes g,
-            # and equal grams hash equal within each engine, so the
-            # pair sets agree exactly (up to 64-bit collisions, ~1e-7
-            # at sf0.1 gram counts).
-            F.expr(
-                "transform(slice(sequence(1, greatest(size(arr) - 7, 1)), "
-                "1, greatest(size(arr) - 7, 0)), "
-                "p -> struct(CAST(p AS BIGINT) AS pos, "
-                "xxhash64(array_join(slice(arr, p, 8), ' ')) AS g))"
-            )
-        ).alias("s"),
-    ).select("doc_id", "s.pos", "s.g")
+    # slice(seq(1, max(n,1)), 1, max(n,0)): positions 1..n with
+    # a SAFE empty array when n <= 0 — sequence(1, 0) would
+    # yield the DESCENDING [1, 0] and slice(arr, 0, 8) throws,
+    # so a ≤7-token document must never reach the transform.
+    # xxhash64 over the joined gram, not md5: codegen'd, and
+    # the join/df-shuffle keys shrink 32-char strings → 8-byte
+    # longs. The ORACLE keeps md5 — neither engine exposes g,
+    # and equal grams hash equal within each engine, so the
+    # pair sets agree exactly (up to 64-bit collisions, ~1e-7
+    # at sf0.1 gram counts). All-string projections: one gateway
+    # round-trip per select instead of one per Column object (r14).
+    grams = (
+        docs.selectExpr("doc_id", "split(text, ' ') AS arr")
+        .selectExpr(
+            "doc_id",
+            "explode(transform("
+            "slice(sequence(1, greatest(size(arr) - 7, 1)), "
+            "1, greatest(size(arr) - 7, 0)), "
+            "p -> struct(CAST(p AS BIGINT) AS pos, "
+            "xxhash64(array_join(slice(arr, p, 8), ' ')) AS g))) AS s",
+        )
+        .select("doc_id", "s.pos", "s.g")
+    )
     # df fused into the gram exchange (round-11, closes the r10
     # verdict's one perf-weak row): instead of a separate
     # groupBy(g).countDistinct(doc_id) branch JOINED back against
@@ -105,15 +106,22 @@ def x200_verbatim_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group at a time through a spillable sorter, so a degenerate
     # high-frequency gram spills instead of OOMing the aggregation
     # buffer — the 100 TB-safe shape for this side-channel df.
-    wg_rank = Window.partitionBy("g").orderBy("doc_id")
-    wg_all = Window.partitionBy("g")
     # no .drop() layer: the bucket groupBy below references only
     # (g, doc_id, pos), so column pruning removes dr/df from the
     # physical plan either way — the drop only cost one more eager
-    # analysis pass per construction (r14)
+    # analysis pass per construction (r14). SQL-string OVER clauses
+    # replace the Window-spec/Column builders (same two stacked
+    # Window operators, a dozen fewer round-trips each).
     tagged = (
-        grams.withColumn("dr", F.dense_rank().over(wg_rank))
-        .withColumn("df", F.max("dr").over(wg_all))
+        grams.selectExpr(
+            "doc_id",
+            "pos",
+            "g",
+            "dense_rank() OVER (PARTITION BY g ORDER BY doc_id) AS dr",
+        )
+        .selectExpr(
+            "doc_id", "pos", "g", "dr", "max(dr) OVER (PARTITION BY g) AS df"
+        )
         .where("df BETWEEN 2 AND 5")
     )
     # Bucket-grouped pair expansion, not a self-join (r14, the
@@ -155,19 +163,20 @@ def x200_verbatim_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "b.doc_id AS doc_b", "pa", "pa - b.pos AS diag"
         )
     )
-    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    islands = matches.withColumn(
-        "isl", F.col("pa") - F.row_number().over(w)
+    islands = matches.selectExpr(
+        "*",
+        "pa - row_number() OVER "
+        "(PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl",
     )
     spans = islands.groupBy("doc_a", "doc_b", "diag", "isl").agg(
-        (F.max("pa") - F.min("pa") + 8).alias("span_tokens")
+        F.expr("max(pa) - min(pa) + 8 AS span_tokens")
     )
     return (
         spans.groupBy("doc_a", "doc_b")
         .agg(
-            F.count("*").cast("bigint").alias("n_spans"),
-            F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
-            F.sum("span_tokens").cast("bigint").alias("shared_tokens"),
+            F.expr("CAST(count(*) AS BIGINT) AS n_spans"),
+            F.expr("CAST(max(span_tokens) AS BIGINT) AS max_span_tokens"),
+            F.expr("CAST(sum(span_tokens) AS BIGINT) AS shared_tokens"),
         )
         .where("max_span_tokens >= 12")
     )

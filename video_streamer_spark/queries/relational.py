@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from video_streamer_spark.catalog import table
-from video_streamer_spark.functions.parity import dec, round2, date_str
+from video_streamer_spark.functions.parity import (
+    dec,
+    round2,
+    date_str,
+    sql_round2,
+)
 from video_streamer_spark.queries import query
 
 
@@ -63,15 +68,28 @@ _Q2_ORACLE = """
 @query("q02_agg_pricing_summary", oracle=_Q2_ORACLE)
 def q02_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    # string aggregate expressions (r14): the round2/dec Column trees
+    # cost ~270 gateway round-trips per construction; one F.expr per
+    # output parses JVM-side to the identical aggregate
     return (
-        li.where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        li.where(
+            "CAST(l_shipdate AS DATE) <= CAST('1998-09-02' AS DATE)"
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            round2(F.sum(dec("l_quantity"))).alias("sum_qty"),
-            round2(
-                F.sum(dec("l_extendedprice") * (dec(F.lit(1)) - dec("l_discount")))
-            ).alias("sum_revenue"),
-            F.count("*").alias("count_order"),
+            F.expr(
+                sql_round2("SUM(CAST(l_quantity AS DECIMAL(18,6)))")
+                + " AS sum_qty"
+            ),
+            F.expr(
+                sql_round2(
+                    "SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * "
+                    "(CAST(1 AS DECIMAL(18,6)) - "
+                    "CAST(l_discount AS DECIMAL(18,6))))"
+                )
+                + " AS sum_revenue"
+            ),
+            F.expr("count(*) AS count_order"),
         )
     )
 
@@ -122,16 +140,16 @@ def q04_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
-        F.sum(dec("o_totalprice")).alias("_total_dec")
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS _total_dec")
     )
     return (
-        c.join(per_cust, c.c_custkey == per_cust.o_custkey)
+        c.join(per_cust, F.expr("c_custkey = o_custkey"))
         .orderBy(F.col("_total_dec").desc(), F.col("c_custkey"))
         .limit(5)
-        .select(
+        .selectExpr(
             "c_custkey",
             "c_name",
-            round2(F.col("_total_dec")).alias("total_spent"),
+            sql_round2("_total_dec") + " AS total_spent",
         )
     )
 
@@ -191,18 +209,13 @@ def q05b_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q06_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
-    )
-    return (
-        c.select(
-            "c_mktsegment",
-            "c_custkey",
-            "c_acctbal",
-            F.row_number().over(w).cast("int").alias("rn"),
-        )
-        .where(F.col("rn") <= 3)
-    )
+    return c.selectExpr(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        "CAST(row_number() OVER (PARTITION BY c_mktsegment "
+        "ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn",
+    ).where("rn <= 3")
 
 
 # --------------------------------------------------------------------------
@@ -228,21 +241,23 @@ def q06_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q07_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # one string projection (r14): the Window/F.Column chain cost ~200
+    # gateway round-trips per construction; the OVER-clause string
+    # parses JVM-side to the identical plan (D suffixes keep the
+    # literals DOUBLE, matching the F.lit(1000000.0) they replace)
+    running = sql_round2(
+        "CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 1000000.0D)"
+        " AS BIGINT)) OVER (PARTITION BY o_custkey"
+        " ORDER BY o_orderdate, o_orderkey"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS DOUBLE) / 1000000.0D"
     )
-    micros = F.floor(F.col("o_totalprice").cast("double") * 1000000.0).cast(
-        "bigint"
-    )
-    return o.select(
+    return o.selectExpr(
         "o_custkey",
         "o_orderkey",
-        date_str("o_orderdate").alias("order_date"),
-        round2(F.sum(micros).over(w).cast("double") / 1000000.0).alias(
-            "running_total"
-        ),
+        "date_format(CAST(o_orderdate AS DATE), 'yyyy-MM-dd')"
+        " AS order_date",
+        f"{running} AS running_total",
     )
 
 

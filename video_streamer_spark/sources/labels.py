@@ -17,9 +17,9 @@ NUM_LABELS = 80
 
 
 def labels(spark: SparkSession, n: int = NUM_LABELS) -> DataFrame:
-    return spark.range(1, n + 1).select(
-        F.col("id").cast("int").alias("label_id"),
-        F.concat(F.lit("label_"), F.col("id").cast("string")).alias("label_name"),
+    return spark.range(1, n + 1).selectExpr(
+        "CAST(id AS INT) AS label_id",
+        "concat('label_', CAST(id AS STRING)) AS label_name",
     )
 
 
