@@ -83,9 +83,9 @@ def shingles_col(text: Column | str, k: int = DEFAULT_SHINGLE) -> Column:
 def exact_dedup_stats(docs: DataFrame) -> DataFrame:
     """Per-language doc/distinct/duplicate counts (declared Q16)."""
     return docs.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct("text").alias("n_distinct"),
-        (F.count("*") - F.countDistinct("text")).alias("n_dupes"),
+        F.expr("count(*) AS n_docs"),
+        F.expr("count(DISTINCT text) AS n_distinct"),
+        F.expr("count(*) - count(DISTINCT text) AS n_dupes"),
     )
 
 

@@ -113,43 +113,47 @@ def brute_topk(
             "paths (ivf_topk / ivfpq_topk) for large query sets, or "
             "pass max_query_rows=None to accept the cost."
         )
-    # ONE selectExpr per side (r14): the _prepped + withColumnsRenamed
-    # composition pays three eager analysis passes per side for a plan
-    # CollapseProject flattens anyway (the norm's vec reference is
-    # inlined into the collapsed Project either way, and codegen CSE
-    # computes the transform once). Same optimized plan, 6 → 2 layers.
+    # ONE spark.sql pass (r14): the layered construction re-ran the
+    # analyzer over the HOF norm/dot trees once per Dataset layer; a
+    # single CTE chain analyzes once and plans identically — the
+    # BROADCAST hint on the query side reproduces F.broadcast, and
+    # rank on the ROUNDED similarity keeps near-ties collapsing to
+    # equal (break on vec_id), so top-k selection stays
+    # engine-independent.
     vec = f"transform(`{vec_col}`, x -> cast(x AS double))"
-    q = queries.selectExpr(
-        f"`{id_col}` AS query_id",
-        f"{vec} AS q_vec",
-        f"sqrt(aggregate({vec}, 0.0d, (acc, x) -> acc + x * x)) AS q_norm",
-    )
-    c = corpus.selectExpr(
-        f"`{id_col}` AS vec_id",
-        f"{vec} AS c_vec",
-        f"sqrt(aggregate({vec}, 0.0d, (acc, x) -> acc + x * x)) AS c_norm",
-    )
-    scored = c.crossJoin(F.broadcast(q))
-    if exclude_self:
-        scored = scored.where("vec_id != query_id")
-    # rank on the ROUNDED similarity: near-ties collapse to equal and
-    # break on vec_id, so top-k selection is engine-independent.
-    # All-string projections (r14): the round4/_dot/Window Column
-    # chain cost ~150 gateway round-trips; the string forms parse
-    # JVM-side to the identical plan.
     sim = sql_round4(
         "aggregate(zip_with(c_vec, q_vec, (x, y) -> x * y),"
         " 0.0d, (acc, x) -> acc + x) / (c_norm * q_norm)"
     )
-    return (
-        scored.selectExpr("query_id", "vec_id", f"{sim} AS sim")
-        .selectExpr(
-            "*",
-            "CAST(row_number() OVER (PARTITION BY query_id "
-            "ORDER BY sim DESC, vec_id) AS INT) AS rank",
+    self_filter = "WHERE vec_id != query_id" if exclude_self else ""
+    return corpus.sparkSession.sql(
+        f"""
+        WITH c AS (
+          SELECT `{id_col}` AS vec_id, {vec} AS c_vec,
+            sqrt(aggregate({vec}, 0.0d, (acc, x) -> acc + x * x))
+              AS c_norm
+          FROM {{corpus}}
+        ),
+        q AS (
+          SELECT `{id_col}` AS query_id, {vec} AS q_vec,
+            sqrt(aggregate({vec}, 0.0d, (acc, x) -> acc + x * x))
+              AS q_norm
+          FROM {{queries}}
+        ),
+        scored AS (
+          SELECT /*+ BROADCAST(q) */ query_id, vec_id, {sim} AS sim
+          FROM c CROSS JOIN q {self_filter}
+        ),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, vec_id) AS INT) AS rank
+          FROM scored
         )
-        .where(f"rank <= {int(k)}")
-        .select("query_id", "vec_id", "sim", "rank")
+        SELECT query_id, vec_id, sim, rank
+        FROM ranked WHERE rank <= {int(k)}
+        """,
+        corpus=corpus,
+        queries=queries,
     )
 
 

@@ -358,13 +358,11 @@ def x216_zonemap_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority")
         .agg(
-            F.count("*").cast("bigint").alias("n_rows"),
-            (
-                F.sum(
-                    F.floor(F.col("o_totalprice") * 100.0).cast("bigint")
-                ).cast("double")
-                / 100.0
-            ).alias("total_price"),
+            F.expr("CAST(count(*) AS BIGINT) AS n_rows"),
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(o_totalprice * 100.0D) AS BIGINT))"
+                " AS DOUBLE) / 100.0D AS total_price"
+            ),
         )
     )
 

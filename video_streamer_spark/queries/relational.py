@@ -113,10 +113,10 @@ def q03_multijoin_region_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
     return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        c.join(F.broadcast(n), F.expr("c_nationkey = n_nationkey"))
+        .join(F.broadcast(r), F.expr("n_regionkey = r_regionkey"))
         .groupBy("r_name")
-        .agg(F.count("*").alias("n_customers"))
+        .agg(F.expr("count(*) AS n_customers"))
     )
 
 
@@ -279,16 +279,13 @@ def q08_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
-    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
-        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    joined = c.join(F.broadcast(n), F.expr("c_nationkey = n_nationkey")).join(
+        F.broadcast(r), F.expr("n_regionkey = r_regionkey")
     )
-    return (
-        joined.rollup("r_name", "n_name")
-        .agg(
-            F.count("*").alias("n_customers"),
-            F.grouping("r_name").cast("int").alias("g_region"),
-            F.grouping("n_name").cast("int").alias("g_nation"),
-        )
+    return joined.rollup("r_name", "n_name").agg(
+        F.expr("count(*) AS n_customers"),
+        F.expr("CAST(grouping(r_name) AS INT) AS g_region"),
+        F.expr("CAST(grouping(n_name) AS INT) AS g_nation"),
     )
 
 
@@ -399,7 +396,9 @@ def q11_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q12_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k")
+        F.expr(
+            "SUM(CAST(get_json_object(props, '$.k') AS INT)) AS sum_k"
+        )
     )
 
 
@@ -417,7 +416,7 @@ def q12_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q13_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users")
+        F.expr("count(DISTINCT user_id) AS n_users")
     )
 
 
