@@ -45,13 +45,19 @@ SIMHASH_BITS = 32        # 8 hex chars of md5
 DEFAULT_SHINGLE = 3      # tokens per shingle
 
 
+def tokens_sql(text: str) -> str:
+    """The tokenizer as a SQL fragment, for callers composing larger
+    string projections (single gateway round-trip per select)."""
+    return f"filter(split(`{text}`, ' '), x -> x != '')"
+
+
 def tokens_col(text: Column | str) -> Column:
     # String-name path builds ONE SQL expression (single Py4J round
     # trip); Python-lambda HOFs cost ~10 ms of gateway traffic each at
     # construction time (profiled in the round-6 floor study, PLANS.md)
     # for the identical analyzed plan.
     if isinstance(text, str):
-        return F.expr(f"filter(split(`{text}`, ' '), x -> x != '')")
+        return F.expr(tokens_sql(text))
     return F.filter(F.split(text, " "), lambda x: x != "")
 
 

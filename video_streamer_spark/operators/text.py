@@ -12,7 +12,7 @@ from pyspark.sql.window import Window
 
 from video_streamer_spark.functions.caching import bounded_persist, pooled
 from video_streamer_spark.functions.parity import round2, round4
-from video_streamer_spark.operators.dedup import tokens_col
+from video_streamer_spark.operators.dedup import tokens_col, tokens_sql
 
 # tiny English stopword list used by the n-gram-heuristic language ID;
 # must stay in sync with the oracle SQL (queries/curation.py)
@@ -23,9 +23,12 @@ LANG_ID_THRESHOLD = 0.03  # stopword ratio above which we call it English
 
 
 def token_explode(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens_col("text")).alias("token"),
+    # string projection (r14 phase 6): one gateway round-trip per select
+    # instead of one per Column; the parsed tree is identical (plan
+    # byte-identity checked for every token_explode consumer)
+    return docs.selectExpr(
+        f"`{id_col}` AS doc_id",
+        f"explode({tokens_sql('text')}) AS token",
     )
 
 
@@ -35,7 +38,7 @@ def top_tokens(docs: DataFrame, k: int = 10) -> DataFrame:
         token_explode(docs)
         .groupBy("token")
         .agg(F.expr("count(*) AS cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .sort(F.desc("cnt"), "token")
         .limit(k)
     )
 

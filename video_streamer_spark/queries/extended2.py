@@ -408,19 +408,19 @@ def x217_tombstone_snapshot_read(
         )
 
     path = _prebuilt_table(spark, sf_dir, "tombstone-orders", build)
+    # string expressions (r14 phase 6): this block was ~145 gateway
+    # round-trips of Column builders; the D suffixes keep the literals
+    # DOUBLE (bare 100.0 parses as DECIMAL) so the tree is unchanged
+    # (plan byte-identity + result hash checked)
     return (
         read_table(spark, path)
-        .groupBy(
-            (F.col("o_orderkey") % 8).cast("bigint").alias("key_class")
-        )
+        .groupBy(F.expr("CAST(o_orderkey % 8 AS BIGINT) AS key_class"))
         .agg(
-            F.count("*").cast("bigint").alias("n_rows"),
-            (
-                F.sum(
-                    F.floor(F.col("o_totalprice") * 100.0).cast("bigint")
-                ).cast("double")
-                / 100.0
-            ).alias("total_price"),
+            F.expr("CAST(count(*) AS BIGINT) AS n_rows"),
+            F.expr(
+                "CAST(sum(CAST(FLOOR(o_totalprice * 100.0D) AS BIGINT))"
+                " AS DOUBLE) / 100.0D AS total_price"
+            ),
         )
     )
 

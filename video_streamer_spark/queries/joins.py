@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from video_streamer_spark.catalog import table
-from video_streamer_spark.functions.parity import dec, round2, ts_str
+from video_streamer_spark.functions.parity import dec, round2
 from video_streamer_spark.queries import query
 
 
@@ -156,11 +156,15 @@ def x28_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_streamer_spark.operators.temporal import asof_join
 
     e = table(spark, sf_dir, "events")
-    purchases = e.where(F.col("event_type") == "purchase").select(
+    # string projections (r14 phase 6): this body was the worst remaining
+    # constructor (332 gateway calls warm, ~260 of them in these three
+    # Column-builder blocks); the string forms parse JVM-side in one call
+    # per select and plan the identical tree (plan byte-identity checked)
+    purchases = e.where("event_type = 'purchase'").selectExpr(
         "event_id", "user_id", "ts"
     )
-    clicks = e.where(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    clicks = e.where("event_type = 'click'").selectExpr(
+        "user_id", "ts", "event_id AS click_event_id"
     )
     joined = asof_join(
         purchases,
@@ -169,14 +173,13 @@ def x28_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["click_event_id"],
         tolerance_seconds=7200,
     )
-    return joined.select(
+    return joined.selectExpr(
         "event_id",
         "user_id",
-        ts_str("ts").alias("purchase_ts"),
-        F.col("click_event_id_asof").alias("click_id"),
-        F.floor(F.col("ts").cast("double") - F.col("ts_asof").cast("double"))
-        .cast("bigint")
-        .alias("lag_s"),
+        "date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS purchase_ts",
+        "click_event_id_asof AS click_id",
+        "CAST(FLOOR(CAST(ts AS DOUBLE) - CAST(ts_asof AS DOUBLE)) AS BIGINT)"
+        " AS lag_s",
     ).orderBy("event_id")
 
 
