@@ -25,9 +25,14 @@ LANG_ID_THRESHOLD = 0.03  # stopword ratio above which we call it English
 def token_explode(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # string projection (r14 phase 6): one gateway round-trip per select
     # instead of one per Column; the parsed tree is identical (plan
-    # byte-identity checked for every token_explode consumer)
+    # byte-identity checked for every token_explode consumer).
+    # id_col is backtick-quoted, so it refers to a TOP-LEVEL column
+    # (dotted names are not traversed, unlike F.col) — embedded
+    # backticks are escaped by doubling per SQL identifier rules
+    # (ADVICE r14).
+    quoted = id_col.replace("`", "``")
     return docs.selectExpr(
-        f"`{id_col}` AS doc_id",
+        f"`{quoted}` AS doc_id",
         f"explode({tokens_sql('text')}) AS token",
     )
 
