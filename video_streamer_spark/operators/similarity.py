@@ -347,7 +347,9 @@ def embedding_near_pairs(
 
     Distributed blocked all-pairs, nothing ever materializes on the
     driver: rows hash into B = ⌈n/block_rows⌉ blocks and each of the
-    B(B+1)/2 block pairs becomes one cogrouped Arrow task that
+    B(B+1)/2 block pairs becomes one grouped Arrow task (one broadcast
+    join against a side-tagged pair index replicates every row to its
+    tiles; the task splits the tile by the side tag) that
 
     1. BLAS-matmuls its two (≤block_rows × dim) tiles to find CANDIDATE
        pairs with a safety margin below the threshold (matmul's pairwise
@@ -434,32 +436,32 @@ def embedding_near_pairs(
     n_blocks = max(1, -(-n // block_rows), min(b_par, n // 64))
     # the pair index as a SQL VALUES literal, not createDataFrame: the
     # python-list path parallelizes into a defaultParallelism-slice RDD,
-    # so EVERY broadcast of this ≤ B(B+1)/2-row table ran a 32-task job
-    # (two per query — measured most of the JVM-side floor); a VALUES
+    # so EVERY broadcast of this table ran a 32-task job; a VALUES
     # LocalRelation broadcast-collects driver-side with zero jobs.
-    pair_vals = ", ".join(
-        f"({i},{j})" for i in range(n_blocks) for j in range(i, n_blocks)
+    #
+    # ONE side-tagged index instead of two per-side joins (r15): block
+    # pair (i, j) contributes (blk=i, side=0) and (blk=j, side=1) rows,
+    # so a SINGLE broadcast join replicates each data row to every tile
+    # it participates in with its side tag, and a grouped applyInPandas
+    # splits the tile by the tag. The old shape cogrouped two separate
+    # join branches — two scans, two broadcast builds, two shuffles, two
+    # sorts — for the identical tile contents (same B(B+1) index rows,
+    # same n·(B+1) shuffled data rows, same per-task tiles).
+    side_vals = ", ".join(
+        f"({i},{i},{j},0), ({j},{i},{j},1)"
+        for i in range(n_blocks)
+        for j in range(i, n_blocks)
     )
     pairs_idx = spark.sql(
-        f"SELECT blk_a, blk_b FROM (VALUES {pair_vals}) AS t(blk_a, blk_b)"
+        "SELECT iblk, blk_a, blk_b, side FROM "
+        f"(VALUES {side_vals}) AS t(iblk, blk_a, blk_b, side)"
     )
     blocked = src.selectExpr(
         "*", f"CAST(pmod(xxhash64(vid), {n_blocks}) AS INT) AS blk"
     )
-    left = blocked.join(
-        F.broadcast(pairs_idx), F.expr("blk = blk_a")
-    ).select("blk_a", "blk_b", "vid", "vec")
-    # fresh aliases on the right side: both cogroup sides descend from the
-    # same `blocked` subtree, and identical attribute ids would trip
-    # Spark's ambiguous-self-join detection
-    right = blocked.join(
-        F.broadcast(pairs_idx), F.expr("blk = blk_b")
-    ).selectExpr(
-        "blk_a AS rblk_a",
-        "blk_b AS rblk_b",
-        "vid AS rvid",
-        "vec AS rvec",
-    )
+    tagged = blocked.join(
+        F.broadcast(pairs_idx), F.expr("blk = iblk")
+    ).select("blk_a", "blk_b", "side", "vid", "vec")
 
     # margin ≫ matmul-vs-sequential summation error (≲ dim·ε ≈ 1e-14)
     margin = 1e-9
@@ -478,14 +480,16 @@ def embedding_near_pairs(
         }
     )
 
-    def score(key, l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
         i, j = key
+        sides = pdf["side"].to_numpy()
+        l_pdf, r_pdf = pdf[sides == 0], pdf[sides == 1]
         if len(l_pdf) == 0 or len(r_pdf) == 0:
             return empty
         a_ids = l_pdf["vid"].to_numpy(dtype=np.int64)
-        b_ids = r_pdf["rvid"].to_numpy(dtype=np.int64)
+        b_ids = r_pdf["vid"].to_numpy(dtype=np.int64)
         a_mat = np.array(list(l_pdf["vec"]), dtype=np.float64)
-        b_mat = np.array(list(r_pdf["rvec"]), dtype=np.float64)
+        b_mat = np.array(list(r_pdf["vec"]), dtype=np.float64)
         # phase 1: BLAS candidate generation (approximate, margined)
         sim_fast = (a_mat @ b_mat.T) / np.outer(seq_norms(a_mat), seq_norms(b_mat))
         mask = sim_fast >= threshold - margin
@@ -518,10 +522,8 @@ def embedding_near_pairs(
             StructField("sim_raw", DoubleType()),
         ]
     )
-    pairs = (
-        left.groupBy("blk_a", "blk_b")
-        .cogroup(right.groupBy("rblk_a", "rblk_b"))
-        .applyInPandas(score, out_schema)
+    pairs = tagged.groupBy("blk_a", "blk_b").applyInPandas(
+        score, out_schema
     )
     return pairs.selectExpr(
         "vec_a", "vec_b", sql_round4("sim_raw") + " AS sim"
