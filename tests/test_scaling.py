@@ -67,12 +67,13 @@ def test_x05_block_pair_fanout_formula(spark):
     b_par = math.ceil((math.sqrt(8 * par + 1) - 1) / 2)
     n_blocks = max(1, -(-n // block_rows), min(b_par, n // 64))
     expect_pairs = n_blocks * (n_blocks + 1) // 2
-    # the grouped-map tiles form one group per block pair (r15: a single
-    # side-tagged broadcast join + FlatMapGroupsInPandas replaced the
-    # two-branch cogroup — half the scans/shuffles/sorts, same tiles)
+    # the grouped-map tiles form one group per block pair (r15: each row
+    # GENERATES its side-tagged tile memberships — inline() over two
+    # sequences — and FlatMapGroupsInPandas replaced the two-branch
+    # cogroup: one scan, one shuffle, one sort, zero joins, zero
+    # broadcast-build jobs, same tiles)
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "FlatMapGroupsInPandas" in plan, plan
-    # the broadcast pair index is the only row source for the key space
     from pyspark.sql import Row  # noqa: F401
 
     assert expect_pairs <= (n_blocks * (n_blocks + 1)) // 2

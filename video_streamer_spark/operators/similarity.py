@@ -434,34 +434,31 @@ def embedding_near_pairs(
     par = spark.sparkContext.defaultParallelism
     b_par = math.ceil((math.sqrt(8 * par + 1) - 1) / 2)
     n_blocks = max(1, -(-n // block_rows), min(b_par, n // 64))
-    # the pair index as a SQL VALUES literal, not createDataFrame: the
-    # python-list path parallelizes into a defaultParallelism-slice RDD,
-    # so EVERY broadcast of this table ran a 32-task job; a VALUES
-    # LocalRelation broadcast-collects driver-side with zero jobs.
-    #
-    # ONE side-tagged index instead of two per-side joins (r15): block
-    # pair (i, j) contributes (blk=i, side=0) and (blk=j, side=1) rows,
-    # so a SINGLE broadcast join replicates each data row to every tile
-    # it participates in with its side tag, and a grouped applyInPandas
-    # splits the tile by the tag. The old shape cogrouped two separate
-    # join branches — two scans, two broadcast builds, two shuffles, two
-    # sorts — for the identical tile contents (same B(B+1) index rows,
-    # same n·(B+1) shuffled data rows, same per-task tiles).
-    side_vals = ", ".join(
-        f"({i},{i},{j},0), ({j},{i},{j},1)"
-        for i in range(n_blocks)
-        for j in range(i, n_blocks)
-    )
-    pairs_idx = spark.sql(
-        "SELECT iblk, blk_a, blk_b, side FROM "
-        f"(VALUES {side_vals}) AS t(iblk, blk_a, blk_b, side)"
-    )
+    # Each row GENERATES its own tile memberships (r15): a row in block
+    # b participates in pairs (b, j) for j ≥ b as the LEFT side and
+    # (i, b) for i ≤ b as the RIGHT side — a pure-codegen inline() over
+    # two tiny sequences, so the replication is one Generate node with
+    # NO pair-index relation at all. The previous shapes paid for
+    # distributing that index: two per-side broadcast joins (r14), then
+    # one side-tagged broadcast join — and every broadcast of the
+    # index ran a defaultParallelism-task job, because BroadcastExchange
+    # builds via executeCollectIterator(), which LocalTableScanExec
+    # serves from a parallelized RDD, not its driver-side executeCollect
+    # (measured: a 32-task, 0-input job per run). Same B(B+1) index
+    # entries, same n·(B+1) shuffled rows, same per-task tiles; the
+    # grouped applyInPandas splits each tile by the side tag.
     blocked = src.selectExpr(
         "*", f"CAST(pmod(xxhash64(vid), {n_blocks}) AS INT) AS blk"
     )
-    tagged = blocked.join(
-        F.broadcast(pairs_idx), F.expr("blk = iblk")
-    ).select("blk_a", "blk_b", "side", "vid", "vec")
+    tagged = blocked.selectExpr(
+        "inline(concat("
+        f"transform(sequence(blk, {n_blocks - 1}),"
+        " j -> named_struct('blk_a', blk, 'blk_b', j, 'side', 0)),"
+        "transform(sequence(0, blk),"
+        " i -> named_struct('blk_a', i, 'blk_b', blk, 'side', 1))))",
+        "vid",
+        "vec",
+    )
 
     # margin ≫ matmul-vs-sequential summation error (≲ dim·ε ≈ 1e-14)
     margin = 1e-9
