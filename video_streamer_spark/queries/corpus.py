@@ -1240,7 +1240,12 @@ def x161_psi_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = (
         scored.select("source")
         .distinct()
-        .crossJoin(spark.range(5).select(F.col("id").cast("int").alias("b")))
+        # one slice: the 5-row bucket spine is broadcast into the cross
+        # join, and a defaultParallelism-slice Range costs a 32-task
+        # broadcast-build job (r15 job audit, same class as labels())
+        .crossJoin(
+            spark.range(0, 5, 1, 1).select(F.col("id").cast("int").alias("b"))
+        )
     )
     sc = scored.groupBy("source", "b").agg(F.count("*").alias("c"))
     filled = grid.join(sc, ["source", "b"], "left").withColumn(

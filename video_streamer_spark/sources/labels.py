@@ -17,7 +17,11 @@ NUM_LABELS = 80
 
 
 def labels(spark: SparkSession, n: int = NUM_LABELS) -> DataFrame:
-    return spark.range(1, n + 1).selectExpr(
+    # one slice, not defaultParallelism: this dim exists to be BROADCAST,
+    # and BroadcastExchange builds via executeCollectIterator() — a job
+    # over the child RDD — so an 80-row Range otherwise costs a
+    # 32-task build job per consuming query (r15 job audit)
+    return spark.range(1, n + 1, 1, 1).selectExpr(
         "CAST(id AS INT) AS label_id",
         "concat('label_', CAST(id AS STRING)) AS label_name",
     )
