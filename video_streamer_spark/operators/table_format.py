@@ -587,6 +587,7 @@ def _write_commit_data(
     n_buckets: int,
     pre_bucketed: bool = False,
     mapping: dict[str, str] | None = None,
+    distribution: str = "none",
 ) -> tuple[str, list[int], dict, dict]:
     """Write bucketed rows under a fresh immutable commit dir; returns
     (relative commit dir, buckets actually written, per-bucket stats,
@@ -600,6 +601,11 @@ def _write_commit_data(
     rel = f"data/commit-{uuid.uuid4().hex}"
     full = os.path.join(path, rel)
     bucketed = df if pre_bucketed else _bucketed(df, key_cols, n_buckets)
+    if distribution == "hash" and not pre_bucketed:
+        # cluster by bucket before the write (Iceberg's hash
+        # distribution mode): one file per bucket dir instead of one
+        # per (task, bucket)
+        bucketed = bucketed.repartition(n_buckets, F.col(BUCKET_COL))
     mapping = mapping or {}
     renames = {n: p for n, p in mapping.items() if n != p}
     if renames:
@@ -779,6 +785,7 @@ def create_table(
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 8192,
     bloom_hashes: int = 6,
+    distribution: str = "none",
 ) -> int:
     """Materialize version 1. Layout is immutable-from-birth: even the
     initial load is a commit dir referenced by a manifest.
@@ -789,7 +796,15 @@ def create_table(
     ``read_table_where`` with an equality bound on such a column skips
     buckets the bloom proves value-free — the unclustered-column
     complement to the min/max zone maps. Table-level property, fixed at
-    creation like the key layout."""
+    creation like the key layout.
+
+    ``distribution`` is Iceberg's ``write.distribution-mode`` idea:
+    ``"none"`` (default) writes with the incoming partitioning — up to
+    (input tasks × buckets) files, fine when the input is already
+    clustered or an OPTIMIZE follows; ``"hash"`` shuffles the rows by
+    bucket before the write so each bucket dir gets ONE file — one
+    extra O(changeset) exchange at load time buys every future read a
+    per-bucket open instead of the small-files tax (guide §6)."""
     if BUCKET_COL in df.columns:
         # _bucketed would silently overwrite the user's values with the
         # bucket hash and the partition write would then CONSUME the
@@ -798,9 +813,13 @@ def create_table(
             f"column name {BUCKET_COL!r} is reserved for the table's "
             "bucket routing; rename it before create_table"
         )
+    if distribution not in ("none", "hash"):
+        raise ValueError(
+            f"distribution must be 'none' or 'hash', got {distribution!r}"
+        )
     log_store_for(path).ensure_log(_manifest_dir(path))
     rel, present, stats, file_stats = _write_commit_data(
-        df, path, key_cols, n_buckets
+        df, path, key_cols, n_buckets, distribution=distribution
     )
     from pyspark.sql.types import StructField, StructType
 
@@ -3034,9 +3053,17 @@ def delete_keys(
     ).distinct()
     rel = f"data/commit-{uuid.uuid4().hex}"
     full = os.path.join(path, rel)
-    _bucketed(keys, key_cols, n_buckets).write.partitionBy(
-        BUCKET_COL
-    ).parquet(full)
+    # cluster the keys by bucket before the write: inheriting the
+    # changeset's partitioning writes up to (tasks × buckets) files of a
+    # few KB each (measured 224 files for 21k keys at 8 buckets), and
+    # every future read of the table pays that per-file open/footer cost
+    # in its tombstone anti-join build — the small-files tax, twice
+    # (guide §6). One shuffle of O(keys) rows here buys one file per
+    # bucket dir forever after; keys are key-column-only rows, so even a
+    # bulk delete's per-bucket file stays modest.
+    _bucketed(keys, key_cols, n_buckets).repartition(
+        n_buckets, F.col(BUCKET_COL)
+    ).write.partitionBy(BUCKET_COL).parquet(full)
     touched = [
         d.removeprefix(f"{BUCKET_COL}=")
         for d in os.listdir(full)

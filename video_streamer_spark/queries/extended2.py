@@ -271,6 +271,18 @@ def _fresh_run_dir(spark: SparkSession, sf_dir: str, base: str) -> str:
     return f"{slot}/run-{next(_RUN_SEQ)}"
 
 
+def prebuilt_table_path(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Path of the (app, sf)-scoped prebuilt table. Exposed so DECLARED
+    maintenance steps (the bench's timed scale3 compaction) can operate
+    on the table a query family already built this session without
+    duplicating the slot-naming rule."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    app = spark.sparkContext.applicationId
+    return f"/tmp/vss-benchtable/{app}-{tag}/{kind}"
+
+
 def _prebuilt_table(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
     """Build-once-per-(app, sf) versioned table for READ-path queries.
 
@@ -290,7 +302,7 @@ def _prebuilt_table(spark: SparkSession, sf_dir: str, kind: str, build) -> str:
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
     app = spark.sparkContext.applicationId
-    path = f"/tmp/vss-benchtable/{app}-{tag}/{kind}"
+    path = prebuilt_table_path(spark, sf_dir, kind)
     # build into a private staging dir and RENAME into place: a build
     # that dies halfway (interrupted optimize, OOM) must not wedge the
     # (app, sf) slot — retrying create_table against a half-built table
@@ -400,7 +412,13 @@ def x217_tombstone_snapshot_read(
         orders = table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice"
         )
-        create_table(orders, path, ["o_orderkey"], n_buckets=8)
+        # hash distribution (one file per bucket): the measured READ
+        # otherwise pays (input tasks × buckets) per-file opens — 96
+        # files for a 150k-row table — which benchmarks the loader's
+        # write amplification, not the merge-on-read price (guide §6)
+        create_table(
+            orders, path, ["o_orderkey"], n_buckets=8, distribution="hash"
+        )
         delete_keys(
             spark,
             path,
