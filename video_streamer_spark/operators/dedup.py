@@ -687,8 +687,27 @@ def pagerank_iterations(
     computed in IEEE double (identical both engines), quantized to
     DECIMAL(18,9) BEFORE the per-target sum (exact, order-independent),
     and the damped update stays in exact decimal arithmetic.
+
+    Lineage is TRUNCATED at round boundaries (lazy localCheckpoint,
+    VERDICT r14 item 7): without it every iteration re-embeds the full
+    ``edges``/``nodes`` subtrees (here: an LSH pair-expansion pipeline)
+    into an ever-deeper tree — the analyzer re-walks all of it per
+    round AND the executor recomputes the edge derivation per round
+    (n_iter full passes at 100 TB). The checkpoint materializes edges/
+    deg/nodes once to executor-local storage and each round's plan
+    reads them as leaf scans; per-round ranks are likewise truncated so
+    plan depth is O(1) in n_iter, not O(n_iter). Values are unchanged
+    (the checkpoint stores exactly the rows the subtree computes);
+    lazy, so CONSTRUCTION still runs zero jobs.
     """
-    deg = edges.groupBy(src_col).agg(F.count("*").alias("out_deg"))
+    edges = edges.localCheckpoint(eager=False)
+    nodes = nodes.select(F.col(node_col).alias("node")).localCheckpoint(
+        eager=False
+    )
+    node_col = "node"
+    deg = edges.groupBy(src_col).agg(
+        F.count("*").alias("out_deg")
+    ).localCheckpoint(eager=False)
     ranks = nodes.select(
         F.col(node_col).alias("node"),
         F.lit(1.0).cast("decimal(18,9)").alias("rank"),
@@ -717,6 +736,7 @@ def pagerank_iterations(
                 .cast("decimal(18,9)")
                 .alias("rank"),
             )
+            .localCheckpoint(eager=False)
         )
     return ranks
 

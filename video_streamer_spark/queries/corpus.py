@@ -3426,11 +3426,16 @@ def x190_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x191_filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from video_streamer_spark.catalog import parquet_row_count
+    from video_streamer_spark.catalog import parquet_row_count, scatter
     from video_streamer_spark.operators.dedup import shingles_col, tokens_col
     from video_streamer_spark.operators.text import quality_score_col
 
-    docs = table(spark, sf_dir, "documents")
+    # scatter before the CPU-heavy per-row work (guide §2.5, the same
+    # rule the dedup family applies): a single-split documents scan
+    # otherwise serializes BOTH shingle pipelines onto one core —
+    # measured 3.4 s (2-shingles) + 4.8 s (3-shingles+df) single-task
+    # at sf0.1; no-op at >= parallelism splits
+    docs = scatter(table(spark, sf_dir, "documents"))
     n_docs = parquet_row_count(sf_dir, "documents")
 
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
@@ -3475,26 +3480,33 @@ def x191_filter_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f_rep"),
             (F.coalesce("frac", F.lit(0.0)) > 0.1).alias("f_bp"),
         )
-        .transform(pooled("x191-flags"))
     )
 
-    def row(a: str, b: str, cond: F.Column) -> DataFrame:
-        return flags.agg(F.count_if(cond).cast("bigint").alias("n_docs")).select(
-            F.lit(a).alias("filter_a"), F.lit(b).alias("filter_b"), "n_docs"
-        )
-
-    fa = {n: F.col(f"f_{n}") for n in ("exact", "quality", "rep", "bp")}
-    singles = [row(n, n, c) for n, c in fa.items()]
-    names = list(fa)
-    pairs = [
-        row(a, b, fa[a] & fa[b])
+    # ONE aggregate over flags computes all 10 matrix cells, then
+    # stack() pivots them to the declared (filter_a, filter_b, n_docs)
+    # rows (r15): the previous shape unioned 10 separate agg branches —
+    # 10 jobs re-reading a persisted flags table, ~119 plan exchanges.
+    # One pass needs no persist at all; the result rows are identical
+    # (oracle-verified).
+    names = ["exact", "quality", "rep", "bp"]
+    fa = {n: F.col(f"f_{n}") for n in names}
+    cells = [(n, n, fa[n]) for n in names] + [
+        (a, b, fa[a] & fa[b])
         for i, a in enumerate(names)
         for b in names[i + 1:]
     ]
-    out = singles[0]
-    for p in singles[1:] + pairs:
-        out = out.unionByName(p)
-    return out
+    one = flags.agg(
+        *[
+            F.count_if(c).cast("bigint").alias(f"c{i}")
+            for i, (_, _, c) in enumerate(cells)
+        ]
+    )
+    stacked = ", ".join(
+        f"'{a}', '{b}', c{i}" for i, (a, b, _) in enumerate(cells)
+    )
+    return one.selectExpr(
+        f"stack({len(cells)}, {stacked}) AS (filter_a, filter_b, n_docs)"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1730,17 +1730,28 @@ def x79_hierarchy_depth_pointer_jump(
         F.when(F.col("doc_id") == 1, F.lit(0)).otherwise(F.lit(1)).alias("d"),
     )
     # 5 doubling rounds reach depth 2^5 = 32, i.e. any doc_id < 2^32 —
-    # far beyond every SF; rounds = ceil(log2(max_depth)) in general
+    # far beyond every SF; rounds = ceil(log2(max_depth)) in general.
+    # Lineage truncated per round (lazy localCheckpoint, VERDICT r14
+    # item 7): the self-join otherwise DOUBLES the tree every round —
+    # 2^5 copies of the base scan for the analyzer to re-walk — and the
+    # executor recomputes both sides from source. Each round now joins
+    # two leaf reads of the previous round's materialized rows; values
+    # are unchanged and construction stays job-free (lazy).
+    ptr = ptr.localCheckpoint(eager=False)
     for _ in range(5):
         other = ptr.select(
             F.col("node").alias("j_node"),
             F.col("anc").alias("j_anc"),
             F.col("d").alias("j_d"),
         )
-        ptr = ptr.join(other, ptr["anc"] == other["j_node"]).select(
-            "node",
-            F.col("j_anc").alias("anc"),
-            (F.col("d") + F.col("j_d")).alias("d"),
+        ptr = (
+            ptr.join(other, ptr["anc"] == other["j_node"])
+            .select(
+                "node",
+                F.col("j_anc").alias("anc"),
+                (F.col("d") + F.col("j_d")).alias("d"),
+            )
+            .localCheckpoint(eager=False)
         )
     return ptr.select(
         "node", F.col("d").cast("int").alias("depth")
